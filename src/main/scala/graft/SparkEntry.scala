@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.QueryDef
+import graft.vat.Summary
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * The declared inventory is assembled from the per-family modules; each
+  * entry carries its Spark implementation and (when ANSI-SQL-expressible)
+  * the DuckDB oracle for the driver's hash-compare gate. Queries without
+  * an oracle get the driver's weaker rows-only check and are covered by
+  * ScalaTest instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Summary.lineitemVatSummary(spark, "/root/testdata/sf0.001")
+
+  private lazy val all: Seq[(String, QueryDef)] =
+    Seq("vat_summary" -> QueryDef(
+      Summary.lineitemVatSummary _, Summary.lineitemVatSummarySql)) ++
+      rel.RelQueries.queries
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, qd) => n -> qd.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries → rows-only check. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, QueryDef(_, Some(sql))) => n -> sql }.toMap
 }

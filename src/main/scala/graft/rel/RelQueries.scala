@@ -1,0 +1,231 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Core relational surface over the star schema (SURVEY.md §2.2-2.7):
+  * scans, filters, equi/semi/anti/cross joins, hash aggregation,
+  * distinct, sorts/limits, set ops. Every query is declarative (Catalyst
+  * chooses broadcast-vs-shuffle join, partial+final aggregation, AQE) and
+  * ends in a total ORDER BY for the oracle hash-compare.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension→fact joins put the small side right of a broadcast-able
+  *    join (customer/orders vs lineitem); no join key is high-skew in
+  *    this schema, AQE skew-split covers the rest.
+  *  - aggregations are keyed on low-cardinality columns → partial
+  *    (map-side) aggregation collapses almost all rows before the
+  *    shuffle.
+  */
+object RelQueries {
+  import Exact._
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+
+    // ---- A1/A6 heavy aggregation (TPC-H Q1 shape) ----------------------
+    "q1_pricing_summary" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).cast("double").as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+              * onePlus(col("l_tax"))).cast("double").as("sum_charge"),
+            (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            (sum(rate(col("l_discount"))).cast("double") / count(col("l_discount")))
+              .as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- J2 multi-way join + agg + top-k (TPC-H Q3 shape) --------------
+    "q3_shipping_priority" -> QueryDef(
+      (s, d) => {
+        val cut = to_timestamp(lit("1996-03-15"))
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("revenue"))
+          .select(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1996-03-15' AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin),
+
+    // ---- J2 inner equi join ---------------------------------------------
+    "join_inner" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- J2 left outer join + grouped agg (nulls → 0/0) -----------------
+    "join_left_agg" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum0(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- J3 semi / anti --------------------------------------------------
+    "join_semi" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "join_anti" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- J5 cross join (bounded dims only) -------------------------------
+    "join_cross" -> QueryDef(
+      (s, d) => {
+        val r1 = Tables.region(s, d).select(col("r_name").as("region_a"))
+        val r2 = Tables.region(s, d).select(col("r_name").as("region_b"))
+        r1.crossJoin(r2).orderBy(col("region_a"), col("region_b"))
+      },
+      """SELECT r1.r_name AS region_a, r2.r_name AS region_b
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY region_a, region_b""".stripMargin),
+
+    // ---- A6 global aggregates -------------------------------------------
+    "agg_stats_global" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        davg(col("l_extendedprice")).as("avg_price")),
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
+        |FROM lineitem""".stripMargin),
+
+    // ---- A4 mode aggregate, pinned min-key tie-break ---------------------
+    "agg_mode_year" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("y").asc)
+        .limit(1),
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY n DESC, y ASC LIMIT 1""".stripMargin),
+
+    // ---- A3 distinct on key subset --------------------------------------
+    "distinct_dims" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_mktsegment").as("mktsegment"), col("c_nationkey").as("nationkey"))
+        .dropDuplicates("mktsegment", "nationkey")
+        .orderBy(col("mktsegment"), col("nationkey")),
+      """SELECT DISTINCT c_mktsegment AS mktsegment, c_nationkey AS nationkey
+        |FROM customer ORDER BY mktsegment, nationkey""".stripMargin),
+
+    // ---- O1/O2 global multi-key sort + limit ----------------------------
+    "sort_limit" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship_date"), col("l_quantity")),
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+        |FROM lineitem
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |LIMIT 1000""".stripMargin),
+
+    // ---- U3 set operations ----------------------------------------------
+    "set_intersect" -> QueryDef(
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin),
+
+    "set_except" -> QueryDef(
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY nationkey""".stripMargin),
+
+    // ---- U1 union-by-name with conformance ------------------------------
+    "union_parties" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("nationkey"), lit("customer").as("kind"),
+          col("c_acctbal").as("acctbal"))
+        val su = Tables.supplier(s, d).select(
+          col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_nationkey").as("nationkey"), lit("supplier").as("kind"),
+          col("s_acctbal").as("acctbal"))
+        c.unionByName(su).orderBy(col("kind"), col("id"))
+      },
+      """SELECT * FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey,
+        |         'customer' AS kind, c_acctbal AS acctbal FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_nationkey, 'supplier', s_acctbal FROM supplier)
+        |ORDER BY kind, id""".stripMargin)
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}

@@ -1,0 +1,130 @@
+package graft.vat
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.vat.VatFunctions._
+
+/** Schema-on-read conformance: the reference's fuzzy header pipeline
+  * (fianl2.py:130-150) re-expressed for Spark.
+  *
+  * Header-row detection and header normalization are *metadata* ops — they
+  * run driver-side over a bounded `limit(30)` sample (one tiny job), never
+  * over the full data (SURVEY.md §4.1: the reference reads every sheet
+  * twice; we read the head once for metadata and the body once for data).
+  */
+object Conform {
+
+  /** Canonical engine schema (snake_case of fianl2.py:144-147). */
+  val RequiredCols: Seq[String] = Seq(
+    "supply_type", "invoice_number", "date", "customer_supplier_name",
+    "net_value", "vat_value", "invoice_value", "recoverable", "box")
+
+  /** Synonym → canonical map (fianl2.py:51-65), keyed by the *normalized*
+    * raw header. */
+  val HeaderMap: Map[String, String] = Map(
+    "Supply Type" -> "supply_type",
+    "#" -> "invoice_number",
+    "Invoice #" -> "invoice_number",
+    "Invoice No." -> "invoice_number",
+    "Date" -> "date",
+    "Recoverable" -> "recoverable",
+    "Customer/supplier Name" -> "customer_supplier_name",
+    "Customer Name" -> "customer_supplier_name",
+    "Supplier Name" -> "customer_supplier_name",
+    "Net" -> "net_value",
+    "Tax" -> "vat_value",
+    "Gross" -> "invoice_value",
+    "Box" -> "box")
+
+  private val Keywords = Seq("supply", "box", "date", "tax", "gross", "net")
+
+  /** S2 — header-row detection (fianl2.py:74-81): first row among the
+    * first 30 where ≥2 of the keywords appear (each keyword counted once,
+    * matched as a substring of any cell); none → 0. `rows` is the
+    * collected head of the raw sheet. */
+  def detectHeaderRow(rows: Seq[Seq[String]]): Int = {
+    rows.take(30).indexWhere { row =>
+      val cells = row.map(c => String.valueOf(c).toLowerCase)
+      Keywords.count(k => cells.exists(_.contains(k))) >= 2
+    } match {
+      case -1 => 0
+      case i  => i
+    }
+  }
+
+  /** P1+P2 — rename known headers to canonical names and add missing
+    * canonical columns as string nulls (fianl2.py:139-150). Unknown
+    * columns are preserved (the reference keeps them too). */
+  def conformColumns(df: DataFrame): DataFrame = {
+    val renamed = df.columns.foldLeft(df) { (acc, raw) =>
+      val norm = normalizeHeader(raw)
+      HeaderMap.get(norm) match {
+        case Some(canon) => acc.withColumnRenamed(raw, canon)
+        case None        => acc
+      }
+    }
+    val missing = RequiredCols.filterNot(renamed.columns.map(_.toLowerCase).contains)
+    missing.foldLeft(renamed)((acc, c) => acc.withColumn(c, lit(null).cast(StringType)))
+  }
+
+  /** One "sheet" (a headerless CSV file with possible junk preamble) →
+    * conformed, typed, enriched VAT table. Mirrors process_sheet
+    * (fianl2.py:130-164) but distributed:
+    *
+    *  - header detection on a driver-side `limit(30)` sample
+    *  - preamble rows dropped by zipWithIndex (no second file read)
+    *  - currency conversion / box canon / period literals as Column ops
+    */
+  def processCsvSheet(spark: SparkSession, path: String, sheetName: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read
+      .option("header", "false").option("inferSchema", "false")
+      .csv(path)
+    val head = raw.limit(30).collect().toSeq
+      .map(_.toSeq.map(v => if (v == null) "None" else v.toString))
+    val headerIdx = detectHeaderRow(head)
+    val headers = head(headerIdx).map(normalizeHeader)
+
+    // drop preamble + header row; keep partition-order semantics of the file
+    val bodyRdd = raw.rdd.zipWithIndex()
+      .filter(_._2 > headerIdx).map(_._1)
+    val named = spark.createDataFrame(bodyRdd, raw.schema)
+      .toDF(headers.zipWithIndex.map { case (h, i) => if (h.isEmpty) s"_c$i" else h }: _*)
+
+    enrich(conformColumns(named), sheetName)
+  }
+
+  /** Currency conversion, period detection, provenance, box letter
+    * (fianl2.py:153-163). Year = mode of parsed Date years with pinned
+    * min-year tie-break (SURVEY.md A4). */
+  def enrich(conformed: DataFrame, sheetName: String): DataFrame = {
+    val (monthAbbr, monthNum) = extractMonthFromSheet(sheetName)
+    val withMoney = conformed
+      .withColumn("net_value", currencyToAed(col("net_value")))
+      .withColumn("vat_value", currencyToAed(col("vat_value")))
+      .withColumn("invoice_value", currencyToAed(col("invoice_value")))
+    val yearVal = modeYear(withMoney)
+    withMoney
+      .withColumn("month", lit(monthAbbr))
+      .withColumn("month_num", lit(monthNum))
+      .withColumn("year", lit(yearVal))
+      .withColumn("source_sheet", lit(sheetName))
+      .withColumn("box", boxCanon(col("box")))
+      .withColumn("box_letter", boxLetter(col("box")))
+  }
+
+  /** A4 — most frequent year in the Date column; ties → smallest year
+    * (pinned); no parseable dates → current year (fianl2.py:115-126). */
+  def modeYear(df: DataFrame): Int = {
+    if (!df.columns.contains("date")) return java.time.Year.now.getValue
+    val top = df
+      .select(year(parseDateMulti(col("date"))).as("y"))
+      .where(col("y").isNotNull)
+      .groupBy("y").count()
+      .orderBy(col("count").desc, col("y").asc)
+      .limit(1).collect()
+    if (top.isEmpty) java.time.Year.now.getValue else top(0).getInt(0)
+  }
+}

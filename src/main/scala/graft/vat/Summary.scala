@@ -1,0 +1,144 @@
+package graft.vat
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+
+/** The reference's analytical core (calculate_summary, fianl2.py:167-195)
+  * as ONE declarative plan.
+  *
+  * The reference loops over distinct (month, year) pairs and re-filters
+  * the full table per period and per box — O(periods × 4 × N) scans
+  * (SURVEY.md §4.1). Here it is a single conditional hash aggregation:
+  * Catalyst plans partial (map-side) + final HashAggregateExec, so the
+  * data is scanned once no matter how many periods exist — the property
+  * that makes this run on 100 TB: one shuffle keyed on (year, month), no
+  * driver-side loops, and the unpivot + description lookup happen on the
+  * already-tiny aggregate (4 rows per period, broadcast join for the
+  * 4-row description dimension).
+  */
+object Summary {
+
+  /** Long-format output rows per period, box order A,B,C,D
+    * (fianl2.py:184-194): A/B/C carry payable=0; D carries net=0 and
+    * payable = vatA − vatC (fianl2.py:182). */
+  private case class BoxSpec(label: String, letter: String)
+
+  /** Reference-parity summary over a conformed VAT table (post
+    * `Conform.enrich`): double money, round(2) like fianl2.py:195. */
+  def vatSummary(df: DataFrame): DataFrame = {
+    def s(letter: String, c: String): Column =
+      coalesce(sum(when(col("box").contains(letter), col(c))), lit(0.0))
+    val agg = df.groupBy(col("month"), col("year")).agg(
+      max(col("month_num")).as("month_num"),
+      s("A", "net_value").as("netA"), s("A", "vat_value").as("vatA"),
+      s("B", "net_value").as("netB"), s("B", "vat_value").as("vatB"),
+      s("C", "net_value").as("netC"), s("C", "vat_value").as("vatC"))
+    finishSummary(agg, df.sparkSession,
+      Seq(BoxSpec("Box A", "A"), BoxSpec("Box B", "B"), BoxSpec("Box C", "C")),
+      round2 = true)
+  }
+
+  /** Flagship oracle query: the same VAT-summary semantics over the
+    * driver's `lineitem` fixture (FIXTURES.md §2 mapping: box =
+    * l_returnflag ∈ {A,N,R} ≙ boxes A/B/C, net = l_extendedprice, vat =
+    * l_extendedprice × l_tax, period = shipdate month/year). Money is
+    * aggregated in DECIMAL for bit-exact oracle parity (core.Exact).
+    */
+  def lineitemVatSummary(spark: SparkSession, dir: String): DataFrame = {
+    import Exact._
+    val li = Tables.lineitem(spark, dir)
+    val base = li.select(
+      year(col("l_shipdate")).as("year"),
+      month(col("l_shipdate")).as("month_num"),
+      col("l_returnflag").as("box"),
+      money(col("l_extendedprice")).as("net"),
+      (money(col("l_extendedprice")) * rate(col("l_tax"))).as("vat"))
+    def s(letter: String, c: String): Column =
+      coalesce(sum(when(col("box").contains(letter), col(c))), lit(0))
+    val agg = base.groupBy(col("year"), col("month_num")).agg(
+      s("A", "net").as("netA"), s("A", "vat").as("vatA"),
+      s("N", "net").as("netB"), s("N", "vat").as("vatB"),
+      s("R", "net").as("netC"), s("R", "vat").as("vatC"))
+    finishSummary(agg, spark,
+      Seq(BoxSpec("Box A", "A"), BoxSpec("Box B", "N"), BoxSpec("Box C", "R")),
+      round2 = false)
+  }
+
+  /** Unpivot the wide per-period aggregate into the reference's long
+    * format and attach descriptions via a broadcast join against the
+    * 4-row constant dimension (J1 — the reference's dict probe,
+    * fianl2.py:186-193). */
+  private def finishSummary(agg: DataFrame, spark: SparkSession,
+      boxes: Seq[BoxSpec], round2: Boolean): DataFrame = {
+    val r: Column => Column = if (round2) round(_, 2) else identity
+    val period = concat_ws(" ",
+      VatFunctions.monthAbbrev(col("month_num")), col("year"))
+
+    def slice(label: String, net: Column, vat: Column, pay: Column) =
+      agg.select(col("year"), col("month_num"), period.as("period"),
+        lit(label).as("fta_box"),
+        net.cast("double").as("net_value"),
+        vat.cast("double").as("vat_value"),
+        pay.cast("double").as("net_vat_payable"))
+
+    val abc = boxes.zipWithIndex.map { case (b, i) =>
+      val suffix = ('A' + i).toChar.toString
+      slice(b.label, r(col(s"net$suffix")), r(col(s"vat$suffix")), lit(0.0))
+    }
+    val d = slice("Box D", lit(0.0),
+      r(col("vatA") - col("vatC")), r(col("vatA") - col("vatC")))
+    val long = (abc :+ d).reduce(_.unionByName(_))
+
+    val desc = spark.createDataFrame(CurrencyRates.boxDescriptions)
+      .toDF("fta_box", "description")
+    long.join(broadcast(desc), Seq("fta_box"), "left")
+      .select(col("year"), col("month_num"), col("period"), col("fta_box"),
+        col("description"), col("net_value"), col("vat_value"),
+        col("net_vat_payable"))
+      .orderBy(col("year"), col("month_num"), col("fta_box"))
+  }
+
+  /** DuckDB oracle for `lineitemVatSummary` — same decimal arithmetic,
+    * same unpivot, same ordering. */
+  val lineitemVatSummarySql: String = {
+    val months = (1 to 12).map(m =>
+      s"($m,'${Seq("Jan","Feb","Mar","Apr","May","Jun","Jul","Aug","Sep","Oct","Nov","Dec")(m - 1)}')")
+      .mkString(", ")
+    val descs = CurrencyRates.boxDescriptions
+      .map { case (b, d) => s"('$b','${d.replace("'", "''")}')" }.mkString(", ")
+    s"""
+WITH base AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS year,
+         CAST(month(l_shipdate) AS INT) AS month_num,
+         l_returnflag AS box,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS net,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2)) AS vat
+  FROM lineitem),
+agg AS (
+  SELECT year, month_num,
+    COALESCE(SUM(CASE WHEN contains(box,'A') THEN net END), 0) AS neta,
+    COALESCE(SUM(CASE WHEN contains(box,'A') THEN vat END), 0) AS vata,
+    COALESCE(SUM(CASE WHEN contains(box,'N') THEN net END), 0) AS netb,
+    COALESCE(SUM(CASE WHEN contains(box,'N') THEN vat END), 0) AS vatb,
+    COALESCE(SUM(CASE WHEN contains(box,'R') THEN net END), 0) AS netc,
+    COALESCE(SUM(CASE WHEN contains(box,'R') THEN vat END), 0) AS vatc
+  FROM base GROUP BY year, month_num),
+lng AS (
+  SELECT year, month_num, 'Box A' AS fta_box,
+         CAST(neta AS DOUBLE) AS net_value, CAST(vata AS DOUBLE) AS vat_value,
+         CAST(0 AS DOUBLE) AS net_vat_payable FROM agg
+  UNION ALL SELECT year, month_num, 'Box B', CAST(netb AS DOUBLE), CAST(vatb AS DOUBLE), CAST(0 AS DOUBLE) FROM agg
+  UNION ALL SELECT year, month_num, 'Box C', CAST(netc AS DOUBLE), CAST(vatc AS DOUBLE), CAST(0 AS DOUBLE) FROM agg
+  UNION ALL SELECT year, month_num, 'Box D', CAST(0 AS DOUBLE), CAST(vata - vatc AS DOUBLE), CAST(vata - vatc AS DOUBLE) FROM agg)
+SELECT l.year, l.month_num,
+       m.m_name || ' ' || CAST(l.year AS VARCHAR) AS period,
+       l.fta_box, d.description, l.net_value, l.vat_value, l.net_vat_payable
+FROM lng l
+JOIN (VALUES $months) AS m(m_num, m_name) ON m.m_num = l.month_num
+JOIN (VALUES $descs) AS d(fta_box, description) ON d.fta_box = l.fta_box
+ORDER BY l.year, l.month_num, l.fta_box
+""".trim
+  }
+}
