@@ -22,7 +22,10 @@ object SparkEntry {
   private lazy val all: Seq[(String, QueryDef)] =
     Seq("vat_summary" -> QueryDef(
       Summary.lineitemVatSummary _, Summary.lineitemVatSummarySql)) ++
-      rel.RelQueries.queries
+      rel.RelQueries.queries ++
+      rel.Windows.queries ++
+      rel.Scalars.queries ++
+      rel.AdvancedJoins.queries
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

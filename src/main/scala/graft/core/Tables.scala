@@ -22,7 +22,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright. Read nanos as raw INT64 (legacy conf) and
+    * convert to a microsecond TimestampType column — the fixture's values
+    * are microsecond-precision (sub-micro digits are zero), so the
+    * truncating division is lossless and matches DuckDB's TIMESTAMP_NS →
+    * TIMESTAMP cast in the oracles. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    // integer division: epoch-nanos (~1.7e18) overflows double precision
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

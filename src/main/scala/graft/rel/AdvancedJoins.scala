@@ -1,0 +1,119 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Non-equi join surface (SURVEY.md §2.3 J4/J6).
+  *
+  * Range join: band dimension is a literal broadcast side → Spark plans
+  * BroadcastNestedLoopJoin over a handful of bands; at 100 TB the fact
+  * side streams through without a shuffle.
+  *
+  * As-of join: implemented with the union-and-running-last trick — tag
+  * both streams, sort within the key partition by (ts, tag), carry the
+  * last reference timestamp forward with a running window. This is a
+  * single shuffle on the join key (no per-row range probe, no quadratic
+  * pair-join), the same shape MERGE_ASOF compiles to in stream
+  * processors. The DuckDB oracle states the semantics declaratively as a
+  * correlated MAX subquery.
+  */
+object AdvancedJoins {
+  import Exact._
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+
+    // ---- J4 range (theta) join against a literal band dimension ---------
+    "join_range_bands" -> QueryDef(
+      (s, d) => {
+        val bands = s.createDataFrame(Seq(
+          ("band_0_100k", 0, 100000),
+          ("band_100k_200k", 100000, 200000),
+          ("band_200k_300k", 200000, 300000),
+          ("band_300k_400k", 300000, 400000),
+          ("band_400k_up", 400000, 1000000000)))
+          .toDF("band", "lo", "hi")
+        Tables.orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("band"))
+      },
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES ('band_0_100k', 0, 100000),
+        |             ('band_100k_200k', 100000, 200000),
+        |             ('band_200k_300k', 200000, 300000),
+        |             ('band_300k_400k', 300000, 400000),
+        |             ('band_400k_up', 400000, 1000000000)) AS b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin),
+
+    // ---- J6 as-of join: for each purchase, the latest view at-or-before
+    //      it by the same user ------------------------------------------
+    "join_asof" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // tag = 0 for the reference stream (views), 1 for probes
+        // (purchases); at equal ts the view sorts first, so "<=" holds.
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.unionByName(buys)
+          .withColumn("asof_view_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("asof_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("asof_view_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT e1.event_id, e1.user_id,
+        |  strftime(CAST((SELECT max(e2.ts) FROM events e2
+        |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+        |                   AND e2.ts <= e1.ts) AS TIMESTAMP),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS asof_view_ts
+        |FROM events e1
+        |WHERE e1.event_type = 'purchase'
+        |ORDER BY e1.user_id, e1.event_id""".stripMargin),
+
+    // ---- J2 five-way snowflake join (TPC-H Q5 shape) ---------------------
+    "q5_region_revenue" -> QueryDef(
+      (s, d) => {
+        val r = Tables.region(s, d)
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+          .orderBy(col("r_name"))
+      },
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}

@@ -197,14 +197,15 @@ object RelQueries {
         |ORDER BY nationkey""".stripMargin),
 
     "set_except" -> QueryDef(
-      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_custkey") <= 100).select(col("c_custkey").as("custkey"))
         .except(Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
-          .select(col("c_nationkey").as("nationkey")))
-        .orderBy(col("nationkey")),
-      """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |ORDER BY nationkey""".stripMargin),
+          .select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey")),
+      """SELECT c_custkey AS custkey FROM customer WHERE c_custkey <= 100
+        |EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin),
 
     // ---- U1 union-by-name with conformance ------------------------------
     "union_parties" -> QueryDef(

@@ -1,0 +1,202 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Scalar-function corpus (SURVEY.md §2.8 F13) + generalized predicates
+  * (P7) + reshape (R3 pivot / A8 rollup & cube).
+  *
+  * Function choices are pinned to pairs with identical cross-engine
+  * semantics (e.g. `sqrt` is IEEE-correctly-rounded in both; `pow`/`exp`
+  * are not and are exercised in ScalaTest instead of the oracle; `round`
+  * on doubles differs at exact midpoints between HALF_UP and HALF_EVEN so
+  * rounding happens in DECIMAL space only).
+  */
+object Scalars {
+  import Exact._
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+
+    // ---- F13 string functions -------------------------------------------
+    "scalar_string" -> QueryDef(
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        element_at(split(col("p_name"), " "), 1).as("first_token"))
+        .orderBy(col("p_partkey")),
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  string_split(p_name, ' ')[1] AS first_token
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // ---- F13 math functions ---------------------------------------------
+    "scalar_math" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        ceil(col("l_extendedprice") / 1000).as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        signum(col("l_quantity") - 25).as("qty_sign"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  l_orderkey % 7 AS key_mod7,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate,
+        |  CAST(sign(l_quantity - 25) AS DOUBLE) AS qty_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- F13/F9 date & time functions -----------------------------------
+    "scalar_datetime" -> QueryDef(
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mth"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow_sun1"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .as("days_since_95"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))
+        .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(month(o_orderdate) AS INT) AS mth,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // ---- F13 JSON extraction (events.props is a JSON string) ------------
+    "scalar_json" -> QueryDef(
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+        .orderBy(col("event_id")),
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // ---- P7 predicates: CASE / IN / BETWEEN / LIKE / IS NULL ------------
+    "scalar_predicates" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .select(
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice").between(100000, 300000), "mid")
+            .otherwise("high").as("price_band"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+            .otherwise("cold").as("prio_class"),
+          col("o_orderpriority").like("%URGENT%").as("is_urgent"))
+        .groupBy(col("price_band"), col("prio_class"), col("is_urgent"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("price_band"), col("prio_class"), col("is_urgent")),
+      """SELECT
+        |  CASE WHEN o_totalprice < 100000 THEN 'low'
+        |       WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 'mid'
+        |       ELSE 'high' END AS price_band,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+        |       ELSE 'cold' END AS prio_class,
+        |  o_orderpriority LIKE '%URGENT%' AS is_urgent,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY price_band, prio_class, is_urgent""".stripMargin),
+
+    // ---- R3 pivot (long→wide) -------------------------------------------
+    "pivot_status" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- A8 rollup / cube ------------------------------------------------
+    "agg_rollup" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status")),
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin),
+
+    "agg_cube" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum0(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin),
+
+    // ---- A8 grouping sets (via the engine's SQL API) ---------------------
+    "agg_grouping_sets" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+            |  COALESCE(o_orderpriority, 'ALL') AS priority,
+            |  COUNT(1) AS n
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            |ORDER BY status, priority""".stripMargin)
+      },
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}

@@ -1,0 +1,182 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Window-function surface (SURVEY.md §2.9 W1-W5 batch twins).
+  *
+  * Every window spec orders by a unique tie-break key so results are
+  * deterministic under any partitioning. Running/moving SUMs go through
+  * DECIMAL — DuckDB evaluates windowed aggregates with a segment tree
+  * (combine order ≠ Spark's running add), so double accumulation would
+  * drift in the last bits; decimal is associative-exact in both.
+  *
+  * Scale: window shuffles are keyed on the partition column (user_id /
+  * o_custkey / priority). At 100 TB these are high-cardinality keys, so
+  * partitions stay small; no global windows (those would single-task).
+  */
+object Windows {
+  import Exact._
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+
+    // ---- W1 ranking family + O4 top-k per group -------------------------
+    "window_rank" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice"), col("rn"), col("rnk"), col("drnk"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin),
+
+    "topk_per_group" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        Tables.part(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rn"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |WHERE rn <= 2
+        |ORDER BY p_brand, rn""".stripMargin),
+
+    // ---- W2 analytic: lag / lead / first / last -------------------------
+    "window_lag_lead" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+          .withColumn("next_id", lead(col("event_id"), 1).over(w))
+          .withColumn("first_id", first(col("event_id")).over(wAll))
+          .withColumn("last_id", last(col("event_id")).over(wAll))
+          .select(col("user_id"), col("event_id"), col("prev_id"),
+            col("next_id"), col("first_id"), col("last_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT user_id, event_id,
+        |  LAG(event_id) OVER w AS prev_id, LEAD(event_id) OVER w AS next_id,
+        |  FIRST_VALUE(event_id) OVER wall AS first_id, LAST_VALUE(event_id) OVER wall AS last_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wall AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // ---- W3 framed aggregates: running + moving -------------------------
+    "window_running_sum" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("running_spend", sum(money(col("o_totalprice"))).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("o_totalprice"), col("running_spend"))
+          .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin),
+
+    "window_moving_avg" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("moving_avg",
+            sum(money(col("value"))).over(w).cast("double") / count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("value"), col("moving_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT user_id, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // ---- W4 tumbling event-time window (batch twin of the streaming
+    //      query in ext.streaming; Spark `window()` start ≡ DuckDB
+    //      time_bucket for 10-minute buckets, both epoch-aligned) --------
+    "window_tumbling" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes").getField("start").as("bucket_ts"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("bucket")),
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin),
+
+    // ---- W5 session windows (30-min inactivity gap), batch twin ---------
+    "window_sessionize" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val prevTs = lag(col("ts"), 1).over(w)
+        val isNew = when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) > 1800000000L, 1).otherwise(0)
+        Tables.events(s, d)
+          .withColumn("sess", sum(isNew).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("sess"))
+      },
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM flagged)
+        |SELECT user_id, sess,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, sess""".stripMargin)
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}
