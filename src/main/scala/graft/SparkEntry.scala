@@ -25,7 +25,11 @@ object SparkEntry {
       rel.RelQueries.queries ++
       rel.Windows.queries ++
       rel.Scalars.queries ++
-      rel.AdvancedJoins.queries
+      rel.AdvancedJoins.queries ++
+      ext.TextOps.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries ++
+      ext.Multimodal.queries
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md
+  * §2.11 L1/L4): exact dedup, fingerprinting, quality scoring,
+  * language-ID heuristic, token statistics.
+  *
+  * All of these are single-pass, shuffle-light plans: per-document
+  * features are pure Column/higher-order-function chains (no UDFs, no
+  * explode where an array HOF suffices), so 100 TB of documents streams
+  * through map tasks; the only shuffles are the final group-bys on
+  * already-reduced keys (text hash / token).
+  */
+object TextOps {
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+
+    // ---- L1 exact dedup: group by full text, canonical = min doc_id ----
+    "dedup_exact" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("text")).as("fp"), col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id")),
+      """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin),
+
+    // ---- L1 fingerprint dedup: hash of normalized text -----------------
+    //      (lower + collapse whitespace + trim → robust to trivial edits)
+    "text_fingerprint" -> QueryDef(
+      (s, d) => {
+        val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(norm).as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- L4 per-document statistics -------------------------------------
+    "text_stats" -> QueryDef(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nonEmpty = filter(toks, t => t =!= "")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("char_len"),
+          size(nonEmpty).as("token_count"),
+          size(array_distinct(nonEmpty)).as("uniq_tokens"),
+          (aggregate(nonEmpty, lit(0), (acc, t) => acc + length(t)).cast("double")
+            / size(nonEmpty)).as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS char_len,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS token_count,
+        |  CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS uniq_tokens,
+        |  CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- L4 quality scoring (deterministic rule points) -----------------
+    "text_quality" -> QueryDef(
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val tokenCount = size(toks)
+        val avgTok = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+          .cast("double") / tokenCount
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          (when(length(col("text")).between(100, 1000), 1).otherwise(0) +
+            when(tokenCount >= 20, 1).otherwise(0) +
+            when(avgTok.between(3.0, 8.0), 1).otherwise(0) +
+            when(size(array_distinct(toks)) * 2 >= tokenCount, 1).otherwise(0))
+            .as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN length(text) BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |        BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END) AS INT)
+        |    AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin),
+
+    // ---- L4 language-ID heuristic (stopword scoring) --------------------
+    "text_langid" -> QueryDef(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val enScore = size(filter(toks, t => t.isin("the", "a", "and", "of")))
+        Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          enScore.as("en_score"),
+          when(enScore >= 2, "en").when(enScore === 1, "maybe_en")
+            .otherwise("unknown").as("predicted"))
+          .withColumn("is_match", col("predicted") === col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','and','of'))) AS INT) AS en_score
+        |  FROM documents)
+        |SELECT doc_id, lang, en_score,
+        |  CASE WHEN en_score >= 2 THEN 'en'
+        |       WHEN en_score = 1 THEN 'maybe_en'
+        |       ELSE 'unknown' END AS predicted,
+        |  (CASE WHEN en_score >= 2 THEN 'en'
+        |        WHEN en_score = 1 THEN 'maybe_en'
+        |        ELSE 'unknown' END) = lang AS is_match
+        |FROM s ORDER BY doc_id""".stripMargin),
+
+    // ---- L4 corpus token histogram (the classic word count) -------------
+    "token_histogram" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+
+    // ---- L4 per-source corpus rollup ------------------------------------
+    "corpus_by_source" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source")),
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}

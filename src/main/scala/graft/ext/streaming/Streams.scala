@@ -1,0 +1,73 @@
+package graft.ext.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.9 W4/W5).
+  *
+  * The transforms are written against an input DataFrame, so the SAME
+  * code runs in batch (the oracle-checked `window_tumbling` /
+  * `window_sessionize` twins apply equivalent logic) and on a stream
+  * (`readStream`/`MemoryStream` in StreamingSpec). Watermarks bound
+  * state: at 100 TB/day the tumbling aggregation state is
+  * O(windows × keys), not O(events), and late events beyond the
+  * watermark are dropped deterministically.
+  */
+object Streams {
+
+  /** W4 — tumbling 10-minute event-time windows with a 10-minute
+    * watermark. Works on streaming or batch input with schema
+    * (ts TIMESTAMP, event_type STRING, value DOUBLE, …). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** W5 — session windows via the built-in session_window (30-minute
+    * inactivity gap). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** W5 — stateful dedup on event_id within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionInput(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Custom state-machine sessionization with mapGroupsWithState — the
+    * escape hatch when session semantics outgrow session_window (e.g.
+    * cross-field close conditions). Processing-time timeout closes idle
+    * sessions. */
+  def statefulSessionize(events: Dataset[SessionInput]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            SessionUpdate(userId, n, closed = true)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            state.setTimeoutDuration("30 minutes")
+            SessionUpdate(userId, n, closed = false)
+          }
+      }
+  }
+
+  /** OutputMode used by the spec's MemoryStream sink for the tumbling
+    * aggregation. */
+  val tumblingOutputMode: OutputMode = OutputMode.Update()
+}
