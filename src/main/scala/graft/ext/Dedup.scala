@@ -32,12 +32,15 @@ object Dedup {
   val NumBands  = 4          // 4 bands × 4 rows: catches jaccard ≳ 0.5
   private val RowsPerBand = NumHashes / NumBands
 
-  /** Word-level shingles (n-gram tokens joined by space), distinct. */
+  /** Word-level shingles (n-gram tokens joined by space), distinct.
+    * Guarded for docs shorter than n tokens (sequence(1,0) would count
+    * DOWN and element_at would throw under ANSI). */
   def shingles(text: Column, n: Int): Column = {
     val toks = filter(split(text, " "), t => t =!= "")
-    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
   }
 
   /** MinHash signature: K-element array, slot k = min over shingles of

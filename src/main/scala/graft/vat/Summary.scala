@@ -22,7 +22,13 @@ object Summary {
 
   /** Long-format output rows per period, box order A,B,C,D
     * (fianl2.py:184-194): A/B/C carry payable=0; D carries net=0 and
-    * payable = vatA − vatC (fianl2.py:182). */
+    * payable = vatA − vatC (fianl2.py:182).
+    *
+    * Box matching is SUBSTRING containment, exactly like the reference's
+    * `Box.str.contains(letter)` (fianl2.py:176) — which means a literal
+    * box value "BOX A" matches box B too (the "B" of "BOX"). The golden
+    * workbook uses bare letters, where containment degenerates to
+    * equality; the quirk is reproduced, not fixed (SURVEY.md §7.4). */
   private case class BoxSpec(label: String, letter: String)
 
   /** Reference-parity summary over a conformed VAT table (post

@@ -107,8 +107,10 @@ object VatFunctions {
 
   /** F7 — month from sheet name (fianl2.py:89-100). Token scan in map
     * order, then bare-number fallback `\b(0?[1-9]|1[0-2])\b`; miss →
-    * ("Unknown", 0). NOTE the reference quirk: a "sept" sheet returns
-    * label "Sept" (m_name.title()), not "Sep" — reproduced exactly. */
+    * ("Unknown", 0). NOTE: the map's "sept" key is unreachable for
+    * labeling — "sep" precedes it in iteration order and is a substring
+    * of any text containing "sept", so both return ("Sep", 9), exactly
+    * like the reference's dict scan. */
   def extractMonthFromSheet(sheetName: String): (String, Int) = {
     val s0 = Normalizer.normalize(String.valueOf(sheetName), Normalizer.Form.NFKD)
     val s = s0.replaceAll("[^a-zA-Z0-9]", " ").toLowerCase

@@ -1,0 +1,63 @@
+package graft
+
+import graft.vat.Summary
+
+/** Physical-plan shape assertions (SURVEY.md §4) — the 100 TB contract:
+  * pushdown reaches the scan, small sides broadcast, aggregations are
+  * partial+final, top-k never global-sorts. These are the properties
+  * that keep the same plans viable at 1000 executors; regressions here
+  * are perf bugs even when results stay correct. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter + projection pushdown reach the parquet scan (q1)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+    // column pruning: only the 7 referenced columns are read
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"), "schema not pruned")
+  }
+
+  test("dimension joins broadcast; no shuffle on the fact side build (q5)") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("aggregation is partial+final hash aggregate (vat_summary)") {
+    val p = Summary.lineitemVatSummary(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (q3)") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→project pipeline (scalar_math)") {
+    // AQE hides codegen spans until the final plan materializes; note
+    // array higher-order functions (text_stats) are CodegenFallback by
+    // design, so the assertion targets a scalar-expression query
+    val df = SparkEntry.queries("scalar_math")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // compact plan marks WholeStageCodegen stages as "*(n)"
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, s"no codegen span:\n$p")
+  }
+
+  test("driver smoke: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes and matches its declared columns") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, name)
+      df.count() // must not throw
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** L2 near-dup detection: planted duplicates must pair; unrelated
+  * documents must not (the hash family is not SQL-reproducible, so this
+  * spec is the correctness gate for the rows-only dedup queries).
+  *
+  * LSH is probabilistic by design: only an EXACT duplicate (jaccard 1)
+  * is guaranteed to share every band; near-dups are asserted through the
+  * signature overlap directly (deterministic given fixed hashes) rather
+  * than through band-collision luck. */
+class DedupSpec extends SparkSuite {
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+  private val near = "the quick brown fox jumps over the lazy dog and then runs far away home yesterday"
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, near), // last token changed → 1 of 14 shingles differs
+      (3L, "spark engines shuffle partitions across executors with hash exchange operators always"),
+      (4L, "completely different words describing cooking recipes with garlic onion butter salt pepper"),
+      (5L, base)) // exact duplicate of 1
+      .toDF("doc_id", "text")
+  }
+
+  test("shingling: n-gram count, distinctness, short-doc guard") {
+    import spark.implicits._
+    def sh(t: String) = Seq((1L, t)).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b").isEmpty)
+    assert(sh("").isEmpty)
+    assert(sh("x x x x x") == Seq("x x x")) // distinct
+  }
+
+  test("minhash signatures: identical docs identical, near-dups mostly equal") {
+    import spark.implicits._
+    val sigs = Dedup.signatures(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(5L), "equal text ⇒ equal signature")
+    val overlap12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(overlap12 >= Dedup.NumHashes / 2,
+      s"near-dup signature overlap too low: $overlap12/${Dedup.NumHashes}")
+    val overlap13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(overlap13 <= 2, s"unrelated docs should share ~0 slots: $overlap13")
+  }
+
+  test("minhash LSH: exact duplicate always pairs; unrelated never do") {
+    val pairs = Dedup.minhashPairs(docs, 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 5L)), s"exact dup must collide in every band, got $ids")
+    assert(!ids.contains((3L, 4L)), "unrelated docs must not pair")
+    val est = pairs.find(r => (r.getLong(0), r.getLong(1)) == (1L, 5L)).get.getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("exact jaccard verification agrees with hand-computed overlap") {
+    val out = Dedup.jaccardVerify(docs, 0.5).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+      .map { case ((a, b), j) => (math.min(a, b), math.max(a, b)) -> j }
+    assert(out.get((1L, 5L)).contains(1.0))
+    // 16 tokens → 14 shingles; last-token change touches 1 shingle:
+    // |∩| = 13, |∪| = 14+14−13 = 15 (if the pair survived banding)
+    out.get((1L, 2L)).foreach(j => assert(math.abs(j - 13.0 / 15.0) < 1e-12))
+  }
+
+  test("simhash: exact dup distance 0 and guaranteed to block together") {
+    import spark.implicits._
+    val fp = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(Dedup.simhashFingerprint(col("text")).as("fp")).collect()
+    assert(fp(0).getLong(0) == fp(1).getLong(0))
+
+    val pairs = Dedup.simhashPairs(docs, 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 5L)).contains(0), "exact dup must block at distance 0")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
+  }
+
+  test("embedding near-dup blocks on cell and finds planted duplicate") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val vNear = v.clone(); vNear(0) = v(0) + 0.001f
+    val vFar = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((0, 1L, v), (0, 2L, vNear), (0, 3L, vFar), (1, 4L, v))
+      .toDF("label", "vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, 0.999).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids == Set((1L, 2L))) // vFar excluded; 4 in another cell
+  }
+}

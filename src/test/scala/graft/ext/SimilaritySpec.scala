@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** L3 similarity search: cosine math, brute-force baseline, LSH recall. */
+class SimilaritySpec extends SparkSuite {
+
+  test("cosine: identical vector → 1.0, orthogonal → 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("cos")).collect()
+    assert(math.abs(df(0).getDouble(0) - 1.0) < 1e-12)
+    assert(df(1).getDouble(0) == 0.0)
+  }
+
+  test("brute-force top-k: k rows, rank 1..k, deterministic across runs") {
+    val a = Similarity.bruteForceTopK(spark, sfDir, 0L, 10).collect()
+    val b = Similarity.bruteForceTopK(spark, sfDir, 0L, 10).collect()
+    assert(a.length == 10)
+    assert(a.map(_.getInt(1)).toSeq == (1 to 10))
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(!a.map(_.getLong(0)).contains(0L), "query vector excluded")
+  }
+
+  test("LSH cell probe: results are a subset of the query's cell, ranked by cosine") {
+    val lsh = Similarity.lshTopK(spark, sfDir, 0L, 10).collect()
+    assert(lsh.nonEmpty && lsh.length <= 10)
+    val cosines = lsh.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sortBy(-_), "descending cosine order")
+    // recall vs brute force: every LSH hit must be a real vector with the
+    // cosine the brute-force scorer assigns it (same scoring path)
+    val brute = Similarity.bruteForceTopK(spark, sfDir, 0L, 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.map(_.getLong(0)).forall(brute.contains))
+  }
+
+  test("label centroids: one centroid per cell, dimension preserved") {
+    val c = Similarity.labelCentroids(
+      graft.core.Tables.embeddings(spark, sfDir)).collect()
+    assert(c.length == 10)
+    assert(c.forall(_.getSeq[Double](1).length == 64))
+  }
+}

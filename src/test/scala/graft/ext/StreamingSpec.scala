@@ -1,0 +1,82 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ext.streaming.Streams
+
+/** W4/W5 streaming twins: the same transforms must produce the batch
+  * answer when driven through MemoryStream + processAllAvailable, and
+  * watermark semantics must drop late data (SURVEY.md §2.9). */
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long,
+    event_id: Long)
+
+class StreamingSpec extends SparkSuite {
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  private val batch = Seq(
+    Ev(ts(1), "view", 1.0, 1, 1),
+    Ev(ts(4), "view", 2.0, 1, 2),
+    Ev(ts(11), "click", 3.0, 2, 3),
+    Ev(ts(14), "view", 4.0, 2, 4),
+    Ev(ts(25), "view", 5.0, 1, 5))
+
+  test("tumbling window stream == batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("bucket_ts", "event_type").collect().toSeq
+      val batched = Streams.tumblingCounts(batch.toDF())
+        .orderBy("bucket_ts", "event_type").collect().toSeq
+      assert(streamed == batched)
+      assert(streamed.map(_.getAs[Long]("n_events")).sum == batch.length)
+    } finally q.stop()
+  }
+
+  test("stateful dedup within watermark drops re-sent event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      input.addData(batch.head, batch(1)) // duplicates of event_id 1,2
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == batch.length)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .orderBy("user_id", "session_start").collect()
+      // user 1: events at 10:01/10:04/10:25 within 30-min gaps → 1 session
+      // user 2: 10:11/10:14 → 1 session
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(3L, 2L))
+    } finally q.stop()
+  }
+}
