@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.vat.{Conform, Summary}
+
+/** Front door of the engine: everything the reference app does
+  * (fianl2.py:198-259), as a library a reference user can switch to.
+  *
+  * Reference flow → engine call:
+  *  - upload workbook, enumerate sheets (fianl2.py:212-213) →
+  *    `VatPipeline.processSheets` over (csvPath, sheetName) pairs
+  *  - per-sheet clean/conform (fianl2.py:130-164) → `Conform.processCsvSheet`
+  *  - error-tolerant ingest: failed sheets skipped, error surfaced
+  *    (fianl2.py:216-221) → `VatResult.failures`
+  *  - period mapping report (fianl2.py:230-233) → `VatResult.mapping`
+  *  - VAT summary (fianl2.py:167-195) → `VatResult.summary`
+  *  - xlsx download / sqlite sink (fianl2.py:241-255) → `writeCsv` /
+  *    `writeParquet` / `writeJdbc` (xlsx and sqlite drivers are
+  *    environment concerns; any JDBC url works, SURVEY.md §7.4)
+  */
+object Graft {
+
+  /** Opinionated session builder: AQE on, UTC, shuffle parallelism sized
+    * to the cluster (never the 200 default). */
+  def session(appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Option[Int] = None): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    master.foreach(b.master)
+    val s = b.getOrCreate()
+    val parts = shufflePartitions.getOrElse(s.sparkContext.defaultParallelism)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
+  }
+}
+
+final class VatPipeline(spark: SparkSession) {
+
+  /** One failed sheet: name + error, mirroring the reference's per-sheet
+    * try/except report (fianl2.py:216-221). */
+  final case class SheetFailure(sheet: String, error: String)
+
+  final case class VatResult(data: DataFrame, failures: Seq[SheetFailure]) {
+
+    /** Sheet → detected period report (fianl2.py:230-233). */
+    def mapping: DataFrame = data
+      .select(col("source_sheet"), col("month"), col("year").cast("string").as("year"))
+      .dropDuplicates("source_sheet", "month", "year")
+      .orderBy(col("source_sheet"))
+
+    /** The reference's whole analytical output (fianl2.py:167-195). */
+    def summary: DataFrame = Summary.vatSummary(data)
+
+    def writeParquet(path: String): Unit =
+      summary.coalesce(1).write.mode("overwrite").parquet(path)
+
+    def writeCsv(path: String): Unit =
+      summary.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(path)
+
+    def writeJdbc(url: String, table: String,
+        props: java.util.Properties = new java.util.Properties): Unit =
+      summary.write.mode("overwrite").jdbc(url, table, props)
+  }
+
+  /** Ingest many sheets (one CSV file per sheet, junk preamble + synonym
+    * headers tolerated), conform to the canonical schema, union by name.
+    * Sheets that fail to parse are skipped and reported, like the
+    * reference. */
+  def processSheets(sheets: Seq[(String, String)]): VatResult = {
+    val results = sheets.map { case (path, name) =>
+      try Right(Conform.processCsvSheet(spark, path, name))
+      catch { case e: Exception => Left(SheetFailure(name, String.valueOf(e.getMessage))) }
+    }
+    val frames = results.collect { case Right(df) => df }
+    val failures = results.collect { case Left(f) => f }
+    require(frames.nonEmpty, "No valid sheets processed")
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    VatResult(all, failures)
+  }
+}

@@ -32,39 +32,79 @@ object Dedup {
   val NumBands  = 4          // 4 bands × 4 rows: catches jaccard ≳ 0.5
   private val RowsPerBand = NumHashes / NumBands
 
-  /** Word-level shingles (n-gram tokens joined by space), distinct.
-    * Guarded for docs shorter than n tokens (sequence(1,0) would count
-    * DOWN and element_at would throw under ANSI). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(text, " "), t => t =!= "")
+  /** Let-binding for Column expressions: evaluates `value` ONCE and
+    * binds it as a lambda variable for `body`. Interpreted HOFs re-eval
+    * their argument subtree on every reference, and Catalyst freely
+    * re-inlines staged `withColumn`s through filter pushdown / project
+    * collapse — so without this, a minhash signature re-derived
+    * tokens+shingles per hash slot and per array element, turning the
+    * pipeline O(tokens² × slots) (observed: minutes instead of seconds
+    * at sf0.1). A lambda variable holds the evaluated VALUE, immune to
+    * any plan rewrite. */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** Shingles from a bound token-array column. Guarded for docs shorter
+    * than n tokens (sequence(1,0) would count DOWN and element_at would
+    * throw under ANSI). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(toks) - (n - 1)), i =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(grams))
   }
 
-  /** MinHash signature: K-element array, slot k = min over shingles of
-    * xxhash64(k, shingle). */
+  def tokens(text: Column): Column = filter(split(text, " "), t => t =!= "")
+
+  /** Word-level shingles (n-gram tokens joined by space), distinct. Use
+    * only on small inputs/tests; production paths materialize tokens
+    * first (see `withShingles`). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** doc_id + shingle array, with the token array let-bound and the
+    * single-file documents scan spread across the cluster first (at
+    * 100 TB the input is already many splits; locally one parquet file =
+    * one partition). */
+  private def withShingles(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p)
+      .select(col("doc_id"),
+        bind(tokens(col("text")))(toks => shinglesFromTokens(toks, 3)).as("sh"))
+  }
+
+  /** MinHash signature from a materialized shingle-array column:
+    * K-element array, slot k = min over shingles of xxhash64(k, shingle). */
   def minhashSignature(sh: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)), k =>
       aggregate(sh, lit(Long.MaxValue), (acc, s) => least(acc, xxhash64(k, s))))
 
-  /** doc_id + signature + B band keys. */
+  /** doc_id + signature + B band keys, the full chain let-bound so each
+    * stage is computed exactly once per row. */
   def signatures(docs: DataFrame): DataFrame = {
-    val sig = minhashSignature(shingles(col("text"), 3))
-    docs.select(col("doc_id"), sig.as("sig"))
-      .withColumn("bands", transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
+    withShingles(docs)
+      .select(col("doc_id"),
+        bind(minhashSignature(col("sh"))) { sig =>
+          struct(sig.as("sig"),
+            transform(sequence(lit(0), lit(NumBands - 1)), b =>
+              struct(b.as("band"),
+                xxhash64(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))).as("bkey")))
+              .as("bands"))
+        }.as("s"))
+      .select(col("doc_id"), col("s.sig").as("sig"), col("s.bands").as("bands"))
   }
 
   /** Candidate pairs from shared LSH buckets, verified by estimated
     * jaccard = fraction of matching minhash slots. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sigs = signatures(docs)
+    // both sides of the bucket self-join read this; persist so the
+    // signature pipeline runs once, not once per side (stays cached for
+    // the query's lifetime — size is O(docs × K × 8 bytes))
     val exploded = sigs.select(col("doc_id"), col("sig"),
       explode(col("bands")).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bkey"))
+      .persist()
     val a = exploded.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = exploded.select(col("band"), col("bkey"),
@@ -86,8 +126,7 @@ object Dedup {
     * MinHash pipeline — exact set overlap via sorted-array intersection,
     * computed per pair without re-exploding the corpus). */
   def jaccardVerify(docs: DataFrame, threshold: Double): DataFrame = {
-    val withSh = docs.select(col("doc_id"),
-      shingles(col("text"), 3).as("sh"))
+    val withSh = withShingles(docs).persist() // joined twice below
     val cands = minhashPairs(docs, threshold * 0.5)
       .select(col("doc_a"), col("doc_b"))
     cands
@@ -107,9 +146,10 @@ object Dedup {
     * xxhash64(token)). Shift amounts are lambda variables, so we go
     * through `call_function` (the Scala `shiftleft/shiftright` helpers
     * only accept literal Int bit counts). */
-  def simhashFingerprint(text: Column): Column = {
-    val toks = filter(split(text, " "), t => t =!= "")
-    val hashes = transform(toks, t => xxhash64(t))
+  /** Fingerprint from a MATERIALIZED token-hash array column (same
+    * inlining hazard as `shinglesFromTokens` — the 64 per-bit votes each
+    * re-evaluate their argument subtree). */
+  def simhashFromHashes(hashes: Column): Column = {
     // per-bit vote: +1 if bit set, -1 otherwise; fingerprint bit = vote>0
     val votes = transform(sequence(lit(0), lit(63)), b =>
       aggregate(hashes, lit(0L), (acc, h) =>
@@ -121,10 +161,17 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  def simhashFingerprint(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+
   /** Near-dup pairs by SimHash: block on 4 × 16-bit chunks (pigeonhole:
     * hamming ≤ 3 ⇒ at least one chunk equal), verify hamming ≤ maxDist. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhashFingerprint(col("text")).as("fp"))
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val fp = docs.repartition(p)
+      .select(col("doc_id"),
+        bind(transform(tokens(col("text")), t => xxhash64(t)))(simhashFromHashes)
+          .as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)), c => struct(c.as("chunk"),
         call_function("shiftright", col("fp"), c * 16)
@@ -147,16 +194,22 @@ object Dedup {
   /** Embedding-cosine near-dup, blocked on the coarse `label` cell
     * (IVF-style: quadratic work only inside cells). */
   def embeddingPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    // norms are per-VECTOR, so compute them before the pair join: the
+    // quadratic stage then evaluates one dot product per pair instead of
+    // a dot and two norms (3× fewer interpreted HOF evals where it hurts)
     val e = emb.select(col("label"), col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
+      .withColumn("n", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+      .persist()
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
     val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("v_a"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("v_b"), x => x * x), lit(0.0), (acc, x) => acc + x))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot / (na * nb))
+      .withColumn("cos", dot / (col("n_a") * col("n_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

@@ -1,0 +1,68 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** End-to-end through the public facade: multi-sheet workbook →
+  * mapping + summary + export, with a failing sheet surfaced not fatal. */
+class GraftApiSpec extends SparkSuite {
+
+  private lazy val tmp = Files.createTempDirectory("graft_api").toFile
+
+  private def sheet(name: String, lines: Seq[String]): (String, String) = {
+    val f = new java.io.File(tmp, s"$name.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    lines.foreach(w.println)
+    w.close()
+    (f.getAbsolutePath, name)
+  }
+
+  private lazy val jan = sheet("Jan 2024", Seq(
+    "junk,,,,,",
+    "Supply Type,Invoice #,Date,Net,Tax,Box",
+    "Standard,1,2024-01-05,AED 100,5,A",
+    "Zero,2,2024-01-06,$100,0,B",
+    "Input,3,2024-01-07,50,2.5,C"))
+
+  private lazy val feb = sheet("Feb 2024", Seq(
+    "Supply Type,Invoice No.,Date,Net,Tax,Box",
+    "Standard,9,2024-02-02,200,10,A"))
+
+  test("workbook → mapping + summary; 4 rows per period in box order") {
+    val result = new VatPipeline(spark).processSheets(Seq(jan, feb))
+    assert(result.failures.isEmpty)
+
+    val mapping = result.mapping.collect()
+    assert(mapping.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("Jan 2024", "Jan", "2024"), ("Feb 2024", "Feb", "2024")))
+
+    val s = result.summary.collect()
+    assert(s.length == 8) // 2 periods × 4 boxes
+    assert(s.map(_.getAs[String]("fta_box")).toSeq ==
+      Seq("Box A", "Box B", "Box C", "Box D", "Box A", "Box B", "Box C", "Box D"))
+    // Jan first (month_num order), Feb second
+    assert(s.head.getAs[String]("period") == "Jan 2024")
+    assert(s(4).getAs[String]("period") == "Feb 2024")
+    // Feb: A net 200, vat 10; D payable = 10
+    assert(s(4).getAs[Double]("net_value") == 200.0)
+    assert(s(7).getAs[Double]("net_vat_payable") == 10.0)
+  }
+
+  test("missing sheet file is reported, remaining sheets still process") {
+    val result = new VatPipeline(spark)
+      .processSheets(Seq(jan, ("/nonexistent/nope.csv", "Mar 2024")))
+    assert(result.failures.map(_.sheet) == Seq("Mar 2024"))
+    assert(result.summary.count() == 4)
+  }
+
+  test("csv export writes a single header-ed file") {
+    val out = new java.io.File(tmp, "export").getAbsolutePath
+    new VatPipeline(spark).processSheets(Seq(jan)).writeCsv(out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = scala.io.Source.fromFile(files(0)).getLines().toSeq
+    assert(lines.head.split(",").contains("fta_box"))
+    assert(lines.length == 5) // header + 4 box rows
+  }
+}
