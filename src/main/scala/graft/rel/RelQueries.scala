@@ -207,6 +207,36 @@ object RelQueries {
         |EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin),
 
+    // ---- A6 HAVING (post-aggregation filter) ----------------------------
+    "agg_having" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("o_custkey")),
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin),
+
+    // ---- scalar subquery (threshold computed exactly → identical
+    //      boundary comparisons in both engines) --------------------------
+    "scalar_subquery" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+        s.sql(
+          """SELECT o_orderkey, o_totalprice FROM orders_sq
+            |WHERE o_totalprice > 2 * (
+            |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            |         / COUNT(o_totalprice) FROM orders_sq)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / COUNT(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // ---- U1 union-by-name with conformance ------------------------------
     "union_parties" -> QueryDef(
       (s, d) => {
