@@ -45,7 +45,8 @@ final class VatPipeline(spark: SparkSession) {
     * try/except report (fianl2.py:216-221). */
   final case class SheetFailure(sheet: String, error: String)
 
-  final case class VatResult(data: DataFrame, failures: Seq[SheetFailure]) {
+  final case class VatResult(data: DataFrame, failures: Seq[SheetFailure],
+      warnings: Seq[String] = Seq.empty) {
 
     /** Sheet → detected period report (fianl2.py:230-233). */
     def mapping: DataFrame = data
@@ -74,13 +75,35 @@ final class VatPipeline(spark: SparkSession) {
     * reference. */
   def processSheets(sheets: Seq[(String, String)]): VatResult = {
     val results = sheets.map { case (path, name) =>
-      try Right(Conform.processCsvSheet(spark, path, name))
+      try Right(name -> Conform.processCsvSheet(spark, path, name))
       catch { case e: Exception => Left(SheetFailure(name, String.valueOf(e.getMessage))) }
     }
-    val frames = results.collect { case Right(df) => df }
+    val frames = results.collect { case Right(r) => r }
     val failures = results.collect { case Left(f) => f }
     require(frames.nonEmpty, "No valid sheets processed")
-    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
-    VatResult(all, failures)
+    // A5 — the reference's "Multiple years detected" warning
+    // (fianl2.py:124-125), surfaced per sheet
+    val warnings = frames.flatMap { case (name, df) =>
+      val counts = Conform.yearCounts(df)
+      if (counts.size > 1)
+        Some(s"Sheet '$name': multiple years detected: " +
+          counts.toSeq.sorted.map { case (y, n) => s"$y→$n" }.mkString(", ") +
+          " — using most frequent year.")
+      else None
+    }
+    val all = frames.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
+    VatResult(all, failures, warnings)
+  }
+
+  /** S3 — sheet enumeration: one CSV per sheet in a directory, sheet
+    * name = file basename (the reference's `xls.sheet_names` analogue,
+    * fianl2.py:212-213). */
+  def processDirectory(dir: String): VatResult = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.toLowerCase.endsWith(".csv"))
+      .sortBy(_.getName)
+    processSheets(files.toSeq.map(f =>
+      f.getAbsolutePath -> f.getName.replaceAll("\\.csv$", "")))
   }
 }

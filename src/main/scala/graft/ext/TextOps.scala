@@ -52,7 +52,12 @@ object TextOps {
           size(nonEmpty).as("token_count"),
           size(array_distinct(nonEmpty)).as("uniq_tokens"),
           (aggregate(nonEmpty, lit(0), (acc, t) => acc + length(t)).cast("double")
-            / size(nonEmpty)).as("avg_token_len"))
+            / size(nonEmpty)).as("avg_token_len"),
+          // BPE-ish subword proxy: letter runs | single digits | other
+          // marks — the standard pre-tokenizer shape, identical regex
+          // semantics in Java and RE2
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)"))
+            .as("bpe_tokens"))
           .orderBy(col("doc_id"))
       },
       """SELECT doc_id,
@@ -60,7 +65,8 @@ object TextOps {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS token_count,
         |  CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS uniq_tokens,
         |  CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''), t -> length(t))) AS DOUBLE)
-        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ---- L4 quality scoring (deterministic rule points) -----------------

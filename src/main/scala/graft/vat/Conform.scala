@@ -115,6 +115,16 @@ object Conform {
       .withColumn("box_letter", boxLetter(col("box")))
   }
 
+  /** A5 — per-year counts of parseable dates, for the reference's
+    * multiple-years warning (fianl2.py:124-125). */
+  def yearCounts(df: DataFrame): Map[Int, Long] = {
+    if (!df.columns.contains("date")) return Map.empty
+    df.select(year(parseDateMulti(col("date"))).as("y"))
+      .where(col("y").isNotNull)
+      .groupBy("y").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
   /** A4 — most frequent year in the Date column; ties → smallest year
     * (pinned); no parseable dates → current year (fianl2.py:115-126). */
   def modeYear(df: DataFrame): Int = {

@@ -56,6 +56,29 @@ class GraftApiSpec extends SparkSuite {
     assert(result.summary.count() == 4)
   }
 
+  test("directory ingest enumerates csv sheets by basename (S3)") {
+    val dir = Files.createTempDirectory("graft_dir").toFile
+    for ((src, _) <- Seq(jan, feb)) {
+      val f = new java.io.File(src)
+      Files.copy(f.toPath, new java.io.File(dir, f.getName).toPath)
+    }
+    val result = new VatPipeline(spark).processDirectory(dir.getAbsolutePath)
+    assert(result.mapping.count() == 2)
+    assert(result.summary.count() == 8)
+  }
+
+  test("multiple years in one sheet produce the reference's warning (A5)") {
+    val mixed = sheet("Mix 2024", Seq(
+      "Supply Type,Invoice #,Date,Net,Tax,Box",
+      "Standard,1,2024-01-05,100,5,A",
+      "Standard,2,2024-01-06,100,5,A",
+      "Standard,3,2023-12-31,100,5,A"))
+    val result = new VatPipeline(spark).processSheets(Seq(mixed))
+    assert(result.warnings.exists(_.contains("multiple years")))
+    // mode year wins: 2024 (2 rows) over 2023 (1 row)
+    assert(result.data.select("year").distinct().collect()(0).getInt(0) == 2024)
+  }
+
   test("csv export writes a single header-ed file") {
     val out = new java.io.File(tmp, "export").getAbsolutePath
     new VatPipeline(spark).processSheets(Seq(jan)).writeCsv(out)
