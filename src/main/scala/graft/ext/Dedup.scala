@@ -73,9 +73,18 @@ object Dedup {
         bind(tokens(col("text")))(toks => shinglesFromTokens(toks, 3)).as("sh"))
   }
 
-  /** MinHash signature from a materialized shingle-array column:
-    * K-element array, slot k = min over shingles of xxhash64(k, shingle). */
+  /** MinHash signature from a materialized shingle-array column — the
+    * native codegen'd expression (graft.functions.MinHashSig): one loop,
+    * K slots per pass, unboxed murmur3 over unsafe bytes. */
   def minhashSignature(sh: Column): Column =
+    graft.functions.MinHashSig.minhash_sig(sh, NumHashes)
+
+  /** HOF formulation (slot k = min over shingles of xxhash64(k, s)) —
+    * interpreted; kept as the differential-testing twin. Uses a
+    * different hash family than the native expression, so signatures
+    * differ in VALUE but share every structural property the pipeline
+    * relies on (tested in DedupSpec). */
+  def minhashSignatureHof(sh: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)), k =>
       aggregate(sh, lit(Long.MaxValue), (acc, s) => least(acc, xxhash64(k, s))))
 
