@@ -113,6 +113,60 @@ object AdvancedJoins {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin)
+    ,
+
+    // ---- J2/A6 returned-item revenue per customer (TPC-H Q10 shape) -----
+    "q10_returned_revenue" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+
+    // ---- J2 part-side rollup (broadcast dim on the build side) ----------
+    "part_brand_stats" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"),
+          min(col("p_retailprice")).as("min_retail"),
+          max(col("p_retailprice")).as("max_retail"))
+        .orderBy(col("p_brand")),
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  MIN(p_retailprice) AS min_retail, MAX(p_retailprice) AS max_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // ---- J2 supplier activity -------------------------------------------
+    "supplier_activity" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("s_suppkey")),
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q
