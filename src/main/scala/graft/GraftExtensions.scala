@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash64}
 
 /** Session extensions: registers the engine's native expressions for the
-  * SQL surface, so `SELECT cosine_similarity(a, b)` works anywhere the
-  * DataFrame wrapper does. Install with
+  * SQL surface, so `SELECT cosine_similarity(a, b)` /
+  * `simhash64(tokens)` / `minhash_sig(shingles, 16)` work anywhere the
+  * DataFrame wrappers do. Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -17,5 +21,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(k: Int, IntegerType) => MinHashSig(exprs.head, k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(arr, k): k must be an INT literal, got $other")
+      }))
   }
 }

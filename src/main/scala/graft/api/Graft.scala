@@ -37,6 +37,18 @@ object Graft {
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s
   }
+
+  /** Register every fixture table of a scale-factor directory as a temp
+    * view, opening the full `spark.sql` surface over the corpus (the
+    * engine's SQL front door; pairs with GraftExtensions for the native
+    * functions). */
+  def openCatalog(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      graft.core.Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    graft.core.Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
 }
 
 final class VatPipeline(spark: SparkSession) {

@@ -179,8 +179,7 @@ object Dedup {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.repartition(p)
       .select(col("doc_id"),
-        bind(transform(tokens(col("text")), t => xxhash64(t)))(simhashFromHashes)
-          .as("fp"))
+        graft.functions.SimHash64.simhash64(tokens(col("text"))).as("fp"))
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(3)), c => struct(c.as("chunk"),
         call_function("shiftright", col("fp"), c * 16)

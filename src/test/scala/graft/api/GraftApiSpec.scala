@@ -79,6 +79,16 @@ class GraftApiSpec extends SparkSuite {
     assert(result.data.select("year").distinct().collect()(0).getInt(0) == 2024)
   }
 
+  test("openCatalog exposes the corpus to spark.sql") {
+    Graft.openCatalog(spark, sfDir)
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT COUNT(*) FROM events WHERE ts IS NOT NULL")
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("csv export writes a single header-ed file") {
     val out = new java.io.File(tmp, "export").getAbsolutePath
     new VatPipeline(spark).processSheets(Seq(jan)).writeCsv(out)

@@ -38,6 +38,29 @@ class VatFunctionsSpec extends SparkSuite {
     assert(got(6).isEmpty)
   }
 
+  test("fuzz: date parser is total (never throws) and serials round-trip") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val fuzz = Seq.fill(300) {
+      rng.nextInt(5) match {
+        case 0 => rng.nextInt(70000).toString
+        case 1 => s"${rng.nextInt(40)}/${rng.nextInt(15)}/${1900 + rng.nextInt(200)}"
+        case 2 => rng.alphanumeric.take(rng.nextInt(12)).mkString
+        case 3 => s"${rng.nextInt(3000)}-${rng.nextInt(15)}-${rng.nextInt(35)}"
+        case _ => ""
+      }
+    }
+    // must not throw under ANSI mode; serial range must parse
+    val out = fuzz.toDF("v")
+      .select(VatFunctions.parseDateMulti(col("v")).as("t")).collect()
+    assert(out.length == 300)
+    val serials = fuzz.zip(out).collect {
+      case (s, r) if s.matches("\\d+") && s.toInt > 1 && s.toInt < 60000 => r
+    }
+    assert(serials.nonEmpty && serials.forall(!_.isNullAt(0)),
+      "all in-range Excel serials must parse")
+  }
+
   test("month from sheet name (fianl2.py:89-100)") {
     assert(VatFunctions.extractMonthFromSheet("March 2024") == ("Mar", 3))
     assert(VatFunctions.extractMonthFromSheet("JAN") == ("Jan", 1))
