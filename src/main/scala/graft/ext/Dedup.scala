@@ -223,10 +223,54 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Oracle-checkable MinHash signature: the hash family is md5-derived
+    * (first 15 hex chars → 60-bit positive long), reproducible in ANSI
+    * SQL — so even the sketch computation itself sits behind the DuckDB
+    * hash-compare gate. The production pipeline uses the native
+    * murmur3 MinHashSig (faster); this query pins the algorithm's
+    * semantics cross-engine. */
+  def md5MinhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    def slot(sh: Column, seed: Int): Column =
+      when(size(sh) === 0, lit(null).cast("long")).otherwise(
+        aggregate(sh, lit(Long.MaxValue), (acc, s) =>
+          least(acc, conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
+            .cast("long"))))
+    docs.repartition(p)
+      .select(col("doc_id"),
+        bind(tokens(col("text")))(t => shinglesFromTokens(t, 3)).as("sh"))
+      .select(Seq(col("doc_id")) ++
+        (0 until k).map(i => slot(col("sh"), i).as(s"m$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val md5MinhashSql: String = {
+    val slots = (0 until 4).map(i =>
+      s"""  CASE WHEN len(sh) = 0 THEN NULL ELSE
+         |    list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))
+         |  END AS m$i""".stripMargin).mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END AS sh
+       |  FROM t)
+       |SELECT doc_id,
+       |$slots
+       |FROM shingled ORDER BY doc_id""".stripMargin
+  }
+
   // ---- declared queries (rows-only: hash seeds not SQL-reproducible) ----
   private val q: Seq[(String, QueryDef)] = Seq(
     "dedup_minhash" -> QueryDef(
       (s: SparkSession, d: String) => minhashPairs(Tables.documents(s, d), 0.5), None),
+    "dedup_minhash_md5" -> QueryDef(
+      (s: SparkSession, d: String) => md5MinhashSignatures(Tables.documents(s, d), 4),
+      Some(md5MinhashSql)),
     "dedup_jaccard" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerify(Tables.documents(s, d), 0.6), None),
     "dedup_simhash" -> QueryDef(
