@@ -60,4 +60,26 @@ class PlanSpec extends SparkSuite {
       df.count() // must not throw
     }
   }
+
+  test("no accidental cartesian products anywhere in the inventory") {
+    // join_cross is the declared cartesian; broadcast-nested-loop for
+    // range joins / single-row broadcast probes is fine
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (name != "join_cross") {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n$p")
+      }
+    }
+  }
+
+  test("every multi-row oracle query pins a total order") {
+    // single-row aggregates are order-free by construction
+    val exempt = Set("agg_stats_global")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      if (!exempt(name))
+        assert(sql.toUpperCase.contains("ORDER BY"),
+          s"$name oracle lacks ORDER BY — hash compare would be order-lucky")
+    }
+  }
 }
