@@ -109,6 +109,40 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF search with a trained coarse quantizer: assign every vector to
+    * its nearest centroid cell, then probe only the query's `nprobe`
+    * nearest cells. Centroids are tiny (cells × dim) → broadcast; cell
+    * assignment is one narrow map over the corpus; at scale the
+    * assignment is precomputed and the table is written partitioned by
+    * cell, so a query prunes partitions instead of scanning. */
+  def ivfTopK(spark: SparkSession, dir: String, qId: Long, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = labelCentroids(emb)
+      .select(col("label").as("cell"), col("centroid"))
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // nearest-centroid assignment: small cross join vs broadcast centroids
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cdist", -cosine(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val qCells = assigned.filter(col("vec_id") === qId)
+      .crossJoin(broadcast(cents.select(col("cell").as("probe_cell"), col("centroid"))))
+      .withColumn("cdist", -cosine(col("v"), col("centroid")))
+      .orderBy(col("cdist").asc, col("probe_cell"))
+      .limit(nprobe)
+      .select(col("probe_cell"), col("v").as("q"))
+    assigned.filter(col("vec_id") =!= qId)
+      .join(broadcast(qCells), col("cell") === col("probe_cell"))
+      .withColumn("cos", cosine(col("v"), col("q")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("neighbor_id"), col("cos"), col("cell"))
+  }
+
   /** Centroid of each labelled cluster — the "train the coarse
     * quantizer" step of IVF expressed as one aggregation: element-wise
     * mean via explode-free array folding would need a UDAF, so this uses

@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.map(_.getLong(0)).forall(brute.contains))
   }
 
+  test("IVF probe: results come from the probed cells, ranked, with good recall") {
+    val ivf = Similarity.ivfTopK(spark, sfDir, 0L, 10, nprobe = 3).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    val cosines = ivf.map(_.getDouble(1)).toSeq
+    assert(cosines == cosines.sortBy(-_))
+    assert(ivf.map(_.getAs[Int]("cell")).distinct.length <= 3, "≤ nprobe cells")
+    // recall@10 vs brute force with 3/10 cells probed should catch some
+    // true neighbors (fixture clusters are weak, so assert overlap > 0)
+    val brute = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.map(_.getLong(0)).count(brute.contains) > 0)
+  }
+
   test("label centroids: one centroid per cell, dimension preserved") {
     val c = Similarity.labelCentroids(
       graft.core.Tables.embeddings(spark, sfDir)).collect()
