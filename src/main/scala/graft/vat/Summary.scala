@@ -75,7 +75,12 @@ object Summary {
   /** Unpivot the wide per-period aggregate into the reference's long
     * format and attach descriptions via a broadcast join against the
     * 4-row constant dimension (J1 — the reference's dict probe,
-    * fianl2.py:186-193). */
+    * fianl2.py:186-193).
+    *
+    * The unpivot is `inline(array(struct…))` — an Expand over the
+    * ALREADY-AGGREGATED rows. A union-of-selects formulation would
+    * re-execute the whole scan+aggregation once per box (4× the I/O at
+    * any scale); the Expand touches 4 tiny rows per period instead. */
   private def finishSummary(agg: DataFrame, spark: SparkSession,
       boxes: Seq[BoxSpec], round2: Boolean): DataFrame = {
     val r: Column => Column = if (round2) round(_, 2) else identity
@@ -83,19 +88,19 @@ object Summary {
       VatFunctions.monthAbbrev(col("month_num")), col("year"))
 
     def slice(label: String, net: Column, vat: Column, pay: Column) =
-      agg.select(col("year"), col("month_num"), period.as("period"),
-        lit(label).as("fta_box"),
+      struct(lit(label).as("fta_box"),
         net.cast("double").as("net_value"),
         vat.cast("double").as("vat_value"),
         pay.cast("double").as("net_vat_payable"))
 
-    val abc = boxes.zipWithIndex.map { case (b, i) =>
+    val slices = boxes.zipWithIndex.map { case (b, i) =>
       val suffix = ('A' + i).toChar.toString
       slice(b.label, r(col(s"net$suffix")), r(col(s"vat$suffix")), lit(0.0))
-    }
-    val d = slice("Box D", lit(0.0),
+    } :+ slice("Box D", lit(0.0),
       r(col("vatA") - col("vatC")), r(col("vatA") - col("vatC")))
-    val long = (abc :+ d).reduce(_.unionByName(_))
+
+    val long = agg.select(col("year"), col("month_num"),
+      period.as("period"), inline(array(slices: _*)))
 
     val desc = spark.createDataFrame(CurrencyRates.boxDescriptions)
       .toDF("fta_box", "description")
