@@ -155,6 +155,49 @@ object AdvancedJoins {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
+    // ---- A6 conditional-ratio aggregate (TPC-H Q14 shape); the ratio is
+    //      one double division of two exact decimal sums ------------------
+    "q14_promo_share" -> QueryDef(
+      (s, d) => {
+        val rev = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            (sum(when(col("p_type").startsWith("PROMO"), rev)).cast("double") * 100.0 /
+              sum(rev).cast("double")).as("promo_share_pct"),
+            count(lit(1)).as("n_items"))
+      },
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2)) END) AS DOUBLE) * 100.0 /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE)
+        |    AS promo_share_pct,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+
+    // ---- O4/A6 window-over-aggregate: best supplier per part ------------
+    "best_supplier_per_part" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("revenue").desc, col("l_suppkey"))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice")).as("revenue"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_partkey").as("partkey"),
+            col("l_suppkey").as("best_suppkey"), col("revenue"))
+          .orderBy(col("partkey"))
+      },
+      """SELECT l_partkey AS partkey, l_suppkey AS best_suppkey, revenue FROM (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) DESC, l_suppkey) AS rn
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |WHERE rn = 1
+        |ORDER BY partkey""".stripMargin),
+
     // ---- J2 supplier activity -------------------------------------------
     "supplier_activity" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
