@@ -198,6 +198,46 @@ object AdvancedJoins {
         |WHERE rn = 1
         |ORDER BY partkey""".stripMargin),
 
+    // ---- J3/A6 EXISTS + grouped count (TPC-H Q4 shape) ------------------
+    "q4_order_priority_check" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")).distinct()
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- A6 two-way conditional counts (TPC-H Q12 shape) ----------------
+    "q12_priority_buckets" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy(col("l_linestatus")),
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin),
+
     // ---- J2 supplier activity -------------------------------------------
     "supplier_activity" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)

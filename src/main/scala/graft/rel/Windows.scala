@@ -63,6 +63,29 @@ object Windows {
         |WHERE rn <= 2
         |ORDER BY p_brand, rn""".stripMargin),
 
+    // ---- W1 distribution functions: ntile / percent_rank / cume_dist
+    //      (all reduce to integer-ratio double divisions → identical
+    //      cross-engine) ---------------------------------------------------
+    "window_distribution" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            col("quartile"), col("pct_rank"), col("cume"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin),
+
     // ---- W2 analytic: lag / lead / first / last -------------------------
     "window_lag_lead" -> QueryDef(
       (s, d) => {
