@@ -202,22 +202,16 @@ object Dedup {
   /** Embedding-cosine near-dup, blocked on the coarse `label` cell
     * (IVF-style: quadratic work only inside cells). */
   def embeddingPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    // norms are per-VECTOR, so compute them before the pair join: the
-    // quadratic stage then evaluates one dot product per pair instead of
-    // a dot and two norms (3× fewer interpreted HOF evals where it hurts)
+    // the quadratic stage runs the native codegen'd CosineSimilarity —
+    // per-pair cost is a primitive loop, so cell-size skew across the
+    // label-hash buckets no longer turns into multi-second stragglers
     val e = emb.select(col("label"), col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
-      .persist()
-    val a = e.select(col("label"), col("vec_id").as("id_a"),
-      col("v").as("v_a"), col("n").as("n_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
-    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot / (col("n_a") * col("n_b")))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
