@@ -16,7 +16,14 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset for local iteration: SPARK_GRAFT_ONLY=q1,q2
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -173,24 +173,69 @@ object Dedup {
   def simhashFingerprint(text: Column): Column =
     simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
 
-  /** Near-dup pairs by SimHash: block on 4 × 16-bit chunks (pigeonhole:
-    * hamming ≤ 3 ⇒ at least one chunk equal), verify hamming ≤ maxDist. */
-  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+  /** SimHash blocking plan: split the 64-bit fingerprint into `numChunks`
+    * near-equal bit ranges and key each LSH table on the concatenation of
+    * a `keyBlocks`-subset of chunks (Manku/Jain/Sarma, WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling" §3 — the permuted-table scheme,
+    * expressed as chunk subsets). Pigeonhole: hamming ≤ maxDist flips at
+    * most maxDist chunks, so ≥ numChunks − maxDist chunks are clean; any
+    * `keyBlocks ≤ numChunks − maxDist` guarantees SOME table's key is
+    * built entirely from clean chunks ⇒ the pair collides there. Recall
+    * is exact, not probabilistic.
+    *
+    * The scale dial: key entropy ≈ 64 × keyBlocks / numChunks bits and
+    * table count = C(numChunks, keyBlocks). The defaults pick
+    * keyBlocks = 2 (wide ~2×64/numChunks-bit keys, quadratic work stays
+    * confined as the corpus grows) for the usual small maxDist, and fall
+    * back to single-chunk keys when maxDist is so large that pair-keys
+    * would explode the table count. At ~10⁹ docs with maxDist = 3 the
+    * default is 10 tables of ~26-bit keys — ~10³ docs/bucket, vs ~10⁴
+    * per 16-bit bucket in the fixed 4×16 scheme this replaces. */
+  private[ext] def simhashPlan(maxDist: Int, numChunks: Int, keyBlocks: Int)
+      : (Array[Int], Array[Int], Seq[Seq[Int]]) = {
+    val kb = if (keyBlocks > 0) keyBlocks else if (maxDist <= 10) 2 else 1
+    val c  = if (numChunks > 0) numChunks else maxDist + kb
+    require(c > 0 && c <= 64, s"numChunks $c out of range")
+    require(kb >= 1 && kb <= c - maxDist,
+      s"pigeonhole violated: keyBlocks $kb > numChunks $c - maxDist $maxDist")
+    val baseW = 64 / c
+    val extra = 64 % c
+    val widths  = Array.tabulate(c)(i => if (i < extra) baseW + 1 else baseW)
+    val offsets = widths.scanLeft(0)(_ + _).take(c)
+    val combos  = (0 until c).combinations(kb).map(_.toSeq).toSeq
+    (widths, offsets, combos)
+  }
+
+  /** The LSH keys for one fingerprint column: one 64-bit hash per table,
+    * table id folded in so a single equi-join column suffices. */
+  def simhashBlockingKeys(fp: Column, maxDist: Int,
+      numChunks: Int = 0, keyBlocks: Int = 0): Column = {
+    val (widths, offsets, combos) = simhashPlan(maxDist, numChunks, keyBlocks)
+    def chunk(i: Int): Column =
+      shiftright(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    array(combos.zipWithIndex.map { case (combo, t) =>
+      xxhash64((lit(t) +: combo.map(chunk)): _*)
+    }: _*)
+  }
+
+  /** Near-dup pairs by SimHash: Manku-style multi-table blocking (above),
+    * exact-recall for hamming ≤ maxDist, verified by bit_count on the
+    * fingerprint XOR. The keyed projection is persisted so the
+    * scan→tokenize→simhash pipeline runs once, not once per side of the
+    * bucket self-join (mirrors `minhashPairs`). */
+  def simhashPairs(docs: DataFrame, maxDist: Int,
+      numChunks: Int = 0, keyBlocks: Int = 0): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.repartition(p)
       .select(col("doc_id"),
         graft.functions.SimHash64.simhash64(tokens(col("text"))).as("fp"))
-    val chunks = fp.select(col("doc_id"), col("fp"),
-      explode(transform(sequence(lit(0), lit(3)), c => struct(c.as("chunk"),
-        call_function("shiftright", col("fp"), c * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("ckey"))))
-        .as("c"))
-      .select(col("doc_id"), col("fp"), col("c.chunk"), col("c.ckey"))
-    val a = chunks.select(col("chunk"), col("ckey"),
-      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val b = chunks.select(col("chunk"), col("ckey"),
-      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    val keyed = fp.select(col("doc_id"), col("fp"),
+      explode(simhashBlockingKeys(col("fp"), maxDist, numChunks, keyBlocks))
+        .as("bkey"))
+      .persist()
+    val a = keyed.select(col("bkey"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = keyed.select(col("bkey"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))

@@ -119,8 +119,11 @@ object AdvancedJoins {
     "q10_returned_revenue" -> QueryDef(
       (s, d) => {
         val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        // customer is the one side that stays broadcast-able at any SF
+        // (bounded dimension); orders deliberately unhinted — at 100 TB it
+        // is fact-sized and the sort-merge/AQE choice is the right one
         l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
           .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
             .cast("double").as("revenue"),

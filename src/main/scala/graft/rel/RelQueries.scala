@@ -220,19 +220,20 @@ object RelQueries {
         |ORDER BY o_custkey""".stripMargin),
 
     // ---- scalar subquery (threshold computed exactly → identical
-    //      boundary comparisons in both engines) --------------------------
+    //      boundary comparisons in both engines; 1.5× avg selects a real
+    //      price tail so the oracle hash-compare bites on actual rows) ----
     "scalar_subquery" -> QueryDef(
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("orders_sq")
         s.sql(
           """SELECT o_orderkey, o_totalprice FROM orders_sq
-            |WHERE o_totalprice > 2 * (
+            |WHERE o_totalprice > 1.5 * (
             |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
             |         / COUNT(o_totalprice) FROM orders_sq)
             |ORDER BY o_orderkey""".stripMargin)
       },
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 2 * (
+        |WHERE o_totalprice > 1.5 * (
         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |         / COUNT(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),

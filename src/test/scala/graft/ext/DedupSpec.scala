@@ -83,6 +83,29 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
   }
 
+  test("simhash blocking: pigeonhole recall guarantee across parameterizations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // (maxDist, numChunks, keyBlocks): defaults small + large maxDist,
+    // plus an explicit wide-key config
+    for ((md, nc, kb) <- Seq((3, 0, 0), (8, 0, 0), (16, 0, 0), (3, 8, 4))) {
+      val pairs = (1 to 300).map { _ =>
+        val x = rnd.nextLong()
+        // flip up to maxDist DISTINCT bits → hamming exactly d ≤ maxDist
+        val bits = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(md + 1))
+        (x, bits.foldLeft(x)((acc, b) => acc ^ (1L << b)))
+      }.toDF("x", "y")
+      val missed = pairs.filter(!arrays_overlap(
+        Dedup.simhashBlockingKeys(col("x"), md, nc, kb),
+        Dedup.simhashBlockingKeys(col("y"), md, nc, kb))).count()
+      assert(missed == 0, s"(maxDist=$md,chunks=$nc,keyBlocks=$kb): $missed pairs missed")
+    }
+    // and the guard trips when the pigeonhole cannot hold
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPlan(maxDist = 8, numChunks = 8, keyBlocks = 2)
+    }
+  }
+
   test("embedding near-dup blocks on cell and finds planted duplicate") {
     import spark.implicits._
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
