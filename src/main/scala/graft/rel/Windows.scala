@@ -13,9 +13,17 @@ import graft.core.{Exact, QueryDef, Tables}
   * (combine order ≠ Spark's running add), so double accumulation would
   * drift in the last bits; decimal is associative-exact in both.
   *
-  * Scale: window shuffles are keyed on the partition column (user_id /
-  * o_custkey / priority). At 100 TB these are high-cardinality keys, so
-  * partitions stay small; no global windows (those would single-task).
+  * Scale: ranking/analytic/framed windows partition on high-cardinality
+  * keys (user_id / o_custkey / p_brand), so per-key partitions stay
+  * small at 100 TB and no task sorts a meaningful fraction of the table.
+  * Ranked-then-filtered queries additionally rely on Spark's
+  * WindowGroupLimit pushdown (asserted in PlanSpec), which bounds every
+  * per-key sort to the top k rows before AND after the shuffle. The one
+  * deliberate exception is `window_distribution`: ntile/percent_rank/
+  * cume_dist need the exact partition size, so the full per-partition
+  * sort is irreducible — that query keys on 5 market segments and is
+  * honest about it (at 100 TB you would pre-aggregate or accept the 5
+  * fat sorted partitions; there is no incremental formulation).
   */
 object Windows {
   import Exact._
@@ -23,28 +31,32 @@ object Windows {
   private val q: Seq[(String, QueryDef)] = Seq(
 
     // ---- W1 ranking family + O4 top-k per group -------------------------
+    //      partitioned on o_custkey (full key cardinality — the shuffle
+    //      spreads over every customer, no 5-way straggler partitions);
+    //      the rn ≤ 2 filter triggers WindowGroupLimit so each task keeps
+    //      a 2-row heap instead of sorting its whole partition ------------
     "window_rank" -> QueryDef(
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
+        val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.orders(s, d)
           .withColumn("rn", row_number().over(w))
           .withColumn("rnk", rank().over(w))
           .withColumn("drnk", dense_rank().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("o_orderpriority"), col("o_orderkey"),
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"),
             col("o_totalprice"), col("rn"), col("rnk"), col("drnk"))
-          .orderBy(col("o_orderpriority"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
       },
-      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk
         |FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
         |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
-        |WHERE rn <= 3
-        |ORDER BY o_orderpriority, rn""".stripMargin),
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin),
 
     "topk_per_group" -> QueryDef(
       (s, d) => {
@@ -65,7 +77,9 @@ object Windows {
 
     // ---- W1 distribution functions: ntile / percent_rank / cume_dist
     //      (all reduce to integer-ratio double divisions → identical
-    //      cross-engine) ---------------------------------------------------
+    //      cross-engine). Deliberately keyed on the 5-value mktsegment:
+    //      these functions need the exact partition row count, so the
+    //      full per-partition sort cannot be bounded — see file header ----
     "window_distribution" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy(col("c_mktsegment"))

@@ -38,6 +38,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("ranked-filter windows push WindowGroupLimit (bounded per-key sort)") {
+    // rn <= k over a window must not sort whole partitions: Spark's
+    // WindowGroupLimit keeps a k-row group limit on both the partial
+    // (pre-shuffle) and final sides — the property that makes top-k-per-
+    // group survive fat keys at scale
+    for (name <- Seq("window_rank", "topk_per_group")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: expected WindowGroupLimit pushdown in:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan→project pipeline (scalar_math)") {
     // AQE hides codegen spans until the final plan materializes; note
     // array higher-order functions (text_stats) are CodegenFallback by
