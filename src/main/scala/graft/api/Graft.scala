@@ -84,10 +84,19 @@ final class VatPipeline(spark: SparkSession) {
   /** Ingest many sheets (one CSV file per sheet, junk preamble + synonym
     * headers tolerated), conform to the canonical schema, union by name.
     * Sheets that fail to parse are skipped and reported, like the
-    * reference. */
-  def processSheets(sheets: Seq[(String, String)]): VatResult = {
+    * reference.
+    *
+    * `nanBoxCompat = true` replays the reference's pandas `astype(str)`
+    * quirk: null Box cells become the literal "NAN", which the contains
+    * matching counts into Box A with box letter "N" (fianl2.py:162-163,
+    * 176). Default `false` keeps nulls null, so null-box rows belong to
+    * NO box — different totals on dirty data. Because the two modes
+    * silently disagree, `warnings` always reports the null-box row count
+    * per sheet whenever it is non-zero, in either mode. */
+  def processSheets(sheets: Seq[(String, String)],
+      nanBoxCompat: Boolean = false): VatResult = {
     val results = sheets.map { case (path, name) =>
-      try Right(name -> Conform.processCsvSheet(spark, path, name))
+      try Right(name -> Conform.processCsvSheet(spark, path, name, nanBoxCompat))
       catch { case e: Exception => Left(SheetFailure(name, String.valueOf(e.getMessage))) }
     }
     val frames = results.collect { case Right(r) => r }
@@ -104,18 +113,30 @@ final class VatPipeline(spark: SparkSession) {
       else None
     }
     val all = frames.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
-    VatResult(all, failures, warnings)
+    // null-box diagnostic: one grouped job over the union, not a count
+    // per sheet; these rows change boxes between compat modes, so their
+    // existence is always surfaced
+    val nullBoxWarnings = all.filter(col("box_was_null"))
+      .groupBy(col("source_sheet")).count()
+      .orderBy(col("source_sheet"))
+      .collect().map { r =>
+        val fate = if (nanBoxCompat)
+          "counted into Box A as 'NAN' (astype-str compat)"
+        else "in NO box (nulls stay null; enable nanBoxCompat to replay the reference)"
+        s"Sheet '${r.getString(0)}': ${r.getLong(1)} rows with null Box — $fate."
+      }
+    VatResult(all, failures, warnings ++ nullBoxWarnings)
   }
 
   /** S3 — sheet enumeration: one CSV per sheet in a directory, sheet
     * name = file basename (the reference's `xls.sheet_names` analogue,
     * fianl2.py:212-213). */
-  def processDirectory(dir: String): VatResult = {
+  def processDirectory(dir: String, nanBoxCompat: Boolean = false): VatResult = {
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.toLowerCase.endsWith(".csv"))
       .sortBy(_.getName)
     processSheets(files.toSeq.map(f =>
-      f.getAbsolutePath -> f.getName.replaceAll("\\.csv$", "")))
+      f.getAbsolutePath -> f.getName.replaceAll("\\.csv$", "")), nanBoxCompat)
   }
 }

@@ -77,7 +77,8 @@ object Conform {
     *  - preamble rows dropped by zipWithIndex (no second file read)
     *  - currency conversion / box canon / period literals as Column ops
     */
-  def processCsvSheet(spark: SparkSession, path: String, sheetName: String): DataFrame = {
+  def processCsvSheet(spark: SparkSession, path: String, sheetName: String,
+      nanBoxCompat: Boolean = false): DataFrame = {
     import spark.implicits._
     val raw = spark.read
       .option("header", "false").option("inferSchema", "false")
@@ -93,13 +94,19 @@ object Conform {
     val named = spark.createDataFrame(bodyRdd, raw.schema)
       .toDF(headers.zipWithIndex.map { case (h, i) => if (h.isEmpty) s"_c$i" else h }: _*)
 
-    enrich(conformColumns(named), sheetName)
+    enrich(conformColumns(named), sheetName, nanBoxCompat)
   }
 
   /** Currency conversion, period detection, provenance, box letter
     * (fianl2.py:153-163). Year = mode of parsed Date years with pinned
-    * min-year tie-break (SURVEY.md A4). */
-  def enrich(conformed: DataFrame, sheetName: String): DataFrame = {
+    * min-year tie-break (SURVEY.md A4).
+    *
+    * `box_was_null` records which rows had no Box value BEFORE
+    * canonicalization — the always-on seam for the null-box diagnostic
+    * (those rows silently change boxes between compat modes, so the
+    * pipeline surfaces their count as a warning either way). */
+  def enrich(conformed: DataFrame, sheetName: String,
+      nanBoxCompat: Boolean = false): DataFrame = {
     val (monthAbbr, monthNum) = extractMonthFromSheet(sheetName)
     val withMoney = conformed
       .withColumn("net_value", currencyToAed(col("net_value")))
@@ -111,7 +118,8 @@ object Conform {
       .withColumn("month_num", lit(monthNum))
       .withColumn("year", lit(yearVal))
       .withColumn("source_sheet", lit(sheetName))
-      .withColumn("box", boxCanon(col("box")))
+      .withColumn("box_was_null", col("box").isNull)
+      .withColumn("box", boxCanon(col("box"), nanBoxCompat))
       .withColumn("box_letter", boxLetter(col("box")))
   }
 

@@ -71,10 +71,18 @@ object VatFunctions {
       .otherwise(parsed)
   }
 
-  /** F4 + F3 — box canonicalization: upper+trim (fianl2.py:162), with the
-    * pandas `astype(str)` null→"NAN" quirk deliberately NOT reproduced
-    * (nulls stay null; SURVEY.md §7.4). */
-  def boxCanon(c: Column): Column = upper(trim(c.cast("string")))
+  /** F4 + F3 — box canonicalization: upper+trim (fianl2.py:162). By
+    * default the pandas `astype(str)` null→"nan" quirk is NOT reproduced
+    * (nulls stay null, so null-box rows fall outside every box;
+    * SURVEY.md §7.4). With `nanCompat = true` the quirk is replayed
+    * bit-for-bit: a null cell becomes the literal "NAN", whose contains
+    * matching then lands the row in Box A and whose first capital is "N"
+    * (fianl2.py:162-163, 176) — for users who need old-workbook totals
+    * to reproduce exactly on dirty data. */
+  def boxCanon(c: Column, nanCompat: Boolean = false): Column = {
+    val s = c.cast("string")
+    upper(trim(if (nanCompat) coalesce(s, lit("nan")) else s))
+  }
 
   /** First capital letter (fianl2.py:163); pandas yields NaN on no-match,
     * Spark `regexp_extract` yields "" — wrap with nullif for parity. */

@@ -89,6 +89,111 @@ class SummarySpec extends SparkSuite {
     assert(summary.select("period").distinct().collect()(0).getString(0) == "Jan 2024")
   }
 
+  // ---- golden-DB replay -------------------------------------------------
+  // The 16 rows of the reference's real run artifact (vat_summary.db,
+  // table vat_summary; values also tabulated in BASELINE.md): 4 periods
+  // Jan–Apr 2024 × boxes A–D. (period, box) → (net, vat, payable).
+  private val goldenDb: Seq[(String, String, Double, Double, Double)] = Seq(
+    ("Jan 2024", "Box A", 572712315.14, 13069631.69, 0.0),
+    ("Jan 2024", "Box B", 4490318.61, 222936.35, 0.0),
+    ("Jan 2024", "Box C", 194526.87, 9726.36, 0.0),
+    ("Jan 2024", "Box D", 0.0, 13059905.33, 13059905.33),
+    ("Feb 2024", "Box A", 1037935.29, 213209.99, 0.0),
+    ("Feb 2024", "Box B", 2697296.69, 225160.02, 0.0),
+    ("Feb 2024", "Box C", 1348895.15, 9540.78, 0.0),
+    ("Feb 2024", "Box D", 0.0, 203669.21, 203669.21),
+    ("Mar 2024", "Box A", 825164.95, 212047.65, 0.0),
+    ("Mar 2024", "Box B", 2200771.57, 222571.9, 0.0),
+    ("Mar 2024", "Box C", 1175492.37, 8115.0, 0.0),
+    ("Mar 2024", "Box D", 0.0, 203932.65, 203932.65),
+    ("Apr 2024", "Box A", 4258677.58, 212933.87, 0.0),
+    ("Apr 2024", "Box B", 4480428.28, 222660.23, 0.0),
+    ("Apr 2024", "Box C", 194526.87, 9726.36, 0.0),
+    ("Apr 2024", "Box D", 0.0, 203207.51, 203207.51))
+
+  /** Workbook whose per-(period, box) sums equal the golden A/B/C inputs.
+    * Box A is split across rows — one in dollars in Jan/Feb so the
+    * currency-conversion path contributes to a golden total — and every
+    * sheet keeps the junk preamble + synonym headers the pipeline must
+    * strip. D is never an input: the pipeline must derive it. */
+  private lazy val goldenSheets: Seq[(String, String)] = {
+    val hdr = "Supply Type,Invoice #,Date,Customer Name,Net,Tax,Box"
+    val pre = Seq("ACME LLC,,,,,,", "FTA VAT return,,,,,,")
+    def sheet(name: String, rows: Seq[String]): (String, String) =
+      writeSheet(name, pre ++ Seq(hdr) ++ rows) -> name
+    Seq(
+      sheet("Jan 2024", Seq(
+        "Standard,1,2024-01-05,Alpha,$100,$5,A", // → 367.00 / 18.35 AED
+        "Standard,2,05/01/2024,Beta,572711948.14,13069613.34,A",
+        "Zero Rated,3,45297,Gamma,4490318.61,222936.35,B", // Excel serial
+        "Input,4,2024-01-07,Delta,194526.87,9726.36,C")),
+      sheet("Feb 2024", Seq(
+        "Standard,1,2024-02-02,Alpha,1000000.04,200000.74,A",
+        "Standard,2,15/02/2024,Beta,37935.25,13209.25,A",
+        "Zero Rated,3,45328,Gamma,2697296.69,225160.02,B",
+        "Input,4,2024-02-20,Delta,1348895.15,9540.78,C")),
+      sheet("Mar 2024", Seq(
+        "Standard,1,2024-03-10,Alpha,825164.95,212047.65,A",
+        "Zero Rated,2,10/03/2024,Gamma,2200771.57,222571.90,B",
+        "Input,3,2024-03-28,Delta,1175492.37,8115.00,C")),
+      sheet("Apr 2024", Seq(
+        "Standard,1,2024-04-04,Alpha,4258677.58,212933.87,A",
+        "Zero Rated,2,18/04/2024,Gamma,4480428.28,222660.23,B",
+        "Input,3,2024-04-30,Delta,194526.87,9726.36,C")))
+  }
+
+  test("golden replay: pipeline reproduces all 16 vat_summary.db rows exactly") {
+    val res = new graft.api.VatPipeline(spark).processSheets(goldenSheets)
+    assert(res.failures.isEmpty && res.warnings.isEmpty)
+    val out = res.summary
+      .orderBy(col("month_num"), col("fta_box"))
+      .select("period", "fta_box", "net_value", "vat_value", "net_vat_payable")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(out == goldenDb, {
+      val diff = out.zip(goldenDb).filter { case (a, b) => a != b }
+      s"first mismatches: ${diff.take(4).mkString("; ")}"
+    })
+  }
+
+  // ---- "NAN"-box compat: both modes pinned vs fianl2.py:162-163,176 ----
+  // Sheet with one null-Box row (net 1000, vat 50) and one Box A row.
+  private lazy val dirtySheet = writeSheet("May 2024", Seq(
+    "junk,,,,,,",
+    "Supply Type,Invoice #,Date,Customer Name,Net,Tax,Box",
+    "Standard,1,2024-05-02,Alpha,100,5,A",
+    "Standard,2,2024-05-03,Beta,1000,50,")) -> "May 2024"
+
+  test("nanBoxCompat off (default): null-box rows in no box, loud warning") {
+    val res = new graft.api.VatPipeline(spark).processSheets(Seq(dirtySheet))
+    assert(res.warnings.exists(w =>
+      w.contains("May 2024") && w.contains("1 rows with null Box")), res.warnings)
+    val byBox = res.summary.collect()
+      .map(r => r.getAs[String]("fta_box") -> r).toMap
+    assert(byBox("Box A").getAs[Double]("net_value") == 100.0)
+    assert(byBox("Box A").getAs[Double]("vat_value") == 5.0)
+    // and the row keeps a null letter
+    assert(res.data.filter(col("box_letter").isNull).count() == 1)
+  }
+
+  test("nanBoxCompat on: null box becomes 'NAN' → Box A membership, letter N") {
+    val res = new graft.api.VatPipeline(spark)
+      .processSheets(Seq(dirtySheet), nanBoxCompat = true)
+    assert(res.warnings.exists(w =>
+      w.contains("May 2024") && w.contains("astype-str compat")), res.warnings)
+    val dirty = res.data.filter(col("invoice_number") === "2").collect()(0)
+    assert(dirty.getAs[String]("box") == "NAN")
+    assert(dirty.getAs[String]("box_letter") == "N")
+    val byBox = res.summary.collect()
+      .map(r => r.getAs[String]("fta_box") -> r).toMap
+    // "NAN" contains "A" → the 1000/50 row lands in Box A (fianl2.py:176)
+    assert(byBox("Box A").getAs[Double]("net_value") == 1100.0)
+    assert(byBox("Box A").getAs[Double]("vat_value") == 55.0)
+    assert(byBox("Box D").getAs[Double]("net_vat_payable") == 55.0)
+  }
+
   test("invariant: summary row count = 4 × distinct periods (lineitem fixture)") {
     val s = Summary.lineitemVatSummary(spark, sfDir)
     val periods = s.select("year", "month_num").distinct().count()
