@@ -219,6 +219,30 @@ object RelQueries {
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin),
 
+    // ---- A7 approx_count_distinct (HLL++) beside its exact twin --------
+    //      HLL sketches are engine-specific (Spark HLL++ vs DuckDB's), so
+    //      the approx VALUE can never hash-match cross-engine. The gate
+    //      instead checks what a user actually relies on: the exact twin
+    //      bit-matches, and `approx_ok` pins |approx − exact| ≤ 5% × exact
+    //      (rsd 0.02 sketch) as a column the oracle expects to be TRUE —
+    //      the accuracy contract itself sits behind the hash compare.
+    //      Scale: one pass, no shuffle of distinct values for the sketch
+    //      (fixed-size registers merge map-side), vs the exact twin's
+    //      partial-distinct expansion.
+    "agg_approx_distinct" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("approx_ok"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
     // ---- scalar subquery (threshold computed exactly → identical
     //      boundary comparisons in both engines; 1.5× avg selects a real
     //      price tail so the oracle hash-compare bites on actual rows) ----
