@@ -109,26 +109,35 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Nearest-centroid assignment of every vector — the "add to index"
+    * step of IVF: a small broadcast cross join against the centroid
+    * dimension, one narrow window per vec_id (high-cardinality key). */
+  def ivfAssign(emb: DataFrame): DataFrame = {
+    val cents = labelCentroids(emb)
+      .select(col("label").as("cell"), col("centroid"))
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cell"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cdist", -cosine(col("v"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
   /** IVF search with a trained coarse quantizer: assign every vector to
     * its nearest centroid cell, then probe only the query's `nprobe`
     * nearest cells. Centroids are tiny (cells × dim) → broadcast; cell
-    * assignment is one narrow map over the corpus; at scale the
-    * assignment is precomputed and the table is written partitioned by
-    * cell, so a query prunes partitions instead of scanning. */
+    * assignment is one narrow map over the corpus. This is the ad-hoc
+    * (single-query) formulation; the at-scale path precomputes the
+    * assignment ONCE via `buildIvfIndex` and probes with `ivfProbe`,
+    * which bucket-prunes the scan instead of re-assigning the corpus. */
   def ivfTopK(spark: SparkSession, dir: String, qId: Long, k: Int,
       nprobe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cents = labelCentroids(emb)
       .select(col("label").as("cell"), col("centroid"))
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // nearest-centroid assignment: small cross join vs broadcast centroids
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cell"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cdist", -cosine(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+    val assigned = ivfAssign(emb)
     val qCells = assigned.filter(col("vec_id") === qId)
       .crossJoin(broadcast(cents.select(col("cell").as("probe_cell"), col("centroid"))))
       .withColumn("cdist", -cosine(col("v"), col("centroid")))
@@ -138,6 +147,56 @@ object Similarity {
     assigned.filter(col("vec_id") =!= qId)
       .join(broadcast(qCells), col("cell") === col("probe_cell"))
       .withColumn("cos", cosine(col("v"), col("q")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("neighbor_id"), col("cos"), col("cell"))
+  }
+
+  /** Build the persistent IVF index: the corpus-wide cell assignment is
+    * computed ONCE and written as a parquet table DIRECTORY-PARTITIONED
+    * by `cell`, centroids beside it. Cells are low-cardinality by
+    * construction (quantizer cells, not join keys), so partitioning —
+    * not bucketing — is the right layout: a probe's literal
+    * `cell IN (...)` becomes a PartitionFilter and the scan never opens
+    * the unprobed directories. (Bucketing would rely on the planner
+    * keeping the bucketed scan alive, which it drops for filter-only
+    * queries; `core.Bucketing` remains the tool for join co-location.)
+    * At 100 TB this is the point of IVF: index build is one bounded
+    * shuffle at write time; every query reads ~nprobe/cells of the data
+    * (asserted on the plan in SimilaritySpec). */
+  def buildIvfIndex(spark: SparkSession, dir: String,
+      table: String = "ivf_index"): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfAssign(emb).write.mode("overwrite").format("parquet")
+      .partitionBy("cell").saveAsTable(table)
+    labelCentroids(emb).select(col("label").as("cell"), col("centroid"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** Probe a prebuilt IVF index. Centroid ranking and the query-vector
+    * lookup are bounded driver-side metadata (cells × dim doubles + one
+    * row) — the standard IVF query planner; the corpus-side scan carries
+    * a literal `cell IN (...)` predicate, so the bucketed reader prunes
+    * to the probed buckets and the only data-sized work is the cosine
+    * scoring inside them. */
+  def ivfProbe(spark: SparkSession, table: String, qId: Long, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val idx = spark.table(table)
+    val qv = idx.filter(col("vec_id") === qId)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    val cents = spark.table(s"${table}_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+    // same ordering contract as ivfTopK's qCells: (-cosine) asc, cell asc
+    val probeCells = cents.map { case (c, ctr) =>
+      c -> -(dotD(qv, ctr) / (math.sqrt(dotD(qv, qv)) * math.sqrt(dotD(ctr, ctr))))
+    }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1).toSeq
+    idx.filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qId)
+      .withColumn("cos", cosine(col("v"), typedlit(qv)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("neighbor_id"), col("cos"), col("cell"))
