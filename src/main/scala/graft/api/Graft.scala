@@ -79,6 +79,18 @@ final class VatPipeline(spark: SparkSession) {
     def writeJdbc(url: String, table: String,
         props: java.util.Properties = new java.util.Properties): Unit =
       summary.write.mode("overwrite").jdbc(url, table, props)
+
+    /** The reference's download sink (fianl2.py:241-248): the summary as
+      * a one-sheet xlsx. Driver-side by design — the summary is 4 rows
+      * per period (bounded), never cluster-scale data. */
+    def writeXlsx(path: String, sheet: String = "VAT Summary"): Unit = {
+      val df = summary.select("period", "fta_box", "description",
+        "net_value", "vat_value", "net_vat_payable")
+      val header = df.columns.toSeq
+      val rows = df.collect().toSeq
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      graft.sources.Xlsx.write(path, Seq(sheet -> (header +: rows)))
+    }
   }
 
   /** Ingest many sheets (one CSV file per sheet, junk preamble + synonym
@@ -126,6 +138,16 @@ final class VatPipeline(spark: SparkSession) {
         s"Sheet '${r.getString(0)}': ${r.getLong(1)} rows with null Box — $fate."
       }
     VatResult(all, failures, warnings ++ nullBoxWarnings)
+  }
+
+  /** The reference's actual front door (fianl2.py:212-221): one xlsx
+    * workbook in, every sheet enumerated and processed. The xlsx parts
+    * are decoded driver-side (`sources.Xlsx` — workbooks are interactive
+    * uploads, not cluster data) into CSV files that the distributed
+    * sheet pipeline then ingests. */
+  def processWorkbook(xlsxPath: String, nanBoxCompat: Boolean = false): VatResult = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toFile
+    processSheets(graft.sources.Xlsx.toCsv(xlsxPath, tmp.getAbsolutePath), nanBoxCompat)
   }
 
   /** S3 — sheet enumeration: one CSV per sheet in a directory, sheet
