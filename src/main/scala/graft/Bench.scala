@@ -32,10 +32,23 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // harness floor: the fixed per-query cost at this parallelism —
+    // scheduling + tiny-file scan + one shuffle over a 5-row table.
+    // Median of 5 so plan regressions aren't masked by (or blamed on)
+    // local[n] overhead; reported beside the totals, never added to them.
+    val floor = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_sec":$floor,"floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism"}""")
     spark.stop()
   }
 }
