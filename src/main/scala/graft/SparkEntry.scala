@@ -28,6 +28,7 @@ object SparkEntry {
       rel.AdvancedJoins.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
+      ext.Corpus.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries
 

@@ -38,6 +38,16 @@ object Graft {
     s
   }
 
+  /** F12 — the reference's timestamped download filename
+    * (`vat_summary_{datetime.now():%Y%m%d_%H%M%S}.xlsx`, fianl2.py:248).
+    * The clock is injectable so callers (and tests) can pin the instant;
+    * the default is wall-clock now, matching the reference. */
+  def timestampedName(prefix: String = "vat_summary", ext: String = "xlsx",
+      clock: java.time.Clock = java.time.Clock.systemDefaultZone()): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+    s"${prefix}_${java.time.LocalDateTime.now(clock).format(fmt)}.$ext"
+  }
+
   /** Register every fixture table of a scale-factor directory as a temp
     * view, opening the full `spark.sql` surface over the corpus (the
     * engine's SQL front door; pairs with GraftExtensions for the native
@@ -90,6 +100,15 @@ final class VatPipeline(spark: SparkSession) {
       val rows = df.collect().toSeq
         .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
       graft.sources.Xlsx.write(path, Seq(sheet -> (header +: rows)))
+    }
+
+    /** The download-button flow verbatim: write into `dir` under the
+      * reference's timestamped name; returns the path written. */
+    def writeXlsxTimestamped(dir: String,
+        clock: java.time.Clock = java.time.Clock.systemDefaultZone()): String = {
+      val p = new java.io.File(dir, Graft.timestampedName(clock = clock)).getAbsolutePath
+      writeXlsx(p)
+      p
     }
   }
 

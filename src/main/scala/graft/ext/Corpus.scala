@@ -1,0 +1,339 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Corpus-hygiene operators for LLM training-data pipelines (SURVEY.md
+  * §2.11 L5): train/test contamination, duplicate clustering +
+  * canonicalization, deterministic stratified sampling, PII redaction,
+  * and repetition quality signals.
+  *
+  * Scale shapes:
+  *  - contamination joins (source, fingerprint) DISTINCT pairs — the
+  *    corpus reduces to its fingerprint set before anything shuffles;
+  *    never a doc × doc comparison.
+  *  - clustering is hash-min label propagation over the candidate-pair
+  *    edge list (edges come from MinHash LSH, already banded), with a
+  *    bounded iteration count — each step is one join + one aggregate.
+  *  - sampling/redaction are pure narrow maps: deterministic hashes,
+  *    no RNG state, no shuffle.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------- contamination
+
+  /** Cross-split n-gram fingerprint overlap — the standard train/test
+    * contamination check. Each source reduces to its DISTINCT
+    * (source, md5(shingle)) set; pairs of sources then join on
+    * fingerprint. Overlap coefficient = shared / min(|A|, |B|). */
+  def contaminationMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val fps = docs.repartition(p)
+      .select(col("source"),
+        Dedup.bind(Dedup.tokens(col("text")))(t =>
+          Dedup.shinglesFromTokens(t, n)).as("sh"))
+      .select(col("source"), explode(col("sh")).as("shingle"))
+      // 60-bit md5-derived int fingerprint: an 8-byte shuffle key instead
+      // of a 32-char hex string, still reproducible in ANSI SQL
+      .select(col("source"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("fp"))
+      .distinct()
+      .persist() // three consumers below; the reduced set, not the corpus
+    val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val a = fps.select(col("source").as("source_a"), col("fp"))
+    val b = fps.select(col("source").as("source_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.select(col("source").as("source_a"), col("n_fp").as("n_a")), Seq("source_a"))
+      .join(totals.select(col("source").as("source_b"), col("n_fp").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val contaminationSql: String =
+    """WITH t AS (
+      |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source, unnest(CASE WHEN len(toks) < 3 THEN []
+      |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END) AS shingle
+      |  FROM t),
+      |fps AS (SELECT DISTINCT source,
+      |          ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS fp FROM sh),
+      |tot AS (SELECT source, COUNT(*) AS n_fp FROM fps GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM fps a JOIN fps b USING (fp)
+      |  WHERE a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / least(ta.n_fp, tb.n_fp) AS overlap
+      |FROM shared
+      |JOIN tot ta ON ta.source = source_a
+      |JOIN tot tb ON tb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ------------------------------------------------------------- clustering
+
+  /** Prefix-fingerprint duplicate clusters: documents sharing the md5 of
+    * their first `nTokens` normalized tokens cluster together (the
+    * boilerplate/mirror-page dedup key). Canonical doc = min doc_id.
+    * Only multi-document clusters are emitted — the keep/drop decision
+    * set. One shuffle on the already-tiny fingerprint. */
+  def prefixClusters(docs: DataFrame, nTokens: Int = 8): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val fp = md5(concat_ws(" ",
+      slice(toks, 1, nTokens))) // docs shorter than n use all their tokens
+    val w = Window.partitionBy(col("fp"))
+    docs.select(col("doc_id"), fp.as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val prefixClustersSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:8], ' ')) AS fp
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+      |    COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+      |  FROM t)
+      |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size
+      |FROM c WHERE cluster_size > 1 ORDER BY doc_id""".stripMargin
+
+  /** Hash-min connected components over an undirected edge list
+    * (columns doc_a, doc_b): every node's component = the minimum doc_id
+    * reachable from it. Label propagation — each iteration joins labels
+    * across edges and takes the min — converges in O(diameter)
+    * iterations; near-dup graphs are unions of small cliques/chains, so
+    * `maxIter` is a safety bound, not the expected cost. Each iteration
+    * is one shuffle join + one aggregate on (node), both keyed on
+    * high-cardinality ids. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // localCheckpoint (not persist) each round: iterative plans otherwise
+    // grow lineage exponentially — by iteration ~10 the logical plan
+    // itself OOMs. Truncating keeps every iteration's plan O(1); the
+    // materialized label set is O(nodes) per round, freed on GC.
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    // labels only ever decrease, so Σcomponent is strictly monotone while
+    // anything changes: convergence = unchanged sum — one narrow
+    // aggregate over the checkpointed labels instead of a join + count
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var iter = 0
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (changed && iter < maxIter) {
+      // candidate labels flowing across edges, merged with current
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaEdges)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      changed = s != prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("id"))
+  }
+
+  /** Near-duplicate clusters: MinHash LSH candidate pairs → connected
+    * components (so A~B, B~C collapse into one cluster even when A and C
+    * never collide directly). Rows-only: the murmur3 hash family is not
+    * SQL-reproducible; transitivity is property-tested in CorpusSpec. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    connectedComponents(Dedup.minhashPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The cleaned corpus: keep one canonical document per near-dup
+    * cluster (min doc_id), everything not in any cluster passes
+    * through. This is the operator a pipeline actually deploys. */
+  def canonicalCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val comp = nearDupClusters(docs, threshold)
+    docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .drop("component")
+  }
+
+  // --------------------------------------------------------------- sampling
+
+  /** Deterministic stratified sampling: keep a row iff the uniform
+    * [0,1) value derived from md5(doc_id) falls under its source's
+    * rate. No RNG state, no shuffle, reproducible across engines and
+    * runs — the property that makes a 100 TB sample re-computable.
+    * The first 8 hex chars give u = k / 2^32, exact in a double, so the
+    * comparison is bit-identical everywhere. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val rate = coalesce(
+      element_at(typedlit(rates), col("source")), lit(defaultRate))
+    docs.select(col("doc_id"), col("source"), u.as("u"), rate.as("rate"))
+      .filter(col("u") < col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  def stratifiedSampleSql(rates: Map[String, Double], defaultRate: Double): String = {
+    val cases = rates.toSeq.sorted
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      / 4294967296.0 AS u,
+       |    CASE $cases ELSE $defaultRate END AS rate
+       |  FROM documents)
+       |SELECT doc_id, source, u, rate FROM t
+       |WHERE u < rate ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- redaction
+
+  /** PII redaction as a pure Column chain — RE2-safe patterns (no
+    * lookaround) so the exact same regexes run in any engine. Order
+    * matters: emails first (their local parts contain digit runs a
+    * phone pattern would shred), then phones, then IPs (dots keep them
+    * out of the phone pattern). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+  val IpRe    = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "[PHONE]")
+    regexp_replace(noPhone, IpRe, "[IP]")
+  }
+
+  /** The declared query plants deterministic PII per document (the
+    * fixture corpus has none), redacts, and emits the redacted tail
+    * plus a clean flag — so the oracle hash-compare proves every
+    * pattern fired, not that the input was already clean. */
+  def piiRedactQuery(docs: DataFrame): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact: user"), col("doc_id"), lit("@mail.example"),
+      lit(" tel +971 50 123 "), (col("doc_id") % 1000 + 1000).cast("string"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    docs.select(col("doc_id"),
+      redactPii(planted).as("redacted"))
+      .select(col("doc_id"),
+        // same formula both engines (negative-start semantics differ)
+        expr("substring(redacted, greatest(1, length(redacted) - 63), 64)")
+          .as("redacted_tail"),
+        (!col("redacted").rlike("@") && !col("redacted").rlike(IpRe) &&
+          !col("redacted").rlike(PhoneRe)).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+      |         || ' tel +971 50 123 ' || CAST(doc_id % 1000 + 1000 AS VARCHAR)
+      |         || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        '\+?\d[\d -]{7,}\d', '[PHONE]', 'g'),
+      |      '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted
+      |  FROM planted)
+      |SELECT doc_id,
+      |  substr(redacted, greatest(1, length(redacted) - 63), 64) AS redacted_tail,
+      |  (NOT regexp_matches(redacted, '@')
+      |    AND NOT regexp_matches(redacted, '\b(\d{1,3}\.){3}\d{1,3}\b')
+      |    AND NOT regexp_matches(redacted, '\+?\d[\d -]{7,}\d')) AS clean
+      |FROM red ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- repetition
+
+  /** Gopher-style repetition signal: the share of a document's bigrams
+    * taken by its single most frequent bigram (tie → lexicographically
+    * first). High values flag template/boilerplate text. Explode +
+    * partial-aggregated count keyed on (doc_id, gram) — linear rows,
+    * high-cardinality shuffle keys. */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"), Dedup.bind(toks) { t =>
+        transform(sequence(lit(1), size(t) - 1), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+      }.as("grams"))
+      .filter(size(col("grams")) >= 1)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("n_grams"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_gram"), col("cnt").as("top_count"),
+        (col("cnt").cast("double") / col("n_grams")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(toks) - 1 AS n_grams,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |  FROM t WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, n_grams, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      |r AS (SELECT doc_id, gram, cnt, n_grams,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+      |      FROM c)
+      |SELECT doc_id, gram AS top_gram, CAST(cnt AS BIGINT) AS top_count,
+      |  CAST(cnt AS DOUBLE) / n_grams AS rep_ratio
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ declared queries
+
+  private val SampleRates = Map("src0" -> 0.5, "src1" -> 0.25)
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+    "contamination_check" -> QueryDef(
+      (s, d) => contaminationMatrix(Tables.documents(s, d)), contaminationSql),
+    "dedup_canonical" -> QueryDef(
+      (s, d) => prefixClusters(Tables.documents(s, d)), prefixClustersSql),
+    "dedup_clusters" -> QueryDef(
+      (s, d) => nearDupClusters(Tables.documents(s, d)), None),
+    "sample_stratified" -> QueryDef(
+      (s, d) => stratifiedSample(Tables.documents(s, d), SampleRates, 0.1),
+      stratifiedSampleSql(SampleRates, 0.1)),
+    "pii_redact" -> QueryDef(
+      (s, d) => piiRedactQuery(Tables.documents(s, d)), piiRedactSql),
+    "text_repetition" -> QueryDef(
+      (s, d) => repetitionRatio(Tables.documents(s, d)), repetitionSql)
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** L5 corpus hygiene: contamination, clustering/canonicalization,
+  * deterministic sampling, PII redaction, repetition signals. */
+class CorpusSpec extends SparkSuite {
+
+  test("connected components: transitivity across chains, singletons excluded") {
+    import spark.implicits._
+    // chain 1-2-3, clique 10-11, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = Corpus.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L,
+      s"chain must collapse transitively: $comp")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 7, "only nodes that appear in edges get labels")
+  }
+
+  test("connected components: long path converges within iteration bound") {
+    import spark.implicits._
+    val path = (1L to 12L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val comp = Corpus.connectedComponents(path).collect()
+    assert(comp.forall(_.getLong(1) == 1L), "all path nodes reach min label")
+  }
+
+  test("near-dup clusters + canonical corpus: dups collapse, rest passes") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base + " extra"), // near dup of 1/2
+      (4L, "completely different words describing cooking recipes with garlic onion butter salt"))
+      .toDF("doc_id", "text")
+    val clusters = Corpus.nearDupClusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.get(1L).contains(1L) && clusters.get(2L).contains(1L))
+    assert(!clusters.contains(4L), "unique doc is in no cluster")
+    val kept = Corpus.canonicalCorpus(docs, 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(4L) && !kept.contains(2L))
+  }
+
+  test("stratified sample: deterministic, respects per-source rates") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val s1 = Corpus.stratifiedSample(docs, rates, 0.2).collect()
+    val s2 = Corpus.stratifiedSample(docs, rates, 0.2).collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq, "reproducible")
+    val bySource = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("src0", 0) == totals("src0").toInt, "rate 1.0 keeps all")
+    assert(!bySource.contains("src1"), "rate 0.0 keeps none")
+    // u is a pure function of doc_id: every kept row satisfies u < rate
+    assert(s1.forall(r => r.getDouble(2) < r.getDouble(3)))
+  }
+
+  test("PII redaction: emails, phones, IPs replaced; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      "write to jane.doe+x@sub.example.co.uk today",
+      "call +971 50 123 4567 or 04-555-1234-99 now",
+      "server at 192.168.0.1 responded",
+      "nothing sensitive here at all")
+      .toDF("text")
+      .select(Corpus.redactPii(col("text")).as("r")).collect().map(_.getString(0))
+    assert(rows(0) == "write to [EMAIL] today")
+    assert(rows(1) == "call [PHONE] or [PHONE] now")
+    assert(rows(2) == "server at [IP] responded")
+    assert(rows(3) == "nothing sensitive here at all")
+    // declared query: every row must end up clean
+    val q = Corpus.piiRedactQuery(graft.core.Tables.documents(spark, sfDir))
+    assert(q.filter(!col("clean")).count() == 0)
+  }
+
+  test("repetition ratio: uniform text low, boilerplate high, tie pinned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b"),       // "a b" 4 of 7 bigrams
+      (2L, "w x y z q r s t"),       // all bigrams unique → 1/7
+      (3L, "m n m n"))               // tie "m n" (2) vs "n m" (1)
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (("a b", 4L, 4.0 / 7)))
+    assert(out(2L)._3 == 1.0 / 7)
+    assert(out(3L) == (("m n", 2L, 2.0 / 3)))
+  }
+
+  test("contamination matrix: planted overlap found, disjoint sources absent") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, "train", shared + " one two three"),
+      (2L, "eval", shared + " four five six"),
+      (3L, "other", "completely unrelated tokens nothing in common here at all"))
+      .toDF("doc_id", "source", "text")
+    val m = Corpus.contaminationMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.contains(("eval", "train")), s"planted overlap missed: $m")
+    assert(m(("eval", "train")) >= 6) // 8 shared tokens → ≥6 shared 3-grams
+    assert(!m.keys.exists { case (a, b) => a == "other" || b == "other" })
+  }
+}

@@ -92,5 +92,15 @@ class XlsxSpec extends SparkSuite {
     assert(back.head == Seq("period", "fta_box", "description",
       "net_value", "vat_value", "net_vat_payable"))
     assert(back.length == 9) // header + 8 rows
+
+    // F12: the reference's timestamped filename (fianl2.py:248), clock pinned
+    val clock = java.time.Clock.fixed(
+      java.time.Instant.parse("2024-05-06T07:08:09Z"), java.time.ZoneOffset.UTC)
+    assert(graft.api.Graft.timestampedName(clock = clock) ==
+      "vat_summary_20240506_070809.xlsx")
+    val tdir = Files.createTempDirectory("xlsx_ts").toFile.getAbsolutePath
+    val tpath = res.writeXlsxTimestamped(tdir, clock)
+    assert(tpath.endsWith("vat_summary_20240506_070809.xlsx"))
+    assert(Xlsx.readSheet(tpath, "VAT Summary").length == 9)
   }
 }
