@@ -42,6 +42,29 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** W6 — stream-stream inner join with an event-time interval
+    * condition: each purchase joins the same user's views from the
+    * preceding 10 minutes (last-touch attribution). BOTH sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's join state is finite: Spark evicts buffered rows once
+    * the other side's watermark passes `purchase_ts − 10 min`. Without
+    * the interval bound a stream-stream join must buffer forever — the
+    * difference between O(window) and O(stream) state at 100 TB/day. */
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+        col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "20 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "20 minutes")
+    p.join(v, expr(
+      """p_user = v_user AND
+        |view_ts <= purchase_ts AND
+        |view_ts >= purchase_ts - INTERVAL 10 MINUTES""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("purchase_ts"), col("view_ts"))
+  }
+
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp)
   case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

@@ -104,6 +104,56 @@ object Scalars {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // ---- F13 array functions (token arrays; binary string collation is
+    //      identical cross-engine, so sort/min/max of tokens agree) -------
+    "scalar_arrays" -> QueryDef(
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          array_join(slice(toks, 1, 3), " ").as("first3"),
+          element_at(toks, -1).as("last_tok"),
+          element_at(array_sort(toks), 1).as("min_tok"),
+          array_max(toks).as("max_tok"),
+          array_contains(toks, "the").as("has_the"),
+          size(array_intersect(toks, typedlit(Seq("the", "a", "and", "of"))))
+            .as("n_stop_kinds"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_toks,
+        |  array_to_string(toks[1:3], ' ') AS first3,
+        |  toks[-1] AS last_tok,
+        |  list_sort(toks)[1] AS min_tok,
+        |  list_max(toks) AS max_tok,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CAST(len(list_distinct(list_filter(toks,
+        |    x -> x IN ('the','a','and','of')))) AS INT) AS n_stop_kinds
+        |FROM t ORDER BY doc_id""".stripMargin),
+
+    // ---- F13 regex functions (RE2-safe patterns; all patterns chosen to
+    //      always match, so no-match return conventions never diverge) ----
+    "scalar_regex" -> QueryDef(
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        col("p_name").rlike("red|blue|green").as("has_color"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)")).as("vowel_runs"),
+        regexp_replace(col("p_type"), "[aeiouAEIOU]", "").as("type_novowels"),
+        size(split(col("p_type"), " ")).as("n_type_words"))
+        .orderBy(col("p_partkey")),
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_matches(p_name, 'red|blue|green') AS has_color,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS vowel_runs,
+        |  regexp_replace(p_type, '[aeiouAEIOU]', '', 'g') AS type_novowels,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_type_words
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
     // ---- P7 predicates: CASE / IN / BETWEEN / LIKE / IS NULL ------------
     "scalar_predicates" -> QueryDef(
       (s, d) => Tables.orders(s, d)

@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch twin; out-of-window view excluded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = Seq(
+      Ev(ts(1), "view", 1.0, 1, 1),   // 19 min before purchase → outside
+      Ev(ts(14), "view", 2.0, 1, 2),  // 6 min before → inside
+      Ev(ts(18), "view", 3.0, 1, 3),  // 2 min before → inside
+      Ev(ts(16), "view", 4.0, 2, 4))  // other user
+    val purchases = Seq(
+      Ev(ts(20), "purchase", 9.0, 1, 100),
+      Ev(ts(40), "purchase", 9.0, 3, 101)) // user with no views
+    val vIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val q = Streams.purchaseAttribution(vIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      vIn.addData(views: _*)
+      pIn.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_out")
+        .orderBy("purchase_id", "view_id").collect().toSeq
+      val batched = Streams.purchaseAttribution(views.toDF(), purchases.toDF())
+        .orderBy("purchase_id", "view_id").collect().toSeq
+      assert(streamed == batched)
+      assert(streamed.map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id")))
+        == Seq((100L, 2L), (100L, 3L)))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
