@@ -93,9 +93,31 @@ object Multimodal {
       .orderBy(col("media_type"))
   }
 
+  /** Oracle-checked metadata path: typed media rows reduce to
+    * engine-agnostic facts — byte length and content digest of the
+    * BINARY column (md5 over the raw bytes is identical in any engine;
+    * byte length ≠ char length for multi-byte text, which is exactly
+    * what strlen/octet semantics pin down). */
+  private def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  private val mediaMetadataSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
     "multimodal_features" -> QueryDef(
-      (s: SparkSession, d: String) => featureStats(s, d), None)
+      (s: SparkSession, d: String) => featureStats(s, d), None),
+    "multimodal_metadata" -> QueryDef(
+      (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql)
   )
 
   def queries: Seq[(String, QueryDef)] = q

@@ -252,7 +252,110 @@ object AdvancedJoins {
       """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin)
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin),
+
+    // ---- J2/A6 aggregate-of-aggregate distribution (TPC-H Q13 shape):
+    //      left join keeps zero-order customers, then the per-customer
+    //      counts are themselves grouped — two shuffles, both on keys
+    //      that shrink monotonically ---------------------------------------
+    "q13_customer_distribution" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // ---- A6/J3 HAVING-subquery semi join (TPC-H Q18 shape): the inner
+    //      aggregate reduces lineitem to qualifying orderkeys BEFORE any
+    //      join touches the wide tables -----------------------------------
+    "q18_large_volume" -> QueryDef(
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin),
+
+    // ---- P7/J2 disjunctive join predicates (TPC-H Q19 shape): the
+    //      OR-of-ANDs must still push the shared l_partkey = p_partkey
+    //      equi-condition into a hash join, with the disjunction as a
+    //      post-join filter — not a nested-loop over the cross space -----
+    "q19_discounted_revenue" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val p = broadcast(Tables.part(s, d))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 35)))
+          .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)""".stripMargin),
+
+    // ---- J3/A6 scalar subquery + anti join (TPC-H Q22 shape): customers
+    //      with above-average positive balances and no FINISHED orders,
+    //      rolled up by nation — anti join against the filtered orders
+    //      side, threshold from a scalar subquery computed once and
+    //      broadcast (every fixture customer has SOME order, so the
+    //      status filter is what keeps the anti join non-vacuous) --------
+    "q22_idle_balances" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgPos = c.filter(col("c_acctbal") > 0)
+          .agg((dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_bal"))
+        c.join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(avgPos))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_custs"),
+            dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("c_nationkey"))
+      },
+      """SELECT c_nationkey, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q
