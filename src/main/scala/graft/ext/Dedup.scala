@@ -268,7 +268,7 @@ object Dedup {
     * hash-compare gate. The production pipeline uses the native
     * murmur3 MinHashSig (faster); this query pins the algorithm's
     * semantics cross-engine. */
-  def md5MinhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+  private def md5Sigs(docs: DataFrame, k: Int): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     def slot(sh: Column, seed: Int): Column =
       when(size(sh) === 0, lit(null).cast("long")).otherwise(
@@ -280,7 +280,78 @@ object Dedup {
         bind(tokens(col("text")))(t => shinglesFromTokens(t, 3)).as("sh"))
       .select(Seq(col("doc_id")) ++
         (0 until k).map(i => slot(col("sh"), i).as(s"m$i")): _*)
-      .orderBy(col("doc_id"))
+  }
+
+  def md5MinhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    md5Sigs(docs, k).orderBy(col("doc_id"))
+
+  /** The ENTIRE banded-LSH candidate pipeline behind the oracle gate:
+    * md5-family signatures (k slots, 1-slot bands), bucket self-join,
+    * distinct pairs, slot-overlap estimate, threshold — every stage of
+    * the production MinHash dedup expressed with the SQL-reproducible
+    * hash family, so the algorithm (not just its sketch) is
+    * cross-engine-pinned. Same shape as `minhashPairs`: explode k band
+    * keys per doc, persist, quadratic work confined to buckets. */
+  def md5MinhashPairs(docs: DataFrame, threshold: Double, k: Int = 4): DataFrame = {
+    val sigs = md5Sigs(docs, k)
+    val slots = (0 until k).map(i => col(s"m$i"))
+    val keyed = sigs
+      .select(col("doc_id") +: slots :+
+        explode(array((0 until k).map(i =>
+          struct(lit(i).as("band"), col(s"m$i").as("bkey"))): _*)).as("b"): _*)
+      .filter(col("b.bkey").isNotNull) // empty-shingle docs have no keys
+      .select(Seq(col("doc_id"), col("b.band").as("band"),
+        col("b.bkey").as("bkey")) ++ slots: _*)
+      .persist()
+    def side(tag: String) = keyed.select(
+      Seq(col("band"), col("bkey"), col("doc_id").as(s"doc_$tag")) ++
+        (0 until k).map(i => col(s"m$i").as(s"${tag}$i")): _*)
+    val overlap = (0 until k).map(i =>
+      (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+    side("a").join(side("b"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard", overlap / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val md5MinhashPairsSql: String = {
+    val slotDefs = (0 until 4).map(i =>
+      s"""    CASE WHEN len(sh) = 0 THEN NULL ELSE
+         |      list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))
+         |    END AS m$i""".stripMargin).mkString(",\n")
+    val keyArms = (0 until 4).map(i =>
+      s"  SELECT doc_id, $i AS band, m$i AS bkey, m0, m1, m2, m3 FROM sig WHERE m$i IS NOT NULL")
+      .mkString("\n  UNION ALL\n")
+    val overlap = (0 until 4).map(i => s"(a.m$i = b.n$i)::INT").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END AS sh
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id,
+       |$slotDefs
+       |  FROM shingled),
+       |keys AS (
+       |$keyArms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ($overlap) / 4.0 AS est_jaccard
+       |  FROM keys a
+       |  JOIN (SELECT doc_id, band, bkey, m0 AS n0, m1 AS n1, m2 AS n2, m3 AS n3
+       |        FROM keys) b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard FROM pairs
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val md5MinhashSql: String = {
@@ -310,6 +381,9 @@ object Dedup {
     "dedup_minhash_md5" -> QueryDef(
       (s: SparkSession, d: String) => md5MinhashSignatures(Tables.documents(s, d), 4),
       Some(md5MinhashSql)),
+    "dedup_pairs_md5" -> QueryDef(
+      (s: SparkSession, d: String) => md5MinhashPairs(Tables.documents(s, d), 0.5),
+      Some(md5MinhashPairsSql)),
     "dedup_jaccard" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerify(Tables.documents(s, d), 0.6), None),
     "dedup_simhash" -> QueryDef(
