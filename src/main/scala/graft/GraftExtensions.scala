@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, WordShingles}
 
 /** Session extensions: registers the engine's native expressions for the
   * SQL surface, so `SELECT cosine_similarity(a, b)` /
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, IntegerType) => WordShingles(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles(text, n): n must be an INT literal, got $other")
+      }))
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

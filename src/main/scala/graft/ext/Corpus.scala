@@ -33,20 +33,29 @@ object Corpus {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val fps = docs.repartition(p)
       .select(col("source"),
-        Dedup.bind(Dedup.tokens(col("text")))(t =>
-          Dedup.shinglesFromTokens(t, n)).as("sh"))
+        graft.functions.WordShingles.word_shingles(col("text"), n).as("sh"))
       .select(col("source"), explode(col("sh")).as("shingle"))
       // 60-bit md5-derived int fingerprint: an 8-byte shuffle key instead
       // of a 32-char hex string, still reproducible in ANSI SQL
       .select(col("source"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("fp"))
-      .distinct()
-      .persist() // three consumers below; the reduced set, not the corpus
-    val totals = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
-    val a = fps.select(col("source").as("source_a"), col("fp"))
-    val b = fps.select(col("source").as("source_b"), col("fp"))
-    a.join(b, Seq("fp"))
-      .filter(col("source_a") < col("source_b"))
+    // ONE pass over the heavy text pipeline: group straight to
+    // (fp → sorted distinct source set); what persists is the reduced
+    // per-fingerprint table, and per-source totals + source PAIRS both
+    // derive from it in-row (no self-join re-shuffling the corpus side,
+    // pair arrays bounded by the number of sources)
+    val bySrc = fps.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .persist()
+    val totals = bySrc.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val srcs = col("srcs")
+    val pairCombos = flatten(transform(sequence(lit(1), size(srcs) - 1), i =>
+      transform(slice(srcs, i + 1, size(srcs) - i), b =>
+        struct(element_at(srcs, i).as("a"), b.as("b")))))
+    bySrc.filter(size(srcs) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(totals.select(col("source").as("source_a"), col("n_fp").as("n_a")), Seq("source_a"))
@@ -114,36 +123,79 @@ object Corpus {
       |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size
       |FROM c WHERE cluster_size > 1 ORDER BY doc_id""".stripMargin
 
-  /** Hash-min connected components over an undirected edge list
-    * (columns doc_a, doc_b): every node's component = the minimum doc_id
-    * reachable from it. Label propagation — each iteration joins labels
-    * across edges and takes the min — converges in O(diameter)
-    * iterations; near-dup graphs are unions of small cliques/chains, so
-    * `maxIter` is a safety bound, not the expected cost. Each iteration
-    * is one shuffle join + one aggregate on (node), both keyed on
-    * high-cardinality ids. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  /** Connected components over an undirected edge list (columns doc_a,
+    * doc_b): every node's component = the minimum doc_id reachable from
+    * it.
+    *
+    * The edge list is a CANDIDATE-PAIR set (LSH output), orders of
+    * magnitude smaller than the corpus by construction — so the default
+    * path collects it and runs exact union-find on the driver: O(E α(E))
+    * with zero shuffles, and no job-per-iteration overhead. Even at
+    * 10⁹ documents a 1% dup rate is ~10⁷ edges ≈ 160 MB — driver-sized.
+    * Only beyond `driverEdgeLimit` does it fall back to distributed
+    * hash-min label propagation (O(diameter) iterations of join + min,
+    * localCheckpoint-truncated so iterative lineage can't blow up the
+    * plan, superseded checkpoint blocks explicitly freed). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Long = 5_000_000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgesRaw = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val nEdges = edgesRaw.count()
+    val out =
+      if (nEdges <= driverEdgeLimit) driverUnionFind(spark, edgesRaw)
+      else distributedHashMin(edgesRaw, maxIter)
+    edgesRaw.unpersist()
+    out.orderBy(col("id"))
+  }
+
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // min-root union keeps the "component = min reachable id" contract
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      .toDF("id", "component")
+  }
+
+  private def distributedHashMin(edgesRaw: DataFrame, maxIter: Int): DataFrame = {
+    val sc = edgesRaw.sparkSession.sparkContext
+    val edges = edgesRaw.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edgesRaw.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    // localCheckpoint (not persist) each round: iterative plans otherwise
-    // grow lineage exponentially — by iteration ~10 the logical plan
-    // itself OOMs. Truncating keeps every iteration's plan O(1); the
-    // materialized label set is O(nodes) per round, freed on GC.
+    // track the checkpoint blocks we create so superseded label sets are
+    // freed eagerly — clearCache() does NOT release localCheckpoint RDDs,
+    // and leaking one per iteration builds memory pressure for the rest
+    // of the application
+    def pids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var before = pids
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    var ownIds = pids -- before
     // labels only ever decrease, so Σcomponent is strictly monotone while
-    // anything changes: convergence = unchanged sum — one narrow
-    // aggregate over the checkpointed labels instead of a join + count
+    // anything changes: convergence = unchanged sum
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("component"))).collect()(0).getLong(0)
     var iter = 0
     var prevSum = labelSum(labels)
     var changed = true
     while (changed && iter < maxIter) {
-      // candidate labels flowing across edges, merged with current
+      before = pids
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
@@ -151,14 +203,17 @@ object Corpus {
         .union(viaEdges)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
+      val newIds = pids -- before
       val s = labelSum(next)
       changed = s != prevSum
       prevSum = s
+      freeIds(ownIds)
+      ownIds = newIds
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels.orderBy(col("id"))
+    labels
   }
 
   /** Near-duplicate clusters: MinHash LSH candidate pairs → connected

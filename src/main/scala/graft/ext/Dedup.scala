@@ -62,7 +62,8 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** doc_id + shingle array, with the token array let-bound and the
+  /** doc_id + shingle array via the native one-pass `WordShingles`
+    * expression (the HOF formulation is its differential twin), with the
     * single-file documents scan spread across the cluster first (at
     * 100 TB the input is already many splits; locally one parquet file =
     * one partition). */
@@ -70,7 +71,7 @@ object Dedup {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(p)
       .select(col("doc_id"),
-        bind(tokens(col("text")))(toks => shinglesFromTokens(toks, 3)).as("sh"))
+        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
   }
 
   /** MinHash signature from a materialized shingle-array column — the
@@ -277,7 +278,7 @@ object Dedup {
             .cast("long"))))
     docs.repartition(p)
       .select(col("doc_id"),
-        bind(tokens(col("text")))(t => shinglesFromTokens(t, 3)).as("sh"))
+        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
       .select(Seq(col("doc_id")) ++
         (0 until k).map(i => slot(col("sh"), i).as(s"m$i")): _*)
   }

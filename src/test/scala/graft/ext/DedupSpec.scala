@@ -39,6 +39,27 @@ class DedupSpec extends SparkSuite {
     assert(sh("x x x x x") == Seq("x x x")) // distinct
   }
 
+  test("native word_shingles ≡ HOF formulation on every fixture document") {
+    val docs500 = graft.core.Tables.documents(spark, sfDir)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = docs500.select(
+        graft.functions.WordShingles.word_shingles(col("text"), n).as("native"),
+        Dedup.bind(Dedup.tokens(col("text")))(t =>
+          Dedup.shinglesFromTokens(t, n)).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"n=$n: native and HOF shingles diverge on $diff docs")
+    }
+    // edge cases: empty / short / repeated / multi-space text
+    import spark.implicits._
+    val edge = Seq("", "one", "a b", "x x x x", "a  b   c").toDF("text")
+    val d = edge.select(
+      graft.functions.WordShingles.word_shingles(col("text"), 2).as("native"),
+      Dedup.bind(Dedup.tokens(col("text")))(t =>
+        Dedup.shinglesFromTokens(t, 2)).as("hof"))
+      .collect()
+    d.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("minhash signatures: identical docs identical, near-dups mostly equal") {
     import spark.implicits._
     val sigs = Dedup.signatures(docs).orderBy("doc_id").collect()
