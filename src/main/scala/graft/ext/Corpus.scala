@@ -333,12 +333,9 @@ object Corpus {
     * partial-aggregated count keyed on (doc_id, gram) — linear rows,
     * high-cardinality shuffle keys. */
   def repetitionRatio(docs: DataFrame): DataFrame = {
-    val toks = Dedup.tokens(col("text"))
     val grams = docs
-      .select(col("doc_id"), Dedup.bind(toks) { t =>
-        transform(sequence(lit(1), size(t) - 1), i =>
-          concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-      }.as("grams"))
+      .select(col("doc_id"),
+        graft.functions.WordShingles.word_ngrams(col("text"), 2).as("grams"))
       .filter(size(col("grams")) >= 1)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("gram"))

@@ -229,7 +229,8 @@ object Dedup {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val fp = docs.repartition(p)
       .select(col("doc_id"),
-        graft.functions.SimHash64.simhash64(tokens(col("text"))).as("fp"))
+        graft.functions.SimHash64.simhash64(
+          graft.functions.WordShingles.word_ngrams(col("text"), 1)).as("fp"))
     val keyed = fp.select(col("doc_id"), col("fp"),
       explode(simhashBlockingKeys(col("fp"), maxDist, numChunks, keyBlocks))
         .as("bkey"))
