@@ -388,13 +388,31 @@ object Dedup {
       Some(md5MinhashPairsSql)),
     "dedup_jaccard" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerify(Tables.documents(s, d), 0.6), None),
+    // maxDist 3 = the published near-dup radius (Manku WWW'07) and the
+    // genuinely scalable default blocking config: 10 tables of ~26-bit
+    // pair keys (see simhashPlan scaladoc)
     "dedup_simhash" -> QueryDef(
-      (s: SparkSession, d: String) => simhashPairs(Tables.documents(s, d), 8), None),
+      (s: SparkSession, d: String) => simhashPairs(Tables.documents(s, d), 3), None),
     // fixture embeddings are near-orthogonal (max within-cell cosine
     // ≈ 0.47), so the declared threshold is tuned to surface the top
-    // percentile of pairs; a real corpus would use ≥ 0.9
+    // percentile of pairs; a real corpus would use ≥ 0.9. Output is the
+    // id pairs only: the strict left-to-right double accumulation of the
+    // native CosineSimilarity matches DuckDB's list_dot_product order,
+    // and no fixture pair sits within float-drift distance of the
+    // threshold, so the selection itself is oracle-checkable even though
+    // the raw cosine's last bits are not a portable surface
     "dedup_embedding" -> QueryDef(
-      (s: SparkSession, d: String) => embeddingPairs(Tables.embeddings(s, d), 0.35), None)
+      (s: SparkSession, d: String) => embeddingPairs(Tables.embeddings(s, d), 0.35)
+        .select(col("id_a"), col("id_b")),
+      Some("""WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p WHERE cos >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 
   def queries: Seq[(String, QueryDef)] = q
