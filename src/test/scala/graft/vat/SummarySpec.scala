@@ -142,8 +142,7 @@ class SummarySpec extends SparkSuite {
         "Input,3,2024-04-30,Delta,194526.87,9726.36,C")))
   }
 
-  test("golden replay: pipeline reproduces all 16 vat_summary.db rows exactly") {
-    val res = new graft.api.VatPipeline(spark).processSheets(goldenSheets)
+  private def assertGolden(res: graft.api.VatPipeline#VatResult): Unit = {
     assert(res.failures.isEmpty && res.warnings.isEmpty)
     val out = res.summary
       .orderBy(col("month_num"), col("fta_box"))
@@ -156,6 +155,23 @@ class SummarySpec extends SparkSuite {
       val diff = out.zip(goldenDb).filter { case (a, b) => a != b }
       s"first mismatches: ${diff.take(4).mkString("; ")}"
     })
+  }
+
+  test("golden replay: pipeline reproduces all 16 vat_summary.db rows exactly") {
+    assertGolden(new graft.api.VatPipeline(spark).processSheets(goldenSheets))
+  }
+
+  test("golden replay through a REAL xlsx workbook (the reference's input format)") {
+    // same golden sheets, but packed into one multi-sheet xlsx and
+    // ingested through processWorkbook — the reference's actual E2E path
+    val xlsx = new java.io.File(tmp, "golden.xlsx").getAbsolutePath
+    val sheets = goldenSheets.map { case (csvPath, name) =>
+      val rows = scala.io.Source.fromFile(csvPath, "UTF-8").getLines()
+        .map(_.split(",", -1).toSeq).toSeq
+      name -> rows
+    }
+    graft.sources.Xlsx.write(xlsx, sheets)
+    assertGolden(new graft.api.VatPipeline(spark).processWorkbook(xlsx))
   }
 
   // ---- "NAN"-box compat: both modes pinned vs fianl2.py:162-163,176 ----
