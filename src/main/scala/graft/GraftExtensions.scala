@@ -17,6 +17,9 @@ import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, WordShingles}
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the as-of join logical node plans to the
+    // co-partitioned single-pass merge exec (graft.plans.AsOfJoinExec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

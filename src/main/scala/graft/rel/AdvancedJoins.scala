@@ -22,6 +22,19 @@ import graft.core.{Exact, QueryDef, Tables}
 object AdvancedJoins {
   import Exact._
 
+  /** Shared oracle for both as-of formulations (composed window twin and
+    * the custom merge operator): the semantics stated declaratively as a
+    * correlated MAX subquery. */
+  private val asofOracleSql: String =
+    """SELECT e1.event_id, e1.user_id,
+      |  strftime(CAST((SELECT max(e2.ts) FROM events e2
+      |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+      |                   AND e2.ts <= e1.ts) AS TIMESTAMP),
+      |           '%Y-%m-%d %H:%M:%S.%f') AS asof_view_ts
+      |FROM events e1
+      |WHERE e1.event_type = 'purchase'
+      |ORDER BY e1.user_id, e1.event_id""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
 
     // ---- J4 range (theta) join against a literal band dimension ---------
@@ -76,14 +89,27 @@ object AdvancedJoins {
               .as("asof_view_ts"))
           .orderBy(col("user_id"), col("event_id"))
       },
-      """SELECT e1.event_id, e1.user_id,
-        |  strftime(CAST((SELECT max(e2.ts) FROM events e2
-        |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
-        |                   AND e2.ts <= e1.ts) AS TIMESTAMP),
-        |           '%Y-%m-%d %H:%M:%S.%f') AS asof_view_ts
-        |FROM events e1
-        |WHERE e1.event_type = 'purchase'
-        |ORDER BY e1.user_id, e1.event_id""".stripMargin),
+      asofOracleSql),
+
+    // ---- J6 as-of join through the CUSTOM operator (graft.plans.AsOfJoin:
+    //      logical node → injected strategy → co-partitioned single-pass
+    //      merge exec) — same semantics, same oracle, minimal plan:
+    //      two key-shuffles + sorts and O(1) merge state instead of the
+    //      composed union + full window sort --------------------------------
+    "join_asof_custom" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        graft.plans.AsOfJoin.asof(buys, views, "user_id", "ts", "v_user", "v_ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("asof_view_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      asofOracleSql),
 
     // ---- J2 five-way snowflake join (TPC-H Q5 shape) ---------------------
     "q5_region_revenue" -> QueryDef(
