@@ -243,6 +243,27 @@ object RelQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A7b percentile family: discrete median (exact cross-engine —
+    //      percentile_disc ≡ DuckDB quantile_disc at p = 0.5 for every n;
+    //      interpolated/other-p variants differ in index convention, so
+    //      the oracle pins the one portable point) + sketched
+    //      approx_percentile under an oracle-checked accuracy bound,
+    //      mirroring agg_approx_distinct ------------------------------------
+    "agg_median_disc" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("median_qty"),
+          expr("approx_percentile(l_quantity, 0.5)").as("approx_med"))
+        .select(col("l_returnflag"), col("median_qty"),
+          (abs(col("approx_med") - col("median_qty")) <= 2.0).as("approx_ok"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
     // ---- scalar subquery (threshold computed exactly → identical
     //      boundary comparisons in both engines; 1.5× avg selects a real
     //      price tail so the oracle hash-compare bites on actual rows) ----

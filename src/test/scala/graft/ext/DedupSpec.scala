@@ -127,6 +127,28 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("simhash pipeline ≡ brute force on the fixture corpus (exact recall)") {
+    // pigeonhole guarantees candidates ⊇ all hamming ≤ 3 pairs, and the
+    // verify filter trims to exactly ≤ 3 — so the distributed pipeline
+    // must equal the all-pairs answer computed on the driver
+    val docs500 = graft.core.Tables.documents(spark, sfDir)
+    val fps = docs500.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(
+        graft.functions.WordShingles.word_ngrams(col("text"), 1)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      if java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) <= 3
+    } yield {
+      val (a, b) = (fps(i)._1, fps(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val pipeline = Dedup.simhashPairs(docs500, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pipeline == brute,
+      s"missed=${(brute -- pipeline).take(5)} extra=${(pipeline -- brute).take(5)}")
+  }
+
   test("embedding near-dup blocks on cell and finds planted duplicate") {
     import spark.implicits._
     val v = Array.tabulate(8)(i => 0.1f * (i + 1))
