@@ -137,23 +137,34 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
-        // advance right while (rkey, rts) <= (lk, lt) lexicographically;
-        // null keys/ts sort first under interpreted ordering and can
-        // never equal lk (SQL null semantics) so they are skipped
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head)
-          val cmpKey = keyOrd.compare(rk, lk)
-          if (cmpKey < 0 ||
-              (cmpKey == 0 && tsOrd.compare(rTsB.eval(head), lt) <= 0)) {
-            candidate = rBuf.next().copy()
-            candidateKey = rk
-          } else advance = false
+        if (lk == null || lt == null) {
+          // SQL comparison with null never holds — no match, and since
+          // ascending sort puts null rows FIRST, not advancing the right
+          // pointer keeps the merge aligned for later non-null left rows
+          toUnsafe(joined(lRow, nullRight))
+        } else {
+          // advance right while (rkey, rts) <= (lk, lt) lexicographically;
+          // null-keyed/null-ts right rows also sort first and can never
+          // match anything — consume and discard them
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val rt = if (rk == null) null else rTsB.eval(head)
+            if (rk == null || rt == null) {
+              rBuf.next()
+            } else {
+              val cmpKey = keyOrd.compare(rk, lk)
+              if (cmpKey < 0 || (cmpKey == 0 && tsOrd.compare(rt, lt) <= 0)) {
+                candidate = rBuf.next().copy()
+                candidateKey = rk
+              } else advance = false
+            }
+          }
+          val matched = candidate != null && candidateKey != null &&
+            keyOrd.compare(candidateKey, lk) == 0
+          toUnsafe(joined(lRow, if (matched) candidate else nullRight))
         }
-        val matched = candidate != null && lk != null &&
-          candidateKey != null && keyOrd.compare(candidateKey, lk) == 0
-        toUnsafe(joined(lRow, if (matched) candidate else nullRight))
       }
     }
   }

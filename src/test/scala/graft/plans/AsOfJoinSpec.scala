@@ -57,6 +57,26 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out("p-keyless").isEmpty, "key with no refs → null")
   }
 
+  test("null keys and timestamps never match and never derail the merge") {
+    import spark.implicits._
+    val probes = Seq(
+      (Some(1L), Some(ts("2024-01-01 12:00:00")), "p-ok"),
+      (None, Some(ts("2024-01-01 12:00:00")), "p-null-key"),
+      (Some(1L), None, "p-null-ts"))
+      .toDF("k", "t", "probe")
+    val refs = Seq(
+      (Some(1L), Some(ts("2024-01-01 11:00:00")), "r1"),
+      (None, Some(ts("2024-01-01 10:00:00")), "r-null-key"),
+      (Some(1L), None, "r-null-ts"))
+      .toDF("rk", "rt", "ref")
+    val out = AsOfJoin.asof(probes, refs, "k", "t", "rk", "rt")
+      .select(col("probe"), col("ref"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("p-ok").contains("r1"), "null ref rows must not block real matches")
+    assert(out("p-null-key").isEmpty)
+    assert(out("p-null-ts").isEmpty)
+  }
+
   test("physical plan: custom exec, co-partitioned exchanges, no window") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "x")
