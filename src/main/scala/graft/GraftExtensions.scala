@@ -31,18 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case Literal(n: Int, IntegerType) => WordShingles(exprs.head, n)
-        case other => throw new IllegalArgumentException(
-          s"word_shingles(text, n): n must be an INT literal, got $other")
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          s"word_shingles(text, n): expected (STRING, INT literal), got ${exprs.mkString(", ")}")
       }))
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case Literal(k: Int, IntegerType) => MinHashSig(exprs.head, k)
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig(arr, k): k must be an INT literal, got $other")
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSig(arr, k)
+        case _ => throw new IllegalArgumentException(
+          s"minhash_sig(arr, k): expected (ARRAY<STRING>, INT literal), got ${exprs.mkString(", ")}")
       }))
   }
 }

@@ -98,7 +98,9 @@ final class VatPipeline(spark: SparkSession) {
         "net_value", "vat_value", "net_vat_payable")
       val header = df.columns.toSeq
       val rows = df.collect().toSeq
-        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+        .map(r => (0 until r.length).map(i =>
+          // blanks for SQL nulls, like the reference sink — not "null"
+          if (r.isNullAt(i)) "" else String.valueOf(r.get(i))))
       graft.sources.Xlsx.write(path, Seq(sheet -> (header +: rows)))
     }
 
@@ -166,7 +168,12 @@ final class VatPipeline(spark: SparkSession) {
     * sheet pipeline then ingests. */
   def processWorkbook(xlsxPath: String, nanBoxCompat: Boolean = false): VatResult = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toFile
-    processSheets(graft.sources.Xlsx.toCsv(xlsxPath, tmp.getAbsolutePath), nanBoxCompat)
+    // the extracted CSVs back the returned (lazy) DataFrames, so they
+    // must outlive this call; reclaim them at JVM exit
+    tmp.deleteOnExit()
+    val sheets = graft.sources.Xlsx.toCsv(xlsxPath, tmp.getAbsolutePath)
+    sheets.foreach { case (p, _) => new java.io.File(p).deleteOnExit() }
+    processSheets(sheets, nanBoxCompat)
   }
 
   /** S3 — sheet enumeration: one CSV per sheet in a directory, sheet

@@ -15,6 +15,10 @@ import graft.core.{QueryDef, Tables}
   *  - contamination joins (source, fingerprint) DISTINCT pairs — the
   *    corpus reduces to its fingerprint set before anything shuffles;
   *    never a doc × doc comparison.
+  *  - caching contract (here and in Dedup): multi-consumer intermediates
+  *    persist for the returned query's lifetime; a caller issuing many
+  *    corpus-scale invocations in one session should
+  *    `spark.catalog.clearCache()` between them (the bench harness does).
   *  - clustering is hash-min label propagation over the candidate-pair
   *    edge list (edges come from MinHash LSH, already banded), with a
   *    bounded iteration count — each step is one join + one aggregate.
@@ -213,6 +217,14 @@ object Corpus {
       iter += 1
     }
     edges.unpersist()
+    // loud beats silently wrong: an unconverged labeling would split one
+    // real cluster into several "canonical" documents. Chains longer
+    // than maxIter are pathological for near-dup graphs (cliques/short
+    // chains), but if one appears the caller must raise maxIter (or add
+    // pointer-jumping), not receive partial components.
+    if (changed) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter iterations — " +
+        "a component's diameter exceeds the bound; raise maxIter")
     labels
   }
 

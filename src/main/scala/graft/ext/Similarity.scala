@@ -187,8 +187,9 @@ object Similarity {
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
     val idx = spark.table(table)
-    val qv = idx.filter(col("vec_id") === qId)
-      .select(col("v")).collect()(0).getSeq[Double](0)
+    val qRows = idx.filter(col("vec_id") === qId).select(col("v")).collect()
+    require(qRows.nonEmpty, s"vec_id $qId not in index table '$table'")
+    val qv = qRows(0).getSeq[Double](0)
     val cents = spark.table(s"${table}_centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
     // same ordering contract as ivfTopK's qCells: (-cosine) asc, cell asc

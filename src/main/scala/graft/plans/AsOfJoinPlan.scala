@@ -70,9 +70,16 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not in [${p.output.map(_.name).mkString(", ")}]"))
-    PlanBridge.ofRows(spark,
-      AsOfJoin(l, r, attr(l, leftKey), attr(r, rightKey),
-        attr(l, leftTs), attr(r, rightTs)))
+    val (lk, rk) = (attr(l, leftKey), attr(r, rightKey))
+    val (lt, rt) = (attr(l, leftTs), attr(r, rightTs))
+    // fail at plan time, not with a ClassCastException inside executors:
+    // the interpreted orderings and the hash co-partitioning both assume
+    // identical types on the two sides
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"as-of ts types differ: ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    PlanBridge.ofRows(spark, AsOfJoin(l, r, lk, rk, lt, rt))
   }
 }
 

@@ -41,29 +41,40 @@ object Xlsx {
   def sheetNames(path: String): Seq[String] =
     withZip(path)(z => parseWorkbook(z).map(_._1))
 
-  /** One sheet as dense rows of strings: sparse cells/rows filled with
-    * "", every row padded to the sheet's max width. */
+  /** One sheet as dense rows of strings: sparse cells AND sparse rows
+    * (Excel omits blank rows from sheetData; the `r` attribute is the
+    * truth) filled with "", every row padded to the sheet's max width —
+    * matching what `read_excel(header=None)` hands the reference. */
   def readSheet(path: String, sheet: String): Seq[Seq[String]] = withZip(path) { z =>
-    val target = parseWorkbook(z).toMap.getOrElse(sheet,
+    val book = parseWorkbook(z)
+    val target = book.toMap.getOrElse(sheet,
       throw new IllegalArgumentException(
-        s"sheet '$sheet' not in ${sheetNames(path).mkString(", ")}"))
-    val sst = parseSharedStrings(z)
-    val rows = parseWorksheet(z, target, sst)
+        s"sheet '$sheet' not in ${book.map(_._1).mkString(", ")}"))
+    densify(parseWorksheet(z, target, parseSharedStrings(z)))
+  }
+
+  private def densify(rows: Seq[Seq[String]]): Seq[Seq[String]] = {
     val width = if (rows.isEmpty) 0 else rows.map(_.length).max
     rows.map(r => r.padTo(width, ""))
   }
 
   /** Extract every sheet to `outDir/<sheet>.csv`; returns (csvPath,
     * sheetName) pairs in workbook order — the exact input shape of
-    * `VatPipeline.processSheets`. */
+    * `VatPipeline.processSheets`. One pass over the ZIP: workbook,
+    * relationships and the shared-string table parse once, not once per
+    * sheet. */
   def toCsv(path: String, outDir: String): Seq[(String, String)] = {
     new File(outDir).mkdirs()
-    sheetNames(path).map { s =>
-      val f = new File(outDir, s"$s.csv")
-      val w = new PrintWriter(f, "UTF-8")
-      try readSheet(path, s).foreach(r => w.println(r.map(csvQuote).mkString(",")))
-      finally w.close()
-      f.getAbsolutePath -> s
+    withZip(path) { z =>
+      val sst = parseSharedStrings(z)
+      parseWorkbook(z).map { case (name, target) =>
+        val f = new File(outDir, s"$name.csv")
+        val w = new PrintWriter(f, "UTF-8")
+        try densify(parseWorksheet(z, target, sst))
+          .foreach(r => w.println(r.map(csvQuote).mkString(",")))
+        finally w.close()
+        f.getAbsolutePath -> name
+      }
     }
   }
 
@@ -160,10 +171,14 @@ object Xlsx {
     var cellCol = -1
     var inV = false
     var nextCol = 0
+    var rowIdx = 0 // 1-based row number from the r attribute
     val r = xif.createXMLStreamReader(in)
     try while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-        case "row" => row.clear(); nextCol = 0
+        case "row" =>
+          row.clear(); nextCol = 0
+          rowIdx = Option(r.getAttributeValue(null, "r"))
+            .flatMap(_.toIntOption).getOrElse(rows.length + 1)
         case "c" =>
           cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
           cellCol = Option(r.getAttributeValue(null, "r"))
@@ -185,7 +200,11 @@ object Xlsx {
           while (row.length < cellCol) row += ""
           if (row.length == cellCol) row += v else row(cellCol) = v
           nextCol = cellCol + 1
-        case "row" => rows += row.toSeq
+        case "row" =>
+          // Excel omits blank rows from sheetData; back-fill them so row
+          // positions match the reference's read_excel grid
+          while (rows.length < rowIdx - 1) rows += Seq.empty
+          rows += row.toSeq
         case _ => ()
       }
       case _ => ()

@@ -82,6 +82,11 @@ object Conform {
     import spark.implicits._
     val raw = spark.read
       .option("header", "false").option("inferSchema", "false")
+      // RFC-4180 quoting: xlsx-extracted sheets carry doubled-quote
+      // escapes and may hold newlines inside quoted cells; multiLine
+      // keeps such records whole (sheets are interactive-upload sized,
+      // so losing intra-file split parallelism is irrelevant)
+      .option("escape", "\"").option("multiLine", "true")
       .csv(path)
     val head = raw.limit(30).collect().toSeq
       .map(_.toSeq.map(v => if (v == null) "None" else v.toString))

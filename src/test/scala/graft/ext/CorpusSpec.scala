@@ -22,12 +22,17 @@ class CorpusSpec extends SparkSuite {
     assert(comp.size == 7, "only nodes that appear in edges get labels")
   }
 
-  test("connected components: long path converges within iteration bound") {
+  test("connected components: long path converges on BOTH paths (driver + distributed)") {
     import spark.implicits._
     val path = (1L to 12L).sliding(2).map(w => (w.head, w.last)).toSeq
       .toDF("doc_a", "doc_b")
-    val comp = Corpus.connectedComponents(path).collect()
-    assert(comp.forall(_.getLong(1) == 1L), "all path nodes reach min label")
+    val driver = Corpus.connectedComponents(path).collect()
+    assert(driver.forall(_.getLong(1) == 1L), "all path nodes reach min label")
+    // driverEdgeLimit = 0 forces the distributed hash-min fallback; the
+    // two implementations must agree exactly
+    val dist = Corpus.connectedComponents(path, driverEdgeLimit = 0).collect()
+    assert(dist.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      driver.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
   test("near-dup clusters + canonical corpus: dups collapse, rest passes") {

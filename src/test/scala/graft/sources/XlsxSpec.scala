@@ -4,6 +4,8 @@ import java.io.FileOutputStream
 import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 /** xlsx shim: JDK-only ZIP+XML codec for the reference's real input
@@ -59,6 +61,44 @@ class XlsxSpec extends SparkSuite {
     assert(Xlsx.readSheet(path, "Data") == Seq(
       Seq("Hello", "", "World"),
       Seq("42", "", "TRUE")))
+  }
+
+  test("blank rows Excel omits from sheetData keep their grid position") {
+    val path = tmpFile("sparse_rows.xlsx")
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(n: String, c: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>title</t></is></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>header</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    assert(Xlsx.readSheet(path, "S") == Seq(Seq("title"), Seq(""), Seq("header")))
+  }
+
+  test("multiline and quoted cells survive workbook → CSV → Spark ingest") {
+    val path = tmpFile("multiline.xlsx")
+    Xlsx.write(path, Seq("May 2024" -> Seq(
+      Seq("Supply Type", "Invoice #", "Date", "Customer Name", "Net", "Tax", "Box"),
+      Seq("Standard", "1", "2024-05-02", "ACME\nLLC, \"truly\"", "100", "5", "A"),
+      Seq("Standard", "2", "2024-05-03", "Plain", "200", "10", "A"))))
+    val res = new graft.api.VatPipeline(spark).processWorkbook(path)
+    assert(res.failures.isEmpty)
+    val rows = res.data.orderBy(col("invoice_number")).collect()
+    assert(rows.length == 2, "embedded newline must not split the record")
+    assert(rows(0).getAs[String]("customer_supplier_name") == "ACME\nLLC, \"truly\"")
+    val byBox = res.summary.collect().map(r => r.getAs[String]("fta_box") -> r).toMap
+    assert(byBox("Box A").getAs[Double]("net_value") == 300.0)
   }
 
   test("end-to-end: 2-sheet workbook → processWorkbook → golden-style summary") {
