@@ -150,6 +150,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The verification stage behind the oracle gate: exact n-gram Jaccard
+    * over md5-family LSH candidates — with `md5MinhashPairs` this puts
+    * the ENTIRE dedup chain (signatures → banding → candidates → exact
+    * verify → threshold) under the DuckDB hash compare. Production twin:
+    * `jaccardVerify` (murmur3 candidates, faster, rows-only). */
+  def jaccardVerifyMd5(docs: DataFrame, threshold: Double): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val withSh = docs.repartition(p)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
+      .persist() // joined on both ends of every candidate pair
+    val cands = md5MinhashPairs(docs, threshold * 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // lazy: splices md5MinhashPairsSql, which initializes later in this object
+  lazy val jaccardVerifyMd5Sql: String = {
+    // md5MinhashPairsSql's CTE chain, extended with the exact-verify tail
+    val base = md5MinhashPairsSql
+      .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "")
+      .trim
+    s"""$base,
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.3),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN shingled sa ON sa.doc_id = c.doc_a
+       |  JOIN shingled sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** 64-bit SimHash fingerprint over tokens as a Long column, computed
     * entirely with array HOFs (one narrow projection, no shuffle): bit b
     * of the fingerprint is the sign of Σ_tokens (±1 by bit b of
@@ -388,6 +435,9 @@ object Dedup {
       Some(md5MinhashPairsSql)),
     "dedup_jaccard" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerify(Tables.documents(s, d), 0.6), None),
+    "dedup_jaccard_md5" -> QueryDef(
+      (s: SparkSession, d: String) => jaccardVerifyMd5(Tables.documents(s, d), 0.6),
+      Some(jaccardVerifyMd5Sql)),
     // maxDist 3 = the published near-dup radius (Manku WWW'07) and the
     // genuinely scalable default blocking config: 10 tables of ~26-bit
     // pair keys (see simhashPlan scaladoc)
