@@ -352,6 +352,51 @@ object AdvancedJoins {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)""".stripMargin),
 
+    // ---- A6/J2 correlated per-group average (TPC-H Q17 shape): lineitems
+    //      below half their part's average quantity. The correlated
+    //      subquery decorrelates to one grouped aggregate joined back to
+    //      the fact — per-part averages are exact (integral doubles), so
+    //      the threshold compare is engine-independent -------------------
+    "q17_small_quantity" -> QueryDef(
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        l.join(avgQ, col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.5)
+          .agg(dsum(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l1
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+
+    // ---- A6 argmax-by-aggregate (TPC-H Q15 shape): supplier(s) whose
+    //      revenue equals the maximum — revenue is decimal-exact, so the
+    //      equality join against the max scalar is safe cross-engine ----
+    "q15_top_supplier" -> QueryDef(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice")).as("revenue"))
+        val top = rev.agg(max(col("revenue")).as("max_rev"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("revenue") === col("max_rev"))
+          .select(col("l_suppkey"), col("revenue"))
+          .orderBy(col("l_suppkey"))
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, revenue FROM rev
+        |WHERE revenue = (SELECT max(revenue) FROM rev)
+        |ORDER BY l_suppkey""".stripMargin),
+
     // ---- J3/A6 scalar subquery + anti join (TPC-H Q22 shape): customers
     //      with above-average positive balances and no FINISHED orders,
     //      rolled up by nation — anti join against the filtered orders
