@@ -1,6 +1,29 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Cumulative shuffle-write + spill bytes across all completed stages —
+    * snapshotted around each query so the bench reports not just seconds
+    * but the shuffle volume behind them (the quantity that actually
+    * scales with data size). Stage-completion events are async, so
+    * per-query attribution is approximate at the margin; totals are
+    * exact. */
+  private final class MetricsListener extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val spilled = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,6 +33,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // warm-up: JVM/codegen/parquet-footer init paid once, not billed to
     // whichever query the Map happens to iterate first
     try {
@@ -24,13 +49,15 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val results = picked.map { case (name, fn) =>
+      val sw0 = metrics.shuffleWrite.get
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop intermediates persisted inside a query so later queries
       // aren't timed under another query's memory pressure
       spark.catalog.clearCache()
-      name -> dt
+      val shuffleMb = (metrics.shuffleWrite.get - sw0) / 1048576.0
+      name -> (dt, shuffleMb)
     }
     // harness floor: the fixed per-query cost at this parallelism —
     // scheduling + tiny-file scan + one shuffle over a 5-row table.
@@ -45,10 +72,13 @@ object Bench {
       }.sorted
       ts(ts.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_sec":$floor,"floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism"}""")
+    val sh = results.map { case (k, (_, m)) =>
+      s"\"" + k + "\":" + f"$m%.2f" }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalSpillMb = metrics.spilled.get / 1048576.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_sec":$floor,"floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","shuffle_write_mb":$sh,"spill_mb_total":$totalSpillMb}""")
     spark.stop()
   }
 }
