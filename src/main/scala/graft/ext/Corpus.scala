@@ -236,6 +236,30 @@ object Corpus {
     connectedComponents(Dedup.minhashPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Oracle-checked clustering twin: the same connected components over
+    * the md5-family candidate pairs, so even the GRAPH stage of dedup
+    * sits behind the hash gate — the DuckDB oracle states reachability
+    * declaratively as a recursive CTE and takes min per node. */
+  def nearDupClustersMd5(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    connectedComponents(Dedup.md5MinhashPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
+  lazy val nearDupClustersMd5Sql: String = {
+    val cand = Dedup.md5MinhashPairsSql
+      .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "").trim
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$cand,
+       |cand AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+       |SELECT id, CAST(MIN(r) AS BIGINT) AS component
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+  }
+
   /** The cleaned corpus: keep one canonical document per near-dup
     * cluster (min doc_id), everything not in any cluster passes
     * through. This is the operator a pipeline actually deploys. */
@@ -390,6 +414,9 @@ object Corpus {
       (s, d) => prefixClusters(Tables.documents(s, d)), prefixClustersSql),
     "dedup_clusters" -> QueryDef(
       (s, d) => nearDupClusters(Tables.documents(s, d)), None),
+    "dedup_clusters_md5" -> QueryDef(
+      (s, d) => nearDupClustersMd5(Tables.documents(s, d)),
+      Some(nearDupClustersMd5Sql)),
     "sample_stratified" -> QueryDef(
       (s, d) => stratifiedSample(Tables.documents(s, d), SampleRates, 0.1),
       stratifiedSampleSql(SampleRates, 0.1)),
