@@ -113,11 +113,32 @@ object Multimodal {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame/sample-offset plumbing, oracle-checked: deterministic stride
+    * arithmetic over the payload length — the video-frame-sampling twin
+    * that needs no codec. Flattened to one row per sampled offset: the
+    * compare harness hashes scalar cells, not arrays. */
+  private def mediaOffsets(spark: SparkSession, dir: String): DataFrame =
+    sampleOffsets(mediaTable(spark, dir), stride = 512)
+      .select(col("doc_id"), col("media_type"), explode(col("offsets")).as("o"))
+      .select(col("doc_id"), col("media_type"),
+        col("o").cast("long").as("byte_offset"))
+      .orderBy(col("doc_id"), col("byte_offset"))
+
+  private val mediaOffsetsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  unnest(range(0, CAST(strlen(text) AS BIGINT), 512)) AS byte_offset
+      |FROM documents ORDER BY doc_id, byte_offset""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
     "multimodal_features" -> QueryDef(
       (s: SparkSession, d: String) => featureStats(s, d), None),
     "multimodal_metadata" -> QueryDef(
-      (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql)
+      (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql),
+    "multimodal_offsets" -> QueryDef(
+      (s: SparkSession, d: String) => mediaOffsets(s, d), mediaOffsetsSql)
   )
 
   def queries: Seq[(String, QueryDef)] = q

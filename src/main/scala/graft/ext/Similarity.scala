@@ -220,7 +220,12 @@ object Similarity {
     "simsearch_topk" -> QueryDef(
       (s: SparkSession, d: String) => bruteForceTopK(s, d, 0L, 10), bruteForceTopKSql),
     "simsearch_lsh" -> QueryDef(
-      (s: SparkSession, d: String) => lshTopK(s, d, 0L, 10), None)
+      (s: SparkSession, d: String) => lshTopK(s, d, 0L, 10), None),
+    // rows-only: centroid assignment rests on float cosine argmin (not a
+    // portable SQL surface); recall vs brute force + the precomputed
+    // partition-pruned index path are pinned in SimilaritySpec
+    "simsearch_ivf" -> QueryDef(
+      (s: SparkSession, d: String) => ivfTopK(s, d, 0L, 10, nprobe = 2), None)
   )
 
   def queries: Seq[(String, QueryDef)] = q
