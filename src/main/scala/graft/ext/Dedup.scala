@@ -156,12 +156,9 @@ object Dedup {
     * verify → threshold) under the DuckDB hash compare. Production twin:
     * `jaccardVerify` (murmur3 candidates, faster, rows-only). */
   def jaccardVerifyMd5(docs: DataFrame, threshold: Double): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    val withSh = docs.repartition(p)
-      .select(col("doc_id"),
-        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
-      .persist() // joined on both ends of every candidate pair
-    val cands = md5MinhashPairs(docs, threshold * 0.5)
+    // one shingle pass feeds signatures/candidates AND both verify joins
+    val withSh = md5Shingled(docs).persist()
+    val cands = md5MinhashPairsFromShingles(withSh, threshold * 0.5, 4)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -317,19 +314,27 @@ object Dedup {
     * hash-compare gate. The production pipeline uses the native
     * murmur3 MinHashSig (faster); this query pins the algorithm's
     * semantics cross-engine. */
-  private def md5Sigs(docs: DataFrame, k: Int): DataFrame = {
+  /** (doc_id, sh) with the scan spread over the cluster — the shared
+    * front of every md5-family pipeline. */
+  private def md5Shingled(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
+  }
+
+  private def md5SigsFromShingles(shingled: DataFrame, k: Int): DataFrame = {
     def slot(sh: Column, seed: Int): Column =
       when(size(sh) === 0, lit(null).cast("long")).otherwise(
         aggregate(sh, lit(Long.MaxValue), (acc, s) =>
           least(acc, conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
             .cast("long"))))
-    docs.repartition(p)
-      .select(col("doc_id"),
-        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
-      .select(Seq(col("doc_id")) ++
-        (0 until k).map(i => slot(col("sh"), i).as(s"m$i")): _*)
+    shingled.select(Seq(col("doc_id")) ++
+      (0 until k).map(i => slot(col("sh"), i).as(s"m$i")): _*)
   }
+
+  private def md5Sigs(docs: DataFrame, k: Int): DataFrame =
+    md5SigsFromShingles(md5Shingled(docs), k)
 
   def md5MinhashSignatures(docs: DataFrame, k: Int): DataFrame =
     md5Sigs(docs, k).orderBy(col("doc_id"))
@@ -341,8 +346,12 @@ object Dedup {
     * hash family, so the algorithm (not just its sketch) is
     * cross-engine-pinned. Same shape as `minhashPairs`: explode k band
     * keys per doc, persist, quadratic work confined to buckets. */
-  def md5MinhashPairs(docs: DataFrame, threshold: Double, k: Int = 4): DataFrame = {
-    val sigs = md5Sigs(docs, k)
+  def md5MinhashPairs(docs: DataFrame, threshold: Double, k: Int = 4): DataFrame =
+    md5MinhashPairsFromShingles(md5Shingled(docs), threshold, k)
+
+  private def md5MinhashPairsFromShingles(shingled: DataFrame,
+      threshold: Double, k: Int): DataFrame = {
+    val sigs = md5SigsFromShingles(shingled, k)
     val slots = (0 until k).map(i => col(s"m$i"))
     val keyed = sigs
       .select(col("doc_id") +: slots :+

@@ -22,6 +22,12 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # array-valued cells come back as numpy arrays / lists, whose == is
+    # elementwise; normalize to tuples so row comparison stays scalar
+    if hasattr(v, "tolist"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 def main():
