@@ -61,7 +61,7 @@ object Graft {
   }
 }
 
-final class VatPipeline(spark: SparkSession) {
+object VatPipeline {
 
   /** One failed sheet: name + error, mirroring the reference's per-sheet
     * try/except report (fianl2.py:216-221). */
@@ -113,6 +113,10 @@ final class VatPipeline(spark: SparkSession) {
       p
     }
   }
+}
+
+final class VatPipeline(spark: SparkSession) {
+  import VatPipeline.{SheetFailure, VatResult}
 
   /** Ingest many sheets (one CSV file per sheet, junk preamble + synonym
     * headers tolerated), conform to the canonical schema, union by name.

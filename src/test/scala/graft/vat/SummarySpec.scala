@@ -142,7 +142,7 @@ class SummarySpec extends SparkSuite {
         "Input,3,2024-04-30,Delta,194526.87,9726.36,C")))
   }
 
-  private def assertGolden(res: graft.api.VatPipeline#VatResult): Unit = {
+  private def assertGolden(res: graft.api.VatPipeline.VatResult): Unit = {
     assert(res.failures.isEmpty && res.warnings.isEmpty)
     val out = res.summary
       .orderBy(col("month_num"), col("fta_box"))
