@@ -32,6 +32,11 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Multimodal.queries
 
+  /** Declared names in declaration order — lets tests prove no module
+    * accidentally shadows another's query (the Map below would keep only
+    * the last duplicate, silently shrinking the correctness gate). */
+  def declaredNames: Seq[String] = all.map(_._1)
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, qd) => n -> qd.fn }.toMap

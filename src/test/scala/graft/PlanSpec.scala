@@ -85,6 +85,13 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("no duplicate query names across modules (Map would drop one silently)") {
+    val names = SparkEntry.declaredNames
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"shadowed queries: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("every multi-row oracle query pins a total order") {
     // single-row aggregates are order-free by construction
     val exempt = Set("agg_stats_global", "q14_promo_share",
