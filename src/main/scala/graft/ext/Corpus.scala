@@ -263,11 +263,34 @@ object Corpus {
   /** The cleaned corpus: keep one canonical document per near-dup
     * cluster (min doc_id), everything not in any cluster passes
     * through. This is the operator a pipeline actually deploys. */
-  def canonicalCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val comp = nearDupClusters(docs, threshold)
+  def canonicalCorpus(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    keepCanonical(docs, nearDupClusters(docs, threshold))
+
+  /** Oracle-checked deploy twin: same keep-one semantics over the
+    * md5-family clusters, so the final corpus membership itself is
+    * hash-compared (doc ids + provenance; text stays out of the compare
+    * surface only for artifact size, membership is what matters). */
+  def canonicalCorpusMd5(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    keepCanonical(docs, nearDupClustersMd5(docs, threshold))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private def keepCanonical(docs: DataFrame, comp: DataFrame): DataFrame =
     docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .filter(col("component").isNull || col("component") === col("doc_id"))
       .drop("component")
+
+  lazy val canonicalCorpusMd5Sql: String = {
+    val clusters = nearDupClustersMd5Sql
+      .replaceAll("(?s)SELECT id, CAST\\(MIN\\(r\\) AS BIGINT\\) AS component.*$", "")
+      .trim
+    s"""$clusters,
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id, d.source, d.lang
+       |FROM documents d
+       |LEFT JOIN comp ON comp.id = d.doc_id
+       |WHERE comp.id IS NULL OR comp.component = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------- sampling
@@ -417,6 +440,9 @@ object Corpus {
     "dedup_clusters_md5" -> QueryDef(
       (s, d) => nearDupClustersMd5(Tables.documents(s, d)),
       Some(nearDupClustersMd5Sql)),
+    "corpus_canonical" -> QueryDef(
+      (s, d) => canonicalCorpusMd5(Tables.documents(s, d)),
+      Some(canonicalCorpusMd5Sql)),
     "sample_stratified" -> QueryDef(
       (s, d) => stratifiedSample(Tables.documents(s, d), SampleRates, 0.1),
       stratifiedSampleSql(SampleRates, 0.1)),
