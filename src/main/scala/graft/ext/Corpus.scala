@@ -384,6 +384,49 @@ object Corpus {
       |    AND NOT regexp_matches(redacted, '\+?\d[\d -]{7,}\d')) AS clean
       |FROM red ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- chunking
+
+  /** Fixed-window document chunking with stride overlap — the prep step
+    * that turns documents into training samples. Chunk c covers tokens
+    * [c·stride, c·stride + window); starts run at stride multiples below
+    * the token count, so every document yields ≥ 1 chunk and consecutive
+    * chunks overlap by window − stride tokens. Pure narrow map + explode
+    * (linear output rows, no shuffle before the caller's sink). */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = graft.functions.WordShingles.word_ngrams(col("text"), 1)
+    docs
+      .select(col("doc_id"), Dedup.bind(toks) { t =>
+        struct(t.as("toks"), size(t).as("n"))
+      }.as("s"))
+      .filter(col("s.n") >= 1)
+      .select(col("doc_id"), col("s.toks").as("toks"),
+        explode(sequence(lit(0), col("s.n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"), (col("start") / stride).cast("int").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def chunkSql(window: Int, stride: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, unnest(range(0, len(toks), $stride)) AS start
+       |  FROM t WHERE len(toks) >= 1),
+       |chunks AS (
+       |  SELECT doc_id, CAST(start / $stride AS INT) AS chunk_id,
+       |    toks[start + 1 : start + $window] AS chunk
+       |  FROM starts)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------------- repetition
 
   /** Gopher-style repetition signal: the share of a document's bigrams
@@ -449,7 +492,10 @@ object Corpus {
     "pii_redact" -> QueryDef(
       (s, d) => piiRedactQuery(Tables.documents(s, d)), piiRedactSql),
     "text_repetition" -> QueryDef(
-      (s, d) => repetitionRatio(Tables.documents(s, d)), repetitionSql)
+      (s, d) => repetitionRatio(Tables.documents(s, d)), repetitionSql),
+    "corpus_chunks" -> QueryDef(
+      (s, d) => chunkDocuments(Tables.documents(s, d), window = 32, stride = 24),
+      Some(chunkSql(32, 24)))
   )
 
   def queries: Seq[(String, QueryDef)] = q

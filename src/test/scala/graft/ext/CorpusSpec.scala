@@ -100,6 +100,26 @@ class CorpusSpec extends SparkSuite {
     assert(out(3L) == (("m n", 2L, 2.0 / 3)))
   }
 
+  test("chunking: windows, stride overlap, short docs, full coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    // doc 1: starts 0,3,6,9 → chunks of 4,4,4,1 tokens
+    assert(out((1L, 0)) == ((4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) == ((4, "t4 t5 t6 t7"))) // 1-token overlap (4-3)
+    assert(out((1L, 2)) == ((4, "t7 t8 t9 t10")))
+    assert(out((1L, 3)) == ((1, "t10")))
+    assert(out((2L, 0)) == ((3, "a b c")))
+    assert(out((3L, 0)) == ((1, "solo")))
+    // every token of every doc appears in some chunk (coverage)
+    assert(out.keys.count(_._1 == 1L) == 4)
+  }
+
   test("contamination matrix: planted overlap found, disjoint sources absent") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
