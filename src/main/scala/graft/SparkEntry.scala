@@ -26,6 +26,7 @@ object SparkEntry {
       rel.Windows.queries ++
       rel.Scalars.queries ++
       rel.AdvancedJoins.queries ++
+      rel.SubqueryShapes.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++
