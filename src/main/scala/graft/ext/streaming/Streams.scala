@@ -93,4 +93,76 @@ object Streams {
   /** OutputMode used by the spec's MemoryStream sink for the tumbling
     * aggregation. */
   val tumblingOutputMode: OutputMode = OutputMode.Update()
+
+  case class BandedDoc(doc_id: Long, band: Int, bkey: Long, ts: java.sql.Timestamp)
+  case class DupFlag(doc_id: Long, band: Int, dup_of: Option[Long])
+
+  /** Streaming MinHash-LSH near-dup — the batch `Dedup` banding run as a
+    * stateful stream, for ingest-time dedup of a document feed.
+    *
+    * Same sketch as the batch path (native `WordShingles` +
+    * `MinHashSig`, B band keys per doc — all stateless codegen'd
+    * expressions, so the narrow prefix streams through unchanged). The
+    * bucket self-join of the batch pipeline becomes per-bucket state:
+    * group by (band, bkey) and keep ONE long per bucket — the first
+    * doc_id seen, the canonical. Every later doc landing in the bucket
+    * is flagged `dup_of` that canonical, across batches. Exactly like
+    * the batch LSH, a flag is a CANDIDATE (jaccard-verify downstream if
+    * exactness matters); an exact duplicate collides in all B bands by
+    * construction.
+    *
+    * State is O(active buckets × 8 bytes), not O(docs): the event-time
+    * timeout drops a bucket once no doc has landed in it for
+    * `stateHorizon` past the watermark — dedup-within-horizon, the only
+    * sound contract for an unbounded feed. Streaming-only (the batch
+    * twin is `Dedup.minhashPairs`); emitted per (doc, band) in Update
+    * mode, B rows per doc.
+    */
+  def nearDupFlags(
+      docs: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      stateHorizonMs: Long = 10L * 60 * 1000): Dataset[DupFlag] = {
+    import docs.sparkSession.implicits._
+    import graft.ext.Dedup
+    val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
+    docs
+      .select(col("doc_id"), col("ts"),
+        Dedup.bind(graft.functions.WordShingles.word_shingles(col("text"), 3)) { sh =>
+          Dedup.bind(Dedup.minhashSignature(sh)) { sig =>
+            transform(sequence(lit(0), lit(Dedup.NumBands - 1)), b =>
+              struct(b.as("band"),
+                xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))
+                  .as("bkey")))
+          }
+        }.as("bands"))
+      .select(col("doc_id"), col("ts"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.bkey").as("bkey"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedDoc]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[Long, DupFlag](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // doc_id order within the micro-batch pins which doc becomes
+            // canonical when a batch introduces a bucket with several docs
+            val batch = rows.toVector.sortBy(_.doc_id)
+            var canonical = state.getOption
+            val out = batch.map { r =>
+              canonical match {
+                case Some(c) if c != r.doc_id => DupFlag(r.doc_id, r.band, Some(c))
+                case Some(_)                  => DupFlag(r.doc_id, r.band, None)
+                case None =>
+                  canonical = Some(r.doc_id); DupFlag(r.doc_id, r.band, None)
+              }
+            }
+            state.update(canonical.get)
+            state.setTimeoutTimestamp(
+              batch.map(_.ts.getTime).max + stateHorizonMs)
+            out.iterator
+          }
+      }
+  }
 }

@@ -109,4 +109,37 @@ class StreamingSpec extends SparkSuite {
       assert(rows.map(_.getAs[Long]("n_events")).toSeq == Seq(3L, 2L))
     } finally q.stop()
   }
+
+  test("streaming near-dup: cross-batch LSH state flags the planted duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val near = "the quick brown fox jumps over the lazy dog and then runs far away home yesterday"
+    val other = "spark engines shuffle partitions across executors with hash exchange operators always"
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDupFlags(input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("update").start()
+    try {
+      // batch 1 seeds the buckets; batch 2 must hit batch-1 state
+      input.addData((1L, base, ts(1)), (3L, other, ts(1)))
+      q.processAllAvailable()
+      input.addData((5L, base, ts(2)), (2L, near, ts(2)))
+      q.processAllAvailable()
+
+      val flags = spark.table("neardup_out")
+        .select(col("doc_id"), col("dup_of")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      // first arrivals are canonical everywhere
+      assert(flags.filter(f => f._1 == 1L || f._1 == 3L).forall(_._2.isEmpty))
+      // exact duplicate collides in ALL 4 bands, attributed across batches
+      assert(flags.count(_ == ((5L, Some(1L)))) == graft.ext.Dedup.NumBands)
+      // a near-dup may or may not collide (LSH is probabilistic), but a
+      // flag must never point anywhere except the true canonical
+      assert(flags.filter(_._1 == 2L).flatMap(_._2).forall(_ == 1L))
+      // unrelated doc is never attributed to another document
+      assert(flags.filter(_._1 == 3L).forall(_._2.isEmpty))
+    } finally q.stop()
+  }
 }
