@@ -1,0 +1,114 @@
+package graft.rel
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Scale-safe distribution functions (SURVEY.md §2.9 W1 — the at-scale
+  * twin of `window_distribution`).
+  *
+  * ntile / percent_rank / cume_dist need the exact size of their window
+  * partition, so the built-in window operator sorts each PARTITION BY
+  * group inside one task — with a low-cardinality key (5 market
+  * segments) that is five straggler tasks each sorting 20% of the table,
+  * a shape that dies at 100 TB.
+  *
+  * This module computes the same three functions with a distributed
+  * sort and a prefix-sum, the classic parallel ranking algorithm:
+  *
+  *   1. range-partition + sort by (segment, value DESC, key) — Spark's
+  *      `repartitionByRange` samples boundaries, so every partition holds
+  *      a contiguous slice of the global order and NO task sorts more
+  *      than ~1/parts of the data;
+  *   2. per-(partition, segment) row counts — bounded driver metadata
+  *      (≤ parts + segments entries, because each partition covers a
+  *      contiguous segment range);
+  *   3. driver prefix-sum of those counts → the global rank offset of
+  *      each partition within its segment, broadcast back;
+  *   4. second pass over the SAME cached partitions: global rank =
+  *      partition offset + local ordinal, from which ntile(k),
+  *      percent_rank = (rank-1)/(n-1) and cume_dist = rank/n follow in
+  *      closed form (the ORDER BY ends in a unique key, so rank ≡
+  *      row_number and every row is its own peer group — the same
+  *      contract the oracle SQL pins).
+  *
+  * The pass-2 math is exact whatever boundaries the range sampler picks:
+  * offsets are computed from the materialized partitioning itself (the
+  * DataFrame is persisted between the two passes precisely so both read
+  * the same partitions).
+  */
+object DistributedRank {
+
+  /** Spark/DuckDB NTILE bucket of global rank `rn` among `n` rows in `k`
+    * buckets: the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋. */
+  def ntileOf(rn: Long, n: Long, k: Int): Int = {
+    val q = n / k
+    val r = (n % k).toInt
+    val big = (q + 1) * r // rows living in the oversized buckets
+    if (rn <= big) ((rn - 1) / (q + 1)).toInt + 1
+    else r + ((rn - big - 1) / q).toInt + 1
+  }
+
+  /** `window_distribution`'s result via the prefix-sum formulation. */
+  def distributionScalable(spark: SparkSession, dir: String,
+      parts: Int = 32): DataFrame = {
+    val sorted = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(parts,
+        col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+      .sortWithinPartitions(
+        col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+      .persist()
+
+    // pass 1 (action — also materializes the cache both passes share):
+    // per-(partition, segment) counts, segment-contiguous so ≤ parts +
+    // #segments rows of driver metadata at any corpus size
+    val counts: Array[(Int, String, Long)] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val s = r.getString(0); m.update(s, m.getOrElse(s, 0L) + 1L)
+        }
+        m.iterator.map { case (s, c) => (pid, s, c) }
+      }.collect()
+
+    val totals: Map[String, Long] =
+      counts.groupBy(_._2).map { case (s, a) => s -> a.map(_._3).sum }
+    val offsets: Map[(Int, String), Long] = {
+      val run = mutable.Map.empty[String, Long]
+      counts.sortBy(_._1).map { case (pid, s, c) =>
+        val o = run.getOrElse(s, 0L); run.update(s, o + c); ((pid, s), o)
+      }.toMap
+    }
+    val bTot = spark.sparkContext.broadcast(totals)
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: local ordinal + broadcast offset = exact global rank
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = mutable.Map.empty[String, Long]
+      it.map { r =>
+        val seg = r.getString(0)
+        val lr = local.getOrElse(seg, 0L) + 1L; local.update(seg, lr)
+        val rn = bOff.value((pid, seg)) + lr
+        val n = bTot.value(seg)
+        Row(seg, r.getLong(1), r.getDouble(2),
+          ntileOf(rn, n, 4),
+          if (n == 1L) 0.0 else (rn - 1).toDouble / (n - 1).toDouble,
+          rn.toDouble / n.toDouble)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("c_mktsegment", StringType),
+      StructField("c_custkey", LongType),
+      StructField("c_acctbal", DoubleType),
+      StructField("quartile", IntegerType),
+      StructField("pct_rank", DoubleType),
+      StructField("cume", DoubleType)))
+    spark.createDataFrame(ranked, schema)
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+}

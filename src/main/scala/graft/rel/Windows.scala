@@ -20,10 +20,13 @@ import graft.core.{Exact, QueryDef, Tables}
   * WindowGroupLimit pushdown (asserted in PlanSpec), which bounds every
   * per-key sort to the top k rows before AND after the shuffle. The one
   * deliberate exception is `window_distribution`: ntile/percent_rank/
-  * cume_dist need the exact partition size, so the full per-partition
-  * sort is irreducible — that query keys on 5 market segments and is
-  * honest about it (at 100 TB you would pre-aggregate or accept the 5
-  * fat sorted partitions; there is no incremental formulation).
+  * cume_dist need the exact partition size, so the BUILT-IN operator's
+  * full per-partition sort is irreducible — that query keys on 5 market
+  * segments and demonstrates the built-in surface. Its at-scale twin is
+  * `window_distribution_scalable` (rel/DistributedRank.scala): the same
+  * three functions over the same oracle, computed with a distributed
+  * range-partitioned sort + driver prefix-sum of per-partition counts,
+  * so no task ever sorts more than ~1/parts of the table.
   */
 object Windows {
   import Exact._
@@ -92,6 +95,21 @@ object Windows {
             col("quartile"), col("pct_rank"), col("cume"))
           .orderBy(col("c_mktsegment"), col("c_custkey"))
       },
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin),
+
+    // ---- W1 at-scale twin: same functions, same oracle, computed by
+    //      distributed sort + prefix-sum instead of task-per-segment
+    //      (see DistributedRank scaladoc); bit-equality with the
+    //      built-in window operator is additionally pinned in
+    //      DistributedRankSpec -------------------------------------------
+    "window_distribution_scalable" -> QueryDef(
+      (s, d) => DistributedRank.distributionScalable(s, d),
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(NTILE(4) OVER w AS INT) AS quartile,
         |  PERCENT_RANK() OVER w AS pct_rank,

@@ -51,28 +51,30 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.map(_.getLong(0)).count(brute.contains) > 0)
   }
 
-  test("prebuilt IVF index: partition-pruned probe, no exchange, matches ad-hoc IVF") {
-    try {
-      Similarity.buildIvfIndex(spark, sfDir, "ivf_test")
-      val probe = Similarity.ivfProbe(spark, "ivf_test", 0L, 10, nprobe = 3)
-      val rows = probe.collect()
-      // the precomputed path must return exactly what the ad-hoc
-      // assignment-per-query path returns (same policy, same tie-breaks)
-      val adhoc = Similarity.ivfTopK(spark, sfDir, 0L, 10, nprobe = 3).collect()
-      assert(rows.map(_.getLong(0)).toSeq == adhoc.map(_.getLong(0)).toSeq)
-      val p = probe.queryExecution.executedPlan.toString
-      // cell IN (...) must land in PartitionFilters (directory pruning:
-      // unprobed cells are never opened), and nothing may shuffle
-      assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
-        .findFirstIn(p).isDefined, s"cell predicate not a PartitionFilter:\n$p")
-      assert(!p.contains("Exchange hashpartitioning"), s"probe must not shuffle:\n$p")
-      // and the probe physically reads fewer cells than the index holds
-      val nCells = spark.table("ivf_test").select("cell").distinct().count()
-      assert(probe.select("cell").distinct().count() <= 3 && nCells == 10)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS ivf_test")
-      spark.sql("DROP TABLE IF EXISTS ivf_test_centroids")
-    }
+  test("prebuilt IVF index (the declared simsearch_ivf path): " +
+      "partition-pruned probe, no exchange, matches ad-hoc IVF") {
+    val probe = Similarity.ivfProbeById(spark, sfDir, 0L, 10, nprobe = 3)
+    val rows = probe.collect()
+    // the precomputed path must return exactly what the ad-hoc
+    // assignment-per-query path returns (same policy, same tie-breaks)
+    val adhoc = Similarity.ivfTopK(spark, sfDir, 0L, 10, nprobe = 3).collect()
+    assert(rows.map(_.getLong(0)).toSeq == adhoc.map(_.getLong(0)).toSeq)
+    val p = probe.queryExecution.executedPlan.toString
+    // cell IN (...) must land in PartitionFilters (directory pruning:
+    // unprobed cells are never opened), and nothing may shuffle
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]* IN \\(".r
+      .findFirstIn(p).isDefined, s"cell predicate not a PartitionFilter:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"probe must not shuffle:\n$p")
+    // and the probe physically reads fewer cells than the index holds
+    val path = Similarity.ivfIndexPath(sfDir)
+    val nCells = spark.read.parquet(s"$path/index")
+      .select("cell").distinct().count()
+    assert(probe.select("cell").distinct().count() <= 3 && nCells == 10)
+    // build-once memoization: a second ensure is a no-op (same marker)
+    val marker = new java.io.File(s"$path/index/_SUCCESS")
+    val stamp = marker.lastModified()
+    Similarity.ensureIvfIndex(spark, sfDir)
+    assert(marker.lastModified() == stamp, "index rebuilt despite marker")
   }
 
   test("label centroids: one centroid per cell, dimension preserved") {

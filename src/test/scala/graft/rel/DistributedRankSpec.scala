@@ -1,0 +1,55 @@
+package graft.rel
+
+import graft.SparkSuite
+
+/** The prefix-sum distribution functions must be BIT-equal to the
+  * built-in window operator — same ntile fencepost policy, same
+  * integer-ratio divisions — at every scale and partition count. */
+class DistributedRankSpec extends SparkSuite {
+
+  test("ntileOf matches NTILE bucket boundaries") {
+    // n=10,k=4 → sizes 3,3,2,2
+    assert((1L to 10L).map(DistributedRank.ntileOf(_, 10L, 4)) ==
+      Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
+    // n < k → one row per bucket, rank = bucket
+    assert((1L to 3L).map(DistributedRank.ntileOf(_, 3L, 4)) == Seq(1, 2, 3))
+    // n divisible by k
+    assert((1L to 8L).map(DistributedRank.ntileOf(_, 8L, 4)) ==
+      Seq(1, 1, 2, 2, 3, 3, 4, 4))
+  }
+
+  test("prefix-sum formulation ≡ built-in window operator, bit-exact") {
+    val builtin = graft.rel.Windows.queries.toMap
+      .apply("window_distribution").fn(spark, sfDir).collect()
+    val scalable = DistributedRank.distributionScalable(spark, sfDir).collect()
+    assert(scalable.length == builtin.length)
+    // column order differs only in names; compare full tuples in the
+    // shared total order (both end in ORDER BY segment, custkey)
+    builtin.zip(scalable).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0))
+      assert(b.getLong(1) == s.getLong(1))
+      assert(b.getDouble(2) == s.getDouble(2))
+      assert(b.getInt(3) == s.getInt(3), s"ntile differs at ${b.getLong(1)}")
+      // bit-exact, not approx: both sides are the same integer-ratio
+      // double divisions
+      assert(b.getDouble(4) == s.getDouble(4), s"pct_rank at ${b.getLong(1)}")
+      assert(b.getDouble(5) == s.getDouble(5), s"cume at ${b.getLong(1)}")
+    }
+  }
+
+  test("exact ranks survive degenerate partition counts") {
+    // parts=1 (everything in one range) and parts ≫ rows (mostly-empty
+    // partitions) must both reproduce the built-in result
+    val builtin = graft.rel.Windows.queries.toMap
+      .apply("window_distribution").fn(spark, sfDir).collect()
+    for (parts <- Seq(1, 7, 256)) {
+      val got = DistributedRank.distributionScalable(spark, sfDir, parts).collect()
+      assert(got.length == builtin.length, s"parts=$parts")
+      builtin.zip(got).foreach { case (b, s) =>
+        assert(b.getLong(1) == s.getLong(1) && b.getInt(3) == s.getInt(3) &&
+          b.getDouble(4) == s.getDouble(4) && b.getDouble(5) == s.getDouble(5),
+          s"parts=$parts custkey=${b.getLong(1)}")
+      }
+    }
+  }
+}
