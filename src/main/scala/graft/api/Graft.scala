@@ -61,6 +61,26 @@ object Graft {
   }
 }
 
+/** Pipeline configuration — the reference UI's sidebar knobs plus the
+  * engine's own modes, one immutable object:
+  *
+  *  - `nanBoxCompat` — replay pandas `astype(str)` null→"NAN" boxes
+  *    (fianl2.py:162-163,176); see `processSheets`.
+  *  - `decimalMoney` — SURVEY.md §1.4/§7.4: type money DECIMAL(18,2) at
+  *    the source so every aggregate is exact cents. Off by default
+  *    (reference parity is double + round(2)).
+  *  - `vatRate` — the sidebar "VAT Rate (%)" input (ss1.png/ss2.png,
+  *    default 5.00% → 0.05), used by the rate-check diagnostic: rows in
+  *    Box A membership whose `|vat − net × rate|` exceeds
+  *    `rateTolerance` (absolute, AED) are counted per sheet into
+  *    `VatResult.warnings`. `rateCheck = false` silences it. */
+final case class VatConfig(
+    nanBoxCompat: Boolean = false,
+    decimalMoney: Boolean = false,
+    vatRate: Double = 0.05,
+    rateTolerance: Double = 0.5,
+    rateCheck: Boolean = true)
+
 object VatPipeline {
 
   /** One failed sheet: name + error, mirroring the reference's per-sheet
@@ -131,9 +151,15 @@ final class VatPipeline(spark: SparkSession) {
     * silently disagree, `warnings` always reports the null-box row count
     * per sheet whenever it is non-zero, in either mode. */
   def processSheets(sheets: Seq[(String, String)],
-      nanBoxCompat: Boolean = false): VatResult = {
+      nanBoxCompat: Boolean = false): VatResult =
+    processSheets(sheets, VatConfig(nanBoxCompat = nanBoxCompat))
+
+  /** Full-config entry point (decimal money, VAT-rate diagnostic). */
+  def processSheets(sheets: Seq[(String, String)],
+      config: VatConfig): VatResult = {
     val results = sheets.map { case (path, name) =>
-      try Right(name -> Conform.processCsvSheet(spark, path, name, nanBoxCompat))
+      try Right(name -> Conform.processCsvSheet(spark, path, name,
+        config.nanBoxCompat, config.decimalMoney))
       catch { case e: Exception => Left(SheetFailure(name, String.valueOf(e.getMessage))) }
     }
     val frames = results.collect { case Right(r) => r }
@@ -150,19 +176,35 @@ final class VatPipeline(spark: SparkSession) {
       else None
     }
     val all = frames.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true))
-    // null-box diagnostic: one grouped job over the union, not a count
-    // per sheet; these rows change boxes between compat modes, so their
-    // existence is always surfaced
-    val nullBoxWarnings = all.filter(col("box_was_null"))
-      .groupBy(col("source_sheet")).count()
+    // per-sheet diagnostics in ONE grouped job over the union (never a
+    // job per sheet): null-box rows (they change boxes between compat
+    // modes, so their existence is always surfaced) and the rate check —
+    // Box-A-membership rows whose VAT is not net × vatRate within
+    // tolerance (the sidebar rate input put to real use: it catches
+    // mis-keyed or mis-rated invoices before they reach the return)
+    val rateOutlier = col("box").contains("A") &&
+      col("net_value").isNotNull && col("vat_value").isNotNull &&
+      abs(col("vat_value").cast("double") -
+        col("net_value").cast("double") * lit(config.vatRate)) >
+        lit(config.rateTolerance)
+    val diag = all.groupBy(col("source_sheet")).agg(
+      sum(when(col("box_was_null"), 1L).otherwise(0L)).as("n_null_box"),
+      sum(when(rateOutlier, 1L).otherwise(0L)).as("n_rate_outliers"))
       .orderBy(col("source_sheet"))
-      .collect().map { r =>
-        val fate = if (nanBoxCompat)
-          "counted into Box A as 'NAN' (astype-str compat)"
-        else "in NO box (nulls stay null; enable nanBoxCompat to replay the reference)"
-        s"Sheet '${r.getString(0)}': ${r.getLong(1)} rows with null Box — $fate."
+      .collect()
+    val nullBoxWarnings = diag.filter(_.getLong(1) > 0).map { r =>
+      val fate = if (config.nanBoxCompat)
+        "counted into Box A as 'NAN' (astype-str compat)"
+      else "in NO box (nulls stay null; enable nanBoxCompat to replay the reference)"
+      s"Sheet '${r.getString(0)}': ${r.getLong(1)} rows with null Box — $fate."
+    }
+    val rateWarnings =
+      if (!config.rateCheck) Array.empty[String]
+      else diag.filter(_.getLong(2) > 0).map { r =>
+        f"Sheet '${r.getString(0)}': ${r.getLong(2)} Box-A rows where " +
+          f"|vat − net × ${config.vatRate * 100}%.2f%%| > ${config.rateTolerance}%.2f (rate check)."
       }
-    VatResult(all, failures, warnings ++ nullBoxWarnings)
+    VatResult(all, failures, warnings ++ nullBoxWarnings ++ rateWarnings)
   }
 
   /** The reference's actual front door (fianl2.py:212-221): one xlsx
@@ -170,25 +212,31 @@ final class VatPipeline(spark: SparkSession) {
     * are decoded driver-side (`sources.Xlsx` — workbooks are interactive
     * uploads, not cluster data) into CSV files that the distributed
     * sheet pipeline then ingests. */
-  def processWorkbook(xlsxPath: String, nanBoxCompat: Boolean = false): VatResult = {
+  def processWorkbook(xlsxPath: String, nanBoxCompat: Boolean = false): VatResult =
+    processWorkbook(xlsxPath, VatConfig(nanBoxCompat = nanBoxCompat))
+
+  def processWorkbook(xlsxPath: String, config: VatConfig): VatResult = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toFile
     // the extracted CSVs back the returned (lazy) DataFrames, so they
     // must outlive this call; reclaim them at JVM exit
     tmp.deleteOnExit()
     val sheets = graft.sources.Xlsx.toCsv(xlsxPath, tmp.getAbsolutePath)
     sheets.foreach { case (p, _) => new java.io.File(p).deleteOnExit() }
-    processSheets(sheets, nanBoxCompat)
+    processSheets(sheets, config)
   }
 
   /** S3 — sheet enumeration: one CSV per sheet in a directory, sheet
     * name = file basename (the reference's `xls.sheet_names` analogue,
     * fianl2.py:212-213). */
-  def processDirectory(dir: String, nanBoxCompat: Boolean = false): VatResult = {
+  def processDirectory(dir: String, nanBoxCompat: Boolean = false): VatResult =
+    processDirectory(dir, VatConfig(nanBoxCompat = nanBoxCompat))
+
+  def processDirectory(dir: String, config: VatConfig): VatResult = {
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.toLowerCase.endsWith(".csv"))
       .sortBy(_.getName)
     processSheets(files.toSeq.map(f =>
-      f.getAbsolutePath -> f.getName.replaceAll("\\.csv$", "")), nanBoxCompat)
+      f.getAbsolutePath -> f.getName.replaceAll("\\.csv$", "")), config)
   }
 }

@@ -195,6 +195,46 @@ object SubqueryShapes {
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin),
 
+    // ---- NOT-IN tri-valued semantics pin: the #1 real-user subquery
+    //      trap. `x NOT IN (S)` is x <> s₁ AND x <> s₂ AND …; one NULL
+    //      in S makes every conjunct UNKNOWN at best, so the predicate
+    //      can never be TRUE and the query returns NOTHING. q16 above
+    //      rewrites NOT IN as a plain anti join ONLY because its key is
+    //      non-null by construction; this query proves the engine keeps
+    //      ANSI semantics when that guarantee is absent. The exclusion
+    //      list derives a NULL per solvent supplier (the fixture has no
+    //      stored NULLs); variant 'raw_not_in' must count 0, the
+    //      IS NOT NULL-guarded variant counts the real complement.
+    //      Declarative spark.sql on purpose: Catalyst plans the raw
+    //      variant as a null-aware anti join (asserted in
+    //      SubqueryShapesSpec) — the semantics cost a broadcast of the
+    //      exclusion list, not correctness. ------------------------------
+    "notin_null_semantics" -> QueryDef(
+      (s, d) => s.sql(
+        s"""WITH excl AS (
+           |  SELECT CASE WHEN s_acctbal < 0 THEN s_suppkey END AS bad_key
+           |  FROM parquet.`$d/supplier.parquet`),
+           |li AS (SELECT l_suppkey FROM parquet.`$d/lineitem.parquet`)
+           |SELECT 'raw_not_in' AS variant, COUNT(*) AS n_rows
+           |FROM li WHERE l_suppkey NOT IN (SELECT bad_key FROM excl)
+           |UNION ALL
+           |SELECT 'null_guarded' AS variant, COUNT(*) AS n_rows
+           |FROM li
+           |WHERE l_suppkey NOT IN
+           |  (SELECT bad_key FROM excl WHERE bad_key IS NOT NULL)
+           |ORDER BY variant""".stripMargin),
+      """WITH excl AS (
+        |  SELECT CASE WHEN s_acctbal < 0 THEN s_suppkey END AS bad_key
+        |  FROM supplier)
+        |SELECT 'raw_not_in' AS variant, COUNT(*) AS n_rows
+        |FROM lineitem WHERE l_suppkey NOT IN (SELECT bad_key FROM excl)
+        |UNION ALL
+        |SELECT 'null_guarded' AS variant, COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_suppkey NOT IN
+        |  (SELECT bad_key FROM excl WHERE bad_key IS NOT NULL)
+        |ORDER BY variant""".stripMargin),
+
     // ---- Q21 shape (window rewrite; declarative EXISTS oracle) ----------
     "q21_sole_late_shipper" -> QueryDef(
       (s, d) => soleLateShippers(

@@ -78,7 +78,7 @@ object Conform {
     *  - currency conversion / box canon / period literals as Column ops
     */
   def processCsvSheet(spark: SparkSession, path: String, sheetName: String,
-      nanBoxCompat: Boolean = false): DataFrame = {
+      nanBoxCompat: Boolean = false, decimalMoney: Boolean = false): DataFrame = {
     import spark.implicits._
     val raw = spark.read
       .option("header", "false").option("inferSchema", "false")
@@ -99,7 +99,7 @@ object Conform {
     val named = spark.createDataFrame(bodyRdd, raw.schema)
       .toDF(headers.zipWithIndex.map { case (h, i) => if (h.isEmpty) s"_c$i" else h }: _*)
 
-    enrich(conformColumns(named), sheetName, nanBoxCompat)
+    enrich(conformColumns(named), sheetName, nanBoxCompat, decimalMoney)
   }
 
   /** Currency conversion, period detection, provenance, box letter
@@ -109,14 +109,23 @@ object Conform {
     * `box_was_null` records which rows had no Box value BEFORE
     * canonicalization — the always-on seam for the null-box diagnostic
     * (those rows silently change boxes between compat modes, so the
-    * pipeline surfaces their count as a warning either way). */
+    * pipeline surfaces their count as a warning either way).
+    *
+    * `decimalMoney` (SURVEY.md §1.4/§7.4 — off by default, reference
+    * parity keeps DOUBLE) types the three money columns DECIMAL(18,2) at
+    * the source, making every downstream aggregate exact and
+    * partition-order-invariant; `Summary.vatSummary` detects the type
+    * from the schema, so the flag is set once, here. */
   def enrich(conformed: DataFrame, sheetName: String,
-      nanBoxCompat: Boolean = false): DataFrame = {
+      nanBoxCompat: Boolean = false, decimalMoney: Boolean = false): DataFrame = {
     val (monthAbbr, monthNum) = extractMonthFromSheet(sheetName)
+    val asMoney: Column => Column =
+      if (decimalMoney) c => currencyToAed(c).cast(DecimalType(18, 2))
+      else currencyToAed(_)
     val withMoney = conformed
-      .withColumn("net_value", currencyToAed(col("net_value")))
-      .withColumn("vat_value", currencyToAed(col("vat_value")))
-      .withColumn("invoice_value", currencyToAed(col("invoice_value")))
+      .withColumn("net_value", asMoney(col("net_value")))
+      .withColumn("vat_value", asMoney(col("vat_value")))
+      .withColumn("invoice_value", asMoney(col("invoice_value")))
     val yearVal = modeYear(withMoney)
     withMoney
       .withColumn("month", lit(monthAbbr))

@@ -32,10 +32,19 @@ object Summary {
   private case class BoxSpec(label: String, letter: String)
 
   /** Reference-parity summary over a conformed VAT table (post
-    * `Conform.enrich`): double money, round(2) like fianl2.py:195. */
+    * `Conform.enrich`): double money, round(2) like fianl2.py:195.
+    *
+    * Decimal money mode is schema-driven: when `Conform.enrich` typed the
+    * money columns DECIMAL(18,2) (the `decimalMoney` flag), the whole
+    * aggregate — sums, Box D subtraction, output columns — stays decimal
+    * end-to-end (exact cents, no float drift, partition-order-invariant);
+    * round(2) is then a no-op on an already-scale-2 type. */
   def vatSummary(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val decimalMode = df.schema("net_value").dataType.isInstanceOf[DecimalType]
+    val zero = if (decimalMode) lit(0).cast(DecimalType(18, 2)) else lit(0.0)
     def s(letter: String, c: String): Column =
-      coalesce(sum(when(col("box").contains(letter), col(c))), lit(0.0))
+      coalesce(sum(when(col("box").contains(letter), col(c))), zero)
     val agg = df.groupBy(col("month"), col("year")).agg(
       max(col("month_num")).as("month_num"),
       s("A", "net_value").as("netA"), s("A", "vat_value").as("vatA"),
@@ -43,7 +52,8 @@ object Summary {
       s("C", "net_value").as("netC"), s("C", "vat_value").as("vatC"))
     finishSummary(agg, df.sparkSession,
       Seq(BoxSpec("Box A", "A"), BoxSpec("Box B", "B"), BoxSpec("Box C", "C")),
-      round2 = true)
+      round2 = true,
+      moneyType = if (decimalMode) "decimal(18,2)" else "double")
   }
 
   /** Flagship oracle query: the same VAT-summary semantics over the
@@ -82,16 +92,17 @@ object Summary {
     * re-execute the whole scan+aggregation once per box (4× the I/O at
     * any scale); the Expand touches 4 tiny rows per period instead. */
   private def finishSummary(agg: DataFrame, spark: SparkSession,
-      boxes: Seq[BoxSpec], round2: Boolean): DataFrame = {
+      boxes: Seq[BoxSpec], round2: Boolean,
+      moneyType: String = "double"): DataFrame = {
     val r: Column => Column = if (round2) round(_, 2) else identity
     val period = concat_ws(" ",
       VatFunctions.monthAbbrev(col("month_num")), col("year"))
 
     def slice(label: String, net: Column, vat: Column, pay: Column) =
       struct(lit(label).as("fta_box"),
-        net.cast("double").as("net_value"),
-        vat.cast("double").as("vat_value"),
-        pay.cast("double").as("net_vat_payable"))
+        net.cast(moneyType).as("net_value"),
+        vat.cast(moneyType).as("vat_value"),
+        pay.cast(moneyType).as("net_vat_payable"))
 
     val slices = boxes.zipWithIndex.map { case (b, i) =>
       val suffix = ('A' + i).toChar.toString

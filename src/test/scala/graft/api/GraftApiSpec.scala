@@ -79,6 +79,30 @@ class GraftApiSpec extends SparkSuite {
     assert(result.data.select("year").distinct().collect()(0).getInt(0) == 2024)
   }
 
+  test("vatRate: default 5% flags off-rate Box A rows; override re-bases the check") {
+    val mixedRates = sheet("Jun 2024", Seq(
+      "Supply Type,Invoice #,Date,Net,Tax,Box",
+      "Standard,1,2024-06-01,100,5,A",    // exactly 5%
+      "Standard,2,2024-06-02,100,10,A",   // 10% — off at the default rate
+      "Input,3,2024-06-03,100,99,C"))     // Box C: never rate-checked
+    val p = new VatPipeline(spark)
+    // default: vatRate = 0.05 → only the 10% row is an outlier
+    val dflt = p.processSheets(Seq(mixedRates), VatConfig())
+    assert(dflt.warnings.count(_.contains("(rate check)")) == 1, dflt.warnings)
+    assert(dflt.warnings.exists(w =>
+      w.contains("Jun 2024") && w.contains("1 Box-A rows") && w.contains("5.00%")),
+      dflt.warnings)
+    // override to 10%: now the 5% row is the outlier instead — same count,
+    // re-based message
+    val ovr = p.processSheets(Seq(mixedRates), VatConfig(vatRate = 0.10))
+    assert(ovr.warnings.exists(w =>
+      w.contains("1 Box-A rows") && w.contains("10.00%")), ovr.warnings)
+    // and a generous tolerance clears everything
+    val loose = p.processSheets(Seq(mixedRates),
+      VatConfig(rateTolerance = 100.0))
+    assert(!loose.warnings.exists(_.contains("(rate check)")), loose.warnings)
+  }
+
   test("openCatalog exposes the corpus to spark.sql") {
     Graft.openCatalog(spark, sfDir)
     val n = spark.sql(

@@ -55,6 +55,32 @@ class SubqueryShapesSpec extends SparkSuite {
       s"expected broadcast left-anti:\n$p")
   }
 
+  test("NOT IN with a NULL in the exclusion list: empty result, null-aware plan") {
+    val df = graft.SparkEntry.queries("notin_null_semantics")(spark, sfDir)
+    val out = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one NULL in the list ⇒ the predicate is never TRUE ⇒ zero rows
+    assert(out("raw_not_in") == 0L, out)
+    // the IS NOT NULL guard restores the intended complement — exactly
+    // the table minus the excluded suppliers' lines, cross-checked via
+    // an independent semi-join count
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val excludedLines = li.join(
+      graft.core.Tables.supplier(spark, sfDir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+      col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+    assert(out("null_guarded") > 0L &&
+      out("null_guarded") == li.count() - excludedLines, out)
+    // Catalyst must keep ANSI semantics via a null-aware anti join on
+    // the raw variant — the `= OR isnull(=)` condition — not silently
+    // degrade to a plain anti join (AQE then folds the provably-empty
+    // side to an EmptyRelation, which is the point: the semantics are
+    // decided in the join condition, visible either way)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") &&
+      (p.contains("OR isnull") || p.contains("NAAJ")),
+      s"expected a null-aware anti join condition:\n$p")
+  }
+
   test("q7 nation-set pairing never degenerates to a cartesian; dims broadcast") {
     val p = graft.SparkEntry.queries("q7_nation_volume")(spark, sfDir)
       .queryExecution.executedPlan.toString

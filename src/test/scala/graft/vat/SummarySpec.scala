@@ -143,10 +143,18 @@ class SummarySpec extends SparkSuite {
   }
 
   private def assertGolden(res: graft.api.VatPipeline.VatResult): Unit = {
-    assert(res.failures.isEmpty && res.warnings.isEmpty)
+    // rate-check warnings are EXPECTED on the golden workbook: its Box A
+    // VAT totals are not 5% of net (asserted separately below); nothing
+    // else may warn
+    assert(res.failures.isEmpty &&
+      res.warnings.forall(_.contains("(rate check)")), res.warnings)
     val out = res.summary
       .orderBy(col("month_num"), col("fta_box"))
-      .select("period", "fta_box", "net_value", "vat_value", "net_vat_payable")
+      .select(col("period"), col("fta_box"),
+        // decimal mode returns DECIMAL(18,2); compare in the golden
+        // table's double domain either way
+        col("net_value").cast("double"), col("vat_value").cast("double"),
+        col("net_vat_payable").cast("double"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4)))
@@ -159,6 +167,38 @@ class SummarySpec extends SparkSuite {
 
   test("golden replay: pipeline reproduces all 16 vat_summary.db rows exactly") {
     assertGolden(new graft.api.VatPipeline(spark).processSheets(goldenSheets))
+  }
+
+  test("golden replay in DECIMAL money mode: same 16 rows, DECIMAL(18,2) schema") {
+    val res = new graft.api.VatPipeline(spark).processSheets(goldenSheets,
+      graft.api.VatConfig(decimalMoney = true))
+    // the flag must actually change the types, end to end
+    import org.apache.spark.sql.types.DecimalType
+    assert(res.data.schema("net_value").dataType == DecimalType(18, 2))
+    Seq("net_value", "vat_value", "net_vat_payable").foreach { c =>
+      assert(res.summary.schema(c).dataType == DecimalType(18, 2), c)
+    }
+    assertGolden(res)
+    // and the decimal path is exact: Box D Jan in cents, no float drift
+    val d = res.summary.filter(col("period") === "Jan 2024" &&
+        col("fta_box") === "Box D")
+      .collect()(0).getAs[java.math.BigDecimal]("net_vat_payable")
+    assert(d.compareTo(new java.math.BigDecimal("13059905.33")) == 0)
+  }
+
+  test("rate-check diagnostic fires on the golden workbook's off-rate Box A rows") {
+    val res = new graft.api.VatPipeline(spark).processSheets(goldenSheets)
+    val rate = res.warnings.filter(_.contains("(rate check)"))
+    // Jan: 1 off-rate row (the $100/$5 row is exactly 5%); Feb: both rows
+    // off; Mar: 1; Apr: 212933.87 ≈ 4258677.58×5% within 0.5 AED → clean
+    assert(rate.exists(w => w.contains("Jan 2024") && w.contains("1 Box-A rows")), rate)
+    assert(rate.exists(w => w.contains("Feb 2024") && w.contains("2 Box-A rows")), rate)
+    assert(rate.exists(w => w.contains("Mar 2024") && w.contains("1 Box-A rows")), rate)
+    assert(!rate.exists(_.contains("Apr 2024")), rate)
+    // rateCheck = false silences the diagnostic, nothing else
+    val quiet = new graft.api.VatPipeline(spark).processSheets(goldenSheets,
+      graft.api.VatConfig(rateCheck = false))
+    assert(quiet.warnings.isEmpty, quiet.warnings)
   }
 
   test("golden replay through a REAL xlsx workbook (the reference's input format)") {
