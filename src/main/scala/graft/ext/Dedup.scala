@@ -308,6 +308,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Number of sign-bit hyperplanes so that expected cell size stays
+    * near `targetCellSize` as the corpus grows: cells = 2^planes ≈
+    * n / target. The label-blocked `embeddingPairs` above inherits the
+    * FIXTURE's 10 cells — fine at test scale, a skew bomb at 10⁹ docs;
+    * this is the knob that scales instead. */
+  def planesForCorpus(n: Long, targetCellSize: Long = 1L << 17): Int =
+    math.max(2, math.ceil(math.log(math.max(1.0, n.toDouble / targetCellSize))
+      / math.log(2.0)).toInt)
+
+  /** Embedding near-dup with cells from the SAME coarse quantizer the
+    * IVF index uses (`Similarity.lshCell` — deterministic sign-bit LSH),
+    * so cell count scales with the corpus instead of the fixture's label
+    * cardinality. Multi-probe blocking: every vector is keyed under its
+    * own cell plus each 1-bit-flip neighbor, so a candidate pair
+    * survives whenever the two signatures differ in ≤ 2 hyperplanes.
+    * Every candidate is verified with the exact native-codegen cosine,
+    * so precision is 1 by construction; recall is probabilistic in the
+    * pair's angle — near-certain at dedup thresholds (cos ≥ 0.9 ⇒
+    * per-plane flip prob ≈ 0.08, so ≥3 flips are rare), partial at
+    * moderate similarity (that regime is similarity SEARCH — brute/IVF —
+    * not dedup blocking; no LSH family fixes it). Both properties, and
+    * strict recall dominance over the fixture-label blocking, are pinned
+    * in DedupSpec. */
+  def embeddingPairsQuantized(emb: DataFrame, minCos: Double,
+      nPlanes: Int): DataFrame = {
+    // persist the projected vectors FIRST: the cached relation is a
+    // barrier, so the interpreted-HOF quantizer below reads v once
+    // instead of re-inlining the cast-transform into all nPlanes
+    // aggregates (the CodegenFallback re-evaluation trap)
+    val e0 = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val e = e0.withColumn("cell", Similarity.lshCell(col("v"), dim, nPlanes))
+    // ball of radius 1 around the cell id: the cell + every 1-bit flip
+    val probes = array((col("cell") +:
+      (0 until nPlanes).map(p => col("cell").bitwiseXOR(lit(1 << p)))): _*)
+    val keyed = e.select(col("vec_id"), col("v"),
+      explode(probes).as("bkey")).persist()
+    val a = keyed.select(col("bkey"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = keyed.select(col("bkey"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    // verify cosine BEFORE any shuffle of candidates: the only exchange
+    // carrying vectors is the bkey co-partitioning of `keyed` (linear in
+    // docs × probes); candidate pairs are scored and filtered map-side
+    // after the join, so the dedup shuffle sees only the tiny id-pair
+    // survivor set, never a quadratic stream of 64-dim payloads
+    a.join(b, Seq("bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_similarity(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Oracle-checkable MinHash signature: the hash family is md5-derived
     * (first 15 hex chars → 60-bit positive long), reproducible in ANSI
     * SQL — so even the sketch computation itself sits behind the DuckDB
@@ -460,6 +515,14 @@ object Dedup {
     // and no fixture pair sits within float-drift distance of the
     // threshold, so the selection itself is oracle-checkable even though
     // the raw cosine's last bits are not a portable surface
+    // rows-only: the sign-bit quantizer (xxhash64-derived hyperplanes)
+    // is not ANSI-reproducible; recall vs brute force + the scaling of
+    // the cell count are pinned in DedupSpec
+    "dedup_embedding_lsh" -> QueryDef(
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        embeddingPairsQuantized(emb, 0.35, planesForCorpus(emb.count(), 64))
+      }, None),
     "dedup_embedding" -> QueryDef(
       (s: SparkSession, d: String) => embeddingPairs(Tables.embeddings(s, d), 0.35)
         .select(col("id_a"), col("id_b")),

@@ -160,4 +160,66 @@ class DedupSpec extends SparkSuite {
     val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ids == Set((1L, 2L))) // vFar excluded; 4 in another cell
   }
+
+  test("quantizer-blocked embedding dedup: precision 1, strictly more recall " +
+      "than label blocking, cell count scales with corpus") {
+    // planesForCorpus: cells track corpus size (the fixture label can't)
+    assert(Dedup.planesForCorpus(50L, 64) == 2)            // tiny → floor
+    assert(Dedup.planesForCorpus(5000L, 64) == 7)          // 128 cells
+    assert(Dedup.planesForCorpus(1L << 30, 1L << 17) == 13) // 10⁹ → 8192 cells
+    val minCos = 0.35
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    // ground truth: every pair with exact cosine ≥ minCos (driver-side —
+    // the suite fixture is small)
+    val vecs = emb.collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding"))
+        .map(_.toDouble).toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= minCos
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "fixture must contain similar pairs")
+    val got = Dedup.embeddingPairsQuantized(emb, minCos,
+      Dedup.planesForCorpus(vecs.length.toLong, 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-cosine verification inside the pipeline ⇒ no false positives
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    assert((got -- truth).isEmpty && got.subsetOf(truth))
+    // the fixture's pairs all sit at MODERATE similarity (0.35-0.5 —
+    // search territory, not duplicates), where any blocking is partial;
+    // the quantizer must still strictly dominate the label blocking it
+    // replaces, at a cell count that can scale
+    val labelPairs = Dedup.embeddingPairs(emb, minCos).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size > labelPairs.size,
+      s"quantized ${got.size} vs label ${labelPairs.size} of ${truth.size}")
+  }
+
+  test("quantizer-blocked embedding dedup: planted near-dups are ALL found " +
+      "at dedup-grade thresholds") {
+    import spark.implicits._
+    // true near-duplicates (cos ≈ 1): deterministic one-coordinate nudge
+    // of each fixture vector — the regime LSH blocking is FOR
+    val base = graft.core.Tables.embeddings(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray
+    }
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 1000000L, w)
+    }
+    val emb = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val nPlanes = Dedup.planesForCorpus(base.length * 2L, 8)
+    val got = Dedup.embeddingPairsQuantized(emb, 0.999, nPlanes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (original, nudged-twin) pair must surface: at cos ≥ 0.999 a
+    // missed pair needs ≥3 sign flips across near-identical vectors
+    base.foreach { case (id, _) =>
+      assert(got.contains((id, id + 1000000L)), s"missed planted twin of $id")
+    }
+  }
 }

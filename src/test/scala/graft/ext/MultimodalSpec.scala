@@ -33,6 +33,42 @@ class MultimodalSpec extends SparkSuite {
     assert(f1.values.forall(_.length == 8))
   }
 
+  test("real image decode: PNG and BMP of the same raster give identical " +
+      "features with true dimensions") {
+    import java.awt.image.BufferedImage
+    // 7×5 deterministic raster: pixel = f(x, y), all channels exercised
+    val img = new BufferedImage(7, 5, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, ((x * 36) << 16) | ((y * 51) << 8) | (x * y * 7))
+    def encoded(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", encoded("png").length, encoded("png")),
+      Multimodal.MediaRow(2L, "image", encoded("bmp").length, encoded("bmp")),
+      // not an image: must fall back to the stub, not throw
+      Multimodal.MediaRow(3L, "image", 9, "not_a_png".getBytes("UTF-8")),
+      // audio stays stubbed even if the payload IS a decodable image
+      Multimodal.MediaRow(4L, "audio", encoded("png").length, encoded("png"))
+    ).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(m => m.doc_id -> m.feature).toMap
+    // true decoded dimensions + the "real decode" marker
+    assert(f(1L)(0) == 7.0f && f(1L)(1) == 5.0f && f(1L)(7) == 1.0f)
+    // channel means: x*36 over x=0..6 → mean 108; y*51 over y=0..4 → 102
+    assert(f(1L)(3) == 108.0f && f(1L)(4) == 102.0f)
+    // lossless formats of the same raster decode to the same pixels →
+    // bit-identical features (incl. the pixel checksum)
+    assert(f(1L).toSeq == f(2L).toSeq)
+    // fallback and non-image rows use the stub (no marker semantics)
+    assert(f(3L).toSeq == Multimodal.decodeStub("not_a_png".getBytes("UTF-8"), 8).toSeq)
+    assert(f(4L).toSeq == Multimodal.decodeStub(encoded("png"), 8).toSeq)
+  }
+
   test("offset sampling: stride arithmetic on the binary column") {
     val s = Multimodal.sampleOffsets(Multimodal.mediaTable(spark, sfDir), 10)
       .collect()

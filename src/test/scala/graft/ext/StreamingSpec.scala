@@ -110,6 +110,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("near-dup E2E through a real file source + foreachBatch sink: " +
+      "restart resumes canonical state from the checkpoint") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("neardup_e2e").toFile.getAbsolutePath
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val other = "spark engines shuffle partitions across executors with hash exchange operators always"
+    def writeDocs(file: String, docs: Seq[(Long, String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/$file", "UTF-8")
+      docs.foreach { case (id, text, t) =>
+        w.println(s"""{"doc_id":$id,"text":"$text","ts":"$t"}""") }
+      w.close()
+    }
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    def startQuery() = Streams.nearDupFlags(
+        spark.readStream.schema(schema).json(srcDir))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      // foreachBatch: the Update-mode sink for file output — each
+      // micro-batch appends; the checkpoint's batchId makes the writes
+      // restart-safe (at-least-once, deduped below by distinct)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.DupFlag], _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+
+    // run 1: seed the LSH buckets with the canonicals, then STOP
+    writeDocs("b1.json", Seq(
+      (1L, base, "2024-01-01 10:01:00"), (3L, other, "2024-01-01 10:01:00")))
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // run 2: a fresh query object on the same checkpoint gets the exact
+    // duplicate — attribution only works if the per-bucket canonical
+    // state was recovered from the state store, not rebuilt
+    writeDocs("b2.json", Seq((5L, base, "2024-01-01 10:02:00")))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val flags = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("band"), col("dup_of")).distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // canonicals from run 1 are unflagged
+    assert(flags.filter(f => f._1 == 1L || f._1 == 3L).forall(_._3.isEmpty))
+    // the run-2 duplicate is attributed to the run-1 canonical in ALL
+    // bands — cross-RESTART, not just cross-batch
+    assert(flags.filter(_._1 == 5L).map(_._2).sorted.toSeq ==
+      (0 until graft.ext.Dedup.NumBands).toSeq, flags.toSeq)
+    assert(flags.filter(_._1 == 5L).forall(_._3 == Some(1L)), flags.toSeq)
+  }
+
   test("streaming near-dup: cross-batch LSH state flags the planted duplicate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
