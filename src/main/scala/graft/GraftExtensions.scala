@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSig, SignBitLsh, SimHash64, WordShingles}
 
 /** Session extensions: registers the engine's native expressions for the
   * SQL surface, so `SELECT cosine_similarity(a, b)` /
@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(n: Int, IntegerType)) => WordShingles(text, n)
         case _ => throw new IllegalArgumentException(
           s"word_shingles(text, n): expected (STRING, INT literal), got ${exprs.mkString(", ")}")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sign_bit_lsh"),
+      new ExpressionInfo(classOf[SignBitLsh].getName, "sign_bit_lsh"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, Literal(dim: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+          SignBitLsh(v, dim, p)
+        case _ => throw new IllegalArgumentException(
+          s"sign_bit_lsh(v, dim, nPlanes): expected (ARRAY<DOUBLE>, INT literal, INT literal), got ${exprs.mkString(", ")}")
       }))
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),

@@ -27,6 +27,7 @@ object SparkEntry {
       rel.Scalars.queries ++
       rel.AdvancedJoins.queries ++
       rel.SubqueryShapes.queries ++
+      rel.TpchExtra.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++

@@ -333,14 +333,14 @@ object Dedup {
     * in DedupSpec. */
   def embeddingPairsQuantized(emb: DataFrame, minCos: Double,
       nPlanes: Int): DataFrame = {
-    // persist the projected vectors FIRST: the cached relation is a
-    // barrier, so the interpreted-HOF quantizer below reads v once
-    // instead of re-inlining the cast-transform into all nPlanes
-    // aggregates (the CodegenFallback re-evaluation trap)
+    // persist the projected vectors: the cached relation both feeds the
+    // bucket self-join twice and keeps the interpreted cast-transform
+    // from being re-inlined under the quantizer (HOF re-evaluation trap)
     val e0 = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v")).persist()
     val dim = e0.select(size(col("v"))).head().getInt(0)
-    val e = e0.withColumn("cell", Similarity.lshCell(col("v"), dim, nPlanes))
+    val e = e0.withColumn("cell",
+      Similarity.lshCellNative(col("v"), dim, nPlanes))
     // ball of radius 1 around the cell id: the cell + every 1-bit flip
     val probes = array((col("cell") +:
       (0 until nPlanes).map(p => col("cell").bitwiseXOR(lit(1 << p)))): _*)

@@ -81,7 +81,10 @@ object Similarity {
     (call_function("shiftright", xxhash64(lit(p), i), lit(11)).cast("double")
       / (1L << 53).toDouble) * 2.0 - 1.0
 
-  /** Sign-bit LSH cell id over `nPlanes` hash-derived hyperplanes. */
+  /** Sign-bit LSH cell id over `nPlanes` hash-derived hyperplanes — HOF
+    * formulation (interpreted; nPlanes aggregate passes per row). Kept
+    * as the differential-testing twin of the native codegen'd
+    * `SignBitLsh` expression below, which is what the hot paths use. */
   def lshCell(v: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
@@ -89,6 +92,12 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Native codegen'd quantizer — bit-identical to `lshCell` (same hash
+    * chain and accumulation order; `SignBitLshSpec`), with the constant
+    * hyperplane matrix precomputed once instead of re-hashed per row. */
+  def lshCellNative(v: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.SignBitLsh.sign_bit_lsh(v, dim, nPlanes)
 
   /** IVF/LSH-bucketed ANN: probe only the query's cell. `signatures`
     * shuffle once on cell id; at scale the cells are written bucketed so
@@ -98,7 +107,7 @@ object Similarity {
     val dim = 64
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", lshCell(col("v"), dim, nPlanes))
+      .withColumn("cell", lshCellNative(col("v"), dim, nPlanes))
     val q = e.filter(col("vec_id") === qId)
       .select(col("v").as("q"), col("cell").as("qcell"))
     e.filter(col("vec_id") =!= qId)

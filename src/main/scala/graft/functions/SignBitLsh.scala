@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native Catalyst expression: sign-bit LSH cell id of a DOUBLE array
+  * over `nPlanes` deterministic hyperplanes — the coarse quantizer
+  * behind `Similarity.lshCell` compiled to a primitive loop.
+  *
+  * The HOF formulation pays nPlanes interpreted `aggregate(zip_with(…))`
+  * passes per row, re-materializing `sequence(0, dim-1)` and re-hashing
+  * every (plane, dim) component each time. But the hyperplane matrix
+  * depends only on (plane index, dimension) — it is a CONSTANT. This
+  * expression precomputes it once driver-side with the SAME xxhash64
+  * chain the HOF evaluates per element (seed 42, plane hashed then
+  * dimension, `>> 11`, /2⁵³, ×2−1), ships it as a reference object, and
+  * evaluates nPlanes dot products per row inside whole-stage codegen.
+  * Bit-identical to the HOF path (same component values, same
+  * left-to-right accumulation) — asserted in SignBitLshSpec.
+  *
+  * Used by the quantizer-blocked embedding dedup and the LSH ANN probe;
+  * the HOF twin stays as the differential-testing reference.
+  */
+case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
+    extends UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes out of range: $nPlanes")
+  require(dim >= 1, s"dim out of range: $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sign_bit_lsh"
+
+  /** nPlanes × dim hyperplane components, identical to the HOF's
+    * `(shiftright(xxhash64(p, i), 11) / 2^53) * 2 - 1`. xxhash64 chains
+    * child hashes as seeds starting at 42, exactly like the builtin. */
+  @transient private lazy val planes: Array[Array[Double]] =
+    SignBitLsh.planeMatrix(dim, nPlanes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val m = planes
+    var cell = 0
+    var p = 0
+    while (p < nPlanes) {
+      val row = m(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getDouble(i) * row(i); i += 1 }
+      if (proj >= 0) cell |= 1 << p
+      p += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val proj = ctx.freshName("proj")
+      val row = ctx.freshName("row")
+      val cell = ctx.freshName("cell")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int $cell = 0;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double[] $row = $m[$p];
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $proj += $v.getDouble($i) * $row[$i];
+         |  }
+         |  if ($proj >= 0) $cell |= 1 << $p;
+         |}
+         |${ev.value} = $cell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBitLsh =
+    copy(child = newChild)
+}
+
+object SignBitLsh {
+  /** The deterministic hyperplane matrix — public so tests can pin it. */
+  def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val h1 = XxHash64Function.hash(p, IntegerType, 42L)
+      val h2 = XxHash64Function.hash(i, IntegerType, h1)
+      ((h2 >> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  def sign_bit_lsh(v: Column, dim: Int, nPlanes: Int): Column =
+    ColumnBridge.column(SignBitLsh(ColumnBridge.expression(v), dim, nPlanes))
+}

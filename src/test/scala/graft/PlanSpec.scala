@@ -61,6 +61,34 @@ class PlanSpec extends SparkSuite {
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, s"no codegen span:\n$p")
   }
 
+  test("q6: range predicate pushed to the scan, 4-column ReadSchema, no join") {
+    // scan metadata (PushedFilters/ReadSchema) is truncated at 100 chars
+    // by default — widen it for the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan("q6_forecast_revenue")
+      assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("LessThanOrEqual(l_shipdate"), s"range not pushed:\n$p")
+      assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+      assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_shipdate"), s"schema not pruned to 4 columns:\n$p")
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("q20: aggregation and part-total window share ONE lineitem shuffle") {
+    val df = SparkEntry.queries("q20_dominant_supplier")(spark, sfDir)
+    df.collect()
+    // AQE prints final AND initial plans; assert on the final one only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the explicit repartition(l_partkey) must satisfy both the
+    // (partkey, suppkey) aggregate and the partkey window — exactly one
+    // hash exchange of lineitem data, none between agg and window
+    val liExchanges = "hashpartitioning\\(l_partkey".r.findAllIn(p).length
+    assert(liExchanges == 1, s"expected 1 lineitem exchange, got $liExchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -95,7 +123,7 @@ class PlanSpec extends SparkSuite {
   test("every multi-row oracle query pins a total order") {
     // single-row aggregates are order-free by construction
     val exempt = Set("agg_stats_global", "q14_promo_share",
-      "q19_discounted_revenue", "q17_small_quantity")
+      "q19_discounted_revenue", "q17_small_quantity", "q6_forecast_revenue")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!exempt(name))
         assert(sql.toUpperCase.contains("ORDER BY"),

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ext.Similarity
+
+/** The native quantizer must be bit-identical to the interpreted HOF
+  * formulation it replaces — same hash chain, same component math, same
+  * accumulation order — and run inside whole-stage codegen. */
+class SignBitLshSpec extends SparkSuite {
+
+  test("plane matrix replicates the HOF's xxhash64 component chain") {
+    // one component evaluated through the actual builtin expressions
+    import spark.implicits._
+    val viaBuiltins = Seq(1).toDF("x").select(
+      ((call_function("shiftright", xxhash64(lit(3), lit(17)), lit(11))
+        .cast("double") / (1L << 53).toDouble) * 2.0 - 1.0).as("c"))
+      .head().getDouble(0)
+    assert(SignBitLsh.planeMatrix(18, 4)(3)(17) == viaBuiltins)
+  }
+
+  test("native ≡ HOF cell id on every fixture embedding, several widths") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    for (nPlanes <- Seq(2, 4, 7, 13)) {
+      val diff = emb.select(
+        Similarity.lshCell(col("v"), 64, nPlanes).as("hof"),
+        SignBitLsh.sign_bit_lsh(col("v"), 64, nPlanes).as("native"))
+        .filter(col("hof") =!= col("native")).count()
+      assert(diff == 0, s"nPlanes=$nPlanes: $diff rows differ")
+    }
+  }
+
+  test("native expression runs inside a codegen stage") {
+    // a real parquet scan — local relations constant-fold the stage away
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(SignBitLsh.sign_bit_lsh(col("v"), 64, 4).as("cell"))
+    e.collect()
+    val p = e.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+      s"expected codegen stage:\n$p")
+  }
+}
