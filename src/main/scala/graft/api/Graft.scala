@@ -99,6 +99,11 @@ object VatPipeline {
     /** The reference's whole analytical output (fianl2.py:167-195). */
     def summary: DataFrame = Summary.vatSummary(data)
 
+    /** Typed view of the conformed rows (SURVEY.md §1.4's
+      * `Dataset[VatTransaction]`) for compile-time Scala pipelines. */
+    def typed: org.apache.spark.sql.Dataset[graft.vat.VatTransaction] =
+      Conform.typed(data)
+
     def writeParquet(path: String): Unit =
       summary.coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -1,10 +1,32 @@
 package graft.vat
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.vat.VatFunctions._
+
+/** The canonical post-conformance row (SURVEY.md §1.4) — the typed Scala
+  * API over the dynamic ingest surface. `date` stays the raw cell string
+  * (parse on demand via `VatFunctions.parseDateMulti`); money is DOUBLE
+  * in the typed view even under `decimalMoney` (the decimal plumbing is
+  * an aggregation-exactness concern, `Summary` reads the DataFrame). */
+case class VatTransaction(
+    supply_type: Option[String],
+    invoice_number: Option[String],
+    date: Option[String],
+    customer_supplier_name: Option[String],
+    net_value: Option[Double],
+    vat_value: Option[Double],
+    invoice_value: Option[Double],
+    recoverable: Option[String],
+    box: Option[String],
+    month: String,
+    month_num: Int,
+    year: Int,
+    source_sheet: String,
+    box_was_null: Boolean,
+    box_letter: Option[String])
 
 /** Schema-on-read conformance: the reference's fuzzy header pipeline
   * (fianl2.py:130-150) re-expressed for Spark.
@@ -135,6 +157,27 @@ object Conform {
       .withColumn("box_was_null", col("box").isNull)
       .withColumn("box", boxCanon(col("box"), nanBoxCompat))
       .withColumn("box_letter", boxLetter(col("box")))
+  }
+
+  /** The typed Scala API over an enriched VAT table: compile-time field
+    * access (`ds.map(_.net_value)`) after the dynamic conformance did
+    * its work. Unknown passthrough columns are dropped; money is cast to
+    * DOUBLE so the same type works in both money modes. */
+  def typed(df: DataFrame): Dataset[VatTransaction] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("supply_type").cast("string").as("supply_type"),
+      col("invoice_number").cast("string").as("invoice_number"),
+      col("date").cast("string").as("date"),
+      col("customer_supplier_name").cast("string").as("customer_supplier_name"),
+      col("net_value").cast("double").as("net_value"),
+      col("vat_value").cast("double").as("vat_value"),
+      col("invoice_value").cast("double").as("invoice_value"),
+      col("recoverable").cast("string").as("recoverable"),
+      col("box").cast("string").as("box"),
+      col("month"), col("month_num"), col("year"),
+      col("source_sheet"), col("box_was_null"), col("box_letter"))
+      .as[VatTransaction]
   }
 
   /** A5 — per-year counts of parseable dates, for the reference's

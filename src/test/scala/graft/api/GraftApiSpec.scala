@@ -103,6 +103,25 @@ class GraftApiSpec extends SparkSuite {
     assert(!loose.warnings.exists(_.contains("(rate check)")), loose.warnings)
   }
 
+  test("typed Dataset[VatTransaction]: compile-time pipeline over conformed rows") {
+    val res = new VatPipeline(spark).processSheets(Seq(jan, feb))
+    val ds = res.typed
+    // compile-time field access — a typed map/filter chain, no Rows
+    val byBox = ds.filter(_.box.contains("A"))
+      .map(t => t.net_value.getOrElse(0.0) + t.vat_value.getOrElse(0.0))(
+        org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().sum
+    assert(byBox == 100.0 + 5.0 + 200.0 + 10.0) // Jan A row + Feb A row
+    // row count and periods survive the typed projection
+    assert(ds.count() == res.data.count())
+    assert(ds.collect().map(_.month).toSet == Set("Jan", "Feb"))
+    // decimal mode yields the SAME typed view (money cast back to double)
+    val dec = new VatPipeline(spark).processSheets(Seq(jan, feb),
+      VatConfig(decimalMoney = true)).typed
+    assert(dec.collect().map(_.net_value).toSet ==
+      ds.collect().map(_.net_value).toSet)
+  }
+
   test("openCatalog exposes the corpus to spark.sql") {
     Graft.openCatalog(spark, sfDir)
     val n = spark.sql(
