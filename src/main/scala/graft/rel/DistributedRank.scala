@@ -55,13 +55,19 @@ object DistributedRank {
 
   /** `window_distribution`'s result via the prefix-sum formulation. */
   def distributionScalable(spark: SparkSession, dir: String,
-      parts: Int = 32): DataFrame = {
-    val sorted = Tables.customer(spark, dir)
-      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
-      .repartitionByRange(parts,
-        col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
-      .sortWithinPartitions(
-        col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+      parts: Int = 32): DataFrame =
+    distributionOver(Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")), parts)
+
+  /** The algorithm over any (segment STRING, key LONG, value DOUBLE)
+    * projection — factored out so property tests can feed arbitrary
+    * distributions (ties, skew, empty-partition regimes). */
+  def distributionOver(input: DataFrame, parts: Int): DataFrame = {
+    val spark = input.sparkSession
+    val Seq(seg, key, value) = input.columns.toSeq.map(col)
+    val sorted = input
+      .repartitionByRange(parts, seg, value.desc, key)
+      .sortWithinPartitions(seg, value.desc, key)
       .persist()
 
     // pass 1 (action — also materializes the cache both passes share):
@@ -101,14 +107,14 @@ object DistributedRank {
           rn.toDouble / n.toDouble)
       }
     }
+    val names = input.columns
     val schema = StructType(Seq(
-      StructField("c_mktsegment", StringType),
-      StructField("c_custkey", LongType),
-      StructField("c_acctbal", DoubleType),
+      StructField(names(0), StringType),
+      StructField(names(1), LongType),
+      StructField(names(2), DoubleType),
       StructField("quartile", IntegerType),
       StructField("pct_rank", DoubleType),
       StructField("cume", DoubleType)))
-    spark.createDataFrame(ranked, schema)
-      .orderBy(col("c_mktsegment"), col("c_custkey"))
+    spark.createDataFrame(ranked, schema).orderBy(seg, key)
   }
 }

@@ -37,6 +37,33 @@ class DistributedRankSpec extends SparkSuite {
     }
   }
 
+  test("property: random skew/tie distributions ≡ built-in window, any parts") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val rows = Gen.listOfN(400, for {
+      s <- Gen.oneOf("A", "B", "C", "D", "E")   // skewed few segments
+      v <- Gen.oneOf(1.0, 2.0, 2.0, 3.0, 7.5)  // HEAVY value ties
+    } yield (s, v))
+    for (trial <- 1 to 3) {
+      val data = rows.sample.get.zipWithIndex
+        .map { case ((s, v), i) => (s, i.toLong, v) }
+      val df = data.toDF("seg", "key", "v")
+      val w = Window.partitionBy(col("seg"))
+        .orderBy(col("v").desc, col("key"))
+      val expected = df
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("seg"), col("key")).collect().toSeq
+      for (parts <- Seq(1, 3, 16)) {
+        val got = DistributedRank.distributionOver(df, parts).collect().toSeq
+        assert(got == expected, s"trial=$trial parts=$parts")
+      }
+    }
+  }
+
   test("exact ranks survive degenerate partition counts") {
     // parts=1 (everything in one range) and parts ≫ rows (mostly-empty
     // partitions) must both reproduce the built-in result

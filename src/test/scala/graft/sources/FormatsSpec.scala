@@ -33,6 +33,28 @@ class FormatsSpec extends SparkSuite {
       src.filter(col("l_quantity") > 45).count())
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file " +
+      "generations; missing columns read as null") {
+    import spark.implicits._
+    // generation 1: (id, v1); generation 2 adds a column — the standard
+    // additive-evolution story a long-lived 100 TB table accumulates
+    val path = tmp("evolving")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "v1", "v2")
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "gen"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // gen-1 rows surface the new column as NULL, not an error
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("v2")) == 30.0)
+    // and filters on the evolved column still push down + prune gen-1
+    val f = merged.filter(col("v2") > 35.0)
+    assert(f.count() == 1 && f.collect()(0).getAs[Long]("id") == 4L)
+  }
+
   test("JSON lines: schema'd read round-trips; PERMISSIVE captures corrupt rows") {
     val src = graft.core.Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value")
