@@ -441,7 +441,11 @@ object Corpus {
       .filter(size(col("grams")) >= 1)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("gram"))
-    val counts = grams.groupBy(col("doc_id"), col("n_grams"), col("gram"))
+    // repartition(doc_id) up front: it satisfies the (doc, n_grams,
+    // gram) aggregate's clustering AND the top-gram window spec, so the
+    // count-then-rank pair costs one shuffle instead of two
+    val counts = grams.repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("n_grams"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("cnt").desc, col("gram"))
