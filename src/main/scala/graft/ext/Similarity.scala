@@ -182,10 +182,24 @@ object Similarity {
       .save(s"$path/centroids")
   }
 
-  /** Deterministic on-disk location for the IVF index of one data dir. */
-  def ivfIndexPath(dir: String): String =
+  /** Deterministic on-disk location for the IVF index of one data dir.
+    * The path embeds a fingerprint of the source parquet (length +
+    * mtime of every part file), so regenerated fixtures at the same
+    * path get a FRESH index instead of silently serving a stale one —
+    * the same freshness contract a real indexing system keys on source
+    * snapshot identity. */
+  def ivfIndexPath(dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+        .sortBy(_.getName).toSeq
+      else Seq(src)
+    val fp = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_ivf_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
+  }
 
   /** Build-once memoization: the parquet writer's own `_SUCCESS` marker
     * is the build receipt, so the index survives (and is shared) across

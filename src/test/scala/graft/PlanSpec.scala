@@ -89,6 +89,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a shuffle join") {
+    import org.apache.spark.sql.functions._
+    // with broadcast off (both sides shuffle), a selective filter on the
+    // build side should inject a bloom filter onto the fact scan —
+    // Catalyst's runtime row-level pruning for exactly the 100 TB case
+    // where the dim is too big to broadcast. Thresholds are tuned down
+    // to make the tiny fixture eligible.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.core.Tables.lineitem(spark, sfDir)
+      val ords = graft.core.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterMightContain")
+        || p.toLowerCase.contains("mightcontain"),
+        s"expected an injected runtime bloom filter:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("driver smoke: entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

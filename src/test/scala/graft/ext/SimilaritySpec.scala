@@ -77,6 +77,20 @@ class SimilaritySpec extends SparkSuite {
     assert(marker.lastModified() == stamp, "index rebuilt despite marker")
   }
 
+  test("IVF index path tracks source snapshot identity (no stale index " +
+      "after fixture regeneration)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_fp").toFile
+    val dst = new java.io.File(tmp, "embeddings.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$sfDir/embeddings.parquet").toPath, dst.toPath)
+    val p1 = Similarity.ivfIndexPath(tmp.getAbsolutePath)
+    assert(p1 == Similarity.ivfIndexPath(tmp.getAbsolutePath), "stable")
+    // same path, new mtime (a regenerated fixture) → different index dir
+    assert(dst.setLastModified(dst.lastModified() + 60000))
+    assert(Similarity.ivfIndexPath(tmp.getAbsolutePath) != p1,
+      "regenerated source must not reuse the old index")
+  }
+
   test("label centroids: one centroid per cell, dimension preserved") {
     val c = Similarity.labelCentroids(
       graft.core.Tables.embeddings(spark, sfDir)).collect()
