@@ -75,6 +75,40 @@ object TpchExtra {
         |GROUP BY 1, 2
         |ORDER BY nation, o_year DESC""".stripMargin),
 
+    // ---- Q11 shape: parts whose shipped value exceeds a threshold
+    //      derived from the GLOBAL aggregate — here 1.5× the mean
+    //      per-part value, which keeps the selectivity meaningful at
+    //      every scale factor (Q11's own fraction is SF-dependent). The
+    //      global mean is one extra reduction over the SAME per-part
+    //      aggregate (persisted — no second scan of lineitem), shipped
+    //      back as a literal; both sums are exact DECIMAL and the
+    //      threshold is the same two-double product in both engines, so
+    //      boundary rows agree bit-for-bit. ------------------------------
+    "q11_important_parts" -> QueryDef(
+      (s, d) => {
+        val perPart = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(money(col("l_extendedprice"))).as("value_d"))
+          .persist()
+        val Array(total, nParts) = perPart
+          .agg(sum(col("value_d")), count(lit(1))).head() match {
+            case r => Array(r.getDecimal(0).doubleValue(), r.getLong(1).toDouble)
+          }
+        perPart
+          .filter(col("value_d").cast("double") > lit(total / nParts) * 1.5)
+          .select(col("l_partkey").as("partkey"),
+            col("value_d").cast("double").as("part_value"))
+          .orderBy(col("part_value").desc, col("partkey"))
+      },
+      """WITH pp AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_d
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey AS partkey, CAST(value_d AS DOUBLE) AS part_value
+        |FROM pp
+        |WHERE CAST(value_d AS DOUBLE) >
+        |  (SELECT CAST(SUM(value_d) AS DOUBLE) / COUNT(*) FROM pp) * 1.5
+        |ORDER BY part_value DESC, partkey""".stripMargin),
+
     // ---- Q20 shape: suppliers who dominate a part's 1996 volume
     //      (shipped > 50% of it). Per-(part, supplier) volumes and each
     //      part's total come from ONE aggregation + a window over the
