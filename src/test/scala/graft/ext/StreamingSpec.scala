@@ -91,6 +91,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data: an event behind the watermark cannot " +
+      "change a finalized window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append") // append = emit ONLY finalized windows
+      .start()
+    try {
+      // batch 1: two events in the 10:00 window, one at 10:41 to push
+      // the watermark to 10:31 — past the 10:00-10:10 window's end
+      input.addData(Ev(ts(1), "view", 1.0, 1, 1), Ev(ts(4), "view", 1.0, 1, 2),
+        Ev(Timestamp.valueOf("2024-01-01 10:41:00"), "view", 1.0, 1, 3))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-finalized 10:00 window
+      input.addData(Ev(ts(2), "view", 9.0, 1, 4))
+      q.processAllAvailable()
+      // batch 3: advance far enough to close everything still open
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 11:30:00"), "view", 1.0, 1, 5))
+      q.processAllAvailable()
+      val w0 = spark.table("late_out")
+        .filter(col("bucket_ts") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect()
+      // the finalized 10:00 window holds ONLY the two on-time events —
+      // the late 9.0-value row was dropped, not merged and not re-emitted
+      assert(w0.length == 1, w0.toSeq)
+      assert(w0(0).getAs[Long]("n_events") == 2 &&
+        w0(0).getAs[Double]("sum_value") == 2.0, w0.toSeq)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the 30-minute gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
