@@ -33,6 +33,24 @@ class SignBitLshSpec extends SparkSuite {
     }
   }
 
+  test("SQL registration through GraftExtensions function injection") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    val builder = (exprs: Seq[Expression]) => exprs match {
+      case Seq(v, Literal(dim: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+        SignBitLsh(v, dim, p)
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_bit_lsh", builder, "internal")
+    val cells = spark.sql(
+      """SELECT sign_bit_lsh(array(1.0d, 1.0d), 2, 4) AS c1,
+        |       sign_bit_lsh(array(-1.0d, -1.0d), 2, 4) AS c2""".stripMargin)
+      .collect()(0)
+    // opposite vectors flip every sign bit: cells are bitwise complements
+    assert((cells.getInt(0) ^ cells.getInt(1)) == 0xF)
+  }
+
   test("native expression runs inside a codegen stage") {
     // a real parquet scan — local relations constant-fold the stage away
     val e = graft.core.Tables.embeddings(spark, sfDir)
