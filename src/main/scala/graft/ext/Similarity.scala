@@ -203,15 +203,38 @@ object Similarity {
 
   /** Build-once memoization: the parquet writer's own `_SUCCESS` marker
     * is the build receipt, so the index survives (and is shared) across
-    * sessions/JVMs pointed at the same data dir. The declared
-    * `simsearch_ivf` query calls this, making the index build the
-    * offline "add to index" step — exactly once per corpus — while every
-    * query execution is only the pruned probe. */
+    * sessions/JVMs pointed at the same data dir. Cross-JVM safety: the
+    * build lands in a per-process staging dir and is RENAMED into place
+    * (atomic on one filesystem), so two concurrent builders never write
+    * through each other — the loser just deletes its staging copy.
+    * Superseded fingerprints of the same data dir are swept so /tmp
+    * holds at most one index per corpus. The declared `simsearch_ivf`
+    * query calls this, making the index build the offline "add to
+    * index" step — exactly once per corpus — while every query
+    * execution is only the pruned probe. */
   def ensureIvfIndex(spark: SparkSession, dir: String): String = synchronized {
     val path = ivfIndexPath(dir)
-    if (!new java.io.File(s"$path/index/_SUCCESS").exists())
-      buildIvfIndex(spark, dir, path)
+    if (!new java.io.File(s"$path/index/_SUCCESS").exists()) {
+      // sweep stale fingerprints of this corpus before building anew
+      val target = new java.io.File(path)
+      val prefix = target.getName.substring(0, target.getName.lastIndexOf('_') + 1)
+      Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .foreach(deleteRecursively)
+      val staging = new java.io.File(
+        path + ".build." + java.lang.ProcessHandle.current().pid())
+      try {
+        buildIvfIndex(spark, dir, staging.getAbsolutePath)
+        if (!staging.renameTo(target)) deleteRecursively(staging)
+      } catch { case e: Throwable => deleteRecursively(staging); throw e }
+    }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Probe a prebuilt IVF index with a caller-supplied query vector (in

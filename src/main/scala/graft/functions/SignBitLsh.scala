@@ -48,17 +48,24 @@ case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
   @transient private lazy val planes: Array[Array[Double]] =
     SignBitLsh.planeMatrix(dim, nPlanes)
 
+  /** Dirty-input contract, matching the HOF twin EXACTLY: in the HOF, a
+    * null element (or a length mismatch, which zip_with null-pads)
+    * poisons every plane's aggregate to null, so every `proj >= 0` is
+    * false and the cell is 0. Replicate: any null element or
+    * length != dim ⇒ cell 0. */
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    if (v.numElements() != dim) return 0
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return 0; i += 1 }
     val m = planes
     var cell = 0
     var p = 0
     while (p < nPlanes) {
       val row = m(p)
       var proj = 0.0
-      var i = 0
-      while (i < n) { proj += v.getDouble(i) * row(i); i += 1 }
+      var j = 0
+      while (j < dim) { proj += v.getDouble(j) * row(j); j += 1 }
       if (proj >= 0) cell |= 1 << p
       p += 1
     }
@@ -68,22 +75,30 @@ case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val m = ctx.addReferenceObj("planes", planes, "double[][]")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val proj = ctx.freshName("proj")
       val row = ctx.freshName("row")
       val cell = ctx.freshName("cell")
+      val clean = ctx.freshName("clean")
       s"""
-         |int $n = java.lang.Math.min($dim, $v.numElements());
          |int $cell = 0;
-         |for (int $p = 0; $p < $nPlanes; $p++) {
-         |  double[] $row = $m[$p];
-         |  double $proj = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $proj += $v.getDouble($i) * $row[$i];
+         |boolean $clean = $v.numElements() == $dim;
+         |if ($clean) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($v.isNullAt($i)) { $clean = false; break; }
          |  }
-         |  if ($proj >= 0) $cell |= 1 << $p;
+         |}
+         |if ($clean) {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double[] $row = $m[$p];
+         |    double $proj = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $proj += $v.getDouble($j) * $row[$j];
+         |    }
+         |    if ($proj >= 0) $cell |= 1 << $p;
+         |  }
          |}
          |${ev.value} = $cell;
        """.stripMargin

@@ -196,6 +196,28 @@ object Scalars {
         |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // ---- R1/R2 via the NATIVE unpivot API (Spark 3.4+ Dataset.unpivot;
+    //      the VAT summary's reshape uses inline(array(struct)) because
+    //      it unpivots post-aggregate columns — this covers the built-in
+    //      surface a user reaches for first). Wide part metrics → long
+    //      (metric, value) rows; Expand node, single scan. ---------------
+    "reshape_unpivot" -> QueryDef(
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").as("retail_price"),
+          col("p_size").cast("double").as("size_val"))
+        .unpivot(
+          ids = Array(col("p_partkey")),
+          values = Array(col("retail_price"), col("size_val")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(col("p_partkey"), col("metric")),
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'retail_price' AS metric, p_retailprice AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size_val', CAST(p_size AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin),
+
     // ---- A8 rollup / cube ------------------------------------------------
     "agg_rollup" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)

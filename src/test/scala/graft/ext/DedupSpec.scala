@@ -190,7 +190,6 @@ class DedupSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact-cosine verification inside the pipeline ⇒ no false positives
     assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
-    assert((got -- truth).isEmpty && got.subsetOf(truth))
     // the fixture's pairs all sit at MODERATE similarity (0.35-0.5 —
     // search territory, not duplicates), where any blocking is partial;
     // the quantizer must still strictly dominate the label blocking it

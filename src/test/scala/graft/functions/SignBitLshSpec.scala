@@ -33,6 +33,25 @@ class SignBitLshSpec extends SparkSuite {
     }
   }
 
+  test("dirty inputs match the HOF twin: null element / wrong length → cell 0") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq[java.lang.Double](1.0, 2.0, 3.0),          // clean, dim 3
+      Seq[java.lang.Double](1.0, null, 3.0),         // null element
+      Seq[java.lang.Double](1.0, 2.0),               // short
+      Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0))     // long
+      .toDF("v")
+    val out = rows.select(
+      Similarity.lshCell(col("v"), 3, 4).as("hof"),
+      SignBitLsh.sign_bit_lsh(col("v"), 3, 4).as("native")).collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == r.getInt(1), s"row $i: hof=${r.get(0)} native=${r.get(1)}")
+    }
+    // and the dirty rows specifically land in cell 0, never a real cell
+    assert(out.drop(1).forall(_.getInt(1) == 0))
+    assert(out(0).getInt(1) != 0 || out(0).getInt(0) == 0)
+  }
+
   test("SQL registration through GraftExtensions function injection") {
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     import org.apache.spark.sql.types.IntegerType
