@@ -521,6 +521,9 @@ object Dedup {
     "dedup_embedding_lsh" -> QueryDef(
       (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
+        // quantizer sizing = index-build-time metadata: one count
+        // (parquet row-count stats, no data read) picks the plane
+        // budget, exactly like an IVF trainer picking its cell count
         embeddingPairsQuantized(emb, 0.35, planesForCorpus(emb.count(), 64))
       }, None),
     "dedup_embedding" -> QueryDef(

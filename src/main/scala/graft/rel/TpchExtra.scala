@@ -90,12 +90,14 @@ object TpchExtra {
           .groupBy(col("l_partkey"))
           .agg(sum(money(col("l_extendedprice"))).as("value_d"))
           .persist()
-        val Array(total, nParts) = perPart
-          .agg(sum(col("value_d")), count(lit(1))).head() match {
-            case r => Array(r.getDecimal(0).doubleValue(), r.getLong(1).toDouble)
-          }
-        perPart
-          .filter(col("value_d").cast("double") > lit(total / nParts) * 1.5)
+        // fully declarative global threshold: a 1-row aggregate over the
+        // SAME persisted per-part table, broadcast back as a scalar —
+        // no driver-side action inside the query body
+        val thresh = perPart.agg(
+          (sum(col("value_d")).cast("double") / count(lit(1)) * 1.5)
+            .as("thresh"))
+        perPart.crossJoin(broadcast(thresh))
+          .filter(col("value_d").cast("double") > col("thresh"))
           .select(col("l_partkey").as("partkey"),
             col("value_d").cast("double").as("part_value"))
           .orderBy(col("part_value").desc, col("partkey"))
