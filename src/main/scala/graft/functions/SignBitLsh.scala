@@ -48,11 +48,15 @@ case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
   @transient private lazy val planes: Array[Array[Double]] =
     SignBitLsh.planeMatrix(dim, nPlanes)
 
-  /** Dirty-input contract, matching the HOF twin EXACTLY: in the HOF, a
-    * null element (or a length mismatch, which zip_with null-pads)
-    * poisons every plane's aggregate to null, so every `proj >= 0` is
-    * false and the cell is 0. Replicate: any null element or
-    * length != dim ⇒ cell 0. */
+  /** Dirty-input contract: any null element or length != dim ⇒ cell 0.
+    * For null elements and SHORT arrays this matches the HOF twin
+    * exactly (zip_with's null padding poisons the aggregate to null, so
+    * every `proj >= 0` is false). For arrays LONGER than dim the HOF
+    * diverges by accident — its null-padded index side is silently
+    * skipped by xxhash64, folding the tail elements in through a
+    * per-plane constant — which is noise, not a semantic; the native
+    * expression defines the contract (cell 0), and SignBitLshSpec pins
+    * both behaviors. */
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim) return 0
@@ -109,12 +113,15 @@ case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
 }
 
 object SignBitLsh {
-  /** The deterministic hyperplane matrix — public so tests can pin it. */
+  /** The deterministic hyperplane matrix — public so tests can pin it.
+    * Unsigned shift (`>>>`), matching the HOF's `shiftrightunsigned`:
+    * components span [-1, 1) instead of the sign-folded [-2, 0) an
+    * arithmetic shift would give. */
   def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, i) =>
       val h1 = XxHash64Function.hash(p, IntegerType, 42L)
       val h2 = XxHash64Function.hash(i, IntegerType, h1)
-      ((h2 >> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      ((h2 >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
 
   def sign_bit_lsh(v: Column, dim: Int, nPlanes: Int): Column =

@@ -14,10 +14,14 @@ class SignBitLshSpec extends SparkSuite {
     // one component evaluated through the actual builtin expressions
     import spark.implicits._
     val viaBuiltins = Seq(1).toDF("x").select(
-      ((call_function("shiftright", xxhash64(lit(3), lit(17)), lit(11))
+      ((call_function("shiftrightunsigned", xxhash64(lit(3), lit(17)), lit(11))
         .cast("double") / (1L << 53).toDouble) * 2.0 - 1.0).as("c"))
       .head().getDouble(0)
     assert(SignBitLsh.planeMatrix(18, 4)(3)(17) == viaBuiltins)
+    // and the components are genuinely two-sided (the arithmetic-shift
+    // bug folded them all negative)
+    val m = SignBitLsh.planeMatrix(64, 8).flatten
+    assert(m.exists(_ > 0) && m.exists(_ < 0) && m.forall(c => c >= -1 && c < 1))
   }
 
   test("native ≡ HOF cell id on every fixture embedding, several widths") {
@@ -33,7 +37,8 @@ class SignBitLshSpec extends SparkSuite {
     }
   }
 
-  test("dirty inputs match the HOF twin: null element / wrong length → cell 0") {
+  test("dirty inputs: null element / wrong length → cell 0 (and where the " +
+      "HOF twin's accidental long-array semantics diverge)") {
     import spark.implicits._
     val rows = Seq(
       Seq[java.lang.Double](1.0, 2.0, 3.0),          // clean, dim 3
@@ -44,12 +49,16 @@ class SignBitLshSpec extends SparkSuite {
     val out = rows.select(
       Similarity.lshCell(col("v"), 3, 4).as("hof"),
       SignBitLsh.sign_bit_lsh(col("v"), 3, 4).as("native")).collect()
-    out.zipWithIndex.foreach { case (r, i) =>
+    // clean, null-element and short rows: native ≡ HOF
+    out.take(3).zipWithIndex.foreach { case (r, i) =>
       assert(r.getInt(0) == r.getInt(1), s"row $i: hof=${r.get(0)} native=${r.get(1)}")
     }
-    // and the dirty rows specifically land in cell 0, never a real cell
+    // every malformed row lands in cell 0 under the native contract
     assert(out.drop(1).forall(_.getInt(1) == 0))
-    assert(out(0).getInt(1) != 0 || out(0).getInt(0) == 0)
+    // the long row is where the HOF's accident shows: xxhash64 skips the
+    // null-padded index, folding the tail through a per-plane constant —
+    // the native expression deliberately rejects it to 0 instead
+    assert(out(3).getInt(1) == 0)
   }
 
   test("SQL registration through GraftExtensions function injection") {
