@@ -229,7 +229,14 @@ object Similarity {
         path + ".build." + java.lang.ProcessHandle.current().pid())
       try {
         buildIvfIndex(spark, dir, staging.getAbsolutePath)
-        if (!staging.renameTo(target)) deleteRecursively(staging)
+        if (!staging.renameTo(target)) {
+          // rename refused: either a concurrent builder won (fine — use
+          // theirs) or something is genuinely wrong; never hand back a
+          // path with no index behind it
+          deleteRecursively(staging)
+          require(new java.io.File(s"$path/index/_SUCCESS").exists(),
+            s"IVF index build could not be published at $path")
+        }
       } catch { case e: Throwable => deleteRecursively(staging); throw e }
     }
     path
