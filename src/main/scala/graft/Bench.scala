@@ -53,16 +53,26 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
+    // median of `runs` timings per query: the machine's wall-clock noise
+    // band is wider than most plan regressions (r2↔r3 were
+    // indistinguishable on single runs), so round-over-round deltas are
+    // only attributable on a median. Shuffle volume is deterministic —
+    // attributed from the first run only.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val results = picked.map { case (name, fn) =>
       val sw0 = metrics.shuffleWrite.get
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop intermediates persisted inside a query so later queries
-      // aren't timed under another query's memory pressure
-      spark.catalog.clearCache()
-      val shuffleMb = (metrics.shuffleWrite.get - sw0) / 1048576.0
-      name -> (dt, shuffleMb)
+      var shuffleMb = 0.0
+      val ts = (1 to runs).map { i =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop intermediates persisted inside a query so later queries
+        // (and the next run) aren't timed under leftover memory pressure
+        spark.catalog.clearCache()
+        if (i == 1) shuffleMb = (metrics.shuffleWrite.get - sw0) / 1048576.0
+        dt
+      }.sorted
+      name -> (ts(ts.length / 2), shuffleMb)
     }
     // harness floor: the fixed per-query cost at this parallelism —
     // scheduling + tiny-file scan + one shuffle over a 5-row table.
@@ -86,7 +96,7 @@ object Bench {
     // plan cost net of harness physics: round-over-round comparisons
     // should track this, not the local[n] fixed per-query overhead
     val totalMinusFloor = math.max(0.0, total - floor * results.size)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","floor_sec":$floor,"floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","total_minus_floor":$totalMinusFloor,"shuffle_write_mb":$sh,"spill_mb_total":$totalSpillMb}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","queries":$qs,"sf":"$sfDir","floor_sec":$floor,"floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","total_minus_floor":$totalMinusFloor,"shuffle_write_mb":$sh,"spill_mb_total":$totalSpillMb}""")
     spark.stop()
   }
 }

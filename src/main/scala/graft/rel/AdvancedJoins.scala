@@ -145,11 +145,12 @@ object AdvancedJoins {
     "q10_returned_revenue" -> QueryDef(
       (s, d) => {
         val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        // customer is the one side that stays broadcast-able at any SF
-        // (bounded dimension); orders deliberately unhinted — at 100 TB it
-        // is fact-sized and the sort-merge/AQE choice is the right one
+        // no broadcast hints: customer grows with SF (~150k × SF rows), so
+        // an unconditional hint would OOM the driver at 100×. AQE picks
+        // broadcast at runtime whenever a side actually fits the threshold
+        // — the size-gated version of the same plan, safe at any scale
         l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
           .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
             .cast("double").as("revenue"),
