@@ -103,6 +103,36 @@ object Similarity {
   def lshCellNative(v: Column, dim: Int, nPlanes: Int): Column =
     graft.functions.SignBitLsh.sign_bit_lsh(v, dim, nPlanes)
 
+  /** PORTABLE hyperplane matrix: component (p, i) is the first 13 hex
+    * chars of md5("p:i") — a 52-bit integer mapped to [-1, 1). Both
+    * steps of the mapping (÷2⁵² then ×2−1) are exact in doubles, and
+    * md5 is identical in every engine, so the matrix — unlike the
+    * xxhash64-derived one behind `SignBitLsh` — can be re-derived in
+    * ANSI SQL: `('0x'||substr(md5(p||':'||i),1,13))::BIGINT / 2^52 * 2
+    * − 1`. Same trick as the md5 MinHash family in `Dedup`: the
+    * portable family carries the oracle, the murmur3/xxhash64 family
+    * carries the throughput. */
+  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 13)
+        java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** Sign-bit cell id over an explicit (constant) hyperplane matrix.
+    * Callers must bind `v` to a materialized column (not an inline
+    * transform) — each plane's aggregate re-evaluates the subtree. */
+  def lshCellFromPlanes(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val proj = aggregate(zip_with(v, typedlit(plane), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** IVF/LSH-bucketed ANN: probe only the query's cell. `signatures`
     * shuffle once on cell id; at scale the cells are written bucketed so
     * repeated queries prune partitions instead of scanning. */
@@ -122,19 +152,82 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** The declared `simsearch_lsh` surface: same cell-probe plan as
+    * `lshTopK`, but over the md5-derived portable hyperplanes and
+    * rank-only output — so quantization, cell membership and in-cell
+    * ranking all sit behind the DuckDB hash gate. The xxhash64 native
+    * quantizer (`lshTopK`/`SignBitLsh`) stays the throughput path,
+    * differential-pinned in SimilaritySpec/SignBitLshSpec. */
+  def lshTopKPortable(spark: SparkSession, dir: String, qId: Long, k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    val dim = 64
+    val planes = md5Planes(nPlanes, dim)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", lshCellFromPlanes(col("v"), planes))
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("v").as("q"), col("cell").as("qcell"))
+    e.filter(col("vec_id") =!= qId)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .withColumn("cos", cosine(col("v"), col("q")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin of the portable LSH probe: identical hyperplane
+    * derivation (md5 → 52-bit → [-1,1)), identical sign-bit cell ids,
+    * identical (cos desc, vec_id) in-cell ranking. */
+  val lshTopKSql: String =
+    """WITH planes AS (
+      |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+      |    SELECT t.p, s.i,
+      |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+      |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+      |    FROM range(0, 4) t(p), range(0, 64) s(i))
+      |  GROUP BY p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cellid AS (
+      |  SELECT e.vec_id,
+      |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+      |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
+      |  FROM e, planes pl GROUP BY e.vec_id),
+      |q AS (
+      |  SELECT e.v AS qv, c.cell AS qcell FROM e
+      |  JOIN cellid c ON c.vec_id = e.vec_id WHERE e.vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |    list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      |  FROM e JOIN cellid c ON c.vec_id = e.vec_id
+      |  CROSS JOIN q
+      |  WHERE c.cell = q.qcell AND e.vec_id <> 0)
+      |SELECT vec_id AS neighbor_id,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   /** Nearest-centroid assignment of every vector — the "add to index"
-    * step of IVF: a small broadcast cross join against the centroid
-    * dimension, one narrow window per vec_id (high-cardinality key). */
+    * step of IVF, as a ZERO-exchange narrow map: the trained centroids
+    * are bounded metadata (cells × dim doubles), so they are collected
+    * once and folded into the projection as a constant matrix; per-row
+    * argmin is `array_min` over (cdist, cell) structs, whose
+    * lexicographic struct ordering reproduces the old window
+    * formulation's tie-break (smaller cell id) exactly. The previous
+    * crossJoin + row_number-over-vec_id shape shuffled corpus × cells
+    * rows — an avoidable full exchange at index-build time; this one
+    * never shuffles (plan-asserted in SimilaritySpec). */
   def ivfAssign(emb: DataFrame): DataFrame = {
     val cents = labelCentroids(emb)
-      .select(col("label").as("cell"), col("centroid"))
+      .select(col("label").as("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cell"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("cdist", -cosine(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val scored = array(cents.map { case (c, ctr) =>
+      struct((-cosine(col("v"), typedlit(ctr))).as("cdist"), lit(c).as("cell"))
+    }: _*)
+    e.withColumn("cell", array_min(scored).getField("cell"))
       .select(col("vec_id"), col("v"), col("cell"))
   }
 
@@ -186,6 +279,9 @@ object Similarity {
       .save(s"$path/centroids")
   }
 
+  /** Bumped whenever the index build algorithm changes shape or values. */
+  private val IndexAlgoVersion = "v2-exact-centroids"
+
   /** Deterministic on-disk location for the IVF index of one data dir.
     * The path embeds a fingerprint of the source parquet (length +
     * mtime of every part file), so regenerated fixtures at the same
@@ -199,8 +295,12 @@ object Similarity {
         .filter(f => f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
         .sortBy(_.getName).toSeq
       else Seq(src)
-    val fp = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toHexString
+    // IndexAlgoVersion participates in the fingerprint: changing the
+    // build algorithm (e.g. the centroid reduction) must invalidate
+    // memoized indexes exactly like a regenerated source would — the
+    // stale-sibling sweep in ensureIvfIndex then reclaims the old dirs
+    val fp = (parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|" + IndexAlgoVersion).hashCode.toHexString
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_ivf_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
   }
@@ -279,7 +379,7 @@ object Similarity {
 
   /** Convenience: resolve the query vector by id from the SOURCE table
     * (a pushdown-filtered two-column point lookup — not an index scan),
-    * then probe. This is the declared `simsearch_ivf` path. */
+    * then probe. */
   def ivfProbeById(spark: SparkSession, dir: String, qId: Long, k: Int,
       nprobe: Int = 2): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
@@ -290,32 +390,110 @@ object Similarity {
     ivfProbe(spark, path, qRows(0).getSeq[Double](0), k, nprobe, excludeId = qId)
   }
 
+  /** The declared `simsearch_ivf` surface: the prebuilt-index probe,
+    * rank-only (ids, not raw cosines) so the oracle compare is immune to
+    * last-bit float accumulation — the same contract `simsearch_topk`
+    * uses. Because the quantizer centroids are exact quantized sums
+    * (see `labelCentroids`), the ENTIRE chain — train → assign → probe
+    * cell choice → in-cell ranking — is reproducible in ANSI SQL, so
+    * this approximate index sits behind the full DuckDB hash gate, not
+    * a rows-only check. */
+  def ivfProbeRanked(spark: SparkSession, dir: String, qId: Long, k: Int,
+      nprobe: Int = 2): DataFrame =
+    ivfProbeById(spark, dir, qId, k, nprobe)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** DuckDB twin of the whole IVF lifecycle. The centroid CTE mirrors
+    * `labelCentroids`' exact quantized sum term-for-term; assignment and
+    * probe-cell choice order by (−cosine, cell) exactly like
+    * `ivfAssign`/`ivfProbe`; the final ranking mirrors
+    * `bruteForceTopKSql`'s rank-only surface. */
+  val ivfProbeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |comp AS (
+      |  SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+      |cent AS (
+      |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+      |    SELECT label, pos, SUM(floor(x * 1048576.0) / 1048576.0) AS cx
+      |    FROM comp GROUP BY label, pos)
+      |  GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        -(list_dot_product(e.v, c.centroid) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
+      |        c.cell ASC) AS rn
+      |    FROM e CROSS JOIN cent c)
+      |  WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |probed AS (
+      |  SELECT cell FROM (
+      |    SELECT c.cell,
+      |      ROW_NUMBER() OVER (ORDER BY
+      |        -(list_dot_product(q.qv, c.centroid) /
+      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
+      |        c.cell ASC) AS rn
+      |    FROM cent c CROSS JOIN q)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT a.vec_id,
+      |    list_dot_product(a.v, q.qv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      |  FROM assigned a CROSS JOIN q
+      |  WHERE a.cell IN (SELECT cell FROM probed) AND a.vec_id <> 0)
+      |SELECT vec_id AS neighbor_id,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   /** Centroid of each labelled cluster — the "train the coarse
     * quantizer" step of IVF expressed as one aggregation: element-wise
-    * mean via explode-free array folding would need a UDAF, so this uses
-    * posexplode + group, the standard shuffle-bounded shape. */
+    * reduction via posexplode + group, the standard shuffle-bounded
+    * shape.
+    *
+    * The reduction is a DETERMINISTIC QUANTIZED SUM, not a float mean:
+    * each component is snapped to a multiple of 2⁻²⁰
+    * (`floor(x·2²⁰)/2²⁰` — both steps exact in doubles since scaling by
+    * a power of two only shifts the exponent), and the partial sums of
+    * such terms stay exactly representable (≤ 2⁵³ with huge margin for
+    * |x| < 1 corpora), so the double SUM is EXACT and therefore
+    * order-independent. That buys two things a 1000-executor build
+    * needs: the index is bit-reproducible run-to-run (a plain float
+    * mean varies with shuffle merge order), and the DuckDB oracle can
+    * recompute the identical centroids, putting the whole IVF chain
+    * behind the hash-compare gate. Cosine only reads direction, so the
+    * un-divided sum trains the same quantizer a mean would. */
   def labelCentroids(emb: DataFrame): DataFrame = {
+    val q = 1048576.0 // 2^20
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("mean_x"))
+      .agg(sum(floor(col("x").cast("double") * q) / q).as("cx"))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean_x")))).as("pairs"))
-      .select(col("label"), transform(col("pairs"), p => p.getField("mean_x")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
   }
 
   private val q: Seq[(String, QueryDef)] = Seq(
     "simsearch_topk" -> QueryDef(
       (s: SparkSession, d: String) => bruteForceTopK(s, d, 0L, 10), bruteForceTopKSql),
+    // portable md5-plane quantizer ⇒ full oracle; the xxhash64 native
+    // quantizer path (`lshTopK`) is the throughput twin, spec-pinned
     "simsearch_lsh" -> QueryDef(
-      (s: SparkSession, d: String) => lshTopK(s, d, 0L, 10), None),
-    // rows-only: centroid assignment rests on float cosine argmin (not a
-    // portable SQL surface). The DECLARED path is the deployable one —
-    // build-once directory-partitioned index + pruned probe; equality
-    // with the ad-hoc per-query assignment (`ivfTopK`), recall vs brute
-    // force, and the PartitionFilters pruning are pinned in
-    // SimilaritySpec on this same path
+      (s: SparkSession, d: String) => lshTopKPortable(s, d, 0L, 10),
+      Some(lshTopKSql)),
+    // full oracle: exact quantized-sum centroids make the whole chain
+    // (train → assign → probe) ANSI-reproducible. The DECLARED path is
+    // still the deployable one — build-once directory-partitioned index
+    // + pruned probe; equality with the ad-hoc per-query assignment
+    // (`ivfTopK`), recall vs brute force, and the PartitionFilters
+    // pruning are pinned in SimilaritySpec on this same path
     "simsearch_ivf" -> QueryDef(
-      (s: SparkSession, d: String) => ivfProbeById(s, d, 0L, 10, nprobe = 2), None)
+      (s: SparkSession, d: String) => ivfProbeRanked(s, d, 0L, 10, nprobe = 2),
+      Some(ivfProbeSql))
   )
 
   def queries: Seq[(String, QueryDef)] = q

@@ -91,6 +91,27 @@ class SimilaritySpec extends SparkSuite {
       "regenerated source must not reuse the old index")
   }
 
+  test("ivfAssign: the index-build assignment is a zero-exchange narrow map") {
+    val assigned = Similarity.ivfAssign(
+      graft.core.Tables.embeddings(spark, sfDir))
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"index build must not shuffle the corpus:\n$p")
+    // same assignment policy as the probed index (10 non-empty cells)
+    assert(assigned.select("cell").distinct().count() == 10)
+  }
+
+  test("labelCentroids: quantized sum is exact → bit-reproducible across " +
+      "partitionings (the float mean it replaces is not)") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    def vals(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+      Similarity.labelCentroids(df).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // summation order changes with the physical partitioning; an exact
+    // sum must not care
+    assert(vals(emb.repartition(1)) == vals(emb.repartition(13)))
+  }
+
   test("label centroids: one centroid per cell, dimension preserved") {
     val c = Similarity.labelCentroids(
       graft.core.Tables.embeddings(spark, sfDir)).collect()
