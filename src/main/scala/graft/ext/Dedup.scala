@@ -309,13 +309,18 @@ object Dedup {
   }
 
   /** Number of sign-bit hyperplanes so that expected cell size stays
-    * near `targetCellSize` as the corpus grows: cells = 2^planes ≈
-    * n / target. The label-blocked `embeddingPairs` above inherits the
-    * FIXTURE's 10 cells — fine at test scale, a skew bomb at 10⁹ docs;
-    * this is the knob that scales instead. */
-  def planesForCorpus(n: Long, targetCellSize: Long = 1L << 17): Int =
-    math.max(2, math.ceil(math.log(math.max(1.0, n.toDouble / targetCellSize))
-      / math.log(2.0)).toInt)
+    * near `targetCellSize` as the corpus grows: the smallest p ≥ 2 with
+    * target·2^p ≥ n (⇔ ceil(log₂(n/target)), but in pure integer
+    * arithmetic — the ln-based form can land one off when n/target is
+    * an exact power of two, and the SQL oracle must derive the same p).
+    * The label-blocked `embeddingPairs` above inherits the FIXTURE's 10
+    * cells — fine at test scale, a skew bomb at 10⁹ docs; this is the
+    * knob that scales instead. */
+  def planesForCorpus(n: Long, targetCellSize: Long = 1L << 17): Int = {
+    var p = 2
+    while (p < 62 && (targetCellSize << p) < n) p += 1
+    p
+  }
 
   /** Embedding near-dup with cells from the SAME coarse quantizer the
     * IVF index uses (`Similarity.lshCell` — deterministic sign-bit LSH),
@@ -332,15 +337,32 @@ object Dedup {
     * strict recall dominance over the fixture-label blocking, are pinned
     * in DedupSpec. */
   def embeddingPairsQuantized(emb: DataFrame, minCos: Double,
-      nPlanes: Int): DataFrame = {
+      nPlanes: Int): DataFrame =
+    embeddingPairsBlocked(emb, minCos, nPlanes,
+      (v, dim) => Similarity.lshCellNative(v, dim, nPlanes))
+
+  /** The declared `dedup_embedding_lsh`: identical blocking plan, but
+    * the quantizer is the md5-derived portable hyperplane family
+    * (`Similarity.md5Planes`), so the ENTIRE pipeline — plane
+    * derivation → sign-bit cells → radius-1 multi-probe → bucket join →
+    * exact-cosine verify — is reproducible in DuckDB and sits behind
+    * the hash gate. The xxhash64 native quantizer
+    * (`embeddingPairsQuantized`) stays the throughput path, pinned in
+    * DedupSpec/SignBitLshSpec. */
+  def embeddingPairsPortable(emb: DataFrame, minCos: Double,
+      nPlanes: Int): DataFrame =
+    embeddingPairsBlocked(emb, minCos, nPlanes,
+      (v, dim) => Similarity.lshCellFromPlanes(v, Similarity.md5Planes(nPlanes, dim)))
+
+  private def embeddingPairsBlocked(emb: DataFrame, minCos: Double,
+      nPlanes: Int, cellOf: (Column, Int) => Column): DataFrame = {
     // persist the projected vectors: the cached relation both feeds the
     // bucket self-join twice and keeps the interpreted cast-transform
     // from being re-inlined under the quantizer (HOF re-evaluation trap)
     val e0 = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v")).persist()
     val dim = e0.select(size(col("v"))).head().getInt(0)
-    val e = e0.withColumn("cell",
-      Similarity.lshCellNative(col("v"), dim, nPlanes))
+    val e = e0.withColumn("cell", cellOf(col("v"), dim))
     // ball of radius 1 around the cell id: the cell + every 1-bit flip
     val probes = array((col("cell") +:
       (0 until nPlanes).map(p => col("cell").bitwiseXOR(lit(1 << p)))): _*)
@@ -362,6 +384,49 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** DuckDB twin of the portable embedding-LSH dedup: the recursive CTE
+    * reproduces `planesForCorpus`' integer plane budget, the plane CTE
+    * the md5 hyperplane derivation, then cells → radius-1 probes →
+    * bucket join → exact cosine ≥ threshold, mirroring
+    * `embeddingPairsPortable` stage for stage. */
+  val embeddingLshSql: String =
+    """WITH RECURSIVE np(p) AS (
+      |  SELECT 2
+      |  UNION ALL
+      |  SELECT p + 1 FROM np
+      |  WHERE p < 62 AND (64::BIGINT << p) < (SELECT COUNT(*) FROM embeddings)),
+      |nplanes AS (SELECT MAX(p) AS np FROM np),
+      |planes AS (
+      |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+      |    SELECT t.p, s.i,
+      |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+      |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+      |    FROM range(0, 62) t(p), range(0, 64) s(i)
+      |    WHERE t.p < (SELECT np FROM nplanes))
+      |  GROUP BY p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cellid AS (
+      |  SELECT e.vec_id,
+      |    SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+      |        THEN (1::BIGINT << pl.p) ELSE 0 END) AS cell
+      |  FROM e, planes pl GROUP BY e.vec_id),
+      |keyed AS (
+      |  SELECT vec_id,
+      |    unnest(list_prepend(cell,
+      |      list_transform(range(0, (SELECT np FROM nplanes)),
+      |        pp -> xor(cell, 1::BIGINT << pp)))) AS bkey
+      |  FROM cellid),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.vec_id < b.vec_id)
+      |SELECT c.id_a, c.id_b
+      |FROM cand c
+      |JOIN e ea ON ea.vec_id = c.id_a
+      |JOIN e eb ON eb.vec_id = c.id_b
+      |WHERE list_dot_product(ea.v, eb.v) /
+      |  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Oracle-checkable MinHash signature: the hash family is md5-derived
     * (first 15 hex chars → 60-bit positive long), reproducible in ANSI
@@ -515,17 +580,18 @@ object Dedup {
     // and no fixture pair sits within float-drift distance of the
     // threshold, so the selection itself is oracle-checkable even though
     // the raw cosine's last bits are not a portable surface
-    // rows-only: the sign-bit quantizer (xxhash64-derived hyperplanes)
-    // is not ANSI-reproducible; recall vs brute force + the scaling of
-    // the cell count are pinned in DedupSpec
+    // full oracle: md5-derived portable hyperplanes make every stage of
+    // the blocked dedup ANSI-reproducible (embeddingLshSql); the
+    // xxhash64 native quantizer twin keeps its recall/scaling pins in
+    // DedupSpec
     "dedup_embedding_lsh" -> QueryDef(
       (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
         // quantizer sizing = index-build-time metadata: one count
         // (parquet row-count stats, no data read) picks the plane
         // budget, exactly like an IVF trainer picking its cell count
-        embeddingPairsQuantized(emb, 0.35, planesForCorpus(emb.count(), 64))
-      }, None),
+        embeddingPairsPortable(emb, 0.35, planesForCorpus(emb.count(), 64))
+      }, Some(embeddingLshSql)),
     "dedup_embedding" -> QueryDef(
       (s: SparkSession, d: String) => embeddingPairs(Tables.embeddings(s, d), 0.35)
         .select(col("id_a"), col("id_b")),
