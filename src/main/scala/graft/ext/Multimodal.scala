@@ -138,9 +138,73 @@ object Multimodal {
     media.toDF().select(col("doc_id"), col("media_type"),
       sequence(lit(0), col("n_bytes") - 1, lit(stride)).as("offsets"))
 
-  /** Declared rows-only query: per-type feature statistics. The feature
-    * checksum makes the (stubbed) decode path observable end-to-end. */
-  private def featureStats(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic synthetic image corpus: every image-typed document
+    * gets a REAL PNG (JDK imageio encoder) of closed-form geometry and
+    * solid color — w = 2 + id%7, h = 2 + id%5, rgb = (id%256, 7id%256,
+    * 13id%256). Encoding happens partition-wise like any decode would;
+    * because the color is solid and PNG is lossless, the decoded
+    * width/height/channel means are EXACTLY the closed form (integer
+    * sums ÷ exact counts stay exact in float), so a SQL oracle can
+    * state what the real decoder must see without being able to parse
+    * a single PNG byte itself. */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (2 + id % 7).toInt
+          val h = (2 + id % 5).toInt
+          val rgb = ((id % 256).toInt << 16) |
+            ((id * 7 % 256).toInt << 8) | (id * 13 % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          MediaRow(id, "image", bytes.length, bytes)
+        }
+      }
+  }
+
+  /** The declared `multimodal_features` surface: synthesize → REAL
+    * `javax.imageio` decode → per-image features, checked against the
+    * closed form. `decoded` pins that the real decoder ran (the stub
+    * fallback has no f7 = 1 marker); the pixel checksum (f2) is the one
+    * feature with no portable closed form and stays spec-pinned. */
+  private def imageDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(syntheticImages(spark, dir)).toDF()
+      .select(col("doc_id"),
+        element_at(col("feature"), 1).cast("double").as("width"),
+        element_at(col("feature"), 2).cast("double").as("height"),
+        element_at(col("feature"), 4).cast("double").as("mean_r"),
+        element_at(col("feature"), 5).cast("double").as("mean_g"),
+        element_at(col("feature"), 6).cast("double").as("mean_b"),
+        (element_at(col("feature"), 8) === 1.0f).as("decoded"))
+      .orderBy(col("doc_id"))
+
+  private val imageDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(2 + doc_id % 7 AS DOUBLE) AS width,
+      |  CAST(2 + doc_id % 5 AS DOUBLE) AS height,
+      |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+      |  CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+      |  CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b,
+      |  TRUE AS decoded
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-type feature statistics over the mixed-type media table (the
+    * stub decode path observable end-to-end; `multimodal_metadata` and
+    * the spec suite carry its checks). */
+  def featureStats(spark: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, dir)).toDF()
     feats.select(col("doc_id"), col("media_type"), col("n_bytes"),
       aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double"))
@@ -193,8 +257,11 @@ object Multimodal {
       |FROM documents ORDER BY doc_id, byte_offset""".stripMargin
 
   private val q: Seq[(String, QueryDef)] = Seq(
+    // real encode→decode round trip behind a closed-form oracle; the
+    // mixed-type stub statistics remain available via `featureStats`
     "multimodal_features" -> QueryDef(
-      (s: SparkSession, d: String) => featureStats(s, d), None),
+      (s: SparkSession, d: String) => imageDecodeQuery(s, d),
+      Some(imageDecodeSql)),
     "multimodal_metadata" -> QueryDef(
       (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql),
     "multimodal_offsets" -> QueryDef(

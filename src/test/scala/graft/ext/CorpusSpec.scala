@@ -35,6 +35,19 @@ class CorpusSpec extends SparkSuite {
       driver.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("connected components: pointer jumping makes a 64-node chain " +
+      "converge within a logarithmic iteration budget") {
+    import spark.implicits._
+    val chain = (0L until 64L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    // hash-min alone needs ~64 iterations here; with path halving the
+    // label paths collapse geometrically — maxIter 10 ≈ log₂(64) + slack
+    val comp = Corpus.connectedComponents(chain, maxIter = 10,
+      driverEdgeLimit = 0).collect()
+    assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L),
+      "every chain node must reach the min label within the log budget")
+  }
+
   test("near-dup clusters + canonical corpus: dups collapse, rest passes") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"

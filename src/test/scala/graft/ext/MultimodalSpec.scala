@@ -69,6 +69,29 @@ class MultimodalSpec extends SparkSuite {
     assert(f(4L).toSeq == Multimodal.decodeStub(encoded("png"), 8).toSeq)
   }
 
+  test("synthetic image corpus: PNG round trip matches the closed form " +
+      "including the pixel checksum the SQL oracle cannot state") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.syntheticImages(spark, sfDir)
+      .filter(col("doc_id") < 100)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { m =>
+      val id = m.doc_id
+      val (w, h) = ((2 + id % 7).toInt, (2 + id % 5).toInt)
+      val p = ((id % 256).toInt << 16) | ((id * 7 % 256).toInt << 8) |
+        (id * 13 % 256).toInt
+      var crc = 1L
+      (0 until w * h).foreach(_ => crc = crc * 31 + p)
+      val f = m.feature
+      assert(f(0) == w.toFloat && f(1) == h.toFloat)
+      assert(f(2) == ((crc >>> 16) & 0xFFFFFF).toFloat, s"checksum, id=$id")
+      assert(f(3) == (id % 256).toFloat && f(4) == (id * 7 % 256).toFloat &&
+        f(5) == (id * 13 % 256).toFloat)
+      assert(f(7) == 1.0f, "real decode marker")
+    }
+  }
+
   test("offset sampling: stride arithmetic on the binary column") {
     val s = Multimodal.sampleOffsets(Multimodal.mediaTable(spark, sfDir), 10)
       .collect()
