@@ -91,8 +91,16 @@ object Dedup {
 
   /** doc_id + signature + B band keys, the full chain let-bound so each
     * stage is computed exactly once per row. */
-  def signatures(docs: DataFrame): DataFrame = {
-    withShingles(docs)
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(withShingles(docs))
+
+  /** Signature pipeline over an ALREADY-shingled (doc_id, sh) frame —
+    * the seam that lets one corpus scan + shingle pass feed several
+    * consumers (murmur3 and md5 chains shingle identically, so e.g. the
+    * containment contracts run both families off a single persisted
+    * pass instead of re-reading the corpus per chain). */
+  def signaturesFromShingles(shingled: DataFrame): DataFrame = {
+    shingled
       .select(col("doc_id"),
         bind(minhashSignature(col("sh"))) { sig =>
           struct(sig.as("sig"),
@@ -106,8 +114,11 @@ object Dedup {
 
   /** Candidate pairs from shared LSH buckets, verified by estimated
     * jaccard = fraction of matching minhash slots. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = signatures(docs)
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame =
+    minhashPairsFromShingles(withShingles(docs), threshold)
+
+  def minhashPairsFromShingles(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sigs = signaturesFromShingles(shingled)
     // both sides of the bucket self-join read this; persist so the
     // signature pipeline runs once, not once per side (stays cached for
     // the query's lifetime — size is O(docs × K × 8 bytes))
@@ -135,9 +146,15 @@ object Dedup {
   /** Exact n-gram Jaccard for candidate pairs (verification stage of the
     * MinHash pipeline — exact set overlap via sorted-array intersection,
     * computed per pair without re-exploding the corpus). */
-  def jaccardVerify(docs: DataFrame, threshold: Double): DataFrame = {
-    val withSh = withShingles(docs).persist() // joined twice below
-    val cands = minhashPairs(docs, threshold * 0.5)
+  def jaccardVerify(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardVerifyFromShingles(withShingles(docs).persist(), threshold)
+
+  /** As `jaccardVerify` over a pre-shingled (persisted) frame: ONE
+    * corpus shingle pass feeds candidate generation AND both verify
+    * joins (it previously shingled twice — once inside `minhashPairs`,
+    * once for the verify side). */
+  def jaccardVerifyFromShingles(withSh: DataFrame, threshold: Double): DataFrame = {
+    val cands = minhashPairsFromShingles(withSh, threshold * 0.5)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -155,9 +172,12 @@ object Dedup {
     * the ENTIRE dedup chain (signatures → banding → candidates → exact
     * verify → threshold) under the DuckDB hash compare. Production twin:
     * `jaccardVerify` (murmur3 candidates, faster, rows-only). */
-  def jaccardVerifyMd5(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardVerifyMd5(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardVerifyMd5FromShingles(md5Shingled(docs).persist(), threshold)
+
+  /** As `jaccardVerifyMd5` over a pre-shingled (persisted) frame. */
+  def jaccardVerifyMd5FromShingles(withSh: DataFrame, threshold: Double): DataFrame = {
     // one shingle pass feeds signatures/candidates AND both verify joins
-    val withSh = md5Shingled(docs).persist()
     val cands = md5MinhashPairsFromShingles(withSh, threshold * 0.5, 4)
       .select(col("doc_a"), col("doc_b"))
     cands
@@ -435,13 +455,10 @@ object Dedup {
     * murmur3 MinHashSig (faster); this query pins the algorithm's
     * semantics cross-engine. */
   /** (doc_id, sh) with the scan spread over the cluster — the shared
-    * front of every md5-family pipeline. */
-  private def md5Shingled(docs: DataFrame): DataFrame = {
-    val p = docs.sparkSession.sparkContext.defaultParallelism
-    docs.repartition(p)
-      .select(col("doc_id"),
-        graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
-  }
+    * front of every md5-family pipeline. Identical to `withShingles`
+    * (the hash families diverge AFTER shingling, which is exactly why
+    * the containment contracts can run both families off one pass). */
+  private def md5Shingled(docs: DataFrame): DataFrame = withShingles(docs)
 
   private def md5SigsFromShingles(shingled: DataFrame, k: Int): DataFrame = {
     def slot(sh: Column, seed: Int): Column =
@@ -565,8 +582,13 @@ object Dedup {
     * which the oracle pins at zero — the `agg_approx_distinct` pattern
     * (engine-specific sketch behind an oracle-checkable invariant). */
   def minhashContainmentQuery(docs: DataFrame, threshold: Double): DataFrame = {
-    val m3 = minhashPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
-    val m5 = md5MinhashPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    // both hash families branch off ONE persisted corpus-scan + shingle
+    // pass — the corpus is never read twice
+    val shingled = withShingles(docs).persist()
+    val m3 = minhashPairsFromShingles(shingled, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val m5 = md5MinhashPairsFromShingles(shingled, threshold, 4)
+      .select(col("doc_a"), col("doc_b"))
     m3.join(m5, Seq("doc_a", "doc_b"), "left_anti")
       .agg(count(lit(1)).as("murmur3_only_pairs"))
       .crossJoin(m5.agg(count(lit(1)).as("portable_pairs")))
@@ -585,8 +607,13 @@ object Dedup {
     * (empirical at all three fixture SFs; at sf0.1 the portable chain
     * sees one pair more, which is why equality is NOT the contract). */
   def jaccardContainmentQuery(docs: DataFrame, threshold: Double): DataFrame = {
-    val jv = jaccardVerify(docs, threshold).select(col("doc_a"), col("doc_b"))
-    val jm = jaccardVerifyMd5(docs, threshold).select(col("doc_a"), col("doc_b"))
+    // one persisted shingle pass serves candidate generation and the
+    // exact-verify joins of BOTH hash families
+    val shingled = withShingles(docs).persist()
+    val jv = jaccardVerifyFromShingles(shingled, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val jm = jaccardVerifyMd5FromShingles(shingled, threshold)
+      .select(col("doc_a"), col("doc_b"))
     jv.join(jm, Seq("doc_a", "doc_b"), "left_anti")
       .agg(count(lit(1)).as("murmur3_only_pairs"))
       .crossJoin(jm.agg(count(lit(1)).as("portable_pairs")))
