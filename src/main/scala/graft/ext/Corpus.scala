@@ -286,9 +286,16 @@ object Corpus {
     * recursive CTE) with the refinement invariant folded in as a column
     * the oracle expects to be TRUE on every row. */
   def clustersRefinementQuery(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val m3 = nearDupClusters(docs, threshold)
+    // one persisted corpus shingle pass feeds the candidate generators
+    // of BOTH graph chains (the CC stages themselves are edge-sized)
+    val shingled = Dedup.withShingles(docs).persist()
+    val m3 = connectedComponents(
+      Dedup.minhashPairsFromShingles(shingled, threshold)
+        .select(col("doc_a"), col("doc_b")))
       .select(col("id"), col("component").as("c3"))
-    val m5 = nearDupClustersMd5(docs, threshold)
+    val m5 = connectedComponents(
+      Dedup.md5MinhashPairsFromShingles(shingled, threshold)
+        .select(col("doc_a"), col("doc_b")))
       .select(col("id"), col("component").as("c5"))
     val perComp = m3.join(m5, Seq("id"), "left")
       .groupBy(col("c3"))

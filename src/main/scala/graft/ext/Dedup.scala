@@ -67,7 +67,7 @@ object Dedup {
     * single-file documents scan spread across the cluster first (at
     * 100 TB the input is already many splits; locally one parquet file =
     * one partition). */
-  private def withShingles(docs: DataFrame): DataFrame = {
+  def withShingles(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(p)
       .select(col("doc_id"),
@@ -372,7 +372,7 @@ object Dedup {
   def embeddingPairsPortable(emb: DataFrame, minCos: Double,
       nPlanes: Int): DataFrame =
     embeddingPairsBlocked(emb, minCos, nPlanes,
-      (v, dim) => Similarity.lshCellFromPlanes(v, Similarity.md5Planes(nPlanes, dim)))
+      (v, dim) => graft.functions.SignBitLsh.sign_bit_lsh_md5(v, dim, nPlanes))
 
   private def embeddingPairsBlocked(emb: DataFrame, minCos: Double,
       nPlanes: Int, cellOf: (Column, Int) => Column): DataFrame = {
@@ -486,8 +486,8 @@ object Dedup {
   def md5MinhashPairs(docs: DataFrame, threshold: Double, k: Int = 4): DataFrame =
     md5MinhashPairsFromShingles(md5Shingled(docs), threshold, k)
 
-  private def md5MinhashPairsFromShingles(shingled: DataFrame,
-      threshold: Double, k: Int): DataFrame = {
+  def md5MinhashPairsFromShingles(shingled: DataFrame,
+      threshold: Double, k: Int = 4): DataFrame = {
     val sigs = md5SigsFromShingles(shingled, k)
     val slots = (0 until k).map(i => col(s"m$i"))
     val keyed = sigs

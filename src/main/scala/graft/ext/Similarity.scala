@@ -112,20 +112,15 @@ object Similarity {
     * − 1`. Same trick as the md5 MinHash family in `Dedup`: the
     * portable family carries the oracle, the murmur3/xxhash64 family
     * carries the throughput. */
-  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until nPlanes).map { p =>
-      (0 until dim).map { i =>
-        val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString.substring(0, 13)
-        java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 * 2.0 - 1.0
-      }
-    }
-  }
+  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    graft.functions.SignBitLsh.md5PlaneMatrix(dim, nPlanes).toSeq.map(_.toSeq)
 
-  /** Sign-bit cell id over an explicit (constant) hyperplane matrix.
-    * Callers must bind `v` to a materialized column (not an inline
-    * transform) — each plane's aggregate re-evaluates the subtree. */
+  /** Sign-bit cell id over an explicit (constant) hyperplane matrix —
+    * HOF formulation, kept as the differential twin of the codegen'd
+    * `sign_bit_lsh_md5` (bit-equal on clean AND dirty inputs,
+    * SignBitLshSpec). Callers must bind `v` to a materialized column
+    * (not an inline transform) — each plane's aggregate re-evaluates
+    * the subtree. */
   def lshCellFromPlanes(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val proj = aggregate(zip_with(v, typedlit(plane), (x, c) => x * c),
@@ -161,10 +156,10 @@ object Similarity {
   def lshTopKPortable(spark: SparkSession, dir: String, qId: Long, k: Int,
       nPlanes: Int = 4): DataFrame = {
     val dim = 64
-    val planes = md5Planes(nPlanes, dim)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", lshCellFromPlanes(col("v"), planes))
+      .withColumn("cell",
+        graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
     val q = e.filter(col("vec_id") === qId)
       .select(col("v").as("q"), col("cell").as("qcell"))
     e.filter(col("vec_id") =!= qId)

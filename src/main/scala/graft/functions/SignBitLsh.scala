@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Used by the quantizer-blocked embedding dedup and the LSH ANN probe;
   * the HOF twin stays as the differential-testing reference.
   */
-case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
+case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int,
+    family: String = "xxhash64")
     extends UnaryExpression {
 
   require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes out of range: $nPlanes")
   require(dim >= 1, s"dim out of range: $dim")
+  require(SignBitLsh.Families.contains(family),
+    s"unknown hyperplane family: $family")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -46,7 +49,8 @@ case class SignBitLsh(child: Expression, dim: Int, nPlanes: Int)
     * `(shiftright(xxhash64(p, i), 11) / 2^53) * 2 - 1`. xxhash64 chains
     * child hashes as seeds starting at 42, exactly like the builtin. */
   @transient private lazy val planes: Array[Array[Double]] =
-    SignBitLsh.planeMatrix(dim, nPlanes)
+    if (family == "md5") SignBitLsh.md5PlaneMatrix(dim, nPlanes)
+    else SignBitLsh.planeMatrix(dim, nPlanes)
 
   /** Dirty-input contract: any null element or length != dim ⇒ cell 0.
     * For null elements and SHORT arrays this matches the HOF twin
@@ -124,6 +128,27 @@ object SignBitLsh {
       ((h2 >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
 
+  val Families: Set[String] = Set("xxhash64", "md5")
+
+  /** The PORTABLE hyperplane matrix (`Similarity.md5Planes` is the
+    * canonical description): first 13 md5 hex chars of "p:i" -> 52-bit
+    * int -> [-1, 1), every step exact in doubles and replayable as
+    * ANSI SQL. */
+  def md5PlaneMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0 * 2.0 - 1.0
+    }
+  }
+
   def sign_bit_lsh(v: Column, dim: Int, nPlanes: Int): Column =
     ColumnBridge.column(SignBitLsh(ColumnBridge.expression(v), dim, nPlanes))
+
+  /** md5-family variant: same codegen'd loop over the portable matrix
+    * — the hot-path form of `Similarity.lshCellFromPlanes`, bit-equal
+    * to it on clean AND dirty inputs (SignBitLshSpec). */
+  def sign_bit_lsh_md5(v: Column, dim: Int, nPlanes: Int): Column =
+    ColumnBridge.column(SignBitLsh(ColumnBridge.expression(v), dim, nPlanes, "md5"))
 }
