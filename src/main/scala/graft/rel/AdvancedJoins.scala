@@ -18,6 +18,16 @@ import graft.core.{Exact, QueryDef, Tables}
   * pair-join), the same shape MERGE_ASOF compiles to in stream
   * processors. The DuckDB oracle states the semantics declaratively as a
   * correlated MAX subquery.
+  *
+  * Broadcast policy (repo-wide, see also RelQueries/SubqueryShapes/
+  * TpchExtra): explicit `broadcast()` hints are reserved for sides whose
+  * size is BOUNDED BY CONSTRUCTION — nation/region (fixed cardinality at
+  * any SF), literal band tables, single-row scalar aggregates, collected
+  * centroid sets. SF-proportional dimensions (customer, part, supplier)
+  * are deliberately UNhinted: at local SFs the planner's size statistics
+  * pick the identical BroadcastHashJoin on its own, while at 100 TB an
+  * unconditional hint would force a driver OOM where AQE would have
+  * size-gated the decision.
   */
 object AdvancedJoins {
   import Exact._
@@ -172,7 +182,7 @@ object AdvancedJoins {
     // ---- J2 part-side rollup (broadcast dim on the build side) ----------
     "part_brand_stats" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"),
@@ -191,7 +201,7 @@ object AdvancedJoins {
       (s, d) => {
         val rev = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .agg(
             (sum(when(col("p_type").startsWith("PROMO"), rev)).cast("double") * 100.0 /
               sum(rev).cast("double")).as("promo_share_pct"),
@@ -283,7 +293,7 @@ object AdvancedJoins {
     // ---- J2 supplier activity -------------------------------------------
     "supplier_activity" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("revenue"))
@@ -347,7 +357,7 @@ object AdvancedJoins {
     "q19_discounted_revenue" -> QueryDef(
       (s, d) => {
         val l = Tables.lineitem(s, d)
-        val p = broadcast(Tables.part(s, d))
+        val p = Tables.part(s, d)
         l.join(p, col("l_partkey") === col("p_partkey"))
           .filter(
             (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&

@@ -66,7 +66,7 @@ object RelQueries {
         val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
         val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
             .cast("double").as("revenue"))

@@ -61,7 +61,7 @@ object SubqueryShapes {
         collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
       .filter(col("is_late") && col("n_supp") >= 2 &&
         size(col("late_supp")) === 1)
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -89,8 +89,8 @@ object SubqueryShapes {
           .filter(col("l_shipdate").between(
             to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31"))))
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
           .filter(
@@ -135,12 +135,12 @@ object SubqueryShapes {
           .join(Tables.orders(s, d).filter(col("o_orderdate").between(
             to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31")))),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
           .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
-          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+          .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
             col("l_partkey") === col("p_partkey"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
@@ -179,9 +179,9 @@ object SubqueryShapes {
         val excluded = Tables.supplier(s, d)
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
         Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-          .join(broadcast(excluded),
+          .join(excluded,
             col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(Tables.part(s, d).filter(col("p_type") =!= "PROMO")),
+          .join(Tables.part(s, d).filter(col("p_type") =!= "PROMO"),
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

@@ -51,9 +51,9 @@ object TpchExtra {
         val amount = money(col("l_extendedprice")) * oneMinus(col("l_discount")) -
           money(col("p_retailprice")) * col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(8, 2))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))),
+          .join(Tables.part(s, d).filter(col("p_name").contains("red")),
             col("l_partkey") === col("p_partkey"))
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"),
@@ -133,7 +133,7 @@ object TpchExtra {
           .withColumn("share",
             col("qty_d").cast("double") / sum(col("qty_d")).over(w).cast("double"))
           .filter(col("share") > 0.5)
-          .join(broadcast(Tables.supplier(s, d)),
+          .join(Tables.supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_suppkey"), col("s_name"))
           .agg(count(lit(1)).as("n_dominant"))
