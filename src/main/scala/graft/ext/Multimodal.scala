@@ -17,11 +17,12 @@ import graft.core.{QueryDef, Tables}
   * output ordering.
   *
   * IMAGE payloads are decoded for real via `javax.imageio` (JDK-bundled
-  * PNG/BMP/GIF readers — no external codec needed): width, height,
-  * channel means and a pixel checksum become the leading feature
-  * components. Audio/video decode remains STUBBED with a deterministic
-  * fake (`decodeStub` — this container ships no media codecs); the
-  * stub is also the fallback for bytes no image reader accepts, so the
+  * PNG/BMP/GIF readers) and AUDIO payloads via `javax.sound.sampled`
+  * (JDK-bundled RIFF/WAV PCM reader) — no external codec needed for
+  * either: dimensions, channel means, sample sums and checksums become
+  * feature components. VIDEO decode remains STUBBED with a
+  * deterministic fake (`decodeStub` — the JRE ships no video codec);
+  * the stub is also the fallback for bytes no reader accepts, so the
   * operator never throws on dirty corpora — exactly the tolerance a
   * 100 TB ingest needs.
   */
@@ -113,19 +114,71 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL audio decode (JDK `javax.sound.sampled` — the WAV/PCM reader
+    * ships with the JRE, no external codec): RIFF header parsed and
+    * validated by `AudioSystem`, PCM16 samples read little-endian, then
+    * fixed-layout features
+    *
+    *   f0 = frame count, f1 = sample rate (Hz), f2 = channels,
+    *   f3 = Σ samples, f4 = Σ samples² (both exact in doubles — integer
+    *   sums far below 2⁵³, so portable to any engine),
+    *   f5 = max |sample|, f6 = 0 (reserved), f7 = 1.0 real-decode marker.
+    *
+    * Returns None for non-WAV bytes (UnsupportedAudioFileException) or
+    * formats outside PCM16 — the caller falls back to the stub, same
+    * tolerance contract as the image path. */
+  private[ext] def decodeAudio(bytes: Array[Byte], dims: Int): Option[Array[Float]] = {
+    require(dims >= 8, s"audio feature layout needs 8 slots, got $dims")
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sum = 0L; var sumSq = 0L; var maxAbs = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toLong
+          sum += s; sumSq += s * s
+          if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+          i += 1
+        }
+        val out = new Array[Float](dims)
+        out(0) = n.toFloat / fmt.getChannels
+        out(1) = fmt.getSampleRate
+        out(2) = fmt.getChannels.toFloat
+        // exact in FLOAT only while |Σ| < 2²⁴ — the synthetic corpus
+        // keeps samples in [-128, 127] so both sums stay integer-exact
+        out(3) = sum.toFloat
+        out(4) = sumSq.toFloat
+        out(5) = maxAbs.toFloat
+        out(7) = 1.0f
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Feature extraction: one decoder per PARTITION (the expensive-setup
     * pattern — codec/model handles created once in the mapPartitions
-    * closure). Images go through the real `javax.imageio` decode with
-    * stub fallback for undecodable bytes; audio/video stay stubbed. */
+    * closure). Images decode via `javax.imageio`, audio via
+    * `javax.sound.sampled` (WAV/PCM — the one audio format the JRE
+    * decodes without external codecs), each with stub fallback for
+    * undecodable bytes; video stays stubbed (no codec in the JRE). */
   def extractFeatures(media: Dataset[MediaRow], dims: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup happens here (codec init, model load, …)
       rows.map { r =>
-        val feats =
-          if (r.media_type == "image")
+        val feats = r.media_type match {
+          case "image" =>
             decodeImage(r.content, dims).getOrElse(decodeStub(r.content, dims))
-          else decodeStub(r.content, dims)
+          case "audio" =>
+            decodeAudio(r.content, dims).getOrElse(decodeStub(r.content, dims))
+          case _ => decodeStub(r.content, dims)
+        }
         MediaFeatures(r.doc_id, r.media_type, r.n_bytes, feats)
       }
     }
@@ -201,6 +254,73 @@ object Multimodal {
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic synthetic audio corpus: every audio-typed document
+    * gets a REAL WAV (RIFF/PCM16LE mono, 8 kHz — written through
+    * `javax.sound.sampled`, the JRE's built-in audio codec) with
+    * closed-form content: n = 64 + id%128 frames, sample i =
+    * (31·id + 17·i) mod 256 − 128. Samples stay in [-128, 127] so the
+    * decoded Σ and Σ² are integer-exact in FLOAT — a SQL oracle can
+    * state what the real RIFF parser must read back without parsing a
+    * WAV byte itself (the audio twin of `syntheticImages`). */
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 128).toInt
+          val data = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = ((id * 31 + i * 17) % 256 - 128).toInt
+            data(2 * i) = (s & 0xFF).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val bytes = bos.toByteArray
+          MediaRow(id, "audio", bytes.length, bytes)
+        }
+      }
+  }
+
+  /** The declared `multimodal_audio` surface: synthesize → REAL WAV
+    * decode → per-clip features vs the closed form; `decoded` pins that
+    * the RIFF parser (not the stub) produced them. */
+  private def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(syntheticAudio(spark, dir)).toDF()
+      .select(col("doc_id"),
+        element_at(col("feature"), 1).cast("double").as("n_frames"),
+        element_at(col("feature"), 2).cast("double").as("sample_rate"),
+        element_at(col("feature"), 3).cast("double").as("channels"),
+        element_at(col("feature"), 4).cast("double").as("sum_samples"),
+        element_at(col("feature"), 5).cast("double").as("sum_squares"),
+        element_at(col("feature"), 6).cast("double").as("max_abs"),
+        (element_at(col("feature"), 8) === 1.0f).as("decoded"))
+      .orderBy(col("doc_id"))
+
+  private val audioDecodeSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 64 + doc_id % 128 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a),
+      |v AS (SELECT doc_id, n, (doc_id * 31 + i * 17) % 256 - 128 AS smp FROM s)
+      |SELECT doc_id,
+      |  CAST(n AS DOUBLE) AS n_frames,
+      |  CAST(8000 AS DOUBLE) AS sample_rate,
+      |  CAST(1 AS DOUBLE) AS channels,
+      |  CAST(SUM(smp) AS DOUBLE) AS sum_samples,
+      |  CAST(SUM(smp * smp) AS DOUBLE) AS sum_squares,
+      |  CAST(MAX(ABS(smp)) AS DOUBLE) AS max_abs,
+      |  TRUE AS decoded
+      |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   /** Per-type feature statistics over the mixed-type media table (the
     * stub decode path observable end-to-end; `multimodal_metadata` and
     * the spec suite carry its checks). */
@@ -262,6 +382,11 @@ object Multimodal {
     "multimodal_features" -> QueryDef(
       (s: SparkSession, d: String) => imageDecodeQuery(s, d),
       Some(imageDecodeSql)),
+    // real RIFF/PCM16 decode behind a closed-form oracle — the audio
+    // twin of multimodal_features' PNG path
+    "multimodal_audio" -> QueryDef(
+      (s: SparkSession, d: String) => audioDecodeQuery(s, d),
+      Some(audioDecodeSql)),
     "multimodal_metadata" -> QueryDef(
       (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql),
     "multimodal_offsets" -> QueryDef(

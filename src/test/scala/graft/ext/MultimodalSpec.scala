@@ -92,6 +92,31 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("synthetic audio corpus: WAV round trip through the real RIFF " +
+      "parser matches the closed form") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.syntheticAudio(spark, sfDir)
+      .filter(col("doc_id") < 100)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { m =>
+      val id = m.doc_id
+      val n = (64 + id % 128).toInt
+      val samples = (0 until n).map(i => (id * 31 + i * 17) % 256 - 128)
+      val f = m.feature
+      assert(f(0) == n.toFloat && f(1) == 8000f && f(2) == 1f)
+      assert(f(3) == samples.sum.toFloat, s"sum, id=$id")
+      assert(f(4) == samples.map(s => s * s).sum.toFloat, s"sumsq, id=$id")
+      assert(f(5) == samples.map(math.abs).max.toFloat)
+      assert(f(7) == 1.0f, "real decode marker")
+    }
+  }
+
+  test("audio decode: non-WAV bytes fall back to the stub, never throw") {
+    assert(Multimodal.decodeAudio("definitely not RIFF".getBytes, 8).isEmpty)
+    assert(Multimodal.decodeAudio(Array[Byte](), 8).isEmpty)
+  }
+
   test("offset sampling: stride arithmetic on the binary column") {
     val s = Multimodal.sampleOffsets(Multimodal.mediaTable(spark, sfDir), 10)
       .collect()
