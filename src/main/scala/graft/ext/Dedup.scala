@@ -460,15 +460,21 @@ object Dedup {
     * the containment contracts can run both families off one pass). */
   private def md5Shingled(docs: DataFrame): DataFrame = withShingles(docs)
 
-  private def md5SigsFromShingles(shingled: DataFrame, k: Int): DataFrame = {
-    def slot(sh: Column, seed: Int): Column =
-      when(size(sh) === 0, lit(null).cast("long")).otherwise(
-        aggregate(sh, lit(Long.MaxValue), (acc, s) =>
-          least(acc, conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
-            .cast("long"))))
-    shingled.select(Seq(col("doc_id")) ++
-      (0 until k).map(i => slot(col("sh"), i).as(s"m$i")): _*)
-  }
+  /** HOF formulation of one md5-family slot — interpreted; kept as the
+    * differential-testing twin of the native codegen'd `Md5MinHashSig`
+    * (bit-equal incl. empty/null-element semantics, Md5MinHashSigSpec). */
+  def md5SlotHof(sh: Column, seed: Int): Column =
+    when(size(sh) === 0, lit(null).cast("long")).otherwise(
+      aggregate(sh, lit(Long.MaxValue), (acc, s) =>
+        least(acc, conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
+          .cast("long"))))
+
+  private def md5SigsFromShingles(shingled: DataFrame, k: Int): DataFrame =
+    shingled
+      .select(col("doc_id"),
+        graft.functions.Md5MinHashSig.md5_minhash_sig(col("sh"), k).as("sig"))
+      .select(Seq(col("doc_id")) ++
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
 
   private def md5Sigs(docs: DataFrame, k: Int): DataFrame =
     md5SigsFromShingles(md5Shingled(docs), k)
