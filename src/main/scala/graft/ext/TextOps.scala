@@ -149,7 +149,45 @@ object TextOps {
         .orderBy(col("source")),
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  COUNT(DISTINCT lang) AS n_langs
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- L4 corpus-frequency commonness: a unigram-LM-style quality
+    //      signal — the mean CORPUS frequency of a document's tokens
+    //      (template/boilerplate text scores high, rare-token noise
+    //      scores low). Unlike the per-document signals above, this is
+    //      the two-pass join-against-corpus-statistics shape: pass 1
+    //      reduces the corpus to its vocabulary frequency table
+    //      (Heaps-law-sublinear in corpus size), pass 2 joins tokens
+    //      back on it. Integer sums keep the score exact cross-engine —
+    //      deliberately no log(): libm last bits are not a portable
+    //      surface. At 100 TB the vocab table is the broadcast-or-
+    //      shuffle decision AQE should own; the token explode is the
+    //      irreducible linear pass ----------------------------------------
+    "text_commonness" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.WordShingles.word_ngrams(col("text"), 1))
+              .as("token"))
+        val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        toks.join(freq, Seq("token"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("freq_sum"))
+          .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+            (col("freq_sum").cast("double") / col("n_tokens"))
+              .as("avg_token_freq"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(freq) AS BIGINT) AS freq_sum,
+        |  CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_token_freq
+        |FROM t JOIN f USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q
