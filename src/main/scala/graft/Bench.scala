@@ -59,6 +59,7 @@ object Bench {
     // only attributable on a median. Shuffle volume is deterministic —
     // attributed from the first run only.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val results = picked.map { case (name, fn) =>
       val sw0 = metrics.shuffleWrite.get
       var shuffleMb = 0.0
@@ -72,7 +73,12 @@ object Bench {
         if (i == 1) shuffleMb = (metrics.shuffleWrite.get - sw0) / 1048576.0
         dt
       }.sorted
-      name -> (ts(ts.length / 2), shuffleMb)
+      // a real median: middle element for odd run counts, mean of the
+      // two middles for even (upper-middle alone would bias high)
+      val median =
+        if (ts.length % 2 == 1) ts(ts.length / 2)
+        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
+      name -> (median, shuffleMb)
     }
     // harness floor: the fixed per-query cost at this parallelism —
     // scheduling + tiny-file scan + one shuffle over a 5-row table.

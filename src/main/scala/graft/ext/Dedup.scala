@@ -337,8 +337,11 @@ object Dedup {
     * cells — fine at test scale, a skew bomb at 10⁹ docs; this is the
     * knob that scales instead. */
   def planesForCorpus(n: Long, targetCellSize: Long = 1L << 17): Int = {
+    // cap 30 = SignBitLsh's plane budget (cell ids are Int bit masks);
+    // 2^30 cells exceeds any practical blocking need — with the default
+    // target that cap is only reached beyond 10^14 documents
     var p = 2
-    while (p < 62 && (targetCellSize << p) < n) p += 1
+    while (p < 30 && (targetCellSize << p) < n) p += 1
     p
   }
 
@@ -415,14 +418,14 @@ object Dedup {
       |  SELECT 2
       |  UNION ALL
       |  SELECT p + 1 FROM np
-      |  WHERE p < 62 AND (64::BIGINT << p) < (SELECT COUNT(*) FROM embeddings)),
+      |  WHERE p < 30 AND (64::BIGINT << p) < (SELECT COUNT(*) FROM embeddings)),
       |nplanes AS (SELECT MAX(p) AS np FROM np),
       |planes AS (
       |  SELECT p, list(comp ORDER BY i) AS plane FROM (
       |    SELECT t.p, s.i,
       |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
       |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
-      |    FROM range(0, 62) t(p), range(0, 64) s(i)
+      |    FROM range(0, 30) t(p), range(0, 64) s(i)
       |    WHERE t.p < (SELECT np FROM nplanes))
       |  GROUP BY p),
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -640,13 +643,19 @@ object Dedup {
     * (hamming ≤ maxDist) behavior stays property-pinned in DedupSpec —
     * no portable hash family can express xxhash64 token votes in SQL. */
   def simhashPlantedQuery(docs: DataFrame, maxDist: Int): DataFrame = {
-    val offset = 1000000L
     val base = docs.select(col("doc_id"), col("text"))
+    // collision-free planted ids for ANY corpus: offset = max(id) + 1,
+    // a broadcast scalar join (not a literal — a fixed 10⁶ would alias
+    // real documents the moment ids reach it); the oracle derives the
+    // same offset with a scalar subquery
+    val off = base.agg((max(col("doc_id")) + 1).as("off"))
     val planted = base.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + offset).as("doc_id"), col("text"))
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
     val pairs = simhashPairs(base.union(planted), maxDist)
     base.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("doc_a"), (col("doc_id") + offset).as("doc_b"))
+      .crossJoin(broadcast(off))
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + col("off")).as("doc_b"))
       .join(pairs, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         col("hamming").isNotNull.as("found"),
@@ -655,7 +664,8 @@ object Dedup {
   }
 
   val simhashPlantedSql: String =
-    """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+    """SELECT doc_id AS doc_a,
+      |  doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_b,
       |  TRUE AS found, TRUE AS hamming_zero
       |FROM documents WHERE doc_id % 20 = 0
       |ORDER BY doc_a""".stripMargin

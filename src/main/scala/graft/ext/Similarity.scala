@@ -133,10 +133,13 @@ object Similarity {
     * repeated queries prune partitions instead of scanning. */
   def lshTopK(spark: SparkSession, dir: String, qId: Long, k: Int,
       nPlanes: Int = 4): DataFrame = {
-    val dim = 64
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", lshCellNative(col("v"), dim, nPlanes))
+    // derive dim from the data (one metadata-sized lookup): a hardcoded
+    // width would trip SignBitLsh's length≠dim ⇒ cell-0 contract on a
+    // reshaped fixture and silently degrade the probe to brute force
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val e = e0.withColumn("cell", lshCellNative(col("v"), dim, nPlanes))
     val q = e.filter(col("vec_id") === qId)
       .select(col("v").as("q"), col("cell").as("qcell"))
     e.filter(col("vec_id") =!= qId)
@@ -155,11 +158,14 @@ object Similarity {
     * differential-pinned in SimilaritySpec/SignBitLshSpec. */
   def lshTopKPortable(spark: SparkSession, dir: String, qId: Long, k: Int,
       nPlanes: Int = 4): DataFrame = {
-    val dim = 64
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell",
-        graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
+    // dim from the data, as in lshTopK — the oracle's range(0, 64)
+    // plane derivation then fails VISIBLY on a reshaped fixture instead
+    // of this side silently collapsing every vector into cell 0
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val e = e0.withColumn("cell",
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
     val q = e.filter(col("vec_id") === qId)
       .select(col("v").as("q"), col("cell").as("qcell"))
     e.filter(col("vec_id") =!= qId)
@@ -218,6 +224,10 @@ object Similarity {
     val cents = labelCentroids(emb)
       .select(col("label").as("cell"), col("centroid")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    // loud beats obscure: with zero centroids the argmin array below
+    // would be ArrayType(NullType) and fail analysis with an unrelated
+    // message; an empty corpus cannot train a quantizer, say so
+    require(cents.nonEmpty, "cannot train an IVF quantizer on an empty corpus")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val scored = array(cents.map { case (c, ctr) =>
       struct((-cosine(col("v"), typedlit(ctr))).as("cdist"), lit(c).as("cell"))

@@ -165,10 +165,15 @@ object TextOps {
     //      irreducible linear pass ----------------------------------------
     "text_commonness" -> QueryDef(
       (s, d) => {
+        // persisted: the exploded token stream feeds BOTH the vocabulary
+        // count and the join back — without it the corpus scan + explode
+        // runs twice (caching contract as in ext/Corpus: caller clears
+        // cache between corpus-scale invocations; Verify/Bench do)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(graft.functions.WordShingles.word_ngrams(col("text"), 1))
               .as("token"))
+          .persist()
         val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
         toks.join(freq, Seq("token"))
           .groupBy(col("doc_id"))
