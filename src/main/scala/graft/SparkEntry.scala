@@ -31,6 +31,7 @@ object SparkEntry {
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++
+      ext.Pipeline.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries
 

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Training-prep operators: sequence packing, mixture weighting,
+  * deterministic splits (SURVEY §2.11 — packing/mixture/split rows). */
+class PipelineSpec extends SparkSuite {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("packSequences: exact bin arithmetic on a hand-computed shard") {
+    // one source, nShards = 1 → a single running sum we can do by hand
+    val d = docs(Seq(
+      (0L, "s", "a b c d"),        // 4 tokens, cum 4  → seq 0..0
+      (1L, "s", "e f g"),          // 3 tokens, cum 7  → seq 0..0
+      (2L, "s", "h i j k l m"),    // 6 tokens, cum 13 → starts in 0, ends in 1
+      (3L, "s", "n o")))           // 2 tokens, cum 15 → seq 1..1
+    val out = Pipeline.packSequences(d, seqLen = 8, nShards = 1)
+      .select("doc_id", "first_seq", "last_seq", "straddles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, false), (1L, 0L, 0L, false),
+      (2L, 0L, 1L, true), (3L, 1L, 1L, false)))
+  }
+
+  test("packSequences: token conservation and contiguity per shard") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val packed = Pipeline.packSequences(d, seqLen = 64, nShards = 4).cache()
+    try {
+      // every shard starts at sequence 0 (no leading hole)
+      val starts = packed.groupBy("source", "shard")
+        .agg(min("first_seq").as("m")).collect()
+      assert(starts.nonEmpty && starts.forall(_.getAs[Long]("m") == 0L))
+      // a document longer than seqLen MUST straddle; one shorter spans ≤ 2 bins
+      val bad = packed.filter(
+        (col("n_tokens") > 64 && !col("straddles")) ||
+          (col("last_seq") - col("first_seq") > col("n_tokens").cast("long") / 64 + 1))
+        .count()
+      assert(bad == 0)
+      // shard-local packing: last bin index implies total tokens in shard
+      val tok = packed.groupBy("source", "shard")
+        .agg(sum("n_tokens").as("t"), max("last_seq").as("l")).collect()
+      assert(tok.forall(r =>
+        r.getAs[Long]("l") == (r.getAs[Long]("t") - 1) / 64))
+    } finally packed.unpersist()
+  }
+
+  test("packSequences: invariant under input partitioning (the 100 TB property)") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val a = Pipeline.packSequences(d, 32, 4).collect().toSeq
+    val b = Pipeline.packSequences(d.repartition(13), 32, 4).collect().toSeq
+    assert(a == b)
+  }
+
+  test("mixtureWeights: weights normalize, order by sqrt of token mass") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val m = Pipeline.mixtureWeights(d, budget = 1000L).collect()
+    val wsum = m.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"weights must sum to 1, got $wsum")
+    // temperature scaling preserves the token-mass ORDER but compresses it:
+    // weight ratio between any two sources is milder than their mass ratio
+    val byTok = m.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("weight") <= hi.getAs[Double]("weight") + 1e-15)
+    }
+    val (lo, hi) = (byTok.head, byTok.last)
+    if (lo.getAs[Long]("n_tokens") > 0 && hi.getAs[Long]("n_tokens") > lo.getAs[Long]("n_tokens")) {
+      val massRatio = hi.getAs[Long]("n_tokens").toDouble / lo.getAs[Long]("n_tokens")
+      val weightRatio = hi.getAs[Double]("weight") / lo.getAs[Double]("weight")
+      assert(weightRatio < massRatio,
+        s"sqrt temperature must compress the ratio: $weightRatio vs $massRatio")
+    }
+    // allocations never exceed the budget
+    assert(m.map(_.getAs[Long]("alloc_docs")).sum <= 1000L)
+  }
+
+  test("splitAssign: deterministic, complete, decorrelated from sampling") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val s1 = Pipeline.splitAssign(d, 0.8, 0.1).collect().toSeq
+    val s2 = Pipeline.splitAssign(d.repartition(7), 0.8, 0.1).collect().toSeq
+    assert(s1 == s2, "assignment must not depend on partitioning")
+    val byName = s1.groupBy(_.getAs[String]("split")).view.mapValues(_.size).toMap
+    val n = s1.size.toDouble
+    assert(byName.keySet == Set("train", "val", "test"))
+    // binomial(n, 0.8) at n = 500: ±5σ ≈ ±0.09
+    assert(math.abs(byName("train") / n - 0.8) < 0.09, byName.toString)
+    // the salt decorrelates the split hash from the sampling hash: the
+    // train fraction INSIDE the stratified sample must stay ≈ 0.8 too
+    val sample = Corpus.stratifiedSample(d, Map.empty, 0.5)
+    val joint = Pipeline.splitAssign(d, 0.8, 0.1)
+      .join(sample.select("doc_id"), Seq("doc_id"), "semi")
+    val trainIn = joint.filter(col("split") === "train").count().toDouble /
+      joint.count()
+    assert(math.abs(trainIn - 0.8) < 0.12,
+      s"split must be independent of the sampling decision, got $trainIn")
+  }
+}
