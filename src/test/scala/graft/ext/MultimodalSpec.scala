@@ -117,6 +117,59 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeAudio(Array[Byte](), 8).isEmpty)
   }
 
+  test("video decode: MJPEG AVI round trip through the independent RIFF " +
+      "walk — counts, dims, timing exact; truncation detected") {
+    // hand-built clip: 3 frames of a 24×16 solid JPEG at 25 fps
+    val img = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24) img.setRGB(x, y, 0x608050)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val avi = Multimodal.buildAvi(24, 16, 40000, Seq.fill(3)(jpeg))
+    val f = Multimodal.decodeVideo(avi, 8).get
+    assert(f(0) == 3f, "frames observed in movi")
+    assert(f(1) == 24f && f(2) == 16f, "decoded frame-0 dimensions")
+    assert(f(3) == 40000f, "µs per frame from avih")
+    val lum = 0.299 * 0x60 + 0.587 * 0x80 + 0.114 * 0x50
+    assert(math.abs(f(4) - lum) <= 4.0, s"luma ${f(4)} vs $lum")
+    assert(f(5) == 2f, "every-2nd-frame sampling decodes ceil(3/2) frames")
+    assert(f(6) == 3f && f(7) == 1f, "header agrees; real-decode marker")
+
+    // truncation mid-movi: the walk stops cleanly at the cut, so the
+    // observed frame count drops below the header claim — exactly the
+    // header_consistent=false signal the declared query would emit
+    val cut = avi.take(avi.length - jpeg.length / 2)
+    val t = Multimodal.decodeVideo(cut.toArray, 8).get
+    assert(t(0) == 2f && t(6) == 3f, "truncated clip: 2 parsed vs 3 claimed")
+  }
+
+  test("video decode: word-aligned odd-size chunks parse correctly") {
+    // JPEG payloads are frequently odd-length; force one explicitly so
+    // the RIFF pad byte is exercised no matter what the encoder emits
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x707070)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val base = bos.toByteArray
+    // ImageIO tolerates trailing garbage after EOI, so parity is ours
+    val odd = if (base.length % 2 == 1) base else base :+ 0.toByte
+    val avi = Multimodal.buildAvi(16, 16, 50000, Seq(odd, odd, odd, odd))
+    val f = Multimodal.decodeVideo(avi, 8).get
+    assert(f(0) == 4f && f(1) == 16f && f(5) == 2f,
+      "all four odd-size frames must be found and the sampled half decode")
+  }
+
+  test("video decode: non-AVI bytes fall back to the stub, never throw") {
+    assert(Multimodal.decodeVideo("not a RIFF at all".getBytes, 8).isEmpty)
+    assert(Multimodal.decodeVideo(Array[Byte](), 8).isEmpty)
+    // RIFF but not AVI (a WAV header) must be rejected by the form check
+    val wavish = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++
+      "WAVE".getBytes ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.decodeVideo(wavish, 8).isEmpty)
+  }
+
   test("offset sampling: stride arithmetic on the binary column") {
     val s = Multimodal.sampleOffsets(Multimodal.mediaTable(spark, sfDir), 10)
       .collect()
