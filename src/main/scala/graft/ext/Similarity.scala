@@ -210,6 +210,81 @@ object Similarity {
       |  CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
       |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Batch ANN join: top-k cosine neighbors for EVERY query in a set at
+    * once — the shape a training pipeline actually runs (dedup against
+    * a reference corpus, hard-negative mining, retrieval eval), as
+    * opposed to the single-vector serving probes above.
+    *
+    * Plan shape: the corpus is quantized once (narrow map), the query
+    * subset joins on cell equality — candidates only, NEVER all pairs —
+    * and a per-query window takes the top k. Spark plans the
+    * rank-filter as WindowGroupLimit, so per-cell candidate lists are
+    * pruned to k during the shuffle read instead of materializing, and
+    * the join itself shuffles both sides by cell — no broadcast of the
+    * query set, which at 100 TB is itself corpus-sized.
+    *
+    * `nPlanes` pins the oracle's plane derivation; production scales
+    * cells with corpus size exactly like the embedding dedup does
+    * (`Dedup.planesForCorpus`) — more planes = more cells = smaller
+    * candidate lists and higher join parallelism, at recall cost
+    * recovered by multi-probe.
+    *
+    * The md5-portable quantizer makes quantization, blocking, scoring
+    * and ranking all ANSI-reproducible — an approximate batch join
+    * behind the full hash gate (same trick as `simsearch_lsh`). */
+  def knnJoin(spark: SparkSession, dir: String, everyN: Long, k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val e = e0.withColumn("cell",
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
+    val queries = e.filter(col("vec_id") % everyN === 0)
+      .select(col("vec_id").as("qid"), col("v").as("q"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("v"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** DuckDB twin of the batch join: identical plane derivation, cell
+    * blocking, scoring and per-query ranking. */
+  def knnJoinSql(everyN: Long, k: Int): String =
+    s"""WITH planes AS (
+       |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+       |    SELECT t.p, s.i,
+       |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+       |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |    FROM range(0, 4) t(p), range(0, 64) s(i))
+       |  GROUP BY p),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cellid AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
+       |  FROM e, planes pl GROUP BY e.vec_id),
+       |q AS (
+       |  SELECT e.vec_id AS qid, e.v AS qv, c.cell FROM e
+       |  JOIN cellid c ON c.vec_id = e.vec_id WHERE e.vec_id % $everyN = 0),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    list_dot_product(e.v, q.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM e JOIN cellid c ON c.vec_id = e.vec_id
+       |  JOIN q ON c.cell = q.cell
+       |  WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id AS neighbor_id, rank
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** Nearest-centroid assignment of every vector — the "add to index"
     * step of IVF, as a ZERO-exchange narrow map: the trained centroids
     * are bounded metadata (cells × dim doubles), so they are collected
@@ -498,7 +573,12 @@ object Similarity {
     // pruning are pinned in SimilaritySpec on this same path
     "simsearch_ivf" -> QueryDef(
       (s: SparkSession, d: String) => ivfProbeRanked(s, d, 0L, 10, nprobe = 2),
-      Some(ivfProbeSql))
+      Some(ivfProbeSql)),
+    // the batch shape: top-k for every 50th vector in ONE pass, cell
+    // blocked, full oracle via the md5-portable quantizer
+    "knn_join" -> QueryDef(
+      (s: SparkSession, d: String) => knnJoin(s, d, everyN = 50L, k = 5),
+      Some(knnJoinSql(50L, 5)))
   )
 
   def queries: Seq[(String, QueryDef)] = q

@@ -38,6 +38,31 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.map(_.getLong(0)).forall(brute.contains))
   }
 
+  test("knn_join: batch result agrees with the single-query probe, " +
+      "query by query; the rank filter plans as WindowGroupLimit") {
+    val batch = Similarity.knnJoin(spark, sfDir, everyN = 50L, k = 5)
+    val rows = batch.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    // every 50th vector appears as a query (cells are never empty at
+    // 500 vectors / 16 cells, so each finds at least one candidate)
+    assert(byQ.keySet == (0L until 500L by 50L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      // the batch join must reproduce the single-query LSH probe (same
+      // quantizer, same ranking) truncated to its k
+      val single = Similarity.lshTopKPortable(spark, sfDir, qid, 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val got = rs.sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getInt(2))).toSeq
+      assert(got == single, s"qid=$qid: $got vs $single")
+    }
+    // rank <= k must plan as WindowGroupLimit: candidate lists are
+    // pruned to k rows per query during the shuffle, not materialized —
+    // the property that keeps a 10^9-query batch join bounded
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in the batch join plan:\n$p")
+  }
+
   test("IVF probe: results come from the probed cells, ranked, with good recall") {
     val ivf = Similarity.ivfTopK(spark, sfDir, 0L, 10, nprobe = 3).collect()
     assert(ivf.nonEmpty && ivf.length <= 10)
