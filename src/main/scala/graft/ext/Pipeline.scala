@@ -171,6 +171,154 @@ object Pipeline {
        |       ELSE 'test' END AS split
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- curriculum
+
+  /** The rule-point quality score `text_quality` declares, reused here
+    * so curriculum bins grade on the same signal the gate already
+    * hash-checks. */
+  private def qualityScore: Column = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val tokenCount = size(toks)
+    val avgTok = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount
+    when(length(col("text")).between(100, 1000), 1).otherwise(0) +
+      when(tokenCount >= 20, 1).otherwise(0) +
+      when(avgTok.between(3.0, 8.0), 1).otherwise(0) +
+      when(size(array_distinct(toks)) * 2 >= tokenCount, 1).otherwise(0)
+  }
+
+  /** Curriculum binning: per-source quality quartiles + distribution
+    * ranks — the signal a staged training schedule samples against
+    * ("high-quality bins first / more often").
+    *
+    * The ranking runs through `DistributedRank.distributionOver`
+    * (range-partition + prefix-sum), NOT a window over source: window
+    * ntile sorts each source inside ONE task, and sources are exactly
+    * the fat-key shape that dies at 100 TB. Same bit-equal contract as
+    * `window_distribution_scalable`, applied where a pipeline actually
+    * needs it. */
+  def curriculumBins(docs: DataFrame, parts: Int = 32): DataFrame =
+    graft.rel.DistributedRank.distributionOver(
+      docs.select(col("source"), col("doc_id"),
+        qualityScore.cast("double").as("score")),
+      parts)
+
+  val curriculumSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, doc_id,
+      |    CAST((CASE WHEN length(text) BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+      |          BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS score
+      |  FROM t)
+      |SELECT source, doc_id, score,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM s
+      |WINDOW w AS (PARTITION BY source ORDER BY score DESC, doc_id)
+      |ORDER BY source, doc_id""".stripMargin
+
+  // -------------------------------------------------------------- datacard
+
+  /** The per-source data card: the one-page corpus summary a pipeline
+    * publishes with every training set — volume, duplication, language
+    * and quality, reduced to counts and single divisions so every cell
+    * is exact cross-engine.
+    *
+    * Two shuffles total: one corpus-wide fingerprint reduction for the
+    * duplicate counts (Heaps-sublinear distinct-text table, counted
+    * once, joined back by fingerprint), one group-by on source. The
+    * quality/language signals reuse the same expressions their
+    * dedicated queries hash-check. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val enScore = size(filter(split(col("text"), " "),
+      t => t.isin("the", "a", "and", "of")))
+    val fp = md5(col("text"))
+    val dupCounts = docs.select(fp.as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    docs
+      .select(col("source"), col("doc_id"), fp.as("fp"),
+        size(toks).cast("long").as("n_tokens"),
+        qualityScore.as("quality"),
+        (enScore >= 2).cast("int").as("is_en"))
+      .join(dupCounts, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum((col("n_copies") > 1).cast("long")).as("n_dup_docs"),
+        sum(col("quality").cast("long")).as("quality_points"),
+        sum(col("is_en").cast("long")).as("n_english"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("quality_points").cast("double") / col("n_docs")).as("mean_quality"),
+        (col("n_english").cast("double") / col("n_docs")).as("english_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** The declared surface plants exact duplicates (every 39th document
+    * re-appears under a fresh id — 39 is coprime with the fixture's
+    * source cycle, so every source gets some) before computing the
+    * card: the fixture corpus has no exact dups below the bench scale,
+    * and an oracle that never sees `n_copies > 1` would vacuously pass
+    * a broken duplicate counter — the same planted-input reasoning as
+    * `pii_redact`. */
+  def dataCardPlanted(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val off = base.agg((max(col("doc_id")) + 1).as("off"))
+    val planted = base.filter(col("doc_id") % 39 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("source"),
+        col("text"))
+    dataCard(base.union(planted))
+  }
+
+  val dataCardSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, text
+      |  FROM documents WHERE doc_id % 39 = 0),
+      |t AS (
+      |  SELECT source, doc_id, text, md5(text) AS fp,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM base),
+      |f AS (SELECT fp, COUNT(*) AS n_copies FROM t GROUP BY fp),
+      |d AS (
+      |  SELECT t.source,
+      |    CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |    (CASE WHEN length(t.text) BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN len(t.toks) >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE) / len(t.toks)
+      |          BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN len(list_distinct(t.toks)) * 2 >= len(t.toks) THEN 1 ELSE 0 END)
+      |      AS quality,
+      |    CASE WHEN len(list_filter(string_split(t.text, ' '),
+      |      x -> x IN ('the','a','and','of'))) >= 2 THEN 1 ELSE 0 END AS is_en,
+      |    f.n_copies
+      |  FROM t JOIN f ON f.fp = t.fp)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+      |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
+      |  CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS mean_quality,
+      |  CAST(SUM(is_en) AS DOUBLE) / COUNT(*) AS english_rate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------ declared queries
 
   private val q: Seq[(String, QueryDef)] = Seq(
@@ -182,7 +330,11 @@ object Pipeline {
       mixtureWeightsSql(10000L)),
     "corpus_split" -> QueryDef(
       (s, d) => splitAssign(Tables.documents(s, d), trainFrac = 0.8, valFrac = 0.1),
-      splitAssignSql(0.8, 0.1))
+      splitAssignSql(0.8, 0.1)),
+    "corpus_curriculum" -> QueryDef(
+      (s, d) => curriculumBins(Tables.documents(s, d)), curriculumSql),
+    "corpus_datacard" -> QueryDef(
+      (s, d) => dataCardPlanted(Tables.documents(s, d)), dataCardSql)
   )
 
   def queries: Seq[(String, QueryDef)] = q

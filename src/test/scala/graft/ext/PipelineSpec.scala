@@ -79,6 +79,47 @@ class PipelineSpec extends SparkSuite {
     assert(m.map(_.getAs[Long]("alloc_docs")).sum <= 1000L)
   }
 
+  test("curriculumBins: quartiles are balanced per source and grade on " +
+      "the declared quality score") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val bins = Pipeline.curriculumBins(d).collect()
+    assert(bins.length == 500)
+    bins.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("quartile")).view.mapValues(_.size)
+      assert(sizes.keySet == Set(1, 2, 3, 4), s"$src: ${sizes.toMap}")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$src: NTILE quartiles must differ by at most one: ${sizes.toMap}")
+      // within a source, a strictly better score never lands in a
+      // strictly later quartile (ties may split across a boundary)
+      val byScore = rs.sortBy(r => (-r.getAs[Double]("score"), r.getLong(1)))
+      assert(byScore.map(_.getAs[Int]("quartile")).toSeq ==
+        byScore.map(_.getAs[Int]("quartile")).sorted.toSeq)
+    }
+  }
+
+  test("dataCard: cells cross-check against independent per-source scans") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val card = Pipeline.dataCard(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.size == 20)
+    // fixture has no exact dups at this SF → dup branch must read zero
+    assert(card.values.forall(_.getAs[Long]("n_dup_docs") == 0L))
+    val src0 = d.filter(col("source") === "src0")
+    assert(card("src0").getAs[Long]("n_docs") == src0.count())
+    val tokCount = src0
+      .select(size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(card("src0").getAs[Long]("n_tokens") == tokCount.sum)
+    assert(card("src0").getAs[Long]("max_tokens") == tokCount.max)
+    // the planted declared surface: every 39th doc duplicated ⇒ both the
+    // original and the plant count as dup docs, nothing else changes
+    val planted = Pipeline.dataCardPlanted(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val totalDups = planted.values.map(_.getAs[Long]("n_dup_docs")).sum
+    val expected = 2L * d.filter(col("doc_id") % 39 === 0).count()
+    assert(totalDups == expected, s"$totalDups vs $expected")
+  }
+
   test("splitAssign: deterministic, complete, decorrelated from sampling") {
     val d = graft.core.Tables.documents(spark, sfDir)
     val s1 = Pipeline.splitAssign(d, 0.8, 0.1).collect().toSeq
