@@ -50,6 +50,17 @@ class PipelineSpec extends SparkSuite {
     } finally packed.unpersist()
   }
 
+  test("packSequences: empty documents are excluded, never bin-shifted") {
+    val d = docs(Seq((0L, "s", "a b"), (1L, "s", ""), (2L, "s", "   "),
+      (3L, "s", "c d e")))
+    val out = Pipeline.packSequences(d, seqLen = 4, nShards = 1).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 3L),
+      "zero-token docs contribute nothing to any sequence")
+    // doc 3 starts right after doc 0's two tokens: cum 2 → first_seq 0
+    assert(out.last.getAs[Long]("first_seq") == 0L &&
+      out.last.getAs[Long]("last_seq") == 1L)
+  }
+
   test("packSequences: invariant under input partitioning (the 100 TB property)") {
     val d = graft.core.Tables.documents(spark, sfDir)
     val a = Pipeline.packSequences(d, 32, 4).collect().toSeq
