@@ -33,7 +33,9 @@ object SparkEntry {
       ext.Corpus.queries ++
       ext.Pipeline.queries ++
       ext.Similarity.queries ++
-      ext.Multimodal.queries
+      ext.Multimodal.queries ++
+      ext.Search.queries ++
+      ext.Sketches.queries
 
   /** Declared names in declaration order — lets tests prove no module
     * accidentally shadows another's query (the Map below would keep only

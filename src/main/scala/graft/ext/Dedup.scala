@@ -670,6 +670,135 @@ object Dedup {
       |FROM documents WHERE doc_id % 20 = 0
       |ORDER BY doc_a""".stripMargin
 
+  // ------------------------------------------ incremental ingest dedup
+
+  /** Incremental batch-vs-corpus dedup — the shape production ingestion
+    * actually runs: a small incoming batch is checked against the
+    * standing corpus, never corpus×corpus. A salted-md5 subset of the
+    * documents plays the incoming batch (plus planted exact copies of
+    * every 20th corpus doc, ids offset past max(doc_id) — the
+    * simhashPlantedQuery pattern — so the exact-dup arm provably fires
+    * at every SF), the rest is the corpus. Each batch doc gets a status:
+    *   exact_dup — md5(text) matches a corpus document
+    *   near_dup  — shares an md5-minhash band key with a corpus doc at
+    *               slot-overlap ≥ threshold
+    *   new       — neither
+    *
+    * Scale shape: the corpus side of the band join is exactly the
+    * signature index a deployment builds once and reuses every batch
+    * (the ensureIvfIndex lifecycle applied to text); per-batch work is
+    * O(batch × bands) probe rows against bucket-partitioned corpus
+    * keys. The exact arm is a fingerprint semi-join whose batch side is
+    * broadcast-sized by construction. Nothing here is quadratic in the
+    * corpus. */
+  def incrementalDedup(docs: DataFrame, batchFrac: Double,
+      threshold: Double, k: Int = 4): DataFrame = {
+    val u = conv(substring(md5(concat(lit("batch:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val tagged = docs.select(col("doc_id"), col("text"),
+      (u < batchFrac).as("is_batch"))
+    val off = docs.agg((max(col("doc_id")) + 1).as("off"))
+    val corpus = tagged.filter(!col("is_batch")).select("doc_id", "text")
+    val planted = corpus.filter(col("doc_id") % 20 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
+    val batch = tagged.filter(col("is_batch")).select("doc_id", "text")
+      .unionByName(planted)
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(corpus.select(md5(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    def keyed(side: DataFrame, tag: String) = {
+      val sigs = md5SigsFromShingles(withShingles(side), k)
+      sigs.select(col("doc_id") +: (0 until k).map(i => col(s"m$i")) :+
+        explode(array((0 until k).map(i =>
+          struct(lit(i).as("band"), col(s"m$i").as("bkey"))): _*)).as("b"): _*)
+        .filter(col("b.bkey").isNotNull)
+        .select(Seq(col("b.band").as("band"), col("b.bkey").as("bkey"),
+          col("doc_id").as(s"doc_$tag")) ++
+          (0 until k).map(i => col(s"m$i").as(s"$tag$i")): _*)
+    }
+    val overlap = (0 until k).map(i =>
+      (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+    val near = keyed(batch, "a").join(keyed(corpus, "b"), Seq("band", "bkey"))
+      .filter(overlap / lit(k.toDouble) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .join(near.withColumn("n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e") === 1, "exact_dup")
+          .when(col("n") === 1, "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedupSql(batchFrac: Double, threshold: Double): String = {
+    def slots(from: String) = (0 until 4).map(i =>
+      s"""    CASE WHEN len(sh) = 0 THEN NULL ELSE
+         |      list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))
+         |    END AS m$i""".stripMargin).mkString(",\n") + s"\n  FROM $from"
+    def arms(from: String) = (0 until 4).map(i =>
+      s"  SELECT doc_id, $i AS band, m$i AS bkey, m0, m1, m2, m3 FROM $from WHERE m$i IS NOT NULL")
+      .mkString("\n  UNION ALL\n")
+    val overlap = (0 until 4).map(i => s"(a.m$i = b.n$i)::INT").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5('batch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      / 4294967296.0 < $batchFrac AS is_batch
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, text FROM base WHERE NOT is_batch),
+       |batch AS (
+       |  SELECT doc_id, text FROM base WHERE is_batch
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
+       |  FROM corpus WHERE doc_id % 20 = 0),
+       |bsh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM batch)),
+       |csh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM corpus)),
+       |bsig AS (
+       |  SELECT doc_id,
+       |${slots("bsh")}),
+       |csig AS (
+       |  SELECT doc_id,
+       |${slots("csh")}),
+       |bkeys AS (
+       |${arms("bsig")}),
+       |ckeys AS (
+       |  SELECT doc_id, band, bkey, m0 AS n0, m1 AS n1, m2 AS n2, m3 AS n3
+       |  FROM (
+       |${arms("csig")})),
+       |near AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM bkeys a JOIN ckeys b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE ($overlap) / 4.0 >= $threshold),
+       |exact AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text))
+       |SELECT batch.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM batch
+       |LEFT JOIN exact e ON batch.doc_id = e.doc_id
+       |LEFT JOIN near n ON batch.doc_id = n.doc_id
+       |ORDER BY batch.doc_id""".stripMargin
+  }
+
   // ---- declared queries (rows-only: hash seeds not SQL-reproducible) ----
   private val q: Seq[(String, QueryDef)] = Seq(
     // murmur3 candidate generator behind its containment contract (the
@@ -717,6 +846,13 @@ object Dedup {
         // budget, exactly like an IVF trainer picking its cell count
         embeddingPairsPortable(emb, 0.35, planesForCorpus(emb.count(), 64))
       }, Some(embeddingLshSql)),
+    // batch-vs-corpus: the md5 family end to end, so the whole
+    // incremental path (split → plant → fingerprint arm → banded-LSH
+    // arm → status precedence) is ANSI-reproducible
+    "dedup_incremental" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        incrementalDedup(Tables.documents(s, d), 0.1, 0.5),
+      Some(incrementalDedupSql(0.1, 0.5))),
     "dedup_embedding" -> QueryDef(
       (s: SparkSession, d: String) => embeddingPairs(Tables.embeddings(s, d), 0.35)
         .select(col("id_a"), col("id_b")),

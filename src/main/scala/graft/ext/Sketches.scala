@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Probabilistic-sketch operators: Bloom-filter eval-set decontamination
+  * and count-min-sketch heavy hitters. Both follow the repo's
+  * sketch-behind-a-contract pattern (`agg_approx_distinct`,
+  * SURVEY.md §2.4 A7): the sketch itself is engine-specific (murmur3
+  * seeds), so the declared query emits oracle-checkable invariants —
+  * the exact answer both engines can compute, plus boolean accuracy
+  * contracts the oracle pins at literal TRUE.
+  *
+  * Why these matter at 100 TB:
+  *   - `contamination_check` (ext/Corpus) joins train fingerprints
+  *     against eval fingerprints — a shuffle of the train side's
+  *     distinct grams. The Bloom path replaces that shuffle with a
+  *     broadcast bitset probed in a narrow map: eval sets are small by
+  *     construction (benchmarks, held-out splits), so the production
+  *     decontamination pass over 100 TB of train text is map-only.
+  *     The exact join survives here ONLY to prove the contract.
+  *   - Count-min answers "what are the hot tokens/URLs/templates"
+  *     with O(1/eps) memory per executor and a single merge, where the
+  *     exact answer needs a full token shuffle. The exact aggregate is
+  *     emitted (it is what the oracle hash-matches); the sketch's
+  *     one-sided error bounds ride along as contract booleans.
+  */
+object Sketches {
+
+  /** Flag each non-eval document whose 3-gram shingles intersect the
+    * eval source's shingle set — via a Bloom filter built over the eval
+    * grams. Emits per train doc:
+    *   exact_contaminated — ground truth (gram semi-join, both engines)
+    *   no_false_negative  — bloom_hit ≥ exact_hit (Bloom guarantee)
+    *   fpp_ok             — distinct-gram false-positive rate ≤ bound
+    *
+    * The eval-gram `count()` is a driver action on the SMALL side (it
+    * sizes the filter — an index statistic, same class as the IVF
+    * centroid count); the train side is never collected. */
+  def bloomDecontaminate(docs: DataFrame, evalSource: String,
+      fpp: Double = 0.01, fppBound: Double = 0.05): DataFrame = {
+    // native one-pass shingler (the interpreted HOF twin re-derives the
+    // token array per element — the O(tokens²) blowup Dedup.bind
+    // documents; measured 20 s → 1 s at sf0.1 on this very query)
+    def grams(side: DataFrame) = side.select(col("doc_id"),
+      explode(graft.functions.WordShingles.word_shingles(col("text"), 3))
+        .as("gram"))
+    // two filtered map passes over the corpus beat persisting the
+    // corpus-sized gram explode (the eval side is tiny, the train side
+    // streams); only the eval gram SET is persisted
+    val evalGrams = grams(docs.filter(col("source") === evalSource))
+      .select(col("gram")).distinct().persist()
+    val nEval = evalGrams.count()
+    val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
+    // serializable sketch captured in the closure → shipped once per
+    // task like a broadcast; the probe is a narrow map, no shuffle
+    val mightContain = udf((g: String) => bloom.mightContainString(g))
+    val train = grams(docs.filter(col("source") =!= evalSource))
+    val flags = train
+      .join(evalGrams.withColumn("in_eval", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(coalesce(col("in_eval"), lit(0))).as("exact_i"),
+        max(mightContain(col("gram")).cast("int")).as("bloom_i"))
+    // gram-granularity FP rate over distinct clean grams: the quantity
+    // the fpp parameter actually bounds
+    val fpStats = train.select(col("gram")).distinct()
+      .join(evalGrams.withColumn("in_eval", lit(1)), Seq("gram"), "left")
+      .agg(
+        sum(when(col("in_eval").isNull && mightContain(col("gram")), 1)
+          .otherwise(0)).as("fp"),
+        sum(when(col("in_eval").isNull, 1).otherwise(0)).as("clean"))
+    flags.crossJoin(fpStats) // 1-row stats side
+      .select(col("doc_id"),
+        (col("exact_i") === 1).as("exact_contaminated"),
+        (col("bloom_i") >= col("exact_i")).as("no_false_negative"),
+        (col("fp") <= col("clean") * fppBound).as("fpp_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bloomDecontaminateSql(evalSource: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, source,
+       |    unnest(CASE WHEN len(toks) < 3 THEN []
+       |      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END) AS gram
+       |  FROM t),
+       |e AS (SELECT DISTINCT gram FROM g WHERE source = '$evalSource'),
+       |tr AS (SELECT doc_id, gram FROM g WHERE source <> '$evalSource')
+       |SELECT tr.doc_id,
+       |  MAX(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) = 1
+       |    AS exact_contaminated,
+       |  TRUE AS no_false_negative,
+       |  TRUE AS fpp_ok
+       |FROM tr LEFT JOIN e ON tr.gram = e.gram
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
+  /** Exact top-k tokens (the hash-matched surface) with count-min-sketch
+    * estimates contract-checked against them: CMS never underestimates,
+    * and overestimates by at most eps · total-token-count (one-sided
+    * error, the standard CM guarantee). Seeded → deterministic. */
+  def cmsTopTokens(docs: DataFrame, k: Int,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .persist() // feeds sketch build, total count, and exact agg
+    val cms = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
+    val est = udf((t: String) => cms.estimateCount(t))
+    val total = toks.agg(count(lit(1)).as("total")) // 1 row
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .crossJoin(total)
+      .select(col("token"), col("n"),
+        (est(col("token")) >= col("n")).as("never_underestimates"),
+        (est(col("token")) <= col("n") +
+          ceil(col("total") * eps).cast("long")).as("within_eps_bound"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  def cmsTopTokensSql(k: Int): String =
+    s"""SELECT token, COUNT(*) AS n,
+       |  TRUE AS never_underestimates,
+       |  TRUE AS within_eps_bound
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |WHERE token <> ''
+       |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  private val q: Seq[(String, QueryDef)] = Seq(
+    "contamination_bloom" -> QueryDef(
+      (s, d) => bloomDecontaminate(Tables.documents(s, d), "src0"),
+      bloomDecontaminateSql("src0")),
+
+    "freq_topk_cms" -> QueryDef(
+      (s, d) => cmsTopTokens(Tables.documents(s, d), 20),
+      cmsTopTokensSql(20))
+  )
+
+  def queries: Seq[(String, QueryDef)] = q
+}

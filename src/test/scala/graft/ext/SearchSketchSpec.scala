@@ -1,0 +1,149 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Retrieval (ranked + phrase search), sketch contracts (Bloom
+  * decontamination, count-min heavy hitters), and incremental
+  * batch-vs-corpus dedup. */
+class SearchSketchSpec extends SparkSuite {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  // --------------------------------------------------------------- search
+
+  test("rankedSearch: hand-computed rarity-weighted scores, AND semantics") {
+    val d = docs(Seq(
+      (0L, "s", "x x y"), // tf(x)=2, tf(y)=1
+      (1L, "s", "x z"),   // x only → excluded by conjunctive filter
+      (2L, "s", "y x")))  // tf 1 each
+    // N=3, df(x)=3, df(y)=2 → d0: 2·0 + 1·1 = 1 ; d2: 0 + 1 = 1 → tie,
+    // doc_id ascending breaks it
+    val out = Search.rankedSearch(d, Seq("x", "y"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (2L, 1L)))
+  }
+
+  test("rankedSearch: rarer terms dominate the ranking") {
+    val d = docs(Seq(
+      (0L, "s", "common rare"),                  // one hit of each
+      (1L, "s", "common common common rare"),    // more tf on the common term
+      (2L, "s", "common x"), (3L, "s", "common y"), (4L, "s", "common z")))
+    // df(common)=5, df(rare)=2, N=5 → score0 = 0·1 + 3·1? no:
+    // (N−df(common))=0 so only 'rare' contributes; d1 beats d0 on tf? both
+    // have tf(rare)=1 → tie → doc_id order
+    val out = Search.rankedSearch(d, Seq("common", "rare"), 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L),
+      "score = tf(rare)·(5−2) when the ubiquitous term's weight is zero")
+  }
+
+  test("phraseSearch: adjacency counting, single-token guard, no overflow") {
+    val d = docs(Seq(
+      (0L, "s", "hash join hash join"), // matches at positions 1 and 3
+      (1L, "s", "hash"),                // 1 token: the sequence(1,0) trap
+      (2L, "s", "join hash"),           // reversed → no match
+      (3L, "s", "a hash join b"),       // 1 match mid-string
+      (4L, "s", "x hash")))             // 'hash' last token: i+1 stays in range
+    val out = Search.phraseSearch(d, "hash", "join").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((0L, 2), (3L, 1)))
+  }
+
+  test("phraseSearch plan: narrow map until the final top-k sort") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val p = Search.phraseSearch(d, "hash", "join")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"phrase scan must not shuffle the corpus:\n$p")
+    assert(!p.contains("Generate"), "no explode: in-row array scan only")
+  }
+
+  // -------------------------------------------------------------- sketches
+
+  test("bloomDecontaminate: planted overlap is flagged, contracts hold") {
+    val d = docs(Seq(
+      (0L, "eval", "one two three four"),       // eval grams incl "one two three"
+      (1L, "train", "one two three and more stuff here"), // shares a 3-gram
+      (2L, "train", "совершенно разные слова здесь совсем другие")))
+    val out = Sketches.bloomDecontaminate(d, "eval").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, true), (2L, false)))
+    assert(out.forall(t => t._3), "Bloom may never miss a real overlap")
+    assert(out.forall(t => t._4), "observed fpp within bound")
+  }
+
+  test("bloomDecontaminate: fixture contracts hold corpus-wide") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val bad = Sketches.bloomDecontaminate(d, "src0")
+      .filter(!col("no_false_negative") || !col("fpp_ok")).count()
+    assert(bad == 0)
+  }
+
+  test("cmsTopTokens: exact counts with one-sided error contracts") {
+    val d = docs(Seq(
+      (0L, "s", "a a a b b c"),
+      (1L, "s", "a b d")))
+    val out = Sketches.cmsTopTokens(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("a", 4L), ("b", 3L), ("c", 1L)))
+    assert(out.forall(t => t._3 && t._4))
+  }
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** Mirror of the engine's salted batch assignment, so tests can plant
+    * documents on a KNOWN side of the split. */
+  private def inBatch(docId: Long, frac: Double): Boolean = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"batch:$docId".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 < frac
+  }
+
+  test("incrementalDedup: planted copies exact_dup, crafted edit near_dup") {
+    val frac = 0.5
+    val batchId = (0L to 50L).find(inBatch(_, frac)).get
+    val corpusIds = (0L to 50L).filterNot(inBatch(_, frac)).take(3)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(Seq(
+      (batchId, "s", base + " phi"), // near copy of corpusIds(0)'s text
+      (corpusIds(0), "s", base + " chi"),
+      (corpusIds(1), "s", "completely unrelated words nothing shared at all today"),
+      (corpusIds(2), "s", "another standalone corpus document with its own grams")))
+    val out = Dedup.incrementalDedup(d, frac, 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(batchId) == "near_dup",
+      s"one-token edit of a corpus doc must band-match: $out")
+    // planted copies: corpus ids divisible by 20 reappear offset by max+1
+    val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    corpusIds.filter(_ % 20 == 0).foreach { id =>
+      assert(out(id + off) == "exact_dup") }
+  }
+
+  test("incrementalDedup: statuses partition the batch; corpus never flagged") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val out = Dedup.incrementalDedup(d, 0.1, 0.5).cache()
+    try {
+      val n = out.count()
+      val expectedPlanted = d.filter(!expr(
+        "conv(substring(md5(concat('batch:', cast(doc_id as string))), 1, 8), 16, 10) / 4294967296.0 < 0.1")
+        && col("doc_id") % 20 === 0).count()
+      val expectedSalted = d.count() - d.filter(!expr(
+        "conv(substring(md5(concat('batch:', cast(doc_id as string))), 1, 8), 16, 10) / 4294967296.0 < 0.1")).count()
+      assert(n == expectedSalted + expectedPlanted)
+      assert(out.filter(col("status") === "exact_dup").count() >= expectedPlanted,
+        "every planted copy is an exact dup")
+      assert(out.select("status").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(Set("exact_dup", "near_dup", "new")))
+    } finally out.unpersist()
+  }
+}
