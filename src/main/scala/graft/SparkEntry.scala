@@ -28,6 +28,7 @@ object SparkEntry {
       rel.AdvancedJoins.queries ++
       rel.SubqueryShapes.queries ++
       rel.TpchExtra.queries ++
+      rel.EventAnalytics.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++
@@ -35,7 +36,8 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
       ext.Search.queries ++
-      ext.Sketches.queries
+      ext.Sketches.queries ++
+      ext.Spans.queries
 
   /** Declared names in declaration order — lets tests prove no module
     * accidentally shadows another's query (the Map below would keep only

@@ -532,6 +532,46 @@ object Corpus {
       |  CAST(cnt AS DOUBLE) / n_grams AS rep_ratio
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ domain capping
+
+  /** Per-source document cap (the RefinedWeb-style anti-domination
+    * guard): keep at most `cap` documents per source, chosen by a
+    * deterministic salted-hash order — no RNG state, bit-identical on
+    * re-run, decorrelated from `stratifiedSample`'s hash by the salt.
+    *
+    * Scale shape: per-source counts gate the window — sources at or
+    * under the cap bypass ranking entirely, so the skewed
+    * row_number-per-source only runs over sources that actually
+    * overflow (at 100 TB a handful of giant domains; AQE splits the
+    * join, and the over-cap relation the window sorts is the small
+    * fraction of the corpus those domains hold). The semantics are
+    * EXACTLY plain rank ≤ cap; the split is physical only. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val h = substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 16)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tagged = docs.select(col("doc_id"), col("source"))
+      .join(counts, Seq("source"))
+    val under = tagged.where(col("n") <= cap)
+    val capped = tagged.where(col("n") > cap)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
+      .where(col("rk") <= cap)
+    under.select(col("source"), col("doc_id"))
+      .union(capped.select(col("source"), col("doc_id")))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def domainCapSql(cap: Int): String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents)
+       |SELECT source, doc_id FROM r
+       |WHERE n <= $cap OR rk <= $cap
+       |ORDER BY source, doc_id""".stripMargin
+
   // ------------------------------------------------------ declared queries
 
   private val SampleRates = Map("src0" -> 0.5, "src1" -> 0.25)
@@ -561,7 +601,10 @@ object Corpus {
       (s, d) => repetitionRatio(Tables.documents(s, d)), repetitionSql),
     "corpus_chunks" -> QueryDef(
       (s, d) => chunkDocuments(Tables.documents(s, d), window = 32, stride = 24),
-      Some(chunkSql(32, 24)))
+      Some(chunkSql(32, 24))),
+    // cap 15 with ~25 docs/source on the fixture → every source prunes
+    "corpus_domain_cap" -> QueryDef(
+      (s, d) => domainCap(Tables.documents(s, d), 15), domainCapSql(15))
   )
 
   def queries: Seq[(String, QueryDef)] = q

@@ -1,0 +1,129 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Event-sequence analytics over the `events` fixture: conversion
+  * funnels and cohort retention — the two queries every product
+  * analytics engine ships (and the reference's pandas could only do
+  * with driver-side loops). Both are pure window/agg compositions:
+  * no joins of events against events, no per-user collect.
+  *
+  * Scale shape:
+  *   - The funnel is ONE shuffle: both chained windows and the final
+  *     per-user aggregate share `user_id` partitioning, so Catalyst
+  *     plans a single Exchange (window → window → partial agg reuse
+  *     the same distribution; asserted in PlanSpec-style by the spec).
+  *   - "First qualifying event strictly after X" is a running
+  *     conditional MIN over the ROWS-preceding frame — sequence
+  *     matching without a self-join (an events×events join at 100 TB
+  *     is the classic funnel anti-pattern).
+  *   - Retention is min-date window + distinct + count, all keyed by
+  *     user/cohort — partial aggs throughout.
+  */
+object EventAnalytics {
+
+  /** view → click → purchase conversion funnel, strict ordering per
+    * user (a click counts only if some view precedes it; a purchase
+    * only if some qualifying click precedes it). Ties on ts break by
+    * event_id — the deterministic total order used engine-wide. */
+  def funnel(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withFv = events.withColumn("fv",
+      min(when(col("event_type") === "view", col("ts"))).over(wPrev))
+    val withFqc = withFv.withColumn("fqc",
+      min(when(col("event_type") === "click" && col("fv").isNotNull,
+        col("ts"))).over(wPrev))
+    val perUser = withFqc.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+      max(when(col("event_type") === "click" && col("fv").isNotNull, 1)
+        .otherwise(0)).as("s2"),
+      max(when(col("event_type") === "purchase" && col("fqc").isNotNull, 1)
+        .otherwise(0)).as("s3"))
+    val totals = perUser.agg(
+      sum(col("s1")).cast("long").as("n1"),
+      sum(col("s2")).cast("long").as("n2"),
+      sum(col("s3")).cast("long").as("n3"))
+    totals.select(expr(
+      """stack(3,
+        |  1L, 'view',                 n1,
+        |  2L, 'click_after_view',     n2,
+        |  3L, 'purchase_after_click', n3) AS (stage_idx, stage, n_users)
+        |""".stripMargin))
+      .orderBy(col("stage_idx"))
+  }
+
+  val funnelSql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER wp AS fv
+      |  FROM events
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |w2 AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts END)
+      |      OVER wp AS fqc
+      |  FROM w1
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+      |             THEN 1 ELSE 0 END) AS s2,
+      |    MAX(CASE WHEN event_type = 'purchase' AND fqc IS NOT NULL
+      |             THEN 1 ELSE 0 END) AS s3
+      |  FROM w2 GROUP BY user_id)
+      |SELECT stage_idx, stage, n_users FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+      |         CAST(SUM(s1) AS BIGINT) AS n_users FROM u
+      |  UNION ALL
+      |  SELECT 2, 'click_after_view', CAST(SUM(s2) AS BIGINT) FROM u
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_click', CAST(SUM(s3) AS BIGINT) FROM u)
+      |ORDER BY stage_idx""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen date; a cohort/offset
+    * cell counts users with any activity `day_offset` days after their
+    * first day. */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val withCohort = days.withColumn("cohort_day",
+      min(col("day")).over(Window.partitionBy(col("user_id"))))
+    withCohort
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e),
+      |d AS (
+      |  SELECT DISTINCT user_id, cohort_day,
+      |    date_diff('day', cohort_day, day) AS day_offset
+      |  FROM c)
+      |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+      |FROM d GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "events_funnel" -> QueryDef(
+      (s, d) => funnel(Tables.events(s, d)), funnelSql),
+    "events_retention" -> QueryDef(
+      (s, d) => retention(Tables.events(s, d)), retentionSql))
+}

@@ -147,4 +147,25 @@ class CorpusSpec extends SparkSuite {
     assert(m(("eval", "train")) >= 6) // 8 shared tokens → ≥6 shared 3-grams
     assert(!m.keys.exists { case (a, b) => a == "other" || b == "other" })
   }
+
+  test("domain cap: over-cap sources pruned to cap, under-cap untouched, deterministic") {
+    import spark.implicits._
+    val docs = ((1L to 10L).map(i => (i, "big", s"doc $i")) ++
+      (11L to 12L).map(i => (i, "small", s"doc $i")))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.domainCap(docs, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "big") == 4, "over-cap source pruned to cap")
+    assert(out.count(_._1 == "small") == 2, "under-cap source passes whole")
+    // bit-identical on re-run (hash order, no RNG)
+    val again = Corpus.domainCap(docs, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == again.toSeq)
+    // kept set is rank-by-hash: recompute expected the straight way
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"cap:$id".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    val expectBig = (1L to 10L).sortBy(id => (h(id), id)).take(4).toSet
+    assert(out.filter(_._1 == "big").map(_._2).toSet == expectBig)
+  }
 }

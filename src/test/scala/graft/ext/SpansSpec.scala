@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Span-level exact substring dedup (ext/Spans): positional-gram
+  * duplicate islands and the keep-first-occurrence scrub. Hand-computed
+  * corpora with w=3 keep the arithmetic checkable by eye. */
+class SpansSpec extends SparkSuite {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("duplicatedSpans: shared run detected, maximal, both docs flagged") {
+    // docs 0 and 1 share the 4-token run "a b c d" → 3-grams "a b c" and
+    // "b c d" both duplicated → ONE maximal span per doc of 2 grams
+    val d = docs(Seq(
+      (0L, "a b c d x y z"),
+      (1L, "p q a b c d w")))
+    val out = Spans.duplicatedSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 4L, 2L), (1L, 3L, 6L, 2L)))
+  }
+
+  test("duplicatedSpans: disjoint repeats stay separate islands") {
+    // "a b c" duplicated at positions 1 and 5 of doc 0 (self-repeat) —
+    // non-adjacent, so two spans, and the within-doc repeat counts
+    val d = docs(Seq((0L, "a b c q a b c")))
+    val out = Spans.duplicatedSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 3L, 1L), (0L, 5L, 7L, 1L)))
+  }
+
+  test("duplicatedSpans: no duplicates, docs shorter than w → empty") {
+    val d = docs(Seq((0L, "a b"), (1L, "all tokens distinct here"),
+      (2L, "and entirely other words")))
+    assert(Spans.duplicatedSpans(d, 3).count() == 0)
+  }
+
+  test("scrubSpans: first occurrence kept, later copy removed, counts add up") {
+    val d = docs(Seq(
+      (0L, "a b c d x y z"),
+      (1L, "p q a b c d w")))
+    val out = Spans.scrubSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // doc 0 holds the global-first occurrences → untouched; doc 1 loses
+    // tokens 3..6 ("a b c d")
+    assert(out == Seq((0L, "a b c d x y z", 0L), (1L, "p q w", 4L)))
+  }
+
+  test("scrubSpans: exact-duplicate doc scrubs to empty, original intact") {
+    val d = docs(Seq(
+      (7L, "one two three four five"),
+      (9L, "one two three four five")))
+    val out = Spans.scrubSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((7L, "one two three four five", 0L), (9L, "", 5L)))
+  }
+
+  test("scrubSpans: whitespace-normalizing identity on clean docs") {
+    val d = docs(Seq((0L, "  spaced   out    tokens  ")))
+    val out = Spans.scrubSpans(d, 3).collect()
+    assert(out.head.getString(1) == "spaced out tokens")
+    assert(out.head.getLong(2) == 0L)
+  }
+
+  test("scrubSpans: self-repeat within one doc keeps only the first copy") {
+    // "a b c" at pos 1 and pos 5: the pos-5 occurrence is non-canonical
+    // → tokens 5..7 removed
+    val d = docs(Seq((0L, "a b c q a b c")))
+    val out = Spans.scrubSpans(d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, "a b c q", 3L)))
+  }
+
+  test("fixture: spans exist, scrub conserves tokens, spans ⊇ scrub spans") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val spans = Spans.duplicatedSpans(d).collect()
+    assert(spans.nonEmpty, "fixture must contain duplicated spans at w=8")
+    // every span within doc bounds and well-formed
+    val lens = d.selectExpr("doc_id",
+      "size(filter(split(text, ' '), x -> x <> '')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spans.foreach { r =>
+      val (id, s, e) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(s >= 1 && e >= s && e <= lens(id), s"span out of bounds: $r")
+    }
+    val scrub = Spans.scrubSpans(d).collect()
+    assert(scrub.length == d.count(), "scrub returns every document")
+    val removed = scrub.map(_.getLong(2)).sum
+    assert(removed > 0, "fixture must scrub something")
+    scrub.foreach { r =>
+      val kept = r.getString(1) match {
+        case "" => 0; case t => t.split(" ").length
+      }
+      assert(kept + r.getLong(2) == lens(r.getLong(0)),
+        s"token conservation violated for doc ${r.getLong(0)}")
+    }
+  }
+}

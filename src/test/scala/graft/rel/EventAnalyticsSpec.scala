@@ -1,0 +1,96 @@
+package graft.rel
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSuite
+
+/** Funnel + retention (rel/EventAnalytics): hand-computed sequences and
+  * the single-shuffle plan contract. */
+class EventAnalyticsSpec extends SparkSuite {
+
+  private def ev(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, uid, t, ty) =>
+      (id, uid, Timestamp.valueOf(t), ty)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+  }
+
+  test("funnel: strict ordering — events before the prior stage don't count") {
+    val d = ev(Seq(
+      // user 1: full ordered chain
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "click"),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase"),
+      // user 2: click BEFORE any view → stage 2 not reached
+      (4L, 2L, "2024-01-01 09:00:00", "click"),
+      (5L, 2L, "2024-01-01 09:30:00", "view"),
+      // user 3: purchase precedes the qualifying click → reaches
+      // stage 2 (the 08:20 click does follow a view) but not stage 3
+      (6L, 3L, "2024-01-01 08:00:00", "view"),
+      (7L, 3L, "2024-01-01 08:10:00", "purchase"),
+      (8L, 3L, "2024-01-01 08:20:00", "click"),
+      // user 4: never views
+      (9L, 4L, "2024-01-01 07:00:00", "purchase")))
+    val out = EventAnalytics.funnel(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "view", 3L),                  // users 1, 2, 3
+      (2L, "click_after_view", 2L),      // users 1 and 3
+      (3L, "purchase_after_click", 1L))) // user 1 only
+  }
+
+  test("funnel: same-timestamp stage break by event_id, later click still qualifies") {
+    val d = ev(Seq(
+      // view and click share a timestamp: event_id 1 < 2 ⇒ click is
+      // strictly after the view in the engine's total order
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:00:00", "click"),
+      // user 2: a pre-view click does NOT consume the funnel — the
+      // SECOND click (post-view) qualifies
+      (3L, 2L, "2024-01-01 10:00:00", "click"),
+      (4L, 2L, "2024-01-01 10:01:00", "view"),
+      (5L, 2L, "2024-01-01 10:02:00", "click"),
+      (6L, 2L, "2024-01-01 10:03:00", "purchase")))
+    val out = EventAnalytics.funnel(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("funnel: one shuffle total — windows and per-user agg share partitioning") {
+    val d = ev(Seq((1L, 1L, "2024-01-01 10:00:00", "view")))
+    val plan = EventAnalytics.funnel(d).queryExecution.executedPlan
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    // one Exchange for user_id (window+agg), one for the final
+    // single-row stack/sort stage at most
+    assert(exchanges.count(_.outputPartitioning.numPartitions > 1) <= 1,
+      s"expected at most one data shuffle, got:\n$plan")
+  }
+
+  test("retention: cohort assignment and day offsets, multi-visit dedup") {
+    val d = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 23:00:00", "click"),  // same day: one cell
+      (3L, 1L, "2024-01-03 10:00:00", "view"),   // offset 2
+      (4L, 2L, "2024-01-02 10:00:00", "view"),   // cohort Jan 2
+      (5L, 2L, "2024-01-05 10:00:00", "view")))  // offset 3
+    val out = EventAnalytics.retention(d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 3L, 1L)))
+  }
+
+  test("fixture: funnel is monotone non-increasing and retention covers day 0") {
+    val e = graft.core.Tables.events(spark, sfDir)
+    val f = EventAnalytics.funnel(e).collect().map(_.getLong(2))
+    assert(f.length == 3 && f(0) >= f(1) && f(1) >= f(2) && f(0) > 0)
+    val r = EventAnalytics.retention(e)
+    import org.apache.spark.sql.functions._
+    // every user's cohort day has an offset-0 cell by construction
+    val day0 = r.filter(col("day_offset") === 0)
+      .agg(sum(col("n_users"))).collect().head.getLong(0)
+    assert(day0 == e.select("user_id").distinct().count())
+  }
+}
