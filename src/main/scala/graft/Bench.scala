@@ -53,32 +53,43 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
-    // median of `runs` timings per query: the machine's wall-clock noise
-    // band is wider than most plan regressions (r2↔r3 were
-    // indistinguishable on single runs), so round-over-round deltas are
-    // only attributable on a median. Shuffle volume is deterministic —
-    // attributed from the first run only.
+    // median of `runs` timings per query, with the runs INTERLEAVED
+    // (sweep every query, then repeat the whole sweep): back-to-back
+    // runs of one query all land inside the same transient noise burst
+    // — observed: q7 median 4.3 s consecutive vs 0.96 s isolated —
+    // while interleaving spaces a query's samples minutes apart, so a
+    // burst can poison at most one of them. Shuffle volume is
+    // deterministic — attributed from the first sweep only.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
-    val results = picked.map { case (name, fn) =>
-      val sw0 = metrics.shuffleWrite.get
-      var shuffleMb = 0.0
-      val ts = (1 to runs).map { i =>
+    val names = picked.keys.toSeq
+    val times = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    val shuffle = scala.collection.mutable.Map.empty[String, Double]
+    (1 to runs).foreach { sweep =>
+      names.foreach { name =>
+        val sw0 = metrics.shuffleWrite.get
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { picked(name)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop intermediates persisted inside a query so later queries
-        // (and the next run) aren't timed under leftover memory pressure
+        // (and the next sweep) aren't timed under leftover memory
+        // pressure
         spark.catalog.clearCache()
-        if (i == 1) shuffleMb = (metrics.shuffleWrite.get - sw0) / 1048576.0
-        dt
-      }.sorted
+        times(name) = dt :: times(name)
+        if (sweep == 1)
+          shuffle(name) = (metrics.shuffleWrite.get - sw0) / 1048576.0
+      }
+    }
+    val results = names.map { name =>
+      val ts = times(name).sorted
       // a real median: middle element for odd run counts, mean of the
       // two middles for even (upper-middle alone would bias high)
       val median =
         if (ts.length % 2 == 1) ts(ts.length / 2)
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-      name -> (median, shuffleMb)
+      name -> (median, shuffle(name))
     }
     // harness floor: the fixed per-query cost at this parallelism —
     // scheduling + tiny-file scan + one shuffle over a 5-row table.
@@ -97,7 +108,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, m)) =>
       s"\"" + k + "\":" + f"$m%.2f" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = results.map(_._2._1).sum
     val totalSpillMb = metrics.spilled.get / 1048576.0
     // plan cost net of harness physics: round-over-round comparisons
     // should track this, not the local[n] fixed per-query overhead
