@@ -29,6 +29,7 @@ object SparkEntry {
       rel.SubqueryShapes.queries ++
       rel.TpchExtra.queries ++
       rel.EventAnalytics.queries ++
+      rel.Etl.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++

@@ -1,0 +1,174 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Warehouse-maintenance operators: SCD2 dimension-history merge and
+  * incremental aggregate maintenance. The reference is an ETL tool
+  * (ingest → conform → summarize); these are the two ETL primitives it
+  * would need the day its users ask for history ("what did this
+  * customer look like in March?") and for daily refresh without a full
+  * rescan. Both are single-shuffle compositions.
+  *
+  * Scale shape:
+  *   - scd2Merge is ONE equi-join (base ⋈ updates on the key) followed
+  *     by a narrow explode — never two passes over the join output, no
+  *     window. At 100 TB the dimension shuffles once; AQE broadcasts
+  *     the update batch when (as usual) it is small.
+  *   - incrementalAgg unions per-partition partial aggregates and
+  *     re-combines — the map-side-combine shape Spark's planner also
+  *     uses internally; exactness under reordering is guaranteed by
+  *     DECIMAL money arithmetic (core/Exact), which is the property
+  *     that makes incremental maintenance VALID at all (double sums
+  *     would drift from the full recompute).
+  */
+object Etl {
+
+  /** Slowly-changing-dimension type 2 merge. `base` is the current
+    * dimension (one row per key, open-ended validity starting
+    * `baseFrom`); `updates` carries new attribute values effective at
+    * `effective`. Rows whose attributes actually changed are closed
+    * (valid_to = effective) and re-opened with the new values; no-op
+    * updates and untouched keys pass through; brand-new keys insert as
+    * current. Output: key, attrs, valid_from, valid_to, is_current. */
+  def scd2Merge(base: DataFrame, updates: DataFrame, key: String,
+      attrs: Seq[String], baseFrom: String, effective: String): DataFrame = {
+    val upd = updates.select(
+      col(key).as("u_key") +: attrs.map(a => col(a).as(s"u_$a")): _*)
+    val changed = attrs
+      .map(a => !(col(a) <=> col(s"u_$a"))) // null-safe attr compare
+      .reduce(_ || _)
+    val from  = to_date(lit(baseFrom))
+    val eff   = to_date(lit(effective))
+    val nilTo = lit(null).cast("date")
+    // all branch structs must carry IDENTICAL field names/types or the
+    // CASE arms won't unify — alias attr columns back to their names
+    def version(cols: Seq[Column], vFrom: Column, vTo: Column,
+        current: Column) =
+      struct(cols ++ Seq(vFrom.as("valid_from"), vTo.as("valid_to"),
+        current.as("is_current")): _*)
+    val baseAttrs = attrs.map(a => col(a).as(a))
+    val updAttrs  = attrs.map(a => col(s"u_$a").as(a))
+    val versions =
+      when(col("u_key").isNull, // key not in the update batch
+        array(version(baseAttrs, from, nilTo, lit(true))))
+      .when(col(key).isNull,    // brand-new key
+        array(version(updAttrs, eff, nilTo, lit(true))))
+      .when(changed,            // real change: close + re-open
+        array(version(baseAttrs, from, eff, lit(false)),
+          version(updAttrs, eff, nilTo, lit(true))))
+      .otherwise(               // no-op update
+        array(version(baseAttrs, from, nilTo, lit(true))))
+    base
+      .join(upd, col(key) === col("u_key"), "full_outer")
+      .select(coalesce(col(key), col("u_key")).as(key),
+        explode(versions).as("v"))
+      .select(col(key) +: (attrs ++ Seq("valid_from", "valid_to",
+        "is_current")).map(a => col(s"v.$a").as(a)): _*)
+      .orderBy(col(key), col("valid_from"))
+  }
+
+  /** The declared SCD2 surface: the customer dimension with a
+    * deterministic synthetic update batch derived from it —
+    * custkey % 7 == 0 gets a real balance change, % 7 == 1 a no-op
+    * update, and three negative keys insert as new — so every merge
+    * arm fires and the whole history is oracle-checkable. */
+  def scd2Customer(base: DataFrame): DataFrame = {
+    val changedArm = base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("UPD "), col("c_name")).as("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        col("c_mktsegment"))
+    val noop = base.filter(col("c_custkey") % 7 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    val fresh = base.sparkSession.range(1, 4)
+      .select((-col("id")).as("c_custkey"),
+        concat(lit("NEW CUSTOMER "), col("id")).as("c_name"),
+        lit(0.0).as("c_acctbal"), lit("BUILDING").as("c_mktsegment"))
+    scd2Merge(base, changedArm.unionByName(noop).unionByName(fresh),
+      "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"),
+      baseFrom = "2024-01-01", effective = "2024-06-01")
+  }
+
+  val scd2CustomerSql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey AS u_key, 'UPD ' || c_name AS u_name,
+      |         c_acctbal + 100.0 AS u_acctbal, c_mktsegment AS u_seg
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 1
+      |  UNION ALL
+      |  SELECT -i, 'NEW CUSTOMER ' || CAST(i AS VARCHAR), 0.0, 'BUILDING'
+      |  FROM (SELECT unnest(range(1, 4)) AS i)),
+      |j AS (
+      |  SELECT * FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.u_key),
+      |hist AS (
+      |  -- untouched keys and no-op updates: one open row
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+      |         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |         TRUE AS is_current
+      |  FROM j WHERE c_custkey IS NOT NULL AND
+      |    (u_key IS NULL OR (c_name IS NOT DISTINCT FROM u_name AND
+      |      c_acctbal IS NOT DISTINCT FROM u_acctbal AND
+      |      c_mktsegment IS NOT DISTINCT FROM u_seg))
+      |  UNION ALL
+      |  -- changed: closed old version
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+      |         DATE '2024-01-01', DATE '2024-06-01', FALSE
+      |  FROM j WHERE c_custkey IS NOT NULL AND u_key IS NOT NULL AND
+      |    NOT (c_name IS NOT DISTINCT FROM u_name AND
+      |      c_acctbal IS NOT DISTINCT FROM u_acctbal AND
+      |      c_mktsegment IS NOT DISTINCT FROM u_seg)
+      |  UNION ALL
+      |  -- changed: new open version
+      |  SELECT c_custkey, u_name, u_acctbal, u_seg,
+      |         DATE '2024-06-01', NULL, TRUE
+      |  FROM j WHERE c_custkey IS NOT NULL AND u_key IS NOT NULL AND
+      |    NOT (c_name IS NOT DISTINCT FROM u_name AND
+      |      c_acctbal IS NOT DISTINCT FROM u_acctbal AND
+      |      c_mktsegment IS NOT DISTINCT FROM u_seg)
+      |  UNION ALL
+      |  -- brand-new keys
+      |  SELECT u_key, u_name, u_acctbal, u_seg, DATE '2024-06-01', NULL, TRUE
+      |  FROM j WHERE c_custkey IS NULL)
+      |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+      |       valid_from, valid_to, is_current
+      |FROM hist ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** Incremental aggregate maintenance: per-customer order stats kept
+    * as combinable partials (count + exact DECIMAL sum). The "standing"
+    * aggregate covers orders before the cutoff; the "delta" batch is
+    * everything after; merging partials must equal the full recompute —
+    * which is exactly what the oracle does (one straight GROUP BY over
+    * all orders). */
+  def incrementalOrderStats(orders: DataFrame, cutoff: String): DataFrame = {
+    def partial(df: DataFrame) = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Exact.money(col("o_totalprice"))).as("spend"))
+    val c = to_timestamp(lit(cutoff))
+    val base  = partial(orders.filter(col("o_orderdate") < c))
+    val delta = partial(orders.filter(col("o_orderdate") >= c))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("spend")).cast("double").as("total_spend"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val incrementalOrderStatsSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "scd2_merge" -> QueryDef(
+      (s, d) => scd2Customer(Tables.customer(s, d)), scd2CustomerSql),
+    "agg_incremental" -> QueryDef(
+      (s, d) => incrementalOrderStats(Tables.orders(s, d), "1996-06-01"),
+      incrementalOrderStatsSql))
+}

@@ -1,0 +1,70 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** SCD2 merge + incremental aggregate maintenance (rel/Etl). */
+class EtlSpec extends SparkSuite {
+
+  private def dim(rows: Seq[(Long, String, java.lang.Double)]) = {
+    import spark.implicits._
+    rows.toDF("k", "name", "bal")
+  }
+
+  test("scd2Merge: change closes + reopens, no-op passes, new inserts, untouched keeps") {
+    val base = dim(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    val upd  = dim(Seq((1L, "a2", 10.0),   // changed name
+      (2L, "b", 20.0),                     // no-op
+      (9L, "z", 0.0)))                     // new key
+    val out = Etl.scd2Merge(base, upd, "k", Seq("name", "bal"),
+      "2024-01-01", "2024-06-01").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        String.valueOf(r.getDate(3)), String.valueOf(r.getDate(4)),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "2024-01-01", "2024-06-01", false),
+      (1L, "a2", "2024-06-01", "null", true),
+      (2L, "b", "2024-01-01", "null", true),   // no-op: still one open row
+      (3L, "c", "2024-01-01", "null", true),   // untouched
+      (9L, "z", "2024-06-01", "null", true)))  // insert
+  }
+
+  test("scd2Merge: null attribute values compare null-safely") {
+    val base = dim(Seq((1L, null, 10.0), (2L, null, 20.0)))
+    val upd  = dim(Seq((1L, null, 10.0),  // null == null → no-op
+      (2L, "now-set", 20.0)))             // null → value = change
+    val out = Etl.scd2Merge(base, upd, "k", Seq("name", "bal"),
+      "2024-01-01", "2024-06-01").collect()
+    assert(out.count(_.getLong(0) == 1L) == 1, "null==null is a no-op")
+    assert(out.count(_.getLong(0) == 2L) == 2, "null→value is a change")
+  }
+
+  test("scd2Merge: exactly one current row per key, history never overlaps") {
+    val out = Etl.scd2Customer(graft.core.Tables.customer(spark, sfDir))
+    val perKey = out.groupBy("c_custkey")
+      .agg(sum(col("is_current").cast("int")).as("n_current"),
+        count(lit(1)).as("n_rows"))
+    assert(perKey.filter(col("n_current") =!= 1).count() == 0,
+      "every key has exactly one open version")
+    // closed rows end exactly where the replacement begins
+    val closed = out.filter(!col("is_current"))
+      .select(col("c_custkey"), col("valid_to").as("t"))
+    val opened = out.filter(col("is_current"))
+      .select(col("c_custkey"), col("valid_from").as("f"))
+    val bad = closed.join(opened, Seq("c_custkey"))
+      .filter(col("t") =!= col("f")).count()
+    assert(bad == 0, "no gaps or overlaps in validity ranges")
+  }
+
+  test("incrementalOrderStats: partial-merge equals full recompute at any cutoff") {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    val full = Etl.incrementalOrderStats(orders, "1900-01-01") // all in delta
+    for (cutoff <- Seq("1995-06-01", "1996-06-01", "2099-01-01")) {
+      val inc = Etl.incrementalOrderStats(orders, cutoff)
+      assert(inc.exceptAll(full).count() == 0 &&
+        full.exceptAll(inc).count() == 0,
+        s"cutoff $cutoff diverges from full recompute")
+    }
+  }
+}
