@@ -38,7 +38,8 @@ object SparkEntry {
       ext.Multimodal.queries ++
       ext.Search.queries ++
       ext.Sketches.queries ++
-      ext.Spans.queries
+      ext.Spans.queries ++
+      ext.Entities.queries
 
   /** Declared names in declaration order — lets tests prove no module
     * accidentally shadows another's query (the Map below would keep only
