@@ -94,6 +94,57 @@ object Streams {
     * aggregation. */
   val tumblingOutputMode: OutputMode = OutputMode.Update()
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  case class StageAdvance(user_id: Long, stage: Int, stage_name: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming conversion funnel — the stateful twin of
+    * `rel.EventAnalytics.funnel`. Per-user state is ONE Int (the
+    * highest stage reached); each micro-batch replays its events in the
+    * engine-wide (ts, event_id) total order and emits a StageAdvance
+    * whenever the next stage's event type arrives. Equivalence with the
+    * batch funnel (users reaching stage k = batch's stage-k count) holds
+    * whenever per-user arrival order respects event time across
+    * micro-batches — within a batch, order is restored by the sort.
+    *
+    * State expires `horizonMs` past the user's last activity (event-time
+    * timeout against the watermark): an unbounded feed keeps
+    * O(active users × 4 bytes), and an expired funnel resets — the
+    * "convert within N days" semantics every real funnel carries. */
+  def funnelAdvances(events: Dataset[FunnelEvent], stages: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, StageAdvance](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var stage = state.getOption.getOrElse(0)
+            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            val out = Vector.newBuilder[StageAdvance]
+            batch.foreach { r =>
+              if (stage < stages.length && r.event_type == stages(stage)) {
+                stage += 1
+                out += StageAdvance(userId, stage, stages(stage - 1), r.ts)
+              }
+            }
+            if (stage > 0) {
+              state.update(stage)
+              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** The default stage chain, matching the batch `events_funnel`. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
   case class BandedDoc(doc_id: Long, band: Int, bkey: Long, ts: java.sql.Timestamp)
   case class DupFlag(doc_id: Long, band: Int, dup_of: Option[Long])
 

@@ -228,4 +228,89 @@ class StreamingSpec extends SparkSuite {
       assert(flags.filter(_._1 == 3L).forall(_._2.isEmpty))
     } finally q.stop()
   }
+
+  test("streaming funnel: cross-batch stage advance, pre-stage events ignored") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.funnelAdvances(input.toDS(), Streams.FunnelStages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    def fe(uid: Long, m: Int, id: Long, ty: String) =
+      Streams.FunnelEvent(uid, ts(m), id, ty)
+    try {
+      // batch 1: user 1 views; user 2 clicks BEFORE any view (no-op);
+      // a second view for user 1 must NOT re-advance
+      input.addData(fe(1, 1, 1, "view"), fe(2, 1, 2, "click"),
+        fe(1, 2, 3, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1 completes the chain across the batch boundary;
+      // user 2 finally views (stage 1 only)
+      input.addData(fe(1, 3, 4, "click"), fe(1, 4, 5, "purchase"),
+        fe(2, 3, 6, "view"))
+      q.processAllAvailable()
+      val adv = spark.table("funnel_out")
+        .select("user_id", "stage").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(adv == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel == batch funnel on the fixture event log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.FunnelEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.FunnelEvent]
+    // generous horizon: the batch funnel never expires state
+    val q = Streams.funnelAdvances(input.toDS(), Streams.FunnelStages,
+        horizonMs = 365L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("funnel_fixture_out")
+      .outputMode("update").start()
+    try {
+      // three time-ordered micro-batches: state crosses batch boundaries
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_fixture_out")
+        .groupBy("stage").agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batched = graft.rel.EventAnalytics
+        .funnel(graft.core.Tables.events(spark, sfDir))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+      assert((1 to 3).forall(k =>
+        streamed.getOrElse(k, 0L) == batched(k)),
+        s"streamed $streamed != batched $batched")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: expired state resets and the user re-enters stage 1") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.funnelAdvances(input.toDS(), Streams.FunnelStages,
+        watermarkDelay = "0 seconds", horizonMs = 60L * 1000)
+      .writeStream.format("memory").queryName("funnel_expire_out")
+      .outputMode("update").start()
+    def at(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    try {
+      input.addData(Streams.FunnelEvent(1, at("10:00"), 1, "view"))
+      q.processAllAvailable() // watermark → 10:00; timeout at 10:01
+      input.addData(Streams.FunnelEvent(2, at("10:10"), 2, "view"))
+      q.processAllAvailable() // watermark → 10:10 (timeout not yet seen)
+      input.addData(Streams.FunnelEvent(2, at("10:20"), 3, "view"))
+      q.processAllAvailable() // user 1 state times out this batch
+      // user 1 returns: a click would have been stage 2 — but the funnel
+      // expired, so only a fresh view advances (back to stage 1)
+      input.addData(Streams.FunnelEvent(1, at("10:21"), 4, "click"),
+        Streams.FunnelEvent(1, at("10:22"), 5, "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_expire_out")
+        .filter(col("user_id") === 1).select("stage").collect()
+        .map(_.getInt(0)).toSeq
+      assert(u1 == Seq(1, 1), s"expected two fresh stage-1 entries, got $u1")
+    } finally q.stop()
+  }
 }
