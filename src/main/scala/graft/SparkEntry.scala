@@ -30,6 +30,8 @@ object SparkEntry {
       rel.TpchExtra.queries ++
       rel.EventAnalytics.queries ++
       rel.Etl.queries ++
+      rel.Graph.queries ++
+      rel.TimeSeries.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++

@@ -1,0 +1,137 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Iterative graph analytics over a relation-derived graph: fixed-point
+  * integer PageRank on the part co-purchase graph. The reference engine
+  * has no graph surface; this is [EXT] SURVEY §2.11 territory — the
+  * centrality/importance pass a data pipeline runs over a link or
+  * citation graph before weighting training documents.
+  *
+  * Two deliberate design points:
+  *
+  *   - INTEGER fixed-point arithmetic. Classic PageRank sums doubles,
+  *     and float addition is not associative — a distributed engine and
+  *     a single-threaded oracle would disagree in the last bits, so the
+  *     result could never sit behind a hash-compare gate. Here ranks
+  *     are 10^12-scaled BIGINTs; each edge contribution is the exact
+  *     integral division `(rank * 85) div (100 * outdeg)` and each sum
+  *     is an integer sum — order-independent, so the result is
+  *     bit-identical in ANY engine and at ANY parallelism. (Floor-
+  *     division rounding loses < 1 unit per edge per iteration —
+  *     irrelevant at 10^12 scale and equally present in every engine.)
+  *
+  *   - FIXED iteration count, not convergence-test looping. The
+  *     iteration count is part of the query's semantics (it unrolls
+  *     into the oracle's CTE chain); a data-dependent stopping rule
+  *     would make the plan depend on a driver-side reduction per step.
+  *
+  * Scale shape (100 TB): the co-purchase self-join shuffles lineitem
+  * once on l_orderkey and its fanout is quadratic only in ORDER size
+  * (bounded by construction — TPC-H orders have ≤7 items), never in
+  * corpus size. The edge list with out-degrees is computed once,
+  * repartitioned by src, and persisted; each PageRank iteration is then
+  * exactly two exchanges — ranks shuffle to the edge partitioning (the
+  * edges themselves do NOT move), and contributions shuffle on dst for
+  * the aggregate, with map-side partial aggregation collapsing each
+  * node's incoming mass before the wire. Rank state is O(|V|) per
+  * iteration; nothing driver-side ever sees a row.
+  */
+object Graph {
+
+  /** Rank scale: 1.0 of classic PageRank mass = 10^12 units. Headroom:
+    * total mass is |V|·10^12 ≈ 2·10^17 at sf=1000 for this graph; the
+    * per-edge multiply by 85 stays far under Long.MaxValue (9.2·10^18)
+    * because rank mass concentrates sublinearly. */
+  val Scale: Long = 1000000000000L
+
+  /** Damping as an exact rational: d = 85/100. */
+  private val DampNum = 85L
+  private val DampDen = 100L
+
+  /** Distinct directed co-purchase edges: (src part → dst part) iff the
+    * two parts appear in the same order. Symmetric by construction (both
+    * directions emitted), so every vertex has outdeg ≥ 1 and the graph
+    * has no dangling-mass term. */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    a.join(b, Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
+  /** `iters` rounds of fixed-point PageRank over `edges(src, dst)`.
+    * Output: (node, rank) for every vertex, rank in Scale units. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // out-degrees ride along with the edges: one relation, partitioned by
+    // src once, reused by every iteration (the loop joins ranks TO this —
+    // the big side never re-shuffles)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(deg, Seq("src"))
+      .repartition(p, col("src"))
+      .persist()
+    val base = Scale * (DampDen - DampNum) / DampDen // exact: (1-d)·Scale
+    val ranks0 = deg.select(col("src").as("node"), lit(Scale).as("rank"))
+    val finalRanks = (1 to iters).foldLeft(ranks0) { (ranks, _) =>
+      adj
+        .join(ranks, col("src") === col("node"))
+        // integral division — floor((rank·85) / (100·outdeg)) computed in
+        // BIGINT; a double round-trip would lose integer precision above
+        // 2^53 and break the cross-engine bit-equality contract
+        .select(col("dst"),
+          expr(s"(rank * $DampNum) div ($DampDen * outdeg)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((sum(col("contrib")) + base).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    finalRanks
+  }
+
+  /** Declared surface: 5 iterations over the co-purchase graph, top 100
+    * parts by rank (rank desc, part asc — total order). */
+  def partPageRank(lineitem: DataFrame, iters: Int = 5, k: Int = 100): DataFrame =
+    pageRank(coPurchaseEdges(lineitem), iters)
+      .select(col("node").as("part"), col("rank"))
+      .orderBy(col("rank").desc, col("part"))
+      .limit(k)
+
+  /** Unrolled-CTE oracle: r0..r{iters} chained, one CTE per iteration —
+    * the fixed iteration count IS the query, so the oracle spells it
+    * out. `//` is DuckDB's integer floor division (≡ Spark's `div` for
+    * the all-positive operands here). */
+  def partPageRankSql(iters: Int = 5, k: Int = 100): String = {
+    val base = Scale * (DampDen - DampNum) / DampDen
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(SUM((r.rank * $DampNum) // ($DampDen * d.outdeg)) + $base AS BIGINT) AS rank
+         |  FROM r${i - 1} r
+         |  JOIN deg d ON d.src = r.node
+         |  JOIN e ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS rank FROM deg),
+       |$iterCtes
+       |SELECT node AS part, rank FROM r$iters
+       |ORDER BY rank DESC, part
+       |LIMIT $k""".stripMargin
+  }
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_pagerank" -> QueryDef(
+      (s, d) => partPageRank(Tables.lineitem(s, d)),
+      partPageRankSql()))
+}

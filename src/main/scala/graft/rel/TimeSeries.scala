@@ -1,0 +1,109 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Time-series regularization over the event stream: calendar
+  * densification with forward fill, and first-order transition counts.
+  * The reference engine aggregates by period label only (`fianl2.py:195`
+  * — periods that exist in the data); a time-series consumer needs the
+  * OPPOSITE contract — every period in the span present, gaps filled
+  * with the last observation. Both ops are [EXT] SURVEY §2.11 adjuncts
+  * to the windowing family (§2.9).
+  *
+  * Scale shape:
+  *   - The daily reduction is a partial-aggregated groupBy, so raw
+  *     events collapse per map task before the one shuffle on
+  *     (user, day). The calendar explode generates rows from each
+  *     user's OWN span — a narrow map off the per-user extent
+  *     aggregate, never a global calendar crossJoin.
+  *   - The fill is a per-user running `last(ignoreNulls)` window — the
+  *     same single-shuffle shape as window_running_sum; state per task
+  *     is one value per user, not the history.
+  *   - Transition counting is lag + groupBy: the per-user window and
+  *     the count shuffle are both keyed on user/state, with map-side
+  *     combine collapsing repeated transitions before the wire.
+  *
+  * Determinism: ties inside a (user, day) are broken by event_id
+  * (unique in the fixture, monotone within a day's load order), so the
+  * "last observation" is defined data, not plan luck; filled values are
+  * CARRIED doubles — never re-accumulated — so cross-engine hash
+  * equality holds without decimal casts.
+  */
+object TimeSeries {
+
+  /** Per-user daily series densified to every day in the user's
+    * [first, last] event-day span; days with no events carry the most
+    * recent prior day's value. Output: (user_id, day, value). */
+  def fillForwardDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("event_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val cal = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day")))
+          .as("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val fillForwardDailySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         arg_max(value, event_id) AS v
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY user_id),
+      |cal AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT c.user_id, c.day,
+      |       last_value(d.v IGNORE NULLS) OVER (
+      |         PARTITION BY c.user_id ORDER BY c.day) AS value
+      |FROM cal c LEFT JOIN daily d
+      |  ON d.user_id = c.user_id AND d.day = c.day
+      |ORDER BY c.user_id, c.day""".stripMargin
+
+  /** First-order event-type transition matrix: count of (prev → curr)
+    * steps across all per-user event sequences ordered by (ts,
+    * event_id). Output: (prev_type, event_type, n). */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, COUNT(*) AS n
+      |FROM s WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_fill_forward" -> QueryDef(
+      (s, d) => fillForwardDaily(Tables.events(s, d)), fillForwardDailySql),
+    "events_transitions" -> QueryDef(
+      (s, d) => eventTransitions(Tables.events(s, d)), eventTransitionsSql))
+}

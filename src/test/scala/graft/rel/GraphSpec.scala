@@ -1,0 +1,73 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Fixed-point integer PageRank (rel/Graph): hand-graph structure,
+  * mass conservation under floor rounding, and the property the integer
+  * formulation exists to guarantee — bit-identical results at any
+  * parallelism. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toDF("src", "dst")
+
+  /** Symmetric 3-path a–b–c: the middle vertex concentrates rank and
+    * the symmetric endpoints tie exactly (integer arithmetic — EXACT
+    * equality, not tolerance). */
+  test("path graph: middle vertex outranks tied endpoints") {
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L)
+    val r = Graph.pageRank(e, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1) === r(3), "symmetric endpoints must tie bit-exactly")
+    assert(r(2) > r(1), "middle vertex must concentrate rank")
+  }
+
+  /** No-dangling symmetric graph conserves mass up to floor losses:
+    * each edge's integral division discards < 1 unit per iteration, so
+    * total ∈ (V·Scale − iters·E, V·Scale]. */
+  test("rank mass is conserved within the floor-rounding budget") {
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 3L, 3L -> 1L)
+    val iters = 4
+    val total = Graph.pageRank(e, iters)
+      .agg(sum(col("rank"))).head().getLong(0)
+    val exact = 3L * Graph.Scale
+    assert(total <= exact, s"mass grew: $total > $exact")
+    assert(total > exact - iters.toLong * 6, s"mass leak beyond floor budget: $total")
+  }
+
+  /** The cross-engine contract: identical ranks at 1 and 8 partitions.
+    * Float PageRank fails this (addition order varies with the shuffle);
+    * the integer formulation must not. */
+  test("ranks are bit-identical across partitionings") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    def run(parts: Int) =
+      Graph.partPageRank(li.repartition(parts), iters = 3, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) === run(8))
+  }
+
+  /** Co-purchase edge derivation: distinct, symmetric, no self-loops. */
+  test("co-purchase edges are distinct, symmetric, self-loop-free") {
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 10L), (2L, 10L), (2L, 12L), (3L, 13L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.coPurchaseEdges(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
+  }
+
+  /** Scale-shape pin: the per-iteration loop must not re-shuffle the
+    * edge relation — after the one explicit repartition(src), the only
+    * exchanges downstream of it are the ranks' and the dst aggregate's. */
+  test("iteration joins reuse the persisted edge partitioning") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val p = Graph.partPageRank(li, iters = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    // the adjacency relation is materialized once: exactly one
+    // InMemoryTableScan source feeding each iteration, never a rebuild
+    assert(p.contains("InMemoryTableScan"), s"edges not persisted:\n$p")
+  }
+}

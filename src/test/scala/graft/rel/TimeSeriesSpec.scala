@@ -1,0 +1,62 @@
+package graft.rel
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Calendar densify + forward fill and transition counts (rel/TimeSeries):
+  * hand-fixture semantics the oracle also pins at sf0.01, plus the gap
+  * edge cases a 30-day synthetic stream may not exercise. */
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, String, Double)*) =
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+
+  test("gaps fill with the last observation; span is per-user") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 11:00:00", 7L, "click", 2.0), // later event wins the day
+      (3L, "2024-01-04 09:00:00", 7L, "view", 9.0),  // 2-day gap before this
+      (4L, "2024-02-10 00:00:00", 8L, "view", 5.0))  // disjoint single-day user
+    val got = TimeSeries.fillForwardDaily(e)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (7L, "2024-01-01", 2.0), // max event_id of the day, not first
+      (7L, "2024-01-02", 2.0), // filled
+      (7L, "2024-01-03", 2.0), // filled
+      (7L, "2024-01-04", 9.0),
+      (8L, "2024-02-10", 5.0)))
+  }
+
+  test("transitions count per-user consecutive pairs only") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 0.0),
+      (4L, "2024-01-01 10:00:30", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:01:30", 2L, "click", 0.0))
+    val got = TimeSeries.eventTransitions(e)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // user 2's view→click stacks with user 1's; no cross-user pair
+    // (user 1's trailing view never chains into user 2's leading view)
+    assert(got.toSeq === Seq(
+      ("click", "view", 1L),
+      ("view", "click", 2L)))
+  }
+
+  test("fill output is dense: every user spans first..last with no holes") {
+    val got = TimeSeries.fillForwardDaily(
+      graft.core.Tables.events(spark, sfDir))
+    val holes = got.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"),
+        count(col("value")).as("nonnull"))
+      .filter(col("n") =!= col("span") || col("nonnull") =!= col("n"))
+    assert(holes.count() === 0, "densified series must have one row per day, all filled")
+  }
+}
