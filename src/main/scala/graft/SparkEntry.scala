@@ -32,6 +32,8 @@ object SparkEntry {
       rel.Etl.queries ++
       rel.Graph.queries ++
       rel.TimeSeries.queries ++
+      rel.Baskets.queries ++
+      core.ZOrder.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++

@@ -1,0 +1,70 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Morton-code layout (core/ZOrder): bit-math pins against a reference
+  * interleave, and the property the layout exists for — file-level
+  * pruning on BOTH dimensions — demonstrated against a linear sort. */
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Reference interleave: bit i of a → 2i, bit i of b → 2i+1. */
+  private def zRef(a: Long, b: Long): Long =
+    (0 until 31).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  test("zValue matches the per-bit reference interleave") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
+      (123456L, 654321L), ((1L << 31) - 1, (1L << 31) - 1))
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === zRef(r.getLong(0), r.getLong(1)),
+        s"mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("z ordering is monotone in each dimension along axis slices") {
+    // along b = const, z must increase with a (and vice versa)
+    val rows = for (a <- 0L until 64L) yield (a, 17L)
+    val zs = rows.toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(zs.toSeq === zs.sorted.toSeq)
+  }
+
+  test("z-order layout prunes files on BOTH dims; linear sort only on one") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val tmp = Files.createTempDirectory("zorder").toString
+    ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey", s"$tmp/z", nFiles = 16)
+    li.repartitionByRange(16, col("l_suppkey"))
+      .sortWithinPartitions(col("l_suppkey"))
+      .write.parquet(s"$tmp/linear")
+
+    // files whose contents intersect a narrow band of the FIRST dim —
+    // the file set a min/max-stats reader would have to touch
+    def filesTouched(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+      val total = df.select(input_file_name()).distinct().count()
+      val touched = df.filter(col("l_partkey").between(100, 120))
+        .select(input_file_name()).distinct().count()
+      (touched, total)
+    }
+    val (zTouched, zTotal) = filesTouched(s"$tmp/z")
+    val (linTouched, linTotal) = filesTouched(s"$tmp/linear")
+    // range-partitioning can merge sparse key ranges (sf0.001 has only
+    // 10 distinct suppkeys) — require enough files for the fractions to
+    // mean something, not an exact count
+    assert(zTotal >= 8 && linTotal >= 8)
+    // suppkey-sorted layout scatters partkey across every file
+    assert(linTouched === linTotal, "linear-by-other-dim should touch all files")
+    // the z-curve keeps a ~1% partkey band inside a fraction of files
+    assert(zTouched.toDouble / zTotal <= 0.5,
+      s"z-order should bound the band to a file subset: $zTouched/$zTotal")
+  }
+}
