@@ -111,6 +111,116 @@ object Search {
        |SELECT doc_id, phrase_hits FROM h WHERE phrase_hits > 0
        |ORDER BY phrase_hits DESC, doc_id""".stripMargin
 
+  // ------------------------------------------------ inverted index
+
+  /** Token-hash bucket count for the persisted index layout. At corpus
+    * scale this is the number of prunable directory partitions; a
+    * term's postings live in exactly one. */
+  val IndexBuckets = 64
+
+  /** Bump when the index layout/semantics change — memoized indexes of
+    * older builds are then rebuilt, not reused (same contract as
+    * Similarity.IndexAlgoVersion). */
+  private val IndexAlgoVersion = "ti1"
+
+  private def bucketOf(token: Column): Column =
+    pmod(xxhash64(token), lit(IndexBuckets.toLong)).cast("int")
+
+  /** Offline index build: postings (token, doc_id, tf) + dictionary
+    * (token, df) both written partitioned by the token-hash bucket, and
+    * the corpus size as 1-row stats — the three relations a query-time
+    * probe needs, each reachable with a `bucket IN (...)` directory
+    * prune. The heavy explode happens HERE, once per corpus; queries
+    * never re-tokenize the corpus (at 100 TB: the difference between a
+    * per-query full-corpus pass and opening |terms| directories). */
+  def buildTextIndex(docs: DataFrame, path: String): Unit = {
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("token")))
+    postings.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    postings
+      .groupBy(col("bucket"), col("token"))
+      .agg(count(lit(1)).as("df"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/dict")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Build-once memoization keyed on the corpus fingerprint (file names
+    * + sizes + mtimes + algo version) — the IVF index contract
+    * (`Similarity.ensureIvfIndex`): `_SUCCESS` is the receipt, builds
+    * stage privately and publish by atomic rename, stale fingerprints
+    * of the same corpus are swept. */
+  def ensureTextIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val parts = (if (src.isDirectory)
+      Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+    else Seq(src))
+    val fp = (parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|" + IndexAlgoVersion).hashCode.toHexString
+    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_text_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
+    if (!new java.io.File(s"$path/stats/_SUCCESS").exists()) {
+      val target = new java.io.File(path)
+      val prefix = target.getName.substring(0, target.getName.lastIndexOf('_') + 1)
+      Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .foreach(deleteRecursively)
+      val staging = new java.io.File(
+        path + ".build." + java.lang.ProcessHandle.current().pid())
+      try {
+        buildTextIndex(Tables.documents(spark, dir), staging.getAbsolutePath)
+        if (!staging.renameTo(target)) {
+          deleteRecursively(staging)
+          require(new java.io.File(s"$path/stats/_SUCCESS").exists(),
+            s"text index build could not be published at $path")
+        }
+      } catch { case e: Throwable => deleteRecursively(staging); throw e }
+    }
+    path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Query-time probe of a prebuilt index: identical semantics (and
+    * declared oracle) to `rankedSearch`, but the corpus-sized work is
+    * replaced by bucket-pruned postings reads — the `bucket IN`
+    * literals land as PartitionFilters (plan-asserted in
+    * SearchSketchSpec), so only the query terms' directories open. */
+  def rankedSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int): DataFrame = {
+    val buckets = terms
+      .map(t => math.floorMod(graft.functions.XxHash.forString(t),
+        IndexBuckets.toLong).toInt)
+      .distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val dict = spark.read.parquet(s"$path/dict")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("df"))
+    val nDocs = spark.read.parquet(s"$path/stats")
+    postings
+      .join(dict, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"),
+        sum(col("tf") * (col("n_docs") - col("df"))).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
     "text_search" -> QueryDef(
       (s, d) => rankedSearch(Tables.documents(s, d),
@@ -119,7 +229,15 @@ object Search {
 
     "text_phrase_search" -> QueryDef(
       (s, d) => phraseSearch(Tables.documents(s, d), "hash", "join"),
-      phraseSearchSql("hash", "join"))
+      phraseSearchSql("hash", "join")),
+
+    // the indexed probe must return EXACTLY what the scan-time ranker
+    // returns — same oracle, different physical plan (offline index +
+    // directory pruning instead of a corpus pass)
+    "text_search_indexed" -> QueryDef(
+      (s, d) => rankedSearchIndexed(s, ensureTextIndex(s, d),
+        Seq("vector", "hash", "join"), 20),
+      rankedSearchSql(Seq("vector", "hash", "join"), 20))
   )
 
   def queries: Seq[(String, QueryDef)] = q

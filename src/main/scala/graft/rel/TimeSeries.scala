@@ -101,9 +101,49 @@ object TimeSeries {
       |GROUP BY prev_type, event_type
       |ORDER BY prev_type, event_type""".stripMargin
 
+  /** Robust (Tukey-fence) outlier detection: events whose value falls
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event type. The
+    * quartiles are DISCRETE (actual data values, `percentile_disc`) and
+    * the fences single IEEE operations on them — no accumulated float
+    * state, so the flags are bit-identical cross-engine. Per-group
+    * stats reduce via one aggregate and join back on the group key;
+    * the (tiny here, possibly huge at scale) stats side is left to AQE
+    * rather than force-broadcast. */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val fences = events
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    events.join(fences, Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"))
+      .orderBy(col("event_id"))
+  }
+
+  val iqrOutliersSql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |         quantile_disc(value, 0.25) AS q1,
+      |         quantile_disc(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       f.q1 - 1.5 * (f.q3 - f.q1) AS lo,
+      |       f.q3 + 1.5 * (f.q3 - f.q1) AS hi
+      |FROM events e JOIN f USING (event_type)
+      |WHERE e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+      |   OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+      |ORDER BY e.event_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "ts_fill_forward" -> QueryDef(
       (s, d) => fillForwardDaily(Tables.events(s, d)), fillForwardDailySql),
     "events_transitions" -> QueryDef(
-      (s, d) => eventTransitions(Tables.events(s, d)), eventTransitionsSql))
+      (s, d) => eventTransitions(Tables.events(s, d)), eventTransitionsSql),
+    "anomaly_iqr" -> QueryDef(
+      (s, d) => iqrOutliers(Tables.events(s, d)), iqrOutliersSql))
 }

@@ -129,6 +129,36 @@ class SearchSketchSpec extends SparkSuite {
       assert(out(id + off) == "exact_dup") }
   }
 
+  test("XxHash.forString matches the xxhash64 column bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import spark.implicits._
+    val words = Seq("vector", "hash", "join", "", "a", "ü§ ünïcode")
+    val fromCol = words.toDF("w").select(xxhash64(col("w")))
+      .collect().map(_.getLong(0))
+    assert(fromCol.toSeq === words.map(graft.functions.XxHash.forString))
+  }
+
+  test("indexed search returns exactly what the scan-time ranker returns") {
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("textidx").toString
+    Search.buildTextIndex(corpus, tmp)
+    for (terms <- Seq(Seq("vector", "hash", "join"), Seq("the"), Seq("hash"))) {
+      val scan = Search.rankedSearch(corpus, terms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val idx = Search.rankedSearchIndexed(spark, tmp, terms, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(idx === scan, s"indexed != scan for $terms")
+    }
+  }
+
+  test("indexed search probe prunes postings partitions (bucket IN)") {
+    val tmp = Search.ensureTextIndex(spark, sfDir)
+    val p = Search.rankedSearchIndexed(spark, tmp, Seq("vector", "hash"), 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bucket"),
+      s"bucket literals must land as PartitionFilters:\n$p")
+  }
+
   test("incrementalDedup: statuses partition the batch; corpus never flagged") {
     val d = graft.core.Tables.documents(spark, sfDir)
     val out = Dedup.incrementalDedup(d, 0.1, 0.5).cache()

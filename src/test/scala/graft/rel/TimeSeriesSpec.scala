@@ -49,6 +49,15 @@ class TimeSeriesSpec extends SparkSuite {
       ("view", "click", 2L)))
   }
 
+  test("IQR outliers: planted extremes flagged, bulk passes") {
+    val e = (1 to 20).map(i => (i.toLong, s"2024-01-01 10:${i % 60}:00", 1L, "view", i.toDouble)) ++
+      Seq((21L, "2024-01-02 10:00:00", 1L, "view", 1000.0),   // far outlier
+        (22L, "2024-01-02 11:00:00", 1L, "click", 5.0))       // lone value: IQR=0, self-fenced in
+    val got = TimeSeries.iqrOutliers(ev(e: _*))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(21L))
+  }
+
   test("fill output is dense: every user spans first..last with no holes") {
     val got = TimeSeries.fillForwardDaily(
       graft.core.Tables.events(spark, sfDir))
