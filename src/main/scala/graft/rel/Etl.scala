@@ -165,10 +165,69 @@ object Etl {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Latest-wins upsert (the MERGE INTO … WHEN MATCHED THEN UPDATE /
+    * WHEN NOT MATCHED THEN INSERT snapshot semantics, without history):
+    * one unionByName + one per-key window pick — a single shuffle on
+    * the key, no join, so the merge cost is O(base + updates) at any
+    * scale. Precedence is explicit (updates rank above base; ties
+    * impossible by construction), never row order. */
+  def upsertLatest(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base.withColumn("__prec", lit(0))
+      .unionByName(updates.withColumn("__prec", lit(1)))
+    tagged
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("__prec").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__prec", "__rn")
+  }
+
+  /** Declared surface: the scd2Customer update batch applied as a plain
+    * snapshot upsert — changed rows replaced, no-ops idempotent, new
+    * keys inserted, untouched keys carried. */
+  def upsertCustomer(base: DataFrame): DataFrame = {
+    val b = base.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_mktsegment"))
+    val changedArm = base.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("UPD "), col("c_name")).as("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        col("c_mktsegment"))
+    val noop = base.filter(col("c_custkey") % 7 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    val fresh = base.sparkSession.range(1, 4)
+      .select((-col("id")).as("c_custkey"),
+        concat(lit("NEW CUSTOMER "), col("id")).as("c_name"),
+        lit(0.0).as("c_acctbal"), lit("BUILDING").as("c_mktsegment"))
+    upsertLatest(b, changedArm.unionByName(noop).unionByName(fresh), "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+
+  val upsertCustomerSql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, 'UPD ' || c_name AS c_name,
+      |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 1
+      |  UNION ALL
+      |  SELECT -i, 'NEW CUSTOMER ' || CAST(i AS VARCHAR), 0.0, 'BUILDING'
+      |  FROM (SELECT unnest(range(1, 4)) AS i))
+      |SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+      |       COALESCE(u.c_name, c.c_name) AS c_name,
+      |       COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+      |       COALESCE(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+      |FROM customer c FULL OUTER JOIN upd u USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "scd2_merge" -> QueryDef(
       (s, d) => scd2Customer(Tables.customer(s, d)), scd2CustomerSql),
     "agg_incremental" -> QueryDef(
       (s, d) => incrementalOrderStats(Tables.orders(s, d), "1996-06-01"),
-      incrementalOrderStatsSql))
+      incrementalOrderStatsSql),
+    "etl_upsert" -> QueryDef(
+      (s, d) => upsertCustomer(Tables.customer(s, d)), upsertCustomerSql))
 }

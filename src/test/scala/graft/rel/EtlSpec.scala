@@ -57,6 +57,20 @@ class EtlSpec extends SparkSuite {
     assert(bad == 0, "no gaps or overlaps in validity ranges")
   }
 
+  test("upsertLatest: updates win, inserts land, base carries, idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "v", "x")
+    val batch = Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("k", "v", "x")
+    val once = Etl.upsertLatest(base, batch, "k")
+    assert(once.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+    // re-applying the same batch changes nothing (snapshot semantics)
+    val twice = Etl.upsertLatest(once, batch, "k")
+    assert(twice.exceptAll(once).count() === 0 &&
+      once.exceptAll(twice).count() === 0)
+  }
+
   test("incrementalOrderStats: partial-merge equals full recompute at any cutoff") {
     val orders = graft.core.Tables.orders(spark, sfDir)
     val full = Etl.incrementalOrderStats(orders, "1900-01-01") // all in delta
