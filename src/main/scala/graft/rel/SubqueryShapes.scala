@@ -254,6 +254,60 @@ object SubqueryShapes {
         |      AND CAST(l3.l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 2000)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin)
+  ,
+
+    // ---- recursive CTE (Spark 4.x WITH RECURSIVE → UnionLoop): the
+    //      ancestor chain of an IMPLICIT binary tree over customer ids
+    //      (parent = id div 2). Depth is log2(maxId) — bounded by
+    //      construction, no cycles — so UNION ALL recursion terminates
+    //      structurally at any SF; per-step work is a narrow map off
+    //      the previous level, never a rescan of the base table. -------
+    "recursive_ancestors" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_rec")
+        s.sql(
+          """WITH RECURSIVE anc AS (
+            |  SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
+            |  FROM customer_rec WHERE c_custkey % 101 = 0
+            |  UNION ALL
+            |  SELECT start, node div 2, depth + 1 FROM anc WHERE node > 1)
+            |SELECT start, node AS ancestor, depth FROM anc
+            |ORDER BY start, depth""".stripMargin)
+      },
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS node, 0 AS depth
+        |  FROM customer WHERE c_custkey % 101 = 0
+        |  UNION ALL
+        |  SELECT start, node // 2, depth + 1 FROM anc WHERE node > 1)
+        |SELECT start, node AS ancestor, CAST(depth AS INT) AS depth FROM anc
+        |ORDER BY start, depth""".stripMargin),
+
+    // ---- LATERAL correlated subquery with LIMIT: per-region top-2
+    //      customers by balance. The decorrelated plan is the same
+    //      window top-k as topk_per_group — the declarative LATERAL
+    //      form proves the SQL surface, the oracle that decorrelation
+    //      is exact. --------------------------------------------------
+    "join_lateral" -> QueryDef(
+      (s, d) => {
+        Tables.region(s, d).createOrReplaceTempView("region_lat")
+        Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+        Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+        s.sql(
+          """SELECT r.r_name, c.c_name, c.c_acctbal
+            |FROM region_lat r, LATERAL (
+            |  SELECT c_name, c_acctbal FROM customer_lat
+            |  JOIN nation_lat ON n_nationkey = c_nationkey
+            |  WHERE n_regionkey = r.r_regionkey
+            |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+            |ORDER BY r_name, c_acctbal DESC, c_name""".stripMargin)
+      },
+      """SELECT r.r_name, c.c_name, c.c_acctbal
+        |FROM region r, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY r_name, c_acctbal DESC, c_name""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q
