@@ -79,7 +79,12 @@ object Graph {
       .repartition(p, col("src"))
       .persist()
     val base = Scale * (DampDen - DampNum) / DampDen // exact: (1-d)·Scale
-    val ranks0 = deg.select(col("src").as("node"), lit(Scale).as("rank"))
+    // seed ranks from the CACHED adjacency, not from `deg` — a second
+    // reference to deg would re-derive the edge list from the base
+    // table (one more fact-table self-join) instead of reading the
+    // materialized O(|E|) relation
+    val ranks0 = adj.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(Scale).as("rank"))
     val finalRanks = (1 to iters).foldLeft(ranks0) { (ranks, _) =>
       adj
         .join(ranks, col("src") === col("node"))

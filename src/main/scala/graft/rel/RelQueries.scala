@@ -243,6 +243,52 @@ object RelQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A11 second-moment statistics, bit-exact: built-in corr()/
+    //      covar_samp()/stddev() accumulate doubles (order-dependent —
+    //      unhashable cross-engine), so the moments are EXACT DECIMAL
+    //      sums (the Exact.scala move applied to Σx², Σxy) and the
+    //      textbook formulas run ONCE in IEEE double on identical exact
+    //      inputs — every operation correctly rounded, both engines
+    //      bit-equal. Also the partitioning-stable way to compute these
+    //      at 100 TB: decimal partial aggregates commute. ----------------
+    "agg_corr_exact" -> QueryDef(
+      (s, d) => {
+        val x = money(col("l_quantity"))
+        val y = rate(col("l_discount"))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_disc"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * (col("n") - 1))).as("covar_samp"),
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+              (col("n") * (col("n") - 1))).as("stddev_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_disc,
+        |  (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
     // ---- A7b percentile family: discrete median (exact cross-engine —
     //      percentile_disc ≡ DuckDB quantile_disc at p = 0.5 for every n;
     //      interpolated/other-p variants differ in index convention, so
