@@ -59,39 +59,59 @@ object Graph {
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
     val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
-    a.join(b, Seq("ok"))
-      .filter(col("src") =!= col("dst"))
+    // dedup HALF the pairs (src < dst) and mirror after: the distinct is
+    // the build's one big shuffle, and the mirrored direction is fully
+    // determined by the first — shuffling it too would double the wire
+    // bytes for zero information
+    val half = a.join(b, Seq("ok"))
+      .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
+    half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  /** `iters` rounds of fixed-point PageRank over `edges(src, dst)`.
-    * Output: (node, rank) for every vertex, rank in Scale units. */
+  /** `iters` rounds of fixed-point PageRank over `edges(src, dst)`,
+    * treated as a SET (duplicate edge rows collapse — callers may feed
+    * raw pair streams and skip their own distinct). Output: (node,
+    * rank) for every vertex, rank in Scale units.
+    *
+    * State layout: ADJACENCY LISTS, not an edge relation. One
+    * `collect_set` aggregation replaces the pair-level distinct + the
+    * degree aggregate + the degree join (three exchanges → one), the
+    * cached relation shrinks from O(|E|) rows to O(|V|), and each
+    * iteration's rank join probes |V| rows instead of |E| — the |E|
+    * contribution rows exist only inside the narrow explode feeding the
+    * partially-aggregated dst shuffle. Caveat for power-law graphs: a
+    * row holds a vertex's whole out-list, so max degree bounds row
+    * size; for web-scale hub graphs, split hubs across salted rows (the
+    * co-purchase graph's degree is bounded by order size, far below any
+    * row limit). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    // out-degrees ride along with the edges: one relation, partitioned by
-    // src once, reused by every iteration (the loop joins ranks TO this —
-    // the big side never re-shuffles)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val adj = edges.join(deg, Seq("src"))
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("dsts"))
+      .select(col("src"), col("dsts"),
+        size(col("dsts")).cast("long").as("outdeg"))
       .repartition(p, col("src"))
       .persist()
     val base = Scale * (DampDen - DampNum) / DampDen // exact: (1-d)·Scale
-    // seed ranks from the CACHED adjacency, not from `deg` — a second
-    // reference to deg would re-derive the edge list from the base
-    // table (one more fact-table self-join) instead of reading the
-    // materialized O(|E|) relation
-    val ranks0 = adj.select(col("src")).distinct()
-      .select(col("src").as("node"), lit(Scale).as("rank"))
+    val ranks0 = adj.select(col("src").as("node"), lit(Scale).as("rank"))
     val finalRanks = (1 to iters).foldLeft(ranks0) { (ranks, _) =>
       adj
-        .join(ranks, col("src") === col("node"))
+        // shuffle-hash, not sort-merge: the cached adjacency is already
+        // partitioned by src but NOT sorted — SMJ would re-sort it
+        // EVERY iteration; hashing the rank vector (O(|V|/p) per task,
+        // the standard PageRank memory shape) skips both sorts, with no
+        // broadcast-fits assumption at scale
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         // integral division — floor((rank·85) / (100·outdeg)) computed in
         // BIGINT; a double round-trip would lose integer precision above
         // 2^53 and break the cross-engine bit-equality contract
-        .select(col("dst"),
+        .select(explode(col("dsts")).as("dst"),
           expr(s"(rank * $DampNum) div ($DampDen * outdeg)").as("contrib"))
         .groupBy(col("dst"))
         .agg((sum(col("contrib")) + base).as("rank"))
@@ -100,10 +120,23 @@ object Graph {
     finalRanks
   }
 
+  /** Raw mirrored co-purchase pairs, duplicates kept: `pageRank`'s
+    * collect_set dedups them inside the aggregation it already pays, so
+    * a separate pair-level distinct exchange would be pure waste. */
+  private def coPurchasePairs(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    val half = a.join(b, Seq("ok"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** Declared surface: 5 iterations over the co-purchase graph, top 100
     * parts by rank (rank desc, part asc — total order). */
   def partPageRank(lineitem: DataFrame, iters: Int = 5, k: Int = 100): DataFrame =
-    pageRank(coPurchaseEdges(lineitem), iters)
+    pageRank(coPurchasePairs(lineitem), iters)
       .select(col("node").as("part"), col("rank"))
       .orderBy(col("rank").desc, col("part"))
       .limit(k)
