@@ -37,15 +37,27 @@ object Baskets {
     * baskets. One row per ORDERED pair (a → b and b → a both emitted:
     * confidence is directional). */
   def pairRules(baskets: DataFrame, minSupport: Long): DataFrame = {
-    val n = baskets.select(countDistinct(col("basket")).as("n_baskets"))
-    val itemSupp = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
-    val a = baskets.select(col("basket"), col("item").as("antecedent"))
-    val b = baskets.select(col("basket"), col("item").as("consequent"))
-    val pairSupp = a.join(b, Seq("basket"))
-      .filter(col("antecedent") =!= col("consequent"))
+    // the distinct (basket, item) relation feeds both self-join sides,
+    // the item supports and the basket count; its exchange is shared by
+    // Spark's ReusedExchange (verified: an explicit persist() here ADDS
+    // a shuffle, because the cached partitioning no longer unifies)
+    val bk = baskets
+    val n = bk.select(countDistinct(col("basket")).as("n_baskets"))
+    val itemSupp = bk.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val a = bk.select(col("basket"), col("item").as("antecedent"))
+    val b = bk.select(col("basket"), col("item").as("consequent"))
+    // co-occurrence counts are symmetric: count each unordered pair once
+    // (a < b) and mirror AFTER the support filter — halves the rows
+    // through the pair-count shuffle, which is this operator's one big
+    // exchange
+    val half = a.join(b, Seq("basket"))
+      .filter(col("antecedent") < col("consequent"))
       .groupBy(col("antecedent"), col("consequent"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+    val pairSupp = half.unionByName(half.select(
+      col("consequent").as("antecedent"),
+      col("antecedent").as("consequent"), col("n_ab")))
     pairSupp
       .join(itemSupp.select(col("item").as("antecedent"), col("supp").as("n_a")),
         Seq("antecedent"))
