@@ -33,6 +33,7 @@ object SparkEntry {
       rel.Graph.queries ++
       rel.TimeSeries.queries ++
       rel.Baskets.queries ++
+      rel.Quality.queries ++
       core.ZOrder.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++

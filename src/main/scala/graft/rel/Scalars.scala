@@ -267,7 +267,26 @@ object Scalars {
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        |ORDER BY status, priority""".stripMargin)
+        |ORDER BY status, priority""".stripMargin),
+
+    // ---- ordered string aggregation (Spark 4.0 listagg / DuckDB
+    //      string_agg): deterministic ONLY with the explicit WITHIN
+    //      GROUP order — an unordered listagg is partitioning-dependent
+    //      and could never hash-match ------------------------------------
+    "agg_listagg" -> QueryDef(
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_la")
+        Tables.region(s, d).createOrReplaceTempView("region_la")
+        s.sql(
+          """SELECT r_name,
+            |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+            |FROM nation_la JOIN region_la ON n_regionkey = r_regionkey
+            |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      },
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q

@@ -1,0 +1,49 @@
+package graft.rel
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Data-quality audit (rel/Quality): planted violations must fire their
+  * checks — a suite that only ever sees clean data would vacuously pass
+  * a broken evaluator (the pii_redact planted-input reasoning). */
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("1995-01-01 00:00:00")
+
+  test("clean fixture: every check ok") {
+    val rep = Quality.dqAudit(
+      graft.core.Tables.lineitem(spark, sfDir),
+      graft.core.Tables.orders(spark, sfDir))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep.size === 6)
+    assert(rep.values.forall(identity), s"clean data must pass all checks: $rep")
+  }
+
+  test("planted violations fire their checks and only theirs") {
+    val orders = Seq.tabulate(1200)(i => (i.toLong, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+      // duplicate PK
+      .unionByName(Seq((5L, "O")).toDF("o_orderkey", "o_orderstatus"))
+    val li = Seq(
+      (1L, 1.0, 0.05, ts),                          // clean
+      (99999L, 1.0, 0.05, ts),                      // FK orphan
+      (2L, -3.0, 0.05, ts),                         // non-positive qty
+      (3L, 1.0, 0.95, ts),                          // discount out of range
+      (4L, 1.0, 0.05, null.asInstanceOf[Timestamp]) // null shipdate
+    ).toDF("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+    val rep = Quality.dqAudit(li, orders)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+      .map(t => t._1 -> t).toMap
+    assert(!rep("orders.pk_unique")._3 && rep("orders.pk_unique")._2 === 1.0)
+    assert(rep("orders.row_floor")._3)
+    assert(!rep("lineitem.fk_orders")._3 && rep("lineitem.fk_orders")._2 === 1.0)
+    assert(!rep("lineitem.quantity_positive")._3)
+    assert(!rep("lineitem.discount_in_range")._3)
+    // 1 null out of 5 rows = 20% > 1%
+    assert(!rep("lineitem.shipdate_null_rate")._3)
+  }
+}
