@@ -216,4 +216,51 @@ object Streams {
           }
       }
   }
+
+  case class TransitionEvent(event_id: Long, user_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+  case class Transition(user_id: Long, prev_type: String,
+      event_type: String, ts: java.sql.Timestamp)
+
+  /** Streaming event-type transitions — the stateful twin of
+    * `rel.TimeSeries.eventTransitions`. Per-user state is ONE string
+    * (the last event type seen); each arriving event emits its
+    * (prev → curr) step and advances the state, with micro-batch
+    * replays ordered by (ts, event_id) — the batch operator's exact
+    * window order. Aggregating the emitted steps by (prev, curr)
+    * reproduces the batch transition matrix whenever per-user event
+    * time respects batch boundaries (differentially pinned in
+    * StreamingSpec).
+    *
+    * State expires `horizonMs` past the user's last activity: unbounded
+    * feeds keep O(active users × one tag), and a user returning after
+    * the horizon starts a fresh chain — no cross-horizon transition,
+    * the streaming analogue of a session cut. */
+  def transitionSteps(events: Dataset[TransitionEvent],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            var prev = state.getOption
+            val out = Vector.newBuilder[Transition]
+            batch.foreach { r =>
+              prev.foreach(p => out += Transition(userId, p, r.event_type, r.ts))
+              prev = Some(r.event_type)
+            }
+            prev.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -313,4 +313,64 @@ class StreamingSpec extends SparkSuite {
       assert(u1 == Seq(1, 1), s"expected two fresh stage-1 entries, got $u1")
     } finally q.stop()
   }
+
+  test("streaming transitions == batch transition matrix on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.TransitionEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.transitionSteps(input.toDS(),
+        horizonMs = 365L * 24 * 3600 * 1000) // batch never expires state
+      .writeStream.format("memory").queryName("trans_fixture_out")
+      .outputMode("update").start()
+    try {
+      // state (the per-user last type) must survive batch boundaries
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("trans_fixture_out")
+        .groupBy("prev_type", "event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batched = graft.rel.TimeSeries
+        .eventTransitions(graft.core.Tables.events(spark, sfDir))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed === batched, s"streamed $streamed != batched $batched")
+    } finally q.stop()
+  }
+
+  test("streaming transitions: horizon expiry cuts the chain") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.transitionSteps(input.toDS(),
+        watermarkDelay = "0 seconds", horizonMs = 60L * 1000)
+      .writeStream.format("memory").queryName("trans_expire_out")
+      .outputMode("update").start()
+    def at(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    try {
+      input.addData(Streams.TransitionEvent(1, 1L, "view", at("10:00")))
+      q.processAllAvailable()
+      // another user's events push the watermark past user 1's horizon
+      input.addData(Streams.TransitionEvent(2, 2L, "view", at("10:10")))
+      q.processAllAvailable()
+      input.addData(Streams.TransitionEvent(3, 2L, "click", at("10:20")))
+      q.processAllAvailable() // user 1 expires here
+      // user 1 returns: no cross-horizon view→click transition emitted
+      input.addData(Streams.TransitionEvent(4, 1L, "click", at("10:21")))
+      q.processAllAvailable()
+      val u1 = spark.table("trans_expire_out")
+        .filter(col("user_id") === 1).count()
+      assert(u1 === 0, "expired chain must not bridge the horizon")
+      val u2 = spark.table("trans_expire_out")
+        .filter(col("user_id") === 2)
+        .select("prev_type", "event_type").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(u2 === Seq(("view", "click")))
+    } finally q.stop()
+  }
 }
