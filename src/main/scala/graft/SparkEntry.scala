@@ -44,7 +44,8 @@ object SparkEntry {
       ext.Search.queries ++
       ext.Sketches.queries ++
       ext.Spans.queries ++
-      ext.Entities.queries
+      ext.Entities.queries ++
+      ext.Geo.queries
 
   /** Declared names in declaration order — lets tests prove no module
     * accidentally shadows another's query (the Map below would keep only
