@@ -121,9 +121,66 @@ object EventAnalytics {
       |FROM d GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Top-k session paths: sessionize per user (30-minute inactivity
+    * gap — the window_sessionize rule), join each session's event
+    * types into an ordered path string, count path frequencies. The
+    * whole chain is two keyed windows sharing the user_id shuffle, one
+    * session-path aggregation, and one count — no per-session collect,
+    * no events×events join. Path strings are deterministic: listagg
+    * ordered by (ts, event_id), the engine-wide total order. */
+  def topSessionPaths(events: DataFrame, k: Int): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // microsecond integers (the window_sessionize pattern): exact in
+      // both engines, where floating epoch seconds would split sessions
+      // differently at the boundary
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wUser)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  def topSessionPathsSql(k: Int): String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+       |      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM g),
+       |p AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |  FROM s GROUP BY user_id, session_id)
+       |SELECT path, COUNT(*) AS n FROM p
+       |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "events_funnel" -> QueryDef(
       (s, d) => funnel(Tables.events(s, d)), funnelSql),
     "events_retention" -> QueryDef(
-      (s, d) => retention(Tables.events(s, d)), retentionSql))
+      (s, d) => retention(Tables.events(s, d)), retentionSql),
+    "events_top_paths" -> QueryDef(
+      (s, d) => topSessionPaths(Tables.events(s, d), 20),
+      topSessionPathsSql(20)))
 }

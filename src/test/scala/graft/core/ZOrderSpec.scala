@@ -29,6 +29,19 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("zValue matches the reference interleave on 500 random pairs") {
+    import org.scalacheck.Gen
+    val g = Gen.chooseNum(0L, (1L << 31) - 1)
+    val cases = Seq.fill(500)((g.sample.get, g.sample.get))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === zRef(r.getLong(0), r.getLong(1)),
+        s"mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("z ordering is monotone in each dimension along axis slices") {
     // along b = const, z must increase with a (and vice versa)
     val rows = for (a <- 0L until 64L) yield (a, 17L)

@@ -93,4 +93,24 @@ class EventAnalyticsSpec extends SparkSuite {
       .agg(sum(col("n_users"))).collect().head.getLong(0)
     assert(day0 == e.select("user_id").distinct().count())
   }
+
+  test("session paths: gap splits sessions, order inside a path is (ts, id)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def at(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val e = Seq(
+      // user 1, one session: view > click (order by ts)
+      (1L, at("10:00"), 1L, "view"), (1L, at("10:05"), 2L, "click"),
+      // 31-minute gap → new session: purchase alone
+      (1L, at("10:40"), 3L, "purchase"),
+      // user 2: same view > click shape, stacks with user 1's
+      (2L, at("11:00"), 4L, "view"), (2L, at("11:10"), 5L, "click"),
+      // same-ts pair: event_id breaks the tie inside the path
+      (3L, at("12:00"), 7L, "b_second"), (3L, at("12:00"), 6L, "a_first"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.topSessionPaths(e, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      ("view>click", 2L), ("a_first>b_second", 1L), ("purchase", 1L)))
+  }
 }
