@@ -59,6 +59,30 @@ class GraphSpec extends SparkSuite {
     assert(got === Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
   }
 
+  /** K4 has 4 triangles, 3 at each corner; the square has none; the
+    * mirrored/duplicated input rows must not inflate counts. */
+  test("triangle counts: K4 corners get 3 each, squares get none") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val square = Seq(10L -> 11L, 11L -> 12L, 12L -> 13L, 13L -> 10L)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val e = (k4 ++ square ++ k4 /* duplicates */).toDF("src", "dst")
+    val got = Graph.triangleCounts(e, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  /** The oriented-wedge formulation must agree with the closed form on
+    * a clique: C(n,3) triangles, C(n-1,2) per corner. */
+  test("triangle counts: K7 closed form") {
+    val n = 7L
+    val e = (for (a <- 1L to n; b <- 1L to n if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(e, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ === (n - 1) * (n - 2) / 2))
+  }
+
   /** Scale-shape pin: the per-iteration loop must not re-shuffle the
     * edge relation — after the one explicit repartition(src), the only
     * exchanges downstream of it are the ranks' and the dst aggregate's. */
