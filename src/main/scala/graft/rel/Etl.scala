@@ -222,9 +222,75 @@ object Etl {
       |FROM customer c FULL OUTER JOIN upd u USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Snapshot diff: classify every key of two table versions as added /
+    * removed / changed / unchanged — the audit a pipeline runs between
+    * a table's daily versions before publishing. ONE full-outer join on
+    * the key, null-safe attr compare, no second pass; the report is the
+    * per-status count plus a deterministic sample of changed keys. */
+  def tableDiff(before: DataFrame, after: DataFrame, key: String,
+      attrs: Seq[String]): DataFrame = {
+    val b = before.select(col(key).as("b_key") +:
+      attrs.map(a => col(a).as(s"b_$a")): _*)
+    val a = after.select(col(key).as("a_key") +:
+      attrs.map(a => col(a).as(s"a_$a")): _*)
+    val same = attrs.map(c => col(s"b_$c") <=> col(s"a_$c")).reduce(_ && _)
+    b.join(a, col("b_key") === col("a_key"), "full_outer")
+      .select(
+        when(col("b_key").isNull, "added")
+          .when(col("a_key").isNull, "removed")
+          .when(same, "unchanged").otherwise("changed").as("status"),
+        coalesce(col("b_key"), col("a_key")).as("k"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("first_key"))
+      .orderBy(col("status"))
+  }
+
+  /** Declared surface: diff customer against its upsert result — every
+    * status arm fires by construction (3 added, 1/7 changed via the
+    * balance update, 1/7 + 5/7 unchanged, 0 removed → removed absent,
+    * which the oracle must agree on too). */
+  def diffCustomer(base: DataFrame): DataFrame =
+    tableDiff(
+      base.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment")),
+      upsertCustomer(base),
+      "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
+
+  val diffCustomerSql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, 'UPD ' || c_name AS c_name,
+      |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 1
+      |  UNION ALL
+      |  SELECT -i, 'NEW CUSTOMER ' || CAST(i AS VARCHAR), 0.0, 'BUILDING'
+      |  FROM (SELECT unnest(range(1, 4)) AS i)),
+      |after AS (
+      |  SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+      |         COALESCE(u.c_name, c.c_name) AS c_name,
+      |         COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+      |         COALESCE(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+      |  FROM customer c FULL OUTER JOIN upd u USING (c_custkey)),
+      |j AS (
+      |  SELECT b.c_custkey AS b_key, a.c_custkey AS a_key,
+      |    CASE WHEN b.c_custkey IS NULL THEN 'added'
+      |         WHEN a.c_custkey IS NULL THEN 'removed'
+      |         WHEN b.c_name IS NOT DISTINCT FROM a.c_name
+      |          AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal
+      |          AND b.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment
+      |         THEN 'unchanged' ELSE 'changed' END AS status
+      |  FROM customer b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey)
+      |SELECT status, COUNT(*) AS n,
+      |       MIN(COALESCE(b_key, a_key)) AS first_key
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "scd2_merge" -> QueryDef(
       (s, d) => scd2Customer(Tables.customer(s, d)), scd2CustomerSql),
+    "etl_diff" -> QueryDef(
+      (s, d) => diffCustomer(Tables.customer(s, d)), diffCustomerSql),
     "agg_incremental" -> QueryDef(
       (s, d) => incrementalOrderStats(Tables.orders(s, d), "1996-06-01"),
       incrementalOrderStatsSql),

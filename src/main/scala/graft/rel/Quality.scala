@@ -102,8 +102,79 @@ object Quality {
       |         orphans = 0 FROM fk)
       |SELECT "check", measured, ok FROM rep ORDER BY "check"""".stripMargin
 
+  /** Column profiler: null count, exact distinct count and min/max per
+    * column, emitted as one row per column — the first pass any
+    * warehouse runs over a new drop. All columns profile in ONE
+    * aggregate over one scan (multi-column exact distinct plans as
+    * Catalyst's Expand — a constant input-size factor, not extra
+    * passes); min/max compare in native type and render to strings only
+    * for the unified report schema. */
+  def profileColumns(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+    val agg = orders.agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))): _*)
+    agg.select(profileReport(cols.map(c =>
+        (c, col(s"null_$c"), col(s"dist_$c"), col(s"min_$c"), col(s"max_$c")))
+      ).as("r"))
+      .select(col("r.column").as("column"), col("r.n_null").as("n_null"),
+        col("r.n_distinct").as("n_distinct"), col("r.min_val").as("min_val"),
+        col("r.max_val").as("max_val"))
+      .orderBy(col("column"))
+  }
+
+  private def profileReport(
+      rows: Seq[(String, Column, Column, Column, Column)]): Column =
+    explode(array(rows.map { case (name, nNull, nDist, mn, mx) =>
+      struct(lit(name).as("column"), nNull.cast("long").as("n_null"),
+        nDist.cast("long").as("n_distinct"), mn.as("min_val"),
+        mx.as("max_val"))
+    }: _*))
+
+  val profileColumnsSql: String =
+    """WITH a AS (
+      |  SELECT
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+      |    COUNT(DISTINCT o_custkey) AS dist_ck,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS min_ck,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS max_ck,
+      |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_os,
+      |    COUNT(DISTINCT o_orderstatus) AS dist_os,
+      |    CAST(MIN(o_orderstatus) AS VARCHAR) AS min_os,
+      |    CAST(MAX(o_orderstatus) AS VARCHAR) AS max_os,
+      |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_tp,
+      |    COUNT(DISTINCT o_totalprice) AS dist_tp,
+      |    CAST(MIN(o_totalprice) AS VARCHAR) AS min_tp,
+      |    CAST(MAX(o_totalprice) AS VARCHAR) AS max_tp,
+      |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null_op,
+      |    COUNT(DISTINCT o_orderpriority) AS dist_op,
+      |    CAST(MIN(o_orderpriority) AS VARCHAR) AS min_op,
+      |    CAST(MAX(o_orderpriority) AS VARCHAR) AS max_op
+      |  FROM orders)
+      |SELECT "column", n_null, n_distinct, min_val, max_val FROM (
+      |  SELECT 'o_custkey' AS "column", CAST(null_ck AS BIGINT) AS n_null,
+      |         CAST(dist_ck AS BIGINT) AS n_distinct,
+      |         min_ck AS min_val, max_ck AS max_val FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', CAST(null_os AS BIGINT), CAST(dist_os AS BIGINT),
+      |         min_os, max_os FROM a
+      |  UNION ALL
+      |  SELECT 'o_totalprice', CAST(null_tp AS BIGINT), CAST(dist_tp AS BIGINT),
+      |         min_tp, max_tp FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', CAST(null_op AS BIGINT), CAST(dist_op AS BIGINT),
+      |         min_op, max_op FROM a)
+      |ORDER BY "column"""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "dq_audit" -> QueryDef(
       (s, d) => dqAudit(Tables.lineitem(s, d), Tables.orders(s, d)),
-      dqAuditSql))
+      dqAuditSql),
+    "profile_columns" -> QueryDef(
+      (s, d) => profileColumns(Tables.orders(s, d)), profileColumnsSql))
 }

@@ -71,6 +71,20 @@ class EtlSpec extends SparkSuite {
       once.exceptAll(twice).count() === 0)
   }
 
+  test("tableDiff: every status classifies correctly, null-safe compare") {
+    import spark.implicits._
+    val before = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
+      (4L, Option("gone"))).toDF("k", "v")
+    val after = Seq((1L, Option("a")), (2L, Option("B")), (3L, None),
+      (5L, Option("new"))).toDF("k", "v")
+    val got = Etl.tableDiff(before, after, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 3 (null == null, null-safe) joins 1 as unchanged
+    assert(got === Map(
+      "added" -> (1L, 5L), "removed" -> (1L, 4L),
+      "changed" -> (1L, 2L), "unchanged" -> (2L, 1L)))
+  }
+
   test("incrementalOrderStats: partial-merge equals full recompute at any cutoff") {
     val orders = graft.core.Tables.orders(spark, sfDir)
     val full = Etl.incrementalOrderStats(orders, "1900-01-01") // all in delta

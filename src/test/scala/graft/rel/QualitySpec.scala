@@ -23,6 +23,21 @@ class QualitySpec extends SparkSuite {
     assert(rep.values.forall(identity), s"clean data must pass all checks: $rep")
   }
 
+  test("profileColumns: nulls, distincts and extrema per column") {
+    val orders = Seq(
+      (Option(1L), Option("O"), Option(10.0), Option("1-URGENT")),
+      (Option(2L), Option("F"), Option(20.5), None),
+      (Option(1L), None, Option(20.5), Option("5-LOW")))
+      .toDF("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val got = Quality.profileColumns(orders)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(got("o_custkey") === (0L, 2L, "1", "2"))
+    assert(got("o_orderstatus") === (1L, 2L, "F", "O"))
+    assert(got("o_totalprice") === (0L, 2L, "10.0", "20.5"))
+    assert(got("o_orderpriority") === (1L, 2L, "1-URGENT", "5-LOW"))
+  }
+
   test("planted violations fire their checks and only theirs") {
     val orders = Seq.tabulate(1200)(i => (i.toLong, "O"))
       .toDF("o_orderkey", "o_orderstatus")
