@@ -45,7 +45,8 @@ object SparkEntry {
       ext.Sketches.queries ++
       ext.Spans.queries ++
       ext.Entities.queries ++
-      ext.Geo.queries
+      ext.Geo.queries ++
+      ext.Clustering.queries
 
   /** Declared names in declaration order — lets tests prove no module
     * accidentally shadows another's query (the Map below would keep only

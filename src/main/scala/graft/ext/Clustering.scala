@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Lloyd's k-means over the embedding corpus in FIXED-POINT INTEGER
+  * arithmetic — the PageRank move applied to clustering. [EXT] SURVEY
+  * §2.11: the semantic-dedup / corpus-curation primitive (cluster the
+  * embedding space, sample per cluster, drop near-empty cells).
+  *
+  * Why integers: float k-means can never sit behind a cross-engine
+  * hash gate — distance sums are order-dependent in the last bits, and
+  * one flipped argmin near a tie reshuffles every later iteration. Here
+  * vector components quantize once to BIGINTs (×2^10, exact from
+  * float32 inputs), distances are exact integer sums, centroid updates
+  * are integer floor-divisions (sum div count — the same grid), and
+  * ties break on cluster id: every iteration is bit-identical in ANY
+  * engine at ANY parallelism, so the unrolled-CTE DuckDB oracle replays
+  * the whole training run.
+  *
+  * Scale shape per iteration: assignment is a ZERO-exchange narrow map
+  * (centroids are k×dim bounded metadata, collected and folded in as a
+  * literal matrix — the ivfAssign pattern); the update is one
+  * partial-aggregated shuffle keyed on (cluster, dim). The driver
+  * never sees a row, only the k×dim centroid matrix between
+  * iterations. Empty clusters drop (both engines, same rule).
+  */
+object Clustering {
+
+  /** Component quantization scale: float32 embeddings in [-2, 2] ×
+    * 2^10 → integer components in [-2048, 2048]; per-dim squared gaps
+    * ≤ ~1.7e7, summed over ≤ 4096 dims stays far under Long.MaxValue. */
+  val Q = 1024L
+
+  private def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * Q).cast("long"))
+
+  /** Squared L2 between an integer vector column and a literal integer
+    * centroid — an exact BIGINT, order-independent. */
+  private def d2(v: Column, cent: Seq[Long]): Column =
+    aggregate(zip_with(v, typedlit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One assignment pass against a literal centroid matrix: per row,
+    * argmin over (d2, cluster) structs — lexicographic struct min is
+    * the deterministic tie-break. Zero exchanges. */
+  private def assign(embInt: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val scored = array(cents.map { case (cid, c) =>
+      struct(d2(col("v"), c).as("d2"), lit(cid).as("cluster"))
+    }: _*)
+    embInt.withColumn("best", array_min(scored))
+      .select(col("vec_id"), col("v"),
+        col("best.cluster").as("cluster"), col("best.d2").as("d2"))
+  }
+
+  /** Centroid update: per-(cluster, dim) integer mean (sum div count)
+    * back onto the same grid. Returns the k×dim matrix as bounded
+    * driver-side metadata for the next literal fold-in. */
+  private def update(assigned: DataFrame): Seq[(Int, Seq[Long])] =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("ps"))
+      .select(col("cluster"), transform(col("ps"), p => p.getField("c")).as("cent"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+      .sortBy(_._1).toSeq
+
+  /** `iters` Lloyd rounds from the deterministic seed (vectors with
+    * vec_id 0..k-1). Output: (cluster, n_members, inertia) — exact
+    * BIGINTs, the training run's full fingerprint. */
+  def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    kmeansOn(Tables.embeddings(spark, dir), k, iters)
+
+  /** As `kmeans`, over any (vec_id, embedding ARRAY<numeric>) relation. */
+  def kmeansOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val embInt = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    var cents: Seq[(Int, Seq[Long])] = embInt
+      .filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq
+    var assigned = assign(embInt, cents)
+    (2 to iters).foreach { _ =>
+      cents = update(assigned)
+      assigned = assign(embInt, cents)
+    }
+    assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Unrolled-CTE oracle: one (assign, update) CTE pair per iteration,
+    * mirroring the integer grid exactly. */
+  def kmeansSql(k: Int, iters: Int, dim: Int = 64): String = {
+    val e =
+      s"""e AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+         |  FROM embeddings)""".stripMargin
+    val cent0 =
+      s"""c1 AS (
+         |  SELECT CAST(vec_id AS INT) AS cluster, v AS cent FROM e
+         |  WHERE vec_id < $k)""".stripMargin
+    def assignCte(i: Int) =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cluster, d2 FROM (
+         |    SELECT e.vec_id, e.v, c.cluster,
+         |      CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |        j -> (e.v[j] - c.cent[j]) * (e.v[j] - c.cent[j]))) AS BIGINT) AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_sum(list_transform(range(1, ${dim + 1}),
+         |          j -> (e.v[j] - c.cent[j]) * (e.v[j] - c.cent[j]))), c.cluster) AS rn
+         |    FROM e CROSS JOIN c$i c)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int) =
+      s"""c${i + 1} AS (
+         |  SELECT cluster, list(c ORDER BY pos) AS cent FROM (
+         |    SELECT cluster, j.i AS pos, SUM(v[j.i]) // COUNT(*) AS c
+         |    FROM a$i, (SELECT unnest(range(1, ${dim + 1})) AS i) j
+         |    GROUP BY cluster, j.i)
+         |  GROUP BY cluster)""".stripMargin
+    val body = (1 until iters)
+      .map(i => assignCte(i) + ",\n" + updateCte(i)).mkString(",\n")
+    val chain = if (iters > 1) body + ",\n" + assignCte(iters) else assignCte(1)
+    s"""WITH $e,
+       |$cent0,
+       |$chain
+       |SELECT cluster, COUNT(*) AS n_members,
+       |       CAST(SUM(d2) AS BIGINT) AS inertia
+       |FROM a$iters GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "embedding_kmeans" -> QueryDef(
+      (s, d) => kmeans(s, d, k = 8, iters = 3),
+      kmeansSql(k = 8, iters = 3)))
+}

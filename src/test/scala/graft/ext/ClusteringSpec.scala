@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Fixed-point k-means (ext/Clustering): planted separation, empty
+  * clusters, and the cross-partitioning bit-equality the integer
+  * formulation exists for. */
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Two well-separated blobs; seeds 0 and 1 land one in each blob, so
+    * 3 rounds must put every point with its blob — and inertia is the
+    * exact integer sum of in-blob spreads. */
+  test("separated blobs resolve to their own clusters") {
+    // blob A around 0.0, blob B around 1.5 (quantized: 0 and 1536)
+    val rows =
+      (0L to 4L).map(i => (i, Array.fill(4)(0.001f * i))) ++   // A: ids 0,2,3,4 …
+      Seq((1L, Array.fill(4)(1.5f))) ++                         // B seed
+      (5L to 8L).map(i => (i, Array.fill(4)(1.5f + 0.001f * i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Clustering.kmeansOn(emb, k = 2, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 5L, 1 -> 5L))
+  }
+
+  test("a cluster that captures nothing drops from the report") {
+    // both seeds inside one tight blob; k=3's third seed is a far
+    // outlier that captures only itself
+    val rows = (0L to 5L).map(i => (i, Array(0.01f * i, 0.0f))) ++
+      Seq((6L, Array(3.0f, 3.0f)))
+    // seed ids 0,1,2 are all in the blob — cluster of the outlier point
+    // still forms around whichever seed it is nearest; with 3 blob
+    // seeds, iteration pulls two seeds together and one cluster may end
+    // up owning zero points after reassignment
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Clustering.kmeansOn(emb, k = 3, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.values.sum === 7L, s"every point assigned exactly once: $got")
+  }
+
+  test("clustering is bit-identical across partitionings") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    def run(parts: Int) =
+      Clustering.kmeansOn(emb.repartition(parts), k = 4, iters = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) === run(8))
+  }
+}
