@@ -77,8 +77,9 @@ object Clustering {
   def kmeans(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
     kmeansOn(Tables.embeddings(spark, dir), k, iters)
 
-  /** As `kmeans`, over any (vec_id, embedding ARRAY<numeric>) relation. */
-  def kmeansOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The shared training loop: quantize, seed from vec_id 0..k-1, run
+    * `iters` (assign, update) rounds, return the final assignment. */
+  private def trainAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val embInt = emb
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
     var cents: Seq[(Int, Seq[Long])] = embInt
@@ -90,10 +91,28 @@ object Clustering {
       assigned = assign(embInt, cents)
     }
     assigned
+  }
+
+  /** As `kmeans`, over any (vec_id, embedding ARRAY<numeric>) relation. */
+  def kmeansOn(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    trainAssign(emb, k, iters)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
       .orderBy(col("cluster"))
-  }
+
+  /** Cluster exemplars: the vector nearest its cluster's centroid after
+    * the final round (ties on vec_id) — the medoid-flavored surface a
+    * curation pipeline shows a human per cluster. Same training chain
+    * as `kmeans`; one extra per-cluster top-1 (WindowGroupLimit shape). */
+  def exemplarsOn(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    trainAssign(emb, k, iters)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("exemplar_id"), col("d2"))
+      .orderBy(col("cluster"))
 
   /** Unrolled-CTE oracle: one (assign, update) CTE pair per iteration,
     * mirroring the integer grid exactly. */
@@ -137,8 +156,21 @@ object Clustering {
        |FROM a$iters GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  def exemplarsSql(k: Int, iters: Int, dim: Int = 64): String = {
+    val base = kmeansSql(k, iters, dim)
+    val upToChain = base.substring(0, base.indexOf("SELECT cluster, COUNT(*)"))
+    s"""${upToChain}SELECT cluster, vec_id AS exemplar_id, d2 FROM (
+       |  SELECT cluster, vec_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rnk
+       |  FROM a$iters)
+       |WHERE rnk = 1 ORDER BY cluster""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "embedding_kmeans" -> QueryDef(
       (s, d) => kmeans(s, d, k = 8, iters = 3),
-      kmeansSql(k = 8, iters = 3)))
+      kmeansSql(k = 8, iters = 3)),
+    "embedding_exemplars" -> QueryDef(
+      (s, d) => exemplarsOn(Tables.embeddings(s, d), k = 8, iters = 3),
+      exemplarsSql(k = 8, iters = 3)))
 }
