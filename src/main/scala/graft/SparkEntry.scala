@@ -46,7 +46,8 @@ object SparkEntry {
       ext.Spans.queries ++
       ext.Entities.queries ++
       ext.Geo.queries ++
-      ext.Clustering.queries
+      ext.Clustering.queries ++
+      ext.Classifier.queries
 
   /** Declared names in declaration order — lets tests prove no module
     * accidentally shadows another's query (the Map below would keep only

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** In-engine linear-classifier training (batch perceptron) over integer
+  * text features — the "train a quality/language filter ON the corpus,
+  * then filter WITH it" primitive behind fastText-style CommonCrawl
+  * curation, here as a first-class relational op. [EXT] SURVEY §2.11.
+  *
+  * All-integer training (the kmeans/PageRank discipline): features are
+  * exact integer counts, labels ±1, the batch-perceptron update is
+  *   w ← w + Σ_{yᵢ·⟨w,xᵢ⟩ ≤ 0} yᵢ·xᵢ
+  * — an integer vector sum, order-independent — so every epoch is
+  * bit-identical at any parallelism and the whole training run (and
+  * its per-epoch error counts) replays in an unrolled-CTE oracle. No
+  * learning rate: the perceptron update is scale-free, and integer
+  * weights never drift.
+  *
+  * Scale shape per epoch: ONE aggregate over the feature relation
+  * (margin test + conditional component sums fold into a single
+  * partial-aggregated reduce); weights are a handful of driver-side
+  * integers folded back in as literals — bounded metadata, the same
+  * contract as kmeans centroids. Feature extraction is a narrow map,
+  * computed once and persisted.
+  */
+object Classifier {
+
+  /** Integer features from the document text: bias, token count,
+    * char-length div 16, 'e'-occurrence count (a crude but portable
+    * English signal); label +1 iff lang = 'en'. */
+  def features(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      lit(1L).as("x0"),
+      size(Dedup.tokens(col("text"))).cast("long").as("x1"),
+      expr("length(text) div 16").as("x2"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "e", ""))).cast("long").as("x3"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+
+  private val Dim = 4
+
+  /** `epochs` batch-perceptron rounds from w = 0. Output: one row per
+    * epoch — the error count under the INCOMING weights plus the
+    * updated weight vector, the training run's full fingerprint. */
+  def trainPerceptron(feats: DataFrame, epochs: Int): DataFrame = {
+    import feats.sparkSession.implicits._
+    val f = feats.persist()
+    val xs = (0 until Dim).map(i => col(s"x$i"))
+    var w = Array.fill(Dim)(0L)
+    val rows = (1 to epochs).map { epoch =>
+      val margin = xs.zip(w).map { case (x, wi) => x * lit(wi) }
+        .reduce(_ + _) * col("y")
+      val mis = when(margin <= 0, 1L).otherwise(0L)
+      val agg = f.agg(
+        sum(mis).as("errs"),
+        xs.map(x => sum(when(margin <= 0, col("y") * x).otherwise(0L))): _*)
+        .head()
+      val errs = agg.getLong(0)
+      w = w.indices.map(i => w(i) + agg.getLong(i + 1)).toArray
+      (epoch, errs, w(0), w(1), w(2), w(3))
+    }
+    rows.toDF("epoch", "n_errors", "w0", "w1", "w2", "w3")
+      .orderBy(col("epoch"))
+  }
+
+  def trainPerceptronSql(epochs: Int): String = {
+    val feat =
+      """f AS (
+        |  SELECT doc_id,
+        |    CAST(1 AS BIGINT) AS x0,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS x1,
+        |    length(text) // 16 AS x2,
+        |    CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x3,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        |  FROM documents)""".stripMargin
+    // w0 = zero vector; epoch CTEs chain: eN computes errors + updated
+    // weights under w(N-1)
+    val epochCtes = (1 to epochs).map { n =>
+      s"""e$n AS (
+         |  SELECT CAST($n AS INT) AS epoch,
+         |    CAST(SUM(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |    CAST((SELECT w0 FROM w${n - 1}) + SUM(CASE WHEN m <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS w0,
+         |    CAST((SELECT w1 FROM w${n - 1}) + SUM(CASE WHEN m <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS w1,
+         |    CAST((SELECT w2 FROM w${n - 1}) + SUM(CASE WHEN m <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS w2,
+         |    CAST((SELECT w3 FROM w${n - 1}) + SUM(CASE WHEN m <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS w3
+         |  FROM (
+         |    SELECT f.*, y * (x0 * (SELECT w0 FROM w${n - 1})
+         |                   + x1 * (SELECT w1 FROM w${n - 1})
+         |                   + x2 * (SELECT w2 FROM w${n - 1})
+         |                   + x3 * (SELECT w3 FROM w${n - 1})) AS m
+         |    FROM f)),
+         |w$n AS (SELECT w0, w1, w2, w3 FROM e$n)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to epochs)
+      .map(n => s"SELECT epoch, n_errors, w0, w1, w2, w3 FROM e$n")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $feat,
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+       |$epochCtes
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY epoch""".stripMargin
+  }
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "train_perceptron" -> QueryDef(
+      (s, d) => trainPerceptron(features(Tables.documents(s, d)), 3),
+      trainPerceptronSql(3)))
+}

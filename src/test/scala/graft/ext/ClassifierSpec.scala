@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.SparkSuite
+
+/** Batch perceptron (ext/Classifier): hand-computed epochs and the
+  * integer formulation's bit-equality across partitionings. */
+class ClassifierSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def feats(rows: (Long, Long, Long, Long, Long, Long)*) =
+    rows.toDF("doc_id", "x0", "x1", "x2", "x3", "y")
+
+  test("epochs match the hand computation") {
+    // two rows: (+1, x=[1,2,0,0]) and (-1, x=[1,1,0,0])
+    val f = feats((1L, 1L, 2L, 0L, 0L, 1L), (2L, 1L, 1L, 0L, 0L, -1L))
+    val got = Classifier.trainPerceptron(f, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // epoch 1: w=0 → both margins 0 → errs 2, w = (+1)(1,2)+(-1)(1,1) = (0,1)
+    assert(got(0) === (1, 2L, 0L, 1L))
+    // epoch 2: w=(0,1): row1 m=+2 ok, row2 m=-1·(1)=−1 ≤0 err → w=(−1,0)
+    assert(got(1) === (2, 1L, -1L, 0L))
+    // epoch 3: w=(−1,0): row1 m=−1 err; row2 m=+1 ok → w=(0,2)
+    assert(got(2) === (3, 1L, 0L, 2L))
+  }
+
+  test("training is bit-identical across partitionings") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def run(parts: Int) =
+      Classifier.trainPerceptron(
+        Classifier.features(docs.repartition(parts)), 3)
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) === run(8))
+  }
+
+  test("separable one-feature data reaches zero errors") {
+    // y = +1 iff x1 ≥ 3; bias + x1 separate it
+    val f = feats(
+      (1L, 1L, 5L, 0L, 0L, 1L), (2L, 1L, 4L, 0L, 0L, 1L),
+      (3L, 1L, 1L, 0L, 0L, -1L), (4L, 1L, 0L, 0L, 0L, -1L))
+    val errs = Classifier.trainPerceptron(f, 12)
+      .collect().map(r => r.getLong(1))
+    assert(errs.last === 0L, s"perceptron must converge on separable data: ${errs.toSeq}")
+  }
+}
