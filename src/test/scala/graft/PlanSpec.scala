@@ -144,6 +144,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("kmeans assignment is a literal-matrix narrow map: no join, one exchange") {
+    val p = plan("embedding_kmeans")
+    assert(!p.contains("Join"), s"assignment must fold centroids as literals:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"expected only the report aggregate's exchange(s):\n$p")
+  }
+
+  test("pagerank iterations use shuffle-hash joins, never per-iteration sorts") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("ShuffledHashJoin"), s"rank joins must hash, not SMJ:\n$p")
+    // the adjacency is materialized once and re-read per iteration
+    assert(p.contains("InMemoryTableScan"), s"adjacency not persisted:\n$p")
+  }
+
+  test("perceptron epoch reduces in one pass: no join, no window in the report") {
+    val p = plan("train_perceptron")
+    // the declared surface is a local relation of collected epoch rows —
+    // the per-epoch aggregates run as separate bounded jobs
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("no duplicate query names across modules (Map would drop one silently)") {
     val names = SparkEntry.declaredNames
     val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
