@@ -106,8 +106,48 @@ object Classifier {
        |ORDER BY epoch""".stripMargin
   }
 
+  /** The APPLY side of the loop: score every document with the trained
+    * weights (one narrow map — the weights are literals by the time the
+    * filter runs, exactly how a deployed quality filter ships) and
+    * report per-source keep rates — the dataset-curation dashboard
+    * number. */
+  def applyFilter(docs: DataFrame, epochs: Int): DataFrame = {
+    val f = features(docs)
+    val finalW = trainPerceptron(f, epochs)
+      .orderBy(col("epoch").desc).limit(1)
+      .select("w0", "w1", "w2", "w3").head()
+    val w = (0 until Dim).map(finalW.getLong)
+    val score = (0 until Dim).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+    f.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), when(score > 0, 1L).otherwise(0L).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+        (sum(col("keep")).cast("double") / count(lit(1))).as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  def applyFilterSql(epochs: Int): String = {
+    val train = trainPerceptronSql(epochs)
+    val ctes = train.substring(0, train.indexOf("SELECT * FROM (")).trim
+    s"""$ctes,
+       |scored AS (
+       |  SELECT d.source,
+       |    CASE WHEN f.x0 * (SELECT w0 FROM w$epochs)
+       |       + f.x1 * (SELECT w1 FROM w$epochs)
+       |       + f.x2 * (SELECT w2 FROM w$epochs)
+       |       + f.x3 * (SELECT w3 FROM w$epochs) > 0 THEN 1 ELSE 0 END AS keep
+       |  FROM f JOIN documents d ON d.doc_id = f.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       |       CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "train_perceptron" -> QueryDef(
       (s, d) => trainPerceptron(features(Tables.documents(s, d)), 3),
-      trainPerceptronSql(3)))
+      trainPerceptronSql(3)),
+    "classify_quality" -> QueryDef(
+      (s, d) => applyFilter(Tables.documents(s, d), 3),
+      applyFilterSql(3)))
 }
