@@ -217,6 +217,70 @@ object Streams {
       }
   }
 
+  case class DailyPoint(user_id: Long, day: java.sql.Date, value: Double)
+
+  /** Streaming calendar densify + forward fill — the stateful twin of
+    * `rel.TimeSeries.fillForwardDaily`. Per-user state is (last emitted
+    * day, last value); an arriving batch replays its (day, value)
+    * points in day order and, before each, emits the GAP days carrying
+    * the previous value — so the output stream, keyed by (user, day),
+    * is exactly the batch operator's densified series up to each
+    * user's latest event.
+    *
+    * Per-user daily reduction happens INSIDE the batch replay (last
+    * event of the day wins by (ts, event_id), as in batch); state is
+    * two scalars per user; the event-time timeout drops users idle past
+    * the horizon — an unbounded feed holds O(active users) state and a
+    * returning user restarts a fresh (un-bridged) series, the streaming
+    * session-cut contract. */
+  def fillForwardStream(events: Dataset[TransitionEvent2],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 40L * 24 * 3600 * 1000): Dataset[DailyPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), DailyPoint](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            // per-day last value within this batch; UTC epoch-day from
+            // millis (NOT Timestamp→LocalDate, which reads the JVM
+            // default zone and would drift from the batch op's
+            // to_date-under-UTC-session days)
+            val byDay = batch
+              .groupBy(r => Math.floorDiv(r.ts.getTime, 86400000L))
+              .toVector.sortBy(_._1)
+              .map { case (d, rs) => (d, rs.last.value) }
+            var (lastDay, lastVal) = state.getOption.getOrElse((Long.MinValue, 0.0))
+            val out = Vector.newBuilder[DailyPoint]
+            byDay.foreach { case (d, v) =>
+              if (lastDay != Long.MinValue) {
+                var g = lastDay + 1
+                while (g < d) { // gap days carry the previous value
+                  out += DailyPoint(userId, java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(g)), lastVal)
+                  g += 1
+                }
+              }
+              out += DailyPoint(userId, java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(d)), v)
+              lastDay = d; lastVal = v
+            }
+            if (lastDay != Long.MinValue) {
+              state.update((lastDay, lastVal))
+              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  case class TransitionEvent2(event_id: Long, user_id: Long,
+      value: Double, ts: java.sql.Timestamp)
+
   case class TransitionEvent(event_id: Long, user_id: Long,
       event_type: String, ts: java.sql.Timestamp)
   case class Transition(user_id: Long, prev_type: String,

@@ -343,6 +343,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming fill-forward == batch densified series on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .as[Streams.TransitionEvent2]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent2]
+    val q = Streams.fillForwardStream(input.toDS())
+      .writeStream.format("memory").queryName("fill_fixture_out")
+      .outputMode("update").start()
+    try {
+      // split at global DAY boundaries: ts-sorted events keep each day
+      // contiguous, so no (user, day) spans a batch and every point is
+      // emitted exactly once
+      val thirds = ev.length / 3
+      def dayOf(e: Streams.TransitionEvent2) =
+        Math.floorDiv(e.ts.getTime, 86400000L)
+      val cut1 = (thirds until ev.length)
+        .find(i => dayOf(ev(i)) != dayOf(ev(i - 1))).getOrElse(ev.length)
+      val cut2 = (math.max(cut1, 2 * thirds) until ev.length)
+        .find(i => dayOf(ev(i)) != dayOf(ev(i - 1))).getOrElse(ev.length)
+      Seq(ev.slice(0, cut1), ev.slice(cut1, cut2), ev.slice(cut2, ev.length))
+        .foreach { chunk =>
+          if (chunk.nonEmpty) { input.addData(chunk: _*); q.processAllAvailable() }
+        }
+      val streamed = spark.table("fill_fixture_out")
+        .select(col("user_id"), col("day").cast("string"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batched = graft.rel.TimeSeries
+        .fillForwardDaily(graft.core.Tables.events(spark, sfDir))
+        .select(col("user_id"), col("day").cast("string"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed === batched)
+    } finally q.stop()
+  }
+
   test("streaming transitions: horizon expiry cuts the chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
