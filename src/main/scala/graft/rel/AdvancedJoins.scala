@@ -449,7 +449,31 @@ object AdvancedJoins {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin)
+        |ORDER BY c_nationkey""".stripMargin),
+
+    // ---- salted join (core/Skew): the declared gate IS the semantics
+    //      proof — the salted physical rewrite (hot keys spread over 8
+    //      sub-keys, build side replicated per salt) must reproduce the
+    //      plain join bit-for-bit, so its oracle is the UNSALTED SQL.
+    //      At 100 TB this is the manual fix when one key floods a
+    //      shuffle partition and AQE can't see it (e.g. building a
+    //      broadcast-unfriendly skewed dimension). ----------------------
+    "join_salted" -> QueryDef(
+      (s, d) => {
+        import graft.core.{Exact, Skew}
+        Skew.saltedJoin(
+            Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
+            Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+            "l_suppkey", "s_suppkey", factor = 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(Exact.money(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy(col("s_name"))
+      },
+      """SELECT s_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q
