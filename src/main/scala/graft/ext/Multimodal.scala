@@ -352,6 +352,56 @@ object Multimodal {
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Nearest-neighbor image resize over the binary column — the
+    * transform stage of a vision-data pipeline (decode → RESIZE →
+    * re-featurize), partition-wise like every decode. The sampling is
+    * explicit integer math (src = x·w div W) rather than a library
+    * scaler, so the operation is deterministic across JVMs; for the
+    * solid-color synthetic corpus the resized channel means are EXACTLY
+    * the closed form, which is what lets a SQL oracle check a real
+    * decode→resize round trip. Output: (doc_id, out_w, out_h, means,
+    * resized flag). */
+  def resizeFeatures(media: Dataset[MediaRow], outW: Int, outH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content)))
+          catch { case _: Throwable => None }
+        decoded match {
+          case Some(img) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < outH) {
+              val sy = y * img.getHeight / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * img.getWidth / outW
+                val p = img.getRGB(sx, sy)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (outW * outH).toDouble
+            (r.doc_id, outW, outH, sr / n, sg / n, sb / n, true)
+          case None => (r.doc_id, 0, 0, 0.0, 0.0, 0.0, false)
+        }
+      }
+    }.toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b", "resized")
+      .orderBy(col("doc_id"))
+  }
+
+  private val imageResizeSql: String =
+    """SELECT doc_id, 4 AS out_w, 4 AS out_h,
+      |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+      |  CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+      |  CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b,
+      |  TRUE AS resized
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic synthetic audio corpus: every audio-typed document
     * gets a REAL WAV (RIFF/PCM16LE mono, 8 kHz — written through
     * `javax.sound.sampled`, the JRE's built-in audio codec) with
@@ -592,6 +642,12 @@ object Multimodal {
     "multimodal_features" -> QueryDef(
       (s: SparkSession, d: String) => imageDecodeQuery(s, d),
       Some(imageDecodeSql)),
+    // decode → nearest-neighbor RESIZE → re-featurize: the transform
+    // stage of a vision pipeline, closed-form-checked on solid colors
+    "multimodal_resize" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        resizeFeatures(syntheticImages(s, d), outW = 4, outH = 4),
+      Some(imageResizeSql)),
     // real RIFF/PCM16 decode behind a closed-form oracle — the audio
     // twin of multimodal_features' PNG path
     "multimodal_audio" -> QueryDef(

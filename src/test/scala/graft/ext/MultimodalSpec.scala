@@ -178,4 +178,31 @@ class MultimodalSpec extends SparkSuite {
       assert(offs.head == 0 && offs.forall(_ % 10 == 0))
     }
   }
+
+  test("resize: nearest-neighbor picks the exact source pixels (4x4 -> 2x2)") {
+    import spark.implicits._
+    // quadrant image: TL=10, TR=20, BL=30, BR=40 (gray levels); 2x2
+    // output samples src (0,0),(2,0),(0,2),(2,2) = one per quadrant
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val g = (if (y < 2) 10 else 30) + (if (x < 2) 0 else 10)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRow(1L, "image", bos.size(), bos.toByteArray)).toDS()
+    val r = Multimodal.resizeFeatures(media, 2, 2).head()
+    assert((r.getInt(1), r.getInt(2)) === (2, 2))
+    // mean of {10, 20, 30, 40} = 25 exactly, every channel
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) === (25.0, 25.0, 25.0))
+    assert(r.getBoolean(6))
+  }
+
+  test("resize: undecodable bytes fall through flagged, not thrown") {
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(2L, "image", 4, Array[Byte](1, 2, 3, 4))).toDS()
+    val r = Multimodal.resizeFeatures(junk, 2, 2).head()
+    assert(!r.getBoolean(6) && r.getInt(1) === 0)
+  }
 }
