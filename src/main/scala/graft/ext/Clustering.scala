@@ -15,7 +15,9 @@ import graft.core.{QueryDef, Tables}
   * one flipped argmin near a tie reshuffles every later iteration. Here
   * vector components quantize once to BIGINTs (×2^10, exact from
   * float32 inputs), distances are exact integer sums, centroid updates
-  * are integer floor-divisions (sum div count — the same grid), and
+  * are truncating integer divisions (sum div count, back on the same
+  * grid — Spark's `div` and DuckDB's integer `//` both truncate toward
+  * zero, so negative component sums divide identically), and
   * ties break on cluster id: every iteration is bit-identical in ANY
   * engine at ANY parallelism, so the unrolled-CTE DuckDB oracle replays
   * the whole training run.

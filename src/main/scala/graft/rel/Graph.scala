@@ -31,14 +31,15 @@ import graft.core.{QueryDef, Tables}
   *
   * Scale shape (100 TB): the co-purchase self-join shuffles lineitem
   * once on l_orderkey and its fanout is quadratic only in ORDER size
-  * (bounded by construction — TPC-H orders have ≤7 items), never in
-  * corpus size. The edge list with out-degrees is computed once,
-  * repartitioned by src, and persisted; each PageRank iteration is then
-  * exactly two exchanges — ranks shuffle to the edge partitioning (the
-  * edges themselves do NOT move), and contributions shuffle on dst for
-  * the aggregate, with map-side partial aggregation collapsing each
+  * (bounded by construction — the fixture's orders hold ≤ 17 items),
+  * never in corpus size. Graph state is an O(|V|) adjacency-list
+  * relation, built with one collect_set aggregation, partitioned by src
+  * and persisted; each PageRank iteration is then exactly two exchanges
+  * — the O(|V|) rank vector shuffle-hash-joins to the cached adjacency
+  * (which does NOT move or re-sort), and contributions shuffle on dst
+  * for the aggregate with map-side partial aggregation collapsing each
   * node's incoming mass before the wire. Rank state is O(|V|) per
-  * iteration; nothing driver-side ever sees a row.
+  * iteration; the driver never sees a row.
   */
 object Graph {
 
