@@ -269,6 +269,39 @@ object Scalars {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin),
 
+    // ---- three-valued-logic / null-propagation matrix: the scalar
+    //      corpus for NULL semantics (nullif, coalesce, null-safe
+    //      equality, NULL in AND/OR, NULL through || and arithmetic) —
+    //      pinned on a small dim with nulls INJECTED via nullif so
+    //      every arm actually sees one -----------------------------------
+    "scalar_nulls" -> QueryDef(
+      (s, d) => {
+        val maybe = nullif(col("n_nationkey") % 5, lit(0)) // null on multiples of 5
+        Tables.nation(s, d)
+          .select(col("n_nationkey"),
+            maybe.as("injected"),
+            coalesce(maybe, lit(-1)).as("coalesced"),
+            nullif(col("n_name"), col("n_name")).as("self_nullif"),
+            (maybe <=> lit(null)).as("nullsafe_eq_null"),
+            (maybe === lit(2)).as("tv_eq"),          // NULL where injected
+            ((col("n_nationkey") >= 0) && (maybe === 2)).as("tv_and"),
+            ((col("n_nationkey") >= 0) || (maybe === 2)).as("tv_or"),
+            concat(lit("k="), maybe.cast("string")).as("null_concat"),
+            (maybe + 100).as("null_arith"))
+          .orderBy(col("n_nationkey"))
+      },
+      """SELECT n_nationkey,
+        |  nullif(n_nationkey % 5, 0) AS injected,
+        |  coalesce(nullif(n_nationkey % 5, 0), -1) AS coalesced,
+        |  nullif(n_name, n_name) AS self_nullif,
+        |  nullif(n_nationkey % 5, 0) IS NOT DISTINCT FROM NULL AS nullsafe_eq_null,
+        |  nullif(n_nationkey % 5, 0) = 2 AS tv_eq,
+        |  (n_nationkey >= 0) AND (nullif(n_nationkey % 5, 0) = 2) AS tv_and,
+        |  (n_nationkey >= 0) OR (nullif(n_nationkey % 5, 0) = 2) AS tv_or,
+        |  'k=' || CAST(nullif(n_nationkey % 5, 0) AS VARCHAR) AS null_concat,
+        |  nullif(n_nationkey % 5, 0) + 100 AS null_arith
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // ---- ordered string aggregation (Spark 4.0 listagg / DuckDB
     //      string_agg): deterministic ONLY with the explicit WITHIN
     //      GROUP order — an unordered listagg is partitioning-dependent

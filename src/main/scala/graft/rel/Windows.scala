@@ -181,6 +181,36 @@ object Windows {
     // ---- W4 tumbling event-time window (batch twin of the streaming
     //      query in ext.streaming; Spark `window()` start ≡ DuckDB
     //      time_bucket for 10-minute buckets, both epoch-aligned) --------
+    // ---- W3b RANGE frame (value-based, not row-based): 30-day trailing
+    //      spend. The semantics ROWS can't express: ALL same-day peers
+    //      join the frame regardless of tie order — which is also what
+    //      makes the query deterministic without a within-day tiebreak.
+    //      Ordering key is an integer epoch-day so the frame bound is
+    //      exact arithmetic in both engines. -----------------------------
+    "window_range_frame" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day_i"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("day_i",
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+          .withColumn("spend_30d",
+            sum(money(col("o_totalprice"))).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_i"),
+            col("o_totalprice"), col("spend_30d"))
+          .orderBy(col("o_custkey"), col("day_i"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS day_i,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders
+        |ORDER BY o_custkey, day_i, o_orderkey""".stripMargin),
+
     "window_tumbling" -> QueryDef(
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "10 minutes").getField("start").as("bucket_ts"))
