@@ -269,6 +269,32 @@ object Scalars {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin),
 
+    // ---- grouping()/grouping_id(): the disambiguation functions for
+    //      super-aggregate rows — COALESCE-based labels (agg_rollup)
+    //      can't tell a real NULL key from a rollup total; grouping()
+    //      can, which is the point this query pins --------------------
+    "agg_grouping_fn" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gf")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+            |  COUNT(1) AS n
+            |FROM orders_gf
+            |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
+
     // ---- three-valued-logic / null-propagation matrix: the scalar
     //      corpus for NULL semantics (nullif, coalesce, null-safe
     //      equality, NULL in AND/OR, NULL through || and arithmetic) —
