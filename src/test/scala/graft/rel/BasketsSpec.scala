@@ -25,6 +25,21 @@ class BasketsSpec extends SparkSuite {
       (20L, 10L, 3L, 1.0, 4.0 * 3 / 9)))
   }
 
+  test("fixture-wide invariants: bounds, symmetry of pair support") {
+    val rules = Baskets.pairRules(
+      Baskets.baskets(spark.read.parquet(s"$sfDir/lineitem.parquet")),
+      minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rules.nonEmpty)
+    // confidence is a probability; lift positive; support ≥ threshold
+    assert(rules.forall { case (_, _, n, c, l) =>
+      n >= 2 && c > 0.0 && c <= 1.0 && l > 0.0 })
+    // pair support is symmetric: n_ab(a→b) == n_ab(b→a), both present
+    val supp = rules.map { case (a, b, n, _, _) => (a, b) -> n }.toMap
+    assert(supp.forall { case ((a, b), n) => supp.get((b, a)).contains(n) })
+  }
+
   test("confidence is directional when supports differ") {
     // baskets: 1={A,B} 2={A,B} 3={A}; A→B confidence 2/3, B→A confidence 1
     val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L))
