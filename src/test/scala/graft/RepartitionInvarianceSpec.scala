@@ -1,0 +1,47 @@
+package graft
+
+/** The engine's central determinism claim, asserted systematically: a
+  * declared query's RESULT BYTES do not depend on the parallelism that
+  * produced them. Per-op pins exist for the fixed-point family
+  * (GraphSpec/ClusteringSpec/ClassifierSpec); this sweep covers one
+  * representative of every aggregation discipline — DECIMAL money,
+  * integer fixed-point, portable hashes, discrete percentiles, carried
+  * floats, single-IEEE-op ratios — at 2 vs 16 shuffle partitions. A
+  * failure here means an operator snuck in order-dependent float
+  * accumulation and would flap under the driver's oracle at cluster
+  * parallelism. */
+class RepartitionInvarianceSpec extends SparkSuite {
+
+  private val representatives = Seq(
+    "vat_summary",          // DECIMAL conditional agg + unpivot
+    "agg_corr_exact",       // decimal second moments + IEEE finish
+    "graph_pagerank",       // integer fixed-point iteration
+    "embedding_kmeans",     // integer fixed-point clustering
+    "dedup_minhash_md5",    // portable hash family
+    "agg_median_disc",      // discrete percentile
+    "ts_fill_forward",      // carried (never re-accumulated) floats
+    "assoc_rules",          // integer-count ratios
+    "window_range_frame",   // value-based frame, decimal sum
+    "text_search")          // integer rarity scoring
+
+  test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
+    val conf = spark.conf
+    val original = conf.get("spark.sql.shuffle.partitions")
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      conf.set("spark.sql.shuffle.partitions", parts)
+      try representatives.map { name =>
+        val rows = SparkEntry.queries(name)(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        spark.catalog.clearCache()
+        name -> rows
+      }.toMap
+      finally conf.set("spark.sql.shuffle.partitions", original)
+    }
+    val at2 = runAll("2")
+    val at16 = runAll("16")
+    representatives.foreach { name =>
+      assert(at2(name) === at16(name),
+        s"$name varies with shuffle parallelism")
+    }
+  }
+}
