@@ -53,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"minhash_sig(arr, k): expected (ARRAY<STRING>, INT literal), got ${exprs.mkString(", ")}")
       }))
+    e.injectFunction((
+      new FunctionIdentifier("md5_minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.Md5MinHashSig].getName,
+        "md5_minhash_sig"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(arr, Literal(k: Int, IntegerType)) =>
+          graft.functions.Md5MinHashSig(arr, k)
+        case _ => throw new IllegalArgumentException(
+          s"md5_minhash_sig(arr, k): expected (ARRAY<STRING>, INT literal), got ${exprs.mkString(", ")}")
+      }))
   }
 }
