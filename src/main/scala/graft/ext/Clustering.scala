@@ -81,7 +81,7 @@ object Clustering {
 
   /** The shared training loop: quantize, seed from vec_id 0..k-1, run
     * `iters` (assign, update) rounds, return the final assignment. */
-  private def trainAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def trainAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val embInt = emb
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
     var cents: Seq[(Int, Seq[Long])] = embInt
@@ -168,11 +168,64 @@ object Clustering {
        |WHERE rnk = 1 ORDER BY cluster""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * pairs found by CENTROID blocking — cluster the embedding space,
+    * then exact-cosine-verify only WITHIN clusters. The third blocking
+    * strategy in the dedup family (label blocking: `dedup_embedding`;
+    * sign-bit LSH: `dedup_embedding_lsh`); k-means blocking adapts to
+    * the data's own density instead of a fixed hash geometry.
+    *
+    * Scale: within-cluster comparison is quadratic in CLUSTER size, so
+    * k must scale with the corpus (the `planesForCorpus` discipline) to
+    * bound it — documented contract, enforced here by the caller's k.
+    * The verify joins integer-exact cluster assignments and scores
+    * cosine on the original vectors — per-pair sequential folds,
+    * deterministic in both engines. */
+  def semanticDupPairs(emb: DataFrame, k: Int, iters: Int,
+      minCos: Double): DataFrame = {
+    val assigned = trainAssign(emb, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sides = assigned.join(vecs, Seq("vec_id"))
+    val a = sides.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = sides.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_similarity(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cluster"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def semanticDupPairsSql(k: Int, iters: Int, minCos: Double,
+      dim: Int = 64): String = {
+    val base = kmeansSql(k, iters, dim)
+    val ctes = base.substring(0, base.indexOf("SELECT cluster, COUNT(*)")).trim
+    s"""$ctes,
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster
+       |FROM a$iters a JOIN a$iters b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |JOIN ev ea ON ea.vec_id = a.vec_id
+       |JOIN ev eb ON eb.vec_id = b.vec_id
+       |WHERE list_dot_product(ea.v, eb.v) /
+       |  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |  >= $minCos
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "embedding_kmeans" -> QueryDef(
       (s, d) => kmeans(s, d, k = 8, iters = 3),
       kmeansSql(k = 8, iters = 3)),
     "embedding_exemplars" -> QueryDef(
       (s, d) => exemplarsOn(Tables.embeddings(s, d), k = 8, iters = 3),
-      exemplarsSql(k = 8, iters = 3)))
+      exemplarsSql(k = 8, iters = 3)),
+    "dedup_semantic" -> QueryDef(
+      (s, d) => semanticDupPairs(Tables.embeddings(s, d),
+        k = 8, iters = 3, minCos = 0.35),
+      semanticDupPairsSql(k = 8, iters = 3, minCos = 0.35)))
 }

@@ -38,6 +38,22 @@ class ClusteringSpec extends SparkSuite {
     assert(got.values.sum === 7L, s"every point assigned exactly once: $got")
   }
 
+  test("semantic dedup: a planted identical vector is always found") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val off = 10000000L
+    // identical vectors quantize identically → same argmin cluster in
+    // every round → the pair can never be blocked apart
+    val planted = emb.filter(col("vec_id") === 5L)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"),
+        col("label"))
+    val pairs = Clustering.semanticDupPairs(
+        emb.select("vec_id", "embedding", "label").unionByName(planted),
+        k = 8, iters = 3, minCos = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((5L, 5L + off)), "planted semantic dup must surface")
+  }
+
   test("clustering is bit-identical across partitionings") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     def run(parts: Int) =
