@@ -211,6 +211,29 @@ object Windows {
         |FROM orders
         |ORDER BY o_custkey, day_i, o_orderkey""".stripMargin),
 
+    // ---- W2b frame-boundary value functions: first/nth/last over the
+    //      running frame. last_value over the default frame is the
+    //      CURRENT row (the frame ends at it) — the classic surprise
+    //      this query pins cross-engine ---------------------------------
+    "window_nth_value" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(w).as("first_spend"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_spend"),
+            last(col("o_totalprice")).over(w).as("last_is_current"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_spend,
+        |  nth_value(o_totalprice, 2) OVER w AS second_spend,
+        |  last_value(o_totalprice) OVER w AS last_is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     "window_tumbling" -> QueryDef(
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "10 minutes").getField("start").as("bucket_ts"))
