@@ -269,6 +269,31 @@ object Scalars {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin),
 
+    // ---- bitwise scalar corpus: &, |, xor, shifts, bit_count — the
+    //      integer kernel the z-order/Morton layout and hash families
+    //      build on, declared as its own surface ------------------------
+    "scalar_bitwise" -> QueryDef(
+      (s, d) => {
+        val k = col("o_orderkey")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            k.bitwiseAND(lit(0xFFL)).as("b_and"),
+            k.bitwiseOR(lit(0x100L)).as("b_or"),
+            k.bitwiseXOR(lit(0x5555L)).as("b_xor"),
+            shiftleft(k, 3).as("b_shl"),
+            shiftrightunsigned(k, 2).as("b_shr"),
+            bit_count(k).as("b_pop"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS b_and,
+        |  o_orderkey | 256 AS b_or,
+        |  xor(o_orderkey, 21845) AS b_xor,
+        |  o_orderkey << 3 AS b_shl,
+        |  o_orderkey >> 2 AS b_shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // ---- grouping()/grouping_id(): the disambiguation functions for
     //      super-aggregate rows — COALESCE-based labels (agg_rollup)
     //      can't tell a real NULL key from a rollup total; grouping()
