@@ -20,15 +20,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
-  /** Bytes of data files under `path` (ignores _SUCCESS/checksums). */
-  def dataBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-      else if (f.getName.startsWith("_") || f.getName.startsWith("."))
-        0L
-      else f.length
-    walk(new java.io.File(path))
+  /** Bytes of data files under `path` (ignores _SUCCESS/checksums).
+    * Resolved through Hadoop's FileSystem so hdfs://, s3a:// and other
+    * cluster paths size correctly — a java.io.File walk would silently
+    * return 0 for them and compact would plan one giant output file.
+    * Fails on a missing path: "nonexistent" must not be confused with
+    * "empty table". */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"dataBytes: path does not exist: $path")
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
   }
 
   /** Rewrite the parquet table at `inPath` to `outPath` with files of
@@ -38,7 +47,7 @@ object Maintenance {
       targetFileBytes: Long, sortCol: Option[String] = None): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0")
     val nFiles = math.max(1L,
-      (dataBytes(inPath) + targetFileBytes - 1) / targetFileBytes).toInt
+      (dataBytes(spark, inPath) + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inPath)
     val out = sortCol match {
       case Some(c) =>

@@ -70,7 +70,10 @@ object ZOrder {
 
   def zOrderAuditSql(blockShift: Int): String = {
     def spread(e: String): String = {
-      var cur = s"($e & 2147483647)"
+      // CAST first: on an INTEGER column the cascade would evaluate in
+      // 32-bit and `<< 16` overflows DuckDB for keys >= 32768; the
+      // engine side casts to long explicitly, so the oracle must too
+      var cur = s"(CAST($e AS BIGINT) & 2147483647)"
       Seq(16 -> "281470681808895", 8 -> "71777214294589695",
         4 -> "1085102592571150095", 2 -> "3689348814741910323",
         1 -> "6148914691236517205").foreach { case (s, m) =>

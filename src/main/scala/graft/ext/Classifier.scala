@@ -62,6 +62,10 @@ object Classifier {
       w = w.indices.map(i => w(i) + agg.getLong(i + 1)).toArray
       (epoch, errs, w(0), w(1), w(2), w(3))
     }
+    // every epoch's action has run and `rows` is local — release the
+    // cached features now so repeated training runs in one session
+    // don't accumulate dead cache in executor memory
+    f.unpersist()
     rows.toDF("epoch", "n_errors", "w0", "w1", "w2", "w3")
       .orderBy(col("epoch"))
   }

@@ -162,8 +162,14 @@ object Search {
     val parts = (if (src.isDirectory)
       Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
     else Seq(src))
-    val fp = (parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|") + "|" + IndexAlgoVersion).hashCode.toHexString
+    // MD5, not String.hashCode: a 32-bit fingerprint collision after a
+    // corpus change would silently reuse a stale index and serve wrong
+    // results with no error — at 128 bits that failure mode is gone
+    val fpInput = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|" + IndexAlgoVersion
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpInput.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
     val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_text_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
     if (!new java.io.File(s"$path/stats/_SUCCESS").exists()) {

@@ -379,8 +379,13 @@ object Similarity {
     // build algorithm (e.g. the centroid reduction) must invalidate
     // memoized indexes exactly like a regenerated source would — the
     // stale-sibling sweep in ensureIvfIndex then reclaims the old dirs
-    val fp = (parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|") + "|" + IndexAlgoVersion).hashCode.toHexString
+    // MD5 (not 32-bit String.hashCode): a fingerprint collision after a
+    // corpus change would silently serve a stale index as current
+    val fpInput = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|" + IndexAlgoVersion
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpInput.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_ivf_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
   }

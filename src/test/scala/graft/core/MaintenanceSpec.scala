@@ -20,7 +20,7 @@ class MaintenanceSpec extends SparkSuite {
     val tmp = Files.createTempDirectory("compact").toString
     li.repartition(64).write.parquet(s"$tmp/small")
     assert(parquetFiles(s"$tmp/small").length === 64)
-    val target = Maintenance.dataBytes(s"$tmp/small") / 4
+    val target = Maintenance.dataBytes(spark, s"$tmp/small") / 4
     val n = Maintenance.compact(spark, s"$tmp/small", s"$tmp/big", target)
     val written = parquetFiles(s"$tmp/big")
     // ceil division can land at 4 or 5 (size estimate is codec-exact
@@ -39,7 +39,7 @@ class MaintenanceSpec extends SparkSuite {
     val tmp = Files.createTempDirectory("compactsort").toString
     li.repartition(32).write.parquet(s"$tmp/small")
     Maintenance.compact(spark, s"$tmp/small", s"$tmp/sorted",
-      Maintenance.dataBytes(s"$tmp/small") / 8, sortCol = Some("l_orderkey"))
+      Maintenance.dataBytes(spark, s"$tmp/small") / 8, sortCol = Some("l_orderkey"))
     val ranges = spark.read.parquet(s"$tmp/sorted")
       .groupBy(input_file_name().as("f"))
       .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
@@ -51,6 +51,13 @@ class MaintenanceSpec extends SparkSuite {
       case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
         s"overlapping file ranges: ${ranges.toSeq}")
       case _ =>
+    }
+  }
+
+  test("dataBytes fails loudly on a missing path") {
+    // a nonexistent table must not be sized as an empty one
+    intercept[IllegalArgumentException] {
+      Maintenance.dataBytes(spark, "/no/such/graft/table")
     }
   }
 }

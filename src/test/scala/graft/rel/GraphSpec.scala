@@ -84,14 +84,46 @@ class GraphSpec extends SparkSuite {
   }
 
   /** Scale-shape pin: the per-iteration loop must not re-shuffle the
-    * edge relation — after the one explicit repartition(src), the only
-    * exchanges downstream of it are the ranks' and the dst aggregate's. */
-  test("iteration joins reuse the persisted edge partitioning") {
+    * adjacency — the checkpointed relation is built once and its
+    * hash(src) partitioning is visible to the planner (an AQE-cached
+    * persist() is not — observed re-exchange per iteration). */
+  test("iteration joins reuse the checkpointed adjacency partitioning") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val p = Graph.partPageRank(li, iters = 2, k = 10)
       .queryExecution.executedPlan.toString
-    // the adjacency relation is materialized once: exactly one
-    // InMemoryTableScan source feeding each iteration, never a rebuild
-    assert(p.contains("InMemoryTableScan"), s"edges not persisted:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"adjacency not checkpointed:\n$p")
+  }
+
+  /** THE bucketed-plan pin (round-5 contract): with the adjacency
+    * written bucketed by src at the session's shuffle-partition count,
+    * each iteration plans exactly ONE exchange — the dst aggregate.
+    * Every hash exchange in the executed plan must be on `dst`; the
+    * rank joins ride the bucketed scan + the previous aggregate's
+    * partitioning with no exchange on either side. */
+  test("bucketed pagerank: one exchange per iteration, all on dst") {
+    val iters = 5
+    val pr = Graph.partPageRankBucketed(spark, sfDir, iters = iters, k = 100)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"adjacency scan not bucketed:\n$plan")
+    val exchangeKeys = raw"Exchange hashpartitioning\(([A-Za-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty && exchangeKeys.forall(_ == "dst"),
+      s"expected only dst-aggregate exchanges, got $exchangeKeys\n$plan")
+    // per plan rendering (AQE prints initial+final), exactly `iters`
+    // dst exchanges — one per iteration, none for the rank joins
+    assert(exchangeKeys.count(_ == "dst") % iters == 0,
+      s"exchange count ${exchangeKeys.size} not a multiple of $iters\n$plan")
+  }
+
+  /** The bucketed path computes the SAME ranks as the generic one —
+    * the physical strategy must not move the answer. */
+  test("bucketed and generic pagerank agree bit-exactly") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val a = Graph.partPageRank(li, iters = 5, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.partPageRankBucketed(spark, sfDir, iters = 5, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
   }
 }
