@@ -619,13 +619,30 @@ object Dedup {
     // one persisted shingle pass serves candidate generation and the
     // exact-verify joins of BOTH hash families
     val shingled = withShingles(docs).persist()
-    val jv = jaccardVerifyFromShingles(shingled, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val jm = jaccardVerifyMd5FromShingles(shingled, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    jv.join(jm, Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("murmur3_only_pairs"))
-      .crossJoin(jm.agg(count(lit(1)).as("portable_pairs")))
+    // exact-verify ONCE, over the UNION of the two families' candidate
+    // sets, and attribute family membership by flag — running the
+    // verify per family repeated the two shingle-set joins (the heavy
+    // stage) for the large shared candidate overlap, ~8× the contract's
+    // shuffle for zero extra information
+    val c3 = minhashPairsFromShingles(shingled, threshold * 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_m3"))
+    val c5 = md5MinhashPairsFromShingles(shingled, threshold * 0.5, 4)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_m5"))
+    val cands = c3.join(c5, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("in_m3"), lit(0)).as("in_m3"),
+        coalesce(col("in_m5"), lit(0)).as("in_m5"))
+    val verified = cands
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    verified.agg(
+      coalesce(sum(when(col("in_m3") === 1 && col("in_m5") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("murmur3_only_pairs"),
+      coalesce(sum(col("in_m5").cast("long")), lit(0L)).as("portable_pairs"))
   }
 
   lazy val jaccardContainmentSql: String =
