@@ -171,10 +171,153 @@ object Quality {
       |         min_op, max_op FROM a)
       |ORDER BY "column"""".stripMargin
 
+  // ---------------------------------------------- profile-drift audit
+
+  /** A synthesized "next corpus version" of orders in which every drift
+    * arm fires by construction (the pii_redact/planted-dup pattern —
+    * the report must demonstrate each detector at every SF, not depend
+    * on what the fixture happens to contain): every 13th key is dropped
+    * (removed), every 11th surviving key nulls its priority (null-rate
+    * drift + changed), every 17th bumps its price by 10^6 (max drift +
+    * changed), and 5 synthetic rows with negative keys, custkey −1
+    * (the fixture contains custkey 0),
+    * status 'X' and price −1 arrive (added + min/distinct drift). */
+  def driftedOrders(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val kept = orders
+      .filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 17 === 0, col("o_totalprice") + 1000000.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    val added = spark.range(1, 6).select(
+      (-col("id")).as("o_orderkey"), lit(-1L).as("o_custkey"),
+      lit("X").as("o_orderstatus"), lit(-1.0).as("o_totalprice"),
+      lit("DRIFT").as("o_orderpriority"))
+    kept.unionByName(added)
+  }
+
+  /** Profile-drift audit: `profileColumns`' per-column statistics
+    * computed on both corpus versions (one single-row aggregate per
+    * side, crossed 1×1) plus `Etl.tableDiff`'s row-status counts (one
+    * full-outer join), unified as (metric, before_v, after_v, delta) —
+    * the pre-publish check a pipeline runs between corpus versions.
+    * Scale shape: two scans + one join, no metric-wise passes; every
+    * value is an exact count, a single IEEE division of counts, or a
+    * native min/max — hash-safe cross-engine. */
+  def profileDrift(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+    val numCols = Seq("o_custkey", "o_totalprice")
+    val before = orders.select(col("o_orderkey") +: cols.map(col): _*)
+    val after = driftedOrders(orders)
+    def prof(df: DataFrame, p: String) = df.agg(
+      count(lit(1)).cast("double").as(s"${p}n"),
+      (cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("double").as(s"${p}null_$c"),
+        countDistinct(col(c)).cast("double").as(s"${p}dist_$c"))) ++
+       numCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"${p}min_$c"),
+        max(col(c)).cast("double").as(s"${p}max_$c")))): _*)
+    def m(name: String, b: Column, a: Column) =
+      struct(lit(name).as("metric"), b.as("before_v"), a.as("after_v"))
+    val metrics =
+      Seq(m("rows.total", col("b_n"), col("a_n"))) ++
+      cols.flatMap(c => Seq(
+        m(s"null_rate.$c",
+          col(s"b_null_$c") / col("b_n"), col(s"a_null_$c") / col("a_n")),
+        m(s"n_distinct.$c", col(s"b_dist_$c"), col(s"a_dist_$c")))) ++
+      numCols.flatMap(c => Seq(
+        m(s"min.$c", col(s"b_min_$c"), col(s"a_min_$c")),
+        m(s"max.$c", col(s"b_max_$c"), col(s"a_max_$c"))))
+    val profRows = prof(before, "b_").crossJoin(prof(after, "a_"))
+      .select(explode(array(metrics: _*)).as("x"))
+      .select(col("x.metric"), col("x.before_v"), col("x.after_v"))
+    val statusRows = Etl.tableDiff(before, after, "o_orderkey", cols)
+      .select(concat(lit("rows."), col("status")).as("metric"),
+        lit(null).cast("double").as("before_v"),
+        col("n").cast("double").as("after_v"))
+    profRows.unionByName(statusRows)
+      .select(col("metric"), col("before_v"), col("after_v"),
+        (col("after_v") - col("before_v")).as("delta"))
+      .orderBy(col("metric"))
+  }
+
+  val profileDriftSql: String =
+    """WITH after AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1000000.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT -i, CAST(-1 AS BIGINT), 'X', -1.0, 'DRIFT'
+      |  FROM (SELECT unnest(range(1, 6)) AS i)),
+      |bp AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ck,
+      |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dist_ck,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_os,
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_os,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_tp,
+      |    CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS dist_tp,
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_op,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_op,
+      |    CAST(MIN(o_custkey) AS DOUBLE) AS min_ck, CAST(MAX(o_custkey) AS DOUBLE) AS max_ck,
+      |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp, CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp
+      |  FROM orders),
+      |ap AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ck,
+      |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dist_ck,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_os,
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_os,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_tp,
+      |    CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS dist_tp,
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_op,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_op,
+      |    CAST(MIN(o_custkey) AS DOUBLE) AS min_ck, CAST(MAX(o_custkey) AS DOUBLE) AS max_ck,
+      |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp, CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp
+      |  FROM after),
+      |prof AS (
+      |  SELECT 'rows.total' AS metric, bp.n AS before_v, ap.n AS after_v FROM bp, ap
+      |  UNION ALL SELECT 'null_rate.o_custkey', bp.null_ck / bp.n, ap.null_ck / ap.n FROM bp, ap
+      |  UNION ALL SELECT 'n_distinct.o_custkey', bp.dist_ck, ap.dist_ck FROM bp, ap
+      |  UNION ALL SELECT 'null_rate.o_orderstatus', bp.null_os / bp.n, ap.null_os / ap.n FROM bp, ap
+      |  UNION ALL SELECT 'n_distinct.o_orderstatus', bp.dist_os, ap.dist_os FROM bp, ap
+      |  UNION ALL SELECT 'null_rate.o_totalprice', bp.null_tp / bp.n, ap.null_tp / ap.n FROM bp, ap
+      |  UNION ALL SELECT 'n_distinct.o_totalprice', bp.dist_tp, ap.dist_tp FROM bp, ap
+      |  UNION ALL SELECT 'null_rate.o_orderpriority', bp.null_op / bp.n, ap.null_op / ap.n FROM bp, ap
+      |  UNION ALL SELECT 'n_distinct.o_orderpriority', bp.dist_op, ap.dist_op FROM bp, ap
+      |  UNION ALL SELECT 'min.o_custkey', bp.min_ck, ap.min_ck FROM bp, ap
+      |  UNION ALL SELECT 'max.o_custkey', bp.max_ck, ap.max_ck FROM bp, ap
+      |  UNION ALL SELECT 'min.o_totalprice', bp.min_tp, ap.min_tp FROM bp, ap
+      |  UNION ALL SELECT 'max.o_totalprice', bp.max_tp, ap.max_tp FROM bp, ap),
+      |status AS (
+      |  SELECT 'rows.' || CASE
+      |      WHEN b.o_orderkey IS NULL THEN 'added'
+      |      WHEN a.o_orderkey IS NULL THEN 'removed'
+      |      WHEN b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+      |       AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+      |       AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+      |       AND b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority
+      |      THEN 'unchanged' ELSE 'changed' END AS metric,
+      |    CAST(NULL AS DOUBLE) AS before_v,
+      |    CAST(COUNT(*) AS DOUBLE) AS after_v
+      |  FROM orders b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+      |  GROUP BY 1)
+      |SELECT metric, before_v, after_v, after_v - before_v AS delta
+      |FROM (SELECT * FROM prof UNION ALL SELECT * FROM status)
+      |ORDER BY metric""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "dq_audit" -> QueryDef(
       (s, d) => dqAudit(Tables.lineitem(s, d), Tables.orders(s, d)),
       dqAuditSql),
     "profile_columns" -> QueryDef(
-      (s, d) => profileColumns(Tables.orders(s, d)), profileColumnsSql))
+      (s, d) => profileColumns(Tables.orders(s, d)), profileColumnsSql),
+    "dq_drift" -> QueryDef(
+      (s, d) => profileDrift(Tables.orders(s, d)), profileDriftSql))
 }

@@ -61,4 +61,26 @@ class QualitySpec extends SparkSuite {
     // 1 null out of 5 rows = 20% > 1%
     assert(!rep("lineitem.shipdate_null_rate")._3)
   }
+
+  /** Every drift arm must fire by construction, at any SF: all four
+    * row statuses present, priority null-rate strictly up, totalprice
+    * extrema moved in both directions, status/custkey distincts grew. */
+  test("profile drift fires every detector arm") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val rep = Quality.profileDrift(orders)
+      .collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         r.getDouble(2)))
+      .toMap
+    Seq("rows.added", "rows.removed", "rows.changed", "rows.unchanged")
+      .foreach(s => assert(rep(s)._2 > 0, s"$s did not fire"))
+    assert(rep("rows.added")._2 === 5.0)
+    def delta(m: String) = rep(m)._2 - rep(m)._1.get
+    assert(delta("null_rate.o_orderpriority") > 0, "null-rate drift missing")
+    assert(delta("max.o_totalprice") > 900000, "max drift missing")
+    assert(delta("min.o_totalprice") < 0, "min drift missing")
+    assert(delta("n_distinct.o_orderstatus") === 1.0, "'X' status not new")
+    assert(delta("min.o_custkey") < 0, "custkey -1 min drift missing")
+  }
 }
