@@ -133,13 +133,17 @@ object Search {
     * prune. The heavy explode happens HERE, once per corpus; queries
     * never re-tokenize the corpus (at 100 TB: the difference between a
     * per-query full-corpus pass and opening |terms| directories). */
+  /** (token, doc_id, tf, bucket) postings of a document set — the
+    * relation both the full build and the incremental merge produce. */
+  private def postingsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    .filter(col("token") =!= "")
+    .groupBy(col("token"), col("doc_id"))
+    .agg(count(lit(1)).as("tf"))
+    .withColumn("bucket", bucketOf(col("token")))
+
   def buildTextIndex(docs: DataFrame, path: String): Unit = {
-    val postings = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("token")))
+    val postings = postingsOf(docs)
     postings.write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings")
     postings
@@ -148,6 +152,57 @@ object Search {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/dict")
     docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incremental index maintenance — the `dedup_incremental` asymmetry
+    * applied to the inverted index: merge a NEW batch's postings into a
+    * standing index by rewriting ONLY the token-hash buckets the batch
+    * touches, never rebuilding (or even reading) the rest. Work is
+    * O(batch + touched-bucket postings); at 100 TB with a daily-drop
+    * batch that is the difference between re-tokenizing the corpus and
+    * opening a handful of directories. Batch doc_ids are expected new
+    * (append-only ingest — the incremental-dedup contract upstream of
+    * this merge guarantees it); a re-ingested (token, doc_id) would sum
+    * its tf rather than duplicate the row.
+    *
+    * In-place safety: the merged relations are eagerly materialized
+    * (localCheckpoint) BEFORE the dynamic-partition overwrite — Spark
+    * reads lazily, so overwriting an input directory mid-plan would
+    * otherwise delete the old postings before they were read. */
+  def mergeIntoTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame): Unit = {
+    val bp = postingsOf(batch).localCheckpoint(true)
+    // bounded driver list: at most IndexBuckets (64) values
+    val touched = bp.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val oldPostings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+    val merged = oldPostings.unionByName(bp)
+      .groupBy(col("token"), col("doc_id"), col("bucket"))
+      .agg(sum(col("tf")).as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("bucket"))
+      .localCheckpoint(true)
+    val mergedDict = merged
+      .groupBy(col("bucket"), col("token"))
+      .agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val newDocs = batch.agg(countDistinct(col("doc_id")).as("b")).head.getLong(0)
+    val nDocs = spark.read.parquet(s"$path/stats").head.getLong(0) + newDocs
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$path/postings")
+      mergedDict.write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$path/dict")
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    import spark.implicits._
+    Seq(nDocs).toDF("n_docs")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -186,6 +241,51 @@ object Search {
           deleteRecursively(staging)
           require(new java.io.File(s"$path/stats/_SUCCESS").exists(),
             s"text index build could not be published at $path")
+        }
+      } catch { case e: Throwable => deleteRecursively(staging); throw e }
+    }
+    path
+  }
+
+  /** The declared-query artifact: the SAME index, produced through the
+    * MAINTENANCE path — a base build over ~90% of the corpus, then the
+    * remaining documents merged in as a batch (bucket-granular,
+    * `mergeIntoTextIndex`) before publication. Equal by construction to
+    * a full rebuild (pinned row-for-row in SearchSketchSpec), so the
+    * scan-time oracle still gates the probe — while the declared
+    * surface exercises the path a standing 100 TB index actually lives
+    * by: nobody re-tokenizes a corpus per daily drop. */
+  def ensureTextIndexIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val parts = (if (src.isDirectory)
+      Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+    else Seq(src))
+    val fpInput = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + "|" + IndexAlgoVersion + "-inc"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpInput.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_textinc_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
+    if (!new java.io.File(s"$path/stats/_SUCCESS").exists()) {
+      val target = new java.io.File(path)
+      val prefix = target.getName.substring(0, target.getName.lastIndexOf('_') + 1)
+      Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .foreach(deleteRecursively)
+      val staging = new java.io.File(
+        path + ".build." + java.lang.ProcessHandle.current().pid())
+      try {
+        val docs = Tables.documents(spark, dir)
+        buildTextIndex(docs.filter(col("doc_id") % 10 =!= 0),
+          staging.getAbsolutePath)
+        mergeIntoTextIndex(spark, staging.getAbsolutePath,
+          docs.filter(col("doc_id") % 10 === 0))
+        if (!staging.renameTo(target)) {
+          deleteRecursively(staging)
+          require(new java.io.File(s"$path/stats/_SUCCESS").exists(),
+            s"incremental text index could not be published at $path")
         }
       } catch { case e: Throwable => deleteRecursively(staging); throw e }
     }
@@ -239,9 +339,11 @@ object Search {
 
     // the indexed probe must return EXACTLY what the scan-time ranker
     // returns — same oracle, different physical plan (offline index +
-    // directory pruning instead of a corpus pass)
+    // directory pruning instead of a corpus pass). The artifact is the
+    // INCREMENTALLY-maintained one: base build + batch merge, equal to
+    // a full rebuild by construction (SearchSketchSpec pins it)
     "text_search_indexed" -> QueryDef(
-      (s, d) => rankedSearchIndexed(s, ensureTextIndex(s, d),
+      (s, d) => rankedSearchIndexed(s, ensureTextIndexIncremental(s, d),
         Seq("vector", "hash", "join"), 20),
       rankedSearchSql(Seq("vector", "hash", "join"), 20))
   )

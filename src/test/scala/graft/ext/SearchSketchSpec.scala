@@ -159,6 +159,56 @@ class SearchSketchSpec extends SparkSuite {
       s"bucket literals must land as PartitionFilters:\n$p")
   }
 
+  /** The incremental-maintenance contract: base build + batch merge
+    * must equal a full rebuild RELATION-FOR-RELATION — postings, dict
+    * and stats, not just query results — so any probe over the merged
+    * index is indistinguishable from one over a fresh index. */
+  test("incremental index merge equals a full rebuild exactly") {
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val full = java.nio.file.Files.createTempDirectory("tifull").toString
+    val inc = java.nio.file.Files.createTempDirectory("tiinc").toString
+    Search.buildTextIndex(corpus, full)
+    Search.buildTextIndex(corpus.filter(col("doc_id") % 10 =!= 0), inc)
+    Search.mergeIntoTextIndex(spark, inc, corpus.filter(col("doc_id") % 10 === 0))
+    for (rel <- Seq("postings", "dict", "stats")) {
+      val a = spark.read.parquet(s"$full/$rel")
+      val b = spark.read.parquet(s"$inc/$rel").select(a.columns.map(col): _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$rel differs between full rebuild and incremental merge")
+    }
+    // and the declared probe over the merged index matches the scanner
+    val scan = Search.rankedSearch(corpus, Seq("vector", "hash", "join"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idx = Search.rankedSearchIndexed(spark, inc, Seq("vector", "hash", "join"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idx === scan)
+  }
+
+  /** A merge of a batch touching FEW buckets must leave every
+    * untouched bucket's files byte-identical (mtime-stable) — the
+    * point of bucket-granular maintenance is precisely that the rest
+    * of the index is never rewritten. */
+  test("incremental merge rewrites only the touched buckets") {
+    import spark.implicits._
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("tipart").toString
+    Search.buildTextIndex(corpus, idx)
+    def bucketDirs() =
+      new java.io.File(s"$idx/postings").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified)).toSeq.sorted)
+        .toMap
+    val beforeDirs = bucketDirs()
+    // one-token batch → exactly one touched bucket
+    val batch = Seq((900001L, "zzzuniquetoken")).toDF("doc_id", "text")
+    Search.mergeIntoTextIndex(spark, idx, batch)
+    val afterDirs = bucketDirs()
+    val changed = afterDirs.keySet.filter(k => beforeDirs.get(k) != afterDirs.get(k))
+    assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
+  }
+
   test("incrementalDedup: statuses partition the batch; corpus never flagged") {
     val d = graft.core.Tables.documents(spark, sfDir)
     val out = Dedup.incrementalDedup(d, 0.1, 0.5).cache()
