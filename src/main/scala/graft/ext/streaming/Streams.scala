@@ -278,6 +278,74 @@ object Streams {
       }
   }
 
+  case class PathEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  case class SessionPath(user_id: Long, path: String, n_events: Long,
+      last_ts: java.sql.Timestamp)
+
+  /** Streaming session paths — the stateful twin of
+    * `rel.EventAnalytics.topSessionPaths`' sessionize + path-join stage
+    * (`sessionPathsBatch`). Per-user state is (last event time, the
+    * current session's reversed type list); each micro-batch replays
+    * its events in the engine-wide (ts, event_id) order, emitting a
+    * completed SessionPath whenever the 30-minute inactivity gap is
+    * crossed IN-BATCH, and the event-time timeout — set to exactly
+    * lastTs + gap — emits the final open session once the watermark
+    * passes the gap boundary, with no need for the user to ever return
+    * (the session-gap timeout: a session closes when its gap elapses,
+    * not when the next event happens to arrive).
+    *
+    * Downstream, `groupBy(path).count()` over the emitted stream is the
+    * live top-paths board; each session is emitted exactly once, so the
+    * counts match the batch operator's (differentially pinned in
+    * StreamingSpec). State is O(active sessions × current-path bytes) —
+    * watermark-bounded, never O(events). */
+  def sessionPaths(events: Dataset[PathEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionPath] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[String]), SessionPath](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val (lastMs, revPath) = state.get
+            state.remove()
+            Iterator.single(SessionPath(userId,
+              revPath.reverse.mkString(">"), revPath.length.toLong,
+              new java.sql.Timestamp(lastMs)))
+          } else {
+            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            var (lastMs, revPath) =
+              state.getOption.getOrElse((Long.MinValue, List.empty[String]))
+            val out = Vector.newBuilder[SessionPath]
+            batch.foreach { r =>
+              val t = r.ts.getTime
+              // strict > gap starts a new session — the batch operator's
+              // exact boundary rule (gap_us > 1800000000)
+              if (lastMs != Long.MinValue && t - lastMs > gapMs) {
+                out += SessionPath(userId, revPath.reverse.mkString(">"),
+                  revPath.length.toLong, new java.sql.Timestamp(lastMs))
+                revPath = Nil
+              }
+              revPath = r.event_type :: revPath
+              lastMs = t
+            }
+            if (lastMs != Long.MinValue) {
+              state.update((lastMs, revPath))
+              // a timeout must sit ahead of the current watermark; if
+              // the gap boundary is already behind it (late stragglers),
+              // close at the next batch instead of throwing
+              state.setTimeoutTimestamp(
+                math.max(lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class TransitionEvent2(event_id: Long, user_id: Long,
       value: Double, ts: java.sql.Timestamp)
 

@@ -128,7 +128,11 @@ object EventAnalytics {
     * session-path aggregation, and one count — no per-session collect,
     * no events×events join. Path strings are deterministic: listagg
     * ordered by (ts, event_id), the engine-wide total order. */
-  def topSessionPaths(events: DataFrame, k: Int): DataFrame = {
+  /** Per-session ordered path strings — the sessionize + path-join
+    * stage shared by the batch top-k and the streaming differential
+    * (`Streams.sessionPaths` must reproduce exactly these (user, path)
+    * rows). */
+  def sessionPathsBatch(events: DataFrame): DataFrame = {
     val wUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapped = events
@@ -150,11 +154,14 @@ object EventAnalytics {
         array_sort(collect_list(struct(col("ts"), col("event_id"),
           col("event_type")))),
         s => s.getField("event_type"))).as("path"))
+  }
+
+  def topSessionPaths(events: DataFrame, k: Int): DataFrame =
+    sessionPathsBatch(events)
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(k)
-  }
 
   def topSessionPathsSql(k: Int): String =
     s"""WITH g AS (

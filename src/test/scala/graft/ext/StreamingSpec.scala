@@ -382,6 +382,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session paths == batch sessionization on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.sessionPaths(input.toDS())
+      .writeStream.format("memory").queryName("paths_fixture_out")
+      .outputMode("update").start()
+    try {
+      // state (open sessions) must survive micro-batch boundaries
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinel events push the watermark far past every open session's
+      // gap boundary (first batch advances the watermark, second lets
+      // the timeouts fire) so EVERY session closes and is emitted
+      val far = ev.map(_.ts.getTime).max + 100L * 24 * 3600 * 1000
+      input.addData(Streams.PathEvent(-1L, new Timestamp(far), 1L, "x"))
+      q.processAllAvailable()
+      input.addData(Streams.PathEvent(-1L, new Timestamp(far + 1000), 2L, "x"))
+      q.processAllAvailable()
+      val streamed = spark.table("paths_fixture_out")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "path").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val batched = graft.rel.EventAnalytics
+        .sessionPathsBatch(graft.core.Tables.events(spark, sfDir))
+        .select("user_id", "path").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(streamed === batched)
+      // and the aggregated board reproduces the declared top-k query
+      val board = streamed.groupBy(_._2).map { case (p, xs) => (p, xs.size.toLong) }
+      val topk = graft.rel.EventAnalytics
+        .topSessionPaths(graft.core.Tables.events(spark, sfDir), 10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      topk.foreach { case (p, n) => assert(board(p) === n, s"path $p count") }
+    } finally q.stop()
+  }
+
+  test("streaming session paths: the gap timeout closes a session with " +
+      "no further arrivals from that user") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.sessionPaths(input.toDS(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("paths_timeout_out")
+      .outputMode("update").start()
+    def at(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    try {
+      input.addData(Streams.PathEvent(1, at("10:00"), 1, "view"),
+        Streams.PathEvent(1, at("10:05"), 2, "click"))
+      q.processAllAvailable() // open session; timeout armed for 10:35
+      // only OTHER users' traffic advances the watermark past 10:35
+      input.addData(Streams.PathEvent(2, at("10:40"), 3, "view"))
+      q.processAllAvailable()
+      input.addData(Streams.PathEvent(2, at("10:41"), 4, "view"))
+      q.processAllAvailable() // user 1's timeout fires here
+      val u1 = spark.table("paths_timeout_out")
+        .filter(col("user_id") === 1)
+        .select("path", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(u1 === Seq(("view>click", 2L)),
+        s"expected the gap timeout to emit the closed session, got $u1")
+    } finally q.stop()
+  }
+
   test("streaming transitions: horizon expiry cuts the chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
