@@ -636,6 +636,173 @@ object Multimodal {
       |  unnest(range(0, CAST(strlen(text) AS BIGINT), 512)) AS byte_offset
       |FROM documents ORDER BY doc_id, byte_offset""".stripMargin
 
+  // --------------------------------------- perceptual image near-dup
+
+  /** 64-bit integer difference-hash (dHash) of an image payload: REAL
+    * decode (javax.imageio) → deterministic nearest-neighbor downsample
+    * to a 9×8 grayscale grid (`src = x·w div W`, the `resizeFeatures`
+    * sampling — no library scaler, so identical on every JVM) →
+    * horizontal neighbor comparisons, bit (y·8+x) set iff
+    * gray(x+1,y) > gray(x,y). Integer end-to-end: no float enters the
+    * hash, so it is bit-identical at any parallelism. None when no
+    * registered reader accepts the bytes (dirty-corpus tolerance, the
+    * decode contract everywhere in this file). */
+  private[ext] def dHash64(bytes: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val gw = 9; val gh = 8
+        val g = Array.ofDim[Int](gh, gw)
+        var y = 0
+        while (y < gh) {
+          val sy = y * img.getHeight / gh
+          var x = 0
+          while (x < gw) {
+            val sx = x * img.getWidth / gw
+            val p = img.getRGB(sx, sy)
+            g(y)(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        var h = 0L
+        y = 0
+        while (y < gh) {
+          var x = 0
+          while (x < 8) {
+            if (g(y)(x + 1) > g(y)(x)) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** (doc_id, fp) dHash relation of an image corpus — one decode per
+    * payload, partition-wise. */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => dHash64(r.content).map(h => (r.doc_id, h)))
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Perceptual image near-dup pairs — the dedup × multimodal cross:
+    * dHash fingerprints blocked with the SAME Manku multi-table scheme
+    * as text SimHash (`Dedup.simhashBlockingKeys` — exact recall for
+    * hamming ≤ maxDist by pigeonhole), verified with one bit_count on
+    * the fingerprint XOR. Quadratic work confined to hash-key buckets;
+    * never an image×image pass. */
+  def imagePhashPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame = {
+    val keyed = imageDHashes(media)
+      .select(col("doc_id"), col("fp"),
+        explode(Dedup.simhashBlockingKeys(col("fp"), maxDist)).as("bkey"))
+      // the decode→hash pipeline feeds both sides of the bucket
+      // self-join; checkpoint blocks are GC-reclaimed after the query
+      .localCheckpoint(true)
+    val a = keyed.select(col("bkey"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = keyed.select(col("bkey"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** md5-derived 64-bit target hash for the gradient corpus: byte y of
+    * the digest of "img:id" becomes hash bits 8y..8y+7. Uniform across
+    * all 64 bits, so banded buckets stay tiny — a degenerate corpus
+    * (e.g. solid colors, whose dHash is all-zero) would alias every
+    * image into one bucket and turn the blocked join all-pairs. */
+  private[ext] def targetDHash(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"img:$id".getBytes("UTF-8"))
+    var h = 0L
+    var y = 0
+    while (y < 8) { h |= (md(y) & 0xffL) << (8 * y); y += 1 }
+    h
+  }
+
+  /** Render a 9×8 grayscale-gradient PNG whose dHash is EXACTLY
+    * `target`: each row walks gray ±8 from 128, stepping up where the
+    * target bit is 1 (values stay in [64, 192]) — lossless PNG + strict
+    * comparisons make decode→dHash reproduce the encoded bits. */
+  private[ext] def gradientPng(target: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        v += (if (((target >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The declared `dedup_image_phash` surface: gradient corpus (every
+    * image-typed doc renders `targetDHash(doc_id)`) plus, for every
+    * 20th image doc, a planted NEAR-dup — the same image with ONE
+    * target bit (position doc_id % 64) flipped, id offset past the
+    * corpus max (the `simhashPlantedQuery` pattern). The real
+    * decode→downsample→dHash→banded-join chain must find every planted
+    * pair at hamming EXACTLY 1 — the part of the operator that is
+    * GUARANTEED (pigeonhole recall + lossless encode), which is what a
+    * SQL oracle can state without decoding a PNG byte. General near-dup
+    * behavior stays property-pinned in MultimodalSpec. */
+  def imagePhashPlantedQuery(spark: SparkSession, dir: String,
+      maxDist: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val off = ids.agg((max(col("doc_id")) + 1).as("off"))
+    val base = ids.select(col("doc_id"), col("doc_id").as("src_id"),
+      lit(-1).as("flip"))
+    val planted = ids.filter(col("doc_id") % 20 === 0)
+      .crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        col("doc_id").as("src_id"),
+        (col("doc_id") % 64).cast("int").as("flip"))
+    val media = base.unionByName(planted)
+      .select(col("doc_id"), col("src_id"), col("flip")).as[(Long, Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, srcId, flip) =>
+          val t0 = targetDHash(srcId)
+          val t = if (flip >= 0) t0 ^ (1L << flip) else t0
+          val bytes = gradientPng(t)
+          MediaRow(id, "image", bytes.length, bytes)
+        }
+      }
+    val pairs = imagePhashPairs(media, maxDist)
+    ids.filter(col("doc_id") % 20 === 0)
+      .crossJoin(broadcast(off))
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + col("off")).as("doc_b"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").isNotNull.as("found"),
+        coalesce(col("hamming") === 1, lit(false)).as("hamming_one"))
+      .orderBy(col("doc_a"))
+  }
+
+  private val imagePhashPlantedSql: String =
+    """SELECT doc_id AS doc_a,
+      |  doc_id + (SELECT MAX(doc_id) + 1 FROM documents WHERE doc_id % 3 = 0) AS doc_b,
+      |  TRUE AS found, TRUE AS hamming_one
+      |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 = 0
+      |ORDER BY doc_a""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
     // real encode→decode round trip behind a closed-form oracle; the
     // mixed-type stub statistics remain available via `featureStats`
@@ -658,6 +825,11 @@ object Multimodal {
     "multimodal_video" -> QueryDef(
       (s: SparkSession, d: String) => videoDecodeQuery(s, d),
       Some(videoDecodeSql)),
+    // decode → 64-bit integer dHash → Manku-banded Hamming pairs: the
+    // dedup × multimodal cross, planted-pair recall behind the oracle
+    "dedup_image_phash" -> QueryDef(
+      (s: SparkSession, d: String) => imagePhashPlantedQuery(s, d),
+      Some(imagePhashPlantedSql)),
     "multimodal_metadata" -> QueryDef(
       (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql),
     "multimodal_offsets" -> QueryDef(

@@ -199,6 +199,58 @@ class MultimodalSpec extends SparkSuite {
     assert(r.getBoolean(6))
   }
 
+  test("dHash: decode of a gradient PNG reproduces the encoded 64 bits") {
+    // round-trip with hand-picked patterns, not md5: all-zero, all-one,
+    // alternating, one lone bit — the encode/decode bit order must agree
+    for (t <- Seq(0L, -1L, 0x5555555555555555L, 1L << 37, 0x00ff00ff00ff00ffL)) {
+      val png = Multimodal.gradientPng(t)
+      assert(Multimodal.dHash64(png) === Some(t),
+        s"dHash round-trip broke for ${t.toHexString}")
+    }
+  }
+
+  test("dHash: corpus fingerprints equal their md5 targets end-to-end") {
+    // the full distributed path (synthesize → decode → downsample →
+    // hash) must land exactly on targetDHash for every image doc
+    import spark.implicits._
+    val ids = Seq(3L, 6L, 21L, 4242L)
+    val media = ids.toDF("doc_id").as[Long].map { id =>
+      val b = Multimodal.gradientPng(Multimodal.targetDHash(id))
+      Multimodal.MediaRow(id, "image", b.length, b)
+    }
+    val got = Multimodal.imageDHashes(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(got(id) === Multimodal.targetDHash(id)))
+  }
+
+  test("image phash: planted near-dups are all recalled at hamming 1, " +
+      "exact copies at hamming 0") {
+    import spark.implicits._
+    val base = (1L to 40L).map { i =>
+      val b = Multimodal.gradientPng(Multimodal.targetDHash(i))
+      Multimodal.MediaRow(i, "image", b.length, b)
+    }
+    // 1-bit perturbations (near) and exact copies of the first 10
+    val near = (1L to 10L).map { i =>
+      val b = Multimodal.gradientPng(Multimodal.targetDHash(i) ^ (1L << (i % 64)))
+      Multimodal.MediaRow(100 + i, "image", b.length, b)
+    }
+    val exact = (11L to 20L).map { i =>
+      val b = Multimodal.gradientPng(Multimodal.targetDHash(i))
+      Multimodal.MediaRow(100 + i, "image", b.length, b)
+    }
+    val pairs = Multimodal.imagePhashPairs(
+        spark.createDataset(base ++ near ++ exact), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    (1L to 10L).foreach(i => assert(pairs((i, 100 + i)) === 1,
+      s"planted 1-bit pair $i missed or mis-distanced"))
+    (11L to 20L).foreach(i => assert(pairs((i, 100 + i)) === 0,
+      s"planted exact pair $i missed or mis-distanced"))
+    // md5-uniform corpus: no spurious base-base pair within maxDist
+    assert(pairs.keys.forall { case (a, b) => b > 100 },
+      s"unexpected corpus-corpus near-pairs: ${pairs.keys.filter(_._2 <= 100)}")
+  }
+
   test("resize: undecodable bytes fall through flagged, not thrown") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRow(2L, "image", 4, Array[Byte](1, 2, 3, 4))).toDS()
