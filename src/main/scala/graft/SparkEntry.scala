@@ -39,6 +39,7 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Corpus.queries ++
       ext.Pipeline.queries ++
+      ext.Tokenizer.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries ++
       ext.Search.queries ++

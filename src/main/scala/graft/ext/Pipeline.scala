@@ -24,8 +24,10 @@ import graft.core.{QueryDef, Tables}
   */
 object Pipeline {
 
-  /** Tokens per document, counted exactly like the chunker/oracle do:
-    * whitespace split with empty strings dropped. */
+  /** Tokens per document for the chunk/quality surfaces: whitespace
+    * split with empty strings dropped. The PACK and MIXTURE budgets
+    * below count REAL subword tokens instead (`Tokenizer
+    * .docTokenCounts`) — the unit a trainer actually consumes. */
   private def nTokens(text: Column): Column =
     size(graft.functions.WordShingles.word_ngrams(text, 1))
 
@@ -55,8 +57,11 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("source"),
-        (col("doc_id") % nShards).as("shard"),
-        nTokens(col("text")).cast("long").as("n_tokens"))
+        (col("doc_id") % nShards).as("shard"))
+      // REAL subword budgets (vocab-derived greedy tokenizer), not the
+      // whitespace proxy; the inner join drops token-less documents —
+      // exactly the old n_tokens >= 1 filter
+      .join(Tokenizer.docTokenCounts(docs), Seq("doc_id"))
       .filter(col("n_tokens") >= 1)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
@@ -67,11 +72,12 @@ object Pipeline {
   }
 
   def packSequencesSql(seqLen: Int, nShards: Int): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, source, doc_id % $nShards AS shard,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
-       |      AS n_tokens
-       |  FROM documents),
+    s"""WITH RECURSIVE
+       |${Tokenizer.ctesSql},
+       |t AS (
+       |  SELECT d.doc_id, d.source, d.doc_id % $nShards AS shard,
+       |    dt.n_tokens
+       |  FROM documents d JOIN tok_doc dt ON dt.doc_id = d.doc_id),
        |c AS (
        |  SELECT doc_id, source, shard, n_tokens,
        |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
@@ -101,10 +107,14 @@ object Pipeline {
     * via partial-aggregated SUM/COUNT before any of this math runs.
     */
   def mixtureWeights(docs: DataFrame, budget: Long): DataFrame = {
+    // REAL subword budgets (the pack rewire's twin); left join keeps
+    // token-less documents in n_docs while contributing 0 tokens
     val perSource = docs
-      .select(col("source"), nTokens(col("text")).cast("long").as("n"))
+      .select(col("source"), col("doc_id"))
+      .join(Tokenizer.docTokenCounts(docs), Seq("doc_id"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
     val q = (floor(sqrt(col("n_tokens").cast("double")) * lit(1048576.0)) /
       lit(1048576.0)).as("q")
     val scored = perSource.select(col("source"), col("n_docs"), col("n_tokens"), q)
@@ -117,16 +127,15 @@ object Pipeline {
   }
 
   def mixtureWeightsSql(budget: Long): String =
-    s"""WITH t AS (
-       |  SELECT source,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
-       |      AS n
-       |  FROM documents),
+    s"""WITH RECURSIVE
+       |${Tokenizer.ctesSql},
        |s AS (
-       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |    CAST(SUM(n) AS BIGINT) AS n_tokens,
-       |    floor(sqrt(CAST(SUM(n) AS DOUBLE)) * 1048576.0) / 1048576.0 AS q
-       |  FROM t GROUP BY source)
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(COALESCE(dt.n_tokens, 0)) AS BIGINT) AS n_tokens,
+       |    floor(sqrt(CAST(SUM(COALESCE(dt.n_tokens, 0)) AS DOUBLE)) * 1048576.0)
+       |      / 1048576.0 AS q
+       |  FROM documents d LEFT JOIN tok_doc dt ON dt.doc_id = d.doc_id
+       |  GROUP BY d.source)
        |SELECT source, n_docs, n_tokens,
        |  q / (SELECT SUM(q) FROM s) AS weight,
        |  CAST(floor(q / (SELECT SUM(q) FROM s) * $budget) AS BIGINT) AS alloc_docs

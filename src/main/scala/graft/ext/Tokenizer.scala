@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Corpus-derived subword tokenizer (SURVEY §2.11 T1/T2): a
+  * deterministic vocabulary — the top-`VocabQuota` character n-grams
+  * per length (2..4) by EXACT occurrence-weighted count, ties broken on
+  * the gram string — and greedy longest-match segmentation of each word
+  * against it, all in integer/string ops (no float, no RNG), so the
+  * whole train-vocab → tokenize chain is bit-identical in any engine
+  * and sits behind the DuckDB hash gate (`corpus_tokenize`), via a
+  * recursive-CTE segmentation oracle (the `dedup_clusters_md5`
+  * recursion pattern applied to a string automaton).
+  *
+  * This replaces the whitespace-token proxy as the unit of account for
+  * `corpus_pack` / `corpus_mixture`: token budgets that drive packing
+  * and mixture weighting are what a trainer actually consumes, and a
+  * whitespace count misprices them.
+  *
+  * Scale shape (100 TB): everything expensive happens on the DISTINCT
+  * word relation, which is vocabulary-sized, not corpus-sized —
+  * n-gram counting explodes distinct words weighted by their exact
+  * occurrence counts (one corpus-wide partial-aggregated reduction
+  * produces those), and the greedy automaton runs once per distinct
+  * word. Documents then get token counts through a broadcast join
+  * against that tiny (word → n_sub) relation plus one per-doc
+  * reduction. The corpus is scanned once; the quadratic-looking
+  * matcher never touches it. The vocab itself is O(3·quota) strings —
+  * a driver-side literal, the kmeans-centroid precedent. */
+object Tokenizer {
+
+  /** Per-length vocabulary quota. 40×3 grams ≪ any broadcast limit;
+    * raise for a real training vocab — the plan shape is unchanged. */
+  val VocabQuota = 40
+
+  /** Distinct words with exact occurrence counts — the ONE
+    * corpus-sized reduction everything downstream reuses. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        graft.functions.WordShingles.word_ngrams(col("text"), 1)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+
+  private def vocabForLen(wc: DataFrame, len: Int): Seq[String] =
+    wc.filter(length(col("word")) >= len)
+      .select(explode(transform(
+        sequence(lit(1), length(col("word")) - (len - 1)),
+        i => col("word").substr(i, lit(len)))).as("g"), col("n_occ"))
+      .groupBy(col("g")).agg(sum(col("n_occ")).as("c"))
+      .orderBy(col("c").desc, col("g"))
+      .limit(VocabQuota)
+      .collect().map(_.getString(0)).toSeq
+
+  /** The derived vocabulary: (2-grams, 3-grams, 4-grams), each the
+    * exact deterministic top-`VocabQuota`. Bounded driver collect. */
+  def vocabOf(wc: DataFrame): (Seq[String], Seq[String], Seq[String]) =
+    (vocabForLen(wc, 2), vocabForLen(wc, 3), vocabForLen(wc, 4))
+
+  /** Greedy longest-match subtoken count of one word, as a pure fold
+    * over character positions: state (pos, cnt) advances by the longest
+    * vocab gram matching at pos (4, then 3, then 2), else by one
+    * character (the byte-fallback every real tokenizer carries). A
+    * truncated end-of-word substring can never false-match: it has the
+    * wrong length for its array. Integer automaton — no UDF, no float. */
+  def subtokenCount(word: Column, v2: Seq[String], v3: Seq[String],
+      v4: Seq[String]): Column = {
+    def inVocab(v: Seq[String], s: Column): Column =
+      if (v.isEmpty) lit(false) else array_contains(array(v.map(lit): _*), s)
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), lit(0L).as("cnt")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val cnt = st.getField("cnt")
+        val m = when(inVocab(v4, word.substr(pos, lit(4))), 4)
+          .when(inVocab(v3, word.substr(pos, lit(3))), 3)
+          .when(inVocab(v2, word.substr(pos, lit(2))), 2)
+          .otherwise(1)
+        when(i === pos,
+          struct((pos + m).as("pos"), (cnt + lit(1L)).as("cnt")))
+          .otherwise(st)
+      },
+      st => st.getField("cnt"))
+  }
+
+  /** (word, n_occ, n_sub): the tokenized distinct-word relation. */
+  def wordTokens(docs: DataFrame): DataFrame = {
+    // the distinct-word relation is vocabulary-sized; checkpoint it so
+    // the three vocab rankings and the final segmentation all read the
+    // one corpus reduction instead of re-scanning the corpus
+    val wc = wordCounts(docs).localCheckpoint(true)
+    val (v2, v3, v4) = vocabOf(wc)
+    wc.select(col("word"), col("n_occ"),
+      subtokenCount(col("word"), v2, v3, v4).as("n_sub"))
+  }
+
+  /** Per-document subword token counts: explode → broadcast join
+    * against the (word → n_sub) relation → one partial-aggregated
+    * reduction. Documents with no words simply have no row. */
+  def docTokenCounts(docs: DataFrame): DataFrame = {
+    val wt = wordTokens(docs).select(col("word"), col("n_sub"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.WordShingles.word_ngrams(col("text"), 1))
+          .as("word"))
+      .join(broadcast(wt), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sub")).as("n_tokens"))
+  }
+
+  /** The shared oracle CTE chain: vocab derivation + recursive greedy
+    * segmentation + per-doc counts, mirroring the engine exactly.
+    * Callers must open with `WITH RECURSIVE`. */
+  val ctesSql: String =
+    s"""tok_words AS (
+       |  SELECT word, COUNT(*) AS n_occ FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |tok_v2 AS (
+       |  SELECT g FROM (
+       |    SELECT substr(word, i, 2) AS g, SUM(n_occ) AS c
+       |    FROM (SELECT word, n_occ, unnest(range(1, length(word))) AS i
+       |          FROM tok_words WHERE length(word) >= 2)
+       |    GROUP BY g)
+       |  ORDER BY c DESC, g LIMIT $VocabQuota),
+       |tok_v3 AS (
+       |  SELECT g FROM (
+       |    SELECT substr(word, i, 3) AS g, SUM(n_occ) AS c
+       |    FROM (SELECT word, n_occ, unnest(range(1, length(word) - 1)) AS i
+       |          FROM tok_words WHERE length(word) >= 3)
+       |    GROUP BY g)
+       |  ORDER BY c DESC, g LIMIT $VocabQuota),
+       |tok_v4 AS (
+       |  SELECT g FROM (
+       |    SELECT substr(word, i, 4) AS g, SUM(n_occ) AS c
+       |    FROM (SELECT word, n_occ, unnest(range(1, length(word) - 2)) AS i
+       |          FROM tok_words WHERE length(word) >= 4)
+       |    GROUP BY g)
+       |  ORDER BY c DESC, g LIMIT $VocabQuota),
+       |tok_seg AS (
+       |  SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS cnt FROM tok_words
+       |  UNION ALL
+       |  SELECT word,
+       |    pos + CASE
+       |      WHEN substr(word, pos, 4) IN (SELECT g FROM tok_v4) THEN 4
+       |      WHEN substr(word, pos, 3) IN (SELECT g FROM tok_v3) THEN 3
+       |      WHEN substr(word, pos, 2) IN (SELECT g FROM tok_v2) THEN 2
+       |      ELSE 1 END,
+       |    cnt + 1
+       |  FROM tok_seg WHERE pos <= length(word)),
+       |tok_wordtok AS (
+       |  SELECT word, MAX(cnt) AS n_sub FROM tok_seg GROUP BY word),
+       |tok_doc AS (
+       |  SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_tokens FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  JOIN tok_wordtok USING (word)
+       |  GROUP BY doc_id)""".stripMargin
+
+  private val tokenizeSql: String =
+    s"""WITH RECURSIVE
+       |$ctesSql
+       |SELECT w.word, w.n_occ, CAST(length(w.word) AS INT) AS word_len,
+       |       t.n_sub
+       |FROM tok_words w JOIN tok_wordtok t USING (word)
+       |ORDER BY w.word""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "corpus_tokenize" -> QueryDef(
+      (s, d) => wordTokens(Tables.documents(s, d))
+        .select(col("word"), col("n_occ"),
+          length(col("word")).cast("int").as("word_len"), col("n_sub"))
+        .orderBy(col("word")),
+      tokenizeSql))
+}
