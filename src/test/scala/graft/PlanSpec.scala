@@ -154,8 +154,10 @@ class PlanSpec extends SparkSuite {
   test("pagerank iterations use shuffle-hash joins, never per-iteration sorts") {
     val p = plan("graph_pagerank")
     assert(p.contains("ShuffledHashJoin"), s"rank joins must hash, not SMJ:\n$p")
-    // the adjacency is materialized once and re-read per iteration
-    assert(p.contains("InMemoryTableScan"), s"adjacency not persisted:\n$p")
+    // the adjacency is a build-once bucketed table whose scan reports
+    // its hash(src) partitioning — the rank joins plan no exchange on
+    // either side (GraphSpec pins the exchange census)
+    assert(p.contains("Bucketed: true"), s"adjacency not bucketed:\n$p")
   }
 
   test("perceptron epoch reduces in one pass: no join, no window in the report") {
