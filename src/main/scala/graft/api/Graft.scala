@@ -17,8 +17,9 @@ import graft.vat.{Conform, Summary}
   *  - period mapping report (fianl2.py:230-233) → `VatResult.mapping`
   *  - VAT summary (fianl2.py:167-195) → `VatResult.summary`
   *  - xlsx download / sqlite sink (fianl2.py:241-255) → `writeCsv` /
-  *    `writeParquet` / `writeJdbc` (xlsx and sqlite drivers are
-  *    environment concerns; any JDBC url works, SURVEY.md §7.4)
+  *    `writeParquet` / `writeJdbc` (any JDBC url whose driver is on the
+  *    classpath; round-tripped against embedded Derby in GraftApiSpec,
+  *    SURVEY.md §7.4)
   */
 object Graft {
 

@@ -49,6 +49,25 @@ class GraftApiSpec extends SparkSuite {
     assert(s(7).getAs[Double]("net_vat_payable") == 10.0)
   }
 
+  test("JDBC sink round-trips the summary through embedded Derby (S6)") {
+    // the reference's SQLite sink (fianl2.py:253-255) generalized to any
+    // JDBC url; exercised end-to-end against Derby, the JDBC engine that
+    // ships inside Spark's own jars — no external driver needed
+    val result = new VatPipeline(spark).processSheets(Seq(jan, feb))
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    result.writeJdbc(url, "vat_summary", props)
+    val back = spark.read.jdbc(url, "vat_summary", props)
+    assert(back.columns.toSeq === result.summary.columns.toSeq)
+    assert(back.collect().map(_.toSeq).toSet ===
+      result.summary.collect().map(_.toSeq).toSet)
+    // overwrite mode: a second write replaces, not appends
+    result.writeJdbc(url, "vat_summary", props)
+    assert(spark.read.jdbc(url, "vat_summary", props).count() ===
+      result.summary.count())
+  }
+
   test("missing sheet file is reported, remaining sheets still process") {
     val result = new VatPipeline(spark)
       .processSheets(Seq(jan, ("/nonexistent/nope.csv", "Mar 2024")))
