@@ -451,6 +451,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session paths: restart resumes the open session from " +
+      "the checkpoint") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("paths_e2e").toFile.getAbsolutePath
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(file: String, evs: Seq[(Long, String, Long, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/$file", "UTF-8")
+      evs.foreach { case (u, t, id, tp) =>
+        w.println(s"""{"user_id":$u,"ts":"$t","event_id":$id,"event_type":"$tp"}""") }
+      w.close()
+    }
+    val schema = "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING"
+    def startQuery() = Streams.sessionPaths(
+        spark.readStream.schema(schema).json(srcDir).as[Streams.PathEvent],
+        watermarkDelay = "0 seconds")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.SessionPath],
+          _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    // run 1: open a session for user 1, then STOP mid-session
+    writeEvents("b1.json", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:05:00", 2L, "click")))
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2 on the same checkpoint: an in-gap event must EXTEND the
+    // run-1 session (only possible if (lastTs, path) state was recovered
+    // from the state store), then other-user traffic closes it by timeout
+    writeEvents("b2.json", Seq(
+      (1L, "2024-01-01 10:10:00", 3L, "cart"),
+      (2L, "2024-01-01 11:00:00", 4L, "view")))
+    writeEvents("b3.json", Seq((2L, "2024-01-01 11:01:00", 5L, "view")))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val u1 = spark.read.parquet(outDir)
+      .filter(col("user_id") === 1)
+      .select("path", "n_events").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(u1 === Seq(("view>click>cart", 3L)),
+      s"session must span the restart, got $u1")
+  }
+
   test("streaming transitions: horizon expiry cuts the chain") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
