@@ -16,6 +16,37 @@ import graft.core.{QueryDef, Tables}
   */
 object TextOps {
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * (doc_id, pos, fp) — see the `text_winnow` declaration below for
+    * the full design rationale. Guarantee (their Theorem 1 direction
+    * that matters for dedup): two documents sharing a normalized
+    * substring of length ≥ k + w − 1 share at least one fingerprint
+    * VALUE. In-row and shuffle-free before the final sort. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val hashes = Dedup.bind(norm) { t =>
+      when(length(t) >= k,
+        transform(sequence(lit(1), length(t) - (k - 1)),
+          i => conv(substring(md5(t.substr(i, lit(k))), 1, 8), 16, 10)
+            .cast("long")))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    docs
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(when(size(col("h")) >= w,
+          array_distinct(transform(
+            sequence(lit(1), size(col("h")) - (w - 1)),
+            st => Dedup.bind(slice(col("h"), st, lit(w))) { win =>
+              (st + array_position(win, array_min(win)) - 1).cast("int")
+            })))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("h"), col("pos")).as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
 
     // ---- L1 exact dedup: group by full text, canonical = min doc_id ----
@@ -40,6 +71,44 @@ object TextOps {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- L1c winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    //      SIGMOD'03 — the MOSS local fingerprinting scheme): rolling
+    //      k-gram hashes over the normalized text, one fingerprint per
+    //      w-window = the window's minimum hash (leftmost on ties — a
+    //      fixed deterministic rule so both engines agree; classic
+    //      winnowing's rightmost rule is equally valid, the CONTRACT is
+    //      what matters), consecutive windows picking the same position
+    //      dedup to one row. Guarantees: any shared substring of length
+    //      ≥ k + w − 1 yields a shared fingerprint — the local-dedup
+    //      complement to `text_fingerprint`'s whole-document hash.
+    //      Entirely in-row (one narrow map, zero shuffle before the
+    //      final sort): per-doc work is linear in text length, and the
+    //      md5-derived 32-bit k-gram hash is the repo's portable hash
+    //      family, so the whole chain sits behind the DuckDB gate.
+    "text_winnow" -> QueryDef(
+      (s, d) => winnowFingerprints(Tables.documents(s, d), k = 8, w = 16),
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) >= 8 THEN
+        |      list_transform(range(1, length(t) - 6),
+        |        i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT)
+        |    ELSE [] END AS h
+        |  FROM t),
+        |sel AS (
+        |  SELECT doc_id, h,
+        |    CASE WHEN len(h) >= 16 THEN
+        |      list_distinct(list_transform(range(1, len(h) - 14),
+        |        s -> s + list_position(list_slice(h, s, s + 15),
+        |                               list_min(list_slice(h, s, s + 15))) - 1))
+        |    ELSE [] END AS sels
+        |  FROM h)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, h[pos] AS fp
+        |FROM (SELECT doc_id, h, unnest(sels) AS pos FROM sel)
+        |ORDER BY doc_id, pos""".stripMargin),
 
     // ---- L4 per-document statistics -------------------------------------
     "text_stats" -> QueryDef(

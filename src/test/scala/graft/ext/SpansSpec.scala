@@ -98,4 +98,51 @@ class SpansSpec extends SparkSuite {
         s"token conservation violated for doc ${r.getLong(0)}")
     }
   }
+
+  /** Winnowing's dedup guarantee (Schleimer et al. SIGMOD'03): two
+    * documents sharing a normalized substring of length ≥ k + w − 1
+    * share at least one fingerprint value — regardless of where the
+    * substring sits in either document. */
+  test("winnowing: a shared >= k+w-1 substring forces a shared fingerprint") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"aaaa bbbb cccc $shared dddd eeee"),
+      (2L, s"zzzz yyyy qqqq rrrr ssss tttt $shared uuuu")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, k = 8, w = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    val f1 = fp.collect { case (1L, f) => f }.toSet
+    val f2 = fp.collect { case (2L, f) => f }.toSet
+    assert((f1 intersect f2).nonEmpty,
+      s"no shared fingerprint despite a ${shared.length}-char shared substring")
+  }
+
+  test("winnowing: short docs yield nothing; uniform text selects every " +
+      "window's leftmost min; fixture gaps never exceed w") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "tiny"), (2L, "a" * 30)).toDF("doc_id", "text")
+    val got = TextOps.winnowFingerprints(docs, k = 8, w = 16).collect()
+    assert(!got.exists(_.getLong(0) == 1L), "sub-k doc must yield no rows")
+    // 30 a's → 23 identical k-gram hashes → 8 windows, each selecting
+    // its own start (leftmost tie-break) → positions exactly 1..8
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getInt(1)).toSeq.sorted === (1 to 8),
+      s"uniform-text positions: ${d2.map(_.getInt(1)).toSeq}")
+    assert(d2.map(_.getLong(2)).distinct.length === 1)
+    // density on the fixture: consecutive selections within one doc are
+    // never more than w apart (every window selects SOMETHING)
+    val fixture = TextOps.winnowFingerprints(
+      graft.core.Tables.documents(spark, sfDir), k = 8, w = 16)
+      .select(col("doc_id"), col("pos")).collect()
+      .groupBy(_.getLong(0)).values
+    fixture.foreach { rows =>
+      val ps = rows.map(_.getInt(1)).sorted
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 16, s"gap $a→$b exceeds w")
+        case _ =>
+      }
+    }
+  }
 }
