@@ -47,6 +47,36 @@ object TextOps {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** MOSS-style near-dup pairs over winnowing fingerprints: documents
+    * sharing ≥ `minShared` RARE fingerprints (document frequency ≤
+    * `maxDf` — the standard "drop ubiquitous fragments" cut; without it
+    * a template-heavy corpus has single fingerprints shared by 25% of
+    * documents and the bucket self-join degenerates quadratic). The
+    * df cap bounds every bucket, so pair work is O(Σ df²) ≤
+    * O(maxDf · fingerprints) — the banded-LSH cost shape, reached with
+    * plain relational ops. `n_shared` is the exact overlap count of
+    * rare fingerprints, the MOSS similarity signal. */
+  def winnowPairs(docs: org.apache.spark.sql.DataFrame, k: Int, w: Int,
+      maxDf: Int, minShared: Long): org.apache.spark.sql.DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      // feeds the df aggregate AND both sides of the bucket self-join
+      .localCheckpoint(true)
+    val rare = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val r = fps.join(rare, Seq("fp"), "left_semi")
+    val a = r.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = r.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
 
     // ---- L1 exact dedup: group by full text, canonical = min doc_id ----
@@ -109,6 +139,45 @@ object TextOps {
         |SELECT doc_id, CAST(pos AS INT) AS pos, h[pos] AS fp
         |FROM (SELECT doc_id, h, unnest(sels) AS pos FROM sel)
         |ORDER BY doc_id, pos""".stripMargin),
+
+    // ---- L1d MOSS pair mining on the winnow fingerprints: rare-fp
+    //      (df ≤ 5) bucket join, pairs sharing ≥ 3 fragments — the
+    //      plagiarism-detector application of text_winnow, full oracle
+    "dedup_winnow" -> QueryDef(
+      (s, d) => winnowPairs(Tables.documents(s, d),
+        k = 8, w = 16, maxDf = 5, minShared = 3L),
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) >= 8 THEN
+        |      list_transform(range(1, length(t) - 6),
+        |        i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT)
+        |    ELSE [] END AS h
+        |  FROM t),
+        |sel AS (
+        |  SELECT doc_id, h,
+        |    CASE WHEN len(h) >= 16 THEN
+        |      list_distinct(list_transform(range(1, len(h) - 14),
+        |        s -> s + list_position(list_slice(h, s, s + 15),
+        |                               list_min(list_slice(h, s, s + 15))) - 1))
+        |    ELSE [] END AS sels
+        |  FROM h),
+        |w AS (
+        |  SELECT doc_id, h[pos] AS fp
+        |  FROM (SELECT doc_id, h, unnest(sels) AS pos FROM sel)),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM w),
+        |rare AS (
+        |  SELECT fp FROM (
+        |    SELECT fp, COUNT(DISTINCT doc_id) AS df FROM fps GROUP BY fp)
+        |  WHERE df <= 5),
+        |r AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM rare))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       COUNT(*) AS n_shared
+        |FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // ---- L4 per-document statistics -------------------------------------
     "text_stats" -> QueryDef(

@@ -99,6 +99,25 @@ class SpansSpec extends SparkSuite {
     }
   }
 
+  /** MOSS pair mining: a long passage copied between two documents in
+    * an otherwise-unrelated corpus must surface exactly that pair. */
+  test("winnowing pairs: a copied passage surfaces the plagiarized pair only") {
+    import spark.implicits._
+    val passage = ('a' to 'z').map(c => s"$c$c$c$c$c").mkString(" ") // 155 chars
+    def noise(seed: Int) = (0 until 30)
+      .map(i => f"w${(seed * 131 + i * 17) % 9973}%04d").mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise(1)} $passage ${noise(2)}"),
+      (2L, s"${noise(3)} ${noise(4)} $passage"),
+      (3L, noise(5)), (4L, noise(6))
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, k = 8, w = 16, maxDf = 2, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)),
+      s"expected only the plagiarized pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 3, s"shared-fragment count too low: ${pairs.head}")
+  }
+
   /** Winnowing's dedup guarantee (Schleimer et al. SIGMOD'03): two
     * documents sharing a normalized substring of length ≥ k + w − 1
     * share at least one fingerprint value — regardless of where the
