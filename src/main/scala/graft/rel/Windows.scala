@@ -248,6 +248,32 @@ object Windows {
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin),
 
+    // ---- W4b hopping (sliding) windows: 10-min length, 5-min slide —
+    //      every event lands in exactly len/slide = 2 windows; the
+    //      oracle unrolls that membership explicitly (the two bucket
+    //      starts per event), so Spark's window(slide) semantics are
+    //      pinned end-to-end, not just the tumbling special case
+    "window_hopping" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+          .getField("start").as("bucket_ts"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("bucket")),
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |hop AS (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts)
+        |                   - INTERVAL '5 minutes']) AS wstart,
+        |         value
+        |  FROM ev)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM hop GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // ---- W5 session windows (30-min inactivity gap), batch twin ---------
     "window_sessionize" -> QueryDef(
       (s, d) => {
