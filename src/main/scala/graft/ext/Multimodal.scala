@@ -714,6 +714,99 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 8×8 average-hash (aHash) of an image payload: REAL decode →
+    * nearest-neighbor 8×8 grayscale sample → bit (y,x) set iff the
+    * pixel exceeds the grid mean, compared as 64·g > Σg so the test is
+    * pure integer (no float mean). Returned as 8 row-bytes — a 64-bit
+    * value with no signed-BIGINT edge for the SQL oracle. dHash's
+    * sibling: dHash keys on local gradients, aHash on global
+    * brightness structure; real pipelines run both. */
+  private[ext] def aHash8(bytes: Array[Byte]): Option[Array[Int]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val v = Array.ofDim[Int](8, 8)
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = y * img.getHeight / 8
+          var x = 0
+          while (x < 8) {
+            val sx = x * img.getWidth / 8
+            val p = img.getRGB(sx, sy)
+            v(y)(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            s += v(y)(x)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Int](8)
+        y = 0
+        while (y < 8) {
+          var b = 0; var x = 0
+          while (x < 8) { if (64L * v(y)(x) > s) b |= 1 << x; x += 1 }
+          out(y) = b
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** The declared `dedup_image_ahash` surface: the full aHash of every
+    * gradient-corpus image behind the DuckDB gate — the oracle
+    * RECONSTRUCTS the decoded grid in SQL (the ±8 walk from the md5
+    * target bits, with the same x·w div 8 sampling) and re-derives
+    * every hash byte, so decode → sample → threshold is pinned value-
+    * for-value with no image parsing in the oracle. */
+  def imageAHashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = gradientPng(targetDHash(id))
+          MediaRow(id, "image", b.length, b)
+        }
+      }
+    media.mapPartitions { rows =>
+      rows.flatMap(r => aHash8(r.content).map(h =>
+        (r.doc_id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))))
+    }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+      .orderBy(col("doc_id"))
+  }
+
+  private val imageAHashSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8),
+      |      y -> ('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR)), 2*y + 1, 2))::INT) AS tb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |g AS (
+      |  SELECT doc_id, tb,
+      |    list_transform(range(0, 8), y ->
+      |      list_transform(range(0, 8), x ->
+      |        128 + 8*(2*len(list_filter(range(0, ((x*9)//8)),
+      |                    i -> ((tb[y+1] >> i) & 1) = 1)) - ((x*9)//8)))) AS grid
+      |  FROM b),
+      |s AS (
+      |  SELECT doc_id, grid,
+      |    list_sum(list_transform(grid, r -> list_sum(r))) AS total
+      |  FROM g),
+      |hb AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), y ->
+      |      list_sum(list_transform(range(0, 8), x ->
+      |        CASE WHEN 64*grid[y+1][x+1] > total THEN 1 << x ELSE 0 END))) AS bs
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(bs[1] AS INT) AS b0, CAST(bs[2] AS INT) AS b1,
+      |  CAST(bs[3] AS INT) AS b2, CAST(bs[4] AS INT) AS b3,
+      |  CAST(bs[5] AS INT) AS b4, CAST(bs[6] AS INT) AS b5,
+      |  CAST(bs[7] AS INT) AS b6, CAST(bs[8] AS INT) AS b7
+      |FROM hb ORDER BY doc_id""".stripMargin
+
   /** md5-derived 64-bit target hash for the gradient corpus: byte y of
     * the digest of "img:id" becomes hash bits 8y..8y+7. Uniform across
     * all 64 bits, so banded buckets stay tiny — a degenerate corpus
@@ -830,6 +923,11 @@ object Multimodal {
     "dedup_image_phash" -> QueryDef(
       (s: SparkSession, d: String) => imagePhashPlantedQuery(s, d),
       Some(imagePhashPlantedSql)),
+    // aHash sibling: every hash byte re-derived by the oracle from the
+    // closed-form gradient walk — full value-level decode pin
+    "dedup_image_ahash" -> QueryDef(
+      (s: SparkSession, d: String) => imageAHashQuery(s, d),
+      Some(imageAHashSql)),
     "multimodal_metadata" -> QueryDef(
       (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql),
     "multimodal_offsets" -> QueryDef(

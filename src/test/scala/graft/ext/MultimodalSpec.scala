@@ -251,6 +251,31 @@ class MultimodalSpec extends SparkSuite {
       s"unexpected corpus-corpus near-pairs: ${pairs.keys.filter(_._2 <= 100)}")
   }
 
+  test("aHash: solid image hashes to zero; exact copies agree; a bright " +
+      "half lights exactly its rows") {
+    // solid: no pixel exceeds the mean (64·g == s) → all bytes 0
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val solid = Multimodal.aHash8(png((_, _) => 100)).map(_.toSeq)
+    assert(solid === Some(Seq.fill(8)(0)))
+    // top half bright: rows 0-3 all above the mean, rows 4-7 all below
+    val half = Multimodal.aHash8(png((_, y) => if (y < 4) 200 else 50)).get
+    assert(half.toSeq === Seq(255, 255, 255, 255, 0, 0, 0, 0))
+    val a = Multimodal.aHash8(Multimodal.gradientPng(Multimodal.targetDHash(42L)))
+      .map(_.toSeq)
+    val b = Multimodal.aHash8(Multimodal.gradientPng(Multimodal.targetDHash(42L)))
+      .map(_.toSeq)
+    assert(a === b && a.isDefined)
+  }
+
   test("resize: undecodable bytes fall through flagged, not thrown") {
     import spark.implicits._
     val junk = Seq(Multimodal.MediaRow(2L, "image", 4, Array[Byte](1, 2, 3, 4))).toDS()
