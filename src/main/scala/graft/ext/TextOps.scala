@@ -25,23 +25,19 @@ object TextOps {
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
       k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val hashes = Dedup.bind(norm) { t =>
-      when(length(t) >= k,
-        transform(sequence(lit(1), length(t) - (k - 1)),
-          i => conv(substring(md5(t.substr(i, lit(k))), 1, 8), 16, 10)
-            .cast("long")))
-        .otherwise(array().cast("array<bigint>"))
-    }
+    // native O(n) Rabin–Karp k-gram hashes (functions/RollingHash);
+    // the previous md5-per-position chain (one digest + hex round-trip
+    // per character) dominated the whole query at sf0.1
+    val hashes = graft.functions.RollingHash.rolling_hash(norm, k)
     docs
       .select(col("doc_id"), hashes.as("h"))
+      // native O(n) monotonic-deque selection (functions/WinnowSelect);
+      // the HOF slice-per-window form was O(n·w) interpreted and
+      // dominated the query at sf0.1. Sub-w docs yield an empty array →
+      // explode drops them, as before
       .select(col("doc_id"), col("h"),
-        explode(when(size(col("h")) >= w,
-          array_distinct(transform(
-            sequence(lit(1), size(col("h")) - (w - 1)),
-            st => Dedup.bind(slice(col("h"), st, lit(w))) { win =>
-              (st + array_position(win, array_min(win)) - 1).cast("int")
-            })))
-          .otherwise(array().cast("array<int>"))).as("pos"))
+        explode(graft.functions.WinnowSelect.winnow_select(col("h"), w))
+          .as("pos"))
       .select(col("doc_id"), col("pos"),
         element_at(col("h"), col("pos")).as("fp"))
       .orderBy(col("doc_id"), col("pos"))
@@ -113,20 +109,19 @@ object TextOps {
     //      ≥ k + w − 1 yields a shared fingerprint — the local-dedup
     //      complement to `text_fingerprint`'s whole-document hash.
     //      Entirely in-row (one narrow map, zero shuffle before the
-    //      final sort): per-doc work is linear in text length, and the
-    //      md5-derived 32-bit k-gram hash is the repo's portable hash
-    //      family, so the whole chain sits behind the DuckDB gate.
+    //      final sort): per-doc work is linear in text length — native
+    //      O(n) Rabin–Karp k-gram hashes (functions/RollingHash, exact
+    //      BIGINT arithmetic both engines share) into a native O(n)
+    //      monotonic-deque selection (functions/WinnowSelect) — so the
+    //      whole chain sits behind the DuckDB gate.
     "text_winnow" -> QueryDef(
       (s, d) => winnowFingerprints(Tables.documents(s, d), k = 8, w = 16),
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(t) >= 8 THEN
-        |      list_transform(range(1, length(t) - 6),
-        |        i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT)
-        |    ELSE [] END AS h
+        |    ${graft.functions.RollingHash.sqlKgramHashes("t", 8)} AS h
         |  FROM t),
         |sel AS (
         |  SELECT doc_id, h,
@@ -146,15 +141,12 @@ object TextOps {
     "dedup_winnow" -> QueryDef(
       (s, d) => winnowPairs(Tables.documents(s, d),
         k = 8, w = 16, maxDf = 5, minShared = 3L),
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(t) >= 8 THEN
-        |      list_transform(range(1, length(t) - 6),
-        |        i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT)
-        |    ELSE [] END AS h
+        |    ${graft.functions.RollingHash.sqlKgramHashes("t", 8)} AS h
         |  FROM t),
         |sel AS (
         |  SELECT doc_id, h,
