@@ -48,6 +48,7 @@ object SparkEntry {
       ext.Entities.queries ++
       ext.Geo.queries ++
       ext.Clustering.queries ++
+      ext.Quantization.queries ++
       ext.Classifier.queries
 
   /** Declared names in declaration order — lets tests prove no module

@@ -81,7 +81,14 @@ object Clustering {
 
   /** The shared training loop: quantize, seed from vec_id 0..k-1, run
     * `iters` (assign, update) rounds, return the final assignment. */
-  def trainAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def trainAssign(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    trainAssignWithCents(emb, k, iters)._1
+
+  /** As `trainAssign`, but also returns the centroid matrix the FINAL
+    * assignment was scored against (k×dim bounded metadata) — the
+    * codebook a product quantizer needs for its ADC lookup tables. */
+  def trainAssignWithCents(emb: DataFrame, k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Seq[Long])]) = {
     val embInt = emb
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
     var cents: Seq[(Int, Seq[Long])] = embInt
@@ -92,7 +99,7 @@ object Clustering {
       cents = update(assigned)
       assigned = assign(embInt, cents)
     }
-    assigned
+    (assigned, cents)
   }
 
   /** As `kmeans`, over any (vec_id, embedding ARRAY<numeric>) relation. */

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Product quantization (ext/Quantization): ADC optimality for a
+  * planted duplicate, code validity, and partitioning invariance. */
+class QuantizationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fixtureEmb = graft.core.Tables.embeddings(spark, sfDir)
+
+  test("planted exact duplicate of the query ranks first") {
+    // a copy of vec 0 gets vec 0's codes in every subspace, and those
+    // codes minimize each subspace's query-to-codeword LUT term — so
+    // its ADC distance is the global minimum (Jégou et al. §III.B)
+    val q = fixtureEmb.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1)
+    val planted = fixtureEmb.select(col("vec_id"), col("embedding"))
+      .union(Seq((100000L, q)).toDF("vec_id", "embedding"))
+    val top = Quantization.pqTopK(planted, dim = 64, m = 4, k = 8,
+      iters = 2, qId = 0L, topK = 5).collect()
+    assert(top.head.getLong(0) == 100000L, top.map(_.getLong(0)).toSeq)
+    // ADC distance to the duplicate = the query's own quantization
+    // distortion, which its per-subspace argmin codes minimize
+    assert(top.head.getLong(2) <= top(1).getLong(2))
+  }
+
+  test("codes are m ints within [0, k); distances are non-negative") {
+    val got = Quantization.pqTopK(fixtureEmb, dim = 64, m = 4, k = 8,
+      iters = 2, qId = 0L, topK = 10).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("result is invariant to input partitioning") {
+    def run(parts: Int) = Quantization.pqTopK(
+      fixtureEmb.repartition(parts), dim = 64, m = 4, k = 8,
+      iters = 2, qId = 0L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+    assert(run(1) == run(13))
+  }
+}
