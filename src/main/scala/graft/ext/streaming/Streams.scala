@@ -27,6 +27,20 @@ object Streams {
       .select(col("window.start").as("bucket_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** W4b — hopping 10-minute event-time windows sliding every 5
+    * minutes: each event lands in exactly length/slide = 2 windows
+    * (the streaming twin of the oracle-checked `window_hopping`).
+    * The watermark still bounds state to O(open windows × keys): a
+    * hopping window holds 2× the tumbling window count open, not 2×
+    * the events. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** W5 — session windows via the built-in session_window (30-minute
     * inactivity gap). */
   def sessionWindows(events: DataFrame): DataFrame =

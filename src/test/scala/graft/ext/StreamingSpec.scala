@@ -45,6 +45,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("hopping window stream == batch twin; every event lands twice") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.hoppingCounts(input.toDF())
+      .writeStream.format("memory").queryName("hopping_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_out")
+        .orderBy("bucket_ts", "event_type").collect().toSeq
+      val batched = Streams.hoppingCounts(batch.toDF())
+        .orderBy("bucket_ts", "event_type").collect().toSeq
+      assert(streamed == batched)
+      // 10-min length / 5-min slide: each event counted in exactly 2 windows
+      assert(streamed.map(_.getAs[Long]("n_events")).sum == 2L * batch.length)
+    } finally q.stop()
+  }
+
   test("stateful dedup within watermark drops re-sent event_ids") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
