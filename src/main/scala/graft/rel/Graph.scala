@@ -307,13 +307,106 @@ object Graph {
        |SELECT node, n_tri FROM pn
        |ORDER BY n_tri DESC, node LIMIT $k""".stripMargin
 
+  /** Synchronous label propagation (Raghavan/Albert/Kumara 2007,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks") over a symmetric edge set: every node
+    * starts as its own label; each round, every node adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label —
+    * the deterministic tie rule that makes the classic randomized
+    * algorithm a pure function (same reason the winnow selection pins
+    * leftmost-min). Fixed iteration count, like PageRank: the unroll
+    * IS the query.
+    *
+    * Scale shape per iteration: the label vector exits its aggregate
+    * hash-partitioned on node, so the adjacency join moves nothing
+    * (same checkpointed-adjacency discipline as `pageRank`); the
+    * neighbor-label stream exists only inside the narrow explode and
+    * collapses through TWO partially-aggregated shuffles — (node,
+    * label) counts, then the per-node argmax as a map-side-combining
+    * `min(struct(-n, label))`. Chosen over the 1-exchange
+    * collect-all-labels alternative: partial aggregation collapses a
+    * hub's counts before the wire, which is the difference that
+    * matters on power-law graphs. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val adj = adjacencyOf(edges)
+      .select(col("src"), col("dsts"))
+      .repartition(p, col("src"))
+      .localCheckpoint(eager = true)
+    val labels0 = adj.select(col("src").as("node"), col("src").as("label"))
+    (1 to iters).foldLeft(labels0) { (labels, _) =>
+      adj.join(labels.hint("shuffle_hash"), col("src") === col("node"))
+        .select(explode(col("dsts")).as("dst"), col("label"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("n")).as("neg_n"), col("label").as("label")))
+          .as("best"))
+        .select(col("dst").as("node"), col("best").getField("label").as("label"))
+    }
+  }
+
+  /** Declared surface: communities of the support-≥2 co-purchase
+    * backbone after 3 synchronous rounds — (community, n_members),
+    * largest first. The backbone (not the raw graph) for the same
+    * reason as triangles: LPA on a near-clique collapses to one giant
+    * label in one round; communities live in the REAL structure. */
+  def partCommunities(lineitem: DataFrame, iters: Int = 3,
+      k: Int = 50): DataFrame = {
+    val half = backboneEdges(lineitem, 2L)
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    labelPropagation(edges, iters)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
+  /** Unrolled-CTE oracle: one (count, argmax) CTE per round; the
+    * window-over-aggregate ROW_NUMBER states the same (n DESC, label)
+    * total order as the engine's `min(struct(-n, label))`. */
+  def partCommunitiesSql(iters: Int = 3, k: Int = 50): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, COUNT(*) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$iterCtes
+       |SELECT label AS community, COUNT(*) AS n_members
+       |FROM l$iters GROUP BY label
+       |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(
       (s, d) => partPageRankBucketed(s, d),
       partPageRankSql()),
     "graph_triangles" -> QueryDef(
       (s, d) => triangleCounts(backboneEdges(Tables.lineitem(s, d), 2L), 50),
-      triangleCountsSql(50)))
+      triangleCountsSql(50)),
+    "graph_communities" -> QueryDef(
+      (s, d) => partCommunities(Tables.lineitem(s, d)),
+      partCommunitiesSql()))
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and

@@ -51,6 +51,42 @@ class GraphSpec extends SparkSuite {
   }
 
   /** Co-purchase edge derivation: distinct, symmetric, no self-loops. */
+  /** Reference LPA: the same synchronous update — most frequent
+    * neighbor label, ties to the smallest — as a driver-side fold. */
+  private def refLpa(adj: Map[Long, Seq[Long]], iters: Int): Map[Long, Long] = {
+    var labels = adj.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("label propagation matches the reference fold on a hand graph") {
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3–10,
+    // plus a pendant 13 off 12
+    val half = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L, 12L -> 13L)
+    val adj = (half ++ half.map(_.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sorted.toSeq }
+    for (iters <- Seq(1, 2, 3, 4)) {
+      val sym = half ++ half.map(_.swap)
+      val got = Graph.labelPropagation(sym.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refLpa(adj, iters), s"iters=$iters")
+    }
+  }
+
+  test("label propagation is invariant to edge partitioning") {
+    val half = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val sym = (half ++ half.map(_.swap)).toDF("src", "dst")
+    def run(parts: Int) = Graph.labelPropagation(sym.repartition(parts), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(7))
+  }
+
   test("co-purchase edges are distinct, symmetric, self-loop-free") {
     val li = Seq((1L, 10L), (1L, 11L), (1L, 10L), (2L, 10L), (2L, 12L), (3L, 13L))
       .toDF("l_orderkey", "l_partkey")
