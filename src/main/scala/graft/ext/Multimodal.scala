@@ -17,14 +17,14 @@ import graft.core.{QueryDef, Tables}
   * output ordering.
   *
   * IMAGE payloads are decoded for real via `javax.imageio` (JDK-bundled
-  * PNG/BMP/GIF readers) and AUDIO payloads via `javax.sound.sampled`
-  * (JDK-bundled RIFF/WAV PCM reader) — no external codec needed for
-  * either: dimensions, channel means, sample sums and checksums become
-  * feature components. VIDEO decode remains STUBBED with a
-  * deterministic fake (`decodeStub` — the JRE ships no video codec);
-  * the stub is also the fallback for bytes no reader accepts, so the
-  * operator never throws on dirty corpora — exactly the tolerance a
-  * 100 TB ingest needs.
+  * PNG/BMP/GIF readers), AUDIO payloads via `javax.sound.sampled`
+  * (JDK-bundled RIFF/WAV PCM reader), and VIDEO payloads via a RIFF/AVI
+  * container walk over an MJPEG stream (JDK JPEG reader per frame) — no
+  * external codec needed for any of the three: dimensions, channel
+  * means, sample sums, checksums and per-frame luminance become feature
+  * components. The deterministic `decodeStub` remains the fallback for
+  * bytes no reader accepts, so the operator never throws on dirty
+  * corpora — exactly the tolerance a 100 TB ingest needs.
   */
 object Multimodal {
 
@@ -183,73 +183,88 @@ object Multimodal {
     * Returns None unless the RIFF walk succeeds AND frame 0 decodes —
     * the caller falls back to the stub, same tolerance contract as the
     * image/audio paths. */
+  /** RIFF/AVI container scan shared by `decodeVideo` and
+    * `videoSceneCuts`: (µs/frame, header frame claim, movi frame chunk
+    * offsets). None unless the RIFF envelope parses and a µs/frame
+    * header was seen. */
+  private[ext] def aviScan(
+      bytes: Array[Byte]): Option[(Long, Long, Seq[(Int, Int)])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var usPerFrame = -1L; var headerFrames = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // walk a chunk run [start, end); recurse into hdrl/movi LISTs.
+    // A LIST whose declared extent runs past the buffer is clamped —
+    // a truncated download still yields every complete frame before
+    // the cut (the header/observed mismatch then flags the damage);
+    // a truncated LEAF chunk is dropped and the walk stops.
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val id = fourcc(p)
+        val sz = bb.getInt(p + 4)
+        if (sz < 0) ok = false
+        else {
+          val declaredEnd = p + 8 + sz
+          if (id == "LIST" && sz >= 4 && p + 12 <= end) {
+            val listType = fourcc(p + 8)
+            if (listType == "hdrl" || listType == "movi" || listType == "strl")
+              walk(p + 12, math.min(declaredEnd, end))
+          } else if (declaredEnd <= end && id == "avih" && sz >= 40) {
+            usPerFrame = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+            headerFrames = bb.getInt(p + 8 + 16).toLong & 0xFFFFFFFFL
+          } else if (declaredEnd <= end &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((p + 8, sz))
+          }
+          if (declaredEnd > end) ok = false
+          else p = declaredEnd + (sz & 1) // chunks are word-aligned
+        }
+      }
+    }
+    walk(12, bytes.length)
+    if (usPerFrame < 0) None else Some((usPerFrame, headerFrames, frames.toSeq))
+  }
+
+  /** Mean BT.601 luminance of a decoded frame. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    var sumY = 0.0
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sumY += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+          0.114 * (p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sumY / (w.toLong * h)
+  }
+
   private[ext] def decodeVideo(bytes: Array[Byte], dims: Int): Option[Array[Float]] = {
     require(dims >= 8, s"video feature layout needs 8 slots, got $dims")
     try {
-      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def fourcc(off: Int): String =
-        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-      var usPerFrame = -1L; var headerFrames = -1L
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      // walk a chunk run [start, end); recurse into hdrl/movi LISTs.
-      // A LIST whose declared extent runs past the buffer is clamped —
-      // a truncated download still yields every complete frame before
-      // the cut (the header/observed mismatch then flags the damage);
-      // a truncated LEAF chunk is dropped and the walk stops.
-      def walk(start: Int, end: Int): Unit = {
-        var p = start
-        var ok = true
-        while (ok && p + 8 <= end) {
-          val id = fourcc(p)
-          val sz = bb.getInt(p + 4)
-          if (sz < 0) ok = false
-          else {
-            val declaredEnd = p + 8 + sz
-            if (id == "LIST" && sz >= 4 && p + 12 <= end) {
-              val listType = fourcc(p + 8)
-              if (listType == "hdrl" || listType == "movi" || listType == "strl")
-                walk(p + 12, math.min(declaredEnd, end))
-            } else if (declaredEnd <= end && id == "avih" && sz >= 40) {
-              usPerFrame = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
-              headerFrames = bb.getInt(p + 8 + 16).toLong & 0xFFFFFFFFL
-            } else if (declaredEnd <= end &&
-                (id.endsWith("dc") || id.endsWith("db"))) {
-              frames += ((p + 8, sz))
-            }
-            if (declaredEnd > end) ok = false
-            else p = declaredEnd + (sz & 1) // chunks are word-aligned
-          }
-        }
-      }
-      walk(12, bytes.length)
-      if (frames.isEmpty || usPerFrame < 0) return None
+      val (usPerFrame, headerFrames, frames) = aviScan(bytes).getOrElse(return None)
+      if (frames.isEmpty) return None
       def decodeFrame(off: Int, len: Int): Option[java.awt.image.BufferedImage] =
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes, off, len)))
       val first = decodeFrame(frames(0)._1, frames(0)._2).getOrElse(return None)
-      var sumY = 0.0
-      val w = first.getWidth; val h = first.getHeight
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = first.getRGB(x, y)
-          sumY += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-            0.114 * (p & 0xFF)
-          x += 1
-        }
-        y += 1
-      }
       // frame sampling: every 2nd frame through the real JPEG reader
       val sampled = frames.indices.by(2)
         .count(i => decodeFrame(frames(i)._1, frames(i)._2).isDefined)
       val out = new Array[Float](dims)
       out(0) = frames.length.toFloat
-      out(1) = w.toFloat
-      out(2) = h.toFloat
+      out(1) = first.getWidth.toFloat
+      out(2) = first.getHeight.toFloat
       out(3) = usPerFrame.toFloat
-      out(4) = (sumY / (w.toLong * h)).toFloat
+      out(4) = meanLuma(first).toFloat
       out(5) = sampled.toFloat
       out(6) = headerFrames.toFloat
       out(7) = 1.0f
@@ -578,6 +593,102 @@ object Multimodal {
       |  CAST((2 + doc_id % 4 + 1) // 2 AS DOUBLE) AS frames_sampled,
       |  TRUE AS header_consistent,
       |  TRUE AS decoded
+      |FROM documents WHERE doc_id % 3 = 2
+      |ORDER BY doc_id""".stripMargin
+
+  private def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Two-scene synthetic clips for shot-boundary detection: n = 4 +
+    * id%4 frames, scene A (channels in [32,96)) for frames 0..c−1 and
+    * scene B = A + (64,64,64) from frame c = 1 + id%(n−1) — a closed-
+    * form single cut. Within a scene, frames are byte-identical JPEGs
+    * (decode is deterministic → intra-scene luma delta is EXACTLY 0);
+    * across the cut the true luma step is 64, and JPEG's error on a
+    * solid mid-range block is a few codes — so any threshold in
+    * (~10, ~55) detects exactly the planted cut, making positions and
+    * counts integer-exact for the oracle. */
+  def syntheticCutVideos(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + 8 * (id % 3)).toInt
+          val h = (16 + 8 * (id % 2)).toInt
+          val n = (4 + id % 4).toInt
+          val c = (1 + id % (n - 1)).toInt
+          val rgbA = ((32 + id % 64).toInt << 16) |
+            ((32 + id * 7 % 64).toInt << 8) | (32 + id * 13 % 64).toInt
+          val rgbB = rgbA + 0x404040 // +64 per channel, stays < 160
+          val ja = solidJpeg(w, h, rgbA)
+          val jb = solidJpeg(w, h, rgbB)
+          val bytes = buildAvi(w, h, 20000,
+            Seq.tabulate(n)(f => if (f < c) ja else jb))
+          MediaRow(id, "video", bytes.length, bytes)
+        }
+      }
+  }
+
+  /** M5 — shot-boundary (scene cut) detection, the frame-level sibling
+    * of `multimodal_video`'s clip-level features: decode every frame's
+    * mean BT.601 luminance (partition-wise `mapPartitions`, the codec-
+    * setup pattern), then detect cuts RELATIONALLY — a per-clip
+    * event-order window lags the luma stream and flags |Δ| ≥ threshold.
+    * The decode emits one bounded row per frame (clip length bounds the
+    * window partition); everything after it is Columns, so Catalyst
+    * owns the plan and at 100 TB the per-clip windows shuffle once on
+    * doc_id. Undecodable clips drop (no stub lumas — a cut verdict from
+    * fake frames would be noise, not data). */
+  def videoSceneCuts(videos: Dataset[MediaRow], threshold: Double): DataFrame = {
+    import videos.sparkSession.implicits._
+    val lumas = videos.mapPartitions { rows =>
+      // per-partition setup happens here (codec init)
+      rows.flatMap { r =>
+        val frames = aviScan(r.content).map(_._3).getOrElse(Seq.empty)
+        val decoded = frames.map { case (off, len) =>
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content, off, len)))
+        }
+        if (decoded.isEmpty || decoded.exists(_.isEmpty)) Iterator.empty
+        else decoded.iterator.zipWithIndex.map { case (img, i) =>
+          (r.doc_id, i, meanLuma(img.get))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "luma")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    lumas
+      .withColumn("delta", col("luma") - lag(col("luma"), 1).over(w))
+      .withColumn("is_cut",
+        when(abs(col("delta")) >= threshold, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut")).as("n_cuts"),
+        min(when(col("is_cut") === 1L, col("frame_idx"))).as("cut_frame"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def sceneCutsQuery(spark: SparkSession, dir: String): DataFrame =
+    videoSceneCuts(syntheticCutVideos(spark, dir), threshold = 24.0)
+
+  private val sceneCutsSql: String =
+    """SELECT doc_id,
+      |  CAST(4 + doc_id % 4 AS BIGINT) AS n_frames,
+      |  CAST(1 AS BIGINT) AS n_cuts,
+      |  CAST(1 + doc_id % (3 + doc_id % 4) AS INT) AS cut_frame
       |FROM documents WHERE doc_id % 3 = 2
       |ORDER BY doc_id""".stripMargin
 
@@ -918,6 +1029,12 @@ object Multimodal {
     "multimodal_video" -> QueryDef(
       (s: SparkSession, d: String) => videoDecodeQuery(s, d),
       Some(videoDecodeSql)),
+    // frame-level shot-boundary detection over two-scene clips with a
+    // closed-form planted cut: decode → per-frame luma rows → window
+    // lag → threshold; positions and counts integer-exact
+    "multimodal_scenes" -> QueryDef(
+      (s: SparkSession, d: String) => sceneCutsQuery(s, d),
+      Some(sceneCutsSql)),
     // decode → 64-bit integer dHash → Manku-banded Hamming pairs: the
     // dedup × multimodal cross, planted-pair recall behind the oracle
     "dedup_image_phash" -> QueryDef(

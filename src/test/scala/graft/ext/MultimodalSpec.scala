@@ -161,6 +161,30 @@ class MultimodalSpec extends SparkSuite {
       "all four odd-size frames must be found and the sampled half decode")
   }
 
+  test("scene cuts: hand-built two-scene clip flags exactly the planted " +
+      "boundary; a single-scene clip flags none") {
+    import spark.implicits._
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val a = solid(0x404040); val b = solid(0x808080)
+    // clip 1: A A A B B (cut at frame 3); clip 2: A A A A (no cut)
+    val clips = Seq(
+      Multimodal.MediaRow(1L, "video", 0,
+        Multimodal.buildAvi(16, 16, 20000, Seq(a, a, a, b, b))),
+      Multimodal.MediaRow(2L, "video", 0,
+        Multimodal.buildAvi(16, 16, 20000, Seq(a, a, a, a))))
+    val got = Multimodal.videoSceneCuts(clips.toDS(), threshold = 24.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq
+    assert(got == Seq((1L, 5L, 1L, 3), (2L, 4L, 0L, -1)))
+  }
+
   test("video decode: non-AVI bytes fall back to the stub, never throw") {
     assert(Multimodal.decodeVideo("not a RIFF at all".getBytes, 8).isEmpty)
     assert(Multimodal.decodeVideo(Array[Byte](), 8).isEmpty)
