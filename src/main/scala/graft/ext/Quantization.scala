@@ -42,7 +42,21 @@ object Quantization {
     * rounds), encode the corpus, and return the ADC top-k for the
     * query vector `qId`: (neighbor_id, pq_code, approx_d2). */
   def pqTopK(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
-      qId: Long, topK: Int): DataFrame = {
+      qId: Long, topK: Int): DataFrame =
+    pqCodeTable(emb, dim, m, k, iters, qId)
+      .filter(col("vec_id") =!= qId)
+      .select(col("vec_id").as("neighbor_id"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("pq_code"),
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+      .limit(topK)
+
+  /** The trained-and-encoded corpus: one row per vector with its m
+    * codeword ids and the query's ADC LUT entry per subspace —
+    * (vec_id, code0..m, d0..m). Shared by `pqTopK` and the IVF-PQ
+    * composition. */
+  def pqCodeTable(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+      qId: Long): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     // the m subspace codebooks are independent — train them on
@@ -71,12 +85,6 @@ object Quantization {
       }
     }), Duration.Inf)
     parts.reduce(_.join(_, Seq("vec_id")))
-      .filter(col("vec_id") =!= qId)
-      .select(col("vec_id").as("neighbor_id"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("pq_code"),
-        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("approx_d2"))
-      .orderBy(col("approx_d2"), col("neighbor_id"))
-      .limit(topK)
   }
 
   /** Unrolled-CTE oracle: the `Clustering.kmeansSql` replay once per
@@ -85,6 +93,30 @@ object Quantization {
     * re-derived in SQL on the identical integer grid. */
   def pqTopKSql(dim: Int, m: Int, k: Int, iters: Int, qId: Long,
       topK: Int): String = {
+    val joins = (1 until m).map(s =>
+      s"JOIN s${s}_a$iters a$s USING (vec_id) " +
+        s"JOIN s${s}_lut l$s ON a$s.cluster = l$s.cluster").mkString("\n  ")
+    val codes = (0 until m).map(s => s"a$s.cluster").mkString(", ")
+    s"""WITH ${pqSubspaceCtes(dim, m, k, iters, qId)}
+       |SELECT vec_id AS neighbor_id, [$codes] AS pq_code,
+       |       CAST(${pqDistSum(m)} AS BIGINT) AS approx_d2
+       |FROM s0_a$iters a0
+       |  JOIN s0_lut l0 ON a0.cluster = l0.cluster
+       |  $joins
+       |WHERE vec_id <> $qId
+       |ORDER BY approx_d2, neighbor_id
+       |LIMIT $topK""".stripMargin
+  }
+
+  /** The ADC sum over the m per-subspace LUT aliases l0..l{m−1}. */
+  private def pqDistSum(m: Int): String =
+    (0 until m).map(s => s"l$s.d").mkString(" + ")
+
+  /** The m prefixed per-subspace CTE chains (quantized slice → seeded
+    * codebook → unrolled Lloyd rounds → query LUT) — the WITH body
+    * shared by `pqTopKSql` and `ivfPqTopKSql`. */
+  private def pqSubspaceCtes(dim: Int, m: Int, k: Int, iters: Int,
+      qId: Long): String = {
     val subDim = dim / m
     def d2sql(a: String, b: String) =
       s"""list_sum(list_transform(range(1, ${subDim + 1}),
@@ -133,19 +165,64 @@ object Quantization {
       Seq(e, cent0, chain, lut).mkString(",\n")
     }
 
-    val subs = (0 until m).map(subspace).mkString(",\n")
-    val joins = (1 until m).map(s =>
-      s"JOIN s${s}_a$iters a$s USING (vec_id) " +
+    (0 until m).map(subspace).mkString(",\n")
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §V, the no-residual IVFPQ variant FAISS
+    * calls `by_residual=false`): the coarse IVF quantizer prunes the
+    * corpus to the query's `nprobe` nearest cells, and the surviving
+    * candidates are scored by PQ ADC instead of exact cosine — the
+    * production serving configuration, where the scan reads ~nprobe/
+    * cells of the data AND each candidate costs m LUT adds instead of
+    * a d-dim dot product. Composes the two oracle-checked halves:
+    * `Similarity.ivfAssign`'s exact quantized-sum coarse cells and
+    * this module's integer PQ codebooks, so the ENTIRE chain stays
+    * behind the DuckDB gate. (Classic IVFPQ trains PQ on cell
+    * residuals; raw-vector PQ is the standard simplification and keeps
+    * the codebooks corpus-global — one training, any nprobe.) */
+  def ivfPqTopK(spark: SparkSession, dir: String, dim: Int, m: Int,
+      k: Int, iters: Int, qId: Long, nprobe: Int, topK: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = Similarity.ivfAssign(emb)
+    // probe-cell choice: bounded driver-side metadata, the same
+    // (−cosine, cell) order as ivfProbe/ivfTopK
+    val qv = emb.filter(col("vec_id") === qId)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val probeCells = Similarity.labelCentroids(emb)
+      .select(col("label").as("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .map { case (c, ctr) =>
+        c -> -(dot(qv, ctr) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(ctr, ctr))))
+      }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1).toSeq
+    val codes = pqCodeTable(emb, dim, m, k, iters, qId)
+    assigned
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qId)
+      .select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("approx_d2"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+      .limit(topK)
+  }
+
+  /** The IVF lifecycle CTEs (`Similarity.ivfProbeSql`'s coarse half)
+    * composed with the PQ subspace chains: cell pruning and ADC scoring
+    * both re-derived in SQL. */
+  def ivfPqTopKSql(dim: Int, m: Int, k: Int, iters: Int, qId: Long,
+      nprobe: Int, topK: Int): String = {
+    val joins = (0 until m).map(s =>
+      s"JOIN s${s}_a$iters a$s ON a$s.vec_id = a.vec_id " +
         s"JOIN s${s}_lut l$s ON a$s.cluster = l$s.cluster").mkString("\n  ")
-    val codes = (0 until m).map(s => s"a$s.cluster").mkString(", ")
-    val dsum = (0 until m).map(s => s"l$s.d").mkString(" + ")
-    s"""WITH $subs
-       |SELECT vec_id AS neighbor_id, [$codes] AS pq_code,
-       |       CAST($dsum AS BIGINT) AS approx_d2
-       |FROM s0_a$iters a0
-       |  JOIN s0_lut l0 ON a0.cluster = l0.cluster
+    s"""WITH ${Similarity.ivfCoreCtesSql(qId, nprobe)},
+       |${pqSubspaceCtes(dim, m, k, iters, qId)}
+       |SELECT a.vec_id AS neighbor_id, a.cell,
+       |       CAST(${pqDistSum(m)} AS BIGINT) AS approx_d2
+       |FROM assigned a
        |  $joins
-       |WHERE vec_id <> $qId
+       |WHERE a.cell IN (SELECT cell FROM probed) AND a.vec_id <> $qId
        |ORDER BY approx_d2, neighbor_id
        |LIMIT $topK""".stripMargin
   }
@@ -154,5 +231,10 @@ object Quantization {
     "simsearch_pq" -> QueryDef(
       (s, d) => pqTopK(Tables.embeddings(s, d), dim = 64, m = 4, k = 8,
         iters = 2, qId = 0L, topK = 10),
-      pqTopKSql(dim = 64, m = 4, k = 8, iters = 2, qId = 0L, topK = 10)))
+      pqTopKSql(dim = 64, m = 4, k = 8, iters = 2, qId = 0L, topK = 10)),
+    "simsearch_ivfpq" -> QueryDef(
+      (s, d) => ivfPqTopK(s, d, dim = 64, m = 4, k = 8, iters = 2,
+        qId = 0L, nprobe = 2, topK = 10),
+      ivfPqTopKSql(dim = 64, m = 4, k = 8, iters = 2, qId = 0L,
+        nprobe = 2, topK = 10)))
 }

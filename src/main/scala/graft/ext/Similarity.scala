@@ -496,35 +496,42 @@ object Similarity {
     * probe-cell choice order by (−cosine, cell) exactly like
     * `ivfAssign`/`ivfProbe`; the final ranking mirrors
     * `bruteForceTopKSql`'s rank-only surface. */
+  /** The coarse half of the IVF lifecycle as reusable CTEs — exact
+    * quantized-sum centroids, (−cosine, cell) assignment, query lookup
+    * and probe-cell choice. Shared by `ivfProbeSql` and the IVF-PQ
+    * composition (`Quantization.ivfPqTopKSql`). */
+  private[ext] def ivfCoreCtesSql(qId: Long, nprobe: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |comp AS (
+       |  SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+       |cent AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, SUM(floor(x * 1048576.0) / 1048576.0) AS cx
+       |    FROM comp GROUP BY label, pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -(list_dot_product(e.v, c.centroid) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $qId),
+       |probed AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        -(list_dot_product(q.qv, c.centroid) /
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM cent c CROSS JOIN q)
+       |  WHERE rn <= $nprobe)""".stripMargin
+
   val ivfProbeSql: String =
-    """WITH e AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |comp AS (
-      |  SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
-      |cent AS (
-      |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
-      |    SELECT label, pos, SUM(floor(x * 1048576.0) / 1048576.0) AS cx
-      |    FROM comp GROUP BY label, pos)
-      |  GROUP BY label),
-      |assigned AS (
-      |  SELECT vec_id, v, cell FROM (
-      |    SELECT e.vec_id, e.v, c.cell,
-      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |        -(list_dot_product(e.v, c.centroid) /
-      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
-      |        c.cell ASC) AS rn
-      |    FROM e CROSS JOIN cent c)
-      |  WHERE rn = 1),
-      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      |probed AS (
-      |  SELECT cell FROM (
-      |    SELECT c.cell,
-      |      ROW_NUMBER() OVER (ORDER BY
-      |        -(list_dot_product(q.qv, c.centroid) /
-      |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
-      |        c.cell ASC) AS rn
-      |    FROM cent c CROSS JOIN q)
-      |  WHERE rn <= 2),
+    s"""WITH ${ivfCoreCtesSql(qId = 0, nprobe = 2)},
       |scored AS (
       |  SELECT a.vec_id,
       |    list_dot_product(a.v, q.qv) /

@@ -38,6 +38,36 @@ class QuantizationSpec extends SparkSuite {
     }
   }
 
+  test("ivf-pq equals the global ADC ranking restricted to probed cells") {
+    val emb = fixtureEmb
+    // re-derive the probe-cell choice independently (same (−cos, cell)
+    // contract as ivfProbe)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val probe = Similarity.labelCentroids(emb)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .map { case (c, ctr) =>
+        c -> -(dot(qv, ctr) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(ctr, ctr))))
+      }.sortBy { case (c, d) => (d, c) }.take(2).map(_._1).toSet
+
+    val got = Quantization.ivfPqTopK(spark, sfDir, dim = 64, m = 4, k = 8,
+      iters = 2, qId = 0L, nprobe = 2, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._2).forall(probe.contains), s"cells outside probe set: $got")
+
+    val cells = Similarity.ivfAssign(emb).select(col("vec_id"), col("cell"))
+    val expected = Quantization.pqTopK(emb, dim = 64, m = 4, k = 8,
+      iters = 2, qId = 0L, topK = Int.MaxValue)
+      .join(cells, col("neighbor_id") === col("vec_id"))
+      .filter(col("cell").isin(probe.toSeq: _*))
+      .orderBy(col("approx_d2"), col("neighbor_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.map(r => (r._1, r._3)) == expected)
+  }
+
   test("result is invariant to input partitioning") {
     def run(parts: Int) = Quantization.pqTopK(
       fixtureEmb.repartition(parts), dim = 64, m = 4, k = 8,
