@@ -133,6 +133,53 @@ object Sketches {
        |WHERE token <> ''
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`/`hll_union_agg`): each shard (source)
+    * builds its own sketch; the global unique-document count comes from
+    * MERGING the shard sketches — never from a global distinct shuffle.
+    * That mergeability is THE reason sketches exist at 100 TB: per-
+    * shard sketches are bytes, the union is associative, and a
+    * 1000-executor corpus census becomes a tree-reduce of tiny
+    * buffers. Emitted contracts:
+    *   n_exact           — exact distinct fingerprints (both engines)
+    *   merge_consistent  — estimate(union of shard sketches) agrees
+    *                       with estimate(one whole-corpus sketch)
+    *                       within the error bound. NOT exact equality:
+    *                       DataSketches unions promote sparse-mode
+    *                       (coupon-exact) sketches to dense HLL
+    *                       registers, so a small corpus's single
+    *                       sketch answers exactly while the union
+    *                       answers with HLL error — both within bound
+    *   est_ok            — |merged estimate − exact| within 3× the
+    *                       configured relative-error bound
+    */
+  def hllShardedDistinct(docs: DataFrame, lgK: Int = 12,
+      relErr: Double = 0.05): DataFrame = {
+    val fps = docs.select(col("source"), md5(col("text")).as("fp"))
+    val perShard = fps.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("fp"), lit(lgK)).as("sk"))
+    val merged = perShard
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_merged"),
+        count(lit(1)).as("n_shards"))
+    val whole = fps.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("fp"), lit(lgK))).as("est_whole"),
+      countDistinct(col("fp")).as("n_exact"))
+    merged.crossJoin(whole) // two 1-row sides
+      .select(col("n_exact"), col("n_shards"),
+        (abs(col("est_merged") - col("est_whole")) <=
+          lit(3.0 * relErr) * col("n_exact")).as("merge_consistent"),
+        (abs(col("est_merged") - col("n_exact")) <=
+          lit(3.0 * relErr) * col("n_exact")).as("est_ok"))
+  }
+
+  def hllShardedDistinctSql: String =
+    """SELECT COUNT(DISTINCT md5(text)) AS n_exact,
+      |  COUNT(DISTINCT source) AS n_shards,
+      |  TRUE AS merge_consistent,
+      |  TRUE AS est_ok
+      |FROM documents""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
     "contamination_bloom" -> QueryDef(
       (s, d) => bloomDecontaminate(Tables.documents(s, d), "src0"),
@@ -140,7 +187,11 @@ object Sketches {
 
     "freq_topk_cms" -> QueryDef(
       (s, d) => cmsTopTokens(Tables.documents(s, d), 20),
-      cmsTopTokensSql(20))
+      cmsTopTokensSql(20)),
+
+    "distinct_hll_union" -> QueryDef(
+      (s, d) => hllShardedDistinct(Tables.documents(s, d)),
+      hllShardedDistinctSql)
   )
 
   def queries: Seq[(String, QueryDef)] = q

@@ -108,6 +108,21 @@ class SearchSketchSpec extends SparkSuite {
     java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 < frac
   }
 
+  test("hllShardedDistinct: contracts hold at estimating cardinality " +
+      "(20k uniques force dense HLL mode, not sparse-exact)") {
+    import spark.implicits._
+    // 4 shards × 5000 docs, all texts globally unique → n_exact = 20000,
+    // far past lgK=12's sparse region, so the ±3·relErr bound is doing
+    // real work, not passing on coupon-exact counts
+    val docs = (0 until 20000)
+      .map(i => (s"shard${i % 4}", s"unique document number $i"))
+      .toDF("source", "text")
+    val r = Sketches.hllShardedDistinct(docs).collect()(0)
+    assert(r.getLong(0) == 20000L && r.getLong(1) == 4L)
+    assert(r.getBoolean(2), "merged vs whole estimate outside bound")
+    assert(r.getBoolean(3), "merged estimate vs exact outside bound")
+  }
+
   test("incrementalDedup: planted copies exact_dup, crafted edit near_dup") {
     val frac = 0.5
     val batchId = (0L to 50L).find(inBatch(_, frac)).get
