@@ -281,6 +281,53 @@ object TextOps {
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // ---- L4b keyword extraction: top-3 distinctive tokens per doc by
+    //      an integer tf·idf — score = tf · ((N·1000) div df), exact
+    //      BIGINT arithmetic instead of log-idf (libm last bits are not
+    //      a portable surface; the MONOTONE rarity weight N/df ranks
+    //      identically to log(N/df) at fixed tf). Ties break on token.
+    //      Plan: the tf and df aggregates both partially aggregate; the
+    //      per-doc top-3 rank-filter plans as WindowGroupLimit, so
+    //      candidate lists prune during the shuffle — the topk_per_group
+    //      shape applied to tagging a corpus
+    "text_keywords" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(graft.functions.WordShingles.word_ngrams(col("text"), 1))
+            .as("token"))
+        val tf = toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("token"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, Seq("token")).crossJoin(n) // 1-row count side
+          .withColumn("score", expr("tf * ((n_docs * 1000) div df)"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("token"))))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf * ((n.n_docs * 1000) // df.df) AS BIGINT) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ((n.n_docs * 1000) // df.df) DESC, tf.token)
+        |      AS INT) AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
     // ---- L4 corpus-frequency commonness: a unigram-LM-style quality
     //      signal — the mean CORPUS frequency of a document's tokens
     //      (template/boilerplate text scores high, rare-token noise

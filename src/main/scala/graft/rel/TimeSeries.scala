@@ -139,11 +139,55 @@ object TimeSeries {
       |   OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
       |ORDER BY e.event_id""".stripMargin
 
+  /** Hour-of-day seasonality profile — the detrending table a capacity
+    * or anomaly model consumes: per clock hour, event volume, exact
+    * value mass, and the seasonal index (hour mean ÷ global mean).
+    *
+    * Exactness discipline: value mass accumulates as DECIMAL(12,2)
+    * (order-independent integer arithmetic underneath) through BOTH
+    * aggregation levels — hour and global — and doubles appear only in
+    * the final divisions: each mean is ONE exactly-rounded IEEE divide
+    * of exact inputs and the index ONE divide of those two, so every
+    * engine computes bit-identical indexes (the `agg_corr_exact`
+    * moment discipline applied to seasonality). One shuffle (24
+    * groups); the global level folds the 24-row hourly table, never
+    * re-scans events. */
+  def hourlySeasonality(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_dec"))
+    val global = hourly.agg(
+      sum(col("sum_dec")).as("gsum"), sum(col("n_events")).as("gn"))
+    hourly.crossJoin(global) // 1-row global side
+      .select(col("hour"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"),
+        ((col("sum_dec").cast("double") / col("n_events")) /
+          (col("gsum").cast("double") / col("gn"))).as("seasonal_index"))
+      .orderBy(col("hour"))
+  }
+
+  val hourlySeasonalitySql: String =
+    """WITH h AS (
+      |  SELECT hour(CAST(ts AS TIMESTAMP)) AS hour,
+      |         COUNT(*) AS n_events,
+      |         SUM(CAST(value AS DECIMAL(12,2))) AS sum_dec
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT SUM(sum_dec) AS gsum, SUM(n_events) AS gn FROM h)
+      |SELECT CAST(h.hour AS INT) AS hour, h.n_events,
+      |       CAST(h.sum_dec AS DOUBLE) AS sum_value,
+      |       (CAST(h.sum_dec AS DOUBLE) / h.n_events) /
+      |         (CAST(g.gsum AS DOUBLE) / g.gn) AS seasonal_index
+      |FROM h CROSS JOIN g
+      |ORDER BY hour""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "ts_fill_forward" -> QueryDef(
       (s, d) => fillForwardDaily(Tables.events(s, d)), fillForwardDailySql),
     "events_transitions" -> QueryDef(
       (s, d) => eventTransitions(Tables.events(s, d)), eventTransitionsSql),
     "anomaly_iqr" -> QueryDef(
-      (s, d) => iqrOutliers(Tables.events(s, d)), iqrOutliersSql))
+      (s, d) => iqrOutliers(Tables.events(s, d)), iqrOutliersSql),
+    "ts_seasonality" -> QueryDef(
+      (s, d) => hourlySeasonality(Tables.events(s, d)), hourlySeasonalitySql))
 }
