@@ -64,17 +64,21 @@ object Streams {
     * the other side's watermark passes `purchase_ts − 10 min`. Without
     * the interval bound a stream-stream join must buffer forever — the
     * difference between O(window) and O(stream) state at 100 TB/day. */
-  def purchaseAttribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    // watermark delay scales with the lookback: join state must hold a
+    // view until the other side's watermark passes purchase − window
+    val wm = s"${windowMinutes * 2} minutes"
     val v = views.select(col("user_id").as("v_user"),
         col("ts").as("view_ts"), col("event_id").as("view_id"))
-      .withWatermark("view_ts", "20 minutes")
+      .withWatermark("view_ts", wm)
     val p = purchases.select(col("user_id").as("p_user"),
         col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
-      .withWatermark("purchase_ts", "20 minutes")
+      .withWatermark("purchase_ts", wm)
     p.join(v, expr(
-      """p_user = v_user AND
+      s"""p_user = v_user AND
         |view_ts <= purchase_ts AND
-        |view_ts >= purchase_ts - INTERVAL 10 MINUTES""".stripMargin))
+        |view_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES""".stripMargin))
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("view_id"), col("purchase_ts"), col("view_ts"))
   }

@@ -182,7 +182,58 @@ object EventAnalytics {
        |SELECT path, COUNT(*) AS n FROM p
        |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
 
+  /** Last-touch purchase attribution — the BATCH declaration of the
+    * stream-stream interval join (`ext/streaming/Streams
+    * .purchaseAttribution`): each purchase joins the same user's views
+    * from the preceding day, and the LATEST such view (ties on
+    * view_id) wins the credit. Running the streaming transform verbatim
+    * on batch input puts the interval-join semantics behind the DuckDB
+    * hash gate — StreamingSpec's streamed ≡ batch differential then
+    * extends that gate to the streaming path. The per-purchase argmax
+    * plans as WindowGroupLimit; the interval join shuffles both sides
+    * on user_id once. */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val joined = graft.ext.streaming.Streams.purchaseAttribution(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      windowMinutes = 1440)
+    joined
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("purchase_id"))
+          .orderBy(col("view_ts").desc, col("view_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("attributed_view"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+      |         event_id AS view_id
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+      |         event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, v.view_id,
+      |         p.purchase_ts, v.view_ts,
+      |         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+      |  FROM p JOIN v ON v.user_id = p.user_id
+      |    AND v.view_ts <= p.purchase_ts
+      |    AND v.view_ts >= p.purchase_ts - INTERVAL 1440 MINUTE)
+      |SELECT purchase_id, user_id, view_id AS attributed_view,
+      |       epoch_us(purchase_ts) - epoch_us(view_ts) AS gap_us
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_attribution" -> QueryDef(
+      (s, d) => lastTouchAttribution(Tables.events(s, d)),
+      lastTouchAttributionSql),
     "events_funnel" -> QueryDef(
       (s, d) => funnel(Tables.events(s, d)), funnelSql),
     "events_retention" -> QueryDef(
