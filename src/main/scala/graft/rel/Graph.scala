@@ -397,6 +397,64 @@ object Graph {
        |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
   }
 
+  /** Bounded-depth single-source BFS distances: `maxDepth` rounds of
+    * frontier expansion from the smallest node id in the edge set (a
+    * deterministic source — no parameter to disagree on). Classic
+    * distributed BFS: each round joins ONLY the newest frontier to the
+    * adjacency (never the whole visited set), anti-joins out already-
+    * visited nodes, and checkpoints the visited relation to cut the
+    * iteration's lineage (the PageRank/LPA discipline). Frontier and
+    * visited state are O(|V|); each round is one frontier join + one
+    * anti join, both partially shuffled on node. First visit = minimum
+    * distance, the BFS invariant both engines agree on. */
+  def bfsDistances(edges: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    // materialize the edge set ONCE: every round joins against it, and
+    // an unmaterialized lineage (here: the backbone's lineitem
+    // self-join) would otherwise recompute per round — measured 5.6 s
+    // → 2.6 s at sf0.1 for 4 rounds
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val src0 = e.agg(min(col("src"))).head().getLong(0)
+    var visited = e.sparkSession.range(1)
+      .select(lit(src0).as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.orderBy(col("node"))
+  }
+
+  /** Oracle: DuckDB recursive CTE — UNION-dedup on (node, dist) pairs
+    * bounded by depth, then MIN(dist) per node ≡ first-visit BFS. */
+  def bfsDistancesSql(maxDepth: Int): String =
+    s"""WITH RECURSIVE eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |bfs AS (
+       |  SELECT (SELECT MIN(src) FROM e) AS node, 0 AS dist
+       |  UNION
+       |  SELECT e.dst, bfs.dist + 1
+       |  FROM bfs JOIN e ON e.src = bfs.node
+       |  WHERE bfs.dist < $maxDepth)
+       |SELECT node, CAST(MIN(dist) AS INT) AS dist
+       |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(
       (s, d) => partPageRankBucketed(s, d),
@@ -406,7 +464,14 @@ object Graph {
       triangleCountsSql(50)),
     "graph_communities" -> QueryDef(
       (s, d) => partCommunities(Tables.lineitem(s, d)),
-      partCommunitiesSql()))
+      partCommunitiesSql()),
+    "graph_bfs" -> QueryDef(
+      (s, d) => {
+        val half = backboneEdges(Tables.lineitem(s, d), 2L)
+        bfsDistances(half.unionByName(
+          half.select(col("dst").as("src"), col("src").as("dst"))), 4)
+      },
+      bfsDistancesSql(4)))
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and

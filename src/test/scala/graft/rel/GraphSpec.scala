@@ -87,6 +87,16 @@ class GraphSpec extends SparkSuite {
     assert(run(1) == run(7))
   }
 
+  test("bfs distances: hand path+branch graph, depth bound honored") {
+    // 1–2–3–4–5 path with a branch 2–10; source = min node = 1
+    val half = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 2L -> 10L)
+    val sym = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Graph.bfsDistances(sym, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 5 is at distance 4 — beyond the depth bound, absent
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 10L -> 2, 4L -> 3))
+  }
+
   test("co-purchase edges are distinct, symmetric, self-loop-free") {
     val li = Seq((1L, 10L), (1L, 11L), (1L, 10L), (2L, 10L), (2L, 12L), (3L, 13L))
       .toDF("l_orderkey", "l_partkey")
