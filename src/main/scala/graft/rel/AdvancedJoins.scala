@@ -101,6 +101,94 @@ object AdvancedJoins {
       },
       asofOracleSql),
 
+    // ---- J6b FORWARD as-of join (earliest view AT-OR-AFTER each
+    //      purchase): the mirror of join_asof — views tag 2 so an
+    //      equal-ts view sorts AFTER the probe and the current-row-to-
+    //      following frame includes it; `first(ignoreNulls)` replaces
+    //      `last`. Same single union + one keyed window sort, no
+    //      events×events join ------------------------------------------
+    "join_asof_forward" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(2).as("tag"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        views.unionByName(buys)
+          .withColumn("next_view_ts",
+            first(when(col("tag") === 2, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("next_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("next_view_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT e1.event_id, e1.user_id,
+        |  strftime(CAST((SELECT min(e2.ts) FROM events e2
+        |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+        |                   AND e2.ts >= e1.ts) AS TIMESTAMP),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS next_view_ts
+        |FROM events e1
+        |WHERE e1.event_type = 'purchase'
+        |ORDER BY e1.user_id, e1.event_id""".stripMargin),
+
+    // ---- J6c NEAREST as-of join: per purchase, the view minimizing
+    //      |Δts| — backward and forward passes composed in one plan
+    //      (both windows share the user_id sort), tie to the earlier
+    //      view, microsecond-integer gaps so the comparison is exact --
+    "join_asof_nearest" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+        val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        views.unionByName(buys)
+          .withColumn("prev_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(wb))
+          .withColumn("next_ts",
+            first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(wf))
+          .filter(col("tag") === 1)
+          .withColumn("gap_prev",
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+          .withColumn("gap_next",
+            unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .withColumn("nearest_view_ts",
+            when(col("next_ts").isNull, col("prev_ts"))
+              .when(col("prev_ts").isNull, col("next_ts"))
+              .when(col("gap_prev") <= col("gap_next"), col("prev_ts"))
+              .otherwise(col("next_ts")))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("nearest_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("nearest_view_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """WITH p AS (
+        |  SELECT e1.event_id, e1.user_id, e1.ts,
+        |    (SELECT max(e2.ts) FROM events e2
+        |     WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+        |       AND e2.ts <= e1.ts) AS prev_ts,
+        |    (SELECT min(e2.ts) FROM events e2
+        |     WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+        |       AND e2.ts > e1.ts) AS next_ts
+        |  FROM events e1 WHERE e1.event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  strftime(CAST(
+        |    CASE WHEN next_ts IS NULL THEN prev_ts
+        |         WHEN prev_ts IS NULL THEN next_ts
+        |         WHEN epoch_us(ts) - epoch_us(prev_ts)
+        |              <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+        |         ELSE next_ts END AS TIMESTAMP),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS nearest_view_ts
+        |FROM p ORDER BY user_id, event_id""".stripMargin),
+
     // ---- J6 as-of join through the CUSTOM operator (graft.plans.AsOfJoin:
     //      logical node → injected strategy → co-partitioned single-pass
     //      merge exec) — same semantics, same oracle, minimal plan:

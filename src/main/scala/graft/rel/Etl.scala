@@ -286,7 +286,52 @@ object Etl {
       |       MIN(COALESCE(b_key, a_key)) AS first_key
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** CDC changelog apply — `upsertLatest` plus the piece MERGE
+    * semantics need that it lacks: DELETE tombstones. The events log
+    * stands in for a CDC feed keyed by user (signup = insert,
+    * view/click/purchase = update, error = tombstone); the final
+    * snapshot keeps each key's LATEST operation in (ts, event_id)
+    * order and drops keys whose latest op is the tombstone. One
+    * per-key window pick (WindowGroupLimit — candidates prune during
+    * the shuffle), no join: apply cost is O(log), the replication
+    * pattern at any scale. The carried `value` is passthrough, never
+    * re-accumulated — hash-exact. */
+  def cdcApply(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val log = events.withColumn("op",
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U"))
+    log
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("op").as("last_op"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcApplySql: String =
+    """WITH log AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D'
+      |         ELSE 'U' END AS op
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, op, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log)
+      |SELECT user_id, event_id AS last_event, op AS last_op,
+      |       value AS last_value
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "etl_cdc_apply" -> QueryDef(
+      (s, d) => cdcApply(Tables.events(s, d)), cdcApplySql),
     "scd2_merge" -> QueryDef(
       (s, d) => scd2Customer(Tables.customer(s, d)), scd2CustomerSql),
     "etl_diff" -> QueryDef(
