@@ -174,11 +174,13 @@ object Sketches {
   }
 
   def hllShardedDistinctSql: String =
-    """SELECT COUNT(DISTINCT md5(text)) AS n_exact,
-      |  COUNT(DISTINCT source) AS n_shards,
-      |  TRUE AS merge_consistent,
-      |  TRUE AS est_ok
-      |FROM documents""".stripMargin
+    """SELECT n_exact, n_shards, merge_consistent, est_ok FROM (
+      |  SELECT COUNT(DISTINCT md5(text)) AS n_exact,
+      |    COUNT(DISTINCT source) AS n_shards,
+      |    TRUE AS merge_consistent,
+      |    TRUE AS est_ok
+      |  FROM documents)
+      |ORDER BY n_exact""".stripMargin
 
   private val q: Seq[(String, QueryDef)] = Seq(
     "contamination_bloom" -> QueryDef(

@@ -83,6 +83,32 @@ object Streams {
         col("view_id"), col("purchase_ts"), col("view_ts"))
   }
 
+  /** W6b — the LEFT OUTER stream-stream interval join: purchases with
+    * no qualifying view must still be emitted (with null view columns),
+    * but only once the view-side watermark has passed the end of their
+    * lookback window — before that, a matching view could still
+    * arrive. Same bounded state as the inner join; the extra semantics
+    * are the deferred null-emission, which StreamingSpec exercises by
+    * advancing the watermark with a later batch and only then observing
+    * the unmatched purchase. */
+  def purchaseAttributionOuter(views: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val wm = s"${windowMinutes * 2} minutes"
+    val v = views.select(col("user_id").as("v_user"),
+        col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", wm)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", wm)
+    p.join(v, expr(
+      s"""p_user = v_user AND
+        |view_ts <= purchase_ts AND
+        |view_ts >= purchase_ts - INTERVAL $windowMinutes MINUTES""".stripMargin),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("purchase_ts"), col("view_ts"))
+  }
+
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp)
   case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

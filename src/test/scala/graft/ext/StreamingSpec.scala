@@ -111,6 +111,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched purchase emits with null " +
+      "view only after the watermark passes its window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[Ev]
+    val pIn = MemoryStream[Ev]
+    val q = Streams.purchaseAttributionOuter(vIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("attrib_outer_out")
+      .outputMode("append").start()
+    try {
+      // user 1 purchases with a qualifying view; user 3 purchases with
+      // none — its null row may NOT appear until the view watermark
+      // passes (purchase_ts − 10 min … purchase_ts window closed)
+      vIn.addData(Ev(ts(14), "view", 1.0, 1, 2))
+      pIn.addData(Ev(ts(20), "purchase", 9.0, 1, 100),
+        Ev(ts(20), "purchase", 9.0, 3, 101))
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer_out").collect()
+      assert(!early.exists(_.getAs[Long]("purchase_id") == 101L),
+        "unmatched purchase emitted before its window could close")
+      // advance BOTH watermarks far past the window
+      vIn.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.0, 9, 500))
+      pIn.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 0.0, 9, 501))
+      q.processAllAvailable()
+      // one more batch: outer results flush on the watermark AFTER the
+      // one that passed the window end
+      vIn.addData(Ev(Timestamp.valueOf("2024-01-01 12:30:00"), "view", 0.0, 9, 502))
+      pIn.addData(Ev(Timestamp.valueOf("2024-01-01 12:30:00"), "purchase", 0.0, 9, 503))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer_out")
+        .filter(col("purchase_id").isin(100L, 101L)).collect()
+      val matched = rows.filter(_.getAs[Long]("purchase_id") == 100L)
+      val unmatched = rows.filter(_.getAs[Long]("purchase_id") == 101L)
+      assert(matched.length == 1 && matched(0).getAs[Long]("view_id") == 2L)
+      assert(unmatched.length == 1 && unmatched(0).isNullAt(
+        unmatched(0).fieldIndex("view_id")),
+        s"expected one null-view row for purchase 101, got ${rows.toSeq}")
+      // batch twin on the same inputs agrees (nulls included)
+      val allViews = Seq(Ev(ts(14), "view", 1.0, 1, 2))
+      val allBuys = Seq(Ev(ts(20), "purchase", 9.0, 1, 100),
+        Ev(ts(20), "purchase", 9.0, 3, 101))
+      val batched = Streams.purchaseAttributionOuter(
+        allViews.toDF(), allBuys.toDF())
+        .select(col("purchase_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(batched == Set((100L, 2L), (101L, -1L)))
+    } finally q.stop()
+  }
+
   test("watermark drops late data: an event behind the watermark cannot " +
       "change a finalized window") {
     import spark.implicits._
