@@ -346,6 +346,45 @@ object Corpus {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The C4-style end-to-end cleaning pass a training pipeline actually
+    * deploys — three oracle-checked stages composed into ONE corpus
+    * filter: near-dup canonicalization (keep one per cluster), language
+    * gate (predicted English), quality gate (rule points ≥ 3). Each
+    * stage is the SAME logic as its standalone declaration
+    * (`corpus_canonical`, `text_langid`, `text_quality` — one source of
+    * truth, reused), so the composite's oracle composes their SQL.
+    * Plan shape: the cluster semi-join is the only join; both score
+    * gates are narrow Columns fused into the scan-side filter. */
+  def cleanCorpus(docs: DataFrame): DataFrame =
+    canonicalCorpusMd5Docs(docs)
+      .withColumn("quality_score", TextOps.qualityScore)
+      .withColumn("en_score", TextOps.enScore)
+      .filter(col("quality_score") >= 3 && col("en_score") >= 2)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("quality_score"), col("en_score"))
+      .orderBy(col("doc_id"))
+
+  /** `canonicalCorpusMd5` keeping the full row (text included) for
+    * downstream score columns. */
+  private def canonicalCorpusMd5Docs(docs: DataFrame): DataFrame =
+    keepCanonical(docs, nearDupClustersMd5(docs, 0.5))
+
+  lazy val cleanCorpusSql: String = {
+    val prefix = canonicalCorpusMd5Sql
+      .replaceAll("(?s)SELECT d\\.doc_id, d\\.source, d\\.lang.*$", "")
+      .trim
+    s"""$prefix
+       |SELECT doc_id, source, lang, quality_score, en_score FROM (
+       |  SELECT d.doc_id, d.source, d.lang,
+       |    CAST(${TextOps.qualityScoreSql("d")} AS INT) AS quality_score,
+       |    CAST(${TextOps.enScoreSql("d")} AS INT) AS en_score
+       |  FROM documents d
+       |  LEFT JOIN comp ON comp.id = d.doc_id
+       |  WHERE comp.id IS NULL OR comp.component = d.doc_id)
+       |WHERE quality_score >= 3 AND en_score >= 2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- sampling
 
   /** Deterministic stratified sampling: keep a row iff the uniform
@@ -592,6 +631,9 @@ object Corpus {
     "corpus_canonical" -> QueryDef(
       (s, d) => canonicalCorpusMd5(Tables.documents(s, d)),
       Some(canonicalCorpusMd5Sql)),
+    "corpus_clean" -> QueryDef(
+      (s, d) => cleanCorpus(Tables.documents(s, d)),
+      Some(cleanCorpusSql)),
     "sample_stratified" -> QueryDef(
       (s, d) => stratifiedSample(Tables.documents(s, d), SampleRates, 0.1),
       stratifiedSampleSql(SampleRates, 0.1)),

@@ -122,7 +122,9 @@ object Multimodal {
     *   f0 = frame count, f1 = sample rate (Hz), f2 = channels,
     *   f3 = Σ samples, f4 = Σ samples² (both exact in doubles — integer
     *   sums far below 2⁵³, so portable to any engine),
-    *   f5 = max |sample|, f6 = 0 (reserved), f7 = 1.0 real-decode marker.
+    *   f5 = max |sample|, f6 = zero-crossing count (adjacent-sample
+    *   sign flips, negative vs non-negative — the classic integer
+    *   voicing/noisiness signal), f7 = 1.0 real-decode marker.
     *
     * Returns None for non-WAV bytes (UnsupportedAudioFileException) or
     * formats outside PCM16 — the caller falls back to the stub, same
@@ -138,12 +140,15 @@ object Multimodal {
       else {
         val data = ais.readAllBytes()
         val n = data.length / 2
-        var sum = 0L; var sumSq = 0L; var maxAbs = 0L
+        var sum = 0L; var sumSq = 0L; var maxAbs = 0L; var zc = 0L
+        var prevNeg = false
         var i = 0
         while (i < n) {
           val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toLong
           sum += s; sumSq += s * s
           if (math.abs(s) > maxAbs) maxAbs = math.abs(s)
+          if (i > 0 && (s < 0) != prevNeg) zc += 1
+          prevNeg = s < 0
           i += 1
         }
         val out = new Array[Float](dims)
@@ -155,6 +160,7 @@ object Multimodal {
         out(3) = sum.toFloat
         out(4) = sumSq.toFloat
         out(5) = maxAbs.toFloat
+        out(6) = zc.toFloat // zero crossings: adjacent-sample sign flips
         out(7) = 1.0f
         Some(out)
       }
@@ -465,6 +471,7 @@ object Multimodal {
         element_at(col("feature"), 4).cast("double").as("sum_samples"),
         element_at(col("feature"), 5).cast("double").as("sum_squares"),
         element_at(col("feature"), 6).cast("double").as("max_abs"),
+        element_at(col("feature"), 7).cast("double").as("zero_crossings"),
         (element_at(col("feature"), 8) === 1.0f).as("decoded"))
       .orderBy(col("doc_id"))
 
@@ -473,7 +480,10 @@ object Multimodal {
       |  SELECT doc_id, 64 + doc_id % 128 AS n
       |  FROM documents WHERE doc_id % 3 = 1),
       |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a),
-      |v AS (SELECT doc_id, n, (doc_id * 31 + i * 17) % 256 - 128 AS smp FROM s)
+      |v AS (SELECT doc_id, n, i,
+      |        (doc_id * 31 + i * 17) % 256 - 128 AS smp FROM s),
+      |w AS (SELECT doc_id, n, smp,
+      |        LAG(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v)
       |SELECT doc_id,
       |  CAST(n AS DOUBLE) AS n_frames,
       |  CAST(8000 AS DOUBLE) AS sample_rate,
@@ -481,8 +491,11 @@ object Multimodal {
       |  CAST(SUM(smp) AS DOUBLE) AS sum_samples,
       |  CAST(SUM(smp * smp) AS DOUBLE) AS sum_squares,
       |  CAST(MAX(ABS(smp)) AS DOUBLE) AS max_abs,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL
+      |                 AND (prev < 0) <> (smp < 0) THEN 1 ELSE 0 END)
+      |       AS DOUBLE) AS zero_crossings,
       |  TRUE AS decoded
-      |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+      |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
   /** Minimal spec-conformant RIFF/AVI container around an MJPEG stream:
     * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,strf}} →

@@ -73,6 +73,38 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The `text_quality` rule points as a reusable Column (0–4): length
+    * band, token count, mean token length band, type-token ratio. */
+  def qualityScore: org.apache.spark.sql.Column = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val tokenCount = size(toks)
+    val avgTok = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount
+    when(length(col("text")).between(100, 1000), 1).otherwise(0) +
+      when(tokenCount >= 20, 1).otherwise(0) +
+      when(avgTok.between(3.0, 8.0), 1).otherwise(0) +
+      when(size(array_distinct(toks)) * 2 >= tokenCount, 1).otherwise(0)
+  }
+
+  /** SQL twin of `qualityScore` over a `documents`-aliased relation. */
+  def qualityScoreSql(alias: String): String =
+    s"""(CASE WHEN length($alias.text) BETWEEN 100 AND 1000 THEN 1 ELSE 0 END) +
+       |(CASE WHEN len(list_filter(string_split($alias.text, ' '), x -> x <> '')) >= 20 THEN 1 ELSE 0 END) +
+       |(CASE WHEN CAST(list_sum(list_transform(list_filter(string_split($alias.text, ' '), x -> x <> ''), x -> length(x))) AS DOUBLE)
+       |      / len(list_filter(string_split($alias.text, ' '), x -> x <> ''))
+       |      BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END) +
+       |(CASE WHEN len(list_distinct(list_filter(string_split($alias.text, ' '), x -> x <> ''))) * 2
+       |      >= len(list_filter(string_split($alias.text, ' '), x -> x <> '')) THEN 1 ELSE 0 END)""".stripMargin
+
+  /** The `text_langid` English stopword score as a reusable Column. */
+  def enScore: org.apache.spark.sql.Column =
+    size(filter(split(col("text"), " "),
+      t => t.isin("the", "a", "and", "of")))
+
+  def enScoreSql(alias: String): String =
+    s"""len(list_filter(string_split($alias.text, ' '),
+       |    t -> t IN ('the','a','and','of')))""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
 
     // ---- L1 exact dedup: group by full text, canonical = min doc_id ----
@@ -201,20 +233,9 @@ object TextOps {
 
     // ---- L4 quality scoring (deterministic rule points) -----------------
     "text_quality" -> QueryDef(
-      (s, d) => {
-        val toks = filter(split(col("text"), " "), t => t =!= "")
-        val tokenCount = size(toks)
-        val avgTok = aggregate(toks, lit(0), (acc, t) => acc + length(t))
-          .cast("double") / tokenCount
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          (when(length(col("text")).between(100, 1000), 1).otherwise(0) +
-            when(tokenCount >= 20, 1).otherwise(0) +
-            when(avgTok.between(3.0, 8.0), 1).otherwise(0) +
-            when(size(array_distinct(toks)) * 2 >= tokenCount, 1).otherwise(0))
-            .as("quality_score"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore.as("quality_score"))
+        .orderBy(col("doc_id")),
       """WITH t AS (
         |  SELECT doc_id, text,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -230,17 +251,13 @@ object TextOps {
 
     // ---- L4 language-ID heuristic (stopword scoring) --------------------
     "text_langid" -> QueryDef(
-      (s, d) => {
-        val toks = split(col("text"), " ")
-        val enScore = size(filter(toks, t => t.isin("the", "a", "and", "of")))
-        Tables.documents(s, d).select(
-          col("doc_id"), col("lang"),
-          enScore.as("en_score"),
-          when(enScore >= 2, "en").when(enScore === 1, "maybe_en")
-            .otherwise("unknown").as("predicted"))
-          .withColumn("is_match", col("predicted") === col("lang"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        enScore.as("en_score"),
+        when(enScore >= 2, "en").when(enScore === 1, "maybe_en")
+          .otherwise("unknown").as("predicted"))
+        .withColumn("is_match", col("predicted") === col("lang"))
+        .orderBy(col("doc_id")),
       """WITH s AS (
         |  SELECT doc_id, lang,
         |    CAST(len(list_filter(string_split(text, ' '),

@@ -135,6 +135,43 @@ object AdvancedJoins {
         |WHERE e1.event_type = 'purchase'
         |ORDER BY e1.user_id, e1.event_id""".stripMargin),
 
+    // ---- J6d as-of join with TOLERANCE (merge_asof's tolerance
+    //      parameter): the backward match nulls out when older than
+    //      30 minutes — microsecond-integer gap compare, so the cutoff
+    //      is exact in both engines -------------------------------------
+    "join_asof_tolerance" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.unionByName(buys)
+          .withColumn("prev_ts",
+            last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .withColumn("asof_view_ts",
+            when(unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              <= 1800000000L, col("prev_ts")))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("asof_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("asof_view_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT e1.event_id, e1.user_id,
+        |  strftime(CAST((SELECT max(e2.ts) FROM events e2
+        |                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+        |                   AND e2.ts <= e1.ts
+        |                   AND epoch_us(e1.ts) - epoch_us(e2.ts) <= 1800000000)
+        |            AS TIMESTAMP),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS asof_view_ts
+        |FROM events e1
+        |WHERE e1.event_type = 'purchase'
+        |ORDER BY e1.user_id, e1.event_id""".stripMargin),
+
     // ---- J6c NEAREST as-of join: per purchase, the view minimizing
     //      |Δts| — backward and forward passes composed in one plan
     //      (both windows share the user_id sort), tie to the earlier
