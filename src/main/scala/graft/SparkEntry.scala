@@ -36,6 +36,7 @@ object SparkEntry {
       rel.Quality.queries ++
       core.ZOrder.queries ++
       ext.TextOps.queries ++
+      ext.Ngrams.queries ++
       ext.Dedup.queries ++
       ext.Corpus.queries ++
       ext.Pipeline.queries ++

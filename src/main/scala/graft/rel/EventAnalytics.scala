@@ -230,7 +230,71 @@ object EventAnalytics {
       |       epoch_us(purchase_ts) - epoch_us(view_ts) AS gap_us
       |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
+  /** MATCH_RECOGNIZE-style sequence matching: `PATTERN (V+ C)` — every
+    * MAXIMAL run of consecutive 'view' events immediately followed by a
+    * 'click', per user in the engine-wide (ts, event_id) total order.
+    * The variable-length `V+` is the gaps-and-islands trick (global
+    * row_number minus views-only row_number is constant within a
+    * consecutive view run), and the trailing `C` is one equi-join on
+    * (user_id, rn = run_end + 1) — sequence regex without an
+    * events×events theta join.
+    *
+    * Scale shape: both row_numbers, the island aggregate and the final
+    * join are all keyed by user_id, so the whole match plans in ONE
+    * exchange; state per user is a row index, not a buffered sequence.
+    * This is the batch shape of what flatMapGroupsWithState does in the
+    * streaming twins. */
+  def matchViewRunsThenClick(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val numbered = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wOrd))
+    val runs = numbered.filter(col("event_type") === "view")
+      .withColumn("grp", col("rn") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("rn"))))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(max(col("rn")).as("end_rn"),
+        count(lit(1)).as("n_views"),
+        min_by(col("event_id"), col("rn")).as("first_view_id"))
+    val clicks = numbered.filter(col("event_type") === "click")
+      .select(col("user_id"), col("rn").as("c_rn"),
+        col("event_id").as("click_event_id"))
+    // explicit aliases: runs and clicks share `numbered`'s lineage, so
+    // unqualified user_id === user_id would construct a trivially-true
+    // predicate (the Spans.scala self-join discipline)
+    runs.as("r").join(clicks.as("c"),
+        col("r.user_id") === col("c.user_id") &&
+          col("c.c_rn") === col("r.end_rn") + 1)
+      .select(col("r.user_id"), col("n_views"),
+        col("first_view_id"), col("click_event_id"))
+      .orderBy(col("r.user_id"), col("first_view_id"))
+  }
+
+  val matchViewRunsThenClickSql: String =
+    """WITH numbered AS (
+      |  SELECT user_id, event_id, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, MAX(rn) AS end_rn, COUNT(*) AS n_views,
+      |         arg_min(event_id, rn) AS first_view_id
+      |  FROM (SELECT user_id, event_id, rn,
+      |          rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |        FROM numbered WHERE event_type = 'view')
+      |  GROUP BY user_id, grp)
+      |SELECT r.user_id, r.n_views, r.first_view_id,
+      |       c.event_id AS click_event_id
+      |FROM runs r JOIN numbered c
+      |  ON c.user_id = r.user_id AND c.rn = r.end_rn + 1
+      |WHERE c.event_type = 'click'
+      |ORDER BY r.user_id, r.first_view_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_pattern" -> QueryDef(
+      (s, d) => matchViewRunsThenClick(Tables.events(s, d)),
+      matchViewRunsThenClickSql),
     "events_attribution" -> QueryDef(
       (s, d) => lastTouchAttribution(Tables.events(s, d)),
       lastTouchAttributionSql),

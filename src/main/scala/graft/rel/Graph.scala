@@ -356,15 +356,20 @@ object Graph {
   def partCommunities(lineitem: DataFrame, iters: Int = 3,
       k: Int = 50): DataFrame = {
     val half = backboneEdges(lineitem, 2L)
-    val edges = half.unionByName(
-      half.select(col("dst").as("src"), col("src").as("dst")))
+    communitiesFromEdges(half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"))), iters, k)
+  }
+
+  /** As `partCommunities`, over a prebuilt MIRRORED edge relation (the
+    * bucketed backbone table in the declared query). */
+  def communitiesFromEdges(edges: DataFrame, iters: Int = 3,
+      k: Int = 50): DataFrame =
     labelPropagation(edges, iters)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("label").as("community"), col("n_members"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(k)
-  }
 
   /** Unrolled-CTE oracle: one (count, argmax) CTE per round; the
     * window-over-aggregate ROW_NUMBER states the same (n DESC, label)
@@ -455,23 +460,93 @@ object Graph {
        |SELECT node, CAST(MIN(dist) AS INT) AS dist
        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
+  /** Build-once MIRRORED co-purchase backbone (support ≥ minSupport),
+    * bucketed on src — the `ensureAdjacency` discipline applied to the
+    * backbone graph that triangles, communities and BFS all consume:
+    * the lineitem self-join + support cut runs ONCE per corpus, and
+    * every downstream src-keyed aggregation/join reads pre-partitioned
+    * buckets. (PageRank keeps its own adjacency table — it runs on the
+    * RAW co-purchase graph, a different relation.) */
+  def ensureBackbone(spark: SparkSession, dir: String,
+      minSupport: Long = 2L): String = synchronized {
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val table = ("graft_bb_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_s" + minSupport + "_b" + buckets).toLowerCase
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true): Unit
+      val half = backboneEdges(Tables.lineitem(spark, dir), minSupport)
+      graft.core.Bucketing.writeBucketed(
+        half.unionByName(
+          half.select(col("dst").as("src"), col("src").as("dst"))),
+        table, "src", buckets)
+    }
+    table
+  }
+
+  /** Connected components of the backbone graph: node → min reachable
+    * id (the same component contract every clustering op in the engine
+    * uses) plus component size. The CC stage is `ext.Corpus
+    * .connectedComponents` verbatim — size-guarded driver union-find
+    * with the distributed hash-min + pointer-jumping fallback — so the
+    * graph family and the dedup family share ONE component
+    * implementation (and its convergence guarantees). Input is the
+    * bucketed mirrored backbone; the src<dst cut recovers unique half
+    * edges without a distinct. */
+  def componentSizes(edges: DataFrame): DataFrame = {
+    val comp = graft.ext.Corpus.connectedComponents(
+      edges.filter(col("src") < col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("id").as("node"), col("component"))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+    comp.join(sizes, Seq("component"))
+      .select(col("node"), col("component"), col("n_nodes"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: reachability as a recursive CTE (UNION-deduped frontier),
+    * MIN over reachable ids per node ≡ hash-min fixpoint. */
+  def componentSizesSql(): String =
+    s"""WITH RECURSIVE eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS a, v AS b FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |sz AS (SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY component)
+       |SELECT c.id AS node, CAST(c.component AS BIGINT) AS component,
+       |       CAST(s.n_nodes AS BIGINT) AS n_nodes
+       |FROM comp c JOIN sz s USING (component)
+       |ORDER BY node""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(
       (s, d) => partPageRankBucketed(s, d),
       partPageRankSql()),
     "graph_triangles" -> QueryDef(
-      (s, d) => triangleCounts(backboneEdges(Tables.lineitem(s, d), 2L), 50),
+      (s, d) => triangleCounts(s.table(ensureBackbone(s, d)), 50),
       triangleCountsSql(50)),
     "graph_communities" -> QueryDef(
-      (s, d) => partCommunities(Tables.lineitem(s, d)),
+      (s, d) => communitiesFromEdges(s.table(ensureBackbone(s, d))),
       partCommunitiesSql()),
     "graph_bfs" -> QueryDef(
-      (s, d) => {
-        val half = backboneEdges(Tables.lineitem(s, d), 2L)
-        bfsDistances(half.unionByName(
-          half.select(col("dst").as("src"), col("src").as("dst"))), 4)
-      },
-      bfsDistancesSql(4)))
+      (s, d) => bfsDistances(s.table(ensureBackbone(s, d)), 4),
+      bfsDistancesSql(4)),
+    "graph_cc" -> QueryDef(
+      (s, d) => componentSizes(s.table(ensureBackbone(s, d))),
+      componentSizesSql()))
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and

@@ -68,6 +68,56 @@ class EventAnalyticsSpec extends SparkSuite {
       s"expected at most one data shuffle, got:\n$plan")
   }
 
+  test("pattern V+ C: maximal view runs, interruption resets, back-to-back runs") {
+    val d = ev(Seq(
+      // user 1: view,view,click → ONE match with n_views = 2
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "view"),
+      (3L, 1L, "2024-01-01 10:02:00", "click"),
+      // user 2: view,purchase,click → run broken before the click, no match
+      (4L, 2L, "2024-01-01 10:00:00", "view"),
+      (5L, 2L, "2024-01-01 10:01:00", "purchase"),
+      (6L, 2L, "2024-01-01 10:02:00", "click"),
+      // user 3: two separate matches — (view)click then (view,view)click
+      (7L, 3L, "2024-01-01 09:00:00", "view"),
+      (8L, 3L, "2024-01-01 09:01:00", "click"),
+      (9L, 3L, "2024-01-01 09:02:00", "view"),
+      (10L, 3L, "2024-01-01 09:03:00", "view"),
+      (11L, 3L, "2024-01-01 09:04:00", "click"),
+      // user 4: trailing view run with no click after it
+      (12L, 4L, "2024-01-01 08:00:00", "view")))
+    val out = EventAnalytics.matchViewRunsThenClick(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 3L),
+      (3L, 1L, 7L, 8L),
+      (3L, 2L, 9L, 11L)))
+  }
+
+  test("pattern match: single exchange — all stages share user_id keying") {
+    // AQE off so executedPlan is the static plan (AdaptiveSparkPlanExec
+    // hides children from collect); exchange REUSE stays on — the
+    // numbered relation appears in both join subtrees and must plan as
+    // one shuffle + one ReusedExchange, never two shuffles
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val d = ev(Seq(
+        (1L, 1L, "2024-01-01 10:00:00", "view"),
+        (2L, 1L, "2024-01-01 10:01:00", "click")))
+        .repartition(4)
+      // hash exchanges only: the input repartition (round-robin) and the
+      // presentation orderBy (range) are not the claim under test
+      val n = EventAnalytics.matchViewRunsThenClick(d)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }.size
+      assert(n == 1, s"expected 1 hash exchange (user_id reused throughout), got $n")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("retention: cohort assignment and day offsets, multi-visit dedup") {
     val d = ev(Seq(
       (1L, 1L, "2024-01-01 10:00:00", "view"),

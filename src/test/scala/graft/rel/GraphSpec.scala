@@ -105,6 +105,20 @@ class GraphSpec extends SparkSuite {
     assert(got === Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
   }
 
+  /** Components over a mirrored edge set: min-id labels, exact sizes,
+    * and the src<dst half-edge cut feeding `Corpus.connectedComponents`
+    * must not drop the singleton-free structure. */
+  test("connected components: two components, min-id labels, sizes") {
+    val half = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val e = half.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.componentSizes(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
   /** K4 has 4 triangles, 3 at each corner; the square has none; the
     * mirrored/duplicated input rows must not inflate counts. */
   test("triangle counts: K4 corners get 3 each, squares get none") {
