@@ -390,6 +390,59 @@ object Streams {
       }
   }
 
+  case class PatternMatch(user_id: Long, n_views: Long,
+      first_view_id: Long, click_event_id: Long)
+
+  /** Streaming sequence matching — the stateful twin of
+    * `rel.EventAnalytics.matchViewRunsThenClick` (`PATTERN (V+ C)`).
+    * Per-user state is the OPEN view run as (count, first view id) —
+    * two longs, O(1) per active user, never a buffered sequence (the
+    * streaming form of the batch operator's "state is a row index"
+    * claim). Each micro-batch replays its events in the engine-wide
+    * (ts, event_id) order: a view extends (or starts) the run, a click
+    * landing on a non-empty run emits the completed match, anything
+    * else resets — matches stream out the moment their closing click
+    * arrives, and a run open at a batch boundary continues seamlessly
+    * in the next batch.
+    *
+    * State expires `horizonMs` past the user's last activity (the
+    * transitionSteps discipline): unbounded feeds keep O(active users),
+    * and a run cannot span the horizon — the documented streaming cut
+    * that batch, with its total view of history, does not need. */
+  def patternMatches(events: Dataset[TransitionEvent],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), PatternMatch](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            var run = state.getOption.getOrElse((0L, 0L))
+            val out = Vector.newBuilder[PatternMatch]
+            batch.foreach { r =>
+              r.event_type match {
+                case "view" =>
+                  run = if (run._1 == 0L) (1L, r.event_id)
+                        else (run._1 + 1, run._2)
+                case "click" if run._1 > 0L =>
+                  out += PatternMatch(userId, run._1, run._2, r.event_id)
+                  run = (0L, 0L)
+                case _ =>
+                  run = (0L, 0L)
+              }
+            }
+            state.update(run)
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   case class TransitionEvent2(event_id: Long, user_id: Long,
       value: Double, ts: java.sql.Timestamp)
 

@@ -599,4 +599,63 @@ class StreamingSpec extends SparkSuite {
       assert(u2 === Seq(("view", "click")))
     } finally q.stop()
   }
+
+  test("streaming pattern matches == batch V+ C matching on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.TransitionEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.patternMatches(input.toDS())
+      .writeStream.format("memory").queryName("pattern_fixture_out")
+      .outputMode("update").start()
+    try {
+      // open view runs must survive micro-batch boundaries
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("pattern_fixture_out")
+        .select("user_id", "n_views", "first_view_id", "click_event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics
+        .matchViewRunsThenClick(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(streamed === batched)
+      assert(batched.nonEmpty, "fixture must exercise the pattern")
+    } finally q.stop()
+  }
+
+  test("streaming pattern: a run split across micro-batches still matches; " +
+      "an interrupting event resets it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tev(id: Long, uid: Long, ty: String, m: Int) =
+      Streams.TransitionEvent(id, uid, ty, ts(m))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.patternMatches(input.toDS())
+      .writeStream.format("memory").queryName("pattern_split_out")
+      .outputMode("update").start()
+    try {
+      // user 1: views in batch 1, click in batch 2 → one match (2 views)
+      // user 2: view, then an error interrupts, then click → no match
+      input.addData(tev(1, 1, "view", 1), tev(2, 1, "view", 2),
+        tev(3, 2, "view", 1))
+      q.processAllAvailable()
+      input.addData(tev(4, 1, "click", 3),
+        tev(5, 2, "error", 2), tev(6, 2, "click", 3))
+      q.processAllAvailable()
+      val got = spark.table("pattern_split_out")
+        .select("user_id", "n_views", "first_view_id", "click_event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(got === Seq((1L, 2L, 1L, 4L)))
+    } finally q.stop()
+  }
 }
