@@ -531,6 +531,61 @@ object Graph {
        |FROM comp c JOIN sz s USING (component)
        |ORDER BY node""".stripMargin
 
+  /** Common-neighbor Jaccard link prediction: top-k NON-adjacent-or-
+    * adjacent node pairs ranked by |N(u)∩N(v)| / |N(u)∪N(v)|, held as
+    * fixed-point ×10^6 BIGINT (exact integer counts, one integer
+    * division — bit-identical cross-engine, the engine-wide ranking
+    * discipline). Wedge enumeration through each common neighbor w
+    * counts every (u,v,w) once; fanout is Σ deg(w)² — the support-≥2
+    * backbone cut is what bounds it (the same densification argument as
+    * triangles/assoc_rules), and the minCommon floor prunes the pair
+    * stream before the degree joins. Degrees come from one count over
+    * the mirrored edge set; both joins are vocabulary-small and
+    * AQE-broadcastable. */
+  def jaccardPairs(edges: DataFrame, k: Int,
+      minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val wedges = e.select(col("src").as("w"), col("dst").as("u"))
+      .join(e.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val common = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"),
+        expr("(n_common * 1000000L) div (du + dv - n_common)").as("jaccard_fp"))
+      .orderBy(col("jaccard_fp").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  def jaccardPairsSql(k: Int, minCommon: Long = 2L): String =
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+       |common AS (
+       |  SELECT a.dst AS u, b.dst AS v, COUNT(*) AS n_common
+       |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY a.dst, b.dst
+       |  HAVING COUNT(*) >= $minCommon)
+       |SELECT c.u, c.v, c.n_common,
+       |       (c.n_common * 1000000) // (du.d + dv.d - c.n_common) AS jaccard_fp
+       |FROM common c
+       |JOIN deg du ON du.node = c.u
+       |JOIN deg dv ON dv.node = c.v
+       |ORDER BY jaccard_fp DESC, c.u, c.v
+       |LIMIT $k""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(
       (s, d) => partPageRankBucketed(s, d),
@@ -546,7 +601,10 @@ object Graph {
       bfsDistancesSql(4)),
     "graph_cc" -> QueryDef(
       (s, d) => componentSizes(s.table(ensureBackbone(s, d))),
-      componentSizesSql()))
+      componentSizesSql()),
+    "graph_jaccard" -> QueryDef(
+      (s, d) => jaccardPairs(s.table(ensureBackbone(s, d)), 50),
+      jaccardPairsSql(50)))
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and

@@ -119,6 +119,23 @@ class GraphSpec extends SparkSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  /** Star 1–{2,3,4} plus the 2–3 edge, hand-computed Jaccard:
+    * (2,4) and (3,4) share only hub 1 but have tiny unions → 1/2;
+    * (2,3) → 1/3; (1,2) and (1,3) → 1/4. */
+  test("jaccard pairs: hand-computed fixed-point scores and ordering") {
+    val half = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L)
+    val e = half.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.jaccardPairs(e, k = 10, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (2L, 4L, 1L, 500000L),
+      (3L, 4L, 1L, 500000L),
+      (2L, 3L, 1L, 333333L),
+      (1L, 2L, 1L, 250000L),
+      (1L, 3L, 1L, 250000L)))
+  }
+
   /** K4 has 4 triangles, 3 at each corner; the square has none; the
     * mirrored/duplicated input rows must not inflate counts. */
   test("triangle counts: K4 corners get 3 each, squares get none") {
