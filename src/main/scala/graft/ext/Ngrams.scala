@@ -156,11 +156,84 @@ object Ngrams {
        |FROM t LEFT JOIN agg a USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its unigram profile looks like a TARGET distribution
+    * (here: the corpus' English documents) relative to the full-corpus
+    * distribution, and keep the top-k. Per token position the
+    * importance ratio `p_target(w) / p_corpus(w)` with add-one
+    * smoothing on both sides is fixed-point ×10^6; the document score
+    * is the exact integer mean — the hashed-n-gram variant of the
+    * paper collapses to exactly this shape with unigram features.
+    *
+    * Scale shape: identical to `lmScore` — narrow token explode, two
+    * vocabulary-bounded count tables (target counts LEFT-joined so
+    * out-of-target tokens score by smoothing alone), broadcast scalars,
+    * one doc-keyed partial agg. Swapping the target to an external
+    * reference corpus changes only the `c_t` count stage. */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+      k: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(Dedup.tokens(col("text"))).as("w"))
+    val cs = toks.groupBy(col("w")).agg(count(lit(1)).as("c_s"))
+    val ct = toks.filter(col("lang") === targetLang)
+      .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+    val scal = toks
+      .agg(count(lit(1)).as("n_s"), countDistinct(col("w")).as("v"))
+      .crossJoin(toks.filter(col("lang") === targetLang)
+        .agg(count(lit(1)).as("n_t")))
+    val scored = toks
+      .join(cs, Seq("w"))
+      .join(ct, Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        expr("""((coalesce(c_t, 0L) + 1) * (n_s + v) * 1000000L)
+               | div ((c_s + 1) * (n_t + v))""".stripMargin).as("r_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r_fp")).as("sum_r"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_r div n_tokens").as("dsir_fp"))
+    scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_fp"))
+      .orderBy(col("dsir_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def dsirSelectSql(targetLang: String = "en", k: Int = 100): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(toks) AS w FROM t),
+       |cs AS (SELECT w, COUNT(*) AS c_s FROM tok GROUP BY w),
+       |ct AS (SELECT w, COUNT(*) AS c_t FROM tok
+       |       WHERE lang = '$targetLang' GROUP BY w),
+       |scal AS (
+       |  SELECT (SELECT COUNT(*) FROM tok) AS n_s,
+       |         (SELECT COUNT(DISTINCT w) FROM tok) AS v,
+       |         (SELECT COUNT(*) FROM tok WHERE lang = '$targetLang') AS n_t),
+       |scored AS (
+       |  SELECT tok.doc_id,
+       |         ((COALESCE(ct.c_t, 0) + 1) * (scal.n_s + scal.v) * 1000000)
+       |           // ((cs.c_s + 1) * (scal.n_t + scal.v)) AS r_fp
+       |  FROM tok JOIN cs USING (w) LEFT JOIN ct USING (w) CROSS JOIN scal),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(r_fp) AS sum_r
+       |  FROM scored GROUP BY doc_id)
+       |SELECT a.doc_id, d.lang, a.n_tokens,
+       |       CAST(a.sum_r // a.n_tokens AS BIGINT) AS dsir_fp
+       |FROM agg a JOIN t d USING (doc_id)
+       |ORDER BY dsir_fp DESC, a.doc_id
+       |LIMIT $k""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "text_collocations" -> QueryDef(
       (s, d) => collocations(Tables.documents(s, d)),
       collocationsSql()),
     "text_lm_score" -> QueryDef(
       (s, d) => lmScore(Tables.documents(s, d)),
-      lmScoreSql))
+      lmScoreSql),
+    "corpus_dsir" -> QueryDef(
+      (s, d) => dsirSelect(Tables.documents(s, d)),
+      dsirSelectSql()))
 }

@@ -57,6 +57,22 @@ class NgramsSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 1L, false), (2L, 0L, true)))
   }
 
+  /** Corpus: doc 1 (en) "a a b", doc 2 (de) "c c a".
+    * N_s=6, V=3, N_t=3; c_s: a=3,b=1,c=2; c_t: a=2,b=1.
+    * r_fp(w) = (c_t+1)·9e6 div ((c_s+1)·6):
+    * a → 1_125_000, b → 1_500_000, c → 500_000.
+    * doc 1 mean = 1_250_000; doc 2 mean = 708_333. */
+  test("dsir: hand-computed importance ratios rank the target-like doc first") {
+    val d = Seq((1L, "a a b", "en"), (2L, "c c a", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = Ngrams.dsirSelect(d, targetLang = "en", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "en", 3L, 1250000L),
+      (2L, "de", 3L, 708333L)))
+  }
+
   /** The cross-engine contract: integer fixed-point makes both ops
     * bit-identical at any parallelism (double arithmetic would drift
     * with aggregation order). */
@@ -65,7 +81,8 @@ class NgramsSpec extends SparkSuite {
     def run(parts: Int) = {
       val d = base.repartition(parts)
       (Ngrams.collocations(d).collect().toSeq,
-        Ngrams.lmScore(d).collect().toSeq)
+        Ngrams.lmScore(d).collect().toSeq,
+        Ngrams.dsirSelect(d, k = 20).collect().toSeq)
     }
     assert(run(1) == run(8))
   }
