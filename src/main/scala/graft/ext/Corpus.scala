@@ -94,6 +94,60 @@ object Corpus {
       |JOIN tot tb ON tb.source = source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Benchmark decontamination — the eval-set hygiene pass every LLM
+    * training pipeline runs (the GPT-3/PaLM-style "remove any training
+    * document sharing an n-gram with the benchmark"): a document is
+    * contaminated iff it shares ANY w-token gram with the benchmark
+    * slice (here: source `benchSource` stands in for the eval set).
+    * Output is the DEPLOY artifact — the kept corpus membership
+    * (benchmark docs and contaminated docs removed), the
+    * `corpus_canonical` surface shape.
+    *
+    * Scale shape: grams are a narrow in-row explode (the Spans
+    * positional-gram pattern, md5-portable); the benchmark gram set is
+    * BENCHMARK-sized, so the semi-join broadcasts at any corpus scale —
+    * the corpus side never shuffles; the contaminated id set (smaller
+    * still) drives one anti-join. No corpus×corpus anything. */
+  def decontaminate(docs: DataFrame, benchSource: String = "src0",
+      w: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${w - 1}),
+           |  i -> md5(array_join(slice(toks, i, $w), ' ')))""".stripMargin))
+        .as("g"))
+    val benchGrams = grams.filter(col("source") === benchSource)
+      .select(col("g")).distinct()
+    val contaminated = grams.filter(col("source") =!= benchSource)
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("source") =!= benchSource)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql(benchSource: String = "src0", w: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pg AS (
+       |  SELECT doc_id, source,
+       |         md5(array_to_string(list_slice(toks, CAST(i AS INT),
+       |           CAST(i AS INT) + ${w - 1}), ' ')) AS g
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${w - 1} + 1)) AS i) r
+       |  WHERE len(toks) >= $w),
+       |bench AS (SELECT DISTINCT g FROM pg WHERE source = '$benchSource'),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM pg
+       |  WHERE source <> '$benchSource' AND g IN (SELECT g FROM bench))
+       |SELECT doc_id, source, lang FROM t
+       |WHERE source <> '$benchSource'
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- clustering
 
   /** Prefix-fingerprint duplicate clusters: documents sharing the md5 of
@@ -634,6 +688,9 @@ object Corpus {
     "corpus_clean" -> QueryDef(
       (s, d) => cleanCorpus(Tables.documents(s, d)),
       Some(cleanCorpusSql)),
+    "corpus_decontaminate" -> QueryDef(
+      (s, d) => decontaminate(Tables.documents(s, d)),
+      Some(decontaminateSql())),
     "sample_stratified" -> QueryDef(
       (s, d) => stratifiedSample(Tables.documents(s, d), SampleRates, 0.1),
       stratifiedSampleSql(SampleRates, 0.1)),

@@ -148,6 +148,20 @@ class CorpusSpec extends SparkSuite {
     assert(!m.keys.exists { case (a, b) => a == "other" || b == "other" })
   }
 
+  test("decontaminate: benchmark 8-gram hit drops the doc; short and clean docs kept") {
+    import spark.implicits._
+    val run = "b1 b2 b3 b4 b5 b6 b7 b8" // the planted benchmark 8-gram
+    val docs = Seq(
+      (1L, "bench", "en", "x y " + run + " z"),
+      (2L, "web", "en", "lead in tokens " + run + " trailing text here"),
+      (3L, "web", "en", "c1 c2 c3 c4 c5 c6 c7 c8 c9 entirely clean content"),
+      (4L, "web", "de", "too short to gram")) // < 8 tokens → trivially kept
+      .toDF("doc_id", "source", "lang", "text")
+    val kept = Corpus.decontaminate(docs, benchSource = "bench", w = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(kept.toSeq == Seq((3L, "web", "en"), (4L, "web", "de")))
+  }
+
   test("domain cap: over-cap sources pruned to cap, under-cap untouched, deterministic") {
     import spark.implicits._
     val docs = ((1L to 10L).map(i => (i, "big", s"doc $i")) ++
