@@ -224,7 +224,63 @@ object Clustering {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Embedding drift monitor — the DQ check a pipeline runs between
+    * corpus versions on the VECTOR side (the `dq_drift` idea applied to
+    * embeddings): per label (the fixture's class stand-in for a corpus
+    * slice), squared L2 distance between the slice centroid and the
+    * global centroid, on the same ×2^10 integer grid as k-means — exact
+    * BIGINT sums, integer-mean centroids, one exact squared-gap fold;
+    * bit-identical at any parallelism, so the report itself can sit
+    * behind the hash gate (a float drift monitor cannot).
+    *
+    * Scale shape: one narrow posexplode, two partially-aggregated
+    * (label, dim)/(dim) sums, a dim-keyed join of two TINY relations
+    * (|labels|·dim and dim rows), one label-keyed fold. The corpus-side
+    * work is the single explode pass. */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val perDim = emb
+      .select(col("label"), quantize(col("embedding")).as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val byLabel = perDim.groupBy(col("label"), col("pos"))
+      .agg(expr("sum(x) div count(1)").as("c_l"),
+        count(lit(1)).as("n"))
+    val global = perDim.groupBy(col("pos"))
+      .agg(expr("sum(x) div count(1)").as("c_g"))
+    byLabel.join(global, Seq("pos"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum((col("c_l") - col("c_g")) * (col("c_l") - col("c_g")))
+          .as("drift_sq"))
+      .select(col("label").cast("int").as("label"),
+        col("n_vecs"), col("drift_sq"))
+      .orderBy(col("label"))
+  }
+
+  def embeddingDriftSql(): String =
+    s"""WITH e AS (
+       |  SELECT label,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |pd AS (
+       |  SELECT label, CAST(i AS INT) AS pos, v[CAST(i AS INT)] AS x
+       |  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+       |bl AS (
+       |  SELECT label, pos, SUM(x) // COUNT(*) AS c_l, COUNT(*) AS n
+       |  FROM pd GROUP BY label, pos),
+       |g AS (SELECT pos, SUM(x) // COUNT(*) AS c_g FROM pd GROUP BY pos)
+       |SELECT CAST(bl.label AS INT) AS label,
+       |       CAST(MAX(bl.n) AS BIGINT) AS n_vecs,
+       |       CAST(SUM((bl.c_l - g.c_g) * (bl.c_l - g.c_g)) AS BIGINT)
+       |         AS drift_sq
+       |FROM bl JOIN g USING (pos)
+       |GROUP BY bl.label
+       |ORDER BY label""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_embedding_drift" -> QueryDef(
+      (s, d) => embeddingDrift(Tables.embeddings(s, d)),
+      embeddingDriftSql()),
     "embedding_kmeans" -> QueryDef(
       (s, d) => kmeans(s, d, k = 8, iters = 3),
       kmeansSql(k = 8, iters = 3)),

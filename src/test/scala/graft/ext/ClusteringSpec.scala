@@ -54,6 +54,21 @@ class ClusteringSpec extends SparkSuite {
     assert(pairs.contains((5L, 5L + off)), "planted semantic dup must surface")
   }
 
+  /** Label 0: [1.0, 0.0] and [1.0, 0.5] → centroid (1024, 256);
+    * label 1: [-1.0, 0.0] → (-1024, 0); global sums (1024, 512) over 3
+    * vectors → (341, 170). Drift = exact squared gaps:
+    * 683² + 86² = 473_885 and (-1365)² + 170² = 1_892_125. */
+  test("embedding drift: hand-computed integer centroid gaps per label") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.5f), 0),
+      (2L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Clustering.embeddingDrift(emb)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 2L, 473885L), (1, 1L, 1892125L)))
+  }
+
   test("clustering is bit-identical across partitionings") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     def run(parts: Int) =
