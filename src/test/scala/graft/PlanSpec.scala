@@ -174,6 +174,36 @@ class PlanSpec extends SparkSuite {
     assert(SparkEntry.queries.size == names.size)
   }
 
+  test("decontaminate: benchmark gram semi-join and contaminated-id anti-join broadcast") {
+    val p = plan("corpus_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark gram set must broadcast through the semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the contaminated anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("n-gram scoring: vocabulary-bounded count tables broadcast (dsir, lm)") {
+    Seq("corpus_dsir", "text_lm_score").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q count tables should broadcast at this scale:\n$p")
+      assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected cartesian:\n$p")
+    }
+  }
+
+  test("jaccard: top-k never global-sorts; wedge join is an equi-join") {
+    val p = plan("graph_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct"), s"wedge join must stay equi:\n$p")
+  }
+
+  test("embedding drift: partial+final hash aggregates throughout") {
+    val p = plan("dq_embedding_drift")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final aggregates on both sum layers:\n$p")
+  }
+
   test("every multi-row oracle query pins a total order") {
     // single-row aggregates are order-free by construction
     val exempt = Set("agg_stats_global", "q14_promo_share",
