@@ -291,7 +291,70 @@ object EventAnalytics {
       |WHERE c.event_type = 'click'
       |ORDER BY r.user_id, r.first_view_id""".stripMargin
 
+  /** RFM segmentation — the classic customer-value quartiling. Per
+    * user over purchases: recency (days from last purchase to the
+    * corpus' latest purchase — an in-data anchor, no wall clock),
+    * frequency (count), monetary (exact DECIMAL sum, cast to double
+    * only at the surface — the core/Exact money discipline). Quartile
+    * scores are ntile(4) in the engine-wide deterministic total order
+    * (metric, then user_id); segment = 100·r + 10·f + m.
+    *
+    * Scale shape: one user-keyed partial agg collapses the event log;
+    * the ntile stage then ranks |users| rows — orders of magnitude
+    * smaller than |events|, and the global-window stage is exactly the
+    * shape `rel/DistributedRank` distributes when |users| itself is
+    * cluster-scale (same escape hatch as `window_distribution_scalable`).
+    * The anchor is a 1-row broadcast. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+    val perUser = p.groupBy(col("user_id")).agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("frequency"),
+      sum(col("value").cast("decimal(12,2)")).as("mon_dec"))
+    val anchor = p.agg(max(col("ts")).as("anchor_ts"))
+    val w = Window.orderBy(col("last_ts").desc, col("user_id"))
+    val wf = Window.orderBy(col("frequency").desc, col("user_id"))
+    val wm = Window.orderBy(col("mon_dec").desc, col("user_id"))
+    perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(to_date(col("anchor_ts")), to_date(col("last_ts"))))
+      .withColumn("r", ntile(4).over(w))
+      .withColumn("f", ntile(4).over(wf))
+      .withColumn("m", ntile(4).over(wm))
+      .select(col("user_id"), col("recency_days"),
+        col("frequency"), col("mon_dec").cast("double").as("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+      |         SUM(CAST(value AS DECIMAL(12,2))) AS mon_dec
+      |  FROM p GROUP BY user_id),
+      |a AS (SELECT MAX(ts) AS anchor_ts FROM p),
+      |s AS (
+      |  SELECT u.user_id,
+      |         date_diff('day', CAST(u.last_ts AS DATE),
+      |                   CAST(a.anchor_ts AS DATE)) AS recency_days,
+      |         u.frequency,
+      |         CAST(u.mon_dec AS DOUBLE) AS monetary,
+      |         NTILE(4) OVER (ORDER BY u.last_ts DESC, u.user_id) AS r,
+      |         NTILE(4) OVER (ORDER BY u.frequency DESC, u.user_id) AS f,
+      |         NTILE(4) OVER (ORDER BY u.mon_dec DESC, u.user_id) AS m
+      |  FROM u CROSS JOIN a)
+      |SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency,
+      |       monetary, CAST(r AS INT) AS r, CAST(f AS INT) AS f,
+      |       CAST(m AS INT) AS m,
+      |       CAST(r * 100 + f * 10 + m AS INT) AS segment
+      |FROM s ORDER BY user_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_rfm" -> QueryDef(
+      (s, d) => rfmSegments(Tables.events(s, d)),
+      rfmSegmentsSql),
     "events_pattern" -> QueryDef(
       (s, d) => matchViewRunsThenClick(Tables.events(s, d)),
       matchViewRunsThenClickSql),

@@ -118,6 +118,30 @@ class EventAnalyticsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("rfm: quartile scores in the deterministic total order, views ignored") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1L, "2024-01-10 10:00:00", "purchase", 40.0),
+      (2L, 1L, "2024-01-09 10:00:00", "purchase", 30.0),
+      (3L, 1L, "2024-01-08 10:00:00", "purchase", 20.0),
+      (4L, 2L, "2024-01-07 10:00:00", "purchase", 50.0),
+      (5L, 2L, "2024-01-06 10:00:00", "purchase", 10.0),
+      (6L, 3L, "2024-01-05 10:00:00", "purchase", 25.0),
+      (7L, 4L, "2024-01-02 10:00:00", "purchase", 5.0),
+      (8L, 4L, "2024-01-11 10:00:00", "view", 999.0)) // never counts
+      .map { case (id, uid, t, ty, v) =>
+        (id, uid, Timestamp.valueOf(t), ty, v)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.rfmSegments(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(7)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 3L, 90.0, 111),
+      (2L, 3, 2L, 60.0, 222),
+      (3L, 5, 1L, 25.0, 333),
+      (4L, 8, 1L, 5.0, 444)))
+  }
+
   test("retention: cohort assignment and day offsets, multi-visit dedup") {
     val d = ev(Seq(
       (1L, 1L, "2024-01-01 10:00:00", "view"),
