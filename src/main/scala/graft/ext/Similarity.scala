@@ -569,7 +569,53 @@ object Similarity {
       .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
   }
 
+  /** Radius (range) search — the ANN variant top-k can't express:
+    * EVERY vector within squared-L2 distance r² of the query, on the
+    * k-means ×2^10 integer grid so the DISTANCES THEMSELVES are exact
+    * BIGINTs behind the hash gate (the rank-only contract of
+    * `simsearch_topk` is not needed — integer d2 has no accumulation
+    * order). One broadcast of the 1-row query + a narrow zip_with fold
+    * per corpus vector — the honest exhaustive baseline; at cluster
+    * scale the IVF cell prune (`ensureIvfIndex`: cells whose centroid
+    * d2 minus cell radius exceeds r² can't contain a hit) composes in
+    * front of exactly this scorer, the same build the top-k probe
+    * reads. */
+  def rangeSearch(spark: SparkSession, dir: String, qId: Long,
+      r2: Long): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1024).cast("long"))
+        .as("v"))
+    val q = e.filter(col("vec_id") === qId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("d2") <= r2)
+      .select(col("vec_id").as("neighbor_id"), col("d2"))
+      .orderBy(col("d2"), col("neighbor_id"))
+  }
+
+  def rangeSearchSql(qId: Long, r2: Long): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1024) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $qId),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.v) + 1),
+       |      i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS d2
+       |  FROM e, q WHERE e.vec_id <> $qId)
+       |SELECT vec_id AS neighbor_id, CAST(d2 AS BIGINT) AS d2
+       |FROM d WHERE d2 <= $r2
+       |ORDER BY d2, neighbor_id""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "simsearch_range" -> QueryDef(
+      (s: SparkSession, d: String) => rangeSearch(s, d, 0L, 1700000L),
+      Some(rangeSearchSql(0L, 1700000L))),
     "simsearch_topk" -> QueryDef(
       (s: SparkSession, d: String) => bruteForceTopK(s, d, 0L, 10), bruteForceTopKSql),
     // portable md5-plane quantizer ⇒ full oracle; the xxhash64 native

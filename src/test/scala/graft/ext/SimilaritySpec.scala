@@ -26,6 +26,21 @@ class SimilaritySpec extends SparkSuite {
     assert(!a.map(_.getLong(0)).contains(0L), "query vector excluded")
   }
 
+  test("range search: exact integer distances match a driver-side recompute") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong).toArray)
+      .toMap
+    val q = emb(0L)
+    val expected = emb.collect { case (id, v) if id != 0L =>
+      id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.filter(_._2 <= 1700000L).toSeq.sortBy(t => (t._2, t._1))
+    val got = Similarity.rangeSearch(spark, sfDir, 0L, 1700000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected.map(t => (t._1, t._2)), "exact d2 set + order")
+    assert(got.nonEmpty, "radius must capture at least one neighbor")
+  }
+
   test("LSH cell probe: results are a subset of the query's cell, ranked by cosine") {
     val lsh = Similarity.lshTopK(spark, sfDir, 0L, 10).collect()
     assert(lsh.nonEmpty && lsh.length <= 10)
