@@ -147,7 +147,51 @@ object Classifier {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009) —
+    * the featurizer that scales where a learned vocabulary cannot:
+    * token → md5-derived bucket in [0, dim) with an md5-derived ±1
+    * sign, per-(doc, bucket) signed counts, zero-weight buckets
+    * dropped. Sparse relational form (doc_id, bucket, weight) — the
+    * layout a distributed trainer consumes directly, and the md5
+    * derivation keeps the whole featurization ANSI-reproducible.
+    *
+    * Scale shape: narrow token explode → one (doc, bucket)-keyed
+    * partial agg. No vocabulary table at all — that is the point of
+    * the trick: memory is O(dim) per model regardless of corpus
+    * vocabulary, collisions are the accepted noise (signed hashing
+    * keeps their expectation zero). */
+  def hashFeatures(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dim)
+          .as("bucket"),
+        when(conv(substring(md5(col("w")), 9, 1), 16, 10).cast("long") % 2
+          === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy(col("doc_id"), col("bucket"))
+
+  def hashFeaturesSql(dim: Int = 64): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |           x -> x <> '')) AS w
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(w), 1, 8))::BIGINT % $dim AS bucket,
+       |         CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM tok)
+       |SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+       |FROM h GROUP BY doc_id, bucket
+       |HAVING SUM(s) <> 0
+       |ORDER BY doc_id, bucket""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "text_hashfeatures" -> QueryDef(
+      (s, d) => hashFeatures(Tables.documents(s, d)),
+      hashFeaturesSql()),
     "train_perceptron" -> QueryDef(
       (s, d) => trainPerceptron(features(Tables.documents(s, d)), 3),
       trainPerceptronSql(3)),

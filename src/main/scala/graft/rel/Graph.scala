@@ -586,6 +586,73 @@ object Graph {
        |ORDER BY jaccard_fp DESC, c.u, c.v
        |LIMIT $k""".stripMargin
 
+  /** k-core membership: iteratively peel nodes of in-subgraph degree
+    * < k until the fixpoint; survivors with their final core degree.
+    * The classic graph-densification cut (stronger than the one-shot
+    * support floor: a node's SUPPORT can be high while everything it
+    * touches is peripheral). Each round is one partially-aggregated
+    * degree count + two semi-joins, lineage cut per round
+    * (localCheckpoint — the BFS/CC discipline); rounds are bounded by
+    * the peel depth, O(log-ish) on real graphs, and a convergence
+    * guard throws rather than return a half-peeled subgraph. */
+  def kCore(edges: DataFrame, k: Long = 2L, maxIter: Int = 30): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = e.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("node"))
+      val ne = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nn = ne.count()
+      converged = nn == n
+      e = ne; n = nn; iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"k-core peel did not converge within $maxIter rounds")
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: the peel unrolled to `unroll` stages — stages past the
+    * fixpoint are no-ops, so any unroll ≥ the true peel depth states
+    * the same fixpoint (depth ≤ 5 across all fixture SFs; 8 leaves
+    * slack). Every stage is AS MATERIALIZED: each e_i is referenced
+    * twice downstream, so the default CTE inlining would expand the
+    * chain to 2^unroll copies of the base scan (observed as file-handle
+    * exhaustion at unroll = 8). */
+  def kCoreSql(k: Long = 2L, unroll: Int = 8): String = {
+    val base =
+      """WITH eh AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |           COUNT(DISTINCT a.l_orderkey) AS n
+        |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    WHERE a.l_partkey < b.l_partkey
+        |    GROUP BY a.l_partkey, b.l_partkey)
+        |  WHERE n >= 2),
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM eh
+        |       UNION ALL SELECT v, u FROM eh)""".stripMargin
+    val stages = (1 to unroll).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+         |        GROUP BY src HAVING COUNT(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN k$i a ON a.node = e.src
+         |        JOIN k$i b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$stages
+       |SELECT src AS node, COUNT(*) AS core_degree
+       |FROM e$unroll GROUP BY src ORDER BY node""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_pagerank" -> QueryDef(
       (s, d) => partPageRankBucketed(s, d),
@@ -604,7 +671,10 @@ object Graph {
       componentSizesSql()),
     "graph_jaccard" -> QueryDef(
       (s, d) => jaccardPairs(s.table(ensureBackbone(s, d)), 50),
-      jaccardPairsSql(50)))
+      jaccardPairsSql(50)),
+    "graph_kcore" -> QueryDef(
+      (s, d) => kCore(s.table(ensureBackbone(s, d))),
+      kCoreSql()))
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and

@@ -156,6 +156,34 @@ object RelQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
         |FROM lineitem""".stripMargin),
 
+    // ---- A12 equi-width histogram: buckets derived through exact
+    //      DECIMAL cents (double CAST rounds in DuckDB but truncates in
+    //      Spark — the cents grid sidesteps the mismatch entirely);
+    //      one partial-aggregated groupBy, bucket count bounded by the
+    //      value range, not the data --------------------------------------
+    "agg_histogram" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .select(expr(
+            """cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)
+              |  div 1000000""".stripMargin).as("bucket"),
+            col("l_extendedprice").cast("decimal(12,2)").as("dec"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("dec")).cast("double").as("sum_price"),
+            min(col("dec")).cast("double").as("lo"),
+            max(col("dec")).cast("double").as("hi"))
+          .orderBy(col("bucket"))
+      },
+      """SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |         // 1000000 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |       CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+        |       CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
+        |FROM lineitem
+        |GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     // ---- A4 mode aggregate, pinned min-key tie-break ---------------------
     "agg_mode_year" -> QueryDef(
       (s, d) => Tables.orders(s, d)

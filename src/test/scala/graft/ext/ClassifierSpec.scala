@@ -23,6 +23,28 @@ class ClassifierSpec extends SparkSuite {
     assert(got(2) === (3, 1L, 0L, 2L))
   }
 
+  test("hash features: buckets and signs match a driver-side md5 recompute; " +
+      "repeated tokens accumulate") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expect(tokens: Seq[String]): Map[Long, Long] =
+      tokens.foldLeft(Map.empty[Long, Long].withDefaultValue(0L)) { (m, w) =>
+        val h = md5hex(w)
+        val b = java.lang.Long.parseLong(h.substring(0, 8), 16) % 64
+        val s = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
+        m.updated(b, m(b) + s)
+      }.filter(_._2 != 0L)
+    val want =
+      expect(Seq("alpha", "beta", "alpha")).map { case (b, w) => (1L, b, w) }.toSet ++
+        expect(Seq("gamma")).map { case (b, w) => (2L, b, w) }.toSet
+    val got = Classifier.hashFeatures(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("training is bit-identical across partitionings") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     def run(parts: Int) =

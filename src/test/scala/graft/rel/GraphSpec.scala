@@ -119,6 +119,17 @@ class GraphSpec extends SparkSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  /** Triangle {1,2,3} with a tail 3–4–5: peeling is 2-round (5 falls,
+    * then 4), the triangle survives with in-core degree 2. */
+  test("k-core: multi-round peel, triangle survives, tail dissolves") {
+    val half = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    val e = half.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kCore(e, k = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   /** Star 1–{2,3,4} plus the 2–3 edge, hand-computed Jaccard:
     * (2,4) and (3,4) share only hub 1 but have tiny unions → 1/2;
     * (2,3) → 1/3; (1,2) and (1,3) → 1/4. */
