@@ -327,7 +327,80 @@ object Search {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones), disjunctive —
+    * the industry-standard ranking, in EXACT integer arithmetic. With
+    * k1 = 6/5 and b = 3/4, multiplying the classic term score
+    *   tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl))
+    * through by 10·T (T = corpus token total, avgdl = T/D) gives the
+    * integer rational
+    *   22·T·tf / (10·T·tf + 3·T + 9·len·D)
+    * — numerator and denominator both exact BIGINTs. The IDF factor is
+    * the engine's monotone rarity weight (D·1000 div df, the
+    * `text_keywords` surrogate that ranks identically to log-idf at
+    * fixed tf), folded into the numerator BEFORE the one fixed-point
+    * division (×100), so every term score is a single exact integer
+    * division — bit-identical cross-engine, no libm.
+    *
+    * Scale shape: identical to `rankedSearch` — postings explode with
+    * the term filter pushed into it, |terms|-row dictionary and 1-row
+    * stats both broadcast; the extra `len` join is doc-keyed and
+    * partial-aggregable. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("d"), sum(col("len")).as("t"))
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dict = postings.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    postings
+      .join(dict, Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        """(((d * 1000) div df) * 22 * t * tf * 100)
+          |  div (10 * t * tf + 3 * t + 9 * len * d)""".stripMargin).as("s_fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25SearchSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS len
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS d, SUM(len) AS t FROM lens),
+       |p AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token IN ($inList)
+       |  GROUP BY doc_id, token),
+       |f AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY token),
+       |s AS (
+       |  SELECT p.doc_id,
+       |    (((stats.d * 1000) // f.df) * 22 * stats.t * p.tf * 100)
+       |      // (10 * stats.t * p.tf + 3 * stats.t + 9 * lens.len * stats.d)
+       |      AS s_fp
+       |  FROM p JOIN f USING (token) JOIN lens USING (doc_id)
+       |  CROSS JOIN stats)
+       |SELECT doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+       |FROM s GROUP BY doc_id
+       |ORDER BY score_fp DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "text_search_bm25" -> QueryDef(
+      (s, d) => bm25Search(Tables.documents(s, d),
+        Seq("vector", "hash", "join"), 20),
+      bm25SearchSql(Seq("vector", "hash", "join"), 20)),
     "text_search" -> QueryDef(
       (s, d) => rankedSearch(Tables.documents(s, d),
         Seq("vector", "hash", "join"), 20),

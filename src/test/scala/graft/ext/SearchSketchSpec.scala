@@ -44,6 +44,31 @@ class SearchSketchSpec extends SparkSuite {
       "score = tf(rare)·(5−2) when the ubiquitous term's weight is zero")
   }
 
+  test("bm25: tf saturation helps, length normalization hurts, rarity dominates") {
+    val filler = (1 to 8).map(i => s"f$i").mkString(" ")
+    val longFiller = (1 to 28).map(i => s"f$i").mkString(" ")
+    val d = docs(Seq(
+      (0L, "s", s"cat $filler x"),         // tf 1, len 10
+      (1L, "s", s"cat cat $filler"),       // tf 2, len 10 → beats doc 0
+      (2L, "s", s"cat $longFiller x")))    // tf 1, len 30 → loses to doc 0
+    val out = Search.bm25Search(d, Seq("cat"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 0L, 2L),
+      s"expected tf then length to order the docs, got ${out.toSeq}")
+    assert(out.map(_._2).distinct.length == 3, "scores must strictly separate")
+  }
+
+  test("bm25: a rare term outweighs a common one at equal tf and length") {
+    val d = docs(Seq(
+      (0L, "s", "rare a b c"),
+      (1L, "s", "common a b c"),
+      (2L, "s", "common d e f"),
+      (3L, "s", "common g h i")))
+    val out = Search.bm25Search(d, Seq("rare", "common"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.head._1 == 0L, s"rare-term doc must rank first: ${out.toSeq}")
+  }
+
   test("phraseSearch: adjacency counting, single-token guard, no overflow") {
     val d = docs(Seq(
       (0L, "s", "hash join hash join"), // matches at positions 1 and 3
