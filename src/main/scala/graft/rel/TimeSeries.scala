@@ -181,7 +181,64 @@ object TimeSeries {
       |FROM h CROSS JOIN g
       |ORDER BY hour""".stripMargin
 
+  /** Lagged autocorrelation of the daily event-count series — the
+    * seasonality detector run before choosing a forecast window. Daily
+    * counts are exact BIGINTs, so ALL five moment sums and both
+    * Pearson-numerator/denominator terms stay exact integers; doubles
+    * appear only in the final sqrt/division — single exactly-rounded
+    * IEEE ops on exact inputs, bit-identical cross-engine (one step
+    * stricter than `agg_corr_exact`, whose inputs are DECIMAL money).
+    * Lag pairing is a calendar equi-join (day + lag), immune to gaps
+    * in the series.
+    *
+    * Scale shape: the event log collapses to a |days|-sized series in
+    * one partial-aggregated groupBy; everything after runs on that
+    * tiny relation (per-lag join + 1-row fold). */
+  def autocorr(events: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    lags.map { l =>
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("b.day") === date_add(col("a.day"), l))
+        .select(col("a.x").as("x"), col("b.x").as("y"))
+      pairs
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(lit(l).as("lag"), col("n").as("n_pairs"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("autocorr"))
+    }.reduce(_ unionByName _).orderBy(col("lag"))
+  }
+
+  def autocorrSql(lags: Seq[Int] = Seq(1, 7)): String = {
+    val arms = lags.map { l =>
+      s"""(SELECT $l AS lag, n AS n_pairs,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+         | FROM (
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+         |  FROM (SELECT a.x AS x, b.x AS y
+         |        FROM d a JOIN d b ON b.day = a.day + INTERVAL $l DAY)))"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+       |  FROM events GROUP BY day)
+       |$arms
+       |ORDER BY lag""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_autocorr" -> QueryDef(
+      (s, d) => autocorr(Tables.events(s, d)), autocorrSql()),
     "ts_fill_forward" -> QueryDef(
       (s, d) => fillForwardDaily(Tables.events(s, d)), fillForwardDailySql),
     "events_transitions" -> QueryDef(

@@ -33,6 +33,23 @@ class TimeSeriesSpec extends SparkSuite {
       (8L, "2024-02-10", 5.0)))
   }
 
+  test("autocorr: a period-2 series is perfectly anti-correlated at odd lags") {
+    // days 1..10 alternate 1-event / 2-event days → y = 3 − x exactly, so
+    // lag-1 and lag-7 (both odd) must give −1 up to one sqrt rounding
+    val rows = (1 to 10).flatMap { d =>
+      val day = f"2024-01-$d%02d"
+      val n = if (d % 2 == 1) 1 else 2
+      (0 until n).map(i => (d * 10L + i, s"$day 10:0$i:00", 1L, "view", 1.0))
+    }
+    val got = TimeSeries.autocorr(ev(rows: _*)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 7))
+    assert(got(0)._2 == 9L && got(1)._2 == 3L, "pair counts follow the lag")
+    got.foreach { case (lag, _, ac) =>
+      assert(math.abs(ac + 1.0) < 1e-12, s"lag $lag expected −1, got $ac")
+    }
+  }
+
   test("transitions count per-user consecutive pairs only") {
     val e = ev(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
