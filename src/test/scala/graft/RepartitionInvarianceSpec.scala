@@ -22,7 +22,11 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "ts_fill_forward",      // carried (never re-accumulated) floats
     "assoc_rules",          // integer-count ratios
     "window_range_frame",   // value-based frame, decimal sum
-    "text_search")          // integer rarity scoring
+    "text_search",          // integer rarity scoring
+    "text_search_bm25",     // fixed-point rational ranking
+    "events_rfm",           // DECIMAL monetary + ntile in a pinned order
+    "ts_autocorr",          // integer moments + IEEE finish
+    "graph_kcore")          // iterative peel fixpoint
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf
