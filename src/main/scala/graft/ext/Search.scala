@@ -121,7 +121,7 @@ object Search {
   /** Bump when the index layout/semantics change — memoized indexes of
     * older builds are then rebuilt, not reused (same contract as
     * Similarity.IndexAlgoVersion). */
-  private val IndexAlgoVersion = "ti1"
+  private val IndexAlgoVersion = "ti2" // ti2: + lens relation (BM25 probe)
 
   private def bucketOf(token: Column): Column =
     pmod(xxhash64(token), lit(IndexBuckets.toLong)).cast("int")
@@ -151,6 +151,12 @@ object Search {
       .agg(count(lit(1)).as("df"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/dict")
+    // per-doc lengths: what a length-normalizing ranker (BM25) needs at
+    // probe time without re-tokenizing the corpus; |docs| rows of two
+    // integers, appended (never rewritten) by the incremental merge
+    docs.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("len"))
+      .write.mode("overwrite").parquet(s"$path/lens")
     docs.agg(count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$path/stats")
   }
@@ -201,6 +207,11 @@ object Search {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // batch docs are NEW by contract → their lengths APPEND; no standing
+    // lens row is ever touched, so no read-before-overwrite hazard here
+    batch.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("len"))
+      .write.mode("append").parquet(s"$path/lens")
     import spark.implicits._
     Seq(nDocs).toDF("n_docs")
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -396,7 +407,46 @@ object Search {
        |LIMIT $k""".stripMargin
   }
 
+  /** BM25 over the standing index — `bm25Search`'s exact scoring fed
+    * from the prebuilt artifact: postings + dictionary reached through
+    * the `bucket IN (...)` directory prune, per-doc lengths from the
+    * index's `lens` relation (appended, never rewritten, by the
+    * incremental merge), corpus totals from lens/stats. Identical
+    * results to the scan-time ranker by construction — same oracle,
+    * different physical plan (the `text_search_indexed` contract). */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int): DataFrame = {
+    val buckets = terms
+      .map(t => math.floorMod(graft.functions.XxHash.forString(t),
+        IndexBuckets.toLong).toInt)
+      .distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val dict = spark.read.parquet(s"$path/dict")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("df"))
+    val lens = spark.read.parquet(s"$path/lens")
+    val stats = spark.read.parquet(s"$path/stats")
+      .crossJoin(lens.agg(sum(col("len")).as("t")))
+      .select(col("n_docs").as("d"), col("t"))
+    postings
+      .join(dict, Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        """(((d * 1000) div df) * 22 * t * tf * 100)
+          |  div (10 * t * tf + 3 * t + 9 * len * d)""".stripMargin).as("s_fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "text_bm25_indexed" -> QueryDef(
+      (s, d) => bm25SearchIndexed(s, ensureTextIndexIncremental(s, d),
+        Seq("vector", "hash", "join"), 20),
+      bm25SearchSql(Seq("vector", "hash", "join"), 20)),
     "text_search_bm25" -> QueryDef(
       (s, d) => bm25Search(Tables.documents(s, d),
         Seq("vector", "hash", "join"), 20),

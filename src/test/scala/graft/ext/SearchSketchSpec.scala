@@ -210,18 +210,23 @@ class SearchSketchSpec extends SparkSuite {
     Search.buildTextIndex(corpus, full)
     Search.buildTextIndex(corpus.filter(col("doc_id") % 10 =!= 0), inc)
     Search.mergeIntoTextIndex(spark, inc, corpus.filter(col("doc_id") % 10 === 0))
-    for (rel <- Seq("postings", "dict", "stats")) {
+    for (rel <- Seq("postings", "dict", "stats", "lens")) {
       val a = spark.read.parquet(s"$full/$rel")
       val b = spark.read.parquet(s"$inc/$rel").select(a.columns.map(col): _*)
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
         s"$rel differs between full rebuild and incremental merge")
     }
-    // and the declared probe over the merged index matches the scanner
+    // and the declared probes over the merged index match the scanners
     val scan = Search.rankedSearch(corpus, Seq("vector", "hash", "join"), 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val idx = Search.rankedSearchIndexed(spark, inc, Seq("vector", "hash", "join"), 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(idx === scan)
+    val bmScan = Search.bm25Search(corpus, Seq("vector", "hash", "join"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bmIdx = Search.bm25SearchIndexed(spark, inc, Seq("vector", "hash", "join"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bmIdx === bmScan, "BM25 over the merged index must equal the scan ranker")
   }
 
   /** A merge of a batch touching FEW buckets must leave every
