@@ -600,6 +600,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming pattern: restart resumes the open view run from the checkpoint") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("pattern_e2e").toFile.getAbsolutePath
+    val (srcDir, outDir, ckpt) = (s"$root/src", s"$root/out", s"$root/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    def writeEvents(file: String, evs: Seq[(Long, Long, String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$srcDir/$file", "UTF-8")
+      evs.foreach { case (id, u, tp, t) =>
+        w.println(s"""{"event_id":$id,"user_id":$u,"event_type":"$tp","ts":"$t"}""") }
+      w.close()
+    }
+    val schema = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    def startQuery() = Streams.patternMatches(
+        spark.readStream.schema(schema).json(srcDir).as[Streams.TransitionEvent],
+        watermarkDelay = "0 seconds")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.PatternMatch],
+          _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .start()
+    // run 1: two views open a run, then STOP before the click
+    writeEvents("b1.json", Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00"),
+      (2L, 1L, "view", "2024-01-01 10:01:00")))
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // run 2 on the same checkpoint: the click must close a THREE-view
+    // run (n_views = 3, first id = 1) — only possible if the (count,
+    // first id) state was recovered from the state store
+    writeEvents("b2.json", Seq(
+      (3L, 1L, "view", "2024-01-01 10:02:00"),
+      (4L, 1L, "click", "2024-01-01 10:03:00")))
+    val q2 = startQuery()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "n_views", "first_view_id", "click_event_id")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 3L, 1L, 4L)),
+      s"run must span the restart, got $got")
+  }
+
   test("streaming pattern matches == batch V+ C matching on the fixture log") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
