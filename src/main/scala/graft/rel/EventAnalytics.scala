@@ -351,7 +351,57 @@ object EventAnalytics {
       |       CAST(r * 100 + f * 10 + m AS INT) AS segment
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** Cart-abandonment flags — the time-bounded ABSENCE pattern (the
+    * negation the funnel cannot express): for each user's LAST click
+    * (max (ts, event_id) — the engine-wide total order), did NO
+    * purchase follow within 24 hours? Both arms surface (converted
+    * users with abandoned = false), so the oracle exercises presence
+    * and absence. The 24 h bound compares microsecond integers —
+    * exact cross-engine.
+    *
+    * Scale shape: clicks collapse to one row per user first (partial
+    * agg), so the purchase probe joins |users| × purchases on the
+    * user key with the time bound as a residual predicate — a
+    * user-keyed equi-join, NOT an events×events theta join; the
+    * existence fold is one more partial agg on the same key. */
+  def abandonment(events: DataFrame): DataFrame = {
+    val lastClick = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("lc"))
+      .select(col("user_id"), col("lc.ts").as("c_ts"),
+        col("lc.event_id").as("last_click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    lastClick
+      .join(purchases,
+        lastClick("user_id") === purchases("user_id") &&
+          unix_micros(col("p_ts")) > unix_micros(col("c_ts")) &&
+          unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= 86400000000L,
+        "left")
+      .groupBy(lastClick("user_id"), col("last_click_id"))
+      .agg(max(col("p_ts").isNotNull).as("converted"))
+      .select(lastClick("user_id"), col("last_click_id"),
+        (!col("converted")).as("abandoned"))
+      .orderBy(lastClick("user_id"))
+  }
+
+  val abandonmentSql: String =
+    """WITH lc AS (
+      |  SELECT user_id, event_id AS last_click_id, ts AS c_ts,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, last_click_id,
+      |  NOT EXISTS (
+      |    SELECT 1 FROM events p
+      |    WHERE p.user_id = lc.user_id AND p.event_type = 'purchase'
+      |      AND epoch_us(p.ts) > epoch_us(lc.c_ts)
+      |      AND epoch_us(p.ts) - epoch_us(lc.c_ts) <= 86400000000) AS abandoned
+      |FROM lc WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_abandonment" -> QueryDef(
+      (s, d) => abandonment(Tables.events(s, d)), abandonmentSql),
     "events_rfm" -> QueryDef(
       (s, d) => rfmSegments(Tables.events(s, d)),
       rfmSegmentsSql),

@@ -142,6 +142,34 @@ class EventAnalyticsSpec extends SparkSuite {
       (4L, 8, 1L, 5.0, 444)))
   }
 
+  test("abandonment: 24h bound is exclusive-then-inclusive, only the LAST click counts") {
+    val d = ev(Seq(
+      // user 1: purchase 1s inside the bound → converted
+      (1L, 1L, "2024-01-01 10:00:00", "click"),
+      (2L, 1L, "2024-01-02 09:59:59", "purchase"),
+      // user 2: purchase exactly 24h later → inclusive bound, converted
+      (3L, 2L, "2024-01-01 10:00:00", "click"),
+      (4L, 2L, "2024-01-02 10:00:00", "purchase"),
+      // user 3: purchase 24h + 1s later → abandoned
+      (5L, 3L, "2024-01-01 10:00:00", "click"),
+      (6L, 3L, "2024-01-02 10:00:01", "purchase"),
+      // user 4: purchase BEFORE the last click → abandoned (strictly after)
+      (7L, 4L, "2024-01-01 09:00:00", "purchase"),
+      (8L, 4L, "2024-01-01 10:00:00", "click"),
+      // user 5: earlier click converted, but the LAST click was not
+      (9L, 5L, "2024-01-01 08:00:00", "click"),
+      (10L, 5L, "2024-01-01 08:30:00", "purchase"),
+      (11L, 5L, "2024-01-03 10:00:00", "click")))
+    val got = EventAnalytics.abandonment(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, false),
+      (2L, 3L, false),
+      (3L, 5L, true),
+      (4L, 8L, true),
+      (5L, 11L, true)))
+  }
+
   test("retention: cohort assignment and day offsets, multi-visit dedup") {
     val d = ev(Seq(
       (1L, 1L, "2024-01-01 10:00:00", "view"),
