@@ -191,6 +191,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric CONTAINMENT over the same md5 candidate chain — the
+    * measure Jaccard systematically misses: a short document quoted
+    * whole inside a long one has tiny Jaccard (union is large) but
+    * containment ≈ 1 on the short side. Both directions surface
+    * (inter/|A|, inter/|B|), the pair is kept when EITHER clears the
+    * threshold; each division is one IEEE op on exact integer counts —
+    * bit-identical cross-engine. Candidates come from the shared
+    * banded LSH chain (documented bias: MinHash bands estimate
+    * JACCARD, so extreme size-ratio pairs can evade candidacy — the
+    * containment-aware fix at scale is banding the SHORTER side's
+    * signature, the `dedup_incremental` asymmetry applied to banding). */
+  def containmentVerifyMd5(docs: DataFrame, threshold: Double): DataFrame = {
+    val withSh = md5Shingled(docs).persist()
+    val cands = md5MinhashPairsFromShingles(withSh, 0.3, 4)
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("c_a_in_b", col("inter").cast("double") / size(col("sh_a")))
+      .withColumn("c_b_in_a", col("inter").cast("double") / size(col("sh_b")))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("c_a_in_b"), col("c_b_in_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val containmentVerifyMd5Sql: String = {
+    val base = md5MinhashPairsSql
+      .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "")
+      .trim
+    s"""$base,
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.3),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    len(sa.sh) AS na, len(sb.sh) AS nb
+       |  FROM cand c
+       |  JOIN shingled sa ON sa.doc_id = c.doc_a
+       |  JOIN shingled sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / na AS c_a_in_b,
+       |  CAST(inter AS DOUBLE) / nb AS c_b_in_a
+       |FROM verified
+       |WHERE greatest(CAST(inter AS DOUBLE) / na,
+       |               CAST(inter AS DOUBLE) / nb) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // lazy: splices md5MinhashPairsSql, which initializes later in this object
   lazy val jaccardVerifyMd5Sql: String = {
     // md5MinhashPairsSql's CTE chain, extended with the exact-verify tail
@@ -836,6 +885,11 @@ object Dedup {
     "dedup_jaccard_md5" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerifyMd5(Tables.documents(s, d), 0.6),
       Some(jaccardVerifyMd5Sql)),
+    // asymmetric containment over the same chain: the quote/subset
+    // detector Jaccard misses when set sizes diverge
+    "dedup_containment" -> QueryDef(
+      (s: SparkSession, d: String) => containmentVerifyMd5(Tables.documents(s, d), 0.6),
+      Some(containmentVerifyMd5Sql)),
     // maxDist 3 = the published near-dup radius (Manku WWW'07) and the
     // genuinely scalable default blocking config: 10 tables of ~26-bit
     // pair keys (see simhashPlan scaladoc). Declared behind the

@@ -91,6 +91,24 @@ class DedupSpec extends SparkSuite {
     out.get((1L, 2L)).foreach(j => assert(math.abs(j - 13.0 / 15.0) < 1e-12))
   }
 
+  test("containment: a quoted-whole short doc scores 1.0 on its side") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"t$i").mkString(" ")
+    val long = short + " " + (1 to 10).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long), (3L, "entirely different words here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentVerifyMd5(d, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val hit = out.find(p => Set(p._1, p._2) == Set(1L, 2L))
+    assert(hit.isDefined, s"planted containment pair missed: ${out.toSeq}")
+    hit.foreach { case (a, _, cab, cba) =>
+      val (cShort, cLong) = if (a == 1L) (cab, cba) else (cba, cab)
+      assert(cShort == 1.0, "short side fully contained")
+      assert(cLong < 0.6, "long side only partially covered")
+    }
+    assert(!out.exists(p => Set(p._1, p._2).contains(3L)), "unrelated doc clean")
+  }
+
   test("simhash: exact dup distance 0 and guaranteed to block together") {
     import spark.implicits._
     val fp = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
