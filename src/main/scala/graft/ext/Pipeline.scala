@@ -234,6 +234,45 @@ object Pipeline {
       |WINDOW w AS (PARTITION BY source ORDER BY score DESC, doc_id)
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Deterministic source-interleaved training order — the "global
+    * shuffle" a data loader wants, without RNG state: each document
+    * ranks within its source by md5(doc_id) (uniform, reproducible, the
+    * `sample_stratified` derivation), and the global position orders by
+    * (in-source rank, source) — round-robin across sources, so
+    * consecutive positions maximize source spread (no same-source runs
+    * longer than forced by exhausted sources) and the whole order is a
+    * pure function of the corpus.
+    *
+    * Scale shape: the in-source rank is the fat-key window the engine
+    * deliberately avoids at 100 TB — here it stays declared through the
+    * same `DistributedRank` escape hatch named in `corpus_curriculum`;
+    * the global position is a range-partitioned sort over (rank,
+    * source), Spark's TakeOrderedAndProject-free total sort. */
+  def interleave(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("u"))
+    val ranked = keyed.withColumn("r", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))))
+    ranked.withColumn("position", row_number().over(
+        Window.orderBy(col("r"), col("source"), col("doc_id"))))
+      .select(col("position").cast("long").as("position"),
+        col("doc_id"), col("source"))
+      .orderBy(col("position"))
+  }
+
+  val interleaveSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS r
+      |  FROM k)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, source, doc_id) AS BIGINT)
+      |         AS position,
+      |       doc_id, source
+      |FROM r ORDER BY position""".stripMargin
+
   // -------------------------------------------------------------- datacard
 
   /** The per-source data card: the one-page corpus summary a pipeline
@@ -343,7 +382,9 @@ object Pipeline {
     "corpus_curriculum" -> QueryDef(
       (s, d) => curriculumBins(Tables.documents(s, d)), curriculumSql),
     "corpus_datacard" -> QueryDef(
-      (s, d) => dataCardPlanted(Tables.documents(s, d)), dataCardSql)
+      (s, d) => dataCardPlanted(Tables.documents(s, d)), dataCardSql),
+    "corpus_interleave" -> QueryDef(
+      (s, d) => interleave(Tables.documents(s, d)), interleaveSql)
   )
 
   def queries: Seq[(String, QueryDef)] = q

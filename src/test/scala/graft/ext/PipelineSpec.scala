@@ -151,4 +151,19 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(trainIn - 0.8) < 0.12,
       s"split must be independent of the sampling decision, got $trainIn")
   }
+
+  test("interleave: round-robin across sources, deterministic permutation") {
+    import spark.implicits._
+    val d = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .map { case (id, s) => (id, s, s"doc $id") }
+      .toDF("doc_id", "source", "text")
+    def run() = Pipeline.interleave(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val got = run()
+    assert(got.map(_._1) == (1L to 5L), "positions are a dense permutation")
+    assert(got.map(_._3).take(4) == Seq("A", "B", "A", "B"),
+      s"round-robin source spread expected, got ${got.map(_._3)}")
+    assert(got.map(_._3).last == "A", "exhausted source finishes the tail")
+    assert(got == run(), "pure function of the corpus — no RNG state")
+  }
 }
