@@ -329,7 +329,49 @@ object Etl {
       |FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** Point-in-time ("time travel") queries over the SCD2 history — the
+    * question the history exists to answer: the dimension AS OF a date
+    * is the rows whose validity interval covers it (`valid_from <= d <
+    * valid_to`, open intervals unbounded). Two snapshots in one result:
+    * one BETWEEN the base load and the update (old versions visible,
+    * new keys absent), one after (new versions + new keys) — every
+    * interval arm of the merge is exercised by construction.
+    *
+    * Scale shape: a snapshot is ONE narrow filter over the history
+    * table — no join, no window; with the history partitioned on
+    * valid_from (the natural layout) the predicate prunes partitions. */
+  def scd2Snapshots(hist: DataFrame, dates: Seq[String]): DataFrame =
+    dates.map { at =>
+      val d = to_date(lit(at))
+      hist.filter(col("valid_from") <= d &&
+          (col("valid_to").isNull || col("valid_to") > d))
+        .select(lit(at).as("snapshot_date"), col("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("snapshot_date"), col("c_custkey"))
+
+  val scd2SnapshotDates = Seq("2024-03-15", "2024-07-01")
+
+  lazy val scd2SnapshotsSql: String = {
+    val tail =
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       valid_from, valid_to, is_current
+        |FROM hist ORDER BY c_custkey, valid_from""".stripMargin
+    val arms = scd2SnapshotDates.map { at =>
+      s"""SELECT '$at' AS snapshot_date, c_custkey, c_name, c_acctbal, c_mktsegment
+         |FROM hist
+         |WHERE valid_from <= DATE '$at'
+         |  AND (valid_to IS NULL OR valid_to > DATE '$at')""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    scd2CustomerSql.replace(tail,
+      s"$arms\nORDER BY snapshot_date, c_custkey")
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "etl_time_travel" -> QueryDef(
+      (s, d) => scd2Snapshots(scd2Customer(Tables.customer(s, d)),
+        scd2SnapshotDates),
+      scd2SnapshotsSql),
     "etl_cdc_apply" -> QueryDef(
       (s, d) => cdcApply(Tables.events(s, d)), cdcApplySql),
     "scd2_merge" -> QueryDef(

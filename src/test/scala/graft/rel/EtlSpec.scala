@@ -57,6 +57,24 @@ class EtlSpec extends SparkSuite {
     assert(bad == 0, "no gaps or overlaps in validity ranges")
   }
 
+  test("time travel: the early snapshot sees old versions and no new keys; " +
+      "the late one sees updates and inserts") {
+    val hist = Etl.scd2Customer(graft.core.Tables.customer(spark, sfDir))
+    val snaps = Etl.scd2Snapshots(hist, Etl.scd2SnapshotDates)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val (early, late) = snaps.partition(_._1 == "2024-03-15")
+    assert(early.nonEmpty && late.nonEmpty)
+    assert(!early.exists(_._2 < 0), "new keys must not exist before the update")
+    assert(late.count(_._2 < 0) == 3, "all three inserts visible after")
+    assert(!early.exists(_._3.startsWith("UPD ")), "early snapshot is pre-update")
+    val changed = late.filter(t => t._2 > 0 && t._2 % 7 == 0)
+    assert(changed.nonEmpty && changed.forall(_._3.startsWith("UPD ")),
+      "late snapshot carries the new versions")
+    // a snapshot is a consistent dimension: exactly one row per key
+    Seq(early, late).foreach { s =>
+      assert(s.map(_._2).distinct.length == s.length, "one row per key") }
+  }
+
   test("upsertLatest: updates win, inserts land, base carries, idempotent") {
     import spark.implicits._
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "v", "x")
