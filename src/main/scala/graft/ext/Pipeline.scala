@@ -243,11 +243,12 @@ object Pipeline {
     * longer than forced by exhausted sources) and the whole order is a
     * pure function of the corpus.
     *
-    * Scale shape: the in-source rank is the fat-key window the engine
-    * deliberately avoids at 100 TB — here it stays declared through the
-    * same `DistributedRank` escape hatch named in `corpus_curriculum`;
-    * the global position is a range-partitioned sort over (rank,
-    * source), Spark's TakeOrderedAndProject-free total sort. */
+    * Scale: BOTH windows here are the shapes the engine avoids at
+    * 100 TB (source is a fat key; the global position is a one-task
+    * window) — this declared form is the semantics statement, and
+    * `interleaveScalable` below is the deploy path: the same order via
+    * range-partition + per-partition counts + driver prefix-sum (the
+    * `DistributedRank` algorithm), bit-equal by spec pin. */
   def interleave(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"),
       md5(col("doc_id").cast("string")).as("u"))
@@ -257,6 +258,67 @@ object Pipeline {
         Window.orderBy(col("r"), col("source"), col("doc_id"))))
       .select(col("position").cast("long").as("position"),
         col("doc_id"), col("source"))
+      .orderBy(col("position"))
+  }
+
+  /** `interleave` without either problem window: the in-source rank
+    * AND the global position both come from range-partitioned sorts
+    * with per-partition counts prefix-summed on the driver (bounded
+    * metadata: parts × sources rows, then parts rows) — no single-task
+    * stage anywhere, any number of sources/rows. Bit-equal to the
+    * declared form (PipelineSpec). */
+  def interleaveScalable(docs: DataFrame, parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    // pass A: in-source rank via range sort on (source, u, doc_id)
+    val keyed = docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("u"))
+      .repartitionByRange(parts, col("source"), col("u"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("u"), col("doc_id"))
+      .persist()
+    val srcCounts = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val s = r.getString(1); m.update(s, m.getOrElse(s, 0L) + 1L) }
+      m.iterator.map { case (s, c) => (pid, s, c) }
+    }.collect()
+    val srcOff = {
+      val run = scala.collection.mutable.Map.empty[String, Long]
+      srcCounts.sortBy(_._1).map { case (pid, s, c) =>
+        val o = run.getOrElse(s, 0L); run.update(s, o + c); ((pid, s), o)
+      }.toMap
+    }
+    val bSrcOff = spark.sparkContext.broadcast(srcOff)
+    val rankedRdd = keyed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.Map.empty[String, Long]
+      it.map { r =>
+        val s = r.getString(1)
+        val lr = local.getOrElse(s, 0L) + 1L; local.update(s, lr)
+        Row(r.getLong(0), s, bSrcOff.value((pid, s)) + lr)
+      }
+    }
+    val ranked = spark.createDataFrame(rankedRdd, StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("r", LongType))))
+      // pass B: global position via range sort on (r, source, doc_id)
+      .repartitionByRange(parts, col("r"), col("source"), col("doc_id"))
+      .sortWithinPartitions(col("r"), col("source"), col("doc_id"))
+      .persist()
+    val posCounts = ranked.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val posOff = posCounts.scanLeft(0L)(_ + _._2).zip(posCounts)
+      .map { case (off, (pid, _)) => pid -> off }.toMap
+    val bPosOff = spark.sparkContext.broadcast(posOff)
+    val out = ranked.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = 0L
+      it.map { r => i += 1; Row(bPosOff.value(pid) + i, r.getLong(0), r.getString(1)) }
+    }
+    keyed.unpersist()
+    spark.createDataFrame(out, StructType(Seq(
+        StructField("position", LongType), StructField("doc_id", LongType),
+        StructField("source", StringType))))
       .orderBy(col("position"))
   }
 

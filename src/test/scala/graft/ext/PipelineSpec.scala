@@ -166,4 +166,13 @@ class PipelineSpec extends SparkSuite {
     assert(got.map(_._3).last == "A", "exhausted source finishes the tail")
     assert(got == run(), "pure function of the corpus — no RNG state")
   }
+
+  test("interleaveScalable: prefix-sum path is bit-equal to the declared windows") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val declared = Pipeline.interleave(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val scalable = Pipeline.interleaveScalable(d, parts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(scalable == declared)
+  }
 }
