@@ -141,6 +141,45 @@ object Windows {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin),
 
+    // ---- W2c IGNORE NULLS navigation: the sparse-series form of the
+    //      W2 family. Sensor/price streams carry nulls for "no reading";
+    //      the consumer wants the adjacent OBSERVED values, which plain
+    //      lag/lead can't give. Nulls are PLANTED deterministically
+    //      (view-typed events report no value) so every arm — null row,
+    //      non-null row, leading-null run — fires by construction.
+    //      `value` is carried, never re-accumulated, so doubles are
+    //      hash-safe; same single user-keyed exchange as window_lag_lead ---
+    "window_ignore_nulls" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .withColumn("v",
+            when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("prev_obs", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+          .withColumn("next_obs", lead(col("v"), 1, null, ignoreNulls = true).over(w))
+          .withColumn("carry_obs", last(col("v"), ignoreNulls = true).over(wRun))
+          .withColumn("first_obs", first(col("v"), ignoreNulls = true).over(wAll))
+          .select(col("user_id"), col("event_id"), col("v"),
+            col("prev_obs"), col("next_obs"), col("carry_obs"), col("first_obs"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, v,
+        |  LAG(v IGNORE NULLS) OVER w AS prev_obs,
+        |  LEAD(v IGNORE NULLS) OVER w AS next_obs,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_obs,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_obs
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin),
+
     // ---- W3 framed aggregates: running + moving -------------------------
     "window_running_sum" -> QueryDef(
       (s, d) => {
