@@ -236,7 +236,120 @@ object TimeSeries {
        |ORDER BY lag""".stripMargin
   }
 
+  /** OHLC downsampling — the candle/bar resampling every metrics or
+    * market pipeline runs before charting or modeling: per (event_type,
+    * day), the first and last observed value plus extrema and exact
+    * volume. First/last are arg-min/arg-max on event_id (unique,
+    * load-ordered — the `fillForwardDaily` tie discipline), so "open"
+    * and "close" are defined data, not plan luck; volume accumulates as
+    * DECIMAL and surfaces as double (core/Exact money discipline), and
+    * open/high/low/close are CARRIED doubles — never re-accumulated —
+    * so the whole candle is hash-exact cross-engine.
+    *
+    * Scale shape: ONE partially-aggregated groupBy — min_by/max_by/
+    * min/max/count/sum all combine map-side, so the shuffle carries one
+    * candle per (type, day) per map task, never raw events. At 100 TB
+    * the output is |types|×|days| rows: this is the canonical
+    * raw-to-rollup reduction that makes downstream stages cheap. */
+  def ohlcDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("vol_dec"))
+      .select(col("event_type"), col("day"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"),
+        col("vol_dec").cast("double").as("volume"))
+      .orderBy(col("event_type"), col("day"))
+
+  val ohlcDailySql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       arg_min(value, event_id) AS open,
+      |       MAX(value) AS high,
+      |       MIN(value) AS low,
+      |       arg_max(value, event_id) AS close,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+      |FROM events
+      |GROUP BY event_type, CAST(ts AS DATE)
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Bounded-window EWMA over the per-type daily count series — the
+    * smoothing pass run before alerting on volume anomalies. The
+    * textbook EWMA is a sequential recursion (unbounded state, the
+    * anti-scale shape); the deployed form truncates to a K-day lookback
+    * where the dropped tail's weight is (1−α)^K of the total — here
+    * α = 1/4, K = 7, tail < 13.4% and every kept weight exact. Weights
+    * are exact integers 3^lag · 4^(K−lag) (= (3/4)^lag scaled by 4^K),
+    * daily counts exact BIGINTs, so numerator and denominator are exact
+    * integer sums; the single IEEE divide at the surface makes the
+    * smoothed series bit-identical cross-engine — the `ts_autocorr`
+    * moment discipline applied to smoothing. Missing calendar days drop
+    * out of BOTH sums (gap-adaptive renormalization, the
+    * pandas-`ewm(ignore_na=True)` semantics — weights follow calendar
+    * distance, not observation index).
+    *
+    * Scale shape: the event log collapses to a |types|×|days| series in
+    * one partial-aggregated groupBy; the lag pairing is a calendar
+    * equi-join of that tiny relation against itself (≤ K+1 rows per
+    * target), then one more partial agg — nothing downstream of the
+    * first reduction touches raw events. */
+  def ewmaDailyCounts(events: DataFrame, k: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val lagged = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("b.day").between(date_sub(col("a.day"), k), col("a.day")))
+      .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.x").as("x"),
+        datediff(col("a.day"), col("b.day")).as("lag"), col("b.x").as("bx"))
+    val w3 = (0 to k).map(l => math.pow(3, l).toLong)
+    val w4 = (0 to k).map(l => math.pow(4, k - l).toLong)
+    val weight = (1 to k).foldLeft(when(col("lag") === 0, lit(w3(0) * w4(0)))) {
+      (c, l) => c.when(col("lag") === l, lit(w3(l) * w4(l)))
+    }
+    lagged
+      .withColumn("w", weight)
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("x")).as("n_events"), // x is constant per group
+        sum(col("w") * col("bx")).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def ewmaDailyCountsSql(k: Int = 7): String = {
+    val arms = (0 to k).map { l =>
+      val w = math.pow(3, l).toLong * math.pow(4, k - l).toLong
+      s"WHEN $l THEN $w"
+    }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+       |lagged AS (
+       |  SELECT a.event_type, a.day, a.x,
+       |         datediff('day', b.day, a.day) AS lag, b.x AS bx
+       |  FROM d a JOIN d b ON a.event_type = b.event_type
+       |   AND b.day BETWEEN a.day - INTERVAL $k DAY AND a.day)
+       |SELECT event_type, day, MAX(x) AS n_events,
+       |       CAST(SUM((CASE lag $arms END) * bx) AS DOUBLE) /
+       |         CAST(SUM(CASE lag $arms END) AS DOUBLE) AS ewma
+       |FROM lagged
+       |GROUP BY event_type, day
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_downsample" -> QueryDef(
+      (s, d) => ohlcDaily(Tables.events(s, d)), ohlcDailySql),
+    "ts_ewma" -> QueryDef(
+      (s, d) => ewmaDailyCounts(Tables.events(s, d)), ewmaDailyCountsSql()),
     "ts_autocorr" -> QueryDef(
       (s, d) => autocorr(Tables.events(s, d)), autocorrSql()),
     "ts_fill_forward" -> QueryDef(

@@ -75,6 +75,46 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got.toSeq === Seq(21L))
   }
 
+  test("OHLC: open/close follow event_id load order, extrema and volume exact") {
+    val e = ev(
+      (3L, "2024-01-01 09:00:00", 1L, "trade", 50.0), // earliest ts but NOT open:
+      (1L, "2024-01-01 10:00:00", 1L, "trade", 10.0), // min event_id = open
+      (2L, "2024-01-01 11:00:00", 1L, "trade", 99.0), // high
+      (4L, "2024-01-01 12:00:00", 1L, "trade", 7.0),  // low + max event_id = close
+      (5L, "2024-01-02 10:00:00", 1L, "trade", 1.0))  // next candle
+    val got = TimeSeries.ohlcDaily(e).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+    assert(got.toSeq === Seq(
+      ("trade", "2024-01-01", 10.0, 99.0, 7.0, 7.0, 4L, 166.0),
+      ("trade", "2024-01-02", 1.0, 1.0, 1.0, 1.0, 1L, 1.0)))
+  }
+
+  test("EWMA: constant series is a fixed point; gaps renormalize the window") {
+    // type A: constant 2 events/day for 10 days → ewma ≡ 2.0 exactly
+    val a = (1 to 10).flatMap { d =>
+      Seq((d * 2L, f"2024-01-$d%02d 10:00:00", 1L, "A", 1.0),
+        (d * 2 + 1L, f"2024-01-$d%02d 11:00:00", 2L, "A", 1.0))
+    }
+    // type B: day 1 has 4 events, day 9 has 1 (7-day gap: day 1 falls
+    // OUT of day 9's K=7 lookback → ewma(day 9) = 1 exactly)
+    val b = Seq((100L, "2024-01-01 10:00:00", 3L, "B", 1.0),
+      (101L, "2024-01-01 11:00:00", 3L, "B", 1.0),
+      (102L, "2024-01-01 12:00:00", 3L, "B", 1.0),
+      (103L, "2024-01-01 13:00:00", 3L, "B", 1.0),
+      (104L, "2024-01-09 10:00:00", 3L, "B", 1.0))
+    val got = TimeSeries.ewmaDailyCounts(ev(a ++ b: _*))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3)))
+    val aRows = got.filter(_._1 == "A")
+    assert(aRows.length === 10 && aRows.forall(_._3 == 2.0))
+    val b9 = got.filter(r => r._1 == "B" && r._2 == "2024-01-09")
+    assert(b9.toSeq === Seq(("B", "2024-01-09", 1.0)))
+    // day 2 of B (absent) produces no row: EWMA is over observed days
+    assert(!got.exists(r => r._1 == "B" && r._2 == "2024-01-02"))
+    // day 1 of B: only itself in window → 4.0 exactly
+    assert(got.filter(r => r._1 == "B" && r._2 == "2024-01-01").head._3 === 4.0)
+  }
+
   test("fill output is dense: every user spans first..last with no holes") {
     val got = TimeSeries.fillForwardDaily(
       graft.core.Tables.events(spark, sfDir))
