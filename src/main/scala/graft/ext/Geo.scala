@@ -103,7 +103,60 @@ object Geo {
        |WHERE rn = 1
        |ORDER BY c_custkey""".stripMargin
 
+  /** All (customer, supplier) pairs within radius `r` — the
+    * distance-banded join behind geofencing, service-area assignment
+    * and spatial dedup. Same grid blocking as `nearestInRing`, but with
+    * `cellSize >= r` the 3×3 ring PROVABLY contains every point within
+    * r of the probe (any such point's cell differs by at most one in
+    * each axis), so the blocked join is EXACT — not a recall contract —
+    * and the oracle is the naive cross-join filter, which is precisely
+    * what proves the blocking loses nothing. Work is O(points × ring
+    * density) instead of O(\|C\|·\|S\|); the d2 <= r² cut is a single
+    * comparison of exact-double products, hash-safe cross-engine. */
+  def radiusJoin(cust: DataFrame, supp: DataFrame, r: Double,
+      cellSize: Double): DataFrame = {
+    require(cellSize >= r, s"exactness needs cellSize >= r ($cellSize < $r)")
+    val probes = cust
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("cid"), col("x"), col("y"),
+        (floor(col("x") / cellSize) + col("dx")).as("cx"),
+        (floor(col("y") / cellSize) + col("dy")).as("cy"))
+    val anchored = supp.select(col("sid"), col("sx"), col("sy"),
+      floor(col("sx") / cellSize).as("cx"),
+      floor(col("sy") / cellSize).as("cy"))
+    probes.join(anchored, Seq("cx", "cy"))
+      .select(col("cid").as("c_custkey"), col("sid").as("s_suppkey"),
+        ((col("x") - col("sx")) * (col("x") - col("sx")) +
+          (col("y") - col("sy")) * (col("y") - col("sy"))).as("d2"))
+      .filter(col("d2") <= lit(r * r))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  def radiusJoinSql(r: Double): String =
+    s"""WITH c AS (
+       |  SELECT c_custkey AS cid,
+       |    CAST(c_custkey * 7919 % 100000 AS DOUBLE) / 1000.0 AS x,
+       |    CAST(c_custkey * 104729 % 100000 AS DOUBLE) / 1000.0 AS y
+       |  FROM customer),
+       |s AS (
+       |  SELECT s_suppkey AS sid,
+       |    CAST(s_suppkey * 7919 % 100000 AS DOUBLE) / 1000.0 AS sx,
+       |    CAST(s_suppkey * 104729 % 100000 AS DOUBLE) / 1000.0 AS sy
+       |  FROM supplier)
+       |SELECT c.cid AS c_custkey, s.sid AS s_suppkey,
+       |       (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS d2
+       |FROM c CROSS JOIN s
+       |WHERE (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy)
+       |      <= ${r * r}
+       |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "geo_join_radius" -> QueryDef(
+      (s, d) => radiusJoin(
+        customerPoints(Tables.customer(s, d)),
+        supplierPoints(Tables.supplier(s, d)), r = 5.0, cellSize = 5.0),
+      radiusJoinSql(5.0)),
     "geo_nearest" -> QueryDef(
       (s, d) => nearestInRing(
         customerPoints(Tables.customer(s, d)),

@@ -59,4 +59,26 @@ class GeoSpec extends SparkSuite {
     assert(bad.count() === 0,
       "blocked result must equal brute force whenever the true nearest is in-ring")
   }
+
+  test("radius join: blocked result is EXACTLY the cross-join filter") {
+    val cust = Geo.customerPoints(graft.core.Tables.customer(spark, sfDir))
+    val supp = Geo.supplierPoints(graft.core.Tables.supplier(spark, sfDir))
+    val blocked = Geo.radiusJoin(cust, supp, r = 5.0, cellSize = 5.0)
+      .select(col("c_custkey"), col("s_suppkey"))
+    val naive = cust.crossJoin(supp)
+      .filter((col("x") - col("sx")) * (col("x") - col("sx")) +
+        (col("y") - col("sy")) * (col("y") - col("sy")) <= lit(25.0))
+      .select(col("cid").as("c_custkey"), col("sid").as("s_suppkey"))
+    assert(blocked.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(blocked).count() === 0)
+    assert(blocked.count() > 0, "fixture must exercise the radius join")
+  }
+
+  test("radius join: cellSize < r is rejected (exactness precondition)") {
+    val cust = Geo.customerPoints(graft.core.Tables.customer(spark, sfDir))
+    val supp = Geo.supplierPoints(graft.core.Tables.supplier(spark, sfDir))
+    assertThrows[IllegalArgumentException] {
+      Geo.radiusJoin(cust, supp, r = 5.0, cellSize = 4.0)
+    }
+  }
 }
