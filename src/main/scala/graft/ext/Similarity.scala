@@ -612,7 +612,72 @@ object Similarity {
        |FROM d WHERE d2 <= $r2
        |ORDER BY d2, neighbor_id""".stripMargin
 
+  /** Matryoshka (truncated-prefix) retrieval: coarse-score on the first
+    * `dp` dimensions, keep the top `c` candidates, rerank those by
+    * FULL-dimension cosine — the two-stage funnel used with MRL-style
+    * embeddings where nested prefixes are themselves valid embeddings
+    * (Kusupati et al., NeurIPS 2022). At 100 TB the prefix lives as its
+    * own skinny column (or a store-truncated replica), so the coarse
+    * scan reads dp/dim of the vector bytes and the full vectors are
+    * fetched for only `c` rows — this local form keeps exactly that
+    * plan shape: a narrow prefix projection scored row-wise, a global
+    * top-c (rank-prunable), and a `c`-row rerank.
+    *
+    * Determinism: both stages accumulate strictly left-to-right in
+    * doubles (the `bruteForceTopK` discipline — matches DuckDB's
+    * list_dot_product fold), ties break on vec_id at BOTH cuts, and no
+    * fixture score pair sits within drift distance of a cut, so the
+    * rank list is oracle-checkable end to end. */
+  def matryoshkaTopK(spark: SparkSession, dir: String, qId: Long, k: Int,
+      dp: Int, c: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("p", slice(col("v"), 1, dp))
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("v").as("qv"), col("p").as("qp"))
+    val cands = e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("pscore", aggregate(
+        zip_with(col("p"), col("qp"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("pscore").desc, col("vec_id"))
+      .limit(c)
+    cands
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def matryoshkaTopKSql(qId: Long, k: Int, dp: Int, c: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         CAST(embedding AS DOUBLE[])[1:$dp] AS p
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, p AS qp FROM e WHERE vec_id = $qId),
+       |cands AS (
+       |  SELECT e.vec_id, e.v, q.qv,
+       |         list_dot_product(e.p, q.qp) AS pscore
+       |  FROM e, q WHERE e.vec_id <> $qId
+       |  ORDER BY pscore DESC, vec_id LIMIT $c),
+       |reranked AS (
+       |  SELECT vec_id,
+       |    list_dot_product(v, qv) /
+       |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+       |  FROM cands)
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |FROM reranked
+       |ORDER BY cos DESC, vec_id
+       |LIMIT $k""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "simsearch_matryoshka" -> QueryDef(
+      (s: SparkSession, d: String) => matryoshkaTopK(s, d, 0L, 10, dp = 16, c = 50),
+      Some(matryoshkaTopKSql(0L, 10, dp = 16, c = 50))),
     "simsearch_range" -> QueryDef(
       (s: SparkSession, d: String) => rangeSearch(s, d, 0L, 1700000L),
       Some(rangeSearchSql(0L, 1700000L))),

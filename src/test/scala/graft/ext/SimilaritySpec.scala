@@ -158,4 +158,30 @@ class SimilaritySpec extends SparkSuite {
     assert(c.length == 10)
     assert(c.forall(_.getSeq[Double](1).length == 64))
   }
+
+  test("matryoshka: rerank stage IS the brute-force order restricted to " +
+      "the prefix candidates; full-prefix funnel degenerates to brute force") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.matryoshkaTopK(spark, sfDir, 0L, 10, dp = 16, c = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._2).toSeq === (1 to 10), "ranks must be dense 1..k")
+    // the defining rerank property: top-10 of the funnel = brute-force
+    // cosine order restricted to the candidate set
+    val brute = Similarity.bruteForceTopK(spark, sfDir, 0L, 499)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap // full order
+    val cands = got.map(_._1).toSet
+    assert(got.sortBy(_._2).map(_._1).toSeq ===
+      got.map(g => (g._1, brute(g._1))).sortBy(_._2).map(_._1).toSeq,
+      "funnel order must agree with full cosine order on its own picks")
+    // with c >= corpus the funnel must EQUAL brute force exactly
+    val full = Similarity.matryoshkaTopK(spark, sfDir, 0L, 10, dp = 64, c = 500)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val bf10 = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(full.toSeq === bf10.toSeq)
+    // deterministic overlap at the declared config (pinned, not flaky:
+    // every input and both folds are exact-reproducible)
+    val overlap = bf10.map(_._1).toSet.intersect(cands).size
+    assert(overlap >= 3, s"prefix funnel should carry signal, got $overlap/10")
+  }
 }
