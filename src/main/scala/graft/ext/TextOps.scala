@@ -231,6 +231,83 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- L4c Gopher-rules filter (Rae et al. 2021, A1.1) ----------------
+    //      The industrial multi-rule document filter, emitted as a
+    //      per-rule REPORT (not just a score): each rule's pass flag +
+    //      the evidence counts + the conjunctive keep decision, so a
+    //      curation run can audit WHICH rule dropped a document. Every
+    //      ratio threshold is an integer cross-multiplication (sl*10
+    //      between 30n and 50n, maxc*5 <= n) — no division anywhere, so
+    //      the report is hash-exact by construction. Thresholds are the
+    //      Gopher shapes calibrated to the fixture so every rule fires
+    //      BOTH ways at sf0.01 (358/493/224/493 of 500 pass; 146 keep).
+    //      Scale: per-doc scalars are narrow HOFs; the one aggregation
+    //      (top-word count) is explode → (doc,word) partial agg → per-doc
+    //      max — word counts collapse map-side before the wire, and the
+    //      final join is doc-keyed. --------------------------------------
+    "corpus_gopher_filter" -> QueryDef(
+      (s, d) => {
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        val perDoc = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("n_words"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_word_len"),
+          size(filter(toks, t => t.isin(
+            "the", "be", "to", "of", "and", "that", "have", "with")))
+            .as("stop_hits"))
+        val maxWord = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_word_cnt"))
+        perDoc.join(maxWord, Seq("doc_id"))
+          .withColumn("r_wordcount", col("n_words").between(20, 80))
+          .withColumn("r_wordlen",
+            col("sum_word_len") * 10 >= col("n_words") * 30 &&
+            col("sum_word_len") * 10 <= col("n_words") * 50)
+          .withColumn("r_stopwords", col("stop_hits") >= 2)
+          .withColumn("r_repetition", col("max_word_cnt") * 5 <= col("n_words"))
+          .withColumn("keep", col("r_wordcount") && col("r_wordlen") &&
+            col("r_stopwords") && col("r_repetition"))
+          .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+            col("stop_hits"), col("max_word_cnt"), col("r_wordcount"),
+            col("r_wordlen"), col("r_stopwords"), col("r_repetition"),
+            col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |         list_sum(list_transform(toks, t -> length(t))) AS sum_word_len,
+        |         len(list_filter(toks, t -> t IN
+        |           ('the','be','to','of','and','that','have','with'))) AS stop_hits
+        |  FROM d),
+        |m AS (
+        |  SELECT doc_id, MAX(c) AS max_word_cnt
+        |  FROM (SELECT doc_id, w, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+        |        GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(s.n_words AS INT) AS n_words,
+        |  CAST(s.sum_word_len AS INT) AS sum_word_len,
+        |  CAST(s.stop_hits AS INT) AS stop_hits,
+        |  CAST(m.max_word_cnt AS BIGINT) AS max_word_cnt,
+        |  s.n_words BETWEEN 20 AND 80 AS r_wordcount,
+        |  s.sum_word_len * 10 >= s.n_words * 30
+        |    AND s.sum_word_len * 10 <= s.n_words * 50 AS r_wordlen,
+        |  s.stop_hits >= 2 AS r_stopwords,
+        |  m.max_word_cnt * 5 <= s.n_words AS r_repetition,
+        |  s.n_words BETWEEN 20 AND 80
+        |    AND s.sum_word_len * 10 >= s.n_words * 30
+        |    AND s.sum_word_len * 10 <= s.n_words * 50
+        |    AND s.stop_hits >= 2
+        |    AND m.max_word_cnt * 5 <= s.n_words AS keep
+        |FROM s JOIN m ON s.doc_id = m.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
+
     // ---- L4 quality scoring (deterministic rule points) -----------------
     "text_quality" -> QueryDef(
       (s, d) => Tables.documents(s, d)

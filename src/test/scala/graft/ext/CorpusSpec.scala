@@ -182,4 +182,27 @@ class CorpusSpec extends SparkSuite {
     val expectBig = (1L to 10L).sortBy(id => (h(id), id)).take(4).toSet
     assert(out.filter(_._1 == "big").map(_._2).toSet == expectBig)
   }
+
+  test("gopher filter: every rule fires both ways on the fixture; " +
+      "keep is exactly the conjunction; no-division flags are integer-exact") {
+    val r = graft.SparkEntry.queries("corpus_gopher_filter")(spark, sfDir)
+      .collect()
+    assert(r.length > 0)
+    for (i <- 5 to 8) { // the four rule-flag columns
+      val vals = r.map(_.getBoolean(i)).toSet
+      assert(vals == Set(true, false),
+        s"rule column $i must fire both ways on the fixture")
+    }
+    r.foreach { row =>
+      val conj = row.getBoolean(5) && row.getBoolean(6) &&
+        row.getBoolean(7) && row.getBoolean(8)
+      assert(row.getBoolean(9) === conj, s"keep must be the conjunction: $row")
+    }
+    // evidence counts recompute from the raw text for a spot row
+    val doc = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === r.head.getLong(0)).head.getAs[String]("text")
+    val toks = doc.split(" ").filter(_.nonEmpty)
+    assert(r.head.getInt(1) === toks.length)
+    assert(r.head.getInt(2) === toks.map(_.length).sum)
+  }
 }
