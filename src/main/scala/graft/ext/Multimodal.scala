@@ -1020,7 +1020,172 @@ object Multimodal {
       |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 = 0
       |ORDER BY doc_a""".stripMargin
 
+  /** Raw PCM16LE mono samples out of a WAV container — the real RIFF
+    * parse (javax.sound), not a byte-offset guess; None for non-WAV or
+    * non-PCM16-mono payloads. */
+  private[ext] def audioSamples(bytes: Array[Byte]): Option[Array[Int]] = try {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+    else {
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      Some(out)
+    }
+  } catch { case _: Exception => None }
+
+  /** 63-bit energy-difference fingerprint (the Haitsma-Kalker audio
+    * fingerprint reduced to one band): bit i = \|s(i+1)\| > \|s(i)\| over
+    * the first 64 samples. Amplitude-SHAPE sensitive, level-robust —
+    * the property that makes it a near-dup key rather than a checksum. */
+  private[ext] def energyDiffFingerprint(s: Array[Int]): Long = {
+    var fp = 0L
+    var i = 0
+    while (i < 63 && i + 1 < s.length) {
+      if (math.abs(s(i + 1)) > math.abs(s(i))) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** Paired audio corpus for the dedup surface: audio-typed docs
+    * (doc_id % 3 = 1) are grouped two-by-two — pair p = (doc_id−1)/3,
+    * generator g = p/2, member m = p%2 — and both members synthesize
+    * the SAME md5-derived PCM stream: sample i = byte i%16 of
+    * md5("aud:g:i/16") − 128 (the portable-hash-family idiom — linear
+    * congruential streams left cross-group fingerprints correlated at
+    * specific Δg, md5 streams are i.i.d. so non-pair collisions at
+    * Hamming ≤ 8 have probability ~1e−5 corpus-wide), except the
+    * second member perturbs samples 0..3 by +3 (a re-encode-style
+    * wobble: flips at most the first 4 fingerprint bits). Clip length
+    * 64 + g%64 frames, identical within a pair. REAL WAVs via
+    * javax.sound, like `syntheticAudio`. */
+  def syntheticAudioPairs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { id =>
+          val p = (id - 1) / 3
+          val g = p / 2
+          val m = p % 2
+          val n = (64 + g % 64).toInt
+          val data = new Array[Byte](2 * n)
+          var blk = Array.emptyByteArray
+          var i = 0
+          while (i < n) {
+            if (i % 16 == 0)
+              blk = md.digest(s"aud:$g:${i / 16}".getBytes("UTF-8"))
+            val base = (blk(i % 16) & 0xFF) - 128
+            val s = base + (if (m == 1 && i < 4) 3 else 0)
+            data(2 * i) = (s & 0xFF).toByte
+            data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          val bytes = bos.toByteArray
+          MediaRow(id, "audio", bytes.length, bytes)
+        }
+      }
+  }
+
+  /** Banded Hamming pairs over real-decode audio fingerprints: decode
+    * WAV → 63-bit fingerprint (partition-wise, codec setup), then 9
+    * bands of 7 bits block the candidate join (Hamming ≤ 8 ⇒ pigeonhole
+    * leaves ≥ 1 band untouched ⇒ 100% recall — the `dedup_simhash`
+    * blocking discipline on the audio axis). The whole chain — samples,
+    * fingerprint bits, bands, candidates, distances — is closed-form in
+    * the synthesized corpus, so the ORACLE recomputes the full pair
+    * list value-for-value without parsing a WAV byte (stronger than the
+    * image phash planted contract: this is the aHash-style full oracle
+    * applied to the pair OUTPUT). Scale: fingerprints are 1 BIGINT per
+    * clip; the band join is \|corpus\|×9 rows keyed on 7-bit-by-band
+    * buckets; no all-pairs stage exists. */
+  def audioFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.mapPartitions { rows =>
+      rows.flatMap(r => audioSamples(r.content)
+        .map(s => (r.doc_id, energyDiffFingerprint(s))))
+    }.toDF("doc_id", "fp")
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 9).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("fp"), 7 * b).bitwiseAND(lit(127L)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def audioFpPairsQuery(spark: SparkSession, dir: String): DataFrame =
+    audioFpPairs(syntheticAudioPairs(spark, dir), maxDist = 8)
+
+  private val audioFpPairsSql: String =
+    """WITH par AS (
+      |  SELECT doc_id, ((doc_id - 1) // 3) // 2 AS g,
+      |         ((doc_id - 1) // 3) % 2 AS m
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT doc_id, g, m, unnest(range(0, 64)) AS i FROM par),
+      |v AS (
+      |  SELECT doc_id, i,
+      |         abs(('0x' || substr(
+      |                md5('aud:' || CAST(g AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)),
+      |                2 * CAST(i % 16 AS INT) + 1, 2))::INT - 128 +
+      |             CASE WHEN m = 1 AND i < 4 THEN 3 ELSE 0 END) AS av
+      |  FROM s),
+      |w AS (
+      |  SELECT doc_id, i, av,
+      |         LEAD(av) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+      |  FROM v),
+      |f AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN i < 63 AND nx > av
+      |                  THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS fp
+      |  FROM w GROUP BY doc_id),
+      |k AS (
+      |  SELECT doc_id, fp, band, (fp >> CAST(7 * band AS INT)) & 127 AS key
+      |  FROM (SELECT doc_id, fp, unnest(range(0, 9)) AS band FROM f)),
+      |c AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         x.fp AS fa, y.fp AS fb
+      |  FROM k x JOIN k y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+      |FROM c WHERE bit_count(xor(fa, fb)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    // real WAV decode → 63-bit energy-difference fingerprint → banded
+    // Hamming pairs: the audio axis of the dedup × multimodal cross,
+    // FULL value-level pair-list oracle from the closed-form corpus
+    "dedup_audio_fp" -> QueryDef(
+      (s: SparkSession, d: String) => audioFpPairsQuery(s, d),
+      Some(audioFpPairsSql)),
     // real encode→decode round trip behind a closed-form oracle; the
     // mixed-type stub statistics remain available via `featureStats`
     "multimodal_features" -> QueryDef(

@@ -306,4 +306,56 @@ class MultimodalSpec extends SparkSuite {
     val r = Multimodal.resizeFeatures(junk, 2, 2).head()
     assert(!r.getBoolean(6) && r.getInt(1) === 0)
   }
+
+  test("audio fingerprint: gain-invariant (the near-dup property), " +
+      "DC-shift-sensitive, and byte-order exact") {
+    val s = Array(10, -20, 30, -5, 0, 7, -7, 100, -99, 3)
+    val fp = Multimodal.energyDiffFingerprint(s)
+    // positive gain preserves every |s(i+1)| > |s(i)| comparison
+    assert(Multimodal.energyDiffFingerprint(s.map(_ * 3)) === fp)
+    // a large DC shift reorders amplitudes -> different fingerprint
+    assert(Multimodal.energyDiffFingerprint(s.map(_ + 50)) !== fp)
+    // hand value: bits where |next| > |cur|
+    val expect = (0 until 9).foldLeft(0L) { (acc, i) =>
+      if (math.abs(s(i + 1)) > math.abs(s(i))) acc | (1L << i) else acc
+    }
+    assert(fp === expect)
+  }
+
+  test("audio near-dup: real WAV decode reproduces the closed-form " +
+      "fingerprints; every planted pair recalled at hamming <= 4") {
+    // decode-path differential: fingerprint(decode(wav)) must equal the
+    // fingerprint computed straight from the md5 closed form
+    val viaWav = Multimodal.syntheticAudioPairs(spark, sfDir)
+      .collect().map { r =>
+        val s = Multimodal.audioSamples(r.content).get
+        r.doc_id -> Multimodal.energyDiffFingerprint(s)
+      }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def closedForm(id: Long): Long = {
+      val p = (id - 1) / 3; val g = p / 2; val m = p % 2
+      val s = (0 until 64).map { i =>
+        val blk = md.digest(s"aud:$g:${i / 16}".getBytes("UTF-8"))
+        (blk(i % 16) & 0xFF) - 128 + (if (m == 1 && i < 4) 3 else 0)
+      }.toArray
+      Multimodal.energyDiffFingerprint(s)
+    }
+    assert(viaWav.nonEmpty)
+    viaWav.foreach { case (id, fp) =>
+      assert(fp === closedForm(id), s"decode drift for clip $id")
+    }
+    // planted recall through the declared banded-join surface
+    val pairs = Multimodal.audioFpPairs(
+      Multimodal.syntheticAudioPairs(spark, sfDir), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = viaWav.keys.filter { id =>
+      val p = (id - 1) / 3; p % 2 == 0 && viaWav.contains(id + 3)
+    }.map(id => (id, id + 3)).toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(pairs.map(p => (p._1, p._2)).toSet),
+      "every planted pair must be recalled (pigeonhole banding)")
+    pairs.filter(p => planted((p._1, p._2))).foreach { p =>
+      assert(p._3 <= 4, s"planted wobble flips at most 4 bits: $p")
+    }
+  }
 }
