@@ -338,6 +338,113 @@ object RelQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A11b simple OLS regression from exact DECIMAL moments — the
+    //      agg_corr_exact discipline extended to slope/intercept/R²:
+    //      all five moment sums accumulate as DECIMAL (associative-
+    //      exact), each output is a short fixed sequence of IEEE ops on
+    //      those exact inputs, so the fit is bit-identical cross-engine
+    //      (regr_slope/regr_r2 built-ins accumulate in doubles — their
+    //      last bits are NOT portable, which is why the moments are
+    //      spelled out). One partial-agg shuffle, 3 groups ---------------
+    "agg_regression" -> QueryDef(
+      (s, d) => {
+        val x = money(col("l_quantity"))
+        val y = money(col("l_extendedprice"))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n")).as("intercept"),
+            (((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
+    // ---- A7c portable interpolated quantile (Type-7, the R/pandas
+    //      default): built-in percentile_cont index conventions differ
+    //      across engines, so BOTH sides compute the EXPLICIT formula —
+    //      rank the group, k = (n−1)·p, result = v[⌊k⌋] + (v[⌊k⌋+1] −
+    //      v[⌊k⌋])·frac with frac an exact two-digit decimal, lo/hi
+    //      CARRIED values and one multiply+add at the surface ⇒ bit-
+    //      identical by construction. The per-group sort is the
+    //      window_distribution cost class (3 groups here); at scale the
+    //      rank stage is exactly what rel/DistributedRank distributes ---
+    "agg_quantile_cont" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        val ranked = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+        def arm(pct: Int, alias: String) = {
+          val loIdx = expr(s"CAST(((n - 1) * $pct) DIV 100 AS BIGINT)")
+          val frac = (((col("n") - 1) * pct) % 100).cast("double") / 100.0
+          val lo = sum(when(col("rn") === loIdx + 1, col("l_quantity")))
+          val hi = sum(when(col("rn") === least(loIdx + 2, col("n")), col("l_quantity")))
+          (lo.as(s"lo_$alias"), hi.as(s"hi_$alias"), max(frac).as(s"f_$alias"))
+        }
+        val (l25, h25, f25) = arm(25, "q25")
+        val (l50, h50, f50) = arm(50, "q50")
+        val (l75, h75, f75) = arm(75, "q75")
+        ranked
+          .groupBy(col("l_returnflag"))
+          .agg(l25, h25, f25, l50, h50, f50, l75, h75, f75)
+          .select(col("l_returnflag"),
+            (col("lo_q25") + (col("hi_q25") - col("lo_q25")) * col("f_q25")).as("q25"),
+            (col("lo_q50") + (col("hi_q50") - col("lo_q50")) * col("f_q50")).as("q50"),
+            (col("lo_q75") + (col("hi_q75") - col("lo_q75")) * col("f_q75")).as("q75"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag,
+        |    SUM(CASE WHEN rn = ((n - 1) * 25) // 100 + 1 THEN l_quantity END) AS lo25,
+        |    SUM(CASE WHEN rn = LEAST(((n - 1) * 25) // 100 + 2, n) THEN l_quantity END) AS hi25,
+        |    MAX(CAST(((n - 1) * 25) % 100 AS DOUBLE) / 100.0) AS f25,
+        |    SUM(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN l_quantity END) AS lo50,
+        |    SUM(CASE WHEN rn = LEAST(((n - 1) * 50) // 100 + 2, n) THEN l_quantity END) AS hi50,
+        |    MAX(CAST(((n - 1) * 50) % 100 AS DOUBLE) / 100.0) AS f50,
+        |    SUM(CASE WHEN rn = ((n - 1) * 75) // 100 + 1 THEN l_quantity END) AS lo75,
+        |    SUM(CASE WHEN rn = LEAST(((n - 1) * 75) // 100 + 2, n) THEN l_quantity END) AS hi75,
+        |    MAX(CAST(((n - 1) * 75) % 100 AS DOUBLE) / 100.0) AS f75
+        |  FROM ranked GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  lo25 + (hi25 - lo25) * f25 AS q25,
+        |  lo50 + (hi50 - lo50) * f50 AS q50,
+        |  lo75 + (hi75 - lo75) * f75 AS q75
+        |FROM g ORDER BY l_returnflag""".stripMargin),
+
     // ---- scalar subquery (threshold computed exactly → identical
     //      boundary comparisons in both engines; 1.5× avg selects a real
     //      price tail so the oracle hash-compare bites on actual rows) ----
