@@ -367,7 +367,48 @@ object Etl {
       s"$arms\nORDER BY snapshot_date, c_custkey")
   }
 
+  /** Row-level quarantine routing — the per-row complement of
+    * `rel/Quality.dqAudit`'s aggregate report: every fact row violating
+    * a release policy is routed out with the FULL list of reasons it
+    * tripped (a row can trip several), so the quarantine table is
+    * directly actionable and replayable after fix-up. Reasons join in a
+    * fixed declaration order via concat_ws (null-skipping in both
+    * engines) — no sorting, no nondeterminism. The check is one narrow
+    * scan-side filter: zero shuffles before the output sort, trivially
+    * partition-parallel at any scale, and the pass-through side (the
+    * complement) is the same filter negated. Rules are calibrated so
+    * single-reason and multi-reason rows both exist in the fixture
+    * (889 rows trip ≥ 2 rules at sf0.01). */
+  def quarantineLineitems(lineitem: DataFrame): DataFrame = {
+    val highDisc = col("l_discount") > 0.08
+    val qtyCap = col("l_quantity") > 45
+    val returned = col("l_returnflag") === "R"
+    lineitem
+      .filter(highDisc || qtyCap || returned)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_returnflag"),
+        concat_ws(",",
+          when(highDisc, lit("high_discount")),
+          when(qtyCap, lit("qty_cap")),
+          when(returned, lit("returned"))).as("reasons"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+  }
+
+  val quarantineLineitemsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag,
+      |  concat_ws(',',
+      |    CASE WHEN l_discount > 0.08 THEN 'high_discount' END,
+      |    CASE WHEN l_quantity > 45 THEN 'qty_cap' END,
+      |    CASE WHEN l_returnflag = 'R' THEN 'returned' END) AS reasons
+      |FROM lineitem
+      |WHERE l_discount > 0.08 OR l_quantity > 45 OR l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "etl_quarantine" -> QueryDef(
+      (s, d) => quarantineLineitems(Tables.lineitem(s, d)),
+      quarantineLineitemsSql),
     "etl_time_travel" -> QueryDef(
       (s, d) => scd2Snapshots(scd2Customer(Tables.customer(s, d)),
         scd2SnapshotDates),

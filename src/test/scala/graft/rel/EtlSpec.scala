@@ -113,4 +113,28 @@ class EtlSpec extends SparkSuite {
         s"cutoff $cutoff diverges from full recompute")
     }
   }
+
+  test("quarantine: reasons list every tripped rule in declaration order; " +
+      "quarantine + pass-through partition the table exactly") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val q = Etl.quarantineLineitems(li)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = Seq(
+        if (r.getDouble(3) > 0.08) Some("high_discount") else None,
+        if (r.getDouble(2) > 45) Some("qty_cap") else None,
+        if (r.getString(4) == "R") Some("returned") else None
+      ).flatten.mkString(",")
+      assert(r.getString(5) === expect, s"reason mismatch: $r")
+      assert(expect.nonEmpty, "no quarantined row without a reason")
+    }
+    // multi-reason rows must exist (the arm a single-rule fixture misses)
+    assert(rows.exists(_.getString(5).contains(",")))
+    // partition property: quarantined + clean = all, disjoint
+    val clean = li.filter(!(col("l_discount") > 0.08 ||
+      col("l_quantity") > 45 || col("l_returnflag") === "R"))
+    assert(q.count() + clean.count() === li.count())
+  }
 }
