@@ -41,6 +41,30 @@ object Streams {
       .select(col("window.start").as("bucket_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** TS5 streaming twin — live OHLC candle building over tumbling
+    * 1-day event-time windows: the same open/high/low/close/volume
+    * contract as `rel/TimeSeries.ohlcDaily` (open/close = arg-min/max
+    * on event_id, volume exact DECIMAL), maintained incrementally as
+    * events arrive. min_by/max_by/sum are all declarative aggregates,
+    * so state per open (day, type) window is ONE candle — counts and
+    * partial extrema, not buffered events — and the 1-day watermark
+    * closes state deterministically. Day key = the window start cast
+    * to date (UTC session timezone ⇒ identical to `to_date(ts)` in the
+    * batch twin, differential-pinned in StreamingSpec). */
+  def ohlcStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("vol_dec"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("vol_dec").cast("double").as("volume"))
+
   /** W5 — session windows via the built-in session_window (30-minute
     * inactivity gap). */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -45,6 +45,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("OHLC candle stream == the batch ohlcDaily contract, " +
+      "incrementally across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two days of trades, fed in two chunks that SPLIT day 1 so the
+    // candle must update incrementally (open stays, high/close move)
+    def t(d: Int, m: Int) = Timestamp.valueOf(f"2024-01-0$d 10:$m%02d:00")
+    val chunk1 = Seq(
+      Ev(t(1, 1), "trade", 10.0, 1, 1),
+      Ev(t(1, 2), "trade", 99.0, 1, 2))
+    val chunk2 = Seq(
+      Ev(t(1, 3), "trade", 7.0, 1, 3),  // same day: new low + close
+      Ev(t(2, 1), "trade", 5.0, 1, 4))  // next day's candle
+    val input = MemoryStream[Ev]
+    val q = Streams.ohlcStream(input.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(chunk1: _*)
+      q.processAllAvailable()
+      input.addData(chunk2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+        .orderBy("event_type", "day").collect().toSeq
+      val batched = graft.rel.TimeSeries.ohlcDaily((chunk1 ++ chunk2).toDF()
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+        .withColumn("volume", col("volume")) // same shape
+        .orderBy("event_type", "day").collect().toSeq
+      assert(streamed.map(r => (r.getDate(0).toString, r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6), r.getDouble(7))) ===
+        batched.map(r => (r.getDate(1).toString, r.getString(0),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))))
+      // the split day's candle reflects BOTH chunks
+      val day1 = streamed.find(_.getDate(0).toString == "2024-01-01").get
+      assert(day1.getDouble(2) === 10.0 && day1.getDouble(3) === 99.0 &&
+        day1.getDouble(4) === 7.0 && day1.getDouble(5) === 7.0)
+    } finally q.stop()
+  }
+
   test("hopping window stream == batch twin; every event lands twice") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
