@@ -1179,7 +1179,134 @@ object Multimodal {
       |FROM c WHERE bit_count(xor(fa, fb)) <= 8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 16-bit md5-derived luma-walk target for the video-fingerprint
+    * corpus: bytes 0-1 of md5("vid:g"), big-endian (matches DuckDB's
+    * ('0x' \|\| substr(md5, 1, 4))::BIGINT). */
+  private[ext] def videoTarget(g: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"vid:$g".getBytes("UTF-8"))
+    ((md(0) & 0xFF) << 8) | (md(1) & 0xFF)
+  }
+
+  /** Paired video corpus for the dedup surface: video-typed docs
+    * (doc_id % 3 = 2) pair two-by-two like the audio corpus; each clip
+    * is 17 solid-gray MJPEG frames — frame 0 at level 112, frame f+1 at
+    * 160 or 64 by bit f of the md5 target (member 1 flips bit 0: ONE
+    * frame's level swaps, a re-encoded-variant wobble). Solid mid-range
+    * JPEG decodes within a few codes of its level, so every frame sits
+    * ≥ 46 codes from the clip's luma midpoint — the margin that makes
+    * the decoded fingerprint EXACTLY the target bits. */
+  def syntheticVideoPairs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val p = (id - 2) / 3
+          val t = videoTarget(p / 2) ^ (p % 2).toInt // member 1 flips bit 0
+          def frame(level: Int) =
+            solidJpeg(16, 16, (level << 16) | (level << 8) | level)
+          val frames = frame(112) +: Seq.tabulate(16) { f =>
+            frame(if (((t >> f) & 1) == 1) 160 else 64)
+          }
+          val bytes = buildAvi(16, 16, 20000, frames)
+          MediaRow(id, "video", bytes.length, bytes)
+        }
+      }
+  }
+
+  /** Frame-sign video fingerprint: decode every frame's mean BT.601
+    * luma (real AVI walk + JPEG reader, partition-wise), threshold at
+    * the clip's luma midpoint (min+max)/2, bit f = frame f+1 above the
+    * midpoint — the TMK-style frame-sign hash reduced to one bit per
+    * frame. Level-normalization comes from the per-clip midpoint, so
+    * uniform brightness shifts cancel. */
+  def videoFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        aviScan(r.content).map(_._3).filter(_.nonEmpty).flatMap { frames =>
+          val lumas = frames.map { case (off, len) =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.content, off, len)))
+              .map(meanLuma)
+          }
+          if (lumas.exists(_.isEmpty)) None
+          else {
+            val l = lumas.map(_.get)
+            val mid = (l.min + l.max) / 2.0
+            var fp = 0L
+            var f = 0
+            while (f + 1 < l.length && f < 62) {
+              if (l(f + 1) > mid) fp |= 1L << f
+              f += 1
+            }
+            Some((r.doc_id, fp))
+          }
+        }
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** Banded Hamming pairs over video fingerprints — 4 bands × 4 bits
+    * (Hamming ≤ 3 ⇒ pigeonhole recall; declared maxDist 2). The
+    * 16-bit fingerprint space is deliberately small, so a handful of
+    * deterministic cross-pair near-collisions survive alongside the
+    * planted pairs — both engines compute the identical list (full
+    * value-level oracle, the audio-fp discipline on the video axis). */
+  def videoFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame = {
+    val fps = videoFingerprints(media)
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("fp"), 4 * b).bitwiseAND(lit(15L)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val videoFpPairsSql: String =
+    """WITH par AS (
+      |  SELECT doc_id, ((doc_id - 2) // 3) // 2 AS g,
+      |         ((doc_id - 2) // 3) % 2 AS m
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id,
+      |         xor(('0x' || substr(md5('vid:' || CAST(g AS VARCHAR)), 1, 4))::BIGINT,
+      |             m) AS fp
+      |  FROM par),
+      |k AS (
+      |  SELECT doc_id, fp, band, (fp >> CAST(4 * band AS INT)) & 15 AS key
+      |  FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS band FROM f)),
+      |c AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         x.fp AS fa, y.fp AS fb
+      |  FROM k x JOIN k y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+      |FROM c WHERE bit_count(xor(fa, fb)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    // real AVI walk + JPEG frame decode → 16-bit frame-sign fingerprint
+    // → banded Hamming pairs: the video axis completes the image/audio/
+    // video dedup triple, FULL value-level pair-list oracle
+    "dedup_video_fp" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        videoFpPairs(syntheticVideoPairs(s, d), maxDist = 2),
+      Some(videoFpPairsSql)),
     // real WAV decode → 63-bit energy-difference fingerprint → banded
     // Hamming pairs: the audio axis of the dedup × multimodal cross,
     // FULL value-level pair-list oracle from the closed-form corpus

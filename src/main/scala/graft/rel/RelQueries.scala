@@ -445,6 +445,43 @@ object RelQueries {
         |  lo75 + (hi75 - lo75) * f75 AS q75
         |FROM g ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A7d weighted median (lower): sort by value, exact DECIMAL
+    //      cumulative weight over a RANGE frame (cum-through-value ⇒
+    //      every row's cumw is tie-order independent, unlike ROWS), pick
+    //      the least value whose doubled cumweight clears the total. No
+    //      division, no interpolation — the result is an actual data
+    //      value selected by exact comparisons, hash-safe by
+    //      construction. The weighted twin of agg_quantile_cont; same
+    //      per-group-sort cost class, same DistributedRank scale path ----
+    "agg_weighted_median" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = money(col("l_extendedprice"))
+        val cum = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("l_returnflag"))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            sum(w).over(cum).as("cumw"), sum(w).over(tot).as("w"))
+          .filter(col("cumw") * 2 >= col("w"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("l_quantity")).as("wmedian_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |      PARTITION BY l_returnflag ORDER BY l_quantity
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |      PARTITION BY l_returnflag) AS w
+        |  FROM lineitem)
+        |SELECT l_returnflag, MIN(l_quantity) AS wmedian_qty
+        |FROM r WHERE cumw * 2 >= w
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
     // ---- scalar subquery (threshold computed exactly → identical
     //      boundary comparisons in both engines; 1.5× avg selects a real
     //      price tail so the oracle hash-compare bites on actual rows) ----

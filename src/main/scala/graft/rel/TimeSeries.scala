@@ -345,7 +345,51 @@ object TimeSeries {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** MAD (median-absolute-deviation) outliers — the robust-statistics
+    * twin of `iqrOutliers` for heavy-tailed streams where quartile
+    * fences over-flag: med = discrete median per type, mad = discrete
+    * median of \|value − med\|, flag \|value − med\| > 3·mad. Both
+    * medians are percentile_disc (actual data values, portable at
+    * p = 0.5); the deviation, the 3·mad product and the comparison are
+    * single IEEE ops on exact inputs — no accumulated float state, so
+    * flags are bit-identical cross-engine.
+    *
+    * Scale shape: two keyed reductions over events (med, then mad over
+    * the derived deviations) + one stats join back — the stats side is
+    * \|types\| rows, AQE-broadcastable; no window over raw events. */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val med = events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val mad = events.join(med, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), // constant per group
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))")
+          .as("mad"))
+    events.join(mad, Seq("event_type"))
+      .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy(col("event_id"))
+  }
+
+  val madOutliersSql: String =
+    """WITH s AS (
+      |  SELECT event_type, quantile_disc(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |m AS (
+      |  SELECT e.event_type, MAX(s.med) AS med,
+      |         quantile_disc(abs(e.value - s.med), 0.5) AS mad
+      |  FROM events e JOIN s USING (event_type)
+      |  GROUP BY e.event_type)
+      |SELECT e.event_id, e.event_type, e.value, m.med, m.mad
+      |FROM events e JOIN m USING (event_type)
+      |WHERE abs(e.value - m.med) > 3.0 * m.mad
+      |ORDER BY e.event_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "anomaly_mad" -> QueryDef(
+      (s, d) => madOutliers(Tables.events(s, d)), madOutliersSql),
     "ts_downsample" -> QueryDef(
       (s, d) => ohlcDaily(Tables.events(s, d)), ohlcDailySql),
     "ts_ewma" -> QueryDef(

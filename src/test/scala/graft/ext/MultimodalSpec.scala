@@ -322,6 +322,30 @@ class MultimodalSpec extends SparkSuite {
     assert(fp === expect)
   }
 
+  test("video fingerprint: real AVI+JPEG decode recovers the md5 target " +
+      "bits exactly; planted pairs recalled at hamming 1") {
+    val fps = Multimodal.videoFingerprints(
+      Multimodal.syntheticVideoPairs(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.nonEmpty)
+    fps.foreach { case (id, fp) =>
+      val p = (id - 2) / 3
+      val want = (Multimodal.videoTarget(p / 2) ^ (p % 2).toInt).toLong
+      assert(fp === want, s"JPEG-noise margin breached for clip $id")
+    }
+    val pairs = Multimodal.videoFpPairs(
+      Multimodal.syntheticVideoPairs(spark, sfDir), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = fps.keys.filter { id =>
+      (id - 2) / 3 % 2 == 0 && fps.contains(id + 3)
+    }.map(id => (id, id + 3)).toSet
+    assert(planted.nonEmpty)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found), "pigeonhole banding must recall every pair")
+    pairs.filter(p => planted((p._1, p._2)))
+      .foreach(p => assert(p._3 === 1, s"planted flip is exactly 1 bit: $p"))
+  }
+
   test("audio near-dup: real WAV decode reproduces the closed-form " +
       "fingerprints; every planted pair recalled at hamming <= 4") {
     // decode-path differential: fingerprint(decode(wav)) must equal the
