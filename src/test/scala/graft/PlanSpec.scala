@@ -204,6 +204,41 @@ class PlanSpec extends SparkSuite {
       s"expected partial+final aggregates on both sum layers:\n$p")
   }
 
+  test("radius join: grid blocking keeps the join equi (hash/merge, " +
+      "never nested-loop over points)") {
+    val p = plan("geo_join_radius")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked radius join must key on cells:\n$p")
+  }
+
+  test("matryoshka: both funnel cuts are top-k operators, not global sorts") {
+    val p = plan("simsearch_matryoshka")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate/rerank cuts must plan as top-k:\n$p")
+  }
+
+  test("gopher filter: word-count aggregation is partial+final; " +
+      "the report join keys on doc_id") {
+    val p = plan("corpus_gopher_filter")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"top-word counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quarantine: single narrow scan — no join, no aggregate before the sort") {
+    val p = plan("etl_quarantine")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"row routing must stay scan-side:\n$p")
+  }
+
+  test("OHLC downsample: one partial+final aggregate, no window") {
+    val p = plan("ts_downsample")
+    assert(!p.contains("Window"), s"candles must not need a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"candle agg must combine map-side:\n$p")
+  }
+
   test("every multi-row oracle query pins a total order") {
     // single-row aggregates are order-free by construction
     val exempt = Set("agg_stats_global", "q14_promo_share",

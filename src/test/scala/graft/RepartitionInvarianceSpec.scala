@@ -26,7 +26,12 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "text_search_bm25",     // fixed-point rational ranking
     "events_rfm",           // DECIMAL monetary + ntile in a pinned order
     "ts_autocorr",          // integer moments + IEEE finish
-    "graph_kcore")          // iterative peel fixpoint
+    "graph_kcore",          // iterative peel fixpoint
+    "agg_weighted_median",  // DECIMAL cumweight over a RANGE frame
+    "ts_ewma",              // integer-weight truncated smoothing
+    "dedup_audio_fp",       // real-decode fingerprint + banded pairs
+    "agg_quantile_cont",    // explicit Type-7 interpolation
+    "window_ignore_nulls")  // IGNORE NULLS navigation, carried floats
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf
