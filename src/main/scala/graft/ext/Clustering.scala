@@ -36,7 +36,8 @@ object Clustering {
     * ≤ ~1.7e7, summed over ≤ 4096 dims stays far under Long.MaxValue. */
   val Q = 1024L
 
-  private def quantize(v: Column): Column =
+  /** Public for PQ's single-pass encode (Quantization.pqCodeTable). */
+  def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Q).cast("long"))
 
   /** Squared L2 between an integer vector column and a literal integer
@@ -49,14 +50,19 @@ object Clustering {
     * argmin over (d2, cluster) structs — lexicographic struct min is
     * the deterministic tie-break. Zero exchanges. */
   private def assign(embInt: DataFrame,
-      cents: Seq[(Int, Seq[Long])]): DataFrame = {
-    val scored = array(cents.map { case (cid, c) =>
-      struct(d2(col("v"), c).as("d2"), lit(cid).as("cluster"))
-    }: _*)
-    embInt.withColumn("best", array_min(scored))
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    embInt.withColumn("best", bestCluster(col("v"), cents))
       .select(col("vec_id"), col("v"),
         col("best.cluster").as("cluster"), col("best.d2").as("d2"))
-  }
+
+  /** The argmin (d2, cluster) struct of an integer vector column
+    * against a literal centroid matrix — the single assignment
+    * expression shared by the Lloyd loop and PQ's one-scan encode.
+    * Lexicographic struct min is the deterministic tie-break. */
+  def bestCluster(v: Column, cents: Seq[(Int, Seq[Long])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct(d2(v, c).as("d2"), lit(cid).as("cluster"))
+    }: _*))
 
   /** Centroid update: per-(cluster, dim) integer mean (sum div count)
     * back onto the same grid. Returns the k×dim matrix as bounded

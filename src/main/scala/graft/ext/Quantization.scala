@@ -46,7 +46,8 @@ object Quantization {
     pqCodeTable(emb, dim, m, k, iters, qId)
       .filter(col("vec_id") =!= qId)
       .select(col("vec_id").as("neighbor_id"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("pq_code"),
+        concat_ws("-",
+          (0 until m).map(s => col(s"code$s").cast("string")): _*).as("pq_code"),
         (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("approx_d2"))
       .orderBy(col("approx_d2"), col("neighbor_id"))
       .limit(topK)
@@ -54,7 +55,16 @@ object Quantization {
   /** The trained-and-encoded corpus: one row per vector with its m
     * codeword ids and the query's ADC LUT entry per subspace —
     * (vec_id, code0..m, d0..m). Shared by `pqTopK` and the IVF-PQ
-    * composition. */
+    * composition.
+    *
+    * Encode is ONE narrow projection over ONE scan: training returns
+    * each subspace's final centroid matrix as bounded literal metadata,
+    * so every code is an argmin over literals on the corresponding
+    * slice of the quantized vector and every LUT distance a literal-map
+    * lookup — zero joins, zero exchanges after training. (Re-scoring a
+    * slice against the final centroids reproduces the training loop's
+    * final assignment exactly: same integer grid, same (d2, cluster)
+    * tie-break.) */
   def pqCodeTable(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
       qId: Long): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -66,25 +76,37 @@ object Quantization {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val parts = Await.result(Future.sequence((0 until m).map { s =>
-      Future {
-        val sub = emb.select(col("vec_id"),
-          slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-        val (assigned, cents) = Clustering.trainAssignWithCents(sub, k, iters)
-        // the query's quantized subvector: one bounded row, the same
-        // integer grid the codebook lives on
-        val qv = assigned.filter(col("vec_id") === qId)
-          .select(col("v")).collect()(0).getSeq[Long](0)
-        // ADC lookup table for this subspace: exact integer distance from
-        // the query subvector to every codeword — k entries, a literal
-        val lut: Map[Int, Long] = cents.map { case (cid, c) =>
-          cid -> c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val codebooks: Seq[Seq[(Int, Seq[Long])]] =
+      Await.result(Future.sequence((0 until m).map { s =>
+        Future {
+          val sub = emb.select(col("vec_id"),
+            slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+          Clustering.trainAssignWithCents(sub, k, iters)._2
+        }
+      }), Duration.Inf)
+    val embInt = emb.select(col("vec_id"),
+      Clustering.quantize(col("embedding")).as("v"))
+    // the query's full quantized vector: one bounded row on the same
+    // integer grid the codebooks live on; sliced driver-side per subspace
+    val qv = embInt.filter(col("vec_id") === qId)
+      .select(col("v")).collect()(0).getSeq[Long](0)
+    // ADC lookup tables: exact integer distance from the query
+    // subvector to every codeword — m×k entries, literal metadata
+    val luts: Seq[Map[Int, Long]] = codebooks.zipWithIndex.map {
+      case (cents, s) =>
+        val qsub = qv.slice(s * subDim, (s + 1) * subDim)
+        cents.map { case (cid, c) =>
+          cid -> c.zip(qsub).map { case (a, b) => (a - b) * (a - b) }.sum
         }.toMap
-        assigned.select(col("vec_id"), col("cluster").as(s"code$s"),
-          element_at(typedlit(lut), col("cluster")).as(s"d$s"))
-      }
-    }), Duration.Inf)
-    parts.reduce(_.join(_, Seq("vec_id")))
+    }
+    val coded = (0 until m).foldLeft(embInt) { (df, s) =>
+      df.withColumn(s"code$s", Clustering.bestCluster(
+        slice(col("v"), s * subDim + 1, subDim), codebooks(s))
+        .getField("cluster"))
+    }
+    coded.select(col("vec_id") +: (0 until m).flatMap(s => Seq(
+      col(s"code$s"),
+      element_at(typedlit(luts(s)), col(s"code$s")).as(s"d$s"))): _*)
   }
 
   /** Unrolled-CTE oracle: the `Clustering.kmeansSql` replay once per
@@ -98,7 +120,7 @@ object Quantization {
         s"JOIN s${s}_lut l$s ON a$s.cluster = l$s.cluster").mkString("\n  ")
     val codes = (0 until m).map(s => s"a$s.cluster").mkString(", ")
     s"""WITH ${pqSubspaceCtes(dim, m, k, iters, qId)}
-       |SELECT vec_id AS neighbor_id, [$codes] AS pq_code,
+       |SELECT vec_id AS neighbor_id, concat_ws('-', $codes) AS pq_code,
        |       CAST(${pqDistSum(m)} AS BIGINT) AS approx_d2
        |FROM s0_a$iters a0
        |  JOIN s0_lut l0 ON a0.cluster = l0.cluster

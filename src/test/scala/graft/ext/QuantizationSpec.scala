@@ -32,7 +32,7 @@ class QuantizationSpec extends SparkSuite {
       iters = 2, qId = 0L, topK = 10).collect()
     assert(got.length == 10)
     got.foreach { r =>
-      val codes = r.getSeq[Int](1)
+      val codes = r.getString(1).split("-").map(_.toInt).toSeq
       assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
       assert(r.getLong(2) >= 0L)
     }
@@ -72,7 +72,7 @@ class QuantizationSpec extends SparkSuite {
     def run(parts: Int) = Quantization.pqTopK(
       fixtureEmb.repartition(parts), dim = 64, m = 4, k = 8,
       iters = 2, qId = 0L, topK = 10)
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(run(1) == run(13))
   }
 }
