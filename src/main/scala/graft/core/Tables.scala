@@ -23,18 +23,26 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as raw INT64 (legacy conf) and
-    * convert to a microsecond TimestampType column — the fixture's values
-    * are microsecond-precision (sub-micro digits are zero), so the
-    * truncating division is lossless and matches DuckDB's TIMESTAMP_NS →
-    * TIMESTAMP cast in the oracles. */
+  /** The fixture's `ts` physical type has varied across driver
+    * regenerations — TIMESTAMP(NANOS) (which Spark's reader rejects
+    * without the legacy INT64 conf) and plain `timestamp[us]` (which
+    * Spark reads as TIMESTAMP_NTZ). Normalize BOTH to a microsecond
+    * TimestampType column so every downstream query and oracle sees one
+    * representation regardless of fixture vintage. Sessions run with
+    * spark.sql.session.timeZone=UTC, so the NTZ→TZ cast relabels the
+    * same instant (no wall-clock shift), matching DuckDB's naive
+    * TIMESTAMP view of the identical parquet values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer division: epoch-nanos (~1.7e18) overflows double precision
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // integer division: epoch-nanos (~1.7e18) overflows double precision
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -36,6 +36,39 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
       feature: Array[Float])
 
+  /** Bumped whenever any synthetic-corpus generator changes shape or
+    * values — participates in every memo fingerprint below. */
+  private val CorpusVersion = "v1"
+
+  /** Write-once memoization for the synthetic media corpora (the
+    * `ensureIvfIndex` `_SUCCESS` discipline via [[graft.core.ParquetMemo]]):
+    * each corpus is a pure function of the documents table, so encoding
+    * it (PNG/JPEG/WAV/AVI synthesis) belongs to corpus *creation*, paid
+    * once per (source snapshot, generator version) — while every query
+    * execution measures what a deployment would actually run, the
+    * decode + fingerprint + join chain over stored bytes. */
+  private def memoMedia(spark: SparkSession, dir: String, tag: String)
+      (build: => Dataset[MediaRow]): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "media_" + tag, CorpusVersion)(build.toDF())
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("content"))
+      .as[MediaRow]
+  }
+
+  /** Pre-build every memoized corpus (Bench warm-up hook): the offline
+    * "encode the corpus" step, amortized out of query timings exactly
+    * like the IVF index build. */
+  def ensureCorpora(spark: SparkSession, dir: String): Unit = {
+    syntheticImages(spark, dir).count()
+    syntheticAudio(spark, dir).count()
+    syntheticVideos(spark, dir).count()
+    syntheticCutVideos(spark, dir).count()
+    syntheticAudioPairs(spark, dir).count()
+    syntheticVideoPairs(spark, dir).count()
+    ()
+  }
+
   /** Synthesize a deterministic "media" column from the documents table:
     * text bytes stand in for an encoded payload. Real pipelines read
     * binaryFile sources; the downstream plumbing is identical. */
@@ -319,7 +352,10 @@ object Multimodal {
     * sums ÷ exact counts stay exact in float), so a SQL oracle can
     * state what the real decoder must see without being able to parse
     * a single PNG byte itself. */
-  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    memoMedia(spark, dir, "images")(syntheticImagesBuild(spark, dir))
+
+  private def syntheticImagesBuild(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 0)
@@ -431,7 +467,10 @@ object Multimodal {
     * decoded Σ and Σ² are integer-exact in FLOAT — a SQL oracle can
     * state what the real RIFF parser must read back without parsing a
     * WAV byte itself (the audio twin of `syntheticImages`). */
-  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def syntheticAudio(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    memoMedia(spark, dir, "audio")(syntheticAudioBuild(spark, dir))
+
+  private def syntheticAudioBuild(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 1)
@@ -540,7 +579,10 @@ object Multimodal {
     * multiples of 8 (whole JPEG blocks) and channels in [32,192) so the
     * lossy round trip stays within a small luminance tolerance; counts,
     * dims and timing are bit-exact for the oracle. */
-  def syntheticVideos(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def syntheticVideos(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    memoMedia(spark, dir, "videos")(syntheticVideosBuild(spark, dir))
+
+  private def syntheticVideosBuild(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 2)
@@ -632,7 +674,10 @@ object Multimodal {
     * solid mid-range block is a few codes — so any threshold in
     * (~10, ~55) detects exactly the planted cut, making positions and
     * counts integer-exact for the oracle. */
-  def syntheticCutVideos(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def syntheticCutVideos(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    memoMedia(spark, dir, "cutvideos")(syntheticCutVideosBuild(spark, dir))
+
+  private def syntheticCutVideosBuild(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 2)
@@ -1067,7 +1112,10 @@ object Multimodal {
     * wobble: flips at most the first 4 fingerprint bits). Clip length
     * 64 + g%64 frames, identical within a pair. REAL WAVs via
     * javax.sound, like `syntheticAudio`. */
-  def syntheticAudioPairs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def syntheticAudioPairs(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    memoMedia(spark, dir, "audiopairs")(syntheticAudioPairsBuild(spark, dir))
+
+  private def syntheticAudioPairsBuild(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 1)
@@ -1196,7 +1244,10 @@ object Multimodal {
     * JPEG decodes within a few codes of its level, so every frame sits
     * ≥ 46 codes from the clip's luma midpoint — the margin that makes
     * the decoded fingerprint EXACTLY the target bits. */
-  def syntheticVideoPairs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def syntheticVideoPairs(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    memoMedia(spark, dir, "videopairs")(syntheticVideoPairsBuild(spark, dir))
+
+  private def syntheticVideoPairsBuild(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 2)
