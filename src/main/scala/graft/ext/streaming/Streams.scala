@@ -16,6 +16,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Full-precision epoch micros of a Timestamp. `getTime` truncates to
+    * millis, and the fixture carries sub-millisecond micros — ordering
+    * or gap math on millis would drift from the batch operators' exact
+    * (µs ts, event_id) total order. */
+  private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Inverse of [[tsMicros]]: a Timestamp carrying the full µs value. */
+  private[streaming] def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** W4 — tumbling 10-minute event-time windows with a 10-minute
     * watermark. Works on streaming or batch input with schema
     * (ts TIMESTAMP, event_type STRING, value DOUBLE, …). */
@@ -193,7 +207,7 @@ object Streams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var stage = state.getOption.getOrElse(0)
-            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
             val out = Vector.newBuilder[StageAdvance]
             batch.foreach { r =>
               if (stage < stages.length && r.event_type == stages(stage)) {
@@ -313,7 +327,7 @@ object Streams {
         (userId, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
             // per-day last value within this batch; UTC epoch-day from
             // millis (NOT Timestamp→LocalDate, which reads the JVM
             // default zone and would drift from the batch op's
@@ -379,35 +393,37 @@ object Streams {
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
         (userId, rows, state) =>
           if (state.hasTimedOut) {
-            val (lastMs, revPath) = state.get
+            val (lastUs, revPath) = state.get
             state.remove()
             Iterator.single(SessionPath(userId,
               revPath.reverse.mkString(">"), revPath.length.toLong,
-              new java.sql.Timestamp(lastMs)))
+              microsTs(lastUs)))
           } else {
-            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
-            var (lastMs, revPath) =
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (lastUs, revPath) =
               state.getOption.getOrElse((Long.MinValue, List.empty[String]))
             val out = Vector.newBuilder[SessionPath]
             batch.foreach { r =>
-              val t = r.ts.getTime
+              val t = tsMicros(r.ts)
               // strict > gap starts a new session — the batch operator's
-              // exact boundary rule (gap_us > 1800000000)
-              if (lastMs != Long.MinValue && t - lastMs > gapMs) {
+              // exact boundary rule (gap_us > 1800000000), in µs
+              if (lastUs != Long.MinValue && t - lastUs > gapMs * 1000L) {
                 out += SessionPath(userId, revPath.reverse.mkString(">"),
-                  revPath.length.toLong, new java.sql.Timestamp(lastMs))
+                  revPath.length.toLong, microsTs(lastUs))
                 revPath = Nil
               }
               revPath = r.event_type :: revPath
-              lastMs = t
+              lastUs = t
             }
-            if (lastMs != Long.MinValue) {
-              state.update((lastMs, revPath))
+            if (lastUs != Long.MinValue) {
+              state.update((lastUs, revPath))
               // a timeout must sit ahead of the current watermark; if
               // the gap boundary is already behind it (late stragglers),
-              // close at the next batch instead of throwing
+              // close at the next batch instead of throwing. Ceil µs→ms
+              // so the timer never fires before the µs gap elapses.
               state.setTimeoutTimestamp(
-                math.max(lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(Math.floorDiv(lastUs + 999, 1000) + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -445,7 +461,7 @@ object Streams {
         (userId, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
             var run = state.getOption.getOrElse((0L, 0L))
             val out = Vector.newBuilder[PatternMatch]
             batch.foreach { r =>
@@ -469,6 +485,79 @@ object Streams {
 
   case class TransitionEvent2(event_id: Long, user_id: Long,
       value: Double, ts: java.sql.Timestamp)
+
+  case class AbandonVerdict(user_id: Long, last_click_id: Long,
+      click_ts: java.sql.Timestamp, abandoned: Boolean)
+
+  /** Streaming cart-abandonment — the stateful twin of
+    * `rel.EventAnalytics.abandonment`, and the canonical EVENT-TIME-TIMER
+    * use case: the interesting output (abandoned = true) is triggered by
+    * the ABSENCE of an event, which only a timer can observe. Per-user
+    * state is ONE pending episode (last click id + its event-time
+    * micros): a newer click supersedes it silently (batch semantics —
+    * only the LAST click is ever reported), a purchase inside
+    * (click, click+bound] emits a converted verdict and clears it, and
+    * the event-time timer at click+bound fires exactly when the
+    * watermark proves no purchase can still arrive in bound — emitting
+    * the abandoned verdict with no event at all. O(active users × one
+    * pair) state; every state entry carries a timer, so state is
+    * self-expiring even for users who never return.
+    *
+    * Each emission is one episode's FINAL verdict, so replaying a finite
+    * log and keeping each user's verdict for the max (click_ts, click_id)
+    * — the engine-wide total order the batch operator keys on — must
+    * reproduce `abandonment` row-for-row (differential in StreamingSpec). */
+  def abandonmentVerdicts(events: Dataset[TransitionEvent],
+      watermarkDelay: String = "10 minutes",
+      boundMs: Long = 24L * 3600 * 1000): Dataset[AbandonVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AbandonVerdict](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            // the timer IS the verdict: bound passed, no purchase came
+            val (clickId, clickUs) = state.get
+            state.remove()
+            Iterator.single(AbandonVerdict(userId, clickId,
+              microsTs(clickUs), abandoned = true))
+          } else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var pending = state.getOption // (last_click_id, click_us)
+            val out = Vector.newBuilder[AbandonVerdict]
+            batch.foreach { r =>
+              r.event_type match {
+                case "click" =>
+                  pending = Some((r.event_id, tsMicros(r.ts)))
+                case "purchase" =>
+                  pending.foreach { case (clickId, clickUs) =>
+                    val pUs = tsMicros(r.ts)
+                    // exclusive-then-inclusive, the batch operator's
+                    // exact µs bound
+                    if (pUs > clickUs && pUs - clickUs <= boundMs * 1000L) {
+                      out += AbandonVerdict(userId, clickId,
+                        microsTs(clickUs), abandoned = false)
+                      pending = None
+                    }
+                  }
+                case _ => ()
+              }
+            }
+            pending match {
+              case Some((clickId, clickUs)) =>
+                state.update((clickId, clickUs))
+                // ceil µs→ms: the timer must not fire before the µs
+                // bound has fully elapsed
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(clickUs + 999, 1000) + boundMs)
+              case None => state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
 
   case class TransitionEvent(event_id: Long, user_id: Long,
       event_type: String, ts: java.sql.Timestamp)
@@ -501,7 +590,7 @@ object Streams {
         (userId, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toVector.sortBy(r => (r.ts.getTime, r.event_id))
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
             var prev = state.getOption
             val out = Vector.newBuilder[Transition]
             batch.foreach { r =>

@@ -746,4 +746,86 @@ class StreamingSpec extends SparkSuite {
       assert(got === Seq((1L, 2L, 1L, 4L)))
     } finally q.stop()
   }
+
+  test("streaming abandonment: timeout emits the abandoned verdict; " +
+      "purchase in bound converts; newer click supersedes silently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tev(id: Long, user: Long, typ: String, m: Int, s: Int = 0) =
+      Streams.TransitionEvent(id, user, typ, ts(m, s))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.abandonmentVerdicts(input.toDS(),
+        watermarkDelay = "10 minutes", boundMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("abandon_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        tev(1, 1, "click", 0),                      // no purchase ever
+        tev(2, 2, "click", 0), tev(3, 2, "purchase", 5),  // in bound
+        tev(4, 3, "click", 0), tev(5, 3, "click", 2),     // 4 superseded
+        tev(6, 3, "purchase", 5),                   // converts click 5
+        tev(7, 4, "click", 0), tev(8, 4, "purchase", 20), // out of bound
+        tev(9, 5, "click", 0), tev(10, 5, "purchase", 0)) // same ts: strict >
+      q.processAllAvailable()
+      val early = spark.table("abandon_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+        .sorted.toSeq
+      // only conversions so far — absence verdicts need the timer
+      assert(early === Seq((2L, 2L, false), (3L, 5L, false)))
+      // two batches: the first advances the watermark past every
+      // click+bound, the next lets the timers fire
+      input.addData(tev(100, 99, "noop", 59)); q.processAllAvailable()
+      input.addData(tev(101, 99, "noop", 59, 30)); q.processAllAvailable()
+      val got = spark.table("abandon_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+        .sorted.toSeq
+      assert(got === Seq((1L, 1L, true), (2L, 2L, false), (3L, 5L, false),
+        (4L, 7L, true), (5L, 9L, true)))
+    } finally q.stop()
+  }
+
+  test("streaming abandonment == batch verdicts on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.TransitionEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.abandonmentVerdicts(input.toDS())
+      .writeStream.format("memory").queryName("abandon_fixture_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // flush every pending timer: one batch to advance the watermark
+      // 2 days past the last event, one more for the timers to fire
+      val far = new Timestamp(ev.map(_.ts.getTime).max + 2L * 86400000)
+      input.addData(Streams.TransitionEvent(-1L, -1L, "noop", far))
+      q.processAllAvailable()
+      input.addData(Streams.TransitionEvent(-2L, -1L, "noop",
+        new Timestamp(far.getTime + 1000)))
+      q.processAllAvailable()
+      // each user's FINAL episode verdict (max click_ts, then click id —
+      // the engine-wide total order) must equal the batch operator's row
+      val streamed = spark.table("abandon_fixture_out")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0),
+          (us(r.getTimestamp(2)), r.getLong(1), r.getBoolean(3))))
+        .groupBy(_._1)
+        .map { case (u, vs) =>
+          val (_, id, ab) = vs.map(_._2).max
+          (u, id, ab)
+        }.toSeq.sorted
+      val batched = graft.rel.EventAnalytics
+        .abandonment(graft.core.Tables.events(spark, sfDir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sorted.toSeq
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
