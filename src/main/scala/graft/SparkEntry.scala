@@ -20,8 +20,17 @@ object SparkEntry {
     Summary.lineitemVatSummary(spark, "/root/testdata/sf0.001")
 
   private lazy val all: Seq[(String, QueryDef)] =
-    Seq("vat_summary" -> QueryDef(
-      Summary.lineitemVatSummary _, Summary.lineitemVatSummarySql)) ++
+    Seq(
+      "vat_summary" -> QueryDef(
+        (s: SparkSession, d: String) => Summary.lineitemVatSummary(s, d),
+        Summary.lineitemVatSummarySql),
+      // the exact-cents output mode: money stays DECIMAL(18,2) end to
+      // end instead of surfacing as DOUBLE (golden-replay twin of the
+      // Conform.enrich decimalMoney flag, here behind the oracle gate)
+      "vat_summary_decimal" -> QueryDef(
+        (s: SparkSession, d: String) =>
+          Summary.lineitemVatSummary(s, d, decimalMoney = true),
+        Summary.lineitemVatSummarySqlDecimal)) ++
       rel.RelQueries.queries ++
       rel.Windows.queries ++
       rel.Scalars.queries ++

@@ -117,4 +117,100 @@ object DistributedRank {
       StructField("cume", DoubleType)))
     spark.createDataFrame(ranked, schema).orderBy(seg, key)
   }
+
+  /** `agg_weighted_median`'s result via the same distributed-sort +
+    * prefix-sum formulation — the at-scale twin of the RANGE-frame
+    * window version, whose per-group cumulative sum sorts each
+    * PARTITION BY group inside one task (3 straggler tasks at 100 TB).
+    *
+    * Same two passes as [[distributionOver]], with WEIGHT SUMS instead
+    * of row counts as the prefix-summed quantity: range-partition by
+    * (group, value), per-(partition, group) weight subtotals (bounded
+    * driver metadata), prefix-sum → each partition's starting
+    * cumulative weight, then one forward scan per partition finds the
+    * global crossing row 2·cumw ≥ total — at most one per group, since
+    * cumulative weight is monotone. Weights are summed as integer
+    * CENTS (exact: DECIMAL(12,2)·100 in a Long), so the crossing
+    * comparison is integer arithmetic — bit-safe at any parallelism,
+    * the same exactness contract as the DECIMAL window sum.
+    *
+    * Tie groups may span partitions; that is safe because the batch
+    * RANGE frame and the running per-row sum first clear the threshold
+    * at the same value: the running sum is ≤ the range-frame sum at
+    * every row of a tie group and equals it on the group's last row. */
+  def weightedMedianScalable(spark: SparkSession, dir: String,
+      parts: Int = 32): DataFrame = {
+    import graft.core.Exact.money
+    weightedMedianOver(
+      Tables.lineitem(spark, dir).select(col("l_returnflag"),
+        col("l_quantity"),
+        (money(col("l_extendedprice")) * 100).cast("long").as("w_cents")),
+      parts)
+      .toDF("l_returnflag", "wmedian_qty")
+  }
+
+  /** The algorithm over any (group STRING, value DOUBLE, weight LONG)
+    * projection. */
+  def weightedMedianOver(input: DataFrame, parts: Int): DataFrame = {
+    val spark = input.sparkSession
+    val Seq(grp, value, _) = input.columns.toSeq.map(col)
+    val sorted = input
+      .repartitionByRange(parts, grp, value)
+      .sortWithinPartitions(grp, value)
+      .persist()
+    try {
+      // pass 1: per-(partition, group) weight subtotal — ≤ parts +
+      // #groups entries (groups are contiguous under the range sort)
+      val sums: Array[(Int, String, Long)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val m = mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + r.getLong(2))
+          }
+          m.iterator.map { case (g, w) => (pid, g, w) }
+        }.collect()
+      val totals: Map[String, Long] =
+        sums.groupBy(_._2).map { case (g, a) => g -> a.map(_._3).sum }
+      val offsets: Map[(Int, String), Long] = {
+        val run = mutable.Map.empty[String, Long]
+        sums.sortBy(_._1).map { case (pid, g, w) =>
+          val o = run.getOrElse(g, 0L); run.update(g, o + w); ((pid, g), o)
+        }.toMap
+      }
+      val bTot = spark.sparkContext.broadcast(totals)
+      val bOff = spark.sparkContext.broadcast(offsets)
+      // a group's globally-first partition: needed to place the
+      // degenerate all-zero-weight crossing (total = 0 ⇒ every prefix
+      // "clears" the threshold ⇒ the answer is the group's first value)
+      val bFirst = spark.sparkContext.broadcast(
+        sums.groupBy(_._2).map { case (g, a) => g -> a.map(_._1).min })
+      // pass 2: forward scan; the first row whose running global weight
+      // doubles past the group total is the weighted median (emitted
+      // exactly once per group across ALL partitions — cumw is monotone,
+      // so the strict prev-below/now-at-or-above transition is unique)
+      val crossings: Array[(String, Double)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val cum = mutable.Map.empty[String, Long]
+          val emitted = mutable.Set.empty[String]
+          it.flatMap { r =>
+            val g = r.getString(0)
+            val tot = bTot.value(g)
+            val prev = cum.getOrElse(g, bOff.value((pid, g)))
+            val c = prev + r.getLong(2)
+            cum.update(g, c)
+            val crosses =
+              if (tot > 0L) 2L * prev < tot && 2L * c >= tot
+              else pid == bFirst.value(g) && !emitted(g)
+            if (crosses) { emitted += g; Some((g, r.getDouble(1))) }
+            else None
+          }
+        }.collect()
+      val rows = crossings.sortBy(_._1).map { case (g, v) => Row(g, v) }
+      val schema = StructType(Seq(
+        StructField(input.columns(0), StringType),
+        StructField("wmedian", DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    } finally { sorted.unpersist(); () }
+  }
 }

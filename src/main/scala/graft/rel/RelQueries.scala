@@ -482,6 +482,28 @@ object RelQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A7d at-scale twin: same weighted median, same oracle, computed
+    //      by distributed range-sort + weight prefix-sum instead of a
+    //      per-group RANGE-frame sort in one task (the
+    //      window_distribution_scalable pattern — see DistributedRank
+    //      scaladoc); bit-equality with the window version additionally
+    //      pinned in DistributedRankSpec ---------------------------------
+    "agg_weighted_median_scalable" -> QueryDef(
+      (s, d) => DistributedRank.weightedMedianScalable(s, d)
+        .orderBy(col("l_returnflag")),
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |      PARTITION BY l_returnflag ORDER BY l_quantity
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |      PARTITION BY l_returnflag) AS w
+        |  FROM lineitem)
+        |SELECT l_returnflag, MIN(l_quantity) AS wmedian_qty
+        |FROM r WHERE cumw * 2 >= w
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
     // ---- scalar subquery (threshold computed exactly → identical
     //      boundary comparisons in both engines; 1.5× avg selects a real
     //      price tail so the oracle hash-compare bites on actual rows) ----

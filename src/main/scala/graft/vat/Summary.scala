@@ -62,7 +62,8 @@ object Summary {
     * l_extendedprice × l_tax, period = shipdate month/year). Money is
     * aggregated in DECIMAL for bit-exact oracle parity (core.Exact).
     */
-  def lineitemVatSummary(spark: SparkSession, dir: String): DataFrame = {
+  def lineitemVatSummary(spark: SparkSession, dir: String,
+      decimalMoney: Boolean = false): DataFrame = {
     import Exact._
     val li = Tables.lineitem(spark, dir)
     val base = li.select(
@@ -79,7 +80,8 @@ object Summary {
       s("R", "net").as("netC"), s("R", "vat").as("vatC"))
     finishSummary(agg, spark,
       Seq(BoxSpec("Box A", "A"), BoxSpec("Box B", "N"), BoxSpec("Box C", "R")),
-      round2 = false)
+      round2 = false,
+      moneyType = if (decimalMoney) "decimal(18,2)" else "double")
   }
 
   /** Unpivot the wide per-period aggregate into the reference's long
@@ -122,8 +124,17 @@ object Summary {
       .orderBy(col("year"), col("month_num"), col("fta_box"))
   }
 
-  /** DuckDB oracle for `lineitemVatSummary` — same decimal arithmetic,
-    * same unpivot, same ordering. */
+  /** DuckDB oracle for the exact-cents mode (`vat_summary_decimal`):
+    * every surfaced DOUBLE becomes round(x, 2) → DECIMAL(18,2).
+    * Spark's scale-4 → scale-2 decimal cast rounds HALF_UP; DuckDB's
+    * decimal CAST rounds half toward zero, but its round() is
+    * half-away-from-zero — identical to HALF_UP on these all-positive
+    * amounts, so the two engines agree on every .xx50 tie. */
+  def lineitemVatSummarySqlDecimal: String =
+    lineitemVatSummarySql.replaceAll(
+      """CAST\(([^()]*) AS DOUBLE\)""",
+      "CAST(round($1, 2) AS DECIMAL(18,2))")
+
   val lineitemVatSummarySql: String = {
     val months = (1 to 12).map(m =>
       s"($m,'${Seq("Jan","Feb","Mar","Apr","May","Jun","Jul","Aug","Sep","Oct","Nov","Dec")(m - 1)}')")

@@ -249,4 +249,19 @@ class PlanSpec extends SparkSuite {
           s"$name oracle lacks ORDER BY — hash compare would be order-lucky")
     }
   }
+
+  test("no oracle-checked query surfaces ARRAY/MAP columns (harness compat)") {
+    // the driver's pandas-based compare crashes sorting array-valued
+    // cells (numpy arrays are unhashable) — nested output must be
+    // flattened to scalars in BOTH the query and its oracle
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    SparkEntry.oracleSql.keys.foreach { name =>
+      val bad = SparkEntry.queries(name)(spark, sfDir).schema.fields
+        .filter(f => f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType])
+      assert(bad.isEmpty,
+        s"$name outputs nested columns ${bad.map(_.name).mkString(",")} — " +
+          "the driver compare cannot hash these; flatten to scalars")
+    }
+  }
 }

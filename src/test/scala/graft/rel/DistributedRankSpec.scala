@@ -64,6 +64,48 @@ class DistributedRankSpec extends SparkSuite {
     }
   }
 
+  test("weighted median: prefix-sum formulation ≡ RANGE-frame window, " +
+      "bit-exact, any parts") {
+    val builtin = graft.rel.RelQueries.queries.toMap
+      .apply("agg_weighted_median").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = DistributedRank.weightedMedianScalable(spark, sfDir, parts)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == builtin, s"parts=$parts")
+    }
+  }
+
+  test("property: weighted median with ties spanning partitions ≡ window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val rows = Gen.listOfN(300, for {
+      g <- Gen.oneOf("A", "B", "C")
+      v <- Gen.oneOf(1.0, 2.0, 2.0, 2.0, 5.0) // heavy ties
+      w <- Gen.chooseNum(0L, 50L)             // zero weights included
+    } yield (g, v, w))
+    for (trial <- 1 to 3) {
+      val df = rows.sample.get.toDF("grp", "v", "w")
+      val cum = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("grp"))
+      val expected = df
+        .select(col("grp"), col("v"),
+          sum(col("w")).over(cum).as("cumw"), sum(col("w")).over(tot).as("t"))
+        .filter(col("cumw") * 2 >= col("t"))
+        .groupBy(col("grp")).agg(min(col("v")).as("m"))
+        .orderBy(col("grp"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      for (parts <- Seq(1, 4, 16)) {
+        val got = DistributedRank.weightedMedianOver(df, parts)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(got == expected, s"trial=$trial parts=$parts")
+      }
+    }
+  }
+
   test("exact ranks survive degenerate partition counts") {
     // parts=1 (everything in one range) and parts ≫ rows (mostly-empty
     // partitions) must both reproduce the built-in result
