@@ -703,7 +703,29 @@ object Corpus {
       Some(chunkSql(32, 24))),
     // cap 15 with ~25 docs/source on the fixture → every source prunes
     "corpus_domain_cap" -> QueryDef(
-      (s, d) => domainCap(Tables.documents(s, d), 15), domainCapSql(15))
+      (s, d) => domainCap(Tables.documents(s, d), 15), domainCapSql(15)),
+    // ---- fixed-SIZE uniform sample as a bottom-k hash sketch: keep the
+    //      k docs with the smallest md5(doc_id) — reproducible (no RNG
+    //      state), uniform (hash order is independent of any data
+    //      attribute), and MERGEABLE: the bottom-k of a union is the
+    //      bottom-k of each side's bottom-k, so every partition ships at
+    //      most k candidates (Spark plans TakeOrderedAndProject, never a
+    //      global sort) and incremental corpus growth just re-merges —
+    //      the size-exact complement of `sample_stratified`'s rate-based
+    //      threshold on the same md5 derivation ------------------------
+    "sample_bottomk_hash" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("smp:"), col("doc_id").cast("string"))).as("h"))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(100)
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, source, h FROM (
+        |  SELECT doc_id, source,
+        |         md5('smp:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |  ORDER BY h, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q

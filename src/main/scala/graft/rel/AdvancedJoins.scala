@@ -598,7 +598,53 @@ object AdvancedJoins {
       """SELECT s_name, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-        |GROUP BY s_name ORDER BY s_name""".stripMargin)
+        |GROUP BY s_name ORDER BY s_name""".stripMargin),
+
+    // ---- J7 interval OVERLAP join, grid-blocked: pairs of one
+    //      customer's orders whose service windows ([orderdate,
+    //      orderdate + okey%5 days]) overlap. The naive form is an
+    //      interval×interval theta join; here each interval explodes to
+    //      the 7-day grid cells it covers (≤ 2 cells — interval length
+    //      < grid pitch), candidates meet on the (custkey, cell)
+    //      EQUI-key, the exact overlap predicate filters residually,
+    //      and distinct() collapses pairs found in both shared cells —
+    //      the geo_join_radius blocking discipline on the time axis.
+    //      Complete by construction: overlapping intervals share at
+    //      least one covered grid cell. At 100 TB candidates are
+    //      bounded by per-(customer, week) activity, never all-pairs --
+    "join_interval_grid" -> QueryDef(
+      (s, d) => {
+        val iv = Tables.orders(s, d).select(
+            col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+            datediff(to_date(col("o_orderdate")),
+              lit("1970-01-01").cast("date")).cast("long").as("lo"))
+          .withColumn("hi", col("lo") + col("okey") % 5)
+        val cells = iv.select(col("cust"), col("okey"), col("lo"), col("hi"),
+          explode(expr("sequence(lo div 7, hi div 7)")).as("cell"))
+        cells.as("a").join(cells.as("b"),
+            col("a.cust") === col("b.cust") && col("a.cell") === col("b.cell") &&
+              col("a.okey") < col("b.okey") &&
+              col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+          .select(col("a.cust").as("o_custkey"),
+            col("a.okey").as("okey_a"), col("b.okey").as("okey_b"),
+            (least(col("a.hi"), col("b.hi")) -
+              greatest(col("a.lo"), col("b.lo")) + 1).as("overlap_days"))
+          .distinct()
+          .orderBy(col("o_custkey"), col("okey_a"), col("okey_b"))
+      },
+      """WITH iv AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS okey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + o_orderkey % 5 AS hi
+        |  FROM orders)
+        |SELECT a.cust AS o_custkey, a.okey AS okey_a, b.okey AS okey_b,
+        |  CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+        |    AS overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.cust = b.cust AND a.okey < b.okey
+        | AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY o_custkey, okey_a, okey_b""".stripMargin)
   )
 
   def queries: Seq[(String, QueryDef)] = q

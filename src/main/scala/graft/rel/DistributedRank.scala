@@ -213,4 +213,87 @@ object DistributedRank {
         spark.sparkContext.parallelize(rows.toSeq, 1), schema)
     } finally { sorted.unpersist(); () }
   }
+
+  /** `skyline_pareto`'s frontier via the same two-pass skeleton with
+    * MAX as the prefix-folded quantity: range-partition the per-(group,
+    * price) maxima by (group, price), per-(partition, group) max →
+    * driver prefix-max → broadcast, then one forward scan emits every
+    * row whose qty strictly exceeds the running predecessor max. The
+    * input is ALREADY collapsed to one row per (group, price) by a
+    * partial aggregation, so no price value spans partitions ambiguously
+    * and "predecessor" is exactly "strictly cheaper". */
+  def skylineScalable(spark: SparkSession, dir: String,
+      parts: Int = 32): DataFrame = {
+    import graft.core.Exact.money
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"),
+        money(col("l_extendedprice")).cast("double").as("price"),
+        col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val mx = pts.groupBy(col("l_returnflag"), col("price"))
+      .agg(max(col("qty")).as("qty"))
+    skylineOver(mx, parts)
+      .join(pts, Seq("l_returnflag", "price", "qty"))
+      .select(col("l_returnflag"), col("price"), col("qty"), col("n"))
+      .orderBy(col("l_returnflag"), col("price"))
+  }
+
+  /** Frontier scan over any (group STRING, value DOUBLE, score DOUBLE)
+    * projection holding one row per (group, value): emit rows whose
+    * score strictly exceeds every lower-value row's score. */
+  def skylineOver(input: DataFrame, parts: Int): DataFrame = {
+    val spark = input.sparkSession
+    val Seq(grp, value, _) = input.columns.toSeq.map(col)
+    val sorted = input
+      .repartitionByRange(parts, grp, value)
+      .sortWithinPartitions(grp, value)
+      .persist()
+    try {
+      // pass 1: per-(partition, group) max score
+      val maxes: Array[(Int, String, Double)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val m = mutable.LinkedHashMap.empty[String, Double]
+          it.foreach { r =>
+            val g = r.getString(0)
+            val s = r.getDouble(2)
+            m.update(g, math.max(m.getOrElse(g, Double.NegativeInfinity), s))
+          }
+          m.iterator.map { case (g, s) => (pid, g, s) }
+        }.collect()
+      // driver prefix-max: each partition's predecessor frontier height
+      val offsets: Map[(Int, String), Double] = {
+        val run = mutable.Map.empty[String, Double]
+        maxes.sortBy(_._1).map { case (pid, g, s) =>
+          val o = run.getOrElse(g, Double.NegativeInfinity)
+          run.update(g, math.max(o, s)); ((pid, g), o)
+        }.toMap
+      }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      // pass 2: running strict-predecessor max within each partition.
+      // Collected eagerly — the frontier is bounded by the number of
+      // distinct score levels per group (≤ groups × |score domain|), and
+      // collecting lets both passes read the SAME persisted partitioning
+      // before it is released (a lazy pass 2 could re-sample range
+      // boundaries and desynchronize from the prefix offsets).
+      val kept: Array[(String, Double, Double)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val run = mutable.Map.empty[String, Double]
+          it.flatMap { r =>
+            val g = r.getString(0)
+            val s = r.getDouble(2)
+            val prev = run.getOrElse(g, bOff.value((pid, g)))
+            run.update(g, math.max(prev, s))
+            if (s > prev) Some((g, r.getDouble(1), s)) else None
+          }
+        }.collect()
+      val schema = StructType(Seq(
+        StructField(input.columns(0), StringType),
+        StructField(input.columns(1), DoubleType),
+        StructField(input.columns(2), DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          kept.sortBy(t => (t._1, t._2)).map(t => Row(t._1, t._2, t._3)).toSeq,
+          1), schema)
+    } finally { sorted.unpersist(); () }
+  }
 }

@@ -504,6 +504,51 @@ object RelQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A13 Pareto skyline (non-dominated frontier): the cheapest-
+    //      price / highest-quantity frontier per return flag — the
+    //      multi-objective FILTER a curation pipeline uses to pick
+    //      candidates no other candidate beats on both axes. Dominance:
+    //      a beats b iff a.price ≤ b.price ∧ a.qty ≥ b.qty with one
+    //      strict. Computed as the classic sweep: collapse to one row
+    //      per (flag, price) keeping max qty (partial agg — the bulk
+    //      reduction), then a point survives iff its qty strictly
+    //      exceeds every cheaper point's max (running MAX over the
+    //      price order); duplicates of a surviving point rejoin via the
+    //      point table with their multiplicity. Exact comparisons on
+    //      DECIMAL cents and integral quantities — no epsilon anywhere.
+    //      The window's fat key is the 3-value flag: the same cost
+    //      class as agg_weighted_median, and the same escape hatch —
+    //      skyline_pareto_scalable (DistributedRank.skylineOver) is the
+    //      range-partition + prefix-max deploy path ---------------------
+    "skyline_pareto" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            money(col("l_extendedprice")).as("price_d"),
+            col("l_quantity").as("qty"))
+          .agg(count(lit(1)).as("n"))
+        val mx = pts.groupBy(col("l_returnflag"), col("price_d"))
+          .agg(max(col("qty")).as("qty"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("price_d"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sky = mx.withColumn("prevq", max(col("qty")).over(w))
+          .filter(col("prevq").isNull || col("qty") > col("prevq"))
+        sky.join(pts, Seq("l_returnflag", "price_d", "qty"))
+          .select(col("l_returnflag"),
+            col("price_d").cast("double").as("price"), col("qty"), col("n"))
+          .orderBy(col("l_returnflag"), col("price"))
+      },
+      skylineParetoSql),
+
+    // ---- A13 at-scale twin: same frontier, same oracle, computed by
+    //      distributed range-sort + prefix-MAX (the weightedMedian
+    //      discipline with MAX as the prefix-folded quantity) ------------
+    "skyline_pareto_scalable" -> QueryDef(
+      (s, d) => DistributedRank.skylineScalable(s, d),
+      skylineParetoSql),
+
     // ---- scalar subquery (threshold computed exactly → identical
     //      boundary comparisons in both engines; 1.5× avg selects a real
     //      price tail so the oracle hash-compare bites on actual rows) ----
@@ -543,6 +588,27 @@ object RelQueries {
         |  SELECT s_suppkey, s_name, s_nationkey, 'supplier', s_acctbal FROM supplier)
         |ORDER BY kind, id""".stripMargin)
   )
+
+  /** Shared oracle for both skyline paths (a `def`: referenced from `q`
+    * during object init). Mirrors the sweep: per-(flag, price) max
+    * quantity, running strict-predecessor max over the price order,
+    * survivors rejoin the point table for their multiplicity. */
+  private def skylineParetoSql: String =
+    """WITH pts AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS price_d,
+      |         l_quantity AS qty, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |mx AS (
+      |  SELECT l_returnflag, price_d, MAX(qty) AS qty FROM pts GROUP BY 1, 2),
+      |sw AS (
+      |  SELECT l_returnflag, price_d, qty,
+      |    MAX(qty) OVER (PARTITION BY l_returnflag ORDER BY price_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevq
+      |  FROM mx)
+      |SELECT s.l_returnflag, CAST(s.price_d AS DOUBLE) AS price, s.qty, p.n
+      |FROM sw s JOIN pts p USING (l_returnflag, price_d, qty)
+      |WHERE s.prevq IS NULL OR s.qty > s.prevq
+      |ORDER BY l_returnflag, price""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = q
 }

@@ -106,6 +106,50 @@ class DistributedRankSpec extends SparkSuite {
     }
   }
 
+  test("skyline: prefix-max formulation ≡ window sweep, any parts") {
+    val builtin = graft.rel.RelQueries.queries.toMap
+      .apply("skyline_pareto").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = DistributedRank.skylineScalable(spark, sfDir, parts)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      assert(got == builtin, s"parts=$parts")
+    }
+  }
+
+  test("property: skyline frontier with plateaus and duplicates ≡ window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val rows = Gen.listOfN(300, for {
+      g <- Gen.oneOf("A", "B")
+      v <- Gen.chooseNum(1, 20)              // few values → frontier plateaus
+      s <- Gen.oneOf(1.0, 2.0, 2.0, 5.0)     // heavy score ties
+    } yield (g, v.toDouble, s))
+    for (trial <- 1 to 3) {
+      val mx = rows.sample.get.toDF("grp", "v", "s")
+        .groupBy(col("grp"), col("v")).agg(max(col("s")).as("s"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val expected = mx.withColumn("prev", max(col("s")).over(w))
+        .filter(col("prev").isNull || col("s") > col("prev"))
+        .select(col("grp"), col("v"), col("s"))
+        .orderBy(col("grp"), col("v"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq
+      for (parts <- Seq(1, 4, 16)) {
+        val got = DistributedRank.skylineOver(mx, parts)
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+          .toSeq
+        assert(got == expected, s"trial=$trial parts=$parts")
+      }
+    }
+  }
+
   test("exact ranks survive degenerate partition counts") {
     // parts=1 (everything in one range) and parts ≫ rows (mostly-empty
     // partitions) must both reproduce the built-in result
