@@ -674,7 +674,63 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  /** ANN quality evaluation INSIDE the engine: recall@k of the
+    * cell-blocked batch kNN (`knnJoin`) against the exhaustive exact
+    * ranking, per sampled query. A deployment tuning nPlanes/nprobe
+    * needs exactly this harness, and it belongs next to the index it
+    * measures. The exact arm is deliberately exhaustive — an EVAL pass
+    * over a bounded query sample (corpus/everyN rows), not a serving
+    * path; every sampled query surfaces even at zero hits (the LEFT
+    * join + indicator fold, grouped over the always-k exact rows). */
+  def annRecall(spark: SparkSession, dir: String, everyN: Long,
+      k: Int): DataFrame = {
+    val approx = knnJoin(spark, dir, everyN, k)
+      .select(col("qid"), col("neighbor_id"), lit(1).as("hit"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qs = e.filter(col("vec_id") % everyN === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    exact.join(approx, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+      .orderBy(col("qid"))
+  }
+
+  def annRecallSql(everyN: Long, k: Int): String =
+    s"""WITH approx AS (SELECT * FROM (${knnJoinSql(everyN, k)})),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e2 WHERE vec_id % $everyN = 0),
+       |xscored AS (
+       |  SELECT qs.qid, e2.vec_id,
+       |    list_dot_product(e2.v, qs.qv) /
+       |      (sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(qs.qv, qs.qv))) AS cos
+       |  FROM e2, qs WHERE e2.vec_id <> qs.qid),
+       |exact AS (
+       |  SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |    FROM xscored) WHERE rank <= $k)
+       |SELECT x.qid, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |FROM exact x LEFT JOIN approx a
+       |  ON a.qid = x.qid AND a.neighbor_id = x.neighbor_id
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    // recall@5 of the blocked batch kNN vs the exhaustive ranking —
+    // the tuning harness for the ANN ladder, itself oracle-checked
+    "simsearch_recall" -> QueryDef(
+      (s: SparkSession, d: String) => annRecall(s, d, everyN = 50L, k = 5),
+      Some(annRecallSql(50L, 5))),
     "simsearch_matryoshka" -> QueryDef(
       (s: SparkSession, d: String) => matryoshkaTopK(s, d, 0L, 10, dp = 16, c = 50),
       Some(matryoshkaTopKSql(0L, 10, dp = 16, c = 50))),

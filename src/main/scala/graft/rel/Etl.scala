@@ -423,5 +423,53 @@ object Etl {
       (s, d) => incrementalOrderStats(Tables.orders(s, d), "1996-06-01"),
       incrementalOrderStatsSql),
     "etl_upsert" -> QueryDef(
-      (s, d) => upsertCustomer(Tables.customer(s, d)), upsertCustomerSql))
+      (s, d) => upsertCustomer(Tables.customer(s, d)), upsertCustomerSql),
+    "etl_schema_evolution" -> QueryDef(
+      (s, d) => mergeEvolvedSnapshots(Tables.orders(s, d)),
+      mergeEvolvedSnapshotsSql))
+
+  /** Schema-evolution merge — the table-format headline feature as an
+    * operator: three snapshot generations of the same logical table,
+    * each adding a column (v1: key+price, v2: +status, v3: +priority),
+    * union BY NAME with missing columns null-backfilled and per-row
+    * snapshot provenance. `unionByName(allowMissingColumns = true)` is
+    * the whole mechanism — resolution is by column NAME at plan time,
+    * so a reader written against the newest schema consumes every
+    * vintage, exactly how parquet-backed tables evolve at scale (no
+    * rewrite of old files, a narrow projection per side, zero shuffle
+    * before the final sort). */
+  def mergeEvolvedSnapshots(orders: DataFrame): DataFrame = {
+    val v1 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("snapshot_v", lit(1))
+    val v2 = orders.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("snapshot_v", lit(2))
+    val v3 = orders.filter(col("o_orderkey") % 3 === 2)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .withColumn("snapshot_v", lit(3))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .unionByName(v3, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("snapshot_v"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def mergeEvolvedSnapshotsSql: String =
+    """SELECT o_orderkey, snapshot_v, o_totalprice, o_orderstatus,
+      |       o_orderpriority
+      |FROM (
+      |  SELECT o_orderkey, 1 AS snapshot_v, o_totalprice,
+      |         CAST(NULL AS VARCHAR) AS o_orderstatus,
+      |         CAST(NULL AS VARCHAR) AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, o_totalprice, o_orderstatus,
+      |         CAST(NULL AS VARCHAR)
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, o_totalprice, o_orderstatus, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |ORDER BY o_orderkey""".stripMargin
 }

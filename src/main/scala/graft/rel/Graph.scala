@@ -438,6 +438,67 @@ object Graph {
     visited.orderBy(col("node"))
   }
 
+  /** Landmark (harmonic) closeness — the all-pairs-centrality shape cut
+    * to what scales: multi-source BFS from the `nLandmarks` smallest
+    * node ids (a deterministic landmark set), per-node harmonic sum
+    * Σ 12 div dist over reached landmarks (12 = lcm(1..4), so every
+    * addend is an exact integer — no float on the comparison surface).
+    * True all-pairs closeness is O(V·E); landmark closeness is the
+    * standard estimator and is |L| concurrent frontiers over the SAME
+    * bucketed adjacency — state ≤ |L|·V pairs, one src-keyed join per
+    * round, the bfsDistances loop with (lm, node) keys. */
+  def landmarkCloseness(edges: DataFrame, nLandmarks: Int,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4, "12 = lcm(1..4) covers depth <= 4")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val lms = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nLandmarks).select(col("src").as("lm"))
+    var visited = lms
+      .select(col("lm"), col("lm").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("12 div dist")).as("closeness12"))
+      .orderBy(col("node"))
+  }
+
+  def landmarkClosenessSql(nLandmarks: Int, maxDepth: Int): String =
+    s"""WITH RECURSIVE eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |lms AS (SELECT src AS lm FROM e GROUP BY src ORDER BY src LIMIT $nLandmarks),
+       |bfs AS (
+       |  SELECT lm, lm AS node, 0 AS dist FROM lms
+       |  UNION
+       |  SELECT bfs.lm, e.dst, bfs.dist + 1
+       |  FROM bfs JOIN e ON e.src = bfs.node
+       |  WHERE bfs.dist < $maxDepth),
+       |d AS (SELECT lm, node, MIN(dist) AS dist FROM bfs GROUP BY lm, node)
+       |SELECT node, COUNT(*) AS n_reached,
+       |  CAST(SUM(12 // dist) AS BIGINT) AS closeness12
+       |FROM d WHERE dist > 0
+       |GROUP BY node ORDER BY node""".stripMargin
+
   /** Oracle: DuckDB recursive CTE — UNION-dedup on (node, dist) pairs
     * bounded by depth, then MIN(dist) per node ≡ first-visit BFS. */
   def bfsDistancesSql(maxDepth: Int): String =
@@ -674,7 +735,11 @@ object Graph {
       jaccardPairsSql(50)),
     "graph_kcore" -> QueryDef(
       (s, d) => kCore(s.table(ensureBackbone(s, d))),
-      kCoreSql()))
+      kCoreSql()),
+    "graph_landmark_closeness" -> QueryDef(
+      (s, d) => landmarkCloseness(s.table(ensureBackbone(s, d)),
+        nLandmarks = 8, maxDepth = 4),
+      landmarkClosenessSql(8, 4)))
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and
