@@ -607,6 +607,70 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Sketch-quality evaluation for the MinHash chain — the dedup twin
+    * of `simsearch_recall`: for every banded candidate pair, the slot
+    * overlap the sketch SAW (sig_matches of n_slots) next to the exact
+    * truth (shingle intersection and union sizes). Every surfaced
+    * column is an exact integer, so the calibration table a deployment
+    * uses to pick k / bands / threshold sits fully behind the hash
+    * gate; the exact arm reuses the one shingle pass feeding the
+    * candidate chain (cost class of `dedup_jaccard_md5`). */
+  def minhashAccuracy(docs: DataFrame, k: Int = 4): DataFrame = {
+    val withSh = md5Shingled(docs).persist()
+    md5MinhashPairsFromShingles(withSh, threshold = 0.0, k)
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") * k).cast("int").as("sig_matches"),
+        lit(k).as("n_slots"), col("inter"),
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).as("union_sz"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashAccuracySql: String = {
+    val slotDefs = (0 until 4).map(i =>
+      s"""    CASE WHEN len(sh) = 0 THEN NULL ELSE
+         |      list_min(list_transform(sh, s -> ('0x' || substr(md5('$i:' || s), 1, 15))::BIGINT))
+         |    END AS m$i""".stripMargin).mkString(",\n")
+    val keyArms = (0 until 4).map(i =>
+      s"  SELECT doc_id, $i AS band, m$i AS bkey, m0, m1, m2, m3 FROM sig WHERE m$i IS NOT NULL")
+      .mkString("\n  UNION ALL\n")
+    val overlap = (0 until 4).map(i => s"(a.m$i = b.n$i)::INT").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END AS sh
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id,
+       |$slotDefs
+       |  FROM shingled),
+       |keys AS (
+       |$keyArms),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ($overlap) AS sig_matches
+       |  FROM keys a
+       |  JOIN (SELECT doc_id, band, bkey, m0 AS n0, m1 AS n1, m2 AS n2, m3 AS n3
+       |        FROM keys) b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b, CAST(p.sig_matches AS INT) AS sig_matches,
+       |  4 AS n_slots,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter,
+       |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS INT)
+       |    AS union_sz
+       |FROM pairs p
+       |JOIN shingled sa ON sa.doc_id = p.doc_a
+       |JOIN shingled sb ON sb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val md5MinhashSql: String = {
     val slots = (0 until 4).map(i =>
       s"""  CASE WHEN len(sh) = 0 THEN NULL ELSE
@@ -885,6 +949,11 @@ object Dedup {
     "dedup_jaccard_md5" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerifyMd5(Tables.documents(s, d), 0.6),
       Some(jaccardVerifyMd5Sql)),
+    // sketch-vs-truth calibration table: slot overlap next to exact
+    // intersection/union for every banded candidate, all-integer surface
+    "dedup_minhash_accuracy" -> QueryDef(
+      (s: SparkSession, d: String) => minhashAccuracy(Tables.documents(s, d)),
+      Some(minhashAccuracySql)),
     // asymmetric containment over the same chain: the quote/subset
     // detector Jaccard misses when set sizes diverge
     "dedup_containment" -> QueryDef(

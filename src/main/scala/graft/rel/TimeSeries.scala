@@ -403,5 +403,69 @@ object TimeSeries {
     "anomaly_iqr" -> QueryDef(
       (s, d) => iqrOutliers(Tables.events(s, d)), iqrOutliersSql),
     "ts_seasonality" -> QueryDef(
-      (s, d) => hourlySeasonality(Tables.events(s, d)), hourlySeasonalitySql))
+      (s, d) => hourlySeasonality(Tables.events(s, d)), hourlySeasonalitySql),
+    "ts_cusum" -> QueryDef(
+      (s, d) => cusumAlarms(Tables.events(s, d)), cusumAlarmsSql))
+
+  /** One-sided CUSUM change detection per user series — the classic
+    * drift detector, in its DRAWDOWN form: the recursive
+    * S_i = max(0, S_{i-1} + (x_i − target)) equals
+    * P_i − min_{j≤i} P_j for the plain prefix sum P, which turns the
+    * sequential fold into two stacked window passes (running sum, then
+    * running min) — fully relational, one shuffle on user_id, no
+    * per-row recursion anywhere. Deviations accumulate in exact
+    * DECIMAL, so the threshold crossing (and therefore the alarm row)
+    * is bit-identical cross-engine; the FIRST alarm per user is picked
+    * by rank in the engine-wide (ts, event_id) order. */
+  def cusumAlarms(events: DataFrame, target: Double = 50.0,
+      h: Double = 500.0): DataFrame = {
+    import graft.core.Exact.money
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (money(col("value")) - money(lit(target))).as("dev"))
+      .withColumn("p", sum(col("dev")).over(w))
+      .withColumn("cusum", col("p") - min(col("p")).over(w))
+    val alarms = c.filter(col("cusum") >= money(lit(h)))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("alarm_event_id"))
+    c.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("cusum")).cast("double").as("max_cusum"))
+      .join(alarms, Seq("user_id"), "left")
+      .orderBy(col("user_id"))
+  }
+
+  private def cusumAlarmsSql: String =
+    """WITH base AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(value AS DECIMAL(12,2)) - CAST(50.0 AS DECIMAL(12,2)) AS dev
+      |  FROM events),
+      |pp AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM base),
+      |c AS (
+      |  SELECT user_id, ts, event_id,
+      |    p - MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM pp),
+      |al AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM c WHERE cusum >= CAST(500.0 AS DECIMAL(12,2))) WHERE rn = 1),
+      |st AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(MAX(cusum) AS DOUBLE) AS max_cusum
+      |  FROM c GROUP BY user_id)
+      |SELECT st.user_id, st.n_events, st.max_cusum,
+      |       al.event_id AS alarm_event_id
+      |FROM st LEFT JOIN al ON al.user_id = st.user_id
+      |ORDER BY st.user_id""".stripMargin
 }
