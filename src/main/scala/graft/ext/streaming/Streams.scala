@@ -486,6 +486,55 @@ object Streams {
   case class TransitionEvent2(event_id: Long, user_id: Long,
       value: Double, ts: java.sql.Timestamp)
 
+  case class CusumAlarm(user_id: Long, alarm_event_id: Long,
+      cusum_cents: Long)
+
+  /** Streaming one-sided CUSUM — the stateful twin of
+    * `rel.TimeSeries.cusumAlarms`, and the inverse trade: the batch
+    * operator needed the drawdown identity (prefix sum − running min
+    * over OBSERVED rows) to avoid per-row recursion; streaming state
+    * maintains that pair directly — (p, minp, alarmed), three scalars
+    * of integer cents per user. Emits the FIRST threshold crossing per
+    * user (the batch alarm row) and then arms a one-shot flag so later
+    * crossings stay silent; state expires on the event-time horizon
+    * like every other twin. Integer cents make the crossing
+    * bit-identical to the batch DECIMAL comparison. */
+  def cusumAlarmStream(events: Dataset[TransitionEvent2],
+      targetCents: Long = 5000L, hCents: Long = 50000L,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Boolean), CusumAlarm](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (p, minp, alarmed) =
+              state.getOption.getOrElse((0L, Long.MaxValue, false))
+            val out = Vector.newBuilder[CusumAlarm]
+            batch.foreach { r =>
+              // exact cents from a 2-dp double value (same rounding as
+              // the batch DECIMAL(12,2) cast)
+              val cents = math.round(r.value * 100.0)
+              p += cents - targetCents
+              minp = math.min(minp, p) // running min over OBSERVED rows
+              val cusum = p - minp
+              if (!alarmed && cusum >= hCents) {
+                alarmed = true
+                out += CusumAlarm(userId, r.event_id, cusum)
+              }
+            }
+            state.update((p, minp, alarmed))
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   case class AbandonVerdict(user_id: Long, last_click_id: Long,
       click_ts: java.sql.Timestamp, abandoned: Boolean)
 

@@ -408,15 +408,19 @@ object TimeSeries {
       (s, d) => cusumAlarms(Tables.events(s, d)), cusumAlarmsSql))
 
   /** One-sided CUSUM change detection per user series — the classic
-    * drift detector, in its DRAWDOWN form: the recursive
-    * S_i = max(0, S_{i-1} + (x_i − target)) equals
-    * P_i − min_{j≤i} P_j for the plain prefix sum P, which turns the
-    * sequential fold into two stacked window passes (running sum, then
-    * running min) — fully relational, one shuffle on user_id, no
-    * per-row recursion anywhere. Deviations accumulate in exact
-    * DECIMAL, so the threshold crossing (and therefore the alarm row)
-    * is bit-identical cross-engine; the FIRST alarm per user is picked
-    * by rank in the engine-wide (ts, event_id) order. */
+    * drift detector, in its DRAWDOWN form: S_i = P_i − min_{1≤j≤i} P_j
+    * for the plain prefix sum P (the rise from the running minimum),
+    * which turns the sequential max(0, S+dev) fold into two stacked
+    * window passes (running sum, then running min) — fully relational,
+    * one shuffle on user_id, no per-row recursion anywhere. The pinned
+    * min is over OBSERVED rows (no virtual zero prefix), which differs
+    * from the clamped textbook recursion only while every prefix sum
+    * is still positive; the streaming twin (`Streams.cusumAlarmStream`)
+    * maintains the same (p, min p) pair as state, differential-pinned.
+    * Deviations accumulate in exact DECIMAL, so the threshold crossing
+    * (and therefore the alarm row) is bit-identical cross-engine; the
+    * FIRST alarm per user is picked by rank in the engine-wide
+    * (ts, event_id) order. */
   def cusumAlarms(events: DataFrame, target: Double = 50.0,
       h: Double = 500.0): DataFrame = {
     import graft.core.Exact.money

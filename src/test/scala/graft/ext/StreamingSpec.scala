@@ -784,6 +784,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming cusum == batch first alarms on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .as[Streams.TransitionEvent2]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent2]
+    val q = Streams.cusumAlarmStream(input.toDS())
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("cusum_out")
+        .select(col("user_id"), col("alarm_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batched = graft.rel.TimeSeries
+        .cusumAlarms(graft.core.Tables.events(spark, sfDir))
+        .filter(col("alarm_event_id").isNotNull)
+        .select(col("user_id"), col("alarm_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(batched.nonEmpty, "fixture must trip at least one alarm")
+      assert(streamed === batched)
+    } finally q.stop()
+  }
+
   test("streaming abandonment == batch verdicts on the fixture log") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
