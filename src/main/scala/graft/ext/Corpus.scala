@@ -704,6 +704,53 @@ object Corpus {
     // cap 15 with ~25 docs/source on the fixture → every source prunes
     "corpus_domain_cap" -> QueryDef(
       (s, d) => domainCap(Tables.documents(s, d), 15), domainCapSql(15)),
+    // ---- n-gram NOVELTY score: per doc, how many of its distinct
+    //      3-grams appear here FIRST (first occurrence = min doc_id
+    //      over the corpus order) — the curation signal that separates
+    //      fresh content from recombinations of already-seen text, and
+    //      the per-document view of what `corpus_decontaminate` checks
+    //      against a benchmark. Gram relation is the Spans shape: one
+    //      explode, min-per-gram partial agg, one gram-keyed join back;
+    //      never doc×doc. All-integer surface; <3-token docs surface
+    //      with zero counts (LEFT join backfill), not dropped ----------
+    "corpus_novelty" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val g = docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 3)).as("gram"))
+        val first = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+        val n = g.join(first, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        docs.select(col("doc_id")).join(n, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |shingled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    END AS sh
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(sh) AS gram FROM shingled),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        |n AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel
+        |FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // ---- fixed-SIZE uniform sample as a bottom-k hash sketch: keep the
     //      k docs with the smallest md5(doc_id) — reproducible (no RNG
     //      state), uniform (hash order is independent of any data

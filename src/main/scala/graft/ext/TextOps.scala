@@ -231,6 +231,48 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- L4 sentence segmentation statistics: split on terminal
+    //      punctuation runs ([.!?]+ — a regex class with identical
+    //      semantics in Java and RE2), trim-filter empties, then
+    //      per-doc sentence count, mean tokens/sentence as an exact
+    //      ×100 integer ratio (no float on the comparison surface) and
+    //      the longest sentence's char length. Narrow per-row HOFs,
+    //      no shuffle before the final sort ----------------------------
+    "text_sentences" -> QueryDef(
+      (s, d) => {
+        val sent = filter(transform(split(col("text"), "[.!?]+"),
+          x => trim(x)), x => x =!= "")
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(sent).as("n_sentences"),
+            size(toks).as("n_tokens"),
+            when(size(sent) > 0,
+              array_max(transform(sent, x => length(x))))
+              .cast("int").as("max_sent_chars"))
+          .select(col("doc_id"), col("n_sentences"), col("n_tokens"),
+            when(col("n_sentences") > 0,
+              expr("CAST(100 AS BIGINT) * n_tokens div n_sentences"))
+              .as("avg_sent_tokens_x100"),
+            col("max_sent_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> x <> '') AS sents,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS INT) AS n_sentences,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CASE WHEN len(sents) > 0
+        |       THEN CAST(100 * len(toks) // len(sents) AS BIGINT) END
+        |    AS avg_sent_tokens_x100,
+        |  CASE WHEN len(sents) > 0
+        |       THEN CAST(list_max(list_transform(sents, x -> length(x))) AS INT) END
+        |    AS max_sent_chars
+        |FROM s ORDER BY doc_id""".stripMargin),
+
     // ---- L4c Gopher-rules filter (Rae et al. 2021, A1.1) ----------------
     //      The industrial multi-rule document filter, emitted as a
     //      per-rule REPORT (not just a score): each rule's pass flag +
