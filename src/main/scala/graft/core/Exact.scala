@@ -19,8 +19,8 @@ import org.apache.spark.sql.types.DecimalType
   * re-partitioning (a correctness property at 100 TB, not just for tests).
   *
   * The DuckDB twin of `dsum(c)` is
-  * `CAST(SUM(CAST(c AS DECIMAL(12,2))) AS DOUBLE)` and of `davg(c)` is
-  * `CAST(SUM(CAST(c AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c)`.
+  * `CAST(CAST(SUM(CAST(c AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)` and of `davg(c)` is
+  * `CAST(CAST(SUM(CAST(c AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(c)`.
   */
 object Exact {
   /** 2-dp money ≤ ~1e10: covers every fixture money column. */

@@ -143,7 +143,7 @@ object Classifier {
        |  FROM f JOIN documents d ON d.doc_id = f.doc_id)
        |SELECT source, COUNT(*) AS n_docs,
        |       CAST(SUM(keep) AS BIGINT) AS n_keep,
-       |       CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate
+       |       CAST(CAST(SUM(keep) AS VARCHAR) AS DOUBLE) / COUNT(*) AS keep_rate
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 

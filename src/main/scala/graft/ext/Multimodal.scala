@@ -527,8 +527,8 @@ object Multimodal {
       |  CAST(n AS DOUBLE) AS n_frames,
       |  CAST(8000 AS DOUBLE) AS sample_rate,
       |  CAST(1 AS DOUBLE) AS channels,
-      |  CAST(SUM(smp) AS DOUBLE) AS sum_samples,
-      |  CAST(SUM(smp * smp) AS DOUBLE) AS sum_squares,
+      |  CAST(CAST(SUM(smp) AS VARCHAR) AS DOUBLE) AS sum_samples,
+      |  CAST(CAST(SUM(smp * smp) AS VARCHAR) AS DOUBLE) AS sum_squares,
       |  CAST(MAX(ABS(smp)) AS DOUBLE) AS max_abs,
       |  CAST(SUM(CASE WHEN prev IS NOT NULL
       |                 AND (prev < 0) <> (smp < 0) THEN 1 ELSE 0 END)

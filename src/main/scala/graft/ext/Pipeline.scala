@@ -132,7 +132,7 @@ object Pipeline {
        |s AS (
        |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(COALESCE(dt.n_tokens, 0)) AS BIGINT) AS n_tokens,
-       |    floor(sqrt(CAST(SUM(COALESCE(dt.n_tokens, 0)) AS DOUBLE)) * 1048576.0)
+       |    floor(sqrt(CAST(CAST(SUM(COALESCE(dt.n_tokens, 0)) AS VARCHAR) AS DOUBLE)) * 1048576.0)
        |      / 1048576.0 AS q
        |  FROM documents d LEFT JOIN tok_doc dt ON dt.doc_id = d.doc_id
        |  GROUP BY d.source)
@@ -424,9 +424,9 @@ object Pipeline {
       |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
       |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
       |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
-      |  CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS mean_quality,
-      |  CAST(SUM(is_en) AS DOUBLE) / COUNT(*) AS english_rate
+      |  CAST(CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) / COUNT(*) AS dup_rate,
+      |  CAST(CAST(SUM(quality) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_quality,
+      |  CAST(CAST(SUM(is_en) AS VARCHAR) AS DOUBLE) / COUNT(*) AS english_rate
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------ declared queries

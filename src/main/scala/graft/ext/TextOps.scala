@@ -503,7 +503,7 @@ object TextOps {
         |f AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  CAST(SUM(freq) AS BIGINT) AS freq_sum,
-        |  CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_token_freq
+        |  CAST(CAST(SUM(freq) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_token_freq
         |FROM t JOIN f USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )

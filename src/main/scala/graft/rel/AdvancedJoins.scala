@@ -65,7 +65,7 @@ object AdvancedJoins {
           .orderBy(col("band"))
       },
       """SELECT band, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |JOIN (VALUES ('band_0_100k', 0, 100000),
         |             ('band_100k_200k', 100000, 200000),
@@ -265,7 +265,7 @@ object AdvancedJoins {
           .orderBy(col("r_name"))
       },
       """SELECT r_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lineitems
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -294,7 +294,7 @@ object AdvancedJoins {
           .limit(20)
       },
       """SELECT c_custkey, c_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -315,7 +315,7 @@ object AdvancedJoins {
           max(col("p_retailprice")).as("max_retail"))
         .orderBy(col("p_brand")),
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  MIN(p_retailprice) AS min_retail, MAX(p_retailprice) AS max_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
@@ -333,9 +333,9 @@ object AdvancedJoins {
             count(lit(1)).as("n_items"))
       },
       """SELECT
-        |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-        |           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2)) END) AS DOUBLE) * 100.0 /
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE)
+        |  CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |           THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2)) END) AS VARCHAR) AS DOUBLE) * 100.0 /
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE)
         |    AS promo_share_pct,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
@@ -368,9 +368,9 @@ object AdvancedJoins {
       },
       """SELECT l_partkey AS partkey, l_suppkey AS best_suppkey, revenue FROM (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |    ROW_NUMBER() OVER (PARTITION BY l_partkey
-        |      ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) DESC, l_suppkey) AS rn
+        |      ORDER BY CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) DESC, l_suppkey) AS rn
         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
         |WHERE rn = 1
         |ORDER BY partkey""".stripMargin),
@@ -424,7 +424,7 @@ object AdvancedJoins {
           dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("s_suppkey")),
       """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin),
 
@@ -494,7 +494,7 @@ object AdvancedJoins {
             count(lit(1)).as("n_items"))
       },
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -516,7 +516,7 @@ object AdvancedJoins {
             count(lit(1)).as("n_items"))
       },
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem l1
         |WHERE l_quantity < 0.5 * (
@@ -539,7 +539,7 @@ object AdvancedJoins {
       },
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT l_suppkey, revenue FROM rev
         |WHERE revenue = (SELECT max(revenue) FROM rev)
@@ -566,10 +566,10 @@ object AdvancedJoins {
           .orderBy(col("c_nationkey"))
       },
       """SELECT c_nationkey, COUNT(*) AS n_custs,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_bal
         |FROM customer c
         |WHERE c_acctbal > (
-        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
+        |    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal)
         |    FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
@@ -596,7 +596,7 @@ object AdvancedJoins {
           .orderBy(col("s_name"))
       },
       """SELECT s_name, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS qty
         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin),
 

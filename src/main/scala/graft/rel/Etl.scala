@@ -162,7 +162,7 @@ object Etl {
 
   val incrementalOrderStatsSql: String =
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_spend
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** Latest-wins upsert (the MERGE INTO … WHEN MATCHED THEN UPDATE /

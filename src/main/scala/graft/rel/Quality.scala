@@ -257,26 +257,26 @@ object Quality {
       |  FROM (SELECT unnest(range(1, 6)) AS i)),
       |bp AS (
       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ck,
+      |    CAST(CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_ck,
       |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dist_ck,
-      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_os,
+      |    CAST(CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_os,
       |    CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_os,
-      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_tp,
+      |    CAST(CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_tp,
       |    CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS dist_tp,
-      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_op,
+      |    CAST(CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_op,
       |    CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_op,
       |    CAST(MIN(o_custkey) AS DOUBLE) AS min_ck, CAST(MAX(o_custkey) AS DOUBLE) AS max_ck,
       |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp, CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp
       |  FROM orders),
       |ap AS (
       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ck,
+      |    CAST(CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_ck,
       |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS dist_ck,
-      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_os,
+      |    CAST(CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_os,
       |    CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_os,
-      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_tp,
+      |    CAST(CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_tp,
       |    CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS dist_tp,
-      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_op,
+      |    CAST(CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS null_op,
       |    CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_op,
       |    CAST(MIN(o_custkey) AS DOUBLE) AS min_ck, CAST(MAX(o_custkey) AS DOUBLE) AS max_ck,
       |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp, CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp

@@ -229,7 +229,7 @@ object Scalars {
         .orderBy(col("flag"), col("status")),
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |  COALESCE(l_linestatus, 'ALL') AS status,
-        |  COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |  COUNT(*) AS n, CAST(CAST(SUM(l_quantity) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin),

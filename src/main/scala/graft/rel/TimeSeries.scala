@@ -273,7 +273,7 @@ object TimeSeries {
       |       MIN(value) AS low,
       |       arg_max(value, event_id) AS close,
       |       COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS volume
       |FROM events
       |GROUP BY event_type, CAST(ts AS DATE)
       |ORDER BY event_type, day""".stripMargin
@@ -338,8 +338,8 @@ object TimeSeries {
        |  FROM d a JOIN d b ON a.event_type = b.event_type
        |   AND b.day BETWEEN a.day - INTERVAL $k DAY AND a.day)
        |SELECT event_type, day, MAX(x) AS n_events,
-       |       CAST(SUM((CASE lag $arms END) * bx) AS DOUBLE) /
-       |         CAST(SUM(CASE lag $arms END) AS DOUBLE) AS ewma
+       |       CAST(CAST(SUM((CASE lag $arms END) * bx) AS VARCHAR) AS DOUBLE) /
+       |         CAST(CAST(SUM(CASE lag $arms END) AS VARCHAR) AS DOUBLE) AS ewma
        |FROM lagged
        |GROUP BY event_type, day
        |ORDER BY event_type, day""".stripMargin

@@ -35,7 +35,7 @@ object TpchExtra {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_lines")),
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
@@ -63,8 +63,8 @@ object TpchExtra {
           .orderBy(col("nation"), col("o_year").desc)
       },
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))
-        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS profit,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))
+        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS profit,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -108,7 +108,7 @@ object TpchExtra {
         |SELECT l_partkey AS partkey, CAST(value_d AS DOUBLE) AS part_value
         |FROM pp
         |WHERE CAST(value_d AS DOUBLE) >
-        |  (SELECT CAST(SUM(value_d) AS DOUBLE) / COUNT(*) FROM pp) * 1.5
+        |  (SELECT CAST(CAST(SUM(value_d) AS VARCHAR) AS DOUBLE) / COUNT(*) FROM pp) * 1.5
         |ORDER BY part_value DESC, partkey""".stripMargin),
 
     // ---- Q20 shape: suppliers who dominate a part's 1996 volume
@@ -148,7 +148,7 @@ object TpchExtra {
         |sh AS (
         |  SELECT l_suppkey,
         |    CAST(qty_d AS DOUBLE) /
-        |      CAST(SUM(qty_d) OVER (PARTITION BY l_partkey) AS DOUBLE) AS share
+        |      CAST(CAST(SUM(qty_d) OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE) AS share
         |  FROM ps)
         |SELECT s_suppkey, s_name, COUNT(*) AS n_dominant
         |FROM sh JOIN supplier ON s_suppkey = l_suppkey

@@ -194,9 +194,9 @@ object Windows {
           .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
       },
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin),
 
@@ -243,10 +243,10 @@ object Windows {
       """SELECT o_custkey, o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS day_i,
         |  o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |    PARTITION BY o_custkey
         |    ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
-        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS spend_30d
         |FROM orders
         |ORDER BY o_custkey, day_i, o_orderkey""".stripMargin),
 
@@ -282,7 +282,7 @@ object Windows {
         .orderBy(col("bucket")),
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin),
@@ -310,7 +310,7 @@ object Windows {
         |  FROM ev)
         |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM hop GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     // ---- W5 session windows (30-min inactivity gap), batch twin ---------
@@ -345,7 +345,7 @@ object Windows {
         |SELECT user_id, sess,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM sessions
         |GROUP BY user_id, sess
         |ORDER BY user_id, sess""".stripMargin)
