@@ -739,7 +739,85 @@ object Graph {
     "graph_landmark_closeness" -> QueryDef(
       (s, d) => landmarkCloseness(s.table(ensureBackbone(s, d)),
         nLandmarks = 8, maxDepth = 4),
-      landmarkClosenessSql(8, 4)))
+      landmarkClosenessSql(8, 4)),
+    "graph_modularity" -> QueryDef(
+      (s, d) => modularity(s.table(ensureBackbone(s, d))),
+      modularitySql()))
+
+  /** Newman modularity of the label-propagation partition — the
+    * clustering-quality metric next to the clustering it scores (the
+    * `simsearch_recall` eval-harness theme on the graph axis). With the
+    * MIRRORED edge relation (M rows = 2m), Q = Σ_c(M·E_c − D_c²) / M²
+    * for intra-mirrored-count E_c and degree-mass D_c — numerator and
+    * denominator exact BIGINTs, ONE exactly-rounded IEEE division at
+    * the surface. Three keyed partial aggs (intra counts, degrees,
+    * label join) + a 1-row total; never node×node. */
+  def modularity(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val lab = labelPropagation(e, iters)
+    val withLabels = e
+      .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
+    val intra = withLabels.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("ec2"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy(col("label").as("community")).agg(sum(col("d")).as("dc"))
+    val tot = e.agg(count(lit(1)).as("m2"))
+    dc.join(intra, Seq("community"), "left")
+      .select(col("community"), coalesce(col("ec2"), lit(0L)).as("ec2"),
+        col("dc"))
+      .crossJoin(broadcast(tot)) // 1-row total
+      .agg(count(lit(1)).as("n_communities"), max(col("m2")).as("m2"),
+        sum(col("m2") * col("ec2") - col("dc") * col("dc")).as("q_num"))
+      .select(col("n_communities"), col("m2"), col("q_num"),
+        (col("q_num").cast("double") /
+          (col("m2") * col("m2")).cast("double")).as("q"))
+      .orderBy(col("n_communities"))
+  }
+
+  def modularitySql(iters: Int = 3): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, COUNT(*) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$iterCtes,
+       |lab AS (SELECT node, label FROM l$iters),
+       |wl AS (
+       |  SELECT a.label AS la, b.label AS lb FROM e
+       |  JOIN lab a ON a.node = e.src JOIN lab b ON b.node = e.dst),
+       |m2 AS (SELECT COUNT(*) AS m2 FROM e),
+       |intra AS (SELECT la AS community, COUNT(*) AS ec2 FROM wl
+       |          WHERE la = lb GROUP BY la),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+       |dc AS (SELECT l.label AS community, SUM(d.d) AS dc
+       |       FROM deg d JOIN lab l ON l.node = d.node GROUP BY l.label)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  CAST(MAX(m2.m2) AS BIGINT) AS m2,
+       |  CAST(SUM(m2.m2 * COALESCE(i.ec2, 0) - dc.dc * dc.dc) AS BIGINT) AS q_num,
+       |  CAST(SUM(m2.m2 * COALESCE(i.ec2, 0) - dc.dc * dc.dc) AS DOUBLE) /
+       |    CAST(MAX(m2.m2) * MAX(m2.m2) AS DOUBLE) AS q
+       |FROM dc LEFT JOIN intra i ON i.community = dc.community
+       |CROSS JOIN m2
+       |ORDER BY n_communities""".stripMargin
+  }
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in
     * ≥ minSupport orders. Triangle counting is cubic-ish in density and

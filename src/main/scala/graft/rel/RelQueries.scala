@@ -508,7 +508,8 @@ object RelQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
-    // ---- A13 Pareto skyline (non-dominated frontier): the cheapest-
+    // ---- A13 Pareto skyline (Börzsönyi, Kossmann & Stocker, "The
+    //      Skyline Operator", ICDE 2001 — non-dominated frontier): the cheapest-
     //      price / highest-quantity frontier per return flag — the
     //      multi-objective FILTER a curation pipeline uses to pick
     //      candidates no other candidate beats on both axes. Dominance:

@@ -407,7 +407,8 @@ object TimeSeries {
     "ts_cusum" -> QueryDef(
       (s, d) => cusumAlarms(Tables.events(s, d)), cusumAlarmsSql))
 
-  /** One-sided CUSUM change detection per user series — the classic
+  /** One-sided CUSUM change detection (Page, Biometrika 1954) per user
+    * series — the classic
     * drift detector, in its DRAWDOWN form: S_i = P_i − min_{1≤j≤i} P_j
     * for the plain prefix sum P (the rise from the running minimum),
     * which turns the sequential max(0, S+dev) fold into two stacked
