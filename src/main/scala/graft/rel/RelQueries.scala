@@ -104,7 +104,7 @@ object RelQueries {
           dsum0(col("o_totalprice")).as("total_spent"))
         .orderBy(col("c_custkey")),
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+        |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS VARCHAR) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin),

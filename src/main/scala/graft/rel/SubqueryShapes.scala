@@ -156,8 +156,8 @@ object SubqueryShapes {
         |  nation_volume, total_volume
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-        |    CAST(COALESCE(SUM(CASE WHEN n1.n_name = 'NATION_13'
-        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2)) END), 0) AS DOUBLE) AS nation_volume,
+        |    CAST(CAST(COALESCE(SUM(CASE WHEN n1.n_name = 'NATION_13'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2)) END), 0) AS VARCHAR) AS DOUBLE) AS nation_volume,
         |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS total_volume
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
