@@ -283,7 +283,84 @@ object Clustering {
        |GROUP BY bl.label
        |ORDER BY label""".stripMargin
 
+  /** Dominant principal direction by INTEGER power iteration — PCA's
+    * workhorse first component on the k-means ×2^10 grid, so the whole
+    * train loop sits behind the hash gate like `embedding_kmeans`:
+    * v ← rescale(Xᵀ(Xv)) for `iters` rounds from the all-ones seed.
+    * Each round is one narrow projection (per-row dot against the
+    * literal vector — the centroid-fold-in pattern) + one (dim)-keyed
+    * partial-agg shuffle; the driver only ever holds the dim-length
+    * vector. Rescaling snaps max |component| back to 2^10 with
+    * SIGN-SPLIT truncating division (−((−c)·Q div m) on negatives):
+    * Spark/Scala `div` truncates toward zero while DuckDB `//` floors,
+    * and the sign split makes both compute the identical value.
+    * Magnitude audit at this grid: |x|≤2^11, |v|≤2^10 ⇒ |Xv|≤2^27,
+    * per-row product ≤2^38, summed ≤2^38·n — exact in BIGINT to ~30 M
+    * rows; beyond that, drop the rescale target a few bits. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .persist()
+    def rescale(c: Long, m: Long): Long =
+      if (c < 0) -((-c) * Q / m) else c * Q / m
+    var vec: Seq[Long] = Seq.fill(dim)(Q)
+    try {
+      for (_ <- 1 to iters) {
+        val y: Seq[Long] = e
+          .withColumn("xv", aggregate(
+            zip_with(col("v"), typedlit(vec), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+          .select(col("xv"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(sum(col("x") * col("xv")).as("y"))
+          .orderBy(col("pos"))
+          .collect().map(_.getLong(1)).toSeq
+        val m = math.max(y.map(math.abs).max, 1L)
+        vec = y.map(rescale(_, m))
+      }
+    } finally { e.unpersist(); () }
+    vec.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("pos", "component")
+      .orderBy(col("pos"))
+  }
+
+  def pcaPowerSql(iters: Int = 3, dim: Int = 64): String = {
+    val e =
+      s"""e AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+         |  FROM embeddings)""".stripMargin
+    val v0 =
+      s"""v0 AS (
+         |  SELECT list_transform(range(0, $dim), i -> CAST($Q AS BIGINT)) AS v)""".stripMargin
+    def round(i: Int) =
+      s"""xv$i AS (
+         |  SELECT e.v,
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      j -> e.v[j] * p.v[j])) AS BIGINT) AS xv
+         |  FROM e, v${i - 1} p),
+         |y$i AS (
+         |  SELECT j.i - 1 AS pos, CAST(SUM(v[j.i] * xv) AS BIGINT) AS y
+         |  FROM xv$i, (SELECT unnest(range(1, ${dim + 1})) AS i) j
+         |  GROUP BY j.i),
+         |m$i AS (SELECT GREATEST(MAX(ABS(y)), 1) AS m FROM y$i),
+         |v$i AS (
+         |  SELECT list(CASE WHEN y < 0 THEN -((-y) * $Q // m)
+         |              ELSE (y * $Q) // m END ORDER BY pos) AS v
+         |  FROM y$i, m$i)""".stripMargin
+    s"""WITH $e,
+       |$v0,
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT CAST(j.i - 1 AS INT) AS pos, CAST(v[j.i] AS BIGINT) AS component
+       |FROM v$iters, (SELECT unnest(range(1, ${dim + 1})) AS i) j
+       |ORDER BY pos""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "embedding_pca" -> QueryDef(
+      (s, d) => pcaPower(s, d), pcaPowerSql()),
     "dq_embedding_drift" -> QueryDef(
       (s, d) => embeddingDrift(Tables.embeddings(s, d)),
       embeddingDriftSql()),

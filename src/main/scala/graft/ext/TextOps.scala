@@ -391,6 +391,31 @@ object TextOps {
         |        ELSE 'unknown' END) = lang AS is_match
         |FROM s ORDER BY doc_id""".stripMargin),
 
+    // ---- L4 language-ID CONFUSION MATRIX vs the fixture's lang ground
+    //      truth — the eval-harness view of text_langid (the
+    //      simsearch_recall theme on the text axis): per (truth,
+    //      predicted) cell count, one partial-agg shuffle over a
+    //      handful of cells ------------------------------------------
+    "text_langid_eval" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          when(enScore >= 2, "en").when(enScore === 1, "maybe_en")
+            .otherwise("unknown").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted")),
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','a','and','of'))) >= 2 THEN 'en'
+        |         WHEN len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','a','and','of'))) = 1 THEN 'maybe_en'
+        |         ELSE 'unknown' END AS predicted
+        |  FROM documents)
+        |SELECT lang, predicted, COUNT(*) AS n
+        |FROM s GROUP BY lang, predicted
+        |ORDER BY lang, predicted""".stripMargin),
+
     // ---- L4 corpus token histogram (the classic word count) -------------
     "token_histogram" -> QueryDef(
       (s, d) => Tables.documents(s, d)
