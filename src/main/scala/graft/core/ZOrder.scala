@@ -95,5 +95,46 @@ object ZOrder {
   def queries: Seq[(String, QueryDef)] = Seq(
     "layout_zorder" -> QueryDef(
       (s, d) => zOrderAudit(Tables.lineitem(s, d), blockShift = 16),
-      zOrderAuditSql(blockShift = 16)))
+      zOrderAuditSql(blockShift = 16)),
+    "layout_skew_report" -> QueryDef(
+      (s, d) => skewReport(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), buckets = 32),
+      skewReportSql(Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)))
+
+  /** Partition-skew report for candidate shuffle/bucket keys — the ops
+    * table that picks a layout BEFORE a 100 TB backfill: for each
+    * candidate key, rows hash (md5-derived bucket — the same function
+    * in both engines, unlike engine-native hashes) into `buckets`
+    * partitions and the report surfaces the size spread plus
+    * skew ×100 = 100·max·buckets div total — the straggler multiplier
+    * a shuffle on that key would pay (100 = perfectly even). One
+    * partial-agg pass per candidate over a shared scan, all-integer
+    * output. */
+  def skewReport(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perKey = keys.map { k =>
+      df.select(pmod(conv(substring(md5(col(k).cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("total"),
+          min(col("n")).as("min_rows"), max(col("n")).as("max_rows"))
+        .select(lit(k).as("key"), col("n_buckets"), col("total"),
+          col("min_rows"), col("max_rows"),
+          expr(s"100 * max_rows * $buckets div total").as("skew_x100"))
+    }
+    perKey.reduce(_.unionByName(_)).orderBy(col("key"))
+  }
+
+  def skewReportSql(keys: Seq[String], buckets: Int): String =
+    keys.map { k =>
+      s"""SELECT '$k' AS key, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(n) AS BIGINT) AS total,
+         |  CAST(MIN(n) AS BIGINT) AS min_rows, CAST(MAX(n) AS BIGINT) AS max_rows,
+         |  CAST(100 * MAX(n) * $buckets // SUM(n) AS BIGINT) AS skew_x100
+         |FROM (
+         |  SELECT ('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 8))::BIGINT % $buckets AS bucket,
+         |         COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY key"
 }

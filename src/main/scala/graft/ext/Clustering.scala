@@ -358,9 +358,45 @@ object Clustering {
        |ORDER BY pos""".stripMargin
   }
 
+  /** Extreme documents along the dominant principal direction — the
+    * data-plane complement of `embedding_pca`: project every vector
+    * onto the trained direction (exact BIGINT dot on the shared grid)
+    * and keep the top `k` by |projection| — PCA's classic "what is this
+    * axis made of" inspection, and a drift/outlier probe. The direction
+    * is bounded metadata folded in as a literal, so the scan is one
+    * narrow map + a TakeOrdered top-k: zero joins, zero extra
+    * exchanges. */
+  def pcaOutliers(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 3, dim: Int = 64): DataFrame = {
+    val pc: Seq[Long] = pcaPower(spark, dir, iters, dim)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("projection", aggregate(
+        zip_with(col("v"), typedlit(pc), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"), col("projection"))
+      .orderBy(abs(col("projection")).desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def pcaOutliersSql(k: Int = 10, iters: Int = 3, dim: Int = 64): String = {
+    val base = pcaPowerSql(iters, dim)
+    val ctes = base.substring(0, base.lastIndexOf("SELECT CAST(j.i - 1"))
+    s"""${ctes}SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |    j -> e.v[j] * p.v[j])) AS BIGINT) AS projection
+       |FROM e, v$iters p
+       |ORDER BY ABS(list_sum(list_transform(range(1, ${dim + 1}),
+       |  j -> e.v[j] * p.v[j]))) DESC, vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "embedding_pca" -> QueryDef(
       (s, d) => pcaPower(s, d), pcaPowerSql()),
+    "embedding_pca_outliers" -> QueryDef(
+      (s, d) => pcaOutliers(s, d), pcaOutliersSql()),
     "dq_embedding_drift" -> QueryDef(
       (s, d) => embeddingDrift(Tables.embeddings(s, d)),
       embeddingDriftSql()),
