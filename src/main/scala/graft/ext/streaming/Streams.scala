@@ -486,6 +486,56 @@ object Streams {
   case class TransitionEvent2(event_id: Long, user_id: Long,
       value: Double, ts: java.sql.Timestamp)
 
+  case class RetentionInc(user_id: Long, cohort_day: java.sql.Date,
+      day_offset: Long)
+
+  /** Streaming cohort-retention increments — the stateful twin of
+    * `rel.EventAnalytics.retention`: each user's FIRST processed
+    * activity day anchors their cohort, and every newly seen activity
+    * day emits one (cohort_day, day_offset) increment, so
+    * `count(*) GROUP BY cohort_day, day_offset` over the emissions IS
+    * the batch retention triangle (differential in StreamingSpec).
+    * State per user is the cohort day plus the distinct active-day set
+    * — O(days active within the horizon), the honest cost of EXACT
+    * distinct-day retention (the sketch alternative is an HLL per
+    * cell); the event-time horizon expires dormant users. Cohort
+    * anchoring is exact when per-user arrival respects event-time
+    * order across micro-batches (the repo-wide twin contract); UTC
+    * epoch-day arithmetic matches the batch `to_date` under the UTC
+    * session. */
+  def retentionStream(events: Dataset[SessionInput],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[RetentionInc] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[Long]), RetentionInc](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => tsMicros(r.ts))
+            var (cohort, seen) =
+              state.getOption.getOrElse((Long.MaxValue, List.empty[Long]))
+            val out = Vector.newBuilder[RetentionInc]
+            batch.foreach { r =>
+              val day = Math.floorDiv(tsMicros(r.ts), 86400000000L)
+              if (cohort == Long.MaxValue) cohort = day
+              if (!seen.contains(day)) {
+                seen = day :: seen
+                out += RetentionInc(userId,
+                  java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohort)),
+                  day - cohort)
+              }
+            }
+            state.update((cohort, seen))
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   case class CusumAlarm(user_id: Long, alarm_event_id: Long,
       cusum_cents: Long)
 

@@ -784,6 +784,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming retention increments aggregate to the batch triangle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[Streams.SessionInput]
+      .collect().sortBy(e => us(e.ts))
+    val input = MemoryStream[Streams.SessionInput]
+    val q = Streams.retentionStream(input.toDS())
+      .writeStream.format("memory").queryName("retention_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("retention_out")
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics
+        .retention(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(streamed === batched)
+    } finally q.stop()
+  }
+
   test("streaming cusum == batch first alarms on the fixture log") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
