@@ -182,7 +182,71 @@ object Sketches {
       |  FROM documents)
       |ORDER BY n_exact""".stripMargin
 
+  /** PORTABLE Bloom filter as a relational artifact: the corpus's
+    * 3-gram membership filter materialized as 256 BIGINT words
+    * (m = 2^14 bits, k = 2 md5-derived positions per gram) whose exact
+    * bits both engines compute — so a decontamination filter built
+    * here can be SHIPPED to any other system (or merged shard-wise:
+    * Bloom union is bit-OR, and bit_or is the aggregate) rather than
+    * living inside one engine's opaque sketch object, which is what
+    * Spark's native `bloom_filter_agg` (used by `contamination_bloom`)
+    * cannot offer. Pipeline: explode grams → 2 positions each →
+    * DISTINCT positions (the dedup collapses the shuffle to ≤ m rows
+    * at ANY corpus size) → word/bit split → per-word bit-OR; empty
+    * words backfill 0 so the artifact is always exactly m/64 rows. */
+  def portableBloom(docs: DataFrame, mBits: Int = 16384): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs.select(
+      explode(graft.ext.Dedup.shingles(col("text"), 3)).as("gram"))
+    val pos = (0 until 2).map(i =>
+      grams.select((conv(substring(md5(concat(lit(s"$i:"), col("gram"))), 1, 8),
+        16, 10).cast("long") % mBits).as("pos")))
+      .reduce(_.unionByName(_))
+      .distinct()
+    val words = pos
+      .select(expr("pos div 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("w"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("w")).as("bits"))
+    docs.sparkSession.range(mBits / 64).select(col("id").as("word_idx"))
+      .join(words, Seq("word_idx"), "left")
+      .select(col("word_idx"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .orderBy(col("word_idx"))
+  }
+
+  def portableBloomSql(mBits: Int = 16384): String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT unnest(
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+       |    END) AS gram
+       |  FROM t),
+       |p AS (
+       |  SELECT DISTINCT
+       |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || gram), 1, 8))::BIGINT
+       |      % $mBits AS pos
+       |  FROM g, range(0, 2) r(i)),
+       |w AS (
+       |  -- bit 63 is the BIGINT sign bit: DuckDB's 1<<63 overflows
+       |  -- (Spark's shiftleft wraps to Long.MinValue), so state it as
+       |  -- the literal minimum
+       |  SELECT pos // 64 AS word_idx,
+       |         bit_or(CASE WHEN pos % 64 = 63
+       |                THEN CAST(-9223372036854775808 AS BIGINT)
+       |                ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS bits
+       |  FROM p GROUP BY pos // 64)
+       |SELECT r.range AS word_idx, CAST(COALESCE(w.bits, 0) AS BIGINT) AS bits
+       |FROM range(0, ${mBits / 64}) r LEFT JOIN w ON w.word_idx = r.range
+       |ORDER BY word_idx""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "sketch_bloom_portable" -> QueryDef(
+      (s, d) => portableBloom(Tables.documents(s, d)),
+      Some(portableBloomSql())),
     "contamination_bloom" -> QueryDef(
       (s, d) => bloomDecontaminate(Tables.documents(s, d), "src0"),
       bloomDecontaminateSql("src0")),

@@ -225,11 +225,15 @@ object DistributedRank {
   def skylineScalable(spark: SparkSession, dir: String,
       parts: Int = 32): DataFrame = {
     import graft.core.Exact.money
+    // persisted: the point table feeds BOTH the per-price maxima (via
+    // the frontier scan) and the multiplicity rejoin — unpersisted it
+    // would re-run the full scan + the widest shuffle twice
     val pts = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"),
         money(col("l_extendedprice")).cast("double").as("price"),
         col("l_quantity").as("qty"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val mx = pts.groupBy(col("l_returnflag"), col("price"))
       .agg(max(col("qty")).as("qty"))
     skylineOver(mx, parts)
