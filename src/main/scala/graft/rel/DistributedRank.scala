@@ -214,6 +214,77 @@ object DistributedRank {
     } finally { sorted.unpersist(); () }
   }
 
+  /** `agg_quantile_cont`'s Type-7 quantiles via the same two-pass
+    * skeleton with ROW COUNTS as the prefix-summed quantity: the
+    * RANGE-sorted rows at the lo/hi target ranks of each (group, pct)
+    * are picked out by one forward scan (global rank = partition offset
+    * + local ordinal), and the interpolation lo + (hi − lo)·frac runs
+    * once on the driver with the exact two-digit frac — the identical
+    * IEEE sequence the window formulation computes, so the twin is
+    * bit-equal (pinned in DistributedRankSpec). No per-group single-task
+    * sort anywhere. */
+  def quantileContScalable(spark: SparkSession, dir: String,
+      parts: Int = 32, pcts: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    val sorted = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(parts, col("l_returnflag"), col("l_quantity"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_quantity"))
+      .persist()
+    try {
+      val counts: Array[(Int, String, Long)] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val m = mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0); m.update(g, m.getOrElse(g, 0L) + 1L)
+          }
+          m.iterator.map { case (g, c) => (pid, g, c) }
+        }.collect()
+      val totals: Map[String, Long] =
+        counts.groupBy(_._2).map { case (g, a) => g -> a.map(_._3).sum }
+      val offsets: Map[(Int, String), Long] = {
+        val run = mutable.Map.empty[String, Long]
+        counts.sortBy(_._1).map { case (pid, g, c) =>
+          val o = run.getOrElse(g, 0L); run.update(g, o + c); ((pid, g), o)
+        }.toMap
+      }
+      // 1-based target ranks per group: lo = ((n−1)·pct) div 100 + 1,
+      // hi = min(lo + 1, n) — the Type-7 index convention
+      val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
+        g -> pcts.flatMap { p =>
+          val lo = (n - 1) * p / 100 + 1
+          Seq(lo, math.min(lo + 1, n))
+        }.toSet
+      }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val bTgt = spark.sparkContext.broadcast(targets)
+      val picked: Map[(String, Long), Double] =
+        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val local = mutable.Map.empty[String, Long]
+          it.flatMap { r =>
+            val g = r.getString(0)
+            val rk = local.getOrElse(g, bOff.value((pid, g))) + 1L
+            local.update(g, rk)
+            if (bTgt.value(g)(rk)) Some(((g, rk), r.getDouble(1))) else None
+          }
+        }.collect().toMap
+      val rows = totals.keys.toSeq.sorted.map { g =>
+        val n = totals(g)
+        val qs = pcts.map { p =>
+          val loIdx = (n - 1) * p / 100 + 1
+          val hiIdx = math.min(loIdx + 1, n)
+          val frac = ((n - 1) * p % 100).toDouble / 100.0
+          val lo = picked((g, loIdx)); val hi = picked((g, hiIdx))
+          lo + (hi - lo) * frac
+        }
+        Row.fromSeq(g +: qs)
+      }
+      val schema = StructType(StructField("l_returnflag", StringType) +:
+        pcts.map(p => StructField(s"q$p", DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    } finally { sorted.unpersist(); () }
+  }
+
   /** `skyline_pareto`'s frontier via the same two-pass skeleton with
     * MAX as the prefix-folded quantity: range-partition the per-(group,
     * price) maxima by (group, price), per-(partition, group) max →

@@ -449,6 +449,36 @@ object RelQueries {
         |  lo75 + (hi75 - lo75) * f75 AS q75
         |FROM g ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A7c at-scale twin: same Type-7 quantiles, same oracle, by
+    //      distributed range-sort + count prefix-sum + targeted rank
+    //      pick instead of a per-group window sort (DistributedRank
+    //      scaladoc; bit-equality pinned in DistributedRankSpec) --------
+    "agg_quantile_cont_scalable" -> QueryDef(
+      (s, d) => DistributedRank.quantileContScalable(s, d)
+        .orderBy(col("l_returnflag")),
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag,
+        |    SUM(CASE WHEN rn = ((n - 1) * 25) // 100 + 1 THEN l_quantity END) AS lo25,
+        |    SUM(CASE WHEN rn = LEAST(((n - 1) * 25) // 100 + 2, n) THEN l_quantity END) AS hi25,
+        |    MAX(CAST(((n - 1) * 25) % 100 AS DOUBLE) / 100.0) AS f25,
+        |    SUM(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN l_quantity END) AS lo50,
+        |    SUM(CASE WHEN rn = LEAST(((n - 1) * 50) // 100 + 2, n) THEN l_quantity END) AS hi50,
+        |    MAX(CAST(((n - 1) * 50) % 100 AS DOUBLE) / 100.0) AS f50,
+        |    SUM(CASE WHEN rn = ((n - 1) * 75) // 100 + 1 THEN l_quantity END) AS lo75,
+        |    SUM(CASE WHEN rn = LEAST(((n - 1) * 75) // 100 + 2, n) THEN l_quantity END) AS hi75,
+        |    MAX(CAST(((n - 1) * 75) % 100 AS DOUBLE) / 100.0) AS f75
+        |  FROM ranked GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  lo25 + (hi25 - lo25) * f25 AS q25,
+        |  lo50 + (hi50 - lo50) * f50 AS q50,
+        |  lo75 + (hi75 - lo75) * f75 AS q75
+        |FROM g ORDER BY l_returnflag""".stripMargin),
+
     // ---- A7d weighted median (lower): sort by value, exact DECIMAL
     //      cumulative weight over a RANGE frame (cum-through-value ⇒
     //      every row's cumw is tie-order independent, unlike ROWS), pick

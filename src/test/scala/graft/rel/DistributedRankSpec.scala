@@ -106,6 +106,21 @@ class DistributedRankSpec extends SparkSuite {
     }
   }
 
+  test("type-7 quantiles: rank-pick formulation ≡ window version, " +
+      "bit-exact, any parts") {
+    val builtin = graft.rel.RelQueries.queries.toMap
+      .apply("agg_quantile_cont").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = DistributedRank.quantileContScalable(spark, sfDir, parts)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq
+      assert(got == builtin, s"parts=$parts")
+    }
+  }
+
   test("skyline: prefix-max formulation ≡ window sweep, any parts") {
     val builtin = graft.rel.RelQueries.queries.toMap
       .apply("skyline_pareto").fn(spark, sfDir).collect()
