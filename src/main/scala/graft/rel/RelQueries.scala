@@ -558,11 +558,15 @@ object RelQueries {
     "skyline_pareto" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // persisted: the point table feeds the maxima AND the
+        // multiplicity rejoin; join-side pushdown otherwise defeats
+        // exchange reuse and the scan + widest shuffle run twice
         val pts = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"),
             money(col("l_extendedprice")).as("price_d"),
             col("l_quantity").as("qty"))
           .agg(count(lit(1)).as("n"))
+          .persist()
         val mx = pts.groupBy(col("l_returnflag"), col("price_d"))
           .agg(max(col("qty")).as("qty"))
         val w = Window.partitionBy(col("l_returnflag"))
