@@ -235,6 +235,38 @@ object RelQueries {
         |EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY custkey""".stripMargin),
 
+    // ---- U3b BAG-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    //      multiplicities (min / truncated difference of per-value
+    //      counts) — the duplicate-aware contract reconciliation and
+    //      diff tools need; Catalyst plans both as count-compare
+    //      aggregations, one shuffle each, no row-pairing join ----------
+    "set_intersect_all" -> QueryDef(
+      (s, d) => Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersectAll(Tables.customer(s, d)
+          .filter(col("c_custkey") <= 300).select(col("c_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("custkey")),
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey FROM customer WHERE c_custkey <= 300)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin),
+
+    "set_except_all" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_custkey") <= 200).select(col("o_custkey").as("custkey"))
+        .exceptAll(Tables.orders(s, d)
+          .filter(col("o_custkey") <= 200 && col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("custkey")),
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_custkey <= 200
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_custkey <= 200 AND o_orderstatus = 'F')
+        |GROUP BY custkey ORDER BY custkey""".stripMargin),
+
     // ---- A6 HAVING (post-aggregation filter) ----------------------------
     "agg_having" -> QueryDef(
       (s, d) => Tables.orders(s, d)
