@@ -536,6 +536,45 @@ object Multimodal {
       |  TRUE AS decoded
       |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** Stride-2 audio downsample (8 kHz → 4 kHz nearest-sample): REAL
+    * RIFF/PCM16 decode, keep every 2nd sample, integer feature fold —
+    * the audio-axis transform stage, mirroring `resizeFeatures` on the
+    * image axis. All surfaced features are exact BIGINTs over the kept
+    * samples, so the closed-form corpus pins decode → stride → fold
+    * value-for-value. */
+  private def audioDownsampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        audioSamples(r.content).map { s =>
+          var i = 0; var nOut = 0L; var sum = 0L; var sq = 0L; var mx = 0L
+          while (i < s.length) {
+            val v = s(i).toLong
+            nOut += 1; sum += v; sq += v * v; mx = math.max(mx, math.abs(v))
+            i += 2
+          }
+          (r.doc_id, nOut, sum, sq, mx)
+        }
+      }
+    }.toDF("doc_id", "n_out", "sum_out", "sum_sq_out", "max_abs_out")
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioDownsampleSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 64 + doc_id % 128 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a),
+      |v AS (SELECT doc_id, i,
+      |        (doc_id * 31 + i * 17) % 256 - 128 AS smp
+      |      FROM s WHERE i % 2 = 0)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_out,
+      |  CAST(SUM(smp) AS BIGINT) AS sum_out,
+      |  CAST(SUM(smp * smp) AS BIGINT) AS sum_sq_out,
+      |  CAST(MAX(ABS(smp)) AS BIGINT) AS max_abs_out
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Minimal spec-conformant RIFF/AVI container around an MJPEG stream:
     * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,strf}} →
     * LIST(movi){00dc…}. Layout per the public AVI file format (chunked
@@ -1401,6 +1440,13 @@ object Multimodal {
     "dedup_image_ahash" -> QueryDef(
       (s: SparkSession, d: String) => imageAHashQuery(s, d),
       Some(imageAHashSql)),
+    // decode → stride-2 DOWNSAMPLE → re-featurize: the transform stage
+    // on the audio axis (the multimodal_resize twin for PCM) — real
+    // RIFF decode, integer feature surface, closed-form oracle over
+    // the kept samples
+    "multimodal_audio_downsample" -> QueryDef(
+      (s: SparkSession, d: String) => audioDownsampleQuery(s, d),
+      Some(audioDownsampleSql)),
     "multimodal_metadata" -> QueryDef(
       (s: SparkSession, d: String) => mediaMetadata(s, d), mediaMetadataSql),
     "multimodal_offsets" -> QueryDef(
