@@ -704,6 +704,116 @@ object Corpus {
     // cap 15 with ~25 docs/source on the fixture → every source prunes
     "corpus_domain_cap" -> QueryDef(
       (s, d) => domainCap(Tables.documents(s, d), 15), domainCapSql(15)),
+    // ---- the END-TO-END curation pipeline as ONE declarative plan:
+    //      every document routed to its final disposition with a
+    //      reason-coded status (the etl_quarantine discipline applied
+    //      to corpus curation) — benchmark slice excluded, exact dups
+    //      dropped to their canonical, benchmark-contaminated docs cut
+    //      (the corpus_decontaminate 8-gram rule), Gopher rejects
+    //      marked low_quality, the rest kept. Priority is the CASE
+    //      order; each stage reuses the already-declared operator's
+    //      exact semantics, so this is the composition proof: the
+    //      engine's own operators chain into the full training-data
+    //      pipeline without leaving the declarative plan ---------------
+    "corpus_curation_pipeline" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = 8
+        val toks = filter(split(col("text"), " "), t => t =!= "")
+        // pairwise near-dup stage: doc is a duplicate iff some
+        // smaller-id doc shares a banded-signature pair at est >= 0.5
+        // (subsumes exact duplicates: identical text => identical
+        // signatures => a pair at est 1.0)
+        val nearDup = Dedup.md5MinhashPairs(docs, 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        val grams = docs
+          .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= w)
+          .select(col("doc_id"), col("source"), explode(expr(
+            s"""transform(sequence(1, size(toks) - ${w - 1}),
+               |  i -> md5(array_join(slice(toks, i, $w), ' ')))""".stripMargin))
+            .as("g"))
+        val benchGrams = grams.filter(col("source") === "src0")
+          .select(col("g")).distinct()
+        val contaminated = grams.filter(col("source") =!= "src0")
+          .join(benchGrams, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("is_contaminated", lit(true))
+        val perDoc = docs.select(col("doc_id"),
+          size(toks).as("n_words"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_word_len"),
+          size(filter(toks, t => t.isin(
+            "the", "be", "to", "of", "and", "that", "have", "with")))
+            .as("stop_hits"))
+        val maxWord = docs.select(col("doc_id"), explode(toks).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_word_cnt"))
+        val keepFlag = perDoc.join(maxWord, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("n_words").between(20, 80) &&
+              col("sum_word_len") * 10 >= col("n_words") * 30 &&
+              col("sum_word_len") * 10 <= col("n_words") * 50 &&
+              col("stop_hits") >= 2 &&
+              col("max_word_cnt") * 5 <= col("n_words")).as("keep"))
+        docs.select(col("doc_id"), col("source"))
+          .join(nearDup, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .join(keepFlag, Seq("doc_id"))
+          .select(col("doc_id"), col("source"),
+            when(col("source") === "src0", "benchmark")
+              .when(col("is_dup"), "near_dup")
+              .when(col("is_contaminated"), "contaminated")
+              .when(!col("keep"), "low_quality")
+              .otherwise("kept").as("status"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(list_slice(toks, CAST(i AS INT),
+        |           CAST(i AS INT) + 7), ' ')) AS g
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 7 + 1)) AS i) r
+        |  WHERE len(toks) >= 8),
+        |bench AS (SELECT DISTINCT g FROM pg WHERE source = 'src0'),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM pg
+        |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |         list_sum(list_transform(toks, x -> length(x))) AS sum_word_len,
+        |         len(list_filter(toks, x -> x IN
+        |           ('the','be','to','of','and','that','have','with'))) AS stop_hits
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, MAX(c) AS max_word_cnt
+        |  FROM (SELECT doc_id, w, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |        GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |q AS (
+        |  SELECT s.doc_id,
+        |    s.n_words BETWEEN 20 AND 80
+        |      AND s.sum_word_len * 10 >= s.n_words * 30
+        |      AND s.sum_word_len * 10 <= s.n_words * 50
+        |      AND s.stop_hits >= 2
+        |      AND m.max_word_cnt * 5 <= s.n_words AS keep
+        |  FROM s JOIN m ON m.doc_id = s.doc_id),
+        |nd AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM (${Dedup.md5MinhashPairsSql}))
+        |SELECT d.doc_id, d.source,
+        |  CASE WHEN d.source = 'src0' THEN 'benchmark'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM contaminated) THEN 'contaminated'
+        |       WHEN NOT q.keep THEN 'low_quality'
+        |       ELSE 'kept' END AS status
+        |FROM documents d
+        |JOIN q ON q.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // ---- n-gram NOVELTY score: per doc, how many of its distinct
     //      3-grams appear here FIRST (first occurrence = min doc_id
     //      over the corpus order) — the curation signal that separates
