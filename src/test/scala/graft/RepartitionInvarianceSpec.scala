@@ -31,7 +31,14 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "ts_ewma",              // integer-weight truncated smoothing
     "dedup_audio_fp",       // real-decode fingerprint + banded pairs
     "agg_quantile_cont",    // explicit Type-7 interpolation
-    "window_ignore_nulls")  // IGNORE NULLS navigation, carried floats
+    "window_ignore_nulls",  // IGNORE NULLS navigation, carried floats
+    "skyline_pareto",       // strict-dominance sweep on exact comparisons
+    "agg_weighted_median_scalable", // two-pass prefix-sum, integer cents
+    "embedding_pca",        // integer power iteration, sign-split rescale
+    "ts_cusum",             // DECIMAL drawdown + rank-picked first alarm
+    "graph_modularity",     // integer quality fold over LPA labels
+    "sketch_bloom_portable", // bit-OR idempotent filter words
+    "corpus_curation_pipeline") // composed multi-stage dispositions
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf
