@@ -417,5 +417,55 @@ object EventAnalytics {
       (s, d) => retention(Tables.events(s, d)), retentionSql),
     "events_top_paths" -> QueryDef(
       (s, d) => topSessionPaths(Tables.events(s, d), 20),
-      topSessionPathsSql(20)))
+      topSessionPathsSql(20)),
+    "events_cohort_ltv" -> QueryDef(
+      (s, d) => cohortLtv(Tables.events(s, d)), cohortLtvSql))
+
+  /** Cohort LTV triangle — the MONETARY axis of `retention`: per
+    * (cohort_day, day_offset), purchase count and exact-DECIMAL
+    * purchase value, plus the running cumulative value per cohort (the
+    * LTV curve product teams actually read). The cohort anchor reuses
+    * retention's per-user min-day window; money follows the Exact
+    * DECIMAL discipline end to end, and the running cumulative is a
+    * window over the already-tiny (cohort × offset) aggregate — never
+    * over raw events. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    import graft.core.Exact.money
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type"), money(col("value")).as("v"))
+    val withCohort = days.withColumn("cohort_day",
+      min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val cell = withCohort.filter(col("event_type") === "purchase")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("val_dec"))
+    val cum = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.select(col("cohort_day"), col("day_offset"), col("n_purchases"),
+        col("val_dec").cast("double").as("value"),
+        sum(col("val_dec")).over(cum).cast("double").as("cum_value"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         event_type, CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, day, event_type, v,
+      |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e),
+      |cell AS (
+      |  SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+      |         COUNT(*) AS n_purchases, SUM(v) AS val_dec
+      |  FROM c WHERE event_type = 'purchase'
+      |  GROUP BY cohort_day, date_diff('day', cohort_day, day))
+      |SELECT cohort_day, day_offset, n_purchases,
+      |  CAST(CAST(val_dec AS VARCHAR) AS DOUBLE) AS value,
+      |  CAST(CAST(SUM(val_dec) OVER (PARTITION BY cohort_day ORDER BY day_offset
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |    AS cum_value
+      |FROM cell
+      |ORDER BY cohort_day, day_offset""".stripMargin
 }

@@ -742,7 +742,65 @@ object Graph {
       landmarkClosenessSql(8, 4)),
     "graph_modularity" -> QueryDef(
       (s, d) => modularity(s.table(ensureBackbone(s, d))),
-      modularitySql()))
+      modularitySql()),
+    "graph_assortativity" -> QueryDef(
+      (s, d) => assortativity(s.table(ensureBackbone(s, d))),
+      assortativitySql()))
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the mirrored edge relation — do hubs attach
+    * to hubs? Degrees are one partial agg; each edge then carries the
+    * (deg(src), deg(dst)) pair through two keyed joins, and the five
+    * correlation moments are EXACT BIGINT sums (degrees ≤ ~1e3 on any
+    * realistic support-cut backbone keep Σxy·\|E\| far inside Long) —
+    * the `agg_corr_exact` moment discipline on the graph axis, one
+    * IEEE sqrt/divide at the surface, bit-identical cross-engine. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val pairs = e
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+    pairs.agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m2"),
+        ((col("m2") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+      .orderBy(col("m2"))
+  }
+
+  def assortativitySql(): String =
+    """WITH eh AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |           COUNT(DISTINCT a.l_orderkey) AS n
+      |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    WHERE a.l_partkey < b.l_partkey
+      |    GROUP BY a.l_partkey, b.l_partkey)
+      |  WHERE n >= 2),
+      |e AS (SELECT u AS src, v AS dst FROM eh
+      |      UNION ALL SELECT v, u FROM eh),
+      |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+      |p AS (
+      |  SELECT dx.d AS dx, dy.d AS dy FROM e
+      |  JOIN deg dx ON dx.node = e.src JOIN deg dy ON dy.node = e.dst),
+      |m AS (
+      |  SELECT COUNT(*) AS m2,
+      |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(SUM(dy * dy) AS BIGINT) AS syy,
+      |    CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      |  FROM p)
+      |SELECT m2,
+      |  CAST(m2 * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(m2 * syy - sy * sy AS DOUBLE))) AS assortativity
+      |FROM m ORDER BY m2""".stripMargin
 
   /** Newman modularity of the label-propagation partition — the
     * clustering-quality metric next to the clustering it scores (the
