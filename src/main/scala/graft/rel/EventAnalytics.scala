@@ -419,7 +419,48 @@ object EventAnalytics {
       (s, d) => topSessionPaths(Tables.events(s, d), 20),
       topSessionPathsSql(20)),
     "events_cohort_ltv" -> QueryDef(
-      (s, d) => cohortLtv(Tables.events(s, d)), cohortLtvSql))
+      (s, d) => cohortLtv(Tables.events(s, d)), cohortLtvSql),
+    "events_active_users" -> QueryDef(
+      (s, d) => activeUsers(Tables.events(s, d)), activeUsersSql))
+
+  /** DAU/WAU — rolling DISTINCT active users, the dashboard headline
+    * metric, computed by CONTRIBUTION EXPLODE instead of a windowed
+    * self-join: each distinct (user, day) contributes to the ≤ w
+    * trailing windows it belongs to (bounded fanout w), a second
+    * distinct collapses multi-day activity inside one window, and the
+    * counts are plain partial aggs — no day×day join, no rolling
+    * count-distinct window (which would hold per-day user sets in
+    * state). Only days with activity surface (the fixture log is
+    * dense), and WAU counts users active in [day − w + 1, day]. */
+  def activeUsers(events: DataFrame, w: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val contrib = userDays.select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${w - 1}))")).as("win_day"))
+      .distinct()
+    val wau = contrib.groupBy(col("win_day").as("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      |contrib AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+      |      INTERVAL 1 DAY)) AS DATE) AS win_day
+      |  FROM ud),
+      |wau AS (SELECT win_day AS day, COUNT(*) AS wau
+      |        FROM contrib GROUP BY win_day)
+      |SELECT d.day, d.dau, w.wau
+      |FROM dau d JOIN wau w ON w.day = d.day
+      |ORDER BY d.day""".stripMargin
 
   /** Cohort LTV triangle — the MONETARY axis of `retention`: per
     * (cohort_day, day_offset), purchase count and exact-DECIMAL
