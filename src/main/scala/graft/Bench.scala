@@ -117,10 +117,14 @@ object Bench {
     // 4-decimal seconds (0.1 ms resolution): at ~150 queries the map is
     // the bulk of the line, and the driver artifact keeps only the LAST
     // 2000 chars — compact values let more of the tail survive
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON (driver parsed:null)
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + num("%.4f", v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, m)) =>
-      s"\"" + k + "\":" + f"$m%.2f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + num("%.2f", m) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalSpillMb = metrics.spilled.get / 1048576.0
     // plan cost net of harness physics: round-over-round comparisons
@@ -146,7 +150,7 @@ object Bench {
     // Headline scalars + the slowest 30 queries fit comfortably; the
     // complete per-query map lives in the committed BENCH_LOCAL.json.
     val slow = results.sortBy(-_._2._1).take(30)
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"sf":"$sfDir","n_queries":${results.size},"runs":$runs,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"spill_mb_total":$totalSpillMb,"queries_note":"slowest 30 of ${results.size}; full per-query medians + shuffle-MB map in BENCH_LOCAL.json","queries":$slow}""")
     spark.stop()

@@ -52,8 +52,13 @@ object ParquetMemo {
       // sweep stale fingerprints of this (source, tag) before building
       val prefix =
         "graft_memo_" + sanitize(srcFile) + "_" + sanitize(tag) + "_"
+      // never sweep ".build." staging dirs: the object-level synchronized
+      // only serializes within THIS JVM, and a concurrent cross-process
+      // builder's in-flight staging dir matches the prefix too — deleting
+      // it under that builder yields transient publish failures
       Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .filter(f => f.getName.startsWith(prefix) &&
+          f.getName != target.getName && !f.getName.contains(".build."))
         .foreach(deleteRecursively)
       val staging = new java.io.File(
         path + ".build." + java.lang.ProcessHandle.current().pid())

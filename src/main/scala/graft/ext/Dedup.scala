@@ -191,21 +191,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Asymmetric CONTAINMENT over the same md5 candidate chain — the
-    * measure Jaccard systematically misses: a short document quoted
-    * whole inside a long one has tiny Jaccard (union is large) but
+  /** Anchor count for the containment candidate arm: each document
+    * contributes its first `ContainmentAnchors` shingles in hash-free
+    * lexical order. The prefix-filter guarantee needs only that the
+    * anchor choice is a deterministic function of the shingle SET —
+    * a short doc quoted whole has all its shingles (anchors included)
+    * inside the long doc's set, so the anchor↔inventory join cannot
+    * miss it. */
+  val ContainmentAnchors = 4
+
+  /** Asymmetric CONTAINMENT over the md5 candidate chain — the measure
+    * Jaccard systematically misses: a short document quoted whole
+    * inside a long one has tiny Jaccard (union is large) but
     * containment ≈ 1 on the short side. Both directions surface
     * (inter/|A|, inter/|B|), the pair is kept when EITHER clears the
     * threshold; each division is one IEEE op on exact integer counts —
-    * bit-identical cross-engine. Candidates come from the shared
-    * banded LSH chain (documented bias: MinHash bands estimate
-    * JACCARD, so extreme size-ratio pairs can evade candidacy — the
-    * containment-aware fix at scale is banding the SHORTER side's
-    * signature, the `dedup_incremental` asymmetry applied to banding). */
+    * bit-identical cross-engine.
+    *
+    * Candidates are the UNION of two arms:
+    *  - the shared banded-LSH chain (recall on comparable-size pairs);
+    *  - the SHORTER-SIDE anchor arm that closes the documented bias
+    *    (MinHash bands estimate JACCARD, so an extreme size-ratio pair
+    *    can evade banding entirely): each doc's first
+    *    `ContainmentAnchors` shingles (lexical order — a deterministic
+    *    sample of the doc's own set) join the corpus shingle inventory;
+    *    a contained doc's anchors are BY DEFINITION present in its
+    *    container's set, so candidacy is guaranteed, not probabilistic.
+    *    This is the prefix-filter of set-containment joins
+    *    (PPJoin-family) — the `dedup_incremental` asymmetry applied to
+    *    candidate generation: the anchor side carries k rows per doc,
+    *    the inventory side is the shingle pass this operator already
+    *    ran, and the join shuffles candidates only (AQE splits hot
+    *    shingle keys). */
   def containmentVerifyMd5(docs: DataFrame, threshold: Double): DataFrame = {
     val withSh = md5Shingled(docs).persist()
-    val cands = md5MinhashPairsFromShingles(withSh, 0.3, 4)
+    val banded = md5MinhashPairsFromShingles(withSh, 0.3, 4)
       .select(col("doc_a"), col("doc_b"))
+    val anchors = withSh
+      .select(col("doc_id"),
+        explode(slice(array_sort(col("sh")), 1, ContainmentAnchors)).as("g"))
+    val inventory = withSh
+      .select(col("doc_id").as("pid"), explode(col("sh")).as("g"))
+    val anchored = anchors.join(inventory, Seq("g"))
+      .filter(col("doc_id") =!= col("pid"))
+      .select(least(col("doc_id"), col("pid")).as("doc_a"),
+        greatest(col("doc_id"), col("pid")).as("doc_b"))
+    val cands = banded.unionByName(anchored).distinct()
     cands
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -223,7 +254,14 @@ object Dedup {
       .trim
     s"""$base,
        |cand AS (
-       |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.3),
+       |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.3
+       |  UNION
+       |  SELECT least(a.doc_id, p.doc_id) AS doc_a,
+       |         greatest(a.doc_id, p.doc_id) AS doc_b
+       |  FROM (SELECT doc_id, unnest(list_sort(sh)[1:$ContainmentAnchors]) AS g
+       |        FROM shingled) a
+       |  JOIN (SELECT doc_id, unnest(sh) AS g FROM shingled) p USING (g)
+       |  WHERE a.doc_id <> p.doc_id),
        |verified AS (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_intersect(sa.sh, sb.sh)) AS inter,

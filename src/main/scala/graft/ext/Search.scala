@@ -111,6 +111,54 @@ object Search {
        |SELECT doc_id, phrase_hits FROM h WHERE phrase_hits > 0
        |ORDER BY phrase_hits DESC, doc_id""".stripMargin
 
+  /** n-term phrase search — the positional-inverted-index formulation
+    * SURVEY §2.11 L6b documents as the multi-phrase generalization,
+    * shipped: posexplode the token stream, keep ONLY postings of the
+    * phrase's terms (the pushdown that makes the one shuffle carry
+    * O(matching tokens), not O(corpus tokens), at 100 TB), broadcast-
+    * join each posting to its phrase offset(s), and group by
+    * (doc_id, pos − offset) — a start position that collects all n
+    * DISTINCT offsets is one phrase occurrence. The classic n-way
+    * positional self-join collapses into a single aggregation, so
+    * phrase length adds zero extra exchanges; a term repeated inside
+    * the phrase ("a b a") just fans its postings to both offsets.
+    * Overlapping occurrences count, matching the 2-term in-row scan
+    * (pinned ≡ `phraseSearch` for n = 2 in SearchSketchSpec). */
+  def phraseSearchN(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "phrase needs at least 2 terms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probe = terms.zipWithIndex.toDF("token", "off") // n rows
+    val postings = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token").isin(terms.distinct: _*))
+    postings
+      .join(broadcast(probe), Seq("token"))
+      .groupBy(col("doc_id"), (col("pos") - col("off")).as("start"))
+      .agg(countDistinct(col("off")).as("matched"))
+      .filter(col("matched") === terms.size)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("phrase_hits"))
+      .orderBy(col("phrase_hits").desc, col("doc_id"))
+  }
+
+  def phraseSearchNSql(terms: Seq[String]): String = {
+    val n = terms.size
+    val conds = terms.zipWithIndex
+      .map { case (t, j) => s"toks[i+$j] = '$t'" }.mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN len(toks) < $n THEN 0 ELSE
+       |      len(list_filter(range(1, len(toks) - ${n - 2}),
+       |        i -> $conds))
+       |    END AS INT) AS phrase_hits
+       |  FROM t)
+       |SELECT doc_id, phrase_hits FROM h WHERE phrase_hits > 0
+       |ORDER BY phrase_hits DESC, doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ inverted index
 
   /** Token-hash bucket count for the persisted index layout. At corpus
@@ -242,7 +290,8 @@ object Search {
       val target = new java.io.File(path)
       val prefix = target.getName.substring(0, target.getName.lastIndexOf('_') + 1)
       Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .filter(f => f.getName.startsWith(prefix) &&
+          f.getName != target.getName && !f.getName.contains(".build."))
         .foreach(deleteRecursively)
       val staging = new java.io.File(
         path + ".build." + java.lang.ProcessHandle.current().pid())
@@ -283,7 +332,8 @@ object Search {
       val target = new java.io.File(path)
       val prefix = target.getName.substring(0, target.getName.lastIndexOf('_') + 1)
       Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .filter(f => f.getName.startsWith(prefix) &&
+          f.getName != target.getName && !f.getName.contains(".build."))
         .foreach(deleteRecursively)
       val staging = new java.io.File(
         path + ".build." + java.lang.ProcessHandle.current().pid())
@@ -459,6 +509,14 @@ object Search {
     "text_phrase_search" -> QueryDef(
       (s, d) => phraseSearch(Tables.documents(s, d), "hash", "join"),
       phraseSearchSql("hash", "join")),
+
+    // 3-term phrase through the positional-index path (the n-term
+    // generalization a real user hits first; terms chosen to occur in
+    // the fixture so the oracle compare bites on actual rows)
+    "text_phrase3" -> QueryDef(
+      (s, d) => phraseSearchN(Tables.documents(s, d),
+        Seq("slow", "hash", "batch")),
+      phraseSearchNSql(Seq("slow", "hash", "batch"))),
 
     // the indexed probe must return EXACTLY what the scan-time ranker
     // returns — same oracle, different physical plan (offline index +

@@ -408,7 +408,8 @@ object Similarity {
       val target = new java.io.File(path)
       val prefix = target.getName.substring(0, target.getName.lastIndexOf('_') + 1)
       Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(prefix) && f.getName != target.getName)
+        .filter(f => f.getName.startsWith(prefix) &&
+          f.getName != target.getName && !f.getName.contains(".build."))
         .foreach(deleteRecursively)
       val staging = new java.io.File(
         path + ".build." + java.lang.ProcessHandle.current().pid())

@@ -217,7 +217,9 @@ object Streams {
             }
             if (stage > 0) {
               state.update(stage)
-              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+              state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -353,7 +355,9 @@ object Streams {
             }
             if (lastDay != Long.MinValue) {
               state.update((lastDay, lastVal))
-              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+              state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -477,7 +481,9 @@ object Streams {
               }
             }
             state.update(run)
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
@@ -530,7 +536,66 @@ object Streams {
               }
             }
             state.update((cohort, seen))
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  case class ActiveUserInc(user_id: Long, day: java.sql.Date, kind: String)
+
+  /** Streaming DAU/WAU increments — the stateful twin of
+    * `rel.EventAnalytics.activeUsers`: for every FIRST event of a user
+    * on a new activity day, emit one "dau" row for that day plus "wau"
+    * rows for each trailing window the day newly contributes to, so
+    * `count(*) GROUP BY day` over the "dau" (resp. "wau") emissions IS
+    * the batch DAU (resp. WAU) series (differential in StreamingSpec).
+    *
+    * State per user is TWO scalars, not the distinct-day set: under the
+    * repo-wide twin contract (per-user arrival respects event-time
+    * order across micro-batches) activity days arrive non-decreasing,
+    * so "is this (user, day) new?" collapses to `day > lastDay`, and
+    * the already-emitted window contributions [day, day + w − 1] form a
+    * contiguous suffix tracked by its upper end `maxWin` — the sliding
+    * distinct-day window folded into (lastDay, maxWin). The batch
+    * contribution-explode's dedup (`distinct` over (user, win_day))
+    * becomes the `max(day, maxWin + 1)` lower bound here. Dormant
+    * users expire on the event-time horizon like every other twin. */
+  def activeUserStream(events: Dataset[SessionInput], w: Int = 7,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[ActiveUserInc] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), ActiveUserInc](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => tsMicros(r.ts))
+            var (lastDay, maxWin) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            def date(d: Long) =
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+            val out = Vector.newBuilder[ActiveUserInc]
+            batch.foreach { r =>
+              val d = Math.floorDiv(tsMicros(r.ts), 86400000000L)
+              if (d > lastDay) {
+                out += ActiveUserInc(userId, date(d), "dau")
+                var win = if (maxWin == Long.MinValue) d else math.max(d, maxWin + 1)
+                while (win <= d + w - 1) {
+                  out += ActiveUserInc(userId, date(win), "wau"); win += 1
+                }
+                lastDay = d; maxWin = d + w - 1
+              }
+            }
+            state.update((lastDay, maxWin))
+            state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
@@ -567,9 +632,12 @@ object Streams {
               state.getOption.getOrElse((0L, Long.MaxValue, false))
             val out = Vector.newBuilder[CusumAlarm]
             batch.foreach { r =>
-              // exact cents from a 2-dp double value (same rounding as
-              // the batch DECIMAL(12,2) cast)
-              val cents = math.round(r.value * 100.0)
+              // exact cents matching the batch DECIMAL(12,2) cast's
+              // HALF_UP (= half AWAY from zero) — math.round would round
+              // half toward +infinity, diverging on negative .xx5 values
+              val cents = java.math.BigDecimal.valueOf(r.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
               p += cents - targetCents
               minp = math.min(minp, p) // running min over OBSERVED rows
               val cusum = p - minp
@@ -579,7 +647,9 @@ object Streams {
               }
             }
             state.update((p, minp, alarmed))
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+            state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
@@ -698,7 +768,9 @@ object Streams {
             }
             prev.foreach { p =>
               state.update(p)
-              state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+              state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

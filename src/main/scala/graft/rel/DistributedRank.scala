@@ -319,56 +319,58 @@ object DistributedRank {
   def skylineOver(input: DataFrame, parts: Int): DataFrame = {
     val spark = input.sparkSession
     val Seq(grp, value, _) = input.columns.toSeq.map(col)
+    // Persisted and NOT eagerly released: pass 2 is a LAZY distributed
+    // scan over this exact partitioning, so the blocks must outlive this
+    // call; they are freed by the session-level catalog.clearCache()
+    // between bench/verify queries. (Even on block eviction the lineage
+    // is deterministic — RangePartitioner seeds its sample from the RDD
+    // id, so a recompute reproduces the same boundaries the offsets were
+    // derived from.)
     val sorted = input
       .repartitionByRange(parts, grp, value)
       .sortWithinPartitions(grp, value)
       .persist()
-    try {
-      // pass 1: per-(partition, group) max score
-      val maxes: Array[(Int, String, Double)] =
-        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-          val m = mutable.LinkedHashMap.empty[String, Double]
-          it.foreach { r =>
-            val g = r.getString(0)
-            val s = r.getDouble(2)
-            m.update(g, math.max(m.getOrElse(g, Double.NegativeInfinity), s))
-          }
-          m.iterator.map { case (g, s) => (pid, g, s) }
-        }.collect()
-      // driver prefix-max: each partition's predecessor frontier height
-      val offsets: Map[(Int, String), Double] = {
-        val run = mutable.Map.empty[String, Double]
-        maxes.sortBy(_._1).map { case (pid, g, s) =>
-          val o = run.getOrElse(g, Double.NegativeInfinity)
-          run.update(g, math.max(o, s)); ((pid, g), o)
-        }.toMap
+    // pass 1 — bounded METADATA collect (one row per partition × group,
+    // never result rows): per-(partition, group) max score. This also
+    // materializes `sorted`, so pass 2 reads the same cached blocks.
+    val maxes: Array[(Int, String, Double)] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = mutable.LinkedHashMap.empty[String, Double]
+        it.foreach { r =>
+          val g = r.getString(0)
+          val s = r.getDouble(2)
+          m.update(g, math.max(m.getOrElse(g, Double.NegativeInfinity), s))
+        }
+        m.iterator.map { case (g, s) => (pid, g, s) }
+      }.collect()
+    // driver prefix-max: each partition's predecessor frontier height
+    val offsets: Map[(Int, String), Double] = {
+      val run = mutable.Map.empty[String, Double]
+      maxes.sortBy(_._1).map { case (pid, g, s) =>
+        val o = run.getOrElse(g, Double.NegativeInfinity)
+        run.update(g, math.max(o, s)); ((pid, g), o)
+      }.toMap
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    // pass 2 stays DISTRIBUTED: each partition emits its own frontier
+    // rows against the broadcast predecessor heights. The frontier of a
+    // 100× corpus with a fine value grid is unbounded, so it must never
+    // round-trip through the driver; the final total order is a normal
+    // distributed sort over the (already small) frontier.
+    val schema = StructType(Seq(
+      StructField(input.columns(0), StringType),
+      StructField(input.columns(1), DoubleType),
+      StructField(input.columns(2), DoubleType)))
+    val kept = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = mutable.Map.empty[String, Double]
+      it.flatMap { r =>
+        val g = r.getString(0)
+        val s = r.getDouble(2)
+        val prev = run.getOrElse(g, bOff.value((pid, g)))
+        run.update(g, math.max(prev, s))
+        if (s > prev) Some(Row(g, r.getDouble(1), s)) else None
       }
-      val bOff = spark.sparkContext.broadcast(offsets)
-      // pass 2: running strict-predecessor max within each partition.
-      // Collected eagerly — the frontier is bounded by the number of
-      // distinct score levels per group (≤ groups × |score domain|), and
-      // collecting lets both passes read the SAME persisted partitioning
-      // before it is released (a lazy pass 2 could re-sample range
-      // boundaries and desynchronize from the prefix offsets).
-      val kept: Array[(String, Double, Double)] =
-        sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-          val run = mutable.Map.empty[String, Double]
-          it.flatMap { r =>
-            val g = r.getString(0)
-            val s = r.getDouble(2)
-            val prev = run.getOrElse(g, bOff.value((pid, g)))
-            run.update(g, math.max(prev, s))
-            if (s > prev) Some((g, r.getDouble(1), s)) else None
-          }
-        }.collect()
-      val schema = StructType(Seq(
-        StructField(input.columns(0), StringType),
-        StructField(input.columns(1), DoubleType),
-        StructField(input.columns(2), DoubleType)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          kept.sortBy(t => (t._1, t._2)).map(t => Row(t._1, t._2, t._3)).toSeq,
-          1), schema)
-    } finally { sorted.unpersist(); () }
+    }
+    spark.createDataFrame(kept, schema).orderBy(grp, value)
   }
 }

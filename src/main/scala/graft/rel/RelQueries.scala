@@ -592,7 +592,11 @@ object RelQueries {
         import org.apache.spark.sql.expressions.Window
         // persisted: the point table feeds the maxima AND the
         // multiplicity rejoin; join-side pushdown otherwise defeats
-        // exchange reuse and the scan + widest shuffle run twice
+        // exchange reuse and the scan + widest shuffle run twice.
+        // The cached blocks outlive this call (the returned plan still
+        // reads them lazily); they are released by the session-level
+        // catalog.clearCache() between bench/verify queries — the
+        // documented lifecycle for every per-query persist in this repo
         val pts = Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"),
             money(col("l_extendedprice")).as("price_d"),

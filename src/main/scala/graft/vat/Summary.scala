@@ -81,7 +81,8 @@ object Summary {
     finishSummary(agg, spark,
       Seq(BoxSpec("Box A", "A"), BoxSpec("Box B", "N"), BoxSpec("Box C", "R")),
       round2 = false,
-      moneyType = if (decimalMoney) "decimal(18,2)" else "double")
+      moneyType = if (decimalMoney) "decimal(18,2)" else "double",
+      centsSurface = decimalMoney)
   }
 
   /** Unpivot the wide per-period aggregate into the reference's long
@@ -95,7 +96,8 @@ object Summary {
     * any scale); the Expand touches 4 tiny rows per period instead. */
   private def finishSummary(agg: DataFrame, spark: SparkSession,
       boxes: Seq[BoxSpec], round2: Boolean,
-      moneyType: String = "double"): DataFrame = {
+      moneyType: String = "double",
+      centsSurface: Boolean = false): DataFrame = {
     val r: Column => Column = if (round2) round(_, 2) else identity
     val period = concat_ws(" ",
       VatFunctions.monthAbbrev(col("month_num")), col("year"))
@@ -117,23 +119,44 @@ object Summary {
 
     val desc = spark.createDataFrame(CurrencyRates.boxDescriptions)
       .toDF("fta_box", "description")
+    // Exact-cents surface: the driver's hash compare is over cell
+    // REPRESENTATIONS, and DECIMAL parquet reads back as Decimal objects
+    // while the DuckDB oracle fetch yields float64 — value-equal but
+    // hash-different. So oracle-checked output carries BIGINT cents
+    // (exactness preserved, representation identical on both sides);
+    // the DECIMAL math stays internal. Same rule as ARRAY/MAP
+    // (PlanSpec "harness compat" lint, now covering DecimalType too).
+    val moneyCols =
+      if (centsSurface)
+        Seq((col("net_value") * 100).cast("long").as("net_value_cents"),
+          (col("vat_value") * 100).cast("long").as("vat_value_cents"),
+          (col("net_vat_payable") * 100).cast("long")
+            .as("net_vat_payable_cents"))
+      else Seq(col("net_value"), col("vat_value"), col("net_vat_payable"))
     long.join(broadcast(desc), Seq("fta_box"), "left")
-      .select(col("year"), col("month_num"), col("period"), col("fta_box"),
-        col("description"), col("net_value"), col("vat_value"),
-        col("net_vat_payable"))
+      .select(Seq(col("year"), col("month_num"), col("period"),
+        col("fta_box"), col("description")) ++ moneyCols: _*)
       .orderBy(col("year"), col("month_num"), col("fta_box"))
   }
 
   /** DuckDB oracle for the exact-cents mode (`vat_summary_decimal`):
-    * every surfaced DOUBLE becomes round(x, 2) → DECIMAL(18,2).
-    * Spark's scale-4 → scale-2 decimal cast rounds HALF_UP; DuckDB's
-    * decimal CAST rounds half toward zero, but its round() is
-    * half-away-from-zero — identical to HALF_UP on these all-positive
-    * amounts, so the two engines agree on every .xx50 tie. */
+    * every surfaced DOUBLE becomes round(x, 2) × 100 → BIGINT cents.
+    * Spark's scale-4 → scale-2 decimal cast rounds HALF_UP (Java: half
+    * AWAY from zero); DuckDB's round() is also half-away-from-zero, so
+    * the two engines agree on every .xx50 tie, including the possibly
+    * negative Box D payable. Cents are surfaced as BIGINT (not DECIMAL)
+    * because the driver hash is over cell representations: DECIMAL
+    * parquet reads back as Decimal objects on the Spark side but
+    * float64 on the DuckDB-fetch side — value-equal, hash-different. */
   def lineitemVatSummarySqlDecimal: String =
-    lineitemVatSummarySql.replaceAll(
-      """CAST\(([^()]*) AS DOUBLE\)""",
-      "CAST(round($1, 2) AS DECIMAL(18,2))")
+    lineitemVatSummarySql
+      .replaceAll(
+        """CAST\(([^()]*) AS DOUBLE\)""",
+        "CAST(round($1, 2) * 100 AS BIGINT)")
+      .replace(
+        "l.net_value, l.vat_value, l.net_vat_payable",
+        "l.net_value AS net_value_cents, l.vat_value AS vat_value_cents, " +
+          "l.net_vat_payable AS net_vat_payable_cents")
 
   val lineitemVatSummarySql: String = {
     val months = (1 to 12).map(m =>

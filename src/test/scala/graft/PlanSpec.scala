@@ -250,18 +250,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("no oracle-checked query surfaces ARRAY/MAP columns (harness compat)") {
+  test("no oracle-checked query surfaces ARRAY/MAP/DECIMAL columns (harness compat)") {
     // the driver's pandas-based compare crashes sorting array-valued
-    // cells (numpy arrays are unhashable) — nested output must be
-    // flattened to scalars in BOTH the query and its oracle
-    import org.apache.spark.sql.types.{ArrayType, MapType}
+    // cells (numpy arrays are unhashable), and DECIMAL parquet reads
+    // back as Decimal objects while the DuckDB fetch yields float64 —
+    // value-equal but hash-different (round-7 vat_summary_decimal).
+    // Oracle-checked output must be plain scalars: BIGINT cents for
+    // exact money, DOUBLE elsewhere.
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType}
     SparkEntry.oracleSql.keys.foreach { name =>
       val bad = SparkEntry.queries(name)(spark, sfDir).schema.fields
         .filter(f => f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType])
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[DecimalType])
       assert(bad.isEmpty,
-        s"$name outputs nested columns ${bad.map(_.name).mkString(",")} — " +
-          "the driver compare cannot hash these; flatten to scalars")
+        s"$name outputs nested/decimal columns ${bad.map(_.name).mkString(",")} — " +
+          "the driver compare cannot hash these; flatten to plain scalars")
     }
   }
 }

@@ -109,6 +109,31 @@ class DedupSpec extends SparkSuite {
     assert(!out.exists(p => Set(p._1, p._2).contains(3L)), "unrelated doc clean")
   }
 
+  test("containment: shorter-side anchors recall a pair Jaccard banding misses") {
+    import spark.implicits._
+    // extreme size ratio: 4 shingles quoted whole inside ~154 —
+    // Jaccard ≈ 0.026, far below any banding threshold
+    val short = (1 to 6).map(i => s"q$i").mkString(" ")
+    val long = short + " " + (1 to 150).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    // the documented bias, pinned: the banded JACCARD chain does NOT
+    // produce this candidate (md5 family is deterministic, so this is
+    // a fixed fact of these texts, not a flaky probability)
+    val banded = Dedup.md5MinhashPairsFromShingles(
+        Dedup.withShingles(d), 0.3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!banded.contains((1L, 2L)),
+      s"test premise broken: banding caught the extreme-ratio pair ($banded)")
+    // the anchor arm guarantees candidacy: every anchor shingle of the
+    // contained doc is in the container's set by definition
+    val out = Dedup.containmentVerifyMd5(d, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val hit = out.find(p => (p._1, p._2) == (1L, 2L))
+    assert(hit.isDefined, s"anchor arm failed to recall the pair: ${out.toSeq}")
+    hit.foreach { case (_, _, cab, _) =>
+      assert(cab == 1.0, "short side fully contained") }
+  }
+
   test("simhash: exact dup distance 0 and guaranteed to block together") {
     import spark.implicits._
     val fp = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))

@@ -81,6 +81,38 @@ class SearchSketchSpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, 2), (3L, 1)))
   }
 
+  test("phraseSearchN: 3-term adjacency, overlaps, repeated terms, boundaries") {
+    val d = docs(Seq(
+      (0L, "s", "a b c"),           // exact single match
+      (1L, "s", "a b c a b c a b"), // 2 matches; trailing "a b" is partial
+      (2L, "s", "a b"),             // shorter than the phrase → no match
+      (3L, "s", "c b a"),           // reversed → no match
+      (4L, "s", "x a b c"),         // match not at position 0
+      (5L, "s", "a c b a b")))      // all terms present, never adjacent
+    val out = Search.phraseSearchN(d, Seq("a", "b", "c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1L, 2), (0L, 1), (4L, 1)))
+  }
+
+  test("phraseSearchN: overlapping occurrences and a repeated phrase term") {
+    // phrase "a b a" over "a b a b a": starts 0 and 2 OVERLAP at the
+    // middle 'a' — both count (same contract as the in-row scan); the
+    // repeated term 'a' must fan to offsets {0, 2} without double-count
+    val d = docs(Seq((0L, "s", "a b a b a"), (1L, "s", "a b b a")))
+    val out = Search.phraseSearchN(d, Seq("a", "b", "a")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((0L, 2)))
+  }
+
+  test("phraseSearchN ≡ phraseSearch for n = 2 on the corpus") {
+    val d = graft.core.Tables.documents(spark, sfDir)
+    val a = Search.phraseSearch(d, "hash", "join").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val b = Search.phraseSearchN(d, Seq("hash", "join")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(a == b, "positional-index formulation must match the in-row scan")
+  }
+
   test("phraseSearch plan: narrow map until the final top-k sort") {
     val d = graft.core.Tables.documents(spark, sfDir)
     val p = Search.phraseSearch(d, "hash", "join")

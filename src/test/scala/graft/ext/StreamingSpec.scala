@@ -784,6 +784,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming DAU/WAU increments aggregate to the batch series") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[Streams.SessionInput]
+      .collect().sortBy(e => us(e.ts))
+    val input = MemoryStream[Streams.SessionInput]
+    val q = Streams.activeUserStream(input.toDS())
+      .writeStream.format("memory").queryName("active_out")
+      .outputMode("update").start()
+    try {
+      // day-boundary-agnostic chunking: micro-batches split mid-day AND
+      // across days, exercising both dedup paths of the two-scalar state
+      ev.grouped(math.max(1, ev.length / 5 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val inc = spark.table("active_out")
+      def series(kind: String): Map[String, Long] = inc
+        .filter(col("kind") === kind)
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val dau = series("dau"); val wau = series("wau")
+      val batched = graft.rel.EventAnalytics
+        .activeUsers(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      // batch surfaces only days WITH activity; streamed wau also covers
+      // trailing windows of quiet days — compare on the batch's days
+      val streamedOnBatchDays = batched.map { case (d, _, _) =>
+        (d, dau.getOrElse(d, 0L), wau.getOrElse(d, 0L)) }
+      assert(streamedOnBatchDays === batched)
+    } finally q.stop()
+  }
+
   test("streaming retention increments aggregate to the batch triangle") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

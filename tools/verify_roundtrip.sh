@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# One-command correctness roundtrip: run graft.Verify (Spark dump) then
+# tools/check_oracle.py (local mirror of the driver's DuckDB compare)
+# into a single output dir.
+#
+# Usage:
+#   tools/verify_roundtrip.sh [sfDir] [outDir] [onlyCsv]
+#
+#   sfDir   default /root/testdata/sf0.01
+#   outDir  default /tmp/verify_rt (wiped per run)
+#   onlyCsv optional comma-separated query subset (SPARK_GRAFT_ONLY)
+#
+# Exit code is check_oracle.py's (1 on any mismatch).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:-/root/testdata/sf0.01}"
+OUT_DIR="${2:-/tmp/verify_rt}"
+ONLY="${3:-}"
+
+rm -rf "$OUT_DIR"
+mkdir -p "$OUT_DIR"
+
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+if [ ! -d target/scala-2.13/classes/graft ]; then
+  echo "[roundtrip] classes missing — run 'sbt compile' first" >&2
+  exit 2
+fi
+
+echo "[roundtrip] Verify: sf=$SF_DIR out=$OUT_DIR only=${ONLY:-ALL}"
+# an empty-but-set SPARK_GRAFT_ONLY would filter to ZERO queries
+if [ -n "$ONLY" ]; then export SPARK_GRAFT_ONLY="$ONLY"; else unset SPARK_GRAFT_ONLY; fi
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  java -Xmx24g \
+  --add-exports java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens java.base/java.nio=ALL-UNNAMED \
+  --add-opens java.base/java.util=ALL-UNNAMED \
+  --add-opens java.base/java.lang=ALL-UNNAMED \
+  --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens java.base/jdk.internal.misc=ALL-UNNAMED \
+  --add-opens java.base/sun.security.action=ALL-UNNAMED \
+  -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR"
+
+echo "[roundtrip] DuckDB compare"
+python3 tools/check_oracle.py "$OUT_DIR" "$SF_DIR"
