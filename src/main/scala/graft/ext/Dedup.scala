@@ -192,12 +192,17 @@ object Dedup {
   }
 
   /** Anchor count for the containment candidate arm: each document
-    * contributes its first `ContainmentAnchors` shingles in hash-free
-    * lexical order. The prefix-filter guarantee needs only that the
-    * anchor choice is a deterministic function of the shingle SET —
-    * a short doc quoted whole has all its shingles (anchors included)
-    * inside the long doc's set, so the anchor↔inventory join cannot
-    * miss it. */
+    * contributes its `ContainmentAnchors` globally RAREST shingles
+    * (ascending document frequency, shingle text as tie-break). The
+    * prefix-filter guarantee needs only that the anchor choice is a
+    * deterministic function of the shingle set — a short doc quoted
+    * whole has all its shingles (anchors included) inside the long
+    * doc's set, so the anchor↔inventory join cannot miss it. Rarest-
+    * first is the idf ordering of classic prefix filtering: candidate
+    * volume is Σ df(anchor) ≈ k·D when anchors are rare, versus
+    * k·D·avg-df for an arbitrary (e.g. lexical) choice — the
+    * difference between a candidate stream that tracks true
+    * containments and one that tracks the corpus' hottest trigrams. */
   val ContainmentAnchors = 4
 
   /** Asymmetric CONTAINMENT over the md5 candidate chain — the measure
@@ -227,12 +232,17 @@ object Dedup {
     val withSh = md5Shingled(docs).persist()
     val banded = md5MinhashPairsFromShingles(withSh, 0.3, 4)
       .select(col("doc_a"), col("doc_b"))
-    val anchors = withSh
-      .select(col("doc_id"),
-        explode(slice(array_sort(col("sh")), 1, ContainmentAnchors)).as("g"))
     val inventory = withSh
-      .select(col("doc_id").as("pid"), explode(col("sh")).as("g"))
-    val anchored = anchors.join(inventory, Seq("g"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val gdf = inventory.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val anchors = inventory.join(gdf, Seq("g"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
+      .filter(col("rn") <= ContainmentAnchors)
+      .select(col("doc_id"), col("g"))
+    val anchored = anchors
+      .join(inventory.select(col("doc_id").as("pid"), col("g")), Seq("g"))
       .filter(col("doc_id") =!= col("pid"))
       .select(least(col("doc_id"), col("pid")).as("doc_a"),
         greatest(col("doc_id"), col("pid")).as("doc_b"))
@@ -253,14 +263,21 @@ object Dedup {
       .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "")
       .trim
     s"""$base,
+       |inv AS (SELECT doc_id, unnest(sh) AS g FROM shingled),
+       |gdf AS (SELECT g, COUNT(*) AS gdf FROM inv GROUP BY g),
+       |anch AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT i.doc_id, i.g,
+       |      ROW_NUMBER() OVER (PARTITION BY i.doc_id
+       |        ORDER BY d.gdf, i.g) AS rn
+       |    FROM inv i JOIN gdf d USING (g))
+       |  WHERE rn <= $ContainmentAnchors),
        |cand AS (
        |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.3
        |  UNION
        |  SELECT least(a.doc_id, p.doc_id) AS doc_a,
        |         greatest(a.doc_id, p.doc_id) AS doc_b
-       |  FROM (SELECT doc_id, unnest(list_sort(sh)[1:$ContainmentAnchors]) AS g
-       |        FROM shingled) a
-       |  JOIN (SELECT doc_id, unnest(sh) AS g FROM shingled) p USING (g)
+       |  FROM anch a JOIN inv p USING (g)
        |  WHERE a.doc_id <> p.doc_id),
        |verified AS (
        |  SELECT c.doc_a, c.doc_b,

@@ -307,7 +307,10 @@ object DistributedRank {
       .persist()
     val mx = pts.groupBy(col("l_returnflag"), col("price"))
       .agg(max(col("qty")).as("qty"))
-    skylineOver(mx, parts)
+    // the UNORDERED frontier: the multiplicity rejoin destroys order
+    // anyway, so sorting inside the frontier scan would be a wasted
+    // exchange — the query's own orderBy below is the only sort
+    skylineFrontier(mx, parts)
       .join(pts, Seq("l_returnflag", "price", "qty"))
       .select(col("l_returnflag"), col("price"), col("qty"), col("n"))
       .orderBy(col("l_returnflag"), col("price"))
@@ -317,6 +320,14 @@ object DistributedRank {
     * projection holding one row per (group, value): emit rows whose
     * score strictly exceeds every lower-value row's score. */
   def skylineOver(input: DataFrame, parts: Int): DataFrame = {
+    val Seq(grp, value, _) = input.columns.toSeq.map(col)
+    skylineFrontier(input, parts).orderBy(grp, value)
+  }
+
+  /** `skylineOver` without the final total order — for callers that
+    * join or re-aggregate the frontier (the composed declared query),
+    * where an internal sort is a wasted exchange. */
+  def skylineFrontier(input: DataFrame, parts: Int): DataFrame = {
     val spark = input.sparkSession
     val Seq(grp, value, _) = input.columns.toSeq.map(col)
     // Persisted and NOT eagerly released: pass 2 is a LAZY distributed
@@ -371,6 +382,6 @@ object DistributedRank {
         if (s > prev) Some(Row(g, r.getDouble(1), s)) else None
       }
     }
-    spark.createDataFrame(kept, schema).orderBy(grp, value)
+    spark.createDataFrame(kept, schema)
   }
 }
