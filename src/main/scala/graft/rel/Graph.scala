@@ -714,7 +714,105 @@ object Graph {
        |FROM e$unroll GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** HITS (Kleinberg 1999) over the directed customer→supplier purchase
+    * graph: hubs are customers whose spend concentrates on authoritative
+    * suppliers, authorities are suppliers bought by strong hubs. The
+    * mutual-reinforcement loop is the PageRank discipline applied to a
+    * BIPARTITE directed relation — two half-iterations per round, each a
+    * keyed join + partially-aggregated sum.
+    *
+    * Integer fixed-point with MAX normalization: classic HITS L2-
+    * normalizes each vector (a sqrt per iteration — float, order-
+    * sensitive, un-hashable). Normalizing by the vector MAX instead
+    * preserves the ranking (any positive rescale does), needs only
+    * `(raw * Scale) div max` — exact BIGINT, order-independent, and the
+    * max itself is a one-row aggregate broadcast back, never a driver
+    * round-trip. Headroom: scores ≤ HitsScale = 10^6, so a raw sum over
+    * in-degree d costs d·10^6 and the rescale multiply d·10^12 — safe
+    * through in-degrees of ~9×10^6 (document-scale graphs re-derive
+    * Scale from max degree, the `planesForCorpus` pattern).
+    *
+    * Scale shape per round: the score vector exits its aggregate hash-
+    * partitioned on node; the edge relation is checkpointed once and
+    * joined twice per round (on c, then on s) — candidates only, no
+    * vertex×vertex anything; the normalizing max is a broadcast scalar. */
+  val HitsScale: Long = 1000000L
+
+  private def hitsNormalize(raw: DataFrame): DataFrame = {
+    val mx = raw.agg(max(col("raw")).as("mx"))
+    raw.crossJoin(broadcast(mx))
+      .select(col("node"), expr(s"(raw * $HitsScale) div mx").as("score"))
+  }
+
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("c"), col("s")).distinct()
+      .localCheckpoint(eager = true)
+    val h0 = e.select(col("c").as("node")).distinct()
+      .select(col("node"), lit(HitsScale).as("score"))
+    val (hN, aN) = (1 to iters).foldLeft((h0, h0)) { case ((h, _), _) =>
+      val aRaw = e.join(h.withColumnRenamed("node", "c"), Seq("c"))
+        .groupBy(col("s").as("node")).agg(sum(col("score")).as("raw"))
+      val a = hitsNormalize(aRaw)
+      val hRaw = e.join(a.withColumnRenamed("node", "s"), Seq("s"))
+        .groupBy(col("c").as("node")).agg(sum(col("score")).as("raw"))
+      (hitsNormalize(hRaw), a)
+    }
+    val top = (side: DataFrame, role: String) => side
+      .orderBy(col("score").desc, col("node")).limit(25)
+      .select(lit(role).as("role"), col("node"), col("score"))
+    top(aN, "authority").unionByName(top(hN, "hub"))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** Declared surface: 4 rounds over the customer→supplier graph, top
+    * 25 authorities + top 25 hubs. */
+  def custSupplierHits(orders: DataFrame, lineitem: DataFrame,
+      iters: Int = 4): DataFrame =
+    hits(
+      orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+        .join(lineitem.select(col("l_orderkey").as("ok"),
+          col("l_suppkey").as("s")), Seq("ok"))
+        .select(col("c"), col("s")),
+      iters)
+
+  def hitsSql(iters: Int = 4): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.s AS node, SUM(h.score) AS raw
+         |  FROM e JOIN h${i - 1} h ON h.node = e.c GROUP BY e.s),
+         |a$i AS MATERIALIZED (
+         |  SELECT node,
+         |         CAST((raw * $HitsScale) // (SELECT MAX(raw) FROM a${i}r) AS BIGINT) AS score
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.c AS node, SUM(a.score) AS raw
+         |  FROM e JOIN a$i a ON a.node = e.s GROUP BY e.c),
+         |h$i AS MATERIALIZED (
+         |  SELECT node,
+         |         CAST((raw * $HitsScale) // (SELECT MAX(raw) FROM h${i}r) AS BIGINT) AS score
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (
+       |  SELECT c AS node, CAST($HitsScale AS BIGINT) AS score
+       |  FROM (SELECT DISTINCT c FROM e)),
+       |$rounds
+       |SELECT role, node, score FROM (
+       |  (SELECT 'authority' AS role, node, score FROM a$iters
+       |   ORDER BY score DESC, node LIMIT 25)
+       |  UNION ALL
+       |  (SELECT 'hub' AS role, node, score FROM h$iters
+       |   ORDER BY score DESC, node LIMIT 25))
+       |ORDER BY role, score DESC, node""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_hits" -> QueryDef(
+      (s, d) => custSupplierHits(Tables.orders(s, d), Tables.lineitem(s, d)),
+      hitsSql()),
     "graph_pagerank" -> QueryDef(
       (s, d) => partPageRankBucketed(s, d),
       partPageRankSql()),

@@ -204,6 +204,36 @@ class GraphSpec extends SparkSuite {
       s"exchange count ${exchangeKeys.size} not a multiple of $iters\n$plan")
   }
 
+  /** HITS hand graph: suppliers bought by more/better hubs score
+    * higher; the best node on each side holds exactly HitsScale (max
+    * normalization), and mutual reinforcement breaks the tie between
+    * equal-degree hubs by WHERE they buy. */
+  test("hits: hand bipartite graph ranks authorities and hubs") {
+    // hubs 1..3, authorities 10..11; supplier 10 has 3 buyers, 11 has 1
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)).toDF("c", "s")
+    val out = Graph.hits(e, iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val auth = out.filter(_._1 == "authority").map(x => x._2 -> x._3).toMap
+    val hubs = out.filter(_._1 == "hub").map(x => x._2 -> x._3).toMap
+    assert(auth(10L) === Graph.HitsScale, "top authority holds the max score")
+    assert(auth(10L) > auth(11L), "3-buyer supplier outranks 1-buyer")
+    assert(hubs(1L) === Graph.HitsScale, "the 2-supplier customer is the top hub")
+    assert(hubs(1L) > hubs(2L), "breadth of authoritative purchases wins")
+    assert(hubs(2L) === hubs(3L), "symmetric hubs tie bit-exactly")
+  }
+
+  /** Integer max-normalization exists for exactly this: the scores are
+    * a pure function of the graph, not of the physical partitioning. */
+  test("hits: bit-identical across partitionings") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val base = Graph.custSupplierHits(o, li, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val repart = Graph.custSupplierHits(o.repartition(7), li.repartition(13), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(base === repart)
+  }
+
   /** The bucketed path computes the SAME ranks as the generic one —
     * the physical strategy must not move the answer. */
   test("bucketed and generic pagerank agree bit-exactly") {
