@@ -318,6 +318,106 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** EXACT all-pairs similarity join with prefix filtering (Chaudhuri
+    * et al. 2006 SSJoin / Bayardo et al. 2007 All-Pairs — the PPJoin
+    * family's candidate rule, without the probabilistic layer): every
+    * document pair with shingle Jaccard ≥ num/den, COMPLETE by
+    * construction. MinHash banding (dedup_jaccard) trades recall for
+    * candidate volume — a pair can evade every band. Here recall is a
+    * theorem: order each doc's shingles by ascending global document
+    * frequency (rarest first — the idf ordering the containment anchors
+    * use); a doc's PREFIX is its first n − ⌈t·n⌉ + 1 grams. If two docs
+    * have Jaccard ≥ t their intersection exceeds what either could
+    * supply after its prefix, so the prefixes must share a gram — the
+    * prefix self-join provably generates every qualifying pair.
+    *
+    * All-integer gates: prefix length via `(num·n + den − 1) div den`
+    * (exact ceil), the size filter `den·min(na,nb) ≥ num·max(na,nb)`
+    * and the verify `den·inter ≥ num·(na+nb−inter)` are cross-
+    * multiplications — no float anywhere in a decision; the surfaced
+    * jaccard is one IEEE division over exact counts.
+    *
+    * Scale shape: candidate volume is Σ_g df_prefix(g)² over PREFIX
+    * grams only — rarest-first ordering makes prefix grams the corpus'
+    * least frequent, so candidates track true near-duplicate density,
+    * not hot trigrams (same economics as the containment anchor arm).
+    * The per-doc ranking window partitions on doc_id — key width
+    * bounded by document length, never a fat key. Verify joins move
+    * candidates only. */
+  def allPairsJaccard(docs: DataFrame, num: Long = 3L, den: Long = 5L): DataFrame = {
+    val sized = withShingles(docs)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .persist()
+    val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val gdf = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val prefix = inv.join(gdf, Seq("g"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
+      .filter(col("rn") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+      .select(col("doc_id"), col("n"), col("g"))
+    val cands = prefix.select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("g"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(den) * least(col("na"), col("nb")) >=
+          lit(num) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(sized.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sized.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(lit(den) * col("inter") >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def allPairsJaccardSql(num: Long = 3L, den: Long = 5L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+       |    END AS sh
+       |  FROM t),
+       |sized AS (
+       |  SELECT doc_id, sh, len(sh)::BIGINT AS n FROM shingled WHERE len(sh) > 0),
+       |inv AS (SELECT doc_id, n, unnest(sh) AS g FROM sized),
+       |gdf AS (SELECT g, COUNT(*) AS gdf FROM inv GROUP BY g),
+       |pref AS (
+       |  SELECT doc_id, n, g FROM (
+       |    SELECT i.doc_id, i.n, i.g,
+       |      ROW_NUMBER() OVER (PARTITION BY i.doc_id
+       |        ORDER BY d.gdf, i.g) AS rn
+       |    FROM inv i JOIN gdf d USING (g))
+       |  WHERE rn <= n - (($num * n + ${den - 1}) // $den) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b USING (g)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND $den * least(a.n, b.n) >= $num * greatest(a.n, b.n)),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(sa.sh, sb.sh))::BIGINT AS inter,
+       |    sa.n AS na, sb.n AS nb
+       |  FROM cand c
+       |  JOIN sized sa ON sa.doc_id = c.doc_a
+       |  JOIN sized sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter, na, nb,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM verified
+       |WHERE $den * inter >= $num * (na + nb - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 64-bit SimHash fingerprint over tokens as a Long column, computed
     * entirely with array HOFs (one narrow projection, no shuffle): bit b
     * of the fingerprint is the sign of Σ_tokens (±1 by bit b of
@@ -1004,6 +1104,11 @@ object Dedup {
     "dedup_jaccard_md5" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerifyMd5(Tables.documents(s, d), 0.6),
       Some(jaccardVerifyMd5Sql)),
+    // COMPLETE exact all-pairs Jaccard join via df-ordered prefix
+    // filtering — the deterministic-recall twin of the banded chain
+    "dedup_allpairs" -> QueryDef(
+      (s: SparkSession, d: String) => allPairsJaccard(Tables.documents(s, d)),
+      Some(allPairsJaccardSql())),
     // sketch-vs-truth calibration table: slot overlap next to exact
     // intersection/union for every banded candidate, all-integer surface
     "dedup_minhash_accuracy" -> QueryDef(

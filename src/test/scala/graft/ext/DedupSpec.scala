@@ -134,6 +134,49 @@ class DedupSpec extends SparkSuite {
       assert(cab == 1.0, "short side fully contained") }
   }
 
+  test("all-pairs prefix join ≡ brute force on the fixture corpus (complete recall)") {
+    // the theorem the operator ships: prefix filtering loses NOTHING.
+    // Brute-force every pair of a real doc sample and demand exact
+    // set equality with the prefix-filtered join — including pairs
+    // minhash banding would only probabilistically catch.
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0) // ~1/7 of the corpus: brute force stays cheap
+      .select(col("doc_id"), col("text"))
+    // plant qualifying pairs: near-copies (one appended token) of a few
+    // real docs, at ids disjoint from the corpus range
+    val planted = corpus.orderBy(col("doc_id")).limit(3)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" plantedtail")).as("text"))
+    val sample = corpus.unionByName(planted)
+    val fast = Dedup.allPairsJaccard(sample).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.withShingles(sample).filter(size(col("sh")) > 0)
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(lit(5L) * col("inter") >=
+        lit(3L) * (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === brute,
+      s"prefix join diverged from brute force: missing ${brute -- fast}, extra ${fast -- brute}")
+    assert(brute.nonEmpty, "test premise: the sample must contain qualifying pairs")
+  }
+
+  test("all-pairs: hand corpus — exact dup, near dup above threshold, clean docs") {
+    import spark.implicits._
+    val out = Dedup.allPairsJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 5L), (2L, 5L)),
+      s"expected exactly the planted trio, got ${out.keySet}")
+    val (i15, na15, nb15, j15) = out((1L, 5L))
+    assert(i15 == na15 && na15 == nb15 && j15 == 1.0, "exact dup: full overlap")
+    // 16 tokens → 14 shingles, last-token change touches 1: 13/15
+    assert(out((1L, 2L))._4 === 13.0 / 15.0)
+  }
+
   test("simhash: exact dup distance 0 and guaranteed to block together") {
     import spark.implicits._
     val fp = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
