@@ -75,6 +75,89 @@ object TimeSeries {
       |  ON d.user_id = c.user_id AND d.day = c.day
       |ORDER BY c.user_id, c.day""".stripMargin
 
+  /** Linear interpolation of gap days — the reconstruction counterpart
+    * of `fillForwardDaily`: a missing day takes the straight line
+    * between its nearest observed neighbors instead of carrying the
+    * stale value. All arithmetic is EXACT integer cents: the daily
+    * value rounds once through DECIMAL(12,2) (HALF_UP in both engines),
+    * and the interpolation `prev + (Δ·offset) div gap` is a BIGINT
+    * division sign-split so Spark's truncate-toward-zero `div` and
+    * DuckDB's floor `//` agree on falling segments (negative Δ) — the
+    * Clustering.pcaPower discipline on the time axis. Span ends are
+    * observed by construction, so no boundary nulls.
+    *
+    * Scale shape: same as fill-forward — one partial-aggregated daily
+    * reduction, a narrow per-user calendar explode (never a global
+    * calendar cross join), and ONE per-user window sort shared by all
+    * four neighbor lookups (two frames over the same ordering). */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value"), col("event_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+      .select(col("user_id"), col("day"),
+        (col("v").cast("decimal(12,2)") * 100).cast("long").as("c"))
+    val cal = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("c"),
+        last(when(col("c").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev).as("pd"),
+        last(col("c"), ignoreNulls = true).over(wPrev).as("pc"),
+        first(when(col("c").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext).as("nd"),
+        first(col("c"), ignoreNulls = true).over(wNext).as("nc"))
+      .withColumn("numer", (col("nc") - col("pc")) *
+        datediff(col("day"), col("pd")).cast("long"))
+      .withColumn("denom", datediff(col("nd"), col("pd")).cast("long"))
+      .select(col("user_id"), col("day"),
+        col("c").isNotNull.as("observed"),
+        when(col("c").isNotNull, col("c")).otherwise(
+          col("pc") + expr(
+            "CASE WHEN numer >= 0 THEN numer div denom ELSE -((-numer) div denom) END"))
+          .as("value_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val interpolateDailySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(CAST(arg_max(value, event_id) AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY user_id),
+      |cal AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |g AS (
+      |  SELECT cal.user_id, cal.day, d.c,
+      |    last_value(d.day IGNORE NULLS) OVER wp AS pd,
+      |    last_value(d.c IGNORE NULLS) OVER wp AS pc,
+      |    first_value(d.day IGNORE NULLS) OVER wn AS nd,
+      |    first_value(d.c IGNORE NULLS) OVER wn AS nc
+      |  FROM cal LEFT JOIN daily d
+      |    ON d.user_id = cal.user_id AND d.day = cal.day
+      |  WINDOW wp AS (PARTITION BY cal.user_id ORDER BY cal.day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY cal.user_id ORDER BY cal.day
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day, (c IS NOT NULL) AS observed,
+      |  CASE WHEN c IS NOT NULL THEN c
+      |       ELSE pc + (CASE WHEN (nc - pc) * (day - pd) >= 0
+      |                       THEN ((nc - pc) * (day - pd)) // (nd - pd)
+      |                       ELSE -((-((nc - pc) * (day - pd))) // (nd - pd)) END)
+      |  END AS value_cents
+      |FROM g ORDER BY user_id, day""".stripMargin
+
   /** First-order event-type transition matrix: count of (prev → curr)
     * steps across all per-user event sequences ordered by (ts,
     * event_id). Output: (prev_type, event_type, n). */
@@ -398,6 +481,8 @@ object TimeSeries {
       (s, d) => autocorr(Tables.events(s, d)), autocorrSql()),
     "ts_fill_forward" -> QueryDef(
       (s, d) => fillForwardDaily(Tables.events(s, d)), fillForwardDailySql),
+    "ts_interpolate" -> QueryDef(
+      (s, d) => interpolateDaily(Tables.events(s, d)), interpolateDailySql),
     "events_transitions" -> QueryDef(
       (s, d) => eventTransitions(Tables.events(s, d)), eventTransitionsSql),
     "anomaly_iqr" -> QueryDef(

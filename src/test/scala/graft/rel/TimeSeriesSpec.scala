@@ -33,6 +33,26 @@ class TimeSeriesSpec extends SparkSuite {
       (8L, "2024-02-10", 5.0)))
   }
 
+  test("interpolation: rising and falling gaps, exact integer cents") {
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.00),
+      (2L, "2024-01-04 09:00:00", 7L, "view", 2.50),  // rising: 150 cents over 3 days
+      (3L, "2024-01-07 09:00:00", 7L, "view", 0.10),  // falling: -240 over 3 (sign-split div)
+      (4L, "2024-02-10 00:00:00", 8L, "view", 5.0))
+    val got = TimeSeries.interpolateDaily(e)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (7L, "2024-01-01", true, 100L),
+      (7L, "2024-01-02", false, 150L), // 100 + (150·1) div 3
+      (7L, "2024-01-03", false, 200L),
+      (7L, "2024-01-04", true, 250L),
+      (7L, "2024-01-05", false, 170L), // 250 + trunc(-240·1/3) = 250 − 80
+      (7L, "2024-01-06", false, 90L),  // 250 + trunc(-240·2/3) = 250 − 160
+      (7L, "2024-01-07", true, 10L),
+      (8L, "2024-02-10", true, 500L)))
+  }
+
   test("autocorr: a period-2 series is perfectly anti-correlated at odd lags") {
     // days 1..10 alternate 1-event / 2-event days → y = 3 − x exactly, so
     // lag-1 and lag-7 (both odd) must give −1 up to one sqrt rounding
