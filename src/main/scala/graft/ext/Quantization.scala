@@ -249,7 +249,84 @@ object Quantization {
        |LIMIT $topK""".stripMargin
   }
 
+  /** Scalar (int8) quantization ANN — the SIMPLEST rung of the
+    * compression ladder (FAISS's SQ8 shape, next to PQ's codebooks):
+    * each dimension is linearly quantized to a byte against its own
+    * corpus [min, max] range, and queries score asymmetrically — exact
+    * query components against the RECONSTRUCTED corpus components.
+    * Per-dim ranges replace trained codebooks: no Lloyd rounds, a
+    * dim-sized stats table instead of m×k centroids, and 1 byte/dim
+    * storage (4× over float32 here, on the same integer grid as every
+    * other vector op so the whole chain is hash-gateable).
+    *
+    * All-integer: code = ((x−mn)·255) div (mx−mn) and recon =
+    * mn + (code·(mx−mn)) div 255 — operands non-negative, so Spark
+    * `div` ≡ DuckDB `//` with no sign split; d2 is an exact BIGINT
+    * sum. Degenerate dims (mx = mn) code to 0 and reconstruct mn.
+    *
+    * Scale shape: the stats table is dim-sized metadata (broadcast),
+    * the query row is dim-sized (broadcast), and the scan is one
+    * narrow pass over the (vec, dim) relation with the d2 sum partial-
+    * aggregating on vec_id — no shuffle wider than the candidate
+    * scores, final top-k a TakeOrdered. In a deployment the code
+    * table persists (encode-once); the declared query runs
+    * stats+encode+probe end-to-end so the chain sits behind the gate. */
+  def sq8TopK(emb: DataFrame, qId: Long, topK: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * Q).cast("long")).as("v"))
+    val ex = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j", "x")))
+    val stats = ex.groupBy(col("j"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = ex.filter(col("vec_id") === qId).select(col("j"), col("x").as("qx"))
+    ex.filter(col("vec_id") =!= qId)
+      .join(broadcast(stats), Seq("j"))
+      .join(broadcast(q), Seq("j"))
+      .withColumn("code", when(col("mx") > col("mn"),
+        expr("((x - mn) * 255) div (mx - mn)")).otherwise(lit(0L)))
+      .withColumn("recon", when(col("mx") > col("mn"),
+        col("mn") + expr("(code * (mx - mn)) div 255")).otherwise(col("mn")))
+      .withColumn("t", (col("qx") - col("recon")) * (col("qx") - col("recon")))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("t")).as("sq8_d2"))
+      .select(col("vec_id").as("neighbor_id"), col("sq8_d2"))
+      .orderBy(col("sq8_d2"), col("neighbor_id"))
+      .limit(topK)
+  }
+
+  def sq8TopKSql(qId: Long, topK: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |pd AS (
+       |  SELECT vec_id, CAST(i AS INT) AS j, v[CAST(i AS INT)] AS x
+       |  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r),
+       |st AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM pd GROUP BY j),
+       |q AS (SELECT j, x AS qx FROM pd WHERE vec_id = $qId),
+       |c AS (
+       |  SELECT pd.vec_id, pd.j,
+       |    CASE WHEN st.mx > st.mn
+       |         THEN ((pd.x - st.mn) * 255) // (st.mx - st.mn)
+       |         ELSE 0 END AS code,
+       |    st.mn, st.mx
+       |  FROM pd JOIN st USING (j) WHERE pd.vec_id <> $qId),
+       |r AS (
+       |  SELECT c.vec_id,
+       |    q.qx - (CASE WHEN c.mx > c.mn
+       |                 THEN c.mn + (c.code * (c.mx - c.mn)) // 255
+       |                 ELSE c.mn END) AS diff
+       |  FROM c JOIN q USING (j))
+       |SELECT vec_id AS neighbor_id, CAST(SUM(diff * diff) AS BIGINT) AS sq8_d2
+       |FROM r GROUP BY vec_id
+       |ORDER BY sq8_d2, neighbor_id
+       |LIMIT $topK""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "simsearch_sq8" -> QueryDef(
+      (s, d) => sq8TopK(Tables.embeddings(s, d), qId = 0L, topK = 10),
+      sq8TopKSql(qId = 0L, topK = 10)),
     "simsearch_pq" -> QueryDef(
       (s, d) => pqTopK(Tables.embeddings(s, d), dim = 64, m = 4, k = 8,
         iters = 2, qId = 0L, topK = 10),

@@ -75,4 +75,45 @@ class QuantizationSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(run(1) == run(13))
   }
+
+  test("sq8: planted duplicate attains the minimal (distortion-only) distance") {
+    // a copy of the query quantizes to the query's own codes, so its
+    // asymmetric distance is exactly the query's reconstruction
+    // distortion — the global minimum of the SQ8 objective
+    val q = fixtureEmb.filter(col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1)
+    val planted = fixtureEmb.select(col("vec_id"), col("embedding"))
+      .union(Seq((100000L, q)).toDF("vec_id", "embedding"))
+    val top = Quantization.sq8TopK(planted, qId = 0L, topK = 5).collect()
+    assert(top.head.getLong(0) == 100000L, top.map(_.getLong(0)).toSeq)
+    assert(top.head.getLong(1) <= top(1).getLong(1))
+  }
+
+  test("sq8: per-component reconstruction error is within one quantization step") {
+    // |x − recon(x)| ≤ ceil(range/255) for every component: recompute
+    // codes/recon driver-side from the same grid ints and audit
+    val grid = fixtureEmb.limit(200)
+      .select(col("vec_id"), transform(col("embedding"), x =>
+        floor(x.cast("double") * Clustering.Q).cast("long")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val dims = grid.head._2.indices
+    val mn = dims.map(j => grid.map(_._2(j)).min)
+    val mx = dims.map(j => grid.map(_._2(j)).max)
+    grid.foreach { case (_, v) =>
+      dims.foreach { j =>
+        val range = mx(j) - mn(j)
+        val recon = if (range == 0) mn(j)
+          else mn(j) + (((v(j) - mn(j)) * 255) / range) * range / 255
+        assert(math.abs(v(j) - recon) <= range / 255 + 1,
+          s"dim $j: x=${v(j)} recon=$recon range=$range")
+      }
+    }
+  }
+
+  test("sq8: result is invariant to input partitioning") {
+    def run(parts: Int) = Quantization.sq8TopK(
+      fixtureEmb.repartition(parts), qId = 0L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) == run(13))
+  }
 }
