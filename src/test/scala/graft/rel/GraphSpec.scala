@@ -234,6 +234,32 @@ class GraphSpec extends SparkSuite {
     assert(base === repart)
   }
 
+  /** PPR locality: with the teleport pinned to a seed inside one of
+    * two disconnected triangles, all mass stays in the seed's
+    * component — the other triangle never appears in the (sparse)
+    * rank relation at all. */
+  test("personalized pagerank: mass localizes to the seed's component") {
+    import spark.implicits._
+    def tri(a: Long, b: Long, c: Long) =
+      Seq(a -> b, b -> a, b -> c, c -> b, a -> c, c -> a)
+    val e = (tri(1L, 2L, 3L) ++ tri(10L, 11L, 12L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L),
+      s"sparse frontier leaked outside the seed component: ${r.keySet}")
+    assert(r(1L) > r(2L) && r(2L) === r(3L),
+      "seed outranks its symmetric neighbors, which tie bit-exactly")
+  }
+
+  test("personalized pagerank: bit-identical across partitionings") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.partPpr(df, iters = 3, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(li) === run(li.repartition(11)))
+  }
+
   /** The bucketed path computes the SAME ranks as the generic one —
     * the physical strategy must not move the answer. */
   test("bucketed and generic pagerank agree bit-exactly") {
