@@ -50,6 +50,9 @@ object Bench {
     // state, built once per corpus, amortized over every iteration sweep
     try rel.Graph.ensureAdjacency(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the bipartite HITS adjacency (both orientations, bucketed)
+    try rel.Graph.ensureHitsAdjacency(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and for the synthetic media corpora: PNG/JPEG/WAV/AVI *encoding*
     // is corpus creation (write-once, memoized), not query work — the
     // media queries then time decode + fingerprint + join over stored

@@ -345,8 +345,18 @@ object Dedup {
     * bounded by document length, never a fat key. Verify joins move
     * candidates only. */
   def allPairsJaccard(docs: DataFrame, num: Long = 3L, den: Long = 5L): DataFrame = {
+    // grams as 60-bit md5 ints (the portable hash family): every
+    // downstream stage — the df aggregate, the ranking join, the
+    // prefix self-join, the verify intersections — shuffles and
+    // compares 8-byte ints instead of ~25-byte gram strings.
+    // Cross-gram collisions (≈ |grams|²/2^60) are deterministic and
+    // identical in both engines; list_distinct after hashing keeps the
+    // set sizes consistent under one.
     val sized = withShingles(docs)
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s =>
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
       .persist()
     val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
@@ -389,8 +399,13 @@ object Dedup {
        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
        |    END AS sh
        |  FROM t),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(sh,
+       |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+       |  FROM shingled WHERE len(sh) > 0),
        |sized AS (
-       |  SELECT doc_id, sh, len(sh)::BIGINT AS n FROM shingled WHERE len(sh) > 0),
+       |  SELECT doc_id, sh, len(sh)::BIGINT AS n FROM hashed),
        |inv AS (SELECT doc_id, n, unnest(sh) AS g FROM sized),
        |gdf AS (SELECT g, COUNT(*) AS gdf FROM inv GROUP BY g),
        |pref AS (

@@ -234,6 +234,17 @@ class GraphSpec extends SparkSuite {
     assert(base === repart)
   }
 
+  /** The bucketed standing-state path must not move the answer. */
+  test("hits: bucketed and generic paths agree bit-exactly") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val generic = Graph.custSupplierHits(o, li, iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val bucketed = Graph.custSupplierHitsBucketed(spark, sfDir, iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(generic === bucketed)
+  }
+
   /** PPR locality: with the teleport pinned to a seed inside one of
     * two disconnected triangles, all mass stays in the seed's
     * component — the other triangle never appears in the (sparse)
@@ -252,12 +263,22 @@ class GraphSpec extends SparkSuite {
       "seed outranks its symmetric neighbors, which tie bit-exactly")
   }
 
-  test("personalized pagerank: bit-identical across partitionings") {
+  test("personalized pagerank: bucketed path ≡ generic path bit-exactly") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    def run(df: org.apache.spark.sql.DataFrame) =
-      Graph.partPpr(df, iters = 3, k = 50)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(run(li) === run(li.repartition(11)))
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    val half = a.join(b, Seq("ok")).filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 97 === 0)
+    val generic = Graph.personalizedPageRank(edges.repartition(11), seeds, iters = 4)
+      .orderBy(col("rank").desc, col("node")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bucketed = Graph.partPprBucketed(spark, sfDir, iters = 4, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(generic === bucketed)
   }
 
   /** The bucketed path computes the SAME ranks as the generic one —
