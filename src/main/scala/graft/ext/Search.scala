@@ -492,7 +492,72 @@ object Search {
       .limit(k)
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack/Clarke/
+    * Büttcher 2009) — the modern RAG serving shape: a lexical arm
+    * (exact-integer BM25 top-kArm) and a vector arm (cosine top-kArm
+    * for the query document's embedding; doc_id ≡ vec_id in the
+    * fixture) fused by rank alone. RRF's whole point is that ranks,
+    * not scores, combine — which also makes it the hash-gateable
+    * fusion: each contribution is the exact integer `10^9 div
+    * (60 + rank)`, so the fused ordering never touches a float.
+    * Documents in one arm only keep their single contribution (the
+    * standard RRF treatment), surfaced with rank 0 on the missing arm.
+    *
+    * Scale shape: each arm is its own already-declared top-k plan
+    * (bounded output), fusion joins two ≤ kArm-row relations — a
+    * driver-scale final step no matter the corpus size; the 1-row
+    * window ranking the lexical arm runs on kArm rows, not data. */
+  def hybridRrf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], qId: Long, kArm: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    val lex = bm25Search(Tables.documents(spark, dir), terms, kArm)
+      .withColumn("lex_rank", row_number().over(w))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = Similarity.bruteForceTopK(spark, dir, qId, kArm)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0)))
+      .select(col("doc_id"),
+        (when(col("lex_rank") > 0, expr("1000000000 div (60 + lex_rank)"))
+          .otherwise(lit(0L)) +
+         when(col("vec_rank") > 0, expr("1000000000 div (60 + vec_rank)"))
+          .otherwise(lit(0L))).cast("long").as("rrf_fp"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRrfSql(terms: Seq[String], qId: Long, kArm: Int, k: Int): String =
+    s"""WITH lex AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS INT)
+       |      AS lex_rank
+       |  FROM (${bm25SearchSql(terms, kArm).replace("\n", "\n   ")})),
+       |vecarm AS (
+       |  SELECT neighbor_id AS doc_id, rank AS vec_rank
+       |  FROM (${Similarity.bruteForceTopKSql.replace("LIMIT 10", s"LIMIT $kArm")
+                  .replace("\n", "\n   ")})),
+       |fused AS (
+       |  SELECT COALESCE(lex.doc_id, vecarm.doc_id) AS doc_id,
+       |    COALESCE(lex.lex_rank, 0) AS lex_rank,
+       |    COALESCE(vecarm.vec_rank, 0) AS vec_rank
+       |  FROM lex FULL OUTER JOIN vecarm ON lex.doc_id = vecarm.doc_id)
+       |SELECT doc_id,
+       |  CAST((CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END)
+       |     + (CASE WHEN vec_rank > 0 THEN 1000000000 // (60 + vec_rank) ELSE 0 END)
+       |    AS BIGINT) AS rrf_fp,
+       |  lex_rank, vec_rank
+       |FROM fused
+       |ORDER BY rrf_fp DESC, doc_id
+       |LIMIT $k""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "search_hybrid_rrf" -> QueryDef(
+      (s, d) => hybridRrf(s, d, Seq("vector", "hash", "join"),
+        qId = 0L, kArm = 25, k = 15),
+      hybridRrfSql(Seq("vector", "hash", "join"), qId = 0L, kArm = 25, k = 15)),
     "text_bm25_indexed" -> QueryDef(
       (s, d) => bm25SearchIndexed(s, ensureTextIndexIncremental(s, d),
         Seq("vector", "hash", "join"), 20),

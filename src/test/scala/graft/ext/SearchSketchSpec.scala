@@ -124,6 +124,30 @@ class SearchSketchSpec extends SparkSuite {
 
   // -------------------------------------------------------------- sketches
 
+  test("hybridRrf: fusion recomputes exactly from the two arms") {
+    val terms = Seq("vector", "hash", "join")
+    val lex = Search.bm25Search(
+        graft.core.Tables.documents(spark, sfDir), terms, 25)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val vec = Similarity.bruteForceTopK(spark, sfDir, 0L, 25)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def contrib(rank: Option[Int]) =
+      rank.map(r => 1000000000L / (60 + r)).getOrElse(0L)
+    val expected = (lex.keySet ++ vec.keySet).toSeq
+      .map(d => (d, contrib(lex.get(d)) + contrib(vec.get(d)),
+        lex.getOrElse(d, 0), vec.getOrElse(d, 0)))
+      .sortBy { case (d, s, _, _) => (-s, d) }
+      .take(15)
+    val got = Search.hybridRrf(spark, sfDir, terms, 0L, 25, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got === expected)
+    // the fixture must actually exercise fusion: at least one doc in
+    // both arms, and at least one single-arm doc in the output
+    assert(got.exists(r => r._3 > 0 && r._4 > 0), "no doc in both arms")
+    assert(got.exists(r => r._3 == 0 || r._4 == 0), "no single-arm doc")
+  }
+
   test("bloomDecontaminate: planted overlap is flagged, contracts hold") {
     val d = docs(Seq(
       (0L, "eval", "one two three four"),       // eval grams incl "one two three"
