@@ -560,6 +560,72 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Energy-threshold audio segmentation (VAD shape) — the scene-cut
+    * operator on the audio axis: contiguous runs of samples with
+    * |s| ≥ 64 are "activity" segments, everything else silence. One
+    * linear pass per clip inside the decode task (run state is three
+    * counters — the codec-amortized `mapPartitions` shape shared by
+    * every media query), per-doc summary all exact BIGINTs. The oracle
+    * re-derives the segments relationally from the closed-form
+    * synthetic samples with the pos − row_number islands trick
+    * (`dedup_spans`' maximal-span formulation on the sample axis). */
+  private val AudioSegThreshold = 64L
+
+  private def audioSegmentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAudio(spark, dir).mapPartitions { rows =>
+      rows.flatMap { r =>
+        audioSamples(r.content).map { s =>
+          var i = 0; var nSeg = 0L; var maxLen = 0L
+          var active = 0L; var energy = 0L; var cur = 0L
+          while (i < s.length) {
+            val v = s(i).toLong
+            if (math.abs(v) >= AudioSegThreshold) {
+              cur += 1; active += 1; energy += v * v
+              if (cur == 1) nSeg += 1
+              if (cur > maxLen) maxLen = cur
+            } else cur = 0
+            i += 1
+          }
+          (r.doc_id, nSeg, maxLen, active, energy)
+        }
+      }
+    }.toDF("doc_id", "n_segments", "max_seg_len", "active_samples", "active_energy")
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioSegmentsSql: String =
+    s"""WITH a AS (
+      |  SELECT doc_id, 64 + doc_id % 128 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |v AS (
+      |  SELECT doc_id, i, (doc_id * 31 + i * 17) % 256 - 128 AS smp
+      |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a)),
+      |act AS (
+      |  SELECT doc_id, i, smp FROM v WHERE ABS(smp) >= $AudioSegThreshold),
+      |seg AS (
+      |  SELECT doc_id, grp, COUNT(*) AS len FROM (
+      |    SELECT doc_id, i,
+      |      i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |    FROM act)
+      |  GROUP BY doc_id, grp),
+      |ss AS (
+      |  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS max_seg_len
+      |  FROM seg GROUP BY doc_id),
+      |asx AS (
+      |  SELECT doc_id, COUNT(*) AS active_samples,
+      |         SUM(smp * smp) AS active_energy
+      |  FROM act GROUP BY doc_id)
+      |SELECT a.doc_id,
+      |  CAST(COALESCE(ss.n_segments, 0) AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(ss.max_seg_len, 0) AS BIGINT) AS max_seg_len,
+      |  CAST(COALESCE(asx.active_samples, 0) AS BIGINT) AS active_samples,
+      |  CAST(COALESCE(asx.active_energy, 0) AS BIGINT) AS active_energy
+      |FROM a
+      |LEFT JOIN ss ON ss.doc_id = a.doc_id
+      |LEFT JOIN asx ON asx.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   private val audioDownsampleSql: String =
     """WITH a AS (
       |  SELECT doc_id, 64 + doc_id % 128 AS n
@@ -1444,6 +1510,9 @@ object Multimodal {
     // on the audio axis (the multimodal_resize twin for PCM) — real
     // RIFF decode, integer feature surface, closed-form oracle over
     // the kept samples
+    "multimodal_audio_segments" -> QueryDef(
+      (s, d) => audioSegmentsQuery(s, d),
+      Some(audioSegmentsSql)),
     "multimodal_audio_downsample" -> QueryDef(
       (s: SparkSession, d: String) => audioDownsampleQuery(s, d),
       Some(audioDownsampleSql)),
