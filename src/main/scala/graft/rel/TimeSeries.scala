@@ -158,6 +158,70 @@ object TimeSeries {
       |  END AS value_cents
       |FROM g ORDER BY user_id, day""".stripMargin
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting deployment must beat, run as a query: forecast(d) =
+    * actual(d−7) (weekly-seasonal arm) vs forecast(d) = actual(d−1)
+    * (persistence arm), scored per event type over every day both the
+    * actual and the lag exist. All money flows as exact DECIMAL-derived
+    * cents; the error totals are BIGINT sums and the MAEs one
+    * truncating division each (operands non-negative ⇒ `div` ≡ `//`).
+    * The two lag joins are calendar self-joins on (type, day−k) — no
+    * window over a dense calendar needed, missing days simply drop out
+    * of that arm's backtest (stated semantics, mirrored in the oracle).
+    *
+    * Scale shape: one partial-aggregated daily reduction, then two
+    * self-joins of the tiny (type, day) relation — the backtest costs
+    * O(types × days) regardless of event volume. */
+  def forecastEval(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+      .select(col("event_type"), col("day"),
+        (col("v") * 100).cast("long").as("c"))
+      // four consumers (both sides of both arms); the relation is
+      // O(types × days) — materialize once instead of scanning the
+      // event stream per consumer
+      .localCheckpoint(eager = true)
+    def arm(lagDays: Int, tag: String) = daily.as("a")
+      .join(daily.select(col("event_type"),
+          date_add(col("day"), lagDays).as("day"), col("c").as("f")),
+        Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(abs(col("c") - col("f"))).as(s"abs_$tag"))
+    arm(7, "w").join(arm(1, "d"), Seq("event_type"))
+      .select(col("event_type"),
+        col("n_w"), col("abs_w"),
+        expr("abs_w div n_w").as("mae_weekly_cents"),
+        col("n_d"), col("abs_d"),
+        expr("abs_d div n_d").as("mae_daily_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastEvalSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |w AS (
+      |  SELECT a.event_type, COUNT(*) AS n_w, SUM(ABS(a.c - f.c)) AS abs_w
+      |  FROM daily a JOIN daily f
+      |    ON f.event_type = a.event_type AND f.day = a.day - 7
+      |  GROUP BY a.event_type),
+      |d AS (
+      |  SELECT a.event_type, COUNT(*) AS n_d, SUM(ABS(a.c - f.c)) AS abs_d
+      |  FROM daily a JOIN daily f
+      |    ON f.event_type = a.event_type AND f.day = a.day - 1
+      |  GROUP BY a.event_type)
+      |SELECT w.event_type,
+      |  CAST(n_w AS BIGINT) AS n_w, CAST(abs_w AS BIGINT) AS abs_w,
+      |  CAST(abs_w // n_w AS BIGINT) AS mae_weekly_cents,
+      |  CAST(n_d AS BIGINT) AS n_d, CAST(abs_d AS BIGINT) AS abs_d,
+      |  CAST(abs_d // n_d AS BIGINT) AS mae_daily_cents
+      |FROM w JOIN d ON d.event_type = w.event_type
+      |ORDER BY w.event_type""".stripMargin
+
   /** First-order event-type transition matrix: count of (prev → curr)
     * steps across all per-user event sequences ordered by (ts,
     * event_id). Output: (prev_type, event_type, n). */
@@ -483,6 +547,8 @@ object TimeSeries {
       (s, d) => fillForwardDaily(Tables.events(s, d)), fillForwardDailySql),
     "ts_interpolate" -> QueryDef(
       (s, d) => interpolateDaily(Tables.events(s, d)), interpolateDailySql),
+    "ts_forecast_eval" -> QueryDef(
+      (s, d) => forecastEval(Tables.events(s, d)), forecastEvalSql),
     "events_transitions" -> QueryDef(
       (s, d) => eventTransitions(Tables.events(s, d)), eventTransitionsSql),
     "anomaly_iqr" -> QueryDef(

@@ -53,6 +53,23 @@ class TimeSeriesSpec extends SparkSuite {
       (8L, "2024-02-10", true, 500L)))
   }
 
+  test("forecast backtest: a perfectly weekly series zeroes the seasonal arm only") {
+    // value cycles with period 7 → actual(d) == actual(d−7) exactly,
+    // while consecutive days differ → persistence arm has error
+    val rows = (0 until 21).map { i =>
+      val day = f"2024-01-${i + 1}%02d"
+      ((i + 1).toLong, s"$day 12:00:00", 1L, "view", 10.0 + (i % 7))
+    }
+    val out = TimeSeries.forecastEval(ev(rows: _*)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "view")
+    assert(r.getLong(1) == 14L, "weekly arm: 21 days minus 7-day warmup")
+    assert(r.getLong(3) == 0L, "seasonal-naive MAE must be exactly zero")
+    assert(r.getLong(4) == 20L, "daily arm: 20 consecutive-day pairs")
+    assert(r.getLong(6) > 0L, "persistence MAE nonzero on a varying series")
+  }
+
   test("autocorr: a period-2 series is perfectly anti-correlated at odd lags") {
     // days 1..10 alternate 1-event / 2-event days → y = 3 − x exactly, so
     // lag-1 and lag-7 (both odd) must give −1 up to one sqrt rounding
