@@ -885,5 +885,100 @@ object Corpus {
         |ORDER BY doc_id""".stripMargin)
   )
 
-  def queries: Seq[(String, QueryDef)] = q
+  /** Hard-negative mining for retrieval training (the DPR/contriever
+    * prep step): for each query document, the top-k OTHER documents
+    * that share its rarest vocabulary — lexically confusable, so they
+    * make hard (not random) negatives — with exact duplicates excluded
+    * as false negatives.
+    *
+    * Candidate generation is the prefix-filter economics again: each
+    * query contributes only its `nAnchors` globally RAREST distinct
+    * tokens (ascending df, token tie-break — the `dedup_containment`
+    * anchor ordering), and candidates come from the postings of those
+    * tokens alone, so the stream is Σ df(anchor) per query — never
+    * query × corpus. Scoring is the `text_search` integer rarity
+    * weight tf · (N·1000 div df) summed over shared anchors; the
+    * per-query top-k plans as WindowGroupLimit (candidates prune to k
+    * during the shuffle). Exact-dup exclusion compares md5(text) —
+    * one narrow hash, no pairwise text compare. */
+  def hardNegatives(docs: DataFrame, qMod: Long = 50L, nAnchors: Int = 8,
+      k: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dft = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val anchors = toks.filter(col("doc_id") % qMod === 0)
+      .join(dft, Seq("token"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+      .filter(col("rn") <= nAnchors)
+      .select(col("doc_id").as("query_id"), col("token"), col("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = anchors
+      .join(toks, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("term_fp", expr("tf * ((n_docs * 1000) div df)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_fp")).as("score_fp"))
+    val fp = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    scored
+      .join(fp.select(col("doc_id").as("query_id"), col("h").as("qh")),
+        Seq("query_id"))
+      .join(fp.select(col("doc_id"), col("h").as("dh")), Seq("doc_id"))
+      .filter(col("qh") =!= col("dh"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_fp").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_fp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def hardNegativesSql(qMod: Long = 50L, nAnchors: Int = 8, k: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |                                      x -> x <> '')) AS token
+       |    FROM documents)
+       |  GROUP BY doc_id, token),
+       |dft AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |anch AS (
+       |  SELECT doc_id AS query_id, token, df FROM (
+       |    SELECT t.doc_id, t.token, f.df,
+       |      ROW_NUMBER() OVER (PARTITION BY t.doc_id
+       |        ORDER BY f.df, t.token) AS rn
+       |    FROM toks t JOIN dft f USING (token)
+       |    WHERE t.doc_id % $qMod = 0)
+       |  WHERE rn <= $nAnchors),
+       |scored AS (
+       |  SELECT a.query_id, t.doc_id,
+       |    CAST(SUM(t.tf * ((nd.n_docs * 1000) // a.df)) AS BIGINT) AS score_fp
+       |  FROM anch a
+       |  JOIN toks t USING (token)
+       |  CROSS JOIN nd
+       |  WHERE t.doc_id <> a.query_id
+       |  GROUP BY a.query_id, t.doc_id),
+       |fp AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |ranked AS (
+       |  SELECT s.query_id, s.doc_id, s.score_fp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.score_fp DESC, s.doc_id) AS INT) AS rank
+       |  FROM scored s
+       |  JOIN fp q ON q.doc_id = s.query_id
+       |  JOIN fp d ON d.doc_id = s.doc_id
+       |  WHERE q.h <> d.h)
+       |SELECT query_id, doc_id, score_fp, rank FROM ranked
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val q2: Seq[(String, QueryDef)] = Seq(
+    "corpus_hard_negatives" -> QueryDef(
+      (s, d) => hardNegatives(Tables.documents(s, d)),
+      Some(hardNegativesSql())))
+
+  def queries: Seq[(String, QueryDef)] = q ++ q2
 }

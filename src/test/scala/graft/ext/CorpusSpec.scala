@@ -133,6 +133,27 @@ class CorpusSpec extends SparkSuite {
     assert(out.keys.count(_._1 == 1L) == 4)
   }
 
+  test("hard negatives: exact dup excluded, rare-vocab sharer ranks first") {
+    import spark.implicits._
+    val qText = "zephyr quartz basalt common words appear here too"
+    val filler = (6L to 9L).map(i =>
+      i -> s"common words appear here too filler number $i")
+    val d = (Seq(
+      (0L, qText),                                          // the query (0 % 50 == 0)
+      (1L, qText),                                          // exact dup → excluded
+      (2L, "zephyr quartz basalt granite something else"),  // shares 3 rare anchors
+      (3L, "zephyr alone plus unrelated padding text now"), // shares 1 rare anchor
+      (4L, "common words appear here too in this one"),     // shares only common terms
+      (5L, "entirely disjoint vocabulary nothing matches me"))
+      ++ filler).toDF("doc_id", "text")
+    val out = Corpus.hardNegatives(d, qMod = 50L, nAnchors = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val forQ = out.filter(_._1 == 0L)
+    assert(!forQ.exists(_._2 == 1L), s"exact duplicate must be excluded: ${forQ.toSeq}")
+    assert(forQ.head._2 == 2L, s"richest rare-vocab sharer must rank 1: ${forQ.toSeq}")
+    assert(!forQ.exists(_._2 == 5L), "disjoint doc can never be a candidate")
+  }
+
   test("contamination matrix: planted overlap found, disjoint sources absent") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
