@@ -655,6 +655,70 @@ object Streams {
       }
   }
 
+  case class TypedValueEvent(event_id: Long, event_type: String,
+      ts: java.sql.Timestamp, value: Double)
+  case class ForecastErr(event_type: String, day: java.sql.Date,
+      abs_err_weekly: Option[Long], abs_err_daily: Option[Long])
+
+  /** Streaming forecast-error accounting — the stateful twin of
+    * `rel.TimeSeries.forecastEval`'s two arms. State per event type is
+    * (open day, open day's running cents, closed-day totals for the
+    * trailing 7 days); a day is FINALIZED when a later day's first
+    * event arrives, at which point its seasonal-naive (d−7) and
+    * persistence (d−1) absolute errors emit if the lag day is on
+    * record. Cents per event round exactly like the batch
+    * DECIMAL(12,2) cast (HALF_UP — half away from zero), day totals
+    * are exact BIGINT sums, so streamed errors ≡ the batch arms on
+    * every day the stream has closed (the fill-forward "up to each
+    * key's latest event" contract; the trailing-map prune keeps
+    * exactly the 7 days the next close can reference). State is ≤ 9
+    * longs per event type — O(active types), horizon-expired. */
+  def forecastErrorStream(events: Dataset[TypedValueEvent],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[ForecastErr] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Map[Long, Long]), ForecastErr](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (etype, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            val byDay = batch
+              .groupBy(r => Math.floorDiv(r.ts.getTime, 86400000L))
+              .toVector.sortBy(_._1)
+              .map { case (d, rs) => (d, rs.map(r => cents(r.value)).sum) }
+            var (openDay, openCents, closed) =
+              state.getOption.getOrElse((Long.MinValue, 0L, Map.empty[Long, Long]))
+            val out = Vector.newBuilder[ForecastErr]
+            byDay.foreach { case (d, c) =>
+              if (openDay == Long.MinValue) { openDay = d; openCents = c }
+              else if (d == openDay) openCents += c
+              else {
+                val w = closed.get(openDay - 7).map(f => math.abs(openCents - f))
+                val p = closed.get(openDay - 1).map(f => math.abs(openCents - f))
+                if (w.isDefined || p.isDefined)
+                  out += ForecastErr(etype, java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(openDay)), w, p)
+                // retain exactly what the NEXT close (day ≥ d) can cite
+                closed = (closed + (openDay -> openCents)).filter(_._1 >= d - 7)
+                openDay = d; openCents = c
+              }
+            }
+            state.update((openDay, openCents, closed))
+            state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class AbandonVerdict(user_id: Long, last_click_id: Long,
       click_ts: java.sql.Timestamp, abandoned: Boolean)
 

@@ -929,4 +929,46 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming forecast errors == batch seasonal/persistence arms " +
+      "once every day closes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[Streams.TypedValueEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.TypedValueEvent]
+    val q = Streams.forecastErrorStream(input.toDS())
+      .writeStream.format("memory").queryName("fcast_out")
+      .outputMode("update").start()
+    try {
+      // arbitrary chunking: a day may SPAN micro-batches — the open-day
+      // accumulator must carry across them
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // one far-future sentinel per type closes each type's last real
+      // day (the sentinel's own day stays open and never emits)
+      val far = ev.map(_.ts.getTime).max + 100L * 24 * 3600 * 1000
+      val types = ev.map(_.event_type).distinct
+      input.addData(types.zipWithIndex.map { case (t, i) =>
+        Streams.TypedValueEvent(-1L - i, t, new Timestamp(far), 0.0) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("fcast_out").collect()
+        .map(r => (r.getString(0),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+      val sw = streamed.groupBy(_._1).view.mapValues { rs =>
+        (rs.count(_._2.isDefined), rs.flatMap(_._2).sum,
+         rs.count(_._3.isDefined), rs.flatMap(_._3).sum) }.toMap
+      val batched = graft.rel.TimeSeries
+        .forecastEval(graft.core.Tables.events(spark, sfDir))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1).toInt, r.getLong(2), r.getLong(4).toInt, r.getLong(5)))
+        .toMap
+      assert(sw === batched,
+        s"streamed arm totals diverge: streamed=$sw batch=$batched")
+    } finally q.stop()
+  }
 }
