@@ -154,6 +154,39 @@ object Scalars {
         |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_type_words
         |FROM part ORDER BY p_partkey""".stripMargin),
 
+    // ---- F13 URL decomposition: Spark's Hive-style parse_url vs a
+    //      regexp re-derivation in the oracle (DuckDB has no parse_url)
+    //      — pins that the engine's URL semantics are the portable
+    //      ones; URLs built deterministically from event columns so
+    //      every component arm fires ---------------------------------------
+    "scalar_url" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          concat(lit("https://shop.example.com/"), col("event_type"),
+            lit("/"), (col("user_id") % 10).cast("string"),
+            lit("?uid="), col("user_id").cast("string"), lit("&v=1"))
+            .as("url"))
+        .select(col("event_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'uid')").as("uid"),
+          expr("parse_url(url, 'PROTOCOL')").as("scheme"))
+        .orderBy(col("event_id")),
+      """SELECT event_id,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS uid,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme
+        |FROM (
+        |  SELECT event_id,
+        |    'https://shop.example.com/' || event_type || '/' ||
+        |    CAST(user_id % 10 AS VARCHAR) || '?uid=' ||
+        |    CAST(user_id AS VARCHAR) || '&v=1' AS url
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin),
+
     // ---- P7 predicates: CASE / IN / BETWEEN / LIKE / IS NULL ------------
     "scalar_predicates" -> QueryDef(
       (s, d) => Tables.orders(s, d)
