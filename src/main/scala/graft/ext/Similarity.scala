@@ -295,10 +295,11 @@ object Similarity {
     * crossJoin + row_number-over-vec_id shape shuffled corpus × cells
     * rows — an avoidable full exchange at index-build time; this one
     * never shuffles (plan-asserted in SimilaritySpec). */
-  def ivfAssign(emb: DataFrame): DataFrame = {
-    val cents = labelCentroids(emb)
-      .select(col("label").as("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+  /** Nearest-centroid assignment against a FIXED centroid set — the
+    * seam that lets incremental maintenance assign a new batch to the
+    * standing quantizer without retraining. */
+  private[ext] def assignToCentroids(emb: DataFrame,
+      cents: Array[(Int, Seq[Double])]): DataFrame = {
     // loud beats obscure: with zero centroids the argmin array below
     // would be ArrayType(NullType) and fail analysis with an unrelated
     // message; an empty corpus cannot train a quantizer, say so
@@ -310,6 +311,14 @@ object Similarity {
     e.withColumn("cell", array_min(scored).getField("cell"))
       .select(col("vec_id"), col("v"), col("cell"))
   }
+
+  private[ext] def collectCentroids(emb: DataFrame): Array[(Int, Seq[Double])] =
+    labelCentroids(emb)
+      .select(col("label").as("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+
+  def ivfAssign(emb: DataFrame): DataFrame =
+    assignToCentroids(emb, collectCentroids(emb))
 
   /** IVF search with a trained coarse quantizer: assign every vector to
     * its nearest centroid cell, then probe only the query's `nprobe`
@@ -530,6 +539,94 @@ object Similarity {
        |        c.cell ASC) AS rn
        |    FROM cent c CROSS JOIN q)
        |  WHERE rn <= $nprobe)""".stripMargin
+
+  /** Incremental IVF maintenance — the vector-side twin of the text
+    * index's incremental merge (`ext/Search` L6e): a NEW batch of
+    * vectors is assigned to the STANDING corpus' FROZEN centroids (no
+    * retrain — the realistic maintenance move: the quantizer is a
+    * stable artifact, the posting lists grow), and the probe serves
+    * standing ∪ batch immediately. Declared over a deterministic batch
+    * slice (vec_id % batchMod = batchRem) so the whole lifecycle —
+    * standing-only training, frozen assignment of BOTH slices, probe —
+    * replays in ANSI SQL behind the hash gate. Probe-cell choice is
+    * bounded driver metadata exactly like `ivfProbe`; the merged
+    * relation unions two narrow assignment maps, no shuffle before the
+    * in-cell scoring. */
+  def ivfIncrementalRanked(spark: SparkSession, dir: String, qId: Long,
+      k: Int, nprobe: Int = 2, batchMod: Long = 10L,
+      batchRem: Long = 7L): DataFrame =
+    ivfIncrementalFrom(Tables.embeddings(spark, dir), qId, k, nprobe,
+      batchMod, batchRem)
+
+  def ivfIncrementalFrom(emb: DataFrame, qId: Long,
+      k: Int, nprobe: Int = 2, batchMod: Long = 10L,
+      batchRem: Long = 7L): DataFrame = {
+    val standing = emb.filter(col("vec_id") % batchMod =!= batchRem)
+    val batch = emb.filter(col("vec_id") % batchMod === batchRem)
+    val cents = collectCentroids(standing)
+    val merged = assignToCentroids(standing, cents)
+      .unionByName(assignToCentroids(batch, cents))
+    val qRows = emb.filter(col("vec_id") === qId)
+      .select(asDouble(col("embedding")).as("v")).collect()
+    require(qRows.nonEmpty, s"vec_id $qId not found in the embeddings input")
+    val qv = qRows(0).getSeq[Double](0)
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val probeCells = cents.map { case (c, ctr) =>
+      c -> -(dotD(qv, ctr) / (math.sqrt(dotD(qv, qv)) * math.sqrt(dotD(ctr, ctr))))
+    }.sortBy { case (c, cd) => (cd, c) }.take(nprobe).map(_._1).toSeq
+    merged.filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qId)
+      .withColumn("cos", cosine(col("v"), typedlit(qv)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def ivfIncrementalSql(qId: Long, k: Int, nprobe: Int,
+      batchMod: Long, batchRem: Long): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |standing AS (SELECT * FROM e WHERE vec_id % $batchMod <> $batchRem),
+       |comp AS (
+       |  SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+       |  FROM standing),
+       |cent AS (
+       |  SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, SUM(floor(x * 1048576.0) / 1048576.0) AS cx
+       |    FROM comp GROUP BY label, pos)
+       |  GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        -(list_dot_product(e.v, c.centroid) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $qId),
+       |probed AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell,
+       |      ROW_NUMBER() OVER (ORDER BY
+       |        -(list_dot_product(q.qv, c.centroid) /
+       |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.centroid, c.centroid)))) ASC,
+       |        c.cell ASC) AS rn
+       |    FROM cent c CROSS JOIN q)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT a.vec_id,
+       |    list_dot_product(a.v, q.qv) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM assigned a CROSS JOIN q
+       |  WHERE a.cell IN (SELECT cell FROM probed) AND a.vec_id <> $qId)
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |FROM scored ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
   val ivfProbeSql: String =
     s"""WITH ${ivfCoreCtesSql(qId = 0, nprobe = 2)},
@@ -754,6 +851,12 @@ object Similarity {
     "simsearch_ivf" -> QueryDef(
       (s: SparkSession, d: String) => ivfProbeRanked(s, d, 0L, 10, nprobe = 2),
       Some(ivfProbeSql)),
+    // index MAINTENANCE: new batch assigned to frozen standing
+    // centroids, probe serves standing ∪ batch — whole lifecycle in SQL
+    "simsearch_ivf_incremental" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        ivfIncrementalRanked(s, d, 0L, 10, nprobe = 2),
+      Some(ivfIncrementalSql(0L, 10, 2, 10L, 7L))),
     // the batch shape: top-k for every 50th vector in ONE pass, cell
     // blocked, full oracle via the md5-portable quantizer
     "knn_join" -> QueryDef(

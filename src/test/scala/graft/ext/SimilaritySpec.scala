@@ -184,4 +184,28 @@ class SimilaritySpec extends SparkSuite {
     val overlap = bf10.map(_._1).toSet.intersect(cands).size
     assert(overlap >= 3, s"prefix funnel should carry signal, got $overlap/10")
   }
+
+  test("incremental IVF: a near-dup arriving in the batch slice is served " +
+      "immediately; standing vectors keep their frozen-centroid cells") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    // plant a copy of the query vector at an id in the BATCH slice
+    // (id % 10 == 7): maintenance must make it searchable without a
+    // rebuild, and a duplicate's cosine 1.0 pins rank 1
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .collect()(0).getSeq[Float](1)
+    val planted = emb.select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+      .unionByName(Seq((100007L, q, 0)).toDF("vec_id", "embedding", "label"))
+    val top = Similarity.ivfIncrementalFrom(planted, qId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(top.head == ((100007L, 1)),
+      s"planted batch near-dup must rank first: ${top.toSeq}")
+    // determinism across partitionings (frozen centroids + exact sums)
+    val repart = Similarity.ivfIncrementalFrom(planted.repartition(13), qId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(top.toSeq === repart.toSeq)
+  }
 }
