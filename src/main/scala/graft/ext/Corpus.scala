@@ -975,10 +975,49 @@ object Corpus {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Source-mix diversity per language slice — the monitoring view a
+    * mixture pipeline (`corpus_mixture`) watches for source collapse:
+    * Gini impurity 1 − Σp² and the inverse-Simpson "effective source
+    * count" N²/Σn². Entropy is the textbook choice but needs libm log
+    * (not bit-portable); both surfaced measures are exact rationals of
+    * BIGINT counts with ONE IEEE division each, so the monitor itself
+    * sits behind the hash gate. One two-level partial aggregation —
+    * (lang, source) counts, then per-lang moments. */
+  def sourceDiversity(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("sum_sq"),
+        ((col("n_docs") * col("n_docs")).cast("double") / col("sum_sq"))
+          .as("effective_sources"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_docs") * col("n_docs"))).as("gini"))
+      .orderBy(col("lang"))
+
+  val sourceDiversitySql: String =
+    """WITH c AS (
+      |  SELECT lang, source, COUNT(*) AS n
+      |  FROM documents GROUP BY lang, source),
+      |m AS (
+      |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |         CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |         CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      |  FROM c GROUP BY lang)
+      |SELECT lang, n_docs, n_sources, sum_sq,
+      |  CAST(n_docs * n_docs AS DOUBLE) / sum_sq AS effective_sources,
+      |  1.0 - CAST(sum_sq AS DOUBLE) / (n_docs * n_docs) AS gini
+      |FROM m ORDER BY lang""".stripMargin
+
   private val q2: Seq[(String, QueryDef)] = Seq(
     "corpus_hard_negatives" -> QueryDef(
       (s, d) => hardNegatives(Tables.documents(s, d)),
-      Some(hardNegativesSql())))
+      Some(hardNegativesSql())),
+    "corpus_source_diversity" -> QueryDef(
+      (s, d) => sourceDiversity(Tables.documents(s, d)),
+      Some(sourceDiversitySql)))
 
   def queries: Seq[(String, QueryDef)] = q ++ q2
 }
