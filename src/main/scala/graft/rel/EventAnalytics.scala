@@ -399,7 +399,171 @@ object EventAnalytics {
       |      AND epoch_us(p.ts) - epoch_us(lc.c_ts) <= 86400000000) AS abandoned
       |FROM lc WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Conversion-probability scale: 1.0 = 10^9 units. */
+  val MarkovScale = 1000000000L
+
+  /** Markov removal-effect attribution (Anderl et al. 2014 shape) —
+    * the data-driven multi-touch model next to `events_attribution`'s
+    * last-touch rule. Journeys are per-user event runs split at each
+    * purchase (the purchase converts the journey it closes; a trailing
+    * run with no purchase ends in NULL). The first-order chain over
+    * channel states is solved for P(conversion | START) by `iters`
+    * Jacobi rounds of exact integer fixed-point (p scaled ×10^9, each
+    * update `Σ n(s,t)·p(t) div n_out(s)` on non-negative BIGINTs —
+    * order-independent, `div` ≡ `//`); a channel's credit is the
+    * REMOVAL EFFECT: re-solve with that channel's node deleted
+    * (transitions into it re-routed to NULL) and take the drop in
+    * P(conv).
+    *
+    * Scale split: journey construction + transition counting is the
+    * data-sized work — two per-user window passes and one partial-agg
+    * shuffle. The chain itself is (channels+1)² counts — bounded
+    * metadata — so the (channels+1) fixed-point solves run driver-side
+    * exactly like the IVF probe-cell ranking, never touching the
+    * cluster; the oracle replays the same Jacobi rounds as unrolled
+    * CTEs over the count relation. */
+  def markovAttribution(events: DataFrame, channels: Seq[String],
+      iters: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withJourney = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("journey", coalesce(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val chans = withJourney.filter(col("event_type") =!= "purchase")
+    val convJ = withJourney.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey")).distinct()
+    val jw = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq0 = chans
+      .withColumn("rn", row_number().over(jw))
+      .withColumn("nxt", lead(col("event_type"), 1).over(jw))
+      .persist()
+    val steps = seq0.filter(col("nxt").isNotNull)
+      .select(col("event_type").as("src"), col("nxt").as("dst"))
+    val starts = seq0.filter(col("rn") === 1)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    val lasts = seq0.filter(col("nxt").isNull)
+      .join(convJ.withColumn("conv", lit(1)), Seq("user_id", "journey"), "left")
+      .select(col("event_type").as("src"),
+        when(col("conv").isNotNull, "CONV").otherwise("NULL").as("dst"))
+    val emptyConv = convJ
+      .join(chans.select(col("user_id"), col("journey")).distinct(),
+        Seq("user_id", "journey"), "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    // the whole chain is (channels+1)^2 counts: bounded metadata
+    val trans = steps.unionByName(starts).unionByName(lasts).unionByName(emptyConv)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    def solve(t: Seq[(String, String, Long)]): Long = {
+      val bySrc = t.groupBy(_._1)
+      val states = bySrc.keySet
+      var p = Map.empty[String, Long]
+      def pOf(m: Map[String, Long], s: String): Long =
+        if (s == "CONV") MarkovScale
+        else if (s == "NULL") 0L
+        else m.getOrElse(s, 0L)
+      (1 to iters).foreach { _ =>
+        val prev = p
+        p = states.map { s =>
+          val rows = bySrc(s)
+          s -> rows.map { case (_, d, n) => n * pOf(prev, d) }.sum / rows.map(_._3).sum
+        }.toMap
+      }
+      p.getOrElse("START", 0L)
+    }
+    val full = solve(trans)
+    val rows = channels.sorted.map { c =>
+      val removed = trans
+        .filter(_._1 != c)
+        .map { case (s, d, n) => (s, if (d == c) "NULL" else d, n) }
+        .groupBy(t => (t._1, t._2))
+        .map { case ((s, d), rs) => (s, d, rs.map(_._3).sum) }
+        .toSeq
+      val pr = solve(removed)
+      (c, full, pr, full - pr)
+    }
+    rows.toDF("channel", "p_conv_fp", "p_removed_fp", "removal_fp")
+      .orderBy(col("channel"))
+  }
+
+  def markovAttributionSql(channels: Seq[String], iters: Int = 8): String = {
+    def chain(prefix: String, transCte: String): String =
+      (1 to iters).map { i =>
+        val prev = if (i == 1) s"${prefix}0" else s"$prefix${i - 1}"
+        s"""$prefix$i AS (
+           |  SELECT t.src AS state,
+           |    CAST(SUM(t.n * (CASE WHEN t.dst = 'CONV' THEN $MarkovScale
+           |                         WHEN t.dst = 'NULL' THEN 0
+           |                         ELSE COALESCE(pp.p, 0) END)) // SUM(t.n)
+           |      AS BIGINT) AS p
+           |  FROM $transCte t LEFT JOIN $prev pp ON pp.state = t.dst
+           |  GROUP BY t.src)""".stripMargin
+      }.mkString(",\n")
+    def p0(prefix: String, transCte: String): String =
+      s"""${prefix}0 AS (
+         |  SELECT DISTINCT src AS state, CAST(0 AS BIGINT) AS p
+         |  FROM $transCte)""".stripMargin
+    val channelArms = channels.sorted.zipWithIndex.map { case (c, i) =>
+      s"""tc$i AS MATERIALIZED (
+         |  SELECT src, CASE WHEN dst = '$c' THEN 'NULL' ELSE dst END AS dst,
+         |         CAST(SUM(n) AS BIGINT) AS n
+         |  FROM trans WHERE src <> '$c' GROUP BY 1, 2),
+         |${p0(s"c${i}_", s"tc$i")},
+         |${chain(s"c${i}_", s"tc$i")}""".stripMargin
+    }.mkString(",\n")
+    val finalArms = channels.sorted.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT p FROM f$iters WHERE state = 'START') AS p_conv_fp,
+         |  (SELECT p FROM c${i}_$iters WHERE state = 'START') AS p_removed_fp,
+         |  (SELECT p FROM f$iters WHERE state = 'START') -
+         |    (SELECT p FROM c${i}_$iters WHERE state = 'START') AS removal_fp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wj AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+       |  FROM events),
+       |ch AS MATERIALIZED (
+       |  SELECT user_id, journey, event_type,
+       |    ROW_NUMBER() OVER jw AS rn,
+       |    LEAD(event_type) OVER jw AS nxt
+       |  FROM wj WHERE event_type <> 'purchase'
+       |  WINDOW jw AS (PARTITION BY user_id, journey ORDER BY ts, event_id)),
+       |cj AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, journey FROM wj WHERE event_type = 'purchase'),
+       |raw AS (
+       |  SELECT event_type AS src, nxt AS dst FROM ch WHERE nxt IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'START', event_type FROM ch WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.event_type,
+       |    CASE WHEN cj.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+       |  FROM ch c LEFT JOIN cj ON cj.user_id = c.user_id AND cj.journey = c.journey
+       |  WHERE c.nxt IS NULL
+       |  UNION ALL
+       |  SELECT 'START', 'CONV'
+       |  FROM cj LEFT JOIN (SELECT DISTINCT user_id, journey FROM ch) h
+       |    ON h.user_id = cj.user_id AND h.journey = cj.journey
+       |  WHERE h.user_id IS NULL),
+       |trans AS MATERIALIZED (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM raw GROUP BY src, dst),
+       |${p0("f", "trans")},
+       |${chain("f", "trans")},
+       |$channelArms
+       |SELECT channel, p_conv_fp, p_removed_fp, removal_fp FROM (
+       |$finalArms)
+       |ORDER BY channel""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_attribution_markov" -> QueryDef(
+      (s, d) => markovAttribution(Tables.events(s, d),
+        Seq("click", "error", "signup", "view")),
+      markovAttributionSql(Seq("click", "error", "signup", "view"))),
     "events_abandonment" -> QueryDef(
       (s, d) => abandonment(Tables.events(s, d)), abandonmentSql),
     "events_rfm" -> QueryDef(

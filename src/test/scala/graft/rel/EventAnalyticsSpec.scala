@@ -17,6 +17,32 @@ class EventAnalyticsSpec extends SparkSuite {
     }.toDF("event_id", "user_id", "ts", "event_type")
   }
 
+  test("markov attribution: hand-solvable chain, removal effects exact, " +
+      "absent channel credits zero") {
+    // u1: view→click→CONV; u2: view→NULL; u3: signup→CONV; u4: view→CONV
+    // p(click)=S, p(signup)=S, p(view)=(S+S)/3, p(START)=(3·p(view)+S)/4
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "click"),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase"),
+      (4L, 2L, "2024-01-01 11:00:00", "view"),
+      (5L, 3L, "2024-01-01 12:00:00", "signup"),
+      (6L, 3L, "2024-01-01 12:01:00", "purchase"),
+      (7L, 4L, "2024-01-01 13:00:00", "view"),
+      (8L, 4L, "2024-01-01 13:01:00", "purchase")))
+    val out = EventAnalytics.markovAttribution(
+        e, Seq("click", "error", "signup", "view"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val full = 749999999L // (3·666666666 + 1000000000) div 4
+    assert(out("view") === ((full, 250000000L, 499999999L)),
+      s"view removal wrong: ${out("view")}")
+    assert(out("click") === ((full, 499999999L, 250000000L)))
+    assert(out("signup") === ((full, 499999999L, 250000000L)))
+    assert(out("error") === ((full, full, 0L)),
+      "a channel with no traffic must credit exactly zero")
+  }
+
   test("funnel: strict ordering — events before the prior stage don't count") {
     val d = ev(Seq(
       // user 1: full ordered chain
