@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -533,5 +534,65 @@ object TextOps {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  def queries: Seq[(String, QueryDef)] = q
+  /** Code-vs-prose detection — the routing gate a mixed crawl needs
+    * before prose-only quality rules (Gopher thresholds mis-score
+    * source code) or code-only pipelines. Four integer signals per
+    * document, each a counting regexp both engines evaluate
+    * identically (no lookaround, RE2-safe): punctuation-symbol count,
+    * brace/bracket/semicolon count, code-keyword hits, and
+    * per-mille symbol density (×1000 div chars — no float). The
+    * verdict is a pure threshold conjunction surfaced as BOOLEAN, so
+    * the gate itself is hash-checked, not just its inputs. One narrow
+    * scan, no shuffle before the sort. */
+  def codeSignals(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val chars = length(txt)
+    val symbols = chars - length(regexp_replace(txt, "[{}()\\[\\];=<>+*/|&]", ""))
+    val braces = chars - length(regexp_replace(txt, "[{};]", ""))
+    val kws = size(expr(
+      "regexp_extract_all(text, '\\\\b(def|class|return|import|function|var|let|const|public|void)\\\\b', 0)"))
+    docs.select(col("doc_id"), chars.as("n_chars_t"),
+        symbols.cast("long").as("n_symbols"),
+        braces.cast("long").as("n_braces"),
+        kws.cast("long").as("n_keywords"))
+      .withColumn("symbol_permille",
+        expr("CASE WHEN n_chars_t > 0 THEN (n_symbols * 1000) div n_chars_t ELSE 0 END"))
+      .withColumn("looks_code",
+        (col("symbol_permille") >= 40 && col("n_braces") >= 3) ||
+          col("n_keywords") >= 3)
+      .select(col("doc_id"), col("n_symbols"), col("n_braces"),
+        col("n_keywords"), col("symbol_permille"), col("looks_code"))
+      .orderBy(col("doc_id"))
+  }
+
+  val codeSignalsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n_chars_t,
+      |    length(text) - length(regexp_replace(text, '[{}()\[\];=<>+*/|&]', '', 'g'))
+      |      AS n_symbols,
+      |    length(text) - length(regexp_replace(text, '[{};]', '', 'g')) AS n_braces,
+      |    len(regexp_extract_all(text,
+      |      '\b(def|class|return|import|function|var|let|const|public|void)\b'))
+      |      AS n_keywords
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(n_symbols AS BIGINT) AS n_symbols,
+      |    CAST(n_braces AS BIGINT) AS n_braces,
+      |    CAST(n_keywords AS BIGINT) AS n_keywords,
+      |    CASE WHEN n_chars_t > 0 THEN (n_symbols * 1000) // n_chars_t
+      |         ELSE 0 END AS symbol_permille
+      |  FROM t)
+      |SELECT doc_id, n_symbols, n_braces, n_keywords,
+      |  CAST(symbol_permille AS BIGINT) AS symbol_permille,
+      |  ((symbol_permille >= 40 AND n_braces >= 3) OR n_keywords >= 3)
+      |    AS looks_code
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  private val q3: Seq[(String, QueryDef)] = Seq(
+    "text_code_detect" -> QueryDef(
+      (s, d) => codeSignals(Tables.documents(s, d)),
+      Some(codeSignalsSql)))
+
+  def queries: Seq[(String, QueryDef)] = q ++ q3
 }

@@ -154,6 +154,25 @@ class CorpusSpec extends SparkSuite {
     assert(!forQ.exists(_._2 == 5L), "disjoint doc can never be a candidate")
   }
 
+  test("code detection: planted source code trips the gate, prose does not") {
+    import spark.implicits._
+    // the fixture corpus is all prose (oracle covers the FALSE path
+    // corpus-wide); the TRUE arm is pinned here with real code text
+    val d = Seq(
+      (1L, "def add(a, b): return a + b; class Foo { public void bar() {} }"),
+      (2L, "x = { y[0]; z[1]; }; if (a >= b) { return c * d; } let q = 1;"),
+      (3L, "plain english sentence with ordinary words and no symbols at all"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.codeSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L)._3, s"keyword-dense code must trip the gate: ${out(1L)}")
+    assert(out(1L)._1 >= 3, "def/return/class/public/void all count")
+    assert(out(2L)._3, s"symbol-dense code must trip the gate: ${out(2L)}")
+    assert(!out(3L)._3, "prose stays below both thresholds")
+    assert(out(4L) === ((0L, 0L, false)), "empty doc: zero signals, not a crash")
+  }
+
   test("contamination matrix: planted overlap found, disjoint sources absent") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
