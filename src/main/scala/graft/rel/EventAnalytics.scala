@@ -457,6 +457,10 @@ object EventAnalytics {
     val trans = steps.unionByName(starts).unionByName(lasts).unionByName(emptyConv)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // the result is built from the collected counts, not from seq0's
+    // lineage — release the cache eagerly instead of leaning on the
+    // caller's clearCache()
+    seq0.unpersist(blocking = false): Unit
     def solve(t: Seq[(String, String, Long)]): Long = {
       val bySrc = t.groupBy(_._1)
       val states = bySrc.keySet
