@@ -777,6 +777,54 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Edit-distance near-dup verify over the banded md5 candidate
+    * chain: candidate pairs (est Jaccard ≥ 0.3) are confirmed by
+    * RELATIVE Levenshtein distance — dist ≤ num/den of the longer
+    * text, decided as the exact cross-multiplication
+    * `den·dist ≤ num·max(len_a, len_b)` on integers. Character-level
+    * edit distance is the dedup measure shingle Jaccard is blind to:
+    * in-word typo/OCR noise perturbs most k-shingles (tanking
+    * Jaccard) while moving dist only by the number of edits.
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) per pair, so it NEVER runs
+    * doc×doc — only on the LSH-banded candidate stream (bounded by the
+    * band-bucket sizes), joined back to the two text sides by doc key.
+    * Both engines implement classic unit-cost Levenshtein
+    * (Spark `levenshtein`, DuckDB `levenshtein`) — integer-identical. */
+  def editDistancePairs(docs: DataFrame, num: Int = 1, den: Int = 4): DataFrame = {
+    val cands = md5MinhashPairs(docs, 0.3, 4)
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("dist") * den <=
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long") * num)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  lazy val editDistancePairsSql: String = {
+    val base = md5MinhashPairsSql
+      .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "")
+      .trim
+    s"""$base,
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.3),
+       |v AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+       |    GREATEST(length(da.text), length(db.text)) AS mx
+       |  FROM cand c
+       |  JOIN documents da ON da.doc_id = c.doc_a
+       |  JOIN documents db ON db.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, dist FROM v
+       |WHERE dist * 4 <= mx * 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Sketch-quality evaluation for the MinHash chain — the dedup twin
     * of `simsearch_recall`: for every banded candidate pair, the slot
     * overlap the sketch SAW (sig_matches of n_slots) next to the exact
@@ -1119,6 +1167,11 @@ object Dedup {
     "dedup_jaccard_md5" -> QueryDef(
       (s: SparkSession, d: String) => jaccardVerifyMd5(Tables.documents(s, d), 0.6),
       Some(jaccardVerifyMd5Sql)),
+    // character-level edit-distance verify on the banded candidates:
+    // the typo/OCR-noise measure shingle Jaccard is blind to
+    "dedup_edit_distance" -> QueryDef(
+      (s: SparkSession, d: String) => editDistancePairs(Tables.documents(s, d)),
+      Some(editDistancePairsSql)),
     // COMPLETE exact all-pairs Jaccard join via df-ordered prefix
     // filtering — the deterministic-recall twin of the banded chain
     "dedup_allpairs" -> QueryDef(

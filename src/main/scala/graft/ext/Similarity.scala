@@ -772,6 +772,117 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick the candidate maximizing
+    * `lam·rel(c) − mu·max_{s∈picked} sim(c, s)` — relevance traded
+    * against redundancy with what's already selected. This is the
+    * retrieval-side twin of SemDeDup: a near-duplicate of an already
+    * picked result scores its redundancy penalty and drops down the
+    * list, so the k results SPAN the neighborhood instead of repeating
+    * its densest cluster.
+    *
+    * Scale split (the IVF-probe / markov-chain pattern): the data-sized
+    * work is the corpus relevance scan (native cosine, TakeOrdered
+    * top-c — never a full sort); the greedy selection is inherently
+    * sequential but touches only the c-row candidate set (c, c² ≤
+    * bounded METADATA, constants independent of corpus size), so it
+    * runs driver-side. Candidate-pair sims use the same strict
+    * left-to-right double fold as the cluster-side expression, so the
+    * whole chain stays bit-reproducible in ANSI SQL: the oracle replays
+    * the greedy loop as a recursive CTE with the identical float
+    * literals and (score DESC, vec_id) tie order. `lam`/`mu` are BOTH
+    * explicit (never 1−lam: `1 − 0.7` is 0.30000000000000004 in IEEE —
+    * not the literal 0.3 the SQL would parse). Rank-only output, like
+    * every simsearch surface. */
+  def mmrTopK(spark: SparkSession, dir: String, qId: Long, k: Int,
+      c: Int, lam: Double = 0.7, mu: Double = 0.3): DataFrame =
+    mmrTopKOver(Tables.embeddings(spark, dir), qId, k, c, lam, mu)
+
+  /** As `mmrTopK` over an explicit (vec_id, embedding) relation. */
+  def mmrTopKOver(emb: DataFrame, qId: Long, k: Int,
+      c: Int, lam: Double, mu: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === qId).select(col("v").as("qv"))
+    val cand = e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("v"), col("qv")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(c)
+      .select(col("vec_id"), col("rel"), col("v"))
+      .collect() // c rows: bounded candidate metadata, not corpus-sized
+    val ids = cand.map(_.getLong(0))
+    val rel = cand.map(_.getDouble(1))
+    val vecs = cand.map(_.getSeq[Double](2).toArray)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosA(i: Int, j: Int): Double =
+      dotA(vecs(i), vecs(j)) /
+        (math.sqrt(dotA(vecs(i), vecs(i))) * math.sqrt(dotA(vecs(j), vecs(j))))
+    val n = ids.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // candidates arrive (rel DESC, vec_id ASC): index 0 IS the first pick
+    val remaining = scala.collection.mutable.LinkedHashSet((0 until n): _*)
+    if (n > 0) { picked += 0; remaining -= 0 }
+    while (picked.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { i =>
+        var mx = Double.NegativeInfinity
+        picked.foreach { j => val s0 = cosA(i, j); if (s0 > mx) mx = s0 }
+        val sc = lam * rel(i) - mu * mx
+        // ties (exact double equality, as in the SQL sort) → lower id
+        if (sc > bestScore || (sc == bestScore && best >= 0 && ids(i) < ids(best))) {
+          best = i; bestScore = sc
+        }
+      }
+      picked += best; remaining -= best
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case (idx, r) => (r + 1, ids(idx)) }
+      .toDF("rank", "vec_id")
+  }
+
+  def mmrTopKSql(qId: Long, k: Int, c: Int,
+      lam: Double = 0.7, mu: Double = 0.3): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $qId),
+       |cand AS (
+       |  SELECT e.vec_id,
+       |    list_dot_product(e.v, q.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS rel,
+       |    e.v
+       |  FROM e, q WHERE e.vec_id <> $qId
+       |  ORDER BY rel DESC, vec_id LIMIT $c),
+       |sims AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |sel AS (
+       |  SELECT 1 AS step,
+       |    [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)] AS picked
+       |  UNION ALL
+       |  SELECT s.step + 1, list_append(s.picked, (
+       |      SELECT c2.vec_id FROM cand c2
+       |      WHERE NOT list_contains(s.picked, c2.vec_id)
+       |      ORDER BY $lam * c2.rel - $mu * (
+       |          SELECT MAX(m.sim) FROM sims m
+       |          WHERE m.ia = c2.vec_id AND list_contains(s.picked, m.ib)) DESC,
+       |        c2.vec_id
+       |      LIMIT 1))
+       |  FROM sel s WHERE s.step < $k),
+       |f AS (SELECT picked FROM sel WHERE step = $k)
+       |SELECT CAST(u.i AS INT) AS rank, f.picked[CAST(u.i AS BIGINT)] AS vec_id
+       |FROM f, unnest(range(1, $k + 1)) AS u(i)
+       |ORDER BY rank""".stripMargin
+
   /** ANN quality evaluation INSIDE the engine: recall@k of the
     * cell-blocked batch kNN (`knnJoin`) against the exhaustive exact
     * ranking, per sampled query. A deployment tuning nPlanes/nprobe
@@ -832,6 +943,12 @@ object Similarity {
     "simsearch_matryoshka" -> QueryDef(
       (s: SparkSession, d: String) => matryoshkaTopK(s, d, 0L, 10, dp = 16, c = 50),
       Some(matryoshkaTopKSql(0L, 10, dp = 16, c = 50))),
+    // MMR diversified rerank: greedy relevance-vs-redundancy over the
+    // bounded top-c candidate set; oracle replays the loop as a
+    // recursive CTE with identical float literals and tie order
+    "simsearch_mmr" -> QueryDef(
+      (s: SparkSession, d: String) => mmrTopK(s, d, 0L, 10, c = 20),
+      Some(mmrTopKSql(0L, 10, c = 20))),
     "simsearch_range" -> QueryDef(
       (s: SparkSession, d: String) => rangeSearch(s, d, 0L, 1700000L),
       Some(rangeSearchSql(0L, 1700000L))),

@@ -106,7 +106,78 @@ object TextOps {
     s"""len(list_filter(string_split($alias.text, ' '),
        |    t -> t IN ('the','a','and','of')))""".stripMargin
 
+  /** Boilerplate scrub (CCNet / RefinedWeb line-dedup shape): within
+    * each SOURCE, text units repeated across ≥ `minDf` distinct
+    * documents are boilerplate (headers, footers, nav chrome — the
+    * same bytes on every page of a site) and are removed; the unit
+    * here is the aligned `chunkTokens`-token window because the
+    * fixture corpus has no newlines (on real web text the split is
+    * `\n`; everything downstream is identical).
+    *
+    * Scale shape: chunking is one in-row HOF pass; the frequency table
+    * is a partial-agg shuffle keyed (source, chunk) — the same key the
+    * verdict join uses, so AQE plans one co-partitioned exchange pair
+    * and hot template chunks are skew-split. Reassembly sorts each
+    * doc's kept chunks by position in-row (array_sort over a bounded
+    * per-doc list), never a global sort. */
+  def boilerplateScrub(docs: DataFrame, chunkTokens: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    val c = chunkTokens
+    val chunked = docs
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .withColumn("nc", expr(s"(size(toks) + ${c - 1}) div $c"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""CASE WHEN nc <= 0 THEN array()
+             |ELSE transform(sequence(0, nc - 1),
+             |  i -> array_join(slice(toks, i * $c + 1, $c), ' ')) END"""
+            .stripMargin)).as(Seq("pos", "chunk")))
+    val dfreq = chunked.groupBy(col("source"), col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunked.join(dfreq, Seq("source", "chunk"))
+      .withColumn("boiler", col("df") >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("boiler"),
+            struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateScrubSql(chunkTokens: Int = 5, minDf: Int = 2): String = {
+    val c = chunkTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, source, toks, (len(toks) + ${c - 1}) // $c AS nc FROM t),
+       |c AS (
+       |  SELECT doc_id, source, i AS pos,
+       |         array_to_string(toks[(i*$c+1):(i*$c+$c)], ' ') AS chunk
+       |  FROM n, unnest(range(0, nc)) AS u(i)),
+       |d AS (
+       |  SELECT source, chunk, COUNT(DISTINCT doc_id) AS df
+       |  FROM c GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.doc_id, c.pos, c.chunk, d.df >= $minDf AS boiler
+       |  FROM c JOIN d ON d.source = c.source AND d.chunk = c.chunk)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+       |    FILTER (WHERE NOT boiler), '') AS clean_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
+
+    // ---- L4h per-source repeated-chunk boilerplate scrub ---------------
+    "text_boilerplate" -> QueryDef(
+      (s, d) => boilerplateScrub(Tables.documents(s, d)),
+      boilerplateScrubSql()),
 
     // ---- L1 exact dedup: group by full text, canonical = min doc_id ----
     "dedup_exact" -> QueryDef(

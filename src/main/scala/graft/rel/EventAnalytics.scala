@@ -563,7 +563,67 @@ object EventAnalytics {
        |ORDER BY channel""".stripMargin
   }
 
+  /** Rate-spike detection per event type: hourly counts vs a trailing
+    * `w`-hour baseline, flagged when the hour's rate exceeds
+    * `num/den`× the trailing MEAN — the on-call "error rate jumped"
+    * monitor, run as a batch sweep.
+    *
+    * Two scale decisions:
+    *   - The trailing baseline is a RANGE frame over the integer hour
+    *     index, not a ROWS frame over densified rows: gap hours count
+    *     as zero automatically (the frame just spans them), so there
+    *     is no grid densify / fill-forward stage — the whole query is
+    *     one partial-agg shuffle down to (type, hour) and one window
+    *     over that already-tiny relation.
+    *   - The mean comparison is exact integers: rate > num/den × mean
+    *     ⇔ den·n·w > num·Σtrailing on BIGINTs — no division, no
+    *     float drift on the comparison surface.
+    * Hours whose baseline window is not fully inside the type's
+    * observed history are not flaggable: a cold start (empty trailing
+    * window) or a partial one (fewer than `w` hours since the type's
+    * first event) would inflate the mean's denominator with hours the
+    * data doesn't cover — the classic day-one false-positive storm of
+    * naive rate monitors. */
+  def rateSpikes(events: DataFrame, w: Int = 6,
+      num: Int = 5, den: Int = 2): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-w, -1)
+    hourly
+      .withColumn("trailing_n", sum(col("n")).over(trail))
+      .withColumn("first_hr",
+        min(col("hr")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("hr"), col("n"),
+        coalesce(col("trailing_n"), lit(-1L)).as("trailing_n"),
+        (col("trailing_n").isNotNull &&
+          col("hr") >= col("first_hr") + w &&
+          col("n") * (den * w) > col("trailing_n") * num).as("spike"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  def rateSpikesSql(w: Int = 6, num: Int = 5, den: Int = 2): String =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, hr, n,
+       |         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+       |           RANGE BETWEEN $w PRECEDING AND 1 PRECEDING) AS BIGINT) AS tn,
+       |         MIN(hr) OVER (PARTITION BY event_type) AS fh
+       |  FROM h)
+       |SELECT event_type, hr, n,
+       |       COALESCE(tn, -1) AS trailing_n,
+       |       tn IS NOT NULL AND hr >= fh + $w
+       |         AND n * ${den * w} > tn * $num AS spike
+       |FROM t ORDER BY event_type, hr""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_spike" -> QueryDef(
+      (s, d) => rateSpikes(Tables.events(s, d)), rateSpikesSql()),
     "events_attribution_markov" -> QueryDef(
       (s, d) => markovAttribution(Tables.events(s, d),
         Seq("click", "error", "signup", "view")),

@@ -312,7 +312,43 @@ object Quality {
       |FROM (SELECT * FROM prof UNION ALL SELECT * FROM status)
       |ORDER BY metric""".stripMargin
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007): group the table by its quasi-identifier columns and flag
+    * equivalence classes smaller than `k` (re-identifiable) or with
+    * fewer than `l` distinct sensitive values (attribute-disclosing).
+    * The training-data relevance: before releasing a user-derived
+    * corpus, this is the per-class risk report a privacy review reads
+    * next to `pii_redact`'s span scrub.
+    *
+    * One partial-agg shuffle on the QI key; the sensitive dimension is
+    * banded to integers BEFORE the distinct (count-distinct over a
+    * bounded band domain, not over raw doubles), so the expand fanout
+    * per class is capped by the band count at any scale. */
+  def kAnonymity(df: DataFrame, k: Int = 10, l: Int = 6): DataFrame =
+    df.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+          .as("sensitive_bands"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("class_size"), col("sensitive_bands"),
+        (col("class_size") < k).as("k_risk"),
+        (col("sensitive_bands") < l).as("l_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  def kAnonymitySql(k: Int = 10, l: Int = 6): String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  CAST(COUNT(*) AS BIGINT) AS class_size,
+       |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+       |    AS sensitive_bands,
+       |  COUNT(*) < $k AS k_risk,
+       |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) < $l AS l_risk
+       |FROM customer
+       |GROUP BY c_nationkey, c_mktsegment
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_kanon" -> QueryDef(
+      (s, d) => kAnonymity(Tables.customer(s, d)), kAnonymitySql()),
     "dq_audit" -> QueryDef(
       (s, d) => dqAudit(Tables.lineitem(s, d), Tables.orders(s, d)),
       dqAuditSql),

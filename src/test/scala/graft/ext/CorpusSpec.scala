@@ -113,6 +113,28 @@ class CorpusSpec extends SparkSuite {
     assert(out(3L) == (("m n", 2L, 2.0 / 3)))
   }
 
+  test("boilerplate scrub: repeated chunk removed within its source only, " +
+      "alignment is window-exact, ratio columns count chunks") {
+    import spark.implicits._
+    val tpl = "a b c d e"
+    val docs = Seq(
+      (1L, s"$tpl u1 u2 u3 u4 u5", "s1"), // template + unique tail
+      (2L, s"$tpl w1 w2 w3 w4 w5", "s1"), // same template, same source
+      (3L, s"$tpl x1 x2", "s2"),          // same bytes, OTHER source: kept
+      (4L, s"z $tpl u1 u2 u3", "s1"))     // shifted by 1: not aligned, kept
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((2L, 1L, "u1 u2 u3 u4 u5")),
+      "the df-2 template chunk must be scrubbed")
+    assert(out(2L) === ((2L, 1L, "w1 w2 w3 w4 w5")))
+    assert(out(3L) === ((2L, 0L, s"$tpl x1 x2")),
+      "df is per-source: a lone copy elsewhere is not boilerplate")
+    assert(out(4L)._2 === 0L,
+      "aligned-window semantics: a shifted template does not match")
+  }
+
   test("chunking: windows, stride overlap, short docs, full coverage") {
     import spark.implicits._
     val docs = Seq(

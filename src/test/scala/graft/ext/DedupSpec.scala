@@ -307,4 +307,35 @@ class DedupSpec extends SparkSuite {
       assert(got.contains((id, id + 1000000L)), s"missed planted twin of $id")
     }
   }
+
+  test("edit-distance pairs: exact dup at dist 0, one-char typo at " +
+      "dist 1, unrelated text never pairs") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, t), (2L, t),
+      (3L, t.replace("lambda mu", "lambda nu")), // 1 substitution, tail shingle only
+      (4L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) === 0L)
+    assert(got((1L, 3L)) === 1L)
+    assert(got((2L, 3L)) === 1L)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("edit-distance pairs: the relative-distance gate decides — " +
+      "num=0 keeps only exact duplicates among the same candidates") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq((1L, t), (2L, t),
+      (3L, t.replace("lambda mu", "lambda nu")))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d, num = 0, den = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      s"dist-1 candidates must be dropped by the zero-tolerance gate: $got")
+  }
 }

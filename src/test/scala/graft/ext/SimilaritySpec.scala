@@ -185,6 +185,43 @@ class SimilaritySpec extends SparkSuite {
     assert(overlap >= 3, s"prefix funnel should carry signal, got $overlap/10")
   }
 
+  test("mmr: with mu=0 the greedy degenerates to the brute-force cosine " +
+      "order; the declared config stays inside the candidate set") {
+    val noPenalty = Similarity
+      .mmrTopKOver(graft.core.Tables.embeddings(spark, sfDir),
+        0L, 10, c = 20, lam = 1.0, mu = 0.0)
+      .collect().map(r => r.getLong(1)).toSeq
+    val brute = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(noPenalty === brute,
+      "zero redundancy penalty must reproduce pure relevance order")
+    val mmr = Similarity.mmrTopK(spark, sfDir, 0L, 10, c = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(mmr.map(_._1).toSeq === (1 to 10), "ranks dense 1..k")
+    val cands = Similarity.bruteForceTopK(spark, sfDir, 0L, 20)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(mmr.map(_._2).forall(cands), "picks must come from the top-c set")
+    assert(mmr.map(_._2).head === brute.head, "pick 1 is the relevance top-1")
+  }
+
+  test("mmr: a near-duplicate of the top pick is demoted below a more " +
+      "diverse candidate despite higher relevance") {
+    import spark.implicits._
+    // q=(1,0,0); a ~ top rel; b ≈ a (rel .880, sim(a,b) ≈ .999);
+    // c diverse (rel .850, sim(a,c) ≈ .535). After a: score(b) =
+    // .7·.880 − .3·.999 = .316 < score(c) = .7·.850 − .3·.535 = .434
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.4359f, 0.0f)),
+      (2L, Seq(0.88f, 0.475f, 0.0f)),
+      (3L, Seq(0.85f, -0.5268f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopKOver(emb, 0L, 3, c = 3, lam = 0.7, mu = 0.3)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(got === Seq(1L, 3L, 2L),
+      s"diverse candidate must outrank the near-duplicate: $got")
+  }
+
   test("incremental IVF: a near-dup arriving in the batch slice is served " +
       "immediately; standing vectors keep their frozen-centroid cells") {
     import spark.implicits._

@@ -241,4 +241,37 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got === Seq(
       ("view>click", 2L), ("a_first>b_second", 1L), ("purchase", 1L)))
   }
+
+  test("rate spikes: burst over trailing mean fires, cold start and " +
+      "beyond-window history don't, in-window gaps count as zero") {
+    // type X, hours 0..6: six quiet hours then a 12-event burst
+    val x = (0 to 5).map(h => (h.toLong, 1L,
+        f"2024-01-01 $h%02d:15:00", "X")) ++
+      (0 until 12).map(i => (100L + i, 1L, "2024-01-01 06:20:00", "X"))
+    // type Y: a burst at hr 0, then nothing until hr 10 — the old burst
+    // is OUTSIDE the 6h window, so hr 10 is a cold start, not a spike
+    val y = (0 until 10).map(i => (200L + i, 1L, "2024-01-01 00:30:00", "Y")) ++
+      Seq((300L, 1L, "2024-01-01 10:00:00", "Y"))
+    // type Z: hr 2 then hr 8 — the empty hours 3-7 are INSIDE the
+    // window and must count as zero (mean 1/hr, not 6/hr)
+    val z = (0 until 6).map(i => (400L + i, 1L, "2024-01-01 02:45:00", "Z")) ++
+      (0 until 6).map(i => (500L + i, 1L, "2024-01-01 08:45:00", "Z"))
+    val out = EventAnalytics.rateSpikes(
+        ev((x ++ y ++ z).map { case (id, u, t, ty) => (id, u, t, ty) }))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) % 24, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    def row(ty: String, hr: Long) =
+      out.find(r => r._1 == ty && r._2 == hr).get
+    assert(row("X", 6L) === (("X", 6L, 12L, 6L, true)),
+      "12 events vs trailing mean 1/hr must spike")
+    assert(row("X", 0L)._4 === -1L && !row("X", 0L)._5,
+      "cold start: no trailing window, never a spike")
+    assert(row("X", 1L) === (("X", 1L, 1L, 1L, false)),
+      "partial baseline (1h of history, 6h window) must not flag")
+    assert(row("Y", 10L)._4 === -1L && !row("Y", 10L)._5,
+      "history beyond the 6h window must not feed the baseline")
+    assert(row("Z", 8L) === (("Z", 8L, 6L, 6L, true)),
+      "gap hours inside the window count as zero: mean is 1/hr")
+  }
 }

@@ -83,4 +83,24 @@ class QualitySpec extends SparkSuite {
     assert(delta("n_distinct.o_orderstatus") === 1.0, "'X' status not new")
     assert(delta("min.o_custkey") < 0, "custkey -1 min drift missing")
   }
+
+  test("k-anonymity: small classes flag k-risk, band-concentrated " +
+      "sensitive values flag l-risk, banding is floor(acctbal/1000)") {
+    val customers = Seq(
+      // class (1,A): 2 rows < k=3 → k_risk; bands {0,1} ≥ l=2 → no l_risk
+      (1, "A", 500.0), (1, "A", 1500.0),
+      // class (1,B): 3 rows, bands {0,1,2} → clean
+      (1, "B", 100.0), (1, "B", 1100.0), (1, "B", 2100.0),
+      // class (2,A): 3 rows all in band 0 → l_risk only
+      (2, "A", 10.0), (2, "A", 20.0), (2, "A", 999.99))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Quality.kAnonymity(customers, k = 3, l = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(got((1, "A")) === ((2L, 2L, true, false)))
+    assert(got((1, "B")) === ((3L, 3L, false, false)))
+    assert(got((2, "A")) === ((3L, 1L, false, true)))
+  }
 }
