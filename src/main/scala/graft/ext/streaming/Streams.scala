@@ -797,6 +797,97 @@ object Streams {
   case class Transition(user_id: Long, prev_type: String,
       event_type: String, ts: java.sql.Timestamp)
 
+  case class SpikeVerdict(event_type: String, hr: Long, n: Long,
+      trailing_n: Long, spike: Boolean)
+
+  /** Per-type spike state: the OPEN hour's running count plus the last
+    * ≤ w CLOSED (hour, count) pairs — exactly the trailing baseline the
+    * batch RANGE frame reads, as two parallel Seqs (encoder-friendly).
+    * `curHr == Long.MinValue` means no hour is open. */
+  case class SpikeState(firstHr: Long, curHr: Long, curN: Long,
+      hrs: Seq[Long], ns: Seq[Long])
+
+  /** Streaming rate-spike verdicts — the stateful twin of
+    * `rel.EventAnalytics.rateSpikes`, and the op whose natural home IS
+    * the stream: the on-call monitor wants the verdict when the hour
+    * closes, not at the next batch sweep. Keyed by event_type; an
+    * hour's verdict is emitted the moment it can no longer change —
+    * when a later-hour event arrives for the type (per-key event-time
+    * ordering is the repo-wide twin contract) or when the watermark
+    * passes the hour's end (the event-time timer, for a type that goes
+    * quiet). Gap hours emit nothing, exactly like the batch relation;
+    * the trailing baseline spans them by HOUR INDEX, so the state is
+    * the last ≤ w observed (hour, count) pairs + the open hour's count
+    * — bounded scalars per type, never an event buffer. The spike
+    * decision replays the batch integers: `den·n·w > num·Σtrail`,
+    * unflaggable until the baseline window sits fully inside the
+    * type's history (`hr ≥ firstHr + w`). Once an idle type's open
+    * hour is timer-closed, the next timeout (horizon) removes the
+    * state. */
+  def spikeStream(events: Dataset[TransitionEvent], w: Int = 6,
+      num: Int = 5, den: Int = 2,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[SpikeVerdict] = {
+    import events.sparkSession.implicits._
+    def verdict(etype: String, s: SpikeState): SpikeVerdict = {
+      val inWin = s.hrs.zip(s.ns)
+        .filter { case (h, _) => h >= s.curHr - w && h <= s.curHr - 1 }
+      val trail = if (inWin.isEmpty) -1L else inWin.map(_._2).sum
+      SpikeVerdict(etype, s.curHr, s.curN, trail,
+        inWin.nonEmpty && s.curHr >= s.firstHr + w &&
+          s.curN * (den.toLong * w) > trail * num)
+    }
+    def close(s: SpikeState, nextLowestHr: Long): SpikeState = {
+      // retain only closed hours a FUTURE verdict (hour ≥ nextLowestHr)
+      // can still read: hr ≥ nextLowestHr − w
+      val kept = (s.hrs.zip(s.ns) :+ (s.curHr, s.curN))
+        .filter { case (h, _) => h >= nextLowestHr - w }
+      SpikeState(s.firstHr, Long.MinValue, 0L, kept.map(_._1), kept.map(_._2))
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SpikeState, SpikeVerdict](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (etype, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            if (s.curHr == Long.MinValue) { state.remove(); Iterator.empty }
+            else {
+              // watermark passed the open hour's end: it is final
+              val out = verdict(etype, s)
+              state.update(close(s, s.curHr + 1))
+              state.setTimeoutTimestamp( // horizon expiry for an idle type
+                state.getCurrentWatermarkMs() + horizonMs)
+              Iterator.single(out)
+            }
+          } else {
+            val batch = rows.toVector.sortBy(r => tsMicros(r.ts))
+            var s = state.getOption.getOrElse(
+              SpikeState(Long.MinValue, Long.MinValue, 0L, Nil, Nil))
+            val out = Vector.newBuilder[SpikeVerdict]
+            batch.foreach { r =>
+              val h = Math.floorDiv(tsMicros(r.ts), 3600000000L)
+              if (s.curHr == Long.MinValue)
+                s = SpikeState(
+                  if (s.firstHr == Long.MinValue) h else s.firstHr,
+                  h, 1L, s.hrs, s.ns)
+              else if (h == s.curHr) s = s.copy(curN = s.curN + 1)
+              else { // h > curHr under ordered per-key arrival
+                out += verdict(etype, s)
+                s = close(s, h).copy(curHr = h, curN = 1L)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp( // close the open hour when the
+              // watermark passes its end; clamp like every other twin
+              math.max((s.curHr + 1) * 3600000L,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming event-type transitions — the stateful twin of
     * `rel.TimeSeries.eventTransitions`. Per-user state is ONE string
     * (the last event type seen); each arriving event emits its

@@ -930,6 +930,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming spike verdicts == batch rateSpikes on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.TransitionEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.spikeStream(input.toDS())
+      .writeStream.format("memory").queryName("spike_out")
+      .outputMode("update").start()
+    try {
+      // hour-boundary-agnostic chunking: micro-batches split mid-hour
+      // AND across hours, exercising both close paths (next-hour event
+      // and watermark timer)
+      ev.grouped(math.max(1, ev.length / 7 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // flush: push the watermark 2 days past the last event so every
+      // open hour timer-closes, then once more for the timers to fire
+      val far = new Timestamp(ev.map(_.ts.getTime).max + 2L * 86400000)
+      input.addData(Streams.TransitionEvent(-1L, -1L, "noop", far))
+      q.processAllAvailable()
+      input.addData(Streams.TransitionEvent(-2L, -1L, "noop",
+        new Timestamp(far.getTime + 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("spike_out")
+        .filter(col("event_type") =!= "noop")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics
+        .rateSpikes(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched,
+        "every observed hour must emit exactly one verdict, equal to batch")
+    } finally q.stop()
+  }
+
   test("streaming forecast errors == batch seasonal/persistence arms " +
       "once every day closes") {
     import spark.implicits._
