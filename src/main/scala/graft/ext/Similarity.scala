@@ -453,7 +453,8 @@ object Similarity {
     * probed ones. `excludeId` drops the query's own row for
     * self-similarity searches. */
   def ivfProbe(spark: SparkSession, path: String, qv: Seq[Double], k: Int,
-      nprobe: Int = 2, excludeId: Long = -1L): DataFrame = {
+      nprobe: Int = 2, excludeId: Long = -1L,
+      preFilter: Column = lit(true)): DataFrame = {
     def dotD(a: Seq[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
@@ -465,12 +466,53 @@ object Similarity {
       c -> -(dotD(qv, ctr) / (math.sqrt(dotD(qv, qv)) * math.sqrt(dotD(ctr, ctr))))
     }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1).toSeq
     spark.read.parquet(s"$path/index")
-      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeId)
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= excludeId
+        && preFilter)
       .withColumn("cos", cosine(col("v"), typedlit(qv)))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("neighbor_id"), col("cos"), col("cell"))
   }
+
+  /** Attribute-FILTERED ANN over the prebuilt IVF index — the serving
+    * pattern plain top-k can't express: search only vectors satisfying
+    * a metadata predicate (here `vec_id >= minVecId`, the "newest
+    * shard / recent documents" window). The decision that matters is
+    * PRE-filter vs post-filter: post-filtering an unfiltered top-k
+    * underfills whenever the filter is selective (most of the top-k
+    * fails the predicate and the list comes back short); the correct
+    * plan pushes the predicate INTO the probed-cell scan — here it
+    * rides the same PartitionFilters/PushedFilters scan as the
+    * `cell IN` prune, so selectivity REDUCES work instead of
+    * discarding it. Rank-only surface like every simsearch query. */
+  def ivfProbeFilteredRanked(spark: SparkSession, dir: String, qId: Long,
+      k: Int, nprobe: Int = 2, minVecId: Long = 250L): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === qId)
+      .select(asDouble(col("embedding")).as("v")).collect()
+    require(qRows.nonEmpty, s"vec_id $qId not in $dir/embeddings")
+    ivfProbe(spark, path, qRows(0).getSeq[Double](0), k, nprobe,
+        excludeId = qId, preFilter = col("vec_id") >= minVecId)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def ivfProbeFilteredSql(qId: Long, k: Int, nprobe: Int,
+      minVecId: Long): String =
+    s"""WITH ${ivfCoreCtesSql(qId, nprobe)},
+       |scored AS (
+       |  SELECT a.vec_id,
+       |    list_dot_product(a.v, q.qv) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM assigned a CROSS JOIN q
+       |  WHERE a.cell IN (SELECT cell FROM probed)
+       |    AND a.vec_id <> $qId AND a.vec_id >= $minVecId)
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |FROM scored ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
   /** Convenience: resolve the query vector by id from the SOURCE table
     * (a pushdown-filtered two-column point lookup — not an index scan),
@@ -946,6 +988,10 @@ object Similarity {
     // MMR diversified rerank: greedy relevance-vs-redundancy over the
     // bounded top-c candidate set; oracle replays the loop as a
     // recursive CTE with identical float literals and tie order
+    "simsearch_filtered" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        ivfProbeFilteredRanked(s, d, 0L, 10, nprobe = 2, minVecId = 250L),
+      Some(ivfProbeFilteredSql(0L, 10, 2, 250L))),
     "simsearch_mmr" -> QueryDef(
       (s: SparkSession, d: String) => mmrTopK(s, d, 0L, 10, c = 20),
       Some(mmrTopKSql(0L, 10, c = 20))),

@@ -475,6 +475,153 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Betweenness scale: 1.0 = 10^9 units (one source-target dependency). */
+  val BetweennessScale = 1000000000L
+
+  /** Landmark-sampled betweenness centrality — Brandes (2001) cut to
+    * what scales, the same estimator trade as `landmarkCloseness`:
+    * exact single-source dependency accumulation from the `nLandmarks`
+    * smallest node ids instead of all V sources (O(V·E) exact
+    * betweenness is off the table at corpus scale; landmark sampling
+    * is the standard estimator, deterministic here).
+    *
+    * Forward phase: the multi-source BFS loop with PATH COUNTS — σ of
+    * a newly reached node is the SUM of frontier-predecessor σ's
+    * (partial-agg per (lm, dst) before the visited anti-join), so each
+    * round stays one src-keyed join + one shuffle, state ≤ |L|·V rows.
+    * Backward phase: Brandes' recurrence δ(v) = Σ_{succ w} σv·(1 +
+    * δw)/σw runs one depth layer at a time (depth−1 … 1), each layer
+    * one edge join + partial agg — and in FIXED-POINT integers: the
+    * unit dependency is 10^9, each edge term `σv·(SCALE + δw) div σw`
+    * truncates on non-negative BIGINTs (order-independent, `div` ≡
+    * `//`), so the whole two-phase algorithm sits behind the hash gate
+    * where float Brandes never could. The oracle re-derives σ from
+    * scratch: walks of length = BFS distance are exactly the shortest
+    * paths, so σ = COUNT of minimal-length walks (UNION ALL recursion),
+    * and the backward layers unroll as CTEs.
+    *
+    * Surfaced: Σ over landmarks of δ(lm, v), nodes with positive
+    * accumulated dependency — the bridge-vertex ranking. */
+  def landmarkBetweenness(edges: DataFrame, nLandmarks: Int,
+      maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val lms = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nLandmarks).select(col("src").as("lm"))
+    var visited = lms
+      .select(col("lm"), col("lm").as("node"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(visited)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        // σ(w) = Σ σ(pred): aggregate BEFORE the anti-join so only one
+        // row per (lm, w) carries the full path count
+        .groupBy(col("lm"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("lm"), col("dst").as("node"), col("sigma"))
+        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"),
+          "left_anti")
+        .withColumn("dist", lit(depth))
+        .select(col("lm"), col("node"), col("dist"), col("sigma"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      layers += next
+      frontier = next
+    }
+    val reached = layers.length - 1 // deepest non-empty layer index
+    // backward: deepest layer has δ = 0; walk layers d = reached−1 … 1
+    var deltaNext = layers(reached)
+      .select(col("lm"), col("node"), col("sigma"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    val deltaLayers = scala.collection.mutable.ArrayBuffer(deltaNext)
+    var d = reached - 1
+    while (d >= 1) {
+      val succs = deltaNext.select(col("lm").as("wlm"),
+        col("node").as("wnode"), col("sigma").as("wsigma"),
+        col("delta").as("wdelta"))
+      val contrib = layers(d).join(e, col("node") === col("src"))
+        .join(succs,
+          col("lm") === col("wlm") && col("dst") === col("wnode"))
+        .withColumn("term",
+          expr(s"sigma * ($BetweennessScale + wdelta) div wsigma"))
+        .groupBy(col("lm"), col("node"))
+        .agg(sum(col("term")).as("delta"))
+      deltaNext = layers(d)
+        .join(contrib, Seq("lm", "node"), "left")
+        .select(col("lm"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      deltaLayers += deltaNext
+      d -= 1
+    }
+    deltaLayers.map(_.select(col("lm"), col("node"), col("delta")))
+      .reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_fp"))
+      .filter(col("bc_fp") > 0)
+      .orderBy(col("node"))
+  }
+
+  /** Oracle for `maxDepth` = 3: σ via minimal-length walk counting
+    * (a walk of length = BFS distance is necessarily a shortest path),
+    * backward layers unrolled d = 2, 1 with the identical integer
+    * truncation per edge term. */
+  def landmarkBetweennessSql(nLandmarks: Int): String =
+    s"""WITH RECURSIVE eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |lms AS (SELECT src AS lm FROM e GROUP BY src ORDER BY src LIMIT $nLandmarks),
+       |walks AS (
+       |  SELECT lm, lm AS node, 0 AS d FROM lms
+       |  UNION ALL
+       |  SELECT w.lm, e.dst, w.d + 1
+       |  FROM walks w JOIN e ON e.src = w.node WHERE w.d < 3),
+       |dist AS (SELECT lm, node, MIN(d) AS dist FROM walks GROUP BY lm, node),
+       |nd AS (
+       |  SELECT t.lm, t.node, t.dist, CAST(COUNT(*) AS BIGINT) AS sigma
+       |  FROM dist t JOIN walks w
+       |    ON w.lm = t.lm AND w.node = t.node AND w.d = t.dist
+       |  GROUP BY t.lm, t.node, t.dist),
+       |t2 AS (
+       |  SELECT p.lm, p.node,
+       |    SUM(p.sigma * $BetweennessScale // w.sigma) AS delta
+       |  FROM nd p
+       |  JOIN e ON e.src = p.node
+       |  JOIN nd w ON w.lm = p.lm AND w.node = e.dst AND w.dist = 3
+       |  WHERE p.dist = 2 GROUP BY p.lm, p.node),
+       |d2 AS (
+       |  SELECT p.lm, p.node, p.sigma, COALESCE(t2.delta, 0) AS delta
+       |  FROM nd p LEFT JOIN t2 ON t2.lm = p.lm AND t2.node = p.node
+       |  WHERE p.dist = 2),
+       |t1 AS (
+       |  SELECT p.lm, p.node,
+       |    SUM(p.sigma * ($BetweennessScale + d2.delta) // d2.sigma) AS delta
+       |  FROM nd p
+       |  JOIN e ON e.src = p.node
+       |  JOIN d2 ON d2.lm = p.lm AND d2.node = e.dst
+       |  WHERE p.dist = 1 GROUP BY p.lm, p.node),
+       |d1 AS (
+       |  SELECT p.lm, p.node, COALESCE(t1.delta, 0) AS delta
+       |  FROM nd p LEFT JOIN t1 ON t1.lm = p.lm AND t1.node = p.node
+       |  WHERE p.dist = 1),
+       |alld AS (
+       |  SELECT lm, node, delta FROM d1
+       |  UNION ALL SELECT lm, node, delta FROM d2
+       |  UNION ALL SELECT lm, node, 0 FROM nd WHERE dist = 3)
+       |SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_fp
+       |FROM alld GROUP BY node
+       |HAVING SUM(delta) > 0 ORDER BY node""".stripMargin
+
   def landmarkClosenessSql(nLandmarks: Int, maxDepth: Int): String =
     s"""WITH RECURSIVE eh AS (
        |  SELECT u, v FROM (
@@ -1001,6 +1148,10 @@ object Graph {
       (s, d) => landmarkCloseness(s.table(ensureBackbone(s, d)),
         nLandmarks = 8, maxDepth = 4),
       landmarkClosenessSql(8, 4)),
+    "graph_betweenness" -> QueryDef(
+      (s, d) => landmarkBetweenness(s.table(ensureBackbone(s, d)),
+        nLandmarks = 4, maxDepth = 3),
+      landmarkBetweennessSql(4)),
     "graph_modularity" -> QueryDef(
       (s, d) => modularity(s.table(ensureBackbone(s, d))),
       modularitySql()),

@@ -185,6 +185,24 @@ class SimilaritySpec extends SparkSuite {
     assert(overlap >= 3, s"prefix funnel should carry signal, got $overlap/10")
   }
 
+  test("filtered IVF probe: predicate pre-filters the cell scan — full k " +
+      "from the filtered set where post-filtering would underfill") {
+    val filtered = Similarity
+      .ivfProbeFilteredRanked(spark, sfDir, 0L, 10, nprobe = 2, minVecId = 250L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(filtered.map(_._2).toSeq === (1 to 10), "full k despite the filter")
+    assert(filtered.forall(_._1 >= 250L), "every hit satisfies the predicate")
+    val unfiltered = Similarity.ivfProbeRanked(spark, sfDir, 0L, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val post = unfiltered.filter(_ >= 250L)
+    assert(post.size < 10,
+      s"fixture must make naive post-filtering underfill, got ${post.size}/10")
+    // relative cosine order of the shared ids is preserved
+    val postSet = post.toSet
+    assert(filtered.map(_._1).filter(postSet) === post,
+      "shared hits keep their relative ranking")
+  }
+
   test("mmr: with mu=0 the greedy degenerates to the brute-force cosine " +
       "order; the declared config stays inside the candidate set") {
     val noPenalty = Similarity

@@ -208,6 +208,52 @@ class GraphSpec extends SparkSuite {
     * higher; the best node on each side holds exactly HitsScale (max
     * normalization), and mutual reinforcement breaks the tie between
     * equal-degree hubs by WHERE they buy. */
+  test("betweenness: star center collects all leaf-pair dependencies") {
+    // leaves 1..4 are the landmarks; every leaf→leaf shortest path runs
+    // through center 5: δ_s(5) = 3·Scale per landmark ⇒ 12·Scale total;
+    // leaves are path endpoints only ⇒ no surfaced dependency
+    val e = edges(Seq(1L, 2L, 3L, 4L).flatMap(l =>
+      Seq(l -> 5L, 5L -> l)): _*)
+    val got = Graph.landmarkBetweenness(e, nLandmarks = 4, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 12L * Graph.BetweennessScale))
+  }
+
+  test("betweenness: path graph hand accumulation, depth bound honored") {
+    // 1–2–3–4–5, landmarks 1..4, maxDepth 3 (node 5 unreached from 1):
+    // δ totals: node2 = 2S+S+S, node3 = S+2S+2S, node4 = S+S
+    val e = edges(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }: _*)
+    val s = Graph.BetweennessScale
+    val got = Graph.landmarkBetweenness(e, nLandmarks = 4, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 4L * s, 3L -> 5L * s, 4L -> 2L * s))
+  }
+
+  test("betweenness: sigma sums across branching paths — diamond graph") {
+    // 1–{2,3}–4 diamond + tail 4–5: two equal shortest 1→4 paths split
+    // the dependency; with landmarks {1,2,3,4}:
+    //  lm 1: σ(4)=2, δ(2)=δ(3)=1·(S + S/2·…)… hand-solved below
+    val e = edges(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }: _*)
+    val s = Graph.BetweennessScale
+    val got = Graph.landmarkBetweenness(e, nLandmarks = 4, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lm=1: layers 1:{2,3 σ1} 2:{4 σ2} 3:{5 σ2}; δ(4)=σ4·(S+0)/σ5 =
+    //   2S/2 = S (target 5's paths pass through 4); δ(2)=1·(S+δ4)/σ4 =
+    //   2S/2 = S, δ(3)=S
+    // lm=2: layers 1:{1,4 σ1} 2:{3 σ2 (via 1 AND 4), 5 σ1};
+    //   δ(1)=1·(S+0) div 2 = S/2; δ(4)= S div 2 + S div 1 = 3S/2
+    //   (succs 3 and 5); δ(3)=δ(5)=0
+    // lm=3 mirrors lm=2 swapping 2↔3: δ(1)=S/2, δ(4)=3S/2
+    // lm=4: layers 1:{2,3,5 σ1} 2:{1 σ2}; δ(2)=1·(S+0) div 2=S/2,
+    //   δ(3)=S/2, δ(1)=0, δ(5)=0
+    // totals: n1 = S/2+S/2 = S; n2 = S + S/2 = 3S/2; n3 = S + S/2;
+    //   n4 = S + 3S/2 + 3S/2 = 4S; n5 = 0
+    assert(got === Map(
+      1L -> s, 2L -> (3L * s / 2), 3L -> (3L * s / 2), 4L -> 4L * s))
+  }
+
   test("hits: hand bipartite graph ranks authorities and hubs") {
     // hubs 1..3, authorities 10..11; supplier 10 has 3 buyers, 11 has 1
     val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)).toDF("c", "s")
