@@ -621,7 +621,79 @@ object EventAnalytics {
        |         AND n * ${den * w} > tn * $num AS spike
        |FROM t ORDER BY event_type, hr""".stripMargin
 
+  /** Growth accounting (the new/retained/resurrected/churned ledger —
+    * the standard product-growth decomposition of DAU): classify every
+    * (user, active day) by the user's PREVIOUS active day (none → new,
+    * yesterday → retained, earlier → resurrected), and emit one
+    * `churned` contribution at day+1 whenever an active day has no
+    * successor at day+1 — churn is an ABSENCE event, observed on the
+    * day the user failed to return (clamped to the corpus' last day:
+    * beyond it, absence is unobservable, not churn). The identity
+    * DAU(d) = new + retained + resurrected and the conservation
+    * churned(d) = DAU(d−1) − retained(d) both hold by construction.
+    *
+    * Scale shape: ONE user-keyed window shuffle (lag + lead share the
+    * partition), contributions reduce by partial-agg counts per day —
+    * no day×day self-join, no per-user collect; the corpus max-day is
+    * a 1-row broadcast. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val c = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val classified = c.select(col("day"),
+      when(col("prev").isNull, "new")
+        .when(datediff(col("day"), col("prev")) === 1, "retained")
+        .otherwise("resurrected").as("kind"))
+    val churned = c.crossJoin(broadcast(maxDay))
+      .filter(col("day") < col("max_day") &&
+        (col("next").isNull || datediff(col("next"), col("day")) > 1))
+      .select(date_add(col("day"), 1).as("day"), lit("churned").as("kind"))
+    classified.unionByName(churned)
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("kind") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM ud),
+      |cls AS (
+      |  SELECT day,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN day - prev = 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS kind
+      |  FROM c
+      |  UNION ALL
+      |  SELECT day + 1, 'churned' FROM c
+      |  WHERE day < (SELECT MAX(day) FROM ud)
+      |    AND (next IS NULL OR next - day > 1))
+      |SELECT day,
+      |  CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |  CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+      |FROM cls GROUP BY day ORDER BY day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_growth" -> QueryDef(
+      (s, d) => growthAccounting(Tables.events(s, d)),
+      growthAccountingSql),
     "events_spike" -> QueryDef(
       (s, d) => rateSpikes(Tables.events(s, d)), rateSpikesSql()),
     "events_attribution_markov" -> QueryDef(

@@ -242,6 +242,33 @@ class EventAnalyticsSpec extends SparkSuite {
       ("view>click", 2L), ("a_first>b_second", 1L), ("purchase", 1L)))
   }
 
+  test("growth accounting: new/retained/resurrected classification, " +
+      "churn lands on the missed day, corpus-end absence is not churn") {
+    // u1: d1, d2, d5  → new@1, retained@2, churned@3, resurrected@5
+    // u2: d2          → new@2, churned@3
+    // u3: d5          → new@5 (corpus ends d5: no churn emitted)
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-02 10:00:00", "view"),
+      (3L, 1L, "2024-01-02 11:00:00", "view"), // same day dedups
+      (4L, 1L, "2024-01-05 10:00:00", "view"),
+      (5L, 2L, "2024-01-02 10:00:00", "view"),
+      (6L, 3L, "2024-01-05 10:00:00", "view")))
+    val got = EventAnalytics.growthAccounting(e)
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("2024-01-01") === ((1L, 0L, 0L, 0L)))
+    assert(got("2024-01-02") === ((1L, 1L, 0L, 0L)), "u1 retained, u2 new")
+    assert(got("2024-01-03") === ((0L, 0L, 0L, 2L)),
+      "u1 and u2 both failed to return on day 3")
+    assert(got("2024-01-05") === ((1L, 0L, 1L, 0L)),
+      "u1 resurrects, u3 is new")
+    assert(!got.contains("2024-01-06"),
+      "absence beyond the corpus' last day is unobservable, not churn")
+  }
+
   test("rate spikes: burst over trailing mean fires, cold start and " +
       "beyond-window history don't, in-window gaps count as zero") {
     // type X, hours 0..6: six quiet hours then a 12-event burst
