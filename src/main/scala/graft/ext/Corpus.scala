@@ -471,6 +471,65 @@ object Corpus {
        |WHERE u < rate ORDER BY doc_id""".stripMargin
   }
 
+  /** Systematic probability-proportional-to-size sampling: walk the
+    * corpus' cumulative INTEGER weight line (weight = n_chars — the
+    * cost a downstream tokenizer actually pays) and keep every document
+    * whose weight span crosses a multiple of the stride T = total/k.
+    * P(keep) ≈ w/T — the PPS property — with ZERO randomness: the
+    * sample is a pure function of the corpus, reproducible across
+    * engines and runs like every sampling op here (a doc spanning
+    * several strides is kept once — a keep decision, not a
+    * multiplicity draw).
+    *
+    * The prefix sum is two-level, the `rel/DistributedRank` skeleton:
+    * one per-SOURCE window pass (bounded partitions, no global
+    * "no-partition" window), per-source totals collected as bounded
+    * driver metadata (one row per source) and prefix-folded into
+    * offsets — the (source, doc_id) order is the global line. Every
+    * quantity is a BIGINT; the crossing test is two integer divisions. */
+  def systematicWeightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val withCum = docs
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"))
+      .withColumn("scum", sum(col("w")).over(w))
+      .persist()
+    val totals = withCum.groupBy(col("source"))
+      .agg(max(col("scum")).as("stotal"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (s, t) => val o = acc; acc += t; (s, o) }.toMap
+    val stride = acc / k
+    require(stride > 0, s"corpus weight $acc too small for k=$k")
+    withCum
+      .withColumn("cum",
+        col("scum") + element_at(typedlit(offs), col("source")))
+      .filter(expr(s"cum div $stride > (cum - w) div $stride"))
+      .select(col("doc_id"), col("source"), col("w"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
+  def systematicWeightedSampleSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars AS w FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, w,
+       |    SUM(w) OVER (PARTITION BY source ORDER BY doc_id) AS scum
+       |  FROM t),
+       |st AS (SELECT source, MAX(scum) AS stotal FROM sc GROUP BY source),
+       |off AS (
+       |  SELECT source, COALESCE(SUM(stotal) OVER (ORDER BY source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |  FROM st),
+       |tot AS (SELECT CAST(SUM(stotal) AS BIGINT) // $k AS stride FROM st),
+       |c AS (
+       |  SELECT sc.doc_id, sc.source, sc.w, sc.scum + off.o AS cum
+       |  FROM sc JOIN off USING (source))
+       |SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+       |       CAST(cum AS BIGINT) AS cum
+       |FROM c, tot
+       |WHERE cum // stride > (cum - w) // stride
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- redaction
 
   /** PII redaction as a pure Column chain — RE2-safe patterns (no
@@ -870,6 +929,11 @@ object Corpus {
     //      global sort) and incremental corpus growth just re-merges —
     //      the size-exact complement of `sample_stratified`'s rate-based
     //      threshold on the same md5 derivation ------------------------
+    // ---- systematic PPS sample on the integer weight line: P(keep) ∝
+    //      n_chars with zero randomness; two-level prefix sum --------
+    "sample_weighted" -> QueryDef(
+      (s, d) => systematicWeightedSample(Tables.documents(s, d), 50),
+      Some(systematicWeightedSampleSql(50))),
     "sample_bottomk_hash" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("source"),

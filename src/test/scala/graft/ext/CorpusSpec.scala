@@ -81,6 +81,39 @@ class CorpusSpec extends SparkSuite {
     assert(s1.forall(r => r.getDouble(2) < r.getDouble(3)))
   }
 
+  test("systematic weighted sample: stride crossings keep ∝ weight, " +
+      "heavy docs always kept, multi-crossing collapses to one keep") {
+    import spark.implicits._
+    // one source, weights 10,10,10,10,60 → total 100, k=5 ⇒ stride 20;
+    // cum = 10,20,30,40,100 ⇒ crossings at docs 2, 4, 5 (doc 5 crosses
+    // strides 3..5 but is kept ONCE)
+    val docs = Seq(
+      (1L, "s1", 10L), (2L, "s1", 10L), (3L, "s1", 10L),
+      (4L, "s1", 10L), (5L, "s1", 60L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Corpus.systematicWeightedSample(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(2L, 4L, 5L))
+    assert(got.toMap === Map(2L -> 20L, 4L -> 40L, 5L -> 100L))
+  }
+
+  test("systematic weighted sample: source offsets make one global " +
+      "line — same picks as a single-source equivalent") {
+    import spark.implicits._
+    // two sources; global line order is (source, doc_id)
+    val two = Seq(
+      (1L, "a", 30L), (2L, "a", 30L), (3L, "b", 30L), (4L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val one = Seq(
+      (1L, "x", 30L), (2L, "x", 30L), (3L, "x", 30L), (4L, "x", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val g2 = Corpus.systematicWeightedSample(two, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val g1 = Corpus.systematicWeightedSample(one, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(g2 === g1, "offsets must stitch sources into one line")
+  }
+
   test("PII redaction: emails, phones, IPs replaced; clean text untouched") {
     import spark.implicits._
     val rows = Seq(
