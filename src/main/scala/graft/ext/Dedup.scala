@@ -799,8 +799,17 @@ object Dedup {
         Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
         Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .filter(col("dist") * den <=
+      // banded O(n·k) form: the 3-arg levenshtein abandons a pair the
+      // moment its running distance exceeds the per-row bound (returns
+      // −1), so the verify pays for the answer only when the answer
+      // can pass; the bound IS the keep-gate, so −1 rows are exactly
+      // the rows the gate would drop (DuckDB has no banded variant —
+      // the oracle filters the full distance, same result)
+      .withColumn("bound",
+        expr(s"(greatest(length(text_a), length(text_b)) * $num) div $den"))
+      .withColumn("dist",
+        expr("levenshtein(text_a, text_b, CAST(bound AS INT))").cast("long"))
+      .filter(col("dist") >= 0 && col("dist") * den <=
         greatest(length(col("text_a")), length(col("text_b"))).cast("long") * num)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
