@@ -797,6 +797,75 @@ object Streams {
   case class Transition(user_id: Long, prev_type: String,
       event_type: String, ts: java.sql.Timestamp)
 
+  case class GrowthInc(user_id: Long, day: java.sql.Date, kind: String)
+
+  /** Streaming growth-accounting increments — the stateful twin of
+    * `rel.EventAnalytics.growthAccounting`. Per-user state is TWO
+    * scalars (lastDay, churnEmitted): under ordered per-user arrival,
+    * today's classification needs only the previous active day (none →
+    * new, yesterday → retained, earlier → resurrected), and the gap
+    * that proves a churn is observed EITHER by the next event (the
+    * user returns after skipping days — emit the churned(lastDay+1)
+    * the batch op derives from lead()) OR by the event-time timer when
+    * the watermark passes the end of lastDay+1 with no return — churn
+    * as an absence event, the abandonment-timer pattern. The flag
+    * stops the two observers from double-emitting the same churn.
+    * Aggregating increments by (day, kind) reproduces the batch ledger
+    * on its observable window (the batch clamps churn at the corpus'
+    * last day; a live stream keeps observing). */
+  def growthStream(events: Dataset[SessionInput],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[GrowthInc] = {
+    import events.sparkSession.implicits._
+    def date(d: Long) =
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Boolean), GrowthInc](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val (lastDay, churned) = state.get
+            val out =
+              if (!churned) Iterator.single(
+                GrowthInc(userId, date(lastDay + 1), "churned"))
+              else Iterator.empty
+            state.update((lastDay, true))
+            state.setTimeoutTimestamp( // horizon expiry for a gone user
+              state.getCurrentWatermarkMs() + horizonMs)
+            out
+          } else {
+            val batch = rows.toVector.sortBy(r => tsMicros(r.ts))
+            var (lastDay, churned) = state.getOption.getOrElse((Long.MinValue, true))
+            val out = Vector.newBuilder[GrowthInc]
+            batch.foreach { r =>
+              val d = Math.floorDiv(tsMicros(r.ts), 86400000000L)
+              if (lastDay == Long.MinValue) {
+                out += GrowthInc(userId, date(d), "new")
+                lastDay = d; churned = false
+              } else if (d > lastDay) {
+                if (d == lastDay + 1) out += GrowthInc(userId, date(d), "retained")
+                else {
+                  // the gap itself proves the missed day — emit the
+                  // churn the timer hasn't already observed
+                  if (!churned)
+                    out += GrowthInc(userId, date(lastDay + 1), "churned")
+                  out += GrowthInc(userId, date(d), "resurrected")
+                }
+                lastDay = d; churned = false
+              }
+            }
+            state.update((lastDay, churned))
+            state.setTimeoutTimestamp( // fire when lastDay+1 ends with
+              // no return; clamp like every other twin
+              math.max((lastDay + 2) * 86400000L,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class SpikeVerdict(event_type: String, hr: Long, n: Long,
       trailing_n: Long, spike: Boolean)
 

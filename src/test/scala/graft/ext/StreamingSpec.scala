@@ -930,6 +930,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming growth increments aggregate to the batch ledger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[Streams.SessionInput]
+      .collect().sortBy(e => us(e.ts))
+    val input = MemoryStream[Streams.SessionInput]
+    val q = Streams.growthStream(input.toDS())
+      .writeStream.format("memory").queryName("growth_out")
+      .outputMode("update").start()
+    try {
+      // day-boundary-agnostic chunks: both churn observers fire (gap
+      // seen by a returning event AND by the watermark timer)
+      ev.grouped(math.max(1, ev.length / 6 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val far = new Timestamp(ev.map(_.ts.getTime).max + 3L * 86400000)
+      input.addData(Streams.SessionInput(-1L, far)); q.processAllAvailable()
+      input.addData(Streams.SessionInput(-2L,
+        new Timestamp(far.getTime + 1000))); q.processAllAvailable()
+      val batched = graft.rel.EventAnalytics
+        .growthAccounting(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val maxDay = batched.keys.max
+      // the batch clamps churn at the corpus' last day; a live stream
+      // keeps observing — compare on the batch's observable window
+      val streamed = spark.table("growth_out")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getDate(1).toString, r.getString(2)))
+        .filter { case (d, k) => k != "churned" || d <= maxDay }
+        .groupBy(_._1)
+        .map { case (d, vs) =>
+          def n(k: String) = vs.count(_._2 == k).toLong
+          d -> (n("new"), n("retained"), n("resurrected"), n("churned"))
+        }
+      assert(streamed.toMap === batched,
+        "per-day (new, retained, resurrected, churned) must match batch")
+    } finally q.stop()
+  }
+
   test("streaming spike verdicts == batch rateSpikes on the fixture log") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
