@@ -621,6 +621,74 @@ object EventAnalytics {
        |         AND n * ${den * w} > tn * $num AS spike
        |FROM t ORDER BY event_type, hr""".stripMargin
 
+  /** Per-user conversion latency for funnel completers — the question
+    * the stage-count funnel can't answer: not HOW MANY converted but
+    * HOW LONG each stage took. Anchors are the funnel's own
+    * quantities: first view, first QUALIFYING click (some view
+    * precedes it — the same running-conditional-MIN chain), first
+    * qualifying purchase; only converted users surface. Latencies are
+    * exact integer microseconds (`unix_micros` differences — no
+    * float), so the whole relation sits behind the hash gate; the
+    * plan is the funnel's single user-keyed shuffle (chained windows +
+    * the per-user aggregate share partitioning).
+    *
+    * A negative view→click gap is impossible by construction (the
+    * qualifying click has a view strictly before it); stage gaps can
+    * legitimately be zero on same-timestamp event bursts. */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withFv = events.withColumn("fv",
+      min(when(col("event_type") === "view", col("ts"))).over(wPrev))
+    val withFqc = withFv.withColumn("fqc",
+      min(when(col("event_type") === "click" && col("fv").isNotNull,
+        col("ts"))).over(wPrev))
+    withFqc.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+      min(when(col("event_type") === "click" && col("fv").isNotNull,
+        col("ts"))).as("c_ts"),
+      min(when(col("event_type") === "purchase" && col("fqc").isNotNull,
+        col("ts"))).as("p_ts"))
+      .filter(col("p_ts").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts")))
+          .as("view_to_click_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("click_to_purchase_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          .as("total_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelLatencySql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER wp AS fv
+      |  FROM events
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |w2 AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL THEN ts END)
+      |      OVER wp AS fqc
+      |  FROM w1
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+      |    MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+      |             THEN ts END) AS c_ts,
+      |    MIN(CASE WHEN event_type = 'purchase' AND fqc IS NOT NULL
+      |             THEN ts END) AS p_ts
+      |  FROM w2 GROUP BY user_id)
+      |SELECT user_id,
+      |  epoch_us(c_ts) - epoch_us(v_ts) AS view_to_click_us,
+      |  epoch_us(p_ts) - epoch_us(c_ts) AS click_to_purchase_us,
+      |  epoch_us(p_ts) - epoch_us(v_ts) AS total_us
+      |FROM u WHERE p_ts IS NOT NULL ORDER BY user_id""".stripMargin
+
   /** Growth accounting (the new/retained/resurrected/churned ledger —
     * the standard product-growth decomposition of DAU): classify every
     * (user, active day) by the user's PREVIOUS active day (none → new,
@@ -694,6 +762,9 @@ object EventAnalytics {
     "events_growth" -> QueryDef(
       (s, d) => growthAccounting(Tables.events(s, d)),
       growthAccountingSql),
+    "events_funnel_latency" -> QueryDef(
+      (s, d) => funnelLatency(Tables.events(s, d)),
+      funnelLatencySql),
     "events_spike" -> QueryDef(
       (s, d) => rateSpikes(Tables.events(s, d)), rateSpikesSql()),
     "events_attribution_markov" -> QueryDef(

@@ -242,6 +242,33 @@ class EventAnalyticsSpec extends SparkSuite {
       ("view>click", 2L), ("a_first>b_second", 1L), ("purchase", 1L)))
   }
 
+  test("funnel latency: anchors are first view / first QUALIFYING click " +
+      "and purchase; non-converters and unqualified paths don't surface") {
+    val e = ev(Seq(
+      // u1 converts: view@10:00, stray click@09:00 (no prior view — not
+      // qualifying), qualifying click@10:05, purchase@10:20
+      (1L, 1L, "2024-01-01 09:00:00", "click"),
+      (2L, 1L, "2024-01-01 10:00:00", "view"),
+      (3L, 1L, "2024-01-01 10:05:00", "click"),
+      (4L, 1L, "2024-01-01 10:20:00", "purchase"),
+      // u2: purchase before any qualifying click — no conversion
+      (5L, 2L, "2024-01-01 11:00:00", "view"),
+      (6L, 2L, "2024-01-01 11:01:00", "purchase"),
+      // u3: full chain, later second purchase ignored (first qualifies)
+      (7L, 3L, "2024-01-01 12:00:00", "view"),
+      (8L, 3L, "2024-01-01 12:01:00", "click"),
+      (9L, 3L, "2024-01-01 12:02:00", "purchase"),
+      (10L, 3L, "2024-01-01 13:00:00", "purchase")))
+    val got = EventAnalytics.funnelLatency(e)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L) === ((300000000L, 900000000L, 1200000000L)),
+      "5 min view→click, 15 min click→purchase, 20 min total")
+    assert(got(3L) === ((60000000L, 60000000L, 120000000L)))
+  }
+
   test("growth accounting: new/retained/resurrected classification, " +
       "churn lands on the missed day, corpus-end absence is not churn") {
     // u1: d1, d2, d5  → new@1, retained@2, churned@3, resurrected@5
