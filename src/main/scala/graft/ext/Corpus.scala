@@ -493,9 +493,24 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_chars").as("w"))
       .withColumn("scum", sum(col("w")).over(w))
       .persist()
+    // CODE-POINT order, not UTF-16 code-unit order: DuckDB's ORDER BY
+    // compares codepoints, and Scala's default String ordering sorts a
+    // surrogate pair (U+10000, 0xD800 lead) BEFORE U+FFFF — a
+    // supplementary-plane source name would fold offsets in a different
+    // order than the oracle and change the sample
+    val byCodePoint: Ordering[String] = (a: String, b: String) => {
+      var i = 0; var j = 0; var r = 0
+      while (r == 0 && i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        r = Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+    }
     val totals = withCum.groupBy(col("source"))
       .agg(max(col("scum")).as("stotal"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)(byCodePoint)
     var acc = 0L
     val offs = totals.map { case (s, t) => val o = acc; acc += t; (s, o) }.toMap
     val stride = acc / k

@@ -827,14 +827,17 @@ object Streams {
         (userId, rows, state) =>
           if (state.hasTimedOut) {
             val (lastDay, churned) = state.get
-            val out =
-              if (!churned) Iterator.single(
+            if (churned) { // horizon expiry: the churn was already
+              state.remove() // observed — a gone user holds no state
+              Iterator.empty
+            } else {
+              val out = Iterator.single(
                 GrowthInc(userId, date(lastDay + 1), "churned"))
-              else Iterator.empty
-            state.update((lastDay, true))
-            state.setTimeoutTimestamp( // horizon expiry for a gone user
-              state.getCurrentWatermarkMs() + horizonMs)
-            out
+              state.update((lastDay, true))
+              state.setTimeoutTimestamp( // horizon expiry for a gone user
+                state.getCurrentWatermarkMs() + horizonMs)
+              out
+            }
           } else {
             val batch = rows.toVector.sortBy(r => tsMicros(r.ts))
             var (lastDay, churned) = state.getOption.getOrElse((Long.MinValue, true))

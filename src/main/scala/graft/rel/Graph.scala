@@ -531,6 +531,12 @@ object Graph {
       layers += next
       frontier = next
     }
+    // the loop appends `next` before testing it: if it exited on an
+    // empty frontier the trailing layer is empty — drop it so the
+    // backward pass seeds from the true deepest layer instead of
+    // running a redundant join round against an empty frame
+    if (layers.length > 1 && layers.last.isEmpty)
+      layers.remove(layers.length - 1): Unit
     val reached = layers.length - 1 // deepest non-empty layer index
     // backward: deepest layer has δ = 0; walk layers d = reached−1 … 1
     var deltaNext = layers(reached)
