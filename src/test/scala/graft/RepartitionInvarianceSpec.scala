@@ -38,7 +38,11 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "ts_cusum",             // DECIMAL drawdown + rank-picked first alarm
     "graph_modularity",     // integer quality fold over LPA labels
     "sketch_bloom_portable", // bit-OR idempotent filter words
-    "corpus_curation_pipeline") // composed multi-stage dispositions
+    "corpus_curation_pipeline", // composed multi-stage dispositions
+    "graph_betweenness",    // two-phase σ/δ fixed-point accumulation
+    "sample_weighted",      // two-level prefix sum + driver offset fold
+    "simsearch_mmr",        // driver greedy over a collected candidate set
+    "text_boilerplate")     // in-row array_sort reassembly of kept chunks
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf
