@@ -689,6 +689,82 @@ object EventAnalytics {
       |  epoch_us(p_ts) - epoch_us(v_ts) AS total_us
       |FROM u WHERE p_ts IS NOT NULL ORDER BY user_id""".stripMargin
 
+  /** Two-variant experiment readout (the A/B dashboard row): users
+    * split by the deterministic hash bucket `user_id % 2`, conversion
+    * = any HIGH-VALUE purchase (value ≥ the threshold — in the dense
+    * fixture every user purchases, so plain purchase-conversion is
+    * degenerate C = N), and the two-proportion pooled z² statistic in an
+    * EXACT RATIONAL: algebra collapses
+    * z² = (p₁−p₂)² / (p̂(1−p̂)(1/n₁+1/n₂)) to
+    * z² = (c₁n₂ − c₂n₁)²·N / (n₁n₂C(N−C)) with N=n₁+n₂, C=c₁+c₂ —
+    * numerator and denominator are products of exact counts, computed
+    * in DECIMAL(38,0) (≡ DuckDB HUGEINT: both 128-bit-exact, so the
+    * chain is identical cross-engine up to n ≈ 10⁹ users per arm) and
+    * surfaced as a 10⁶-scaled BIGINT fixed-point plus the exact
+    * integer significance decision `10⁶·num > 3841459·den`
+    * (z² > 3.841459 ⇔ p < 0.05) — no float ever enters a comparison.
+    * The per-variant rates are single IEEE divisions of exact counts.
+    *
+    * One partial-agg shuffle to 2 rows, then a 1×1 cross of bounded
+    * aggregates — the readout costs one pass at any scale. */
+  def abTest(events: DataFrame, minValue: Double = 200.0): DataFrame = {
+    val per = events
+      .groupBy(pmod(col("user_id"), lit(2)).cast("int").as("variant"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === "purchase"
+          && col("value") >= minValue, col("user_id"))).as("c"))
+    val a = per.filter(col("variant") === 0)
+      .select(col("n").as("n0"), col("c").as("c0"))
+    val b = per.filter(col("variant") === 1)
+      .select(col("n").as("n1"), col("c").as("c1"))
+    a.crossJoin(b)
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        (col("c0").cast("double") / col("n0")).as("cvr0"),
+        (col("c1").cast("double") / col("n1")).as("cvr1"),
+        expr("""CAST(
+            (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
+          * (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
+          * (n0 + n1) AS DECIMAL(38,0))""").as("z2num"),
+        expr("""CAST(CAST(n0 AS DECIMAL(38,0)) * n1 * (c0 + c1)
+          * (n0 + n1 - c0 - c1) AS DECIMAL(38,0))""").as("z2den"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        col("cvr0"), col("cvr1"),
+        // degenerate experiment (no converters anywhere, or all
+        // converted): the statistic is undefined — report 0 / false
+        expr("CAST(CASE WHEN z2den = 0 THEN 0 ELSE (z2num * 1000000) div z2den END AS BIGINT)")
+          .as("z2_fp"),
+        expr("z2den <> 0 AND z2num * 1000000 > z2den * 3841459")
+          .as("significant"))
+  }
+
+  def abTestSql(minValue: Double = 200.0): String =
+    s"""WITH per AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS variant,
+      |    COUNT(DISTINCT user_id) AS n,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |                         AND value >= $minValue
+      |                        THEN user_id END) AS c
+      |  FROM events GROUP BY 1),
+      |ab AS (
+      |  SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
+      |  FROM (SELECT n, c FROM per WHERE variant = 0) a
+      |  CROSS JOIN (SELECT n, c FROM per WHERE variant = 1) b),
+      |z AS (
+      |  SELECT n0, c0, n1, c1,
+      |    (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+      |      * (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
+      |      * (n0 + n1) AS z2num,
+      |    CAST(n0 AS HUGEINT) * n1 * (c0 + c1) * (n0 + n1 - c0 - c1) AS z2den
+      |  FROM ab)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(c0 AS DOUBLE) / n0 AS cvr0,
+      |  CAST(c1 AS DOUBLE) / n1 AS cvr1,
+      |  CAST(CASE WHEN z2den = 0 THEN 0
+      |       ELSE (z2num * 1000000) // z2den END AS BIGINT) AS z2_fp,
+      |  z2den <> 0 AND z2num * 1000000 > z2den * 3841459 AS significant
+      |FROM z""".stripMargin
+
   /** Growth accounting (the new/retained/resurrected/churned ledger —
     * the standard product-growth decomposition of DAU): classify every
     * (user, active day) by the user's PREVIOUS active day (none → new,
@@ -765,6 +841,8 @@ object EventAnalytics {
     "events_funnel_latency" -> QueryDef(
       (s, d) => funnelLatency(Tables.events(s, d)),
       funnelLatencySql),
+    "events_ab_test" -> QueryDef(
+      (s, d) => abTest(Tables.events(s, d)), abTestSql()),
     "events_spike" -> QueryDef(
       (s, d) => rateSpikes(Tables.events(s, d)), rateSpikesSql()),
     "events_attribution_markov" -> QueryDef(

@@ -274,6 +274,67 @@ object Graph {
       .limit(k)
   }
 
+  /** Clustering-coefficient scale: 1.0 = 10^9 units. */
+  val CcScale = 1000000000L
+
+  /** Per-node local clustering coefficient cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) — the Watts–Strogatz local density measure,
+    * derived from the SAME degree-ordered triangle enumeration as
+    * `graph_triangles` (each triangle found once at its lowest-degree
+    * corner, wedge fanout ≤ oriented out-degree) plus the degree
+    * relation that enumeration already builds. Surfaced in exact
+    * fixed-point: cc_fp = 2·tri·10^9 div (d·(d−1)) on BIGINTs —
+    * deterministic, hash-gateable. Nodes of degree < 2 have no defined
+    * coefficient and are excluded on both sides; triangle-free nodes
+    * surface with 0. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = keyed.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("u")).otherwise(col("v")).as("s"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("v")).otherwise(col("u")).as("t"))
+    val o1 = oriented.select(col("s"), col("t").as("t1"))
+    val o2 = oriented.select(col("s"), col("t").as("t2"))
+    val wedges = o1.join(o2, Seq("s")).filter(col("t1") < col("t2"))
+      .select(col("s").as("c"),
+        least(col("t1"), col("t2")).as("a"),
+        greatest(col("t1"), col("t2")).as("b"))
+    val tris = wedges.join(e, col("a") === col("u") && col("b") === col("v"))
+      .select(col("c"), col("a"), col("b"))
+    val perNode = tris
+      .select(explode(array(col("c"), col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_fp",
+        expr(s"(2 * n_tri * $CcScale) div (d * (d - 1))"))
+      .orderBy(col("node"))
+  }
+
+  def clusteringCoefficientsSql: String = {
+    val base = triangleCountsSql(1)
+      .replaceAll("(?s)SELECT node, n_tri FROM pn.*$", "")
+      .trim
+    s"""$base
+       |SELECT deg.node, deg.d, COALESCE(pn.n_tri, 0) AS n_tri,
+       |  (2 * COALESCE(pn.n_tri, 0) * $CcScale) // (deg.d * (deg.d - 1)) AS cc_fp
+       |FROM deg LEFT JOIN pn ON pn.node = deg.node
+       |WHERE deg.d >= 2
+       |ORDER BY deg.node""".stripMargin
+  }
+
   def triangleCountsSql(k: Int): String =
     s"""WITH e AS (
        |  SELECT u, v FROM (
@@ -1158,6 +1219,9 @@ object Graph {
       (s, d) => landmarkBetweenness(s.table(ensureBackbone(s, d)),
         nLandmarks = 4, maxDepth = 3),
       landmarkBetweennessSql(4)),
+    "graph_clustering_coeff" -> QueryDef(
+      (s, d) => clusteringCoefficients(s.table(ensureBackbone(s, d))),
+      clusteringCoefficientsSql),
     "graph_modularity" -> QueryDef(
       (s, d) => modularity(s.table(ensureBackbone(s, d))),
       modularitySql()),

@@ -269,6 +269,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got(3L) === ((60000000L, 60000000L, 120000000L)))
   }
 
+  test("ab test: exact rational z², parity split, degenerate guard") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (id, uid, ty, v) =>
+        (id, uid, Timestamp.valueOf("2024-01-01 10:00:00"), ty, v)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    // variants by parity: {0,2} vs {1,3}; only u0 converts (value ≥ 200)
+    // z²num = (c0·n1 − c1·n0)²·N = (1·2)²·4 = 16
+    // z²den = n0·n1·C·(N−C) = 2·2·1·3 = 12 → z2_fp = 16e6 div 12
+    val e = frame(Seq(
+      (1L, 0L, "purchase", 250.0), (2L, 1L, "purchase", 50.0),
+      (3L, 2L, "view", 0.0), (4L, 3L, "purchase", 199.99)))
+    val r = EventAnalytics.abTest(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 0L)))
+    assert(r.getLong(6) === 16000000L / 12L, "exact rational fixed point")
+    assert(!r.getBoolean(7), "1-of-2 vs 0-of-2 is not significant")
+    // degenerate: nobody converts → statistic undefined, reported 0
+    val none = frame(Seq(
+      (1L, 0L, "view", 0.0), (2L, 1L, "view", 0.0)))
+    val r0 = EventAnalytics.abTest(none).collect()(0)
+    assert(r0.getLong(6) === 0L && !r0.getBoolean(7),
+      "zero denominator must not error or flag")
+  }
+
   test("growth accounting: new/retained/resurrected classification, " +
       "churn lands on the missed day, corpus-end absence is not churn") {
     // u1: d1, d2, d5  → new@1, retained@2, churned@3, resurrected@5

@@ -254,6 +254,31 @@ class GraphSpec extends SparkSuite {
       1L -> s, 2L -> (3L * s / 2), 3L -> (3L * s / 2), 4L -> 4L * s))
   }
 
+  test("clustering coefficients: K4 fully dense, path triangle-free, " +
+      "triangle-with-tail mixes exactly") {
+    val s = Graph.CcScale
+    // K4: every node has deg 3 and sits in 3 triangles → cc = 1 exactly
+    val k4 = edges((for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield a -> b): _*)
+    val gotK4 = Graph.clusteringCoefficients(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotK4 === (1L to 4L).map(_ -> s).toMap)
+    // path 1–2–3: middle node deg 2, no triangle → cc 0; endpoints deg 1
+    // are excluded (coefficient undefined)
+    val path = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L)
+    val gotP = Graph.clusteringCoefficients(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotP === Map(2L -> 0L))
+    // triangle 1-2-3 plus tail 3-4: node 3 has deg 3, 1 triangle →
+    // cc = 2·1·S div (3·2) = S/3 (truncated); 1 and 2 stay at 1.0
+    val tri = edges(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }: _*)
+    val gotT = Graph.clusteringCoefficients(tri)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotT === Map(1L -> s, 2L -> s, 3L -> (2L * s / 6L)))
+  }
+
   test("hits: hand bipartite graph ranks authorities and hubs") {
     // hubs 1..3, authorities 10..11; supplier 10 has 3 buyers, 11 has 1
     val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)).toDF("c", "s")
