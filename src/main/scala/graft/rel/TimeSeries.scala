@@ -534,7 +534,76 @@ object TimeSeries {
       |WHERE abs(e.value - m.med) > 3.0 * m.mad
       |ORDER BY e.event_id""".stripMargin
 
+  /** Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    * slopes of the daily value series — the estimator a single outlier
+    * day cannot move (OLS `agg_regression`'s robust twin). The median
+    * pair is picked by a TOTAL deterministic order — slope as ONE IEEE
+    * division of exact integers (identical both engines), ties broken
+    * by the exact (num, den, d1, d2) tuple — and the surfaced slope is
+    * that pair's EXACT RATIONAL (cents numerator, day denominator), so
+    * nothing float-accumulated crosses the hash gate.
+    *
+    * Scale shape: the O(days²) pair join is per TYPE over the already
+    * day-aggregated series — bounded by the calendar, not event volume
+    * (365 days → 66 k pairs per type); the daily reduce is the only
+    * data-sized pass. */
+  def theilSen(events: DataFrame): DataFrame = {
+    import graft.core.Exact._
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("d"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("cents"))
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("cents").as("c1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("cents").as("c2"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        (col("c2") - col("c1")).as("num"),
+        (col("d2") - col("d1")).cast("long").as("den"),
+        col("d1"), col("d2"))
+      .withColumn("slope", col("num").cast("double") / col("den"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("num"), col("den"), col("d1"), col("d2"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2")) // lower median
+      .select(col("event_type"), col("num").as("slope_num_cents"),
+        col("den").as("slope_den_days"), col("n").as("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    b.cents - a.cents AS num,
+      |    CAST(b.d - a.d AS BIGINT) AS den,
+      |    a.d AS d1, b.d AS d2,
+      |    CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d),
+      |r AS (
+      |  SELECT event_type, num, den,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY slope, num, den, d1, d2) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM pairs)
+      |SELECT event_type, num AS slope_num_cents, den AS slope_den_days,
+      |       n AS n_pairs
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_theil_sen" -> QueryDef(
+      (s, d) => theilSen(Tables.events(s, d)), theilSenSql),
     "anomaly_mad" -> QueryDef(
       (s, d) => madOutliers(Tables.events(s, d)), madOutliersSql),
     "ts_downsample" -> QueryDef(

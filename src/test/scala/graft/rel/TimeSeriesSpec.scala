@@ -162,4 +162,24 @@ class TimeSeriesSpec extends SparkSuite {
       .filter(col("n") =!= col("span") || col("nonnull") =!= col("n"))
     assert(holes.count() === 0, "densified series must have one row per day, all filled")
   }
+
+  test("theil-sen: median pairwise slope is outlier-immune and exact") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // days 1..5, values 10,20,30,40,1000 (one wild outlier): slopes of
+    // the 6 outlier-free pairs are all exactly 10/day; 4 outlier pairs
+    // are huge → lower median (rank 5 of 10) is still an exact 10/day
+    // pair. OLS would be dragged far above 10.
+    val rows = Seq(1 -> 10.0, 2 -> 20.0, 3 -> 30.0, 4 -> 40.0, 5 -> 1000.0)
+      .map { case (day, v) =>
+        (day.toLong, 1L, Timestamp.valueOf(f"2024-01-0$day 10:00:00"),
+          "buy", v)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = TimeSeries.theilSen(rows).collect()(0)
+    assert(r.getString(0) === "buy")
+    val (num, den, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === 10L)
+    assert(num === den * 1000L,
+      s"median slope must be exactly 10.00/day in cents: $num/$den")
+  }
 }
