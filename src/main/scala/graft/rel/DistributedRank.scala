@@ -298,7 +298,11 @@ object DistributedRank {
     import graft.core.Exact.money
     // persisted: the point table feeds BOTH the per-price maxima (via
     // the frontier scan) and the multiplicity rejoin — unpersisted it
-    // would re-run the full scan + the widest shuffle twice
+    // would re-run the full scan + the widest shuffle twice. The
+    // returned frame still depends on this cache lazily, so there is
+    // no in-function unpersist point; release is the CALLER's contract
+    // (Bench/Verify run spark.catalog.clearCache() per query — a
+    // long-lived session embedding this operator must do the same)
     val pts = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"),
         money(col("l_extendedprice")).cast("double").as("price"),

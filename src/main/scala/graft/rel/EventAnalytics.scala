@@ -735,6 +735,8 @@ object EventAnalytics {
           .as("z2_fp"),
         expr("z2den <> 0 AND z2num * 1000000 > z2den * 3841459")
           .as("significant"))
+      // single row; the sort satisfies the engine-wide total-order lint
+      .orderBy(col("n0"))
   }
 
   def abTestSql(minValue: Double = 200.0): String =
@@ -763,7 +765,7 @@ object EventAnalytics {
       |  CAST(CASE WHEN z2den = 0 THEN 0
       |       ELSE (z2num * 1000000) // z2den END AS BIGINT) AS z2_fp,
       |  z2den <> 0 AND z2num * 1000000 > z2den * 3841459 AS significant
-      |FROM z""".stripMargin
+      |FROM z ORDER BY n0""".stripMargin
 
   /** Growth accounting (the new/retained/resurrected/churned ledger —
     * the standard product-growth decomposition of DAU): classify every
