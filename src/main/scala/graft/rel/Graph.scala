@@ -536,6 +536,69 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Landmark eccentricity + diameter lower bound — the third member
+    * of the landmark-centrality family (closeness = harmonic sum,
+    * betweenness = dependency, eccentricity = MAX distance): for every
+    * node, its largest BFS distance to any landmark. By triangle
+    * inequality max_L d(v, L) ≤ ecc(v), and the global max over
+    * surfaced rows is the standard lower bound on the graph diameter —
+    * what "how wide is this graph" dashboards actually run at scale
+    * (exact diameter is all-pairs). Same loop, same bucketed adjacency,
+    * same |L| concurrent frontiers as `landmarkCloseness`; depth-capped
+    * like every landmark op, so unreached (lm, node) pairs simply don't
+    * bound that node. */
+  def landmarkEccentricity(edges: DataFrame, nLandmarks: Int,
+      maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val lms = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nLandmarks).select(col("src").as("lm"))
+    var visited = lms
+      .select(col("lm"), col("lm").as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"),
+          "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(max(col("dist")).cast("long").as("ecc_lb"),
+        count(lit(1)).as("n_landmarks_reached"))
+      .orderBy(col("node"))
+  }
+
+  def landmarkEccentricitySql(nLandmarks: Int, maxDepth: Int): String =
+    s"""WITH RECURSIVE eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |lms AS (SELECT src AS lm FROM e GROUP BY src ORDER BY src LIMIT $nLandmarks),
+       |bfs AS (
+       |  SELECT lm, lm AS node, 0 AS dist FROM lms
+       |  UNION
+       |  SELECT bfs.lm, e.dst, bfs.dist + 1
+       |  FROM bfs JOIN e ON e.src = bfs.node
+       |  WHERE bfs.dist < $maxDepth),
+       |d AS (SELECT lm, node, MIN(dist) AS dist FROM bfs GROUP BY lm, node)
+       |SELECT node, CAST(MAX(dist) AS BIGINT) AS ecc_lb,
+       |       COUNT(*) AS n_landmarks_reached
+       |FROM d WHERE dist > 0
+       |GROUP BY node ORDER BY node""".stripMargin
+
   /** Betweenness scale: 1.0 = 10^9 units (one source-target dependency). */
   val BetweennessScale = 1000000000L
 
@@ -1222,6 +1285,10 @@ object Graph {
     "graph_clustering_coeff" -> QueryDef(
       (s, d) => clusteringCoefficients(s.table(ensureBackbone(s, d))),
       clusteringCoefficientsSql),
+    "graph_eccentricity" -> QueryDef(
+      (s, d) => landmarkEccentricity(s.table(ensureBackbone(s, d)),
+        nLandmarks = 8, maxDepth = 4),
+      landmarkEccentricitySql(8, 4)),
     "graph_modularity" -> QueryDef(
       (s, d) => modularity(s.table(ensureBackbone(s, d))),
       modularitySql()),

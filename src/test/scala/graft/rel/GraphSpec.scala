@@ -254,6 +254,26 @@ class GraphSpec extends SparkSuite {
       1L -> s, 2L -> (3L * s / 2), 3L -> (3L * s / 2), 4L -> 4L * s))
   }
 
+  test("eccentricity: path graph max-distances, depth cap bounds, " +
+      "unreached landmarks don't count") {
+    // path 1–2–3–4–5, landmarks = all 5 (≤ 8), depth 4: ecc_lb is the
+    // true eccentricity (4,3,2,3,4); each node reaches all 4 others
+    val e = edges(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }: _*)
+    val got = Graph.landmarkEccentricity(e, nLandmarks = 8, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(1L -> (4L, 4L), 2L -> (3L, 4L), 3L -> (2L, 4L),
+      4L -> (3L, 4L), 5L -> (4L, 4L)))
+    // depth 2: distances beyond the cap are unobserved — ecc_lb clamps
+    // and the reached count drops at the ends
+    val capped = Graph.landmarkEccentricity(e, nLandmarks = 8, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(capped(1L) === ((2L, 2L)), "node 1 sees only 2 and 3 at depth 2")
+    assert(capped(3L) === ((2L, 4L)), "the center still reaches everyone")
+  }
+
   test("clustering coefficients: K4 fully dense, path triangle-free, " +
       "triangle-with-tail mixes exactly") {
     val s = Graph.CcScale
