@@ -1002,12 +1002,18 @@ object Graph {
     * normalizes each vector (a sqrt per iteration — float, order-
     * sensitive, un-hashable). Normalizing by the vector MAX instead
     * preserves the ranking (any positive rescale does), needs only
-    * `(raw * Scale) div max` — exact BIGINT, order-independent, and the
+    * `(raw * Scale) div max` — exact, order-independent, and the
     * max itself is a one-row aggregate broadcast back, never a driver
-    * round-trip. Headroom: scores ≤ HitsScale = 10^6, so a raw sum over
-    * in-degree d costs d·10^6 and the rescale multiply d·10^12 — safe
-    * through in-degrees of ~9×10^6 (document-scale graphs re-derive
-    * Scale from max degree, the `planesForCorpus` pattern).
+    * round-trip. Normalization happens once per FULL round, not per
+    * half-round: the authority half-vector flows into the hub sum
+    * UNNORMALIZED, so each round is ONE superstep barrier instead of
+    * two (any positive rescale preserves the power iteration's
+    * ranking; measured: 8 eager checkpoints → 5). Headroom: h ≤ 10^6,
+    * the unnormalized authority sum ≤ d_in·10^6 and the hub sum ≤
+    * d_in·d_out·10^6 — inside BIGINT through degree products of
+    * ~9×10^6; the rescale MULTIPLY runs in DECIMAL(38,0) ≡ DuckDB
+    * HUGEINT (128-bit exact), so raw·Scale never overflows and the
+    * top score is exactly Scale.
     *
     * Scale shape per round: the score vector exits its aggregate hash-
     * partitioned on node; the edge relation is checkpointed once and
@@ -1026,7 +1032,9 @@ object Graph {
     val raw = raw0.localCheckpoint(eager = true)
     val mx = raw.agg(max(col("raw")).as("mx"))
     raw.crossJoin(broadcast(mx))
-      .select(col("node"), expr(s"(raw * $HitsScale) div mx").as("score"))
+      .select(col("node"), expr(
+        s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) div mx AS BIGINT)")
+        .as("score"))
   }
 
   /** The iteration fold over the two adjacency-list orientations:
@@ -1041,18 +1049,21 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val h0 = adjC.select(col("c").as("node"), lit(HitsScale).as("score"))
-    val (hN, aN) = (1 to iters).foldLeft((h0, h0)) { case ((h, _), _) =>
+    val (hN, aRawN) = (1 to iters).foldLeft((h0, h0)) { case ((h, _), _) =>
       val aRaw = adjC
         .join(h.hint("shuffle_hash"), col("c") === col("node"))
         .select(explode(col("ss")).as("node2"), col("score"))
         .groupBy(col("node2").as("node")).agg(sum(col("score")).as("raw"))
-      val a = hitsNormalize(aRaw)
+      // the authority half-vector flows on UNNORMALIZED: one superstep
+      // barrier per round instead of two (the normalize checkpoints)
       val hRaw = adjS
-        .join(a.hint("shuffle_hash"), col("s") === col("node"))
+        .join(aRaw.withColumnRenamed("raw", "score").hint("shuffle_hash"),
+          col("s") === col("node"))
         .select(explode(col("cs")).as("node2"), col("score"))
         .groupBy(col("node2").as("node")).agg(sum(col("score")).as("raw"))
-      (hitsNormalize(hRaw), a)
+      (hitsNormalize(hRaw), aRaw)
     }
+    val aN = hitsNormalize(aRawN) // output surface normalizes once
     val top = (side: DataFrame, role: String) => side
       .orderBy(col("score").desc, col("node")).limit(25)
       .select(lit(role).as("role"), col("node"), col("score"))
@@ -1135,16 +1146,13 @@ object Graph {
       s"""a${i}r AS MATERIALIZED (
          |  SELECT e.s AS node, SUM(h.score) AS raw
          |  FROM e JOIN h${i - 1} h ON h.node = e.c GROUP BY e.s),
-         |a$i AS MATERIALIZED (
-         |  SELECT node,
-         |         CAST((raw * $HitsScale) // (SELECT MAX(raw) FROM a${i}r) AS BIGINT) AS score
-         |  FROM a${i}r),
          |h${i}r AS MATERIALIZED (
-         |  SELECT e.c AS node, SUM(a.score) AS raw
-         |  FROM e JOIN a$i a ON a.node = e.s GROUP BY e.c),
+         |  SELECT e.c AS node, SUM(a.raw) AS raw
+         |  FROM e JOIN a${i}r a ON a.node = e.s GROUP BY e.c),
          |h$i AS MATERIALIZED (
          |  SELECT node,
-         |         CAST((raw * $HitsScale) // (SELECT MAX(raw) FROM h${i}r) AS BIGINT) AS score
+         |         CAST((CAST(raw AS HUGEINT) * $HitsScale)
+         |           // (SELECT MAX(raw) FROM h${i}r) AS BIGINT) AS score
          |  FROM h${i}r)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (
@@ -1153,7 +1161,12 @@ object Graph {
        |h0 AS (
        |  SELECT c AS node, CAST($HitsScale AS BIGINT) AS score
        |  FROM (SELECT DISTINCT c FROM e)),
-       |$rounds
+       |$rounds,
+       |a$iters AS (
+       |  SELECT node,
+       |         CAST((CAST(raw AS HUGEINT) * $HitsScale)
+       |           // (SELECT MAX(raw) FROM a${iters}r) AS BIGINT) AS score
+       |  FROM a${iters}r)
        |SELECT role, node, score FROM (
        |  (SELECT 'authority' AS role, node, score FROM a$iters
        |   ORDER BY score DESC, node LIMIT 25)
