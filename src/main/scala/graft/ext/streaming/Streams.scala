@@ -797,6 +797,56 @@ object Streams {
   case class Transition(user_id: Long, prev_type: String,
       event_type: String, ts: java.sql.Timestamp)
 
+  case class FunnelLatency(user_id: Long, view_to_click_us: Long,
+      click_to_purchase_us: Long, total_us: Long)
+
+  /** Streaming conversion-latency verdicts — the stateful twin of
+    * `rel.EventAnalytics.funnelLatency`: per-user state is THREE
+    * scalars (first view µs, first qualifying click µs, emitted flag).
+    * Under ordered per-user arrival the batch's running-conditional-MIN
+    * anchors collapse to first-arrival assignments: the first view
+    * sets the anchor, the first click AFTER a view qualifies, the
+    * first purchase AFTER a qualifying click emits the latency row —
+    * once, the moment the user converts (the batch row, but at event
+    * time instead of at the next batch sweep). Horizon-expired like
+    * every twin. */
+  def funnelLatencyStream(events: Dataset[TransitionEvent],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[FunnelLatency] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Boolean), FunnelLatency](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (v, c, done) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue, false))
+            val out = Vector.newBuilder[FunnelLatency]
+            batch.foreach { r =>
+              val us = tsMicros(r.ts)
+              r.event_type match {
+                case "view" if v == Long.MinValue => v = us
+                case "click" if v != Long.MinValue && c == Long.MinValue =>
+                  c = us
+                case "purchase" if c != Long.MinValue && !done =>
+                  out += FunnelLatency(userId, c - v, us - c, us - v)
+                  done = true
+                case _ => ()
+              }
+            }
+            state.update((v, c, done))
+            state.setTimeoutTimestamp(
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class GrowthInc(user_id: Long, day: java.sql.Date, kind: String)
 
   /** Streaming growth-accounting increments — the stateful twin of

@@ -930,6 +930,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel latency == batch rows on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.TransitionEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.funnelLatencyStream(input.toDS())
+      .writeStream.format("memory").queryName("latency_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("latency_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics
+        .funnelLatency(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched,
+        "each converter emits exactly one latency row, equal to batch")
+    } finally q.stop()
+  }
+
   test("streaming growth increments aggregate to the batch ledger") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
