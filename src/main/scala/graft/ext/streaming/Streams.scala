@@ -838,10 +838,16 @@ object Streams {
                 case _ => ()
               }
             }
-            state.update((v, c, done))
-            state.setTimeoutTimestamp(
-              math.max(batch.map(_.ts.getTime).max + horizonMs,
-                state.getCurrentWatermarkMs() + 1))
+            // no view yet ⇒ (MinValue, MinValue, false) is
+            // indistinguishable from absent state — don't create an
+            // entry per user ever seen (the funnelAdvances stage-0
+            // guard; an unbounded feed keeps O(users in the funnel))
+            if (v != Long.MinValue) {
+              state.update((v, c, done))
+              state.setTimeoutTimestamp(
+                math.max(batch.map(_.ts.getTime).max + horizonMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
             out.result().iterator
           }
       }

@@ -698,29 +698,39 @@ object EventAnalytics {
     * z² = (p₁−p₂)² / (p̂(1−p̂)(1/n₁+1/n₂)) to
     * z² = (c₁n₂ − c₂n₁)²·N / (n₁n₂C(N−C)) with N=n₁+n₂, C=c₁+c₂ —
     * numerator and denominator are products of exact counts, computed
-    * in DECIMAL(38,0) (≡ DuckDB HUGEINT: both 128-bit-exact, so the
-    * chain is identical cross-engine up to n ≈ 10⁹ users per arm) and
+    * in DECIMAL(38,0) (≡ DuckDB HUGEINT: both 128-bit-exact) and
     * surfaced as a 10⁶-scaled BIGINT fixed-point plus the exact
     * integer significance decision `10⁶·num > 3841459·den`
     * (z² > 3.841459 ⇔ p < 0.05) — no float ever enters a comparison.
     * The per-variant rates are single IEEE divisions of exact counts.
+    * Headroom is HONEST, not aspirational: the worst term is
+    * num·10⁶ ≤ 2·n⁵·10⁶, inside 10³⁸ through n ≈ 2×10⁶ users per arm;
+    * a larger experiment thins counts proportionally first (the
+    * statistic is invariant under proportional thinning), it does not
+    * widen the integers.
     *
-    * One partial-agg shuffle to 2 rows, then a 1×1 cross of bounded
-    * aggregates — the readout costs one pass at any scale. */
+    * One partial-agg shuffle to 2 rows, then ONE conditional pivot to
+    * a single row — no cross join, and a single-arm experiment (every
+    * user on one parity) still surfaces its row with the degenerate
+    * 0/false verdict instead of vanishing. The `%` bucket matches
+    * DuckDB's sign semantics exactly (Spark `%` ≡ DuckDB `%`; `pmod`
+    * would bucket negative ids differently). */
   def abTest(events: DataFrame, minValue: Double = 200.0): DataFrame = {
     val per = events
-      .groupBy(pmod(col("user_id"), lit(2)).cast("int").as("variant"))
+      .groupBy(expr("CAST(user_id % 2 AS INT)").as("variant"))
       .agg(countDistinct(col("user_id")).as("n"),
         countDistinct(when(col("event_type") === "purchase"
           && col("value") >= minValue, col("user_id"))).as("c"))
-    val a = per.filter(col("variant") === 0)
-      .select(col("n").as("n0"), col("c").as("c0"))
-    val b = per.filter(col("variant") === 1)
-      .select(col("n").as("n1"), col("c").as("c1"))
-    a.crossJoin(b)
+    per.agg(
+        coalesce(max(when(col("variant") === 0, col("n"))), lit(0L)).as("n0"),
+        coalesce(max(when(col("variant") === 0, col("c"))), lit(0L)).as("c0"),
+        coalesce(max(when(col("variant") === 1, col("n"))), lit(0L)).as("n1"),
+        coalesce(max(when(col("variant") === 1, col("c"))), lit(0L)).as("c1"))
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
-        (col("c0").cast("double") / col("n0")).as("cvr0"),
-        (col("c1").cast("double") / col("n1")).as("cvr1"),
+        when(col("n0") > 0, col("c0").cast("double") / col("n0"))
+          .as("cvr0"),
+        when(col("n1") > 0, col("c1").cast("double") / col("n1"))
+          .as("cvr1"),
         expr("""CAST(
             (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
           * (CAST(c0 AS DECIMAL(38,0)) * n1 - CAST(c1 AS DECIMAL(38,0)) * n0)
@@ -748,9 +758,12 @@ object EventAnalytics {
       |                        THEN user_id END) AS c
       |  FROM events GROUP BY 1),
       |ab AS (
-      |  SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
-      |  FROM (SELECT n, c FROM per WHERE variant = 0) a
-      |  CROSS JOIN (SELECT n, c FROM per WHERE variant = 1) b),
+      |  SELECT
+      |    COALESCE(MAX(CASE WHEN variant = 0 THEN n END), 0) AS n0,
+      |    COALESCE(MAX(CASE WHEN variant = 0 THEN c END), 0) AS c0,
+      |    COALESCE(MAX(CASE WHEN variant = 1 THEN n END), 0) AS n1,
+      |    COALESCE(MAX(CASE WHEN variant = 1 THEN c END), 0) AS c1
+      |  FROM per),
       |z AS (
       |  SELECT n0, c0, n1, c1,
       |    (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)
@@ -760,8 +773,8 @@ object EventAnalytics {
       |  FROM ab)
       |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
       |  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
-      |  CAST(c0 AS DOUBLE) / n0 AS cvr0,
-      |  CAST(c1 AS DOUBLE) / n1 AS cvr1,
+      |  CASE WHEN n0 > 0 THEN CAST(c0 AS DOUBLE) / n0 END AS cvr0,
+      |  CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 END AS cvr1,
       |  CAST(CASE WHEN z2den = 0 THEN 0
       |       ELSE (z2num * 1000000) // z2den END AS BIGINT) AS z2_fp,
       |  z2den <> 0 AND z2num * 1000000 > z2den * 3841459 AS significant

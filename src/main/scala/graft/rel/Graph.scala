@@ -237,57 +237,12 @@ object Graph {
     * close would degrade to a nested loop — measured in the oracle
     * prototype). Per-node counts: each triangle credits its 3 corners.
     */
-  def triangleCounts(edges: DataFrame, k: Int): DataFrame = {
-    // undirected, id-ordered, distinct; eager localCheckpoint instead
-    // of persist() so the three downstream consumers (degree agg,
-    // orientation join, wedge close) read materialized blocks that the
-    // ContextCleaner reclaims once the result is dropped — a persist()
-    // here had no unpersist point (no internal action) and leaked cache
-    // across a whole query sweep
-    val e = edges.filter(col("src") < col("dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-      .distinct()
-      .localCheckpoint(eager = true)
-    val deg = e.select(col("u").as("node"))
-      .unionByName(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val keyed = e
-      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
-    val oriented = keyed.select(
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        col("u")).otherwise(col("v")).as("s"),
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        col("v")).otherwise(col("u")).as("t"))
-    val o1 = oriented.select(col("s"), col("t").as("t1"))
-    val o2 = oriented.select(col("s"), col("t").as("t2"))
-    val wedges = o1.join(o2, Seq("s")).filter(col("t1") < col("t2"))
-      .select(col("s").as("c"),
-        least(col("t1"), col("t2")).as("a"),
-        greatest(col("t1"), col("t2")).as("b"))
-    val tris = wedges.join(e, col("a") === col("u") && col("b") === col("v"))
-      .select(col("c"), col("a"), col("b"))
-    tris
-      .select(explode(array(col("c"), col("a"), col("b"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node"))
-      .limit(k)
-  }
-
-  /** Clustering-coefficient scale: 1.0 = 10^9 units. */
-  val CcScale = 1000000000L
-
-  /** Per-node local clustering coefficient cc(v) = 2·tri(v) /
-    * (deg(v)·(deg(v)−1)) — the Watts–Strogatz local density measure,
-    * derived from the SAME degree-ordered triangle enumeration as
-    * `graph_triangles` (each triangle found once at its lowest-degree
-    * corner, wedge fanout ≤ oriented out-degree) plus the degree
-    * relation that enumeration already builds. Surfaced in exact
-    * fixed-point: cc_fp = 2·tri·10^9 div (d·(d−1)) on BIGINTs —
-    * deterministic, hash-gateable. Nodes of degree < 2 have no defined
-    * coefficient and are excluded on both sides; triangle-free nodes
-    * surface with 0. */
-  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+  /** Degree-ordered triangle enumeration shared by `triangleCounts`
+    * and `clusteringCoefficients`: returns (deg: (node, d), perNode:
+    * (node, n_tri)). One place owns the orientation and wedge-close
+    * discipline (each triangle found once at its lowest-degree corner,
+    * wedge fanout bounded by oriented out-degree). */
+  private def triangleCore(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
       .distinct()
@@ -314,6 +269,29 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("c"), col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    (deg, perNode)
+  }
+
+  def triangleCounts(edges: DataFrame, k: Int): DataFrame =
+    triangleCore(edges)._2
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(k)
+
+  /** Clustering-coefficient scale: 1.0 = 10^9 units. */
+  val CcScale = 1000000000L
+
+  /** Per-node local clustering coefficient cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) — the Watts–Strogatz local density measure,
+    * derived from the SAME degree-ordered triangle enumeration as
+    * `graph_triangles` (each triangle found once at its lowest-degree
+    * corner, wedge fanout ≤ oriented out-degree) plus the degree
+    * relation that enumeration already builds. Surfaced in exact
+    * fixed-point: cc_fp = 2·tri·10^9 div (d·(d−1)) on BIGINTs —
+    * deterministic, hash-gateable. Nodes of degree < 2 have no defined
+    * coefficient and are excluded on both sides; triangle-free nodes
+    * surface with 0. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val (deg, perNode) = triangleCore(edges)
     deg.filter(col("d") >= 2)
       .join(perNode, Seq("node"), "left")
       .select(col("node"), col("d"),
@@ -323,19 +301,18 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  def clusteringCoefficientsSql: String = {
-    val base = triangleCountsSql(1)
-      .replaceAll("(?s)SELECT node, n_tri FROM pn.*$", "")
-      .trim
-    s"""$base
+  def clusteringCoefficientsSql: String =
+    s"""$triangleCoreCtesSql
        |SELECT deg.node, deg.d, COALESCE(pn.n_tri, 0) AS n_tri,
        |  (2 * COALESCE(pn.n_tri, 0) * $CcScale) // (deg.d * (deg.d - 1)) AS cc_fp
        |FROM deg LEFT JOIN pn ON pn.node = deg.node
        |WHERE deg.d >= 2
        |ORDER BY deg.node""".stripMargin
-  }
 
-  def triangleCountsSql(k: Int): String =
+  /** The shared triangle CTE chain (edge set → degrees → orientation →
+    * wedge close → per-node counts), concatenated by BOTH triangle SQL
+    * builders — no string surgery between them. */
+  private def triangleCoreCtesSql: String =
     s"""WITH e AS (
        |  SELECT u, v FROM (
        |    -- support = DISTINCT ORDERS containing the pair (a part twice
@@ -364,9 +341,13 @@ object Graph {
        |    SELECT c AS node FROM tri
        |    UNION ALL SELECT a FROM tri
        |    UNION ALL SELECT b FROM tri)
-       |  GROUP BY node)
+       |  GROUP BY node)""".stripMargin
+
+  def triangleCountsSql(k: Int): String =
+    s"""$triangleCoreCtesSql
        |SELECT node, n_tri FROM pn
        |ORDER BY n_tri DESC, node LIMIT $k""".stripMargin
+
 
   /** Synchronous label propagation (Raghavan/Albert/Kumara 2007,
     * "Near linear time algorithm to detect community structures in
@@ -499,55 +480,12 @@ object Graph {
     visited.orderBy(col("node"))
   }
 
-  /** Landmark (harmonic) closeness — the all-pairs-centrality shape cut
-    * to what scales: multi-source BFS from the `nLandmarks` smallest
-    * node ids (a deterministic landmark set), per-node harmonic sum
-    * Σ 12 div dist over reached landmarks (12 = lcm(1..4), so every
-    * addend is an exact integer — no float on the comparison surface).
-    * True all-pairs closeness is O(V·E); landmark closeness is the
-    * standard estimator and is |L| concurrent frontiers over the SAME
-    * bucketed adjacency — state ≤ |L|·V pairs, one src-keyed join per
-    * round, the bfsDistances loop with (lm, node) keys. */
-  def landmarkCloseness(edges: DataFrame, nLandmarks: Int,
-      maxDepth: Int): DataFrame = {
-    require(maxDepth >= 1 && maxDepth <= 4, "12 = lcm(1..4) covers depth <= 4")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val lms = e.select(col("src")).distinct()
-      .orderBy(col("src")).limit(nLandmarks).select(col("src").as("lm"))
-    var visited = lms
-      .select(col("lm"), col("lm").as("node"), lit(0).as("dist"))
-      .localCheckpoint(true)
-    var frontier = visited
-    var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
-      depth += 1
-      val next = frontier.join(e, col("node") === col("src"))
-        .select(col("lm"), col("dst").as("node")).distinct()
-        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
-        .withColumn("dist", lit(depth))
-        .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
-      frontier = next
-    }
-    visited.filter(col("dist") > 0)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_reached"),
-        sum(expr("12 div dist")).as("closeness12"))
-      .orderBy(col("node"))
-  }
-
-  /** Landmark eccentricity + diameter lower bound — the third member
-    * of the landmark-centrality family (closeness = harmonic sum,
-    * betweenness = dependency, eccentricity = MAX distance): for every
-    * node, its largest BFS distance to any landmark. By triangle
-    * inequality max_L d(v, L) ≤ ecc(v), and the global max over
-    * surfaced rows is the standard lower bound on the graph diameter —
-    * what "how wide is this graph" dashboards actually run at scale
-    * (exact diameter is all-pairs). Same loop, same bucketed adjacency,
-    * same |L| concurrent frontiers as `landmarkCloseness`; depth-capped
-    * like every landmark op, so unreached (lm, node) pairs simply don't
-    * bound that node. */
-  def landmarkEccentricity(edges: DataFrame, nLandmarks: Int,
+  /** Multi-source landmark BFS shared by the landmark-centrality
+    * family (closeness / eccentricity): |L| concurrent frontiers over
+    * the same edge relation, returning the visited (lm, node, dist)
+    * relation. One place owns the BFS discipline (edge checkpoint,
+    * partial-distinct frontier, visited anti-join, depth cap). */
+  private def landmarkBfs(edges: DataFrame, nLandmarks: Int,
       maxDepth: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val lms = e.select(col("src")).distinct()
@@ -568,12 +506,48 @@ object Graph {
       visited = visited.unionByName(next).localCheckpoint(true)
       frontier = next
     }
-    visited.filter(col("dist") > 0)
+    visited
+  }
+
+  /** Landmark (harmonic) closeness — the all-pairs-centrality shape cut
+    * to what scales: multi-source BFS from the `nLandmarks` smallest
+    * node ids (a deterministic landmark set), per-node harmonic sum
+    * Σ 12 div dist over reached landmarks (12 = lcm(1..4), so every
+    * addend is an exact integer — no float on the comparison surface).
+    * True all-pairs closeness is O(V·E); landmark closeness is the
+    * standard estimator and is |L| concurrent frontiers over the SAME
+    * bucketed adjacency — state ≤ |L|·V pairs, one src-keyed join per
+    * round, the bfsDistances loop with (lm, node) keys. */
+  def landmarkCloseness(edges: DataFrame, nLandmarks: Int,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4, "12 = lcm(1..4) covers depth <= 4")
+    landmarkBfs(edges, nLandmarks, maxDepth)
+      .filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("12 div dist")).as("closeness12"))
+      .orderBy(col("node"))
+  }
+
+  /** Landmark eccentricity + diameter lower bound — the third member
+    * of the landmark-centrality family (closeness = harmonic sum,
+    * betweenness = dependency, eccentricity = MAX distance): for every
+    * node, its largest BFS distance to any landmark. By triangle
+    * inequality max_L d(v, L) ≤ ecc(v), and the global max over
+    * surfaced rows is the standard lower bound on the graph diameter —
+    * what "how wide is this graph" dashboards actually run at scale
+    * (exact diameter is all-pairs). Same loop, same bucketed adjacency,
+    * same |L| concurrent frontiers as `landmarkCloseness`; depth-capped
+    * like every landmark op, so unreached (lm, node) pairs simply don't
+    * bound that node. */
+  def landmarkEccentricity(edges: DataFrame, nLandmarks: Int,
+      maxDepth: Int): DataFrame =
+    landmarkBfs(edges, nLandmarks, maxDepth)
+      .filter(col("dist") > 0)
       .groupBy(col("node"))
       .agg(max(col("dist")).cast("long").as("ecc_lb"),
         count(lit(1)).as("n_landmarks_reached"))
       .orderBy(col("node"))
-  }
 
   def landmarkEccentricitySql(nLandmarks: Int, maxDepth: Int): String =
     s"""WITH RECURSIVE eh AS (
