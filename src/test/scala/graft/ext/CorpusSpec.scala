@@ -97,6 +97,35 @@ class CorpusSpec extends SparkSuite {
     assert(got.toMap === Map(2L -> 20L, 4L -> 40L, 5L -> 100L))
   }
 
+  test("property: systematic sample crossings partition the stride " +
+      "multiples exactly — Σ crossings over picks = total div stride") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val gen = Gen.listOfN(40, for {
+      s <- Gen.oneOf("a", "b", "c")
+      w <- Gen.chooseNum(1L, 120L)
+    } yield (s, w))
+    for (trial <- 1 to 3) {
+      val rows = gen.sample.get.zipWithIndex
+        .map { case ((s, w), i) => (i.toLong, s, w) }
+      val docs = rows.toDF("doc_id", "source", "n_chars")
+      val k = 7
+      val total = rows.map(_._3).sum
+      val stride = total / k
+      val picked = Corpus.systematicWeightedSample(docs, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      // every stride multiple in (0, total] is crossed by exactly one
+      // picked doc's span, and non-picked docs cross none — so the
+      // crossing counts over picks sum to total div stride
+      val crossings = picked.map { case (_, w, cum) =>
+        cum / stride - (cum - w) / stride }.sum
+      assert(crossings === total / stride,
+        s"trial $trial: crossings $crossings != ${total / stride}")
+      assert(picked.forall { case (_, w, cum) =>
+        cum / stride > (cum - w) / stride }, "every pick crosses")
+    }
+  }
+
   test("systematic weighted sample: source offsets make one global " +
       "line — same picks as a single-source equivalent") {
     import spark.implicits._

@@ -269,6 +269,37 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got(3L) === ((60000000L, 60000000L, 120000000L)))
   }
 
+  test("property: growth ledger obeys the DAU decomposition and the " +
+      "churn conservation identity on random activity sets") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(60, for {
+      u <- Gen.chooseNum(1, 6)
+      d <- Gen.chooseNum(1, 9)
+    } yield (u.toLong, d))
+    for (trial <- 1 to 3) {
+      val activity = gen.sample.get.distinct
+      val e = ev(activity.zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, u, f"2024-01-0$d 10:00:00", "view") })
+      val ledger = EventAnalytics.growthAccounting(e)
+        .collect()
+        .map(r => r.getDate(0).toString.takeRight(2).toInt ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val dau = activity.groupBy(_._2).map { case (d, us) =>
+        d -> us.map(_._1).distinct.size.toLong }
+      // DAU(d) = new + retained + resurrected, every active day
+      dau.foreach { case (d, n) =>
+        val (nw, rt, rs, _) = ledger(d)
+        assert(nw + rt + rs === n, s"trial $trial day $d: DAU decomposition")
+      }
+      // churned(d) = DAU(d−1) − retained(d) for every surfaced day
+      ledger.foreach { case (d, (_, rt, _, ch)) =>
+        assert(ch === dau.getOrElse(d - 1, 0L) - rt,
+          s"trial $trial day $d: churn conservation")
+      }
+    }
+  }
+
   test("ab test: exact rational z², parity split, degenerate guard") {
     import spark.implicits._
     def frame(rows: Seq[(Long, Long, String, Double)]) =

@@ -254,6 +254,40 @@ class GraphSpec extends SparkSuite {
       1L -> s, 2L -> (3L * s / 2), 3L -> (3L * s / 2), 4L -> 4L * s))
   }
 
+  test("property: tree betweenness satisfies the path-interior identity") {
+    // On a TREE every (s,t) pair has exactly one path, so σ ≡ 1, every
+    // fixed-point division is exact, and Brandes' accumulation obeys
+    // Σ_v δ_s(v) = Σ_{t≠s} (d(s,t) − 1) — the interior-vertex count.
+    // Random trees, landmarks = 4 smallest ids, depth covers the tree.
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(9, Gen.chooseNum(0, 8))
+    for (trial <- 1 to 3) {
+      val parents = gen.sample.get.zipWithIndex
+        .map { case (p, i) => (i + 1).toLong -> (p % (i + 1)).toLong }
+      val e = edges(parents.flatMap { case (c, p) => Seq(c -> p, p -> c) }: _*)
+      val got = Graph.landmarkBetweenness(e, nLandmarks = 4, maxDepth = 9)
+        .collect().map(r => r.getLong(1)).sum
+      // reference: BFS distances from the 4 smallest nodes, driver-side
+      val adj = parents.flatMap { case (c, p) => Seq(c -> p, p -> c) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def dists(s: Long): Map[Long, Int] = {
+        var d = Map(s -> 0); var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj(_)).filterNot(d.contains).distinct
+          next.foreach { n =>
+            d += n -> (d(frontier.find(f => adj(f).contains(n)).get) + 1) }
+          frontier = next
+        }
+        d
+      }
+      val expected = adj.keys.toSeq.sorted.take(4).map { s =>
+        dists(s).collect {
+          case (t, dd) if t != s && dd >= 1 => (dd - 1).toLong }.sum
+      }.sum * Graph.BetweennessScale
+      assert(got === expected, s"trial $trial: tree identity violated")
+    }
+  }
+
   test("eccentricity: path graph max-distances, depth cap bounds, " +
       "unreached landmarks don't count") {
     // path 1–2–3–4–5, landmarks = all 5 (≤ 8), depth 4: ecc_lb is the
