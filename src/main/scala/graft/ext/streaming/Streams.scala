@@ -797,6 +797,56 @@ object Streams {
   case class Transition(user_id: Long, prev_type: String,
       event_type: String, ts: java.sql.Timestamp)
 
+  case class AbEvent(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+  case class AbInc(user_id: Long, variant: Int, kind: String)
+
+  /** Streaming experiment enrolment/conversion increments — the
+    * stateful twin of `rel.EventAnalytics.abTest`, because a live
+    * experiment IS a stream: the dashboard wants the running n/c per
+    * arm, not the next batch sweep. State per user is TWO booleans
+    * (enrolled, converted): the first event emits one "user" increment
+    * for the user's parity arm, the first qualifying high-value
+    * purchase emits one "conv" increment; counting increments per
+    * (variant, kind) reproduces the batch readout's exact n₀/c₀/n₁/c₁
+    * — and therefore its exact-rational z² — at any point in the
+    * stream. Variant is `user_id % 2` with the batch's sign semantics.
+    * Horizon-expired like every twin. */
+  def abTestStream(events: Dataset[AbEvent], minValue: Double = 200.0,
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[AbInc] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Boolean, Boolean), AbInc](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (enrolled, converted) =
+              state.getOption.getOrElse((false, false))
+            val variant = (userId % 2).toInt
+            val out = Vector.newBuilder[AbInc]
+            batch.foreach { r =>
+              if (!enrolled) {
+                out += AbInc(userId, variant, "user"); enrolled = true
+              }
+              if (!converted && r.event_type == "purchase"
+                  && r.value >= minValue) {
+                out += AbInc(userId, variant, "conv"); converted = true
+              }
+            }
+            state.update((enrolled, converted))
+            state.setTimeoutTimestamp(
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class FunnelLatency(user_id: Long, view_to_click_us: Long,
       click_to_purchase_us: Long, total_us: Long)
 

@@ -930,6 +930,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ab-test increments reproduce the batch readout's " +
+      "exact counts on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[Streams.AbEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.AbEvent]
+    val q = Streams.abTestStream(input.toDS())
+      .writeStream.format("memory").queryName("ab_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val inc = spark.table("ab_out").collect()
+        .map(r => (r.getInt(1), r.getString(2)))
+      def n(v: Int, k: String) = inc.count(x => x == ((v, k))).toLong
+      val b = graft.rel.EventAnalytics
+        .abTest(graft.core.Tables.events(spark, sfDir)).collect()(0)
+      assert((n(0, "user"), n(0, "conv"), n(1, "user"), n(1, "conv")) ===
+        ((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))),
+        "streamed enrolment/conversion counts must equal the batch row")
+    } finally q.stop()
+  }
+
   test("streaming funnel latency == batch rows on the fixture log") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
