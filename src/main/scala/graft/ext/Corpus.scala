@@ -487,17 +487,20 @@ object Corpus {
     * driver metadata (one row per source) and prefix-folded into
     * offsets — the (source, doc_id) order is the global line. Every
     * quantity is a BIGINT; the crossing test is two integer divisions. */
-  def systematicWeightedSample(docs: DataFrame, k: Int): DataFrame = {
+  /** The global cumulative n_chars line shared by the weight-aware
+    * training-prep ops (`sample_weighted`, `corpus_shard_assign`):
+    * per-SOURCE window prefix + driver prefix-fold of per-source totals
+    * (bounded metadata, the rel/DistributedRank skeleton — no global
+    * no-partition window), sources folded in CODE-POINT order to match
+    * the oracle's ORDER BY (Scala's UTF-16 default sorts a surrogate
+    * pair before U+FFFF). Returns (doc_id, source, w, cum) with cum
+    * INCLUSIVE, plus the grand total. */
+  private def weightedLine(docs: DataFrame): (DataFrame, Long) = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val withCum = docs
       .select(col("doc_id"), col("source"), col("n_chars").as("w"))
       .withColumn("scum", sum(col("w")).over(w))
       .persist()
-    // CODE-POINT order, not UTF-16 code-unit order: DuckDB's ORDER BY
-    // compares codepoints, and Scala's default String ordering sorts a
-    // surrogate pair (U+10000, 0xD800 lead) BEFORE U+FFFF — a
-    // supplementary-plane source name would fold offsets in a different
-    // order than the oracle and change the sample
     val byCodePoint: Ordering[String] = (a: String, b: String) => {
       var i = 0; var j = 0; var r = 0
       while (r == 0 && i < a.length && j < b.length) {
@@ -512,16 +515,59 @@ object Corpus {
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)(byCodePoint)
     var acc = 0L
-    val offs = totals.map { case (s, t) => val o = acc; acc += t; (s, o) }.toMap
-    val stride = acc / k
-    require(stride > 0, s"corpus weight $acc too small for k=$k")
-    withCum
+    val offs = totals.map { case (src, t) => val o = acc; acc += t; (src, o) }.toMap
+    val line = withCum
       .withColumn("cum",
         col("scum") + element_at(typedlit(offs), col("source")))
-      .filter(expr(s"cum div $stride > (cum - w) div $stride"))
       .select(col("doc_id"), col("source"), col("w"), col("cum"))
+    (line, acc)
+  }
+
+  def systematicWeightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val (line, total) = weightedLine(docs)
+    val stride = total / k
+    require(stride > 0, s"corpus weight $total too small for k=$k")
+    line
+      .filter(expr(s"cum div $stride > (cum - w) div $stride"))
       .orderBy(col("doc_id"))
   }
+
+  /** Shard planning for training export: walk the SAME cumulative
+    * token-cost line and assign each document to the shard its START
+    * falls in — `shard = (cum − w) div target` — so every shard except
+    * the last carries ≥ target weight before the next begins (greedy
+    * fill, the standard corpus-sharding rule) and the assignment is a
+    * pure function of the corpus: re-running the export with more
+    * executors, another engine, or a month later shards identically.
+    * Surfaced per doc with its shard's running fill for audit. */
+  def shardAssign(docs: DataFrame, targetChars: Long): DataFrame = {
+    val (line, _) = weightedLine(docs)
+    line
+      .withColumn("shard", expr(s"(cum - w) div $targetChars"))
+      .select(col("doc_id"), col("source"), col("w"), col("cum"),
+        col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  def shardAssignSql(targetChars: Long): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars AS w FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, w,
+       |    SUM(w) OVER (PARTITION BY source ORDER BY doc_id) AS scum
+       |  FROM t),
+       |st AS (SELECT source, MAX(scum) AS stotal FROM sc GROUP BY source),
+       |off AS (
+       |  SELECT source, COALESCE(SUM(stotal) OVER (ORDER BY source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |  FROM st),
+       |c AS (
+       |  SELECT sc.doc_id, sc.source, sc.w, sc.scum + off.o AS cum
+       |  FROM sc JOIN off USING (source))
+       |SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+       |       CAST(cum AS BIGINT) AS cum,
+       |       CAST((cum - w) // $targetChars AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""".stripMargin
 
   def systematicWeightedSampleSql(k: Int): String =
     s"""WITH t AS (
@@ -946,6 +992,10 @@ object Corpus {
     //      threshold on the same md5 derivation ------------------------
     // ---- systematic PPS sample on the integer weight line: P(keep) ∝
     //      n_chars with zero randomness; two-level prefix sum --------
+    // ---- greedy token-budget shard planning on the same line -------
+    "corpus_shard_assign" -> QueryDef(
+      (s, d) => shardAssign(Tables.documents(s, d), 3000L),
+      Some(shardAssignSql(3000L))),
     "sample_weighted" -> QueryDef(
       (s, d) => systematicWeightedSample(Tables.documents(s, d), 50),
       Some(systematicWeightedSampleSql(50))),

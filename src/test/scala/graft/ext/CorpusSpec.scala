@@ -97,6 +97,30 @@ class CorpusSpec extends SparkSuite {
     assert(got.toMap === Map(2L -> 20L, 4L -> 40L, 5L -> 100L))
   }
 
+  test("shard assign: greedy fill on the cumulative line, boundary doc " +
+      "belongs to the shard its start falls in") {
+    import spark.implicits._
+    // weights 10,10,10,10,60; target 25: cum=10,20,30,40,100; starts at
+    // 0,10,20,30,40 → shards 0,0,0,1,1 (doc 5 straddles 50/75 but its
+    // START is 40 → shard 1)
+    val docs = Seq(
+      (1L, "s1", 10L), (2L, "s1", 10L), (3L, "s1", 10L),
+      (4L, "s1", 10L), (5L, "s1", 60L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Corpus.shardAssign(docs, 25L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // every shard except the last is filled to >= target by its docs'
+    // spans (greedy-fill invariant)
+    val spans = Corpus.shardAssign(docs, 25L)
+      .collect().map(r => (r.getLong(4), r.getLong(2))).groupBy(_._1)
+      .map { case (sh, ws) => sh -> ws.map(_._2).sum }
+    val maxShard = spans.keys.max
+    spans.filter(_._1 < maxShard).foreach { case (sh, tot) =>
+      assert(tot >= 25L, s"shard $sh underfilled: $tot")
+    }
+  }
+
   test("property: systematic sample crossings partition the stride " +
       "multiples exactly — Σ crossings over picks = total div stride") {
     import org.scalacheck.Gen
