@@ -494,7 +494,14 @@ object Corpus {
     * no-partition window), sources folded in CODE-POINT order to match
     * the oracle's ORDER BY (Scala's UTF-16 default sorts a surrogate
     * pair before U+FFFF). Returns (doc_id, source, w, cum) with cum
-    * INCLUSIVE, plus the grand total. */
+    * INCLUSIVE, plus the grand total.
+    *
+    * CALLER CONTRACT (same as rel/DistributedRank): the returned frame
+    * depends lazily on a `.persist()`ed intermediate, so it cannot be
+    * unpersisted here. Embedders running `systematicWeightedSample` /
+    * `shardAssign` in a long-lived session should
+    * `spark.catalog.clearCache()` between unrelated jobs, or the cached
+    * cumulative frames accumulate. */
   private def weightedLine(docs: DataFrame): (DataFrame, Long) = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val withCum = docs
@@ -588,7 +595,9 @@ object Corpus {
        |SELECT doc_id, source, CAST(w AS BIGINT) AS w,
        |       CAST(cum AS BIGINT) AS cum
        |FROM c, tot
-       |WHERE cum // stride > (cum - w) // stride
+       |-- NULLIF mirrors the Scala require(stride > 0): a corpus whose
+       |-- total weight is < k surfaces zero rows instead of div-by-zero
+       |WHERE cum // NULLIF(stride, 0) > (cum - w) // NULLIF(stride, 0)
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- redaction

@@ -815,7 +815,7 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  lazy val editDistancePairsSql: String = {
+  def editDistancePairsSql(num: Int = 1, den: Int = 4): String = {
     val base = md5MinhashPairsSql
       .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "")
       .trim
@@ -830,7 +830,7 @@ object Dedup {
        |  JOIN documents da ON da.doc_id = c.doc_a
        |  JOIN documents db ON db.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, dist FROM v
-       |WHERE dist * 4 <= mx * 1
+       |WHERE dist * $den <= mx * $num
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -1180,7 +1180,7 @@ object Dedup {
     // the typo/OCR-noise measure shingle Jaccard is blind to
     "dedup_edit_distance" -> QueryDef(
       (s: SparkSession, d: String) => editDistancePairs(Tables.documents(s, d)),
-      Some(editDistancePairsSql)),
+      Some(editDistancePairsSql())),
     // COMPLETE exact all-pairs Jaccard join via df-ordered prefix
     // filtering — the deterministic-recall twin of the banded chain
     "dedup_allpairs" -> QueryDef(

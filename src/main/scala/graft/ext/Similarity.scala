@@ -850,6 +850,10 @@ object Similarity {
     val cand = e.filter(col("vec_id") =!= qId)
       .crossJoin(broadcast(q))
       .withColumn("rel", cosine(col("v"), col("qv")))
+      // zero-norm vectors make cosine NaN; NaN > -Inf is false, so an
+      // all-NaN tail would leave the greedy argmax unset — drop them
+      // here (the SQL twin filters isfinite(rel) identically)
+      .filter(!isnan(col("rel")))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(c)
       .select(col("vec_id"), col("rel"), col("v"))
@@ -870,19 +874,26 @@ object Similarity {
     // candidates arrive (rel DESC, vec_id ASC): index 0 IS the first pick
     val remaining = scala.collection.mutable.LinkedHashSet((0 until n): _*)
     if (n > 0) { picked += 0; remaining -= 0 }
-    while (picked.length < math.min(k, n)) {
+    while (picked.length < math.min(k, n) && remaining.nonEmpty) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       remaining.foreach { i =>
         var mx = Double.NegativeInfinity
-        picked.foreach { j => val s0 = cosA(i, j); if (s0 > mx) mx = s0 }
+        picked.foreach { j =>
+          val s0 = cosA(i, j)
+          // zero-norm picks are filtered above, but guard anyway: a
+          // NaN pairwise sim must not poison the penalty term
+          if (!s0.isNaN && s0 > mx) mx = s0
+        }
         val sc = lam * rel(i) - mu * mx
         // ties (exact double equality, as in the SQL sort) → lower id
-        if (sc > bestScore || (sc == bestScore && best >= 0 && ids(i) < ids(best))) {
+        if (!sc.isNaN &&
+            (sc > bestScore || (sc == bestScore && best >= 0 && ids(i) < ids(best)))) {
           best = i; bestScore = sc
         }
       }
-      picked += best; remaining -= best
+      if (best < 0) { remaining.clear() } // all-NaN residue: stop early
+      else { picked += best; remaining -= best }
     }
     import spark.implicits._
     picked.toSeq.zipWithIndex
@@ -895,12 +906,14 @@ object Similarity {
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = $qId),
-       |cand AS (
+       |cand0 AS (
        |  SELECT e.vec_id,
        |    list_dot_product(e.v, q.qv) /
        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS rel,
        |    e.v
-       |  FROM e, q WHERE e.vec_id <> $qId
+       |  FROM e, q WHERE e.vec_id <> $qId),
+       |cand AS (
+       |  SELECT * FROM cand0 WHERE isfinite(rel)
        |  ORDER BY rel DESC, vec_id LIMIT $c),
        |sims AS (
        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -910,6 +923,7 @@ object Similarity {
        |sel AS (
        |  SELECT 1 AS step,
        |    [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)] AS picked
+       |  WHERE EXISTS (SELECT 1 FROM cand)
        |  UNION ALL
        |  SELECT s.step + 1, list_append(s.picked, (
        |      SELECT c2.vec_id FROM cand c2
@@ -919,10 +933,12 @@ object Similarity {
        |          WHERE m.ia = c2.vec_id AND list_contains(s.picked, m.ib)) DESC,
        |        c2.vec_id
        |      LIMIT 1))
-       |  FROM sel s WHERE s.step < $k),
-       |f AS (SELECT picked FROM sel WHERE step = $k)
+       |  FROM sel s
+       |  WHERE s.step < $k AND EXISTS (
+       |      SELECT 1 FROM cand c3 WHERE NOT list_contains(s.picked, c3.vec_id))),
+       |f AS (SELECT picked FROM sel ORDER BY step DESC LIMIT 1)
        |SELECT CAST(u.i AS INT) AS rank, f.picked[CAST(u.i AS BIGINT)] AS vec_id
-       |FROM f, unnest(range(1, $k + 1)) AS u(i)
+       |FROM f, unnest(range(1, len(f.picked) + 1)) AS u(i)
        |ORDER BY rank""".stripMargin
 
   /** ANN quality evaluation INSIDE the engine: recall@k of the

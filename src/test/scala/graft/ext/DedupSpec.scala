@@ -337,5 +337,9 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)),
       s"dist-1 candidates must be dropped by the zero-tolerance gate: $got")
+    // SQL builder splices the same gate: num=0/den=1 must appear verbatim
+    assert(Dedup.editDistancePairsSql(num = 0, den = 1)
+      .contains("WHERE dist * 1 <= mx * 0"),
+      "parameterized SQL gate must mirror the Scala (num, den) gate")
   }
 }
