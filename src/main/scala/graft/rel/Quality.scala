@@ -1,9 +1,9 @@
 package graft.rel
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{Exact, QueryDef, Tables}
 
 /** Declarative data-quality audit (the Deequ/expectations pattern): a
   * fixed suite of constraint checks evaluated in ONE pass per table
@@ -346,9 +346,155 @@ object Quality {
        |GROUP BY c_nationkey, c_mktsegment
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ------------------------------------------------- referential audit
+
+  /** The star schema's seven FK relationships, each as
+    * (name, child table, child key, parent table, parent key). */
+  private val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem.l_orderkey->orders",  "lineitem", "l_orderkey", "orders",   "o_orderkey"),
+    ("lineitem.l_partkey->part",     "lineitem", "l_partkey",  "part",     "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",  "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer",   "orders",   "o_custkey",  "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey","nation",   "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey","nation",   "n_nationkey"),
+    ("nation.n_regionkey->region",   "nation",   "n_regionkey","region",   "r_regionkey"))
+
+  /** Full referential-integrity audit of the star schema: one row per
+    * FK relationship with exact child-row, orphan-row and null-key-row
+    * counts. Extends the single `dq_audit` FK probe to the whole FK
+    * graph — the report a warehouse wants BEFORE joining a new drop,
+    * because a silently-broken FK turns every downstream inner join
+    * into a row-dropper.
+    *
+    * Scale shape: each arm first collapses the child to its DISTINCT
+    * key inventory with per-key row counts (map-side combine does the
+    * heavy lifting — the join probe side is |distinct keys|, not
+    * |child rows|), then LEFT-joins the parent's key set (AQE
+    * broadcasts the dimension parents; orders/part at 100 TB shuffle
+    * on the key both sides already hash on). Orphans and null keys are
+    * counted from the flags in the same single aggregate; no violation
+    * row set is ever materialized. NULL FKs are reported separately
+    * from orphans — SQL NOT IN semantics silently drops them, which is
+    * exactly the surprise this report exists to surface. */
+  def referentialAudit(spark: SparkSession, dir: String): DataFrame =
+    referentialAuditOver(name => Tables.table(spark, dir, name))
+
+  /** As `referentialAudit` over an explicit table loader (testability:
+    * specs plant orphans/null FKs without touching fixtures). */
+  def referentialAuditOver(load: String => DataFrame): DataFrame = {
+    def arm(rel: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keyed = child.select(col(ck).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val p = parent.select(col(pk).as("k")).distinct()
+        .withColumn("present", lit(1))
+      keyed.join(p, Seq("k"), "left")
+        .agg(
+          coalesce(sum(col("cnt")), lit(0)).as("n_child"),
+          coalesce(sum(when(col("k").isNotNull && col("present").isNull,
+            col("cnt"))), lit(0)).as("n_orphans"),
+          coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0))
+            .as("n_null_keys"))
+        .select(lit(rel).as("relationship"),
+          col("n_child").cast("long").as("n_child"),
+          col("n_orphans").cast("long").as("n_orphans"),
+          col("n_null_keys").cast("long").as("n_null_keys"),
+          (col("n_orphans") === 0).as("ok"))
+    }
+    FkEdges.map { case (rel, c, ck, p, pk) =>
+      arm(rel, load(c), ck, load(p), pk)
+    }.reduce(_ unionByName _)
+      .orderBy(col("relationship"))
+  }
+
+  val referentialAuditSql: String = {
+    val arms = FkEdges.map { case (rel, c, ck, p, pk) =>
+      s"""  SELECT '$rel' AS relationship,
+         |    CAST(COUNT(*) AS BIGINT) AS n_child,
+         |    CAST(SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |    CAST(SUM(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_null_keys,
+         |    SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+         |  FROM $c c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $p) p
+         |    ON c.$ck = p.k""".stripMargin
+    }
+    arms.mkString("", "\n  UNION ALL\n", "\nORDER BY relationship")
+  }
+
+  // ------------------------------------------------------ Benford audit
+
+  /** Benford first-digit expectation log10(1 + 1/d), pre-scaled to ppm
+    * as LITERAL integer constants (computing log10 at query time would
+    * put two libm implementations on the comparison surface; the law's
+    * digit table is a constant, so it ships as one). */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-significant-digit audit over order totals —
+    * the classic fraud/data-fabrication screen: a money population
+    * spanning orders of magnitude should put ~30.1% of first digits at
+    * 1; fabricated or truncated feeds don't. One aggregate over one
+    * scan; every surfaced number is an exact integer (observed ppm is
+    * a single integer division; expected ppm is the literal table), so
+    * the report is hash-stable cross-engine.
+    *
+    * First-digit extraction stays in integer space: exact cents via
+    * the DECIMAL cast (`core/Exact`), rendered as a BIGINT string —
+    * the leading digit of `round(100x)` IS the first significant digit
+    * of x for x ≥ 0.01, with no float log10/pow near-boundary risk. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val cents = (Exact.money(col("o_totalprice")) * lit(100))
+      .cast("decimal(14,0)")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = orders
+      .filter(col("o_totalprice") >= 0.01)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    import spark.implicits._
+    val expected = BenfordPpm.toDF("digit", "expected_ppm")
+    // left join FROM the constant digit table: digits with zero
+    // observations still report (n_obs = 0), and the 9-row side drives
+    expected.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("obs_ppm",
+        expr("(n_obs * 1000000) div sum(n_obs) over ()").cast("long"))
+      .select(col("digit"), col("n_obs").cast("long").as("n_obs"),
+        col("obs_ppm"), col("expected_ppm").cast("long").as("expected_ppm"),
+        (col("obs_ppm") - col("expected_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String = {
+    val lits = BenfordPpm.map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH exp AS (
+       |  SELECT * FROM (VALUES $lits) AS t(digit, expected_ppm)),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS DECIMAL(14,0)) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    COUNT(*) AS n_obs
+       |  FROM orders WHERE o_totalprice >= 0.01
+       |  GROUP BY 1)
+       |SELECT exp.digit, CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+       |  CAST((COALESCE(obs.n_obs, 0) * 1000000)
+       |    // SUM(COALESCE(obs.n_obs, 0)) OVER () AS BIGINT) AS obs_ppm,
+       |  exp.expected_ppm,
+       |  CAST((COALESCE(obs.n_obs, 0) * 1000000)
+       |    // SUM(COALESCE(obs.n_obs, 0)) OVER () AS BIGINT) - exp.expected_ppm
+       |    AS dev_ppm
+       |FROM exp LEFT JOIN obs USING (digit)
+       |ORDER BY exp.digit""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "dq_kanon" -> QueryDef(
       (s, d) => kAnonymity(Tables.customer(s, d)), kAnonymitySql()),
+    "dq_referential" -> QueryDef(
+      (s, d) => referentialAudit(s, d), referentialAuditSql),
+    "dq_benford" -> QueryDef(
+      (s, d) => benfordAudit(Tables.orders(s, d)), benfordAuditSql),
     "dq_audit" -> QueryDef(
       (s, d) => dqAudit(Tables.lineitem(s, d), Tables.orders(s, d)),
       dqAuditSql),

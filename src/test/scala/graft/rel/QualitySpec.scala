@@ -103,4 +103,48 @@ class QualitySpec extends SparkSuite {
     assert(got((1, "B")) === ((3L, 3L, false, false)))
     assert(got((2, "A")) === ((3L, 1L, false, true)))
   }
+
+  test("referential audit: planted orphan and NULL FK count separately, " +
+      "clean arms stay ok") {
+    val tables = Map(
+      "region"   -> Seq((0L, "R0")).toDF("r_regionkey", "r_name"),
+      "nation"   -> Seq((0L, 0L), (1L, 0L)).toDF("n_nationkey", "n_regionkey"),
+      "customer" -> Seq((10L, 0L), (11L, 1L)).toDF("c_custkey", "c_nationkey"),
+      "supplier" -> Seq((20L, 0L)).toDF("s_suppkey", "s_nationkey"),
+      "part"     -> Seq((30L, "p")).toDF("p_partkey", "p_name"),
+      "orders"   -> Seq((40L, Option(10L)), (41L, Option(99L)), // 99 = orphan
+        (42L, Option.empty[Long]))                              // NULL FK
+        .toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq((40L, 30L, 20L), (40L, 30L, 20L))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey"))
+    val got = Quality.referentialAuditOver(tables(_))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size === 7)
+    assert(got("orders.o_custkey->customer") === ((3L, 1L, 1L, false)),
+      "one orphan and one NULL FK, counted separately")
+    (got - "orders.o_custkey->customer").foreach { case (rel, (_, o, n, ok)) =>
+      assert(o === 0L && n === 0L && ok, s"clean arm $rel must pass")
+    }
+  }
+
+  test("benford audit: planted all-digit-1 population deviates hard at 1, " +
+      "zero-count digits still report") {
+    val orders = Seq.tabulate(8)(i => 100.0 + i) // all totals start with 1
+      .toDF("o_totalprice")
+    val got = Quality.benfordAudit(orders)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === (1 to 9).toSet, "all 9 digits present")
+    assert(got(1)._1 === 8L && got(1)._2 === 1000000L)
+    assert(got(1)._4 === 1000000L - 301030L, "dev = obs - expected ppm")
+    (2 to 9).foreach { d =>
+      assert(got(d)._1 === 0L && got(d)._2 === 0L, s"digit $d zero-observed")
+    }
+    // sub-cent guard: 0.004 rounds to 0 cents and is filtered, not a crash
+    val tiny = Seq(0.004, 1234.56).toDF("o_totalprice")
+    val g2 = Quality.benfordAudit(tiny).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(g2(1) === 1L && g2.values.sum === 1L)
+  }
 }
