@@ -885,7 +885,9 @@ object EventAnalytics {
     "events_cohort_ltv" -> QueryDef(
       (s, d) => cohortLtv(Tables.events(s, d)), cohortLtvSql),
     "events_active_users" -> QueryDef(
-      (s, d) => activeUsers(Tables.events(s, d)), activeUsersSql))
+      (s, d) => activeUsers(Tables.events(s, d)), activeUsersSql),
+    "events_streaks" -> QueryDef(
+      (s, d) => streaks(Tables.events(s, d)), streaksSql))
 
   /** DAU/WAU — rolling DISTINCT active users, the dashboard headline
     * metric, computed by CONTRIBUTION EXPLODE instead of a windowed
@@ -925,6 +927,59 @@ object EventAnalytics {
       |SELECT d.day, d.dau, w.wau
       |FROM dau d JOIN wau w ON w.day = d.day
       |ORDER BY d.day""".stripMargin
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands engagement metric (habit strength, the "don't
+    * break the chain" counter every consumer product ships). A day run
+    * is an island of the difference `epoch_day − row_number` over each
+    * user's sorted distinct active days: consecutive days share the
+    * difference, any gap shifts it — no self-join, no day×day window.
+    *
+    * Scale shape: one distinct on (user, day), then two windows
+    * partitioned BY USER (per-partition work is that user's active-day
+    * count, bounded by the calendar — never a fat key), and a final
+    * per-user aggregate. The tie rule is part of the semantics: among
+    * equal-length best streaks the EARLIEST start day surfaces. */
+  def streaks(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = userDays
+      .withColumn("island",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wmax = Window.partitionBy(col("user_id"))
+    runs.withColumn("best", max(col("len")).over(wmax))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("best_streak"),
+        min(when(col("len") === col("best"), col("start_day")))
+          .as("best_start"))
+      .orderBy(col("user_id"))
+  }
+
+  val streaksSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM ud),
+      |runs AS (
+      |  SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM isl GROUP BY user_id, island),
+      |b AS (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS best FROM runs)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS best_streak,
+      |  MIN(CASE WHEN len = best THEN start_day END) AS best_start
+      |FROM b GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   /** Cohort LTV triangle — the MONETARY axis of `retention`: per
     * (cohort_day, day_offset), purchase count and exact-DECIMAL

@@ -384,4 +384,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(row("Z", 8L) === (("Z", 8L, 6L, 6L, true)),
       "gap hours inside the window count as zero: mean is 1/hr")
   }
+
+  test("streaks: gap splits runs, same-day repeats collapse, equal best " +
+      "streaks surface the earliest start") {
+    val e = ev(Seq(
+      // user 1: days 1,2,3 then gap, then 5,6 → best 3 starting day 1
+      (1L, 1L, "2024-03-01 09:00:00", "view"),
+      (2L, 1L, "2024-03-02 09:00:00", "view"),
+      (3L, 1L, "2024-03-02 17:00:00", "click"), // same-day repeat
+      (4L, 1L, "2024-03-03 09:00:00", "view"),
+      (5L, 1L, "2024-03-05 09:00:00", "view"),
+      (6L, 1L, "2024-03-06 09:00:00", "view"),
+      // user 2: two 2-day runs (1-2, 9-10) → tie, earliest start wins
+      (7L, 2L, "2024-03-01 09:00:00", "view"),
+      (8L, 2L, "2024-03-02 09:00:00", "view"),
+      (9L, 2L, "2024-03-09 09:00:00", "view"),
+      (10L, 2L, "2024-03-10 09:00:00", "view"),
+      // user 3: a single day
+      (11L, 3L, "2024-03-04 12:00:00", "purchase")))
+    val got = EventAnalytics.streaks(e).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDate(4).toString))
+      .toMap
+    assert(got(1L) === ((5L, 2L, 3L, "2024-03-01")))
+    assert(got(2L) === ((4L, 2L, 2L, "2024-03-01")),
+      "tied best streaks must surface the earliest start")
+    assert(got(3L) === ((1L, 1L, 1L, "2024-03-04")))
+  }
 }
