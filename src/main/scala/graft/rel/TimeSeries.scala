@@ -601,7 +601,82 @@ object TimeSeries {
       |FROM r WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** Hampel filter (rolling-window robust outlier flags) over the
+    * daily per-type value series — `anomaly_mad`'s LOCAL twin: the
+    * global MAD gate calls a level shift "normal" forever after, while
+    * the Hampel window judges each day against only its ±k-day
+    * neighborhood, the form actually used to despike sensor/revenue
+    * feeds before modeling.
+    *
+    * Exactness discipline: the series is exact cents (one DECIMAL sum,
+    * then BIGINT); medians avoid the half-integer by SCALING — med2 =
+    * 2·median and mad4 = 4·MAD are integer combinations of sorted
+    * window elements, so the flag `2·|2x − med2| > 3·mad4` (⇔
+    * |x − med| > 3·MAD) is an all-integer comparison, hash-identical
+    * cross-engine with no quantile interpolation on the surface.
+    *
+    * Scale shape: the data-sized pass is the daily reduce (map-side
+    * combine, one shuffle on (type, day)); the window runs over the
+    * calendar-bounded daily relation partitioned by type, holding ≤
+    * 2k+1 values per row — never raw events. */
+  def hampelOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    import graft.core.Exact.money
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-k, k)
+    daily
+      .withColumn("win", sort_array(collect_list(col("v_cents")).over(w)))
+      .withColumn("n", size(col("win")))
+      .withColumn("med2", expr(
+        """CASE WHEN n % 2 = 1 THEN 2 * element_at(win, CAST((n + 1) div 2 AS INT))
+          |ELSE element_at(win, CAST(n div 2 AS INT)) + element_at(win, CAST(n div 2 + 1 AS INT))
+          |END""".stripMargin))
+      .withColumn("devs",
+        sort_array(transform(col("win"), x => abs(x * 2 - col("med2")))))
+      .withColumn("mad4", expr(
+        """CASE WHEN n % 2 = 1 THEN 2 * element_at(devs, CAST((n + 1) div 2 AS INT))
+          |ELSE element_at(devs, CAST(n div 2 AS INT)) + element_at(devs, CAST(n div 2 + 1 AS INT))
+          |END""".stripMargin))
+      .withColumn("dev2", abs(col("v_cents") * 2 - col("med2")))
+      .select(col("event_type"), col("day"), col("v_cents"), col("med2"),
+        col("mad4"), col("dev2"),
+        (col("dev2") * 2 > col("mad4") * 3).as("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def hampelOutliersSql(k: Int = 3): String =
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v_cents
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, day, v_cents,
+       |    list_sort(list(v_cents) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN $k PRECEDING AND $k FOLLOWING)) AS win
+       |  FROM d),
+       |m AS (
+       |  SELECT *, len(win) AS n,
+       |    CASE WHEN len(win) % 2 = 1 THEN 2 * win[(len(win)+1)//2]
+       |         ELSE win[len(win)//2] + win[len(win)//2 + 1] END AS med2
+       |  FROM w),
+       |dv AS (
+       |  SELECT *, list_sort(list_transform(win, x -> abs(2*x - med2))) AS devs
+       |  FROM m),
+       |f AS (
+       |  SELECT event_type, day, v_cents, med2,
+       |    CASE WHEN n % 2 = 1 THEN 2 * devs[(n+1)//2]
+       |         ELSE devs[n//2] + devs[n//2+1] END AS mad4,
+       |    abs(2*v_cents - med2) AS dev2
+       |  FROM dv)
+       |SELECT event_type, day, v_cents, med2, mad4, dev2,
+       |  2*dev2 > 3*mad4 AS is_outlier
+       |FROM f ORDER BY event_type, day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_hampel" -> QueryDef(
+      (s, d) => hampelOutliers(Tables.events(s, d)), hampelOutliersSql()),
     "ts_theil_sen" -> QueryDef(
       (s, d) => theilSen(Tables.events(s, d)), theilSenSql),
     "anomaly_mad" -> QueryDef(

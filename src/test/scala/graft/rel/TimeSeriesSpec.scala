@@ -182,4 +182,39 @@ class TimeSeriesSpec extends SparkSuite {
     assert(num === den * 1000L,
       s"median slope must be exactly 10.00/day in cents: $num/$den")
   }
+
+  test("hampel: planted spike flags against its local window, level " +
+      "shift does NOT flag once the window re-centers, edges use " +
+      "shorter even windows exactly") {
+    // 11 flat days at 10.00, day 6 spikes to 99.00
+    val spike = (1 to 11).map { d =>
+      val v = if (d == 6) 99.0 else 10.0
+      (d.toLong, f"2024-01-$d%02d 09:00:00", 1L, "buy", v)
+    }
+    val got = TimeSeries.hampelOutliers(ev(spike: _*)).collect()
+      .map(r => r.getDate(1).toString ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    // interior flat day: window is 7×1000 cents → med2=2000, mad4=0
+    assert(got("2024-01-03") === ((1000L, 2000L, 0L, false)))
+    // the spike day: |x−med| = 8900 cents > 3·MAD = 0 → flagged
+    assert(got("2024-01-06")._4 === true)
+    assert(got("2024-01-06")._1 === 9900L)
+    // flat days sharing the spike's window stay unflagged (dev 0)
+    assert((3 to 9).filter(_ != 6).forall { d =>
+      !got(f"2024-01-$d%02d")._4
+    }, "median absorbs one spike in a 7-window")
+    // edge day 1: window = days 1..4 (even n=4), med2 = 1000+1000
+    assert(got("2024-01-01") === ((1000L, 2000L, 0L, false)))
+
+    // level shift: 5 days at 10.00 then 6 days at 50.00 — the boundary
+    // days see mixed windows but the shifted REGIME must not all flag
+    val shift = (1 to 11).map { d =>
+      val v = if (d <= 5) 10.0 else 50.0
+      (d.toLong, f"2024-02-$d%02d 09:00:00", 1L, "buy", v)
+    }
+    val g2 = TimeSeries.hampelOutliers(ev(shift: _*)).collect()
+      .map(r => r.getDate(1).toString -> r.getBoolean(6)).toMap
+    assert(g2("2024-02-10") === false && g2("2024-02-11") === false,
+      "re-centered window must accept the new level (global MAD would not)")
+  }
 }
