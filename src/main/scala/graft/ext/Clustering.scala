@@ -392,7 +392,94 @@ object Clustering {
        |LIMIT $k""".stripMargin
   }
 
+  // ------------------------------------------------- k-center coreset
+
+  /** Greedy k-center coreset selection (Gonzalez 1985) — the data-
+    * selection shape behind diverse-subset curation: pick the point
+    * FARTHEST from everything picked so far, k times. Unlike k-means
+    * (density-seeking) the coreset spans the embedding space's
+    * extremes, which is what you want for eval-set seeding and
+    * diversity-constrained sampling. The surfaced `radius2` at each
+    * pick is the covering radius AT THAT k — the whole radius-vs-k
+    * tradeoff curve in one result, monotone non-increasing by
+    * construction (property-pinned in ClusteringSpec).
+    *
+    * Determinism discipline: distances are exact BIGINT squared-L2 on
+    * the shared integer grid (`quantize`), so the argmax and its
+    * (mind DESC, vec_id) tie-break are integer-exact in any engine —
+    * no float comparison anywhere. Seed = min vec_id.
+    *
+    * Scale shape: each of the k rounds is a zero-shuffle map (the ≤k
+    * picked centers fold in as a LITERAL matrix, `bestCluster`) plus a
+    * TakeOrdered(1) — per-partition top-1 then a driver merge of
+    * #partitions candidate rows, bounded metadata like the IVF probe's
+    * centroid ranking. The quantized relation is persisted once; at a
+    * 100 TB corpus the same loop holds with the literal fold-in
+    * because k·d literals are O(KB), and no round shuffles. */
+  def kcenterOn(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val embInt = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("v")).persist()
+    val first = embInt.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centers =
+      Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
+    (2 to k).foreach { _ =>
+      val cents = centers.zipWithIndex.map { case ((_, v, _), i) => i -> v }
+      val picked = centers.map(_._1)
+      val cand = embInt
+        .filter(!col("vec_id").isInCollection(picked))
+        .withColumn("mind", bestCluster(col("v"), cents).getField("d2"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect() // single-row argmax lookup: bounded
+      if (cand.nonEmpty) {
+        val r = cand(0)
+        centers :+= ((r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+      }
+    }
+    embInt.unpersist(blocking = false)
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, rad), i) => (i + 1, id, rad) }
+      .toDF("rank", "vec_id", "radius2")
+      .select(col("rank"), col("vec_id"), col("radius2"))
+      .orderBy(col("rank"))
+  }
+
+  def kcenterSql(k: Int, dim: Int = 64): String = {
+    val e =
+      s"""e AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+         |  FROM embeddings)""".stripMargin
+    val seed =
+      """cent1 AS (
+        |  SELECT vec_id, v, CAST(0 AS BIGINT) AS radius2, 1 AS rank
+        |  FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+    def round(i: Int) =
+      s"""m$i AS (
+         |  SELECT e.vec_id, e.v,
+         |    MIN(CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j]))) AS BIGINT)) AS mind
+         |  FROM e CROSS JOIN cent${i - 1} c
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM cent${i - 1})
+         |  GROUP BY e.vec_id, e.v),
+         |pick$i AS (
+         |  SELECT vec_id, v, mind AS radius2, $i AS rank
+         |  FROM m$i ORDER BY mind DESC, vec_id LIMIT 1),
+         |cent$i AS (
+         |  SELECT * FROM cent${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    val chain = (2 to k).map(round).mkString(",\n")
+    s"""WITH $e,
+       |$seed,
+       |$chain
+       |SELECT rank, vec_id, radius2 FROM cent$k ORDER BY rank""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "embedding_coreset" -> QueryDef(
+      (s, d) => kcenterOn(Tables.embeddings(s, d), k = 8),
+      kcenterSql(k = 8)),
     "embedding_pca" -> QueryDef(
       (s, d) => pcaPower(s, d), pcaPowerSql()),
     "embedding_pca_outliers" -> QueryDef(

@@ -76,4 +76,29 @@ class ClusteringSpec extends SparkSuite {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(run(1) === run(8))
   }
+
+  test("k-center coreset: farthest-first order on a line, radius " +
+      "monotone non-increasing, partitioning-invariant") {
+    // points on a 1-D line at 0, 0.1, 0.5, 1.0, 1.9 (ids 0..4):
+    // seed 0 → farthest is 1.9 (id 4) → then 1.0 (id 3, mind to {0,1.9}
+    // is min(1.0², .9²)= .81·Q²) → then 0.5 (id 2) → then 0.1 (id 1)
+    val emb = Seq(
+      (0L, Array(0.0f)), (1L, Array(0.1f)), (2L, Array(0.5f)),
+      (3L, Array(1.0f)), (4L, Array(1.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kcenterOn(emb, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq === Seq(0L, 4L, 3L, 2L, 1L),
+      s"farthest-first pick order: $got")
+    val radii = got.map(_._3).drop(1) // rank 1 is the 0-radius seed
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"covering radius must be monotone non-increasing: ${radii.toSeq}")
+    // bit-equality across partitionings (integer argmax discipline)
+    def run(parts: Int) =
+      Clustering.kcenterOn(emb.repartition(parts), k = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) === run(8))
+    // k larger than n stops at n picks instead of padding
+    assert(Clustering.kcenterOn(emb.limit(2), k = 5).count() === 2L)
+  }
 }
