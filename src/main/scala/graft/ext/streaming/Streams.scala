@@ -601,6 +601,65 @@ object Streams {
       }
   }
 
+  case class StreakUpdate(user_id: Long, n_active_days: Long,
+      n_streaks: Long, best_streak: Long, best_start: java.sql.Date)
+
+  /** Streaming consecutive-day streak counter — the stateful twin of
+    * `rel.EventAnalytics.streaks`. State per user is five scalars
+    * (lastDay, curLen, bestLen, bestStartDay, nStreaks); under the
+    * repo-wide twin contract (per-user arrival respects event-time
+    * order across micro-batches) a new activity day is just
+    * `day > lastDay`, extending the run iff `day == lastDay + 1`. The
+    * batch tie rule (equal best streaks keep the EARLIEST start) falls
+    * out of the strict `curLen > bestLen` replacement, because runs
+    * are visited in time order. Emits the user's full summary row
+    * whenever it changes; the row with the max n_active_days per user
+    * IS the batch row (differential in StreamingSpec). Dormant users
+    * expire on the event-time horizon like every other twin. */
+  def streakStream(events: Dataset[SessionInput],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 365L * 24 * 3600 * 1000): Dataset[StreakUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+          StreakUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => tsMicros(r.ts))
+            var (lastDay, curLen, bestLen, bestStart, nStreaks, nActive) =
+              state.getOption.getOrElse(
+                (Long.MinValue, 0L, 0L, Long.MinValue, 0L, 0L))
+            var changed = false
+            batch.foreach { r =>
+              val d = Math.floorDiv(tsMicros(r.ts), 86400000000L)
+              if (d > lastDay) {
+                nActive += 1
+                if (lastDay != Long.MinValue && d == lastDay + 1) curLen += 1
+                else { curLen = 1; nStreaks += 1 }
+                lastDay = d
+                if (curLen > bestLen) {
+                  bestLen = curLen; bestStart = d - curLen + 1
+                }
+                changed = true
+              }
+            }
+            state.update((lastDay, curLen, bestLen, bestStart, nStreaks,
+              nActive))
+            state.setTimeoutTimestamp(
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            if (changed)
+              Iterator.single(StreakUpdate(userId, nActive, nStreaks, bestLen,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(bestStart))))
+            else Iterator.empty
+          }
+      }
+  }
+
   case class CusumAlarm(user_id: Long, alarm_event_id: Long,
       cusum_cents: Long)
 

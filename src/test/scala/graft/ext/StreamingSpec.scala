@@ -823,6 +823,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming streak summaries converge to the batch gaps-and-islands " +
+      "rows across day-splitting micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[Streams.SessionInput]
+      .collect().sortBy(e => us(e.ts))
+    val input = MemoryStream[Streams.SessionInput]
+    val q = Streams.streakStream(input.toDS())
+      .writeStream.format("memory").queryName("streak_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 7 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // n_active_days is strictly increasing per user, so the max row
+      // per user is the final summary — the batch row
+      val streamed = spark.table("streak_out")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_active_days"), col("n_streaks"), col("best_streak"),
+            col("best_start")), col("n_active_days")).as("s"))
+        .select(col("user_id"), col("s.*"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDate(4).toString))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics
+        .streaks(graft.core.Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDate(4).toString))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
+
   test("streaming retention increments aggregate to the batch triangle") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
