@@ -992,7 +992,212 @@ object Similarity {
        |  ON a.qid = x.qid AND a.neighbor_id = x.neighbor_id
        |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 
+  // ------------------------------------------- graph ANN (NSW greedy)
+
+  /** Build-once symmetric kNN graph — the layer-0 structure of
+    * NSW/HNSW-family indexes (Malkov & Yashunin 2016 shape): every
+    * vector keeps its cell-blocked top-`graphK` neighbors, mirrored so
+    * greedy search can walk against the link direction. Each edge row
+    * DENORMALIZES the destination vector (exactly what an in-memory
+    * HNSW node stores), so a probe hop is one pruned scan with no
+    * join. Written range-partitioned + sorted on `src`, so a
+    * `src = cur` probe prunes to one file and its row-group stats —
+    * the text-index bucket-probe pattern. Memoized per corpus snapshot
+    * (`ParquetMemo`): the build pays the cell-blocked candidate join
+    * once; probes are serving-path reads. */
+  def ensureKnnGraph(spark: SparkSession, dir: String,
+      graphK: Int = 8): String =
+    graft.core.ParquetMemo.ensure(
+      s"$dir/embeddings.parquet", s"knngraph_k$graphK", "v2") {
+      // BANDED candidate generation, not single-cell blocking: a
+      // 6-plane sign hash split into three 2-bit bands — two nearby
+      // vectors disagreeing on a couple of planes still co-block in
+      // some band, so the graph gets the cross-cell links greedy
+      // search needs (single-cell blocking yields a DISCONNECTED
+      // graph and caps recall at the entry cell's content). Same
+      // pigeonhole geometry as the dedup MinHash bands.
+      val e0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val dim = e0.select(size(col("v"))).head().getInt(0)
+      val e = e0.withColumn("cell",
+        graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, 6))
+      val bands = e.select(col("vec_id"), explode(array((0 until 3).map(r =>
+          struct(lit(r).as("band"),
+            shiftright(col("cell"), 2 * r).bitwiseAND(lit(3)).as("bkey"))): _*))
+          .as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct() // dedup across bands BEFORE paying any cosine
+      val scored = cand
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+        .withColumn("cos", cosine(col("nv"), col("qv")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid"))
+      val edges = scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= graphK)
+        .select(col("qid").as("src"), col("nid").as("dst"))
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      sym.join(e0.select(col("vec_id").as("dst"),
+          col("v").as("dvec")), Seq("dst"))
+        .select(col("src"), col("dst"), col("dvec"))
+        .repartitionByRange(16, col("src"))
+        .sortWithinPartitions(col("src"))
+    }
+
+  /** Greedy best-first walk over the kNN graph — graph ANN serving:
+    * start at the deterministic entry (min vec_id ≠ query), and for
+    * `hops` steps move to the unvisited neighbor of the current node
+    * closest to the query (forced move, so plateaus are crossed);
+    * answer = top-k of all visited nodes. Rank-only output, the
+    * `simsearch_topk` contract.
+    *
+    * Determinism: every cosine is the same strict left-to-right double
+    * fold in the driver walk, the Spark build, and the DuckDB replay
+    * (list_dot_product); ties break by vec_id. Each hop collects ≤
+    * 2·graphK candidate rows (bounded metadata, the IVF probe-side
+    * contract) via a src-pruned scan of the standing graph — the
+    * corpus itself is touched only twice, for the query vector and the
+    * entry point, both single-row lookups. */
+  def graphGreedySearch(spark: SparkSession, dir: String, qId: Long,
+      k: Int, graphK: Int = 8, hops: Int = 32): DataFrame = {
+    val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def vecOf(id: Long): Array[Double] =
+      emb.filter(col("vec_id") === id).head().getSeq[Double](1).toArray
+    val qv = vecOf(qId)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosQ(a: Array[Double]): Double =
+      dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
+    // entry point: the lowest-id vector sharing the query's LSH cell
+    // (the IVF-flavored entry HNSW gets from its hierarchy), falling
+    // back to the global min id if the query's cell has no other member
+    val cells = emb.withColumn("cell",
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length, 6))
+    val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
+    val entry = cells
+      .filter(col("vec_id") =!= qId)
+      .agg(min(when(col("cell") === qCell, col("vec_id"))).as("inCell"),
+        min(col("vec_id")).as("anyId"))
+      .select(coalesce(col("inCell"), col("anyId")))
+      .head().getLong(0)
+    val visited = scala.collection.mutable.LinkedHashMap(
+      entry -> cosQ(vecOf(entry)))
+    var cur = entry
+    var hop = 0
+    var exhausted = false
+    while (hop < hops && !exhausted) {
+      val cands = g.filter(col("src") === cur && col("dst") =!= qId)
+        .collect() // ≤ 2·graphK rows: bounded probe metadata
+        .filter(r => !visited.contains(r.getLong(1)))
+        .map(r => (r.getLong(1), cosQ(r.getSeq[Double](2).toArray)))
+      if (cands.isEmpty) exhausted = true
+      else {
+        val (bid, bcos) = cands.minBy { case (id, c) => (-c, id) }
+        visited.update(bid, bcos)
+        cur = bid
+        hop += 1
+      }
+    }
+    import spark.implicits._
+    visited.toSeq.sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1).zipWithIndex
+      .map { case (id, i) => (i + 1, id) }
+      .toDF("rank", "vec_id")
+      .orderBy(col("rank"))
+  }
+
+  def graphGreedySearchSql(qId: Long, k: Int, graphK: Int = 8,
+      hops: Int = 32): String = {
+    val pick =
+      s"""(SELECT s.vec_id FROM edges ed JOIN score s ON s.vec_id = ed.dst
+         |       WHERE ed.src = w.cur AND NOT list_contains(w.visited, ed.dst)
+         |       ORDER BY s.cos DESC, s.vec_id LIMIT 1)""".stripMargin
+    s"""WITH RECURSIVE planes AS (
+       |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+       |    SELECT t.p, s.i,
+       |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+       |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |    FROM range(0, 6) t(p), range(0, 64) s(i))
+       |  GROUP BY p),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cellid AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
+       |  FROM e, planes pl GROUP BY e.vec_id),
+       |bands AS (
+       |  SELECT c.vec_id, t.r AS band,
+       |    (c.cell >> (2 * t.r)) & 3 AS bkey
+       |  FROM cellid c, range(0, 3) t(r)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM bands a JOIN bands b USING (band, bkey)
+       |  WHERE a.vec_id <> b.vec_id),
+       |scored0 AS (
+       |  SELECT cand.qid, cand.nid AS vec_id,
+       |    list_dot_product(eb.v, ea.v) /
+       |      (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(ea.v, ea.v))) AS cos
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.qid
+       |  JOIN e eb ON eb.vec_id = cand.nid),
+       |knn AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM scored0)
+       |  WHERE rnk <= $graphK),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT qid AS src, vec_id AS dst FROM knn
+       |    UNION ALL
+       |    SELECT vec_id AS src, qid AS dst FROM knn)
+       |  WHERE src <> $qId AND dst <> $qId),
+       |qv AS (SELECT v FROM e WHERE vec_id = $qId),
+       |score AS (
+       |  SELECT e.vec_id,
+       |    list_dot_product(e.v, qv.v) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+       |  FROM e, qv WHERE e.vec_id <> $qId),
+       |entry AS (
+       |  SELECT COALESCE(
+       |    (SELECT MIN(c.vec_id) FROM cellid c
+       |     WHERE c.cell = (SELECT cell FROM cellid WHERE vec_id = $qId)
+       |       AND c.vec_id <> $qId),
+       |    (SELECT MIN(vec_id) FROM e WHERE vec_id <> $qId)) AS id),
+       |walk AS (
+       |  SELECT 0 AS hop, (SELECT id FROM entry) AS cur,
+       |         [(SELECT id FROM entry)] AS visited
+       |  UNION ALL
+       |  SELECT w.hop + 1, $pick AS cur, list_append(w.visited, $pick)
+       |  FROM walk w
+       |  WHERE w.hop < $hops AND EXISTS (
+       |    SELECT 1 FROM edges ed WHERE ed.src = w.cur
+       |      AND NOT list_contains(w.visited, ed.dst))),
+       |fin AS (SELECT visited FROM walk ORDER BY hop DESC LIMIT 1),
+       |vis AS (SELECT unnest(visited) AS vec_id FROM fin)
+       |SELECT rank, vec_id FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.cos DESC, s.vec_id) AS INT)
+       |           AS rank, s.vec_id
+       |  FROM vis JOIN score s USING (vec_id))
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    // graph ANN: greedy NSW walk over the standing symmetric kNN
+    // graph; the oracle replays the identical walk as a recursive CTE
+    "simsearch_graph" -> QueryDef(
+      (s: SparkSession, d: String) => graphGreedySearch(s, d, 0L, 10),
+      Some(graphGreedySearchSql(0L, 10))),
     // recall@5 of the blocked batch kNN vs the exhaustive ranking —
     // the tuning harness for the ANN ladder, itself oracle-checked
     "simsearch_recall" -> QueryDef(

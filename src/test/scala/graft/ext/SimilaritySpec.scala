@@ -263,4 +263,22 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(top.toSeq === repart.toSeq)
   }
+
+  test("graph ANN greedy walk: contiguous ranks, deterministic replay, " +
+      "and recall against the exhaustive top-10 on the fixture") {
+    def run() = Similarity.graphGreedySearch(spark, sfDir, 0L, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val got = run()
+    assert(got.map(_._1).toSeq === (1 to 10).toSeq, "ranks contiguous")
+    assert(got.map(_._2).distinct.length === 10, "ids distinct")
+    assert(!got.map(_._2).contains(0L), "the query never answers itself")
+    assert(got.toSeq === run().toSeq, "walk is deterministic")
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.map(_._2).count(exact.contains)
+    info(s"graph-walk recall@10 on fixture: $recall/10")
+    assert(recall >= 6,
+      s"32-hop greedy walk over the banded graph should recover most " +
+        s"of the exhaustive top-10: $recall/10")
+  }
 }
