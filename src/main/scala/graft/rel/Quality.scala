@@ -422,6 +422,41 @@ object Quality {
     arms.mkString("", "\n  UNION ALL\n", "\nORDER BY relationship")
   }
 
+  // --------------------------------------------------- freshness audit
+
+  /** Feed-freshness audit: per event type, the last-seen event and its
+    * staleness against the freshest type in the same drop. Anchoring on
+    * the data's own max timestamp (not wall clock) keeps the report a
+    * pure function of the input — reproducible across engines and
+    * reruns, which a `now()`-based lag never is. A type silent for more
+    * than `maxLagHours` while others kept flowing is exactly how a
+    * dead upstream topic looks. One partial-aggregated scan; the
+    * anchor is a window over the |types|-row aggregate. Micros are
+    * exact BIGINTs end to end. */
+  def freshness(events: DataFrame, maxLagHours: Long = 48): DataFrame = {
+    val perType = events.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+      .withColumn("last_us", unix_micros(col("last_ts")))
+      .withColumn("anchor_us", expr("max(last_us) over ()"))
+    perType
+      .select(col("event_type"), col("n_events"),
+        col("last_us"),
+        (col("anchor_us") - col("last_us")).as("staleness_us"),
+        (col("anchor_us") - col("last_us") <= maxLagHours * 3600000000L)
+          .as("ok"))
+      .orderBy(col("event_type"))
+  }
+
+  def freshnessSql(maxLagHours: Long = 48): String =
+    s"""WITH p AS (
+       |  SELECT event_type, COUNT(*) AS n_events,
+       |    CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, CAST(n_events AS BIGINT) AS n_events, last_us,
+       |  MAX(last_us) OVER () - last_us AS staleness_us,
+       |  MAX(last_us) OVER () - last_us <= ${maxLagHours * 3600000000L} AS ok
+       |FROM p ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ Benford audit
 
   /** Benford first-digit expectation log10(1 + 1/d), pre-scaled to ppm
@@ -495,6 +530,8 @@ object Quality {
       (s, d) => referentialAudit(s, d), referentialAuditSql),
     "dq_benford" -> QueryDef(
       (s, d) => benfordAudit(Tables.orders(s, d)), benfordAuditSql),
+    "dq_freshness" -> QueryDef(
+      (s, d) => freshness(Tables.events(s, d)), freshnessSql()),
     "dq_audit" -> QueryDef(
       (s, d) => dqAudit(Tables.lineitem(s, d), Tables.orders(s, d)),
       dqAuditSql),

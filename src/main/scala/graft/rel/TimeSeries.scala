@@ -674,7 +674,76 @@ object TimeSeries {
        |  2*dev2 > 3*mad4 AS is_outlier
        |FROM f ORDER BY event_type, day""".stripMargin
 
+  /** STL-lite additive decomposition of the daily per-type value
+    * series: trend = centered 7-day moving average (interior rows
+    * only), seasonal = day-of-week mean of the detrended series,
+    * remainder = what's left — the first-look diagnostic before any
+    * forecasting. Everything stays INTEGER by scaling instead of
+    * dividing: `trend_sum7` is the window sum (7× the trend),
+    * `det7 = 7·x − trend_sum7` (7× the detrended value), the seasonal
+    * arm surfaces its exact (sum, count) pair, and
+    * `resid7c = det7·seas_cnt − seas_num` is 7·count× the remainder —
+    * every column an exact BIGINT, NULL only at the trend edges where
+    * a centered window is undefined. dow is ISO (1 = Monday), the one
+    * numbering Spark's weekday()+1 and DuckDB's isodow agree on.
+    *
+    * Scale shape: daily reduce (map-side combine) is the data-sized
+    * pass; the window and the dow aggregate both run over the
+    * calendar-bounded daily relation, and the seasonal join-back is
+    * |types|×7 rows — broadcast metadata. */
+  def decomposeDaily(events: DataFrame): DataFrame = {
+    import graft.core.Exact.money
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("v_cents"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend_sum7",
+        when(col("n7") === 7, sum(col("v_cents")).over(w7)))
+      .withColumn("det7", col("v_cents") * 7 - col("trend_sum7"))
+      .withColumn("dow", (weekday(col("day")) + 1).cast("int"))
+    val seas = det.groupBy(col("event_type"), col("dow"))
+      .agg(coalesce(sum(col("det7")), lit(0L)).as("seas_num"),
+        count(col("det7")).as("seas_cnt"))
+    det.join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("v_cents"),
+        col("trend_sum7"), col("det7"), col("seas_num"), col("seas_cnt"),
+        (col("det7") * col("seas_cnt") - col("seas_num")).as("resid7c"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val decomposeDailySql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v_cents
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, day, v_cents,
+      |    COUNT(*) OVER w7 AS n7,
+      |    CASE WHEN COUNT(*) OVER w7 = 7
+      |         THEN SUM(v_cents) OVER w7 END AS trend_sum7,
+      |    CAST(date_part('isodow', day) AS INT) AS dow
+      |  FROM d
+      |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT *, v_cents * 7 - trend_sum7 AS det7 FROM t),
+      |s AS (
+      |  SELECT event_type, dow,
+      |    CAST(COALESCE(SUM(det7), 0) AS BIGINT) AS seas_num,
+      |    CAST(COUNT(det7) AS BIGINT) AS seas_cnt
+      |  FROM dt GROUP BY event_type, dow)
+      |SELECT dt.event_type, dt.day, dt.dow, dt.v_cents, dt.trend_sum7,
+      |  dt.det7, s.seas_num, s.seas_cnt,
+      |  dt.det7 * s.seas_cnt - s.seas_num AS resid7c
+      |FROM dt JOIN s USING (event_type, dow)
+      |ORDER BY dt.event_type, dt.day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_decompose" -> QueryDef(
+      (s, d) => decomposeDaily(Tables.events(s, d)), decomposeDailySql),
     "ts_hampel" -> QueryDef(
       (s, d) => hampelOutliers(Tables.events(s, d)), hampelOutliersSql()),
     "ts_theil_sen" -> QueryDef(

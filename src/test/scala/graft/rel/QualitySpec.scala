@@ -147,4 +147,24 @@ class QualitySpec extends SparkSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(g2(1) === 1L && g2.values.sum === 1L)
   }
+
+  test("freshness: staleness anchors on the freshest type, a silent " +
+      "topic past the lag bound flags, micros are exact") {
+    val e = Seq(
+      (1L, "2024-03-10 12:00:00.000001", "live"),
+      (2L, "2024-03-10 11:00:00",        "live"),
+      (3L, "2024-03-08 12:00:00.000001", "dead")) // 48h stale exactly
+      .map { case (id, t, ty) => (id, Timestamp.valueOf(t), ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = Quality.freshness(e, maxLagHours = 48)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("live") === ((2L, 0L, true)))
+    assert(got("dead")._2 === 48L * 3600000000L,
+      "staleness is exact integer micros against the anchor")
+    assert(got("dead")._3 === true, "<= bound is inclusive")
+    val g2 = Quality.freshness(e, maxLagHours = 47)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(g2("dead") === false, "past the bound flags")
+  }
 }

@@ -217,4 +217,31 @@ class TimeSeriesSpec extends SparkSuite {
     assert(g2("2024-02-10") === false && g2("2024-02-11") === false,
       "re-centered window must accept the new level (global MAD would not)")
   }
+
+  test("decompose: constant series has zero detrend and remainder, " +
+      "edges carry NULL trend, dow is ISO, scaled identities hold") {
+    // 14 flat days at 10.00 starting Mon 2024-01-01
+    val flat = (1 to 14).map(d =>
+      (d.toLong, f"2024-01-$d%02d 09:00:00", 1L, "buy", 10.0))
+    val rows = TimeSeries.decomposeDaily(ev(flat: _*)).collect()
+    val byDay = rows.map(r => r.getDate(1).toString -> r).toMap
+    // 2024-01-01 is a Monday → ISO dow 1
+    assert(byDay("2024-01-01").getInt(2) === 1)
+    assert(byDay("2024-01-07").getInt(2) === 7, "Sunday is ISO 7")
+    // edges (first/last 3 days): trend undefined
+    Seq("2024-01-01", "2024-01-02", "2024-01-03",
+        "2024-01-12", "2024-01-13", "2024-01-14").foreach { d =>
+      assert(byDay(d).isNullAt(4), s"$d must have NULL trend_sum7")
+    }
+    // interior of a constant series: trend_sum7 = 7000, det7 = 0
+    (4 to 11).foreach { d =>
+      val r = byDay(f"2024-01-$d%02d")
+      assert(r.getLong(4) === 7000L && r.getLong(5) === 0L)
+      assert(r.getLong(8) === 0L, "constant series has zero remainder")
+    }
+    // per-row identity: resid7c = det7*seas_cnt - seas_num wherever defined
+    rows.filter(r => !r.isNullAt(5)).foreach { r =>
+      assert(r.getLong(8) === r.getLong(5) * r.getLong(7) - r.getLong(6))
+    }
+  }
 }
