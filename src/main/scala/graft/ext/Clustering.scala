@@ -476,7 +476,50 @@ object Clustering {
        |SELECT rank, vec_id, radius2 FROM cent$k ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------------- per-dimension diagnostics
+
+  /** Per-dimension embedding health report — the screen run before
+    * trusting a new embedding drop: on the shared integer grid, each
+    * of the d dimensions surfaces its exact count/sum/sum-of-squares/
+    * min/max plus a dead-dimension flag (a dim the encoder collapsed
+    * to a constant carries no signal and silently wastes index space).
+    * Sum-of-squares of Q-grid values stays far under Long.MaxValue at
+    * any corpus size that fits a cluster (1024² × 10¹² rows ≈ 10¹⁸).
+    *
+    * Scale shape: one posexplode (constant ×d fanout) into one
+    * map-side-combined aggregate on the d-row key space — the
+    * k-means update pass without the iteration. */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val embInt = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    embInt
+      .select(posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy((col("pos0") + 1).cast("int").as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_q"),
+        sum(col("x") * col("x")).as("sumsq_q"),
+        min(col("x")).as("min_q"), max(col("x")).as("max_q"))
+      .withColumn("dead", col("min_q") === col("max_q"))
+      .orderBy(col("pos"))
+  }
+
+  def dimStatsSql(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+       |  FROM embeddings)
+       |SELECT CAST(j.i AS INT) AS pos, COUNT(*) AS n,
+       |  CAST(SUM(v[j.i]) AS BIGINT) AS sum_q,
+       |  CAST(SUM(v[j.i] * v[j.i]) AS BIGINT) AS sumsq_q,
+       |  CAST(MIN(v[j.i]) AS BIGINT) AS min_q,
+       |  CAST(MAX(v[j.i]) AS BIGINT) AS max_q,
+       |  MIN(v[j.i]) = MAX(v[j.i]) AS dead
+       |FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) j
+       |GROUP BY j.i ORDER BY pos""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_embedding_dims" -> QueryDef(
+      (s, d) => dimStats(Tables.embeddings(s, d)), dimStatsSql()),
     "embedding_coreset" -> QueryDef(
       (s, d) => kcenterOn(Tables.embeddings(s, d), k = 8),
       kcenterSql(k = 8)),

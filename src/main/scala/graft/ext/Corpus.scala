@@ -794,6 +794,45 @@ object Corpus {
        |WHERE n <= $cap OR rk <= $cap
        |ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------- balanced sample
+
+  /** Class-balanced deterministic downsample: every language keeps
+    * exactly min-class-count documents (the smallest language is kept
+    * whole), chosen by the salted-hash order — the classifier-training
+    * counterpart of `domainCap` (cap fixed) and `sample_bottomk_hash`
+    * (global k): here the cap IS the minority class size, computed
+    * from the data, so the output is perfectly balanced with zero RNG.
+    *
+    * Scale shape: the floor is one |classes|-row aggregate folded back
+    * by broadcast; the per-class ranking is the domainCap window —
+    * per-class partitions, salted-hash order, rank ≤ floor. */
+  def balancedSample(docs: DataFrame): DataFrame = {
+    val h = substring(md5(concat(lit("bal:"),
+      col("doc_id").cast("string"))), 1, 16)
+    val floorN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))))
+      .where(col("rk") <= floorN)
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val balancedSampleSql: String =
+    """WITH f AS (
+      |  SELECT MIN(n) AS floor_n FROM (
+      |    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY substr(md5('bal:' || CAST(doc_id AS VARCHAR)), 1, 16),
+      |        doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+      |FROM r, f WHERE rk <= f.floor_n
+      |ORDER BY lang, doc_id""".stripMargin
+
   // ------------------------------------------------------ declared queries
 
   private val SampleRates = Map("src0" -> 0.5, "src1" -> 0.25)
@@ -823,6 +862,9 @@ object Corpus {
     "sample_stratified" -> QueryDef(
       (s, d) => stratifiedSample(Tables.documents(s, d), SampleRates, 0.1),
       stratifiedSampleSql(SampleRates, 0.1)),
+    "sample_balanced" -> QueryDef(
+      (s, d) => balancedSample(Tables.documents(s, d)),
+      balancedSampleSql),
     "pii_redact" -> QueryDef(
       (s, d) => piiRedactQuery(Tables.documents(s, d)), piiRedactSql),
     "text_repetition" -> QueryDef(

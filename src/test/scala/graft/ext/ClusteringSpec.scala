@@ -101,4 +101,17 @@ class ClusteringSpec extends SparkSuite {
     // k larger than n stops at n picks instead of padding
     assert(Clustering.kcenterOn(emb.limit(2), k = 5).count() === 2L)
   }
+
+  test("dimension stats: exact grid moments per dim, dead dim flagged") {
+    // dim 1 varies (0.0, 1.0 → 0, 1024), dim 2 constant 0.5 → dead
+    val emb = Seq(
+      (0L, Array(0.0f, 0.5f)), (1L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.dimStats(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got(1) === ((2L, 1024L, 1024L * 1024L, 0L, 1024L, false)))
+    assert(got(2) === ((2L, 1024L, 2L * 512L * 512L, 512L, 512L, true)),
+      "constant dimension must flag dead")
+  }
 }

@@ -353,4 +353,23 @@ class CorpusSpec extends SparkSuite {
     assert(r.head.getInt(1) === toks.length)
     assert(r.head.getInt(2) === toks.map(_.length).sum)
   }
+
+  test("balanced sample: every class keeps exactly the minority count, " +
+      "the minority class survives whole, selection is hash-stable") {
+    import spark.implicits._
+    val docs = ((1L to 10L).map(i => (i, "en")) ++
+      (11L to 13L).map(i => (i, "fr")) ++
+      (14L to 19L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val got = Corpus.balancedSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byLang.keySet === Set("en", "fr", "de"))
+    assert(byLang.values.forall(_.size === 3), s"all classes at floor 3: $byLang")
+    assert(byLang("fr") === Set(11L, 12L, 13L), "minority class kept whole")
+    // determinism: same picks under a different physical layout
+    val again = Corpus.balancedSample(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === again.toSeq)
+  }
 }
