@@ -53,6 +53,10 @@ object Bench {
     // and the bipartite HITS adjacency (both orientations, bucketed)
     try rel.Graph.ensureHitsAdjacency(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the NSW kNN graph: standing ANN index like the IVF build —
+    // simsearch_graph then times the greedy walk a deployment serves
+    try ext.Similarity.ensureKnnGraph(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and for the synthetic media corpora: PNG/JPEG/WAV/AVI *encoding*
     // is corpus creation (write-once, memoized), not query work — the
     // media queries then time decode + fingerprint + join over stored
