@@ -778,6 +778,45 @@ object Streams {
       }
   }
 
+  case class StaleAlarm(event_type: String, last_us: Long)
+
+  /** Streaming feed-staleness alarms — the absence-detection twin of
+    * `rel.Quality.freshness`, and the second pure EVENT-TIME-TIMER op
+    * beside cart abandonment: a dead upstream topic emits NOTHING, so
+    * only a timer can observe it. Per-type state is one scalar (the
+    * last event-time micros); every event re-arms the timer at
+    * last + maxLag, and the timer firing IS the alarm — the watermark
+    * has proven the topic silent for the full bound. Alarmed types
+    * drop state; a later event resumes tracking fresh, so one alarm
+    * row marks each maximal silence episode (its `last_us` is the
+    * episode's silence start — the batch report's last-seen column for
+    * the terminal episode, the differential key in StreamingSpec). */
+  def freshnessStream(events: Dataset[TypedValueEvent],
+      watermarkDelay: String = "10 minutes",
+      maxLagMs: Long = 48L * 3600 * 1000): Dataset[StaleAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, StaleAlarm](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (etype, rows, state) =>
+          if (state.hasTimedOut) {
+            val lastUs = state.get
+            state.remove()
+            Iterator.single(StaleAlarm(etype, lastUs))
+          } else {
+            val lastUs = (rows.map(r => tsMicros(r.ts)) ++
+              state.getOption.iterator).max
+            state.update(lastUs)
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000 + maxLagMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class AbandonVerdict(user_id: Long, last_click_id: Long,
       click_ts: java.sql.Timestamp, abandoned: Boolean)
 

@@ -1167,4 +1167,45 @@ class StreamingSpec extends SparkSuite {
         s"streamed arm totals diverge: streamed=$sw batch=$batched")
     } finally q.stop()
   }
+
+  test("streaming staleness alarms: terminal silence episodes equal the " +
+      "batch not-ok set, fresh types never terminal-alarm") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lagMs = 4L * 3600 * 1000 // fixture staleness: 0/1.09/3.92/4.67/7.12 h
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[Streams.TypedValueEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.TypedValueEvent]
+    val q = Streams.freshnessStream(input.toDS(), maxLagMs = lagMs)
+      .writeStream.format("memory").queryName("stale_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinel 11 min past the corpus end: watermark lands 1 min past
+      // max_ts — ABOVE stale types' timers (last + lag < max), BELOW
+      // fresh types' timers (last + lag >= max + 4.7 min on fixture)
+      val maxMs = ev.map(_.ts.getTime).max
+      input.addData(Streams.TypedValueEvent(-1L, "___wm___",
+        new Timestamp(maxMs + 11 * 60 * 1000), 0.0))
+      q.processAllAvailable()
+      val alarms = spark.table("stale_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val lastByType = ev.groupBy(_.event_type).view.mapValues(rs =>
+        rs.map(e => Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000).max).toMap
+      val terminal = alarms.filter { case (t, us) =>
+        lastByType.get(t).contains(us) }.map(_._1).toSet
+      val batchStale = graft.rel.Quality
+        .freshness(graft.core.Tables.events(spark, sfDir),
+          maxLagHours = 4)
+        .collect().filter(!_.getBoolean(4)).map(_.getString(0)).toSet
+      assert(batchStale.nonEmpty, "fixture must have stale types at 4h")
+      assert(terminal === batchStale,
+        s"terminal alarms $terminal must equal the batch not-ok set $batchStale")
+    } finally q.stop()
+  }
 }
