@@ -441,7 +441,6 @@ object Clustering {
     centers.zipWithIndex
       .map { case ((id, _, rad), i) => (i + 1, id, rad) }
       .toDF("rank", "vec_id", "radius2")
-      .select(col("rank"), col("vec_id"), col("radius2"))
       .orderBy(col("rank"))
   }
 
@@ -494,8 +493,11 @@ object Clustering {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
     embInt
       .select(posexplode(col("v")).as(Seq("pos0", "x")))
+      // count(x), not count(*): a NULL element (or a row a short/NULL
+      // embedding never emits) must not count as an observation — the
+      // SQL twin's COUNT(v[i]) has exactly these semantics
       .groupBy((col("pos0") + 1).cast("int").as("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_q"),
+      .agg(count(col("x")).as("n"), sum(col("x")).as("sum_q"),
         sum(col("x") * col("x")).as("sumsq_q"),
         min(col("x")).as("min_q"), max(col("x")).as("max_q"))
       .withColumn("dead", col("min_q") === col("max_q"))
@@ -508,7 +510,7 @@ object Clustering {
        |    list_transform(CAST(embedding AS DOUBLE[]),
        |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
        |  FROM embeddings)
-       |SELECT CAST(j.i AS INT) AS pos, COUNT(*) AS n,
+       |SELECT CAST(j.i AS INT) AS pos, COUNT(v[j.i]) AS n,
        |  CAST(SUM(v[j.i]) AS BIGINT) AS sum_q,
        |  CAST(SUM(v[j.i] * v[j.i]) AS BIGINT) AS sumsq_q,
        |  CAST(MIN(v[j.i]) AS BIGINT) AS min_q,

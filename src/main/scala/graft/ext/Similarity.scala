@@ -1101,6 +1101,10 @@ object Similarity {
         .collect() // ≤ 2·graphK rows: bounded probe metadata
         .filter(r => !visited.contains(r.getLong(1)))
         .map(r => (r.getLong(1), cosQ(r.getSeq[Double](2).toArray)))
+        // zero-norm vectors cosine to NaN, and Scala's total Ordering
+        // sorts NaN OPPOSITE to SQL's DESC — drop them here exactly as
+        // the oracle's isfinite(cos) filter does (the mmrTopKOver rule)
+        .filter(!_._2.isNaN)
       if (cands.isEmpty) exhausted = true
       else {
         val (bid, bcos) = cands.minBy { case (id, c) => (-c, id) }
@@ -1110,7 +1114,11 @@ object Similarity {
       }
     }
     import spark.implicits._
-    visited.toSeq.sortBy { case (id, c) => (-c, id) }
+    // a NaN-cos entry (zero-norm vector) is walkable state but not an
+    // answer: the oracle's score CTE filters isfinite(cos), so it must
+    // drop from the ranked surface here too
+    visited.toSeq.filter(!_._2.isNaN)
+      .sortBy { case (id, c) => (-c, id) }
       .take(k).map(_._1).zipWithIndex
       .map { case (id, i) => (i + 1, id) }
       .toDF("rank", "vec_id")
@@ -1119,10 +1127,6 @@ object Similarity {
 
   def graphGreedySearchSql(qId: Long, k: Int, graphK: Int = 8,
       hops: Int = 32): String = {
-    val pick =
-      s"""(SELECT s.vec_id FROM edges ed JOIN score s ON s.vec_id = ed.dst
-         |       WHERE ed.src = w.cur AND NOT list_contains(w.visited, ed.dst)
-         |       ORDER BY s.cos DESC, s.vec_id LIMIT 1)""".stripMargin
     s"""WITH RECURSIVE planes AS (
        |  SELECT p, list(comp ORDER BY i) AS plane FROM (
        |    SELECT t.p, s.i,
@@ -1164,10 +1168,12 @@ object Similarity {
        |  WHERE src <> $qId AND dst <> $qId),
        |qv AS (SELECT v FROM e WHERE vec_id = $qId),
        |score AS (
-       |  SELECT e.vec_id,
-       |    list_dot_product(e.v, qv.v) /
-       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
-       |  FROM e, qv WHERE e.vec_id <> $qId),
+       |  SELECT * FROM (
+       |    SELECT e.vec_id,
+       |      list_dot_product(e.v, qv.v) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+       |    FROM e, qv WHERE e.vec_id <> $qId)
+       |  WHERE isfinite(cos)),
        |entry AS (
        |  SELECT COALESCE(
        |    (SELECT MIN(c.vec_id) FROM cellid c
@@ -1178,11 +1184,13 @@ object Similarity {
        |  SELECT 0 AS hop, (SELECT id FROM entry) AS cur,
        |         [(SELECT id FROM entry)] AS visited
        |  UNION ALL
-       |  SELECT w.hop + 1, $pick AS cur, list_append(w.visited, $pick)
-       |  FROM walk w
-       |  WHERE w.hop < $hops AND EXISTS (
-       |    SELECT 1 FROM edges ed WHERE ed.src = w.cur
-       |      AND NOT list_contains(w.visited, ed.dst))),
+       |  SELECT w.hop + 1, p.nxt, list_append(w.visited, p.nxt)
+       |  FROM walk w CROSS JOIN LATERAL (
+       |    SELECT s.vec_id AS nxt FROM edges ed
+       |    JOIN score s ON s.vec_id = ed.dst
+       |    WHERE ed.src = w.cur AND NOT list_contains(w.visited, ed.dst)
+       |    ORDER BY s.cos DESC, s.vec_id LIMIT 1) p
+       |  WHERE w.hop < $hops),
        |fin AS (SELECT visited FROM walk ORDER BY hop DESC LIMIT 1),
        |vis AS (SELECT unnest(visited) AS vec_id FROM fin)
        |SELECT rank, vec_id FROM (

@@ -409,13 +409,16 @@ object Quality {
 
   val referentialAuditSql: String = {
     val arms = FkEdges.map { case (rel, c, ck, p, pk) =>
+      // COALESCE on every SUM: an empty child table must report 0/true
+      // like the Spark arm, not NULL (SUM over zero rows is NULL)
       s"""  SELECT '$rel' AS relationship,
          |    CAST(COUNT(*) AS BIGINT) AS n_child,
-         |    CAST(SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
-         |    CAST(SUM(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_null_keys,
-         |    SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+         |    CAST(COALESCE(SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans,
+         |    CAST(COALESCE(SUM(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_null_keys,
+         |    COALESCE(SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL
+         |      THEN 1 ELSE 0 END), 0) = 0 AS ok
          |  FROM $c c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $p) p
          |    ON c.$ck = p.k""".stripMargin
     }
