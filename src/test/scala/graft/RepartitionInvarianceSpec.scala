@@ -42,7 +42,14 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "graph_betweenness",    // two-phase σ/δ fixed-point accumulation
     "sample_weighted",      // two-level prefix sum + driver offset fold
     "simsearch_mmr",        // driver greedy over a collected candidate set
-    "text_boilerplate")     // in-row array_sort reassembly of kept chunks
+    "text_boilerplate",     // in-row array_sort reassembly of kept chunks
+    "events_streaks",       // gaps-and-islands windows + tie-ruled agg
+    "ts_hampel",            // sorted-window scaled medians (med2/mad4)
+    "ts_decompose",         // scaled trend/seasonal integer identities
+    "dq_referential",       // distinct-key probe + flag-counting agg
+    "embedding_coreset",    // driver argmax rounds over integer d2
+    "simsearch_graph",      // sequential pruned-probe greedy walk
+    "sample_balanced")      // data-derived floor + salted-hash ranking
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf
