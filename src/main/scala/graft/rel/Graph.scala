@@ -1233,7 +1233,101 @@ object Graph {
        |LIMIT $k""".stripMargin
   }
 
+  // ------------------------------------------------- weighted PageRank
+
+  /** Mirrored co-purchase edges WITH multiplicity: w = number of
+    * distinct orders containing both parts — the first WEIGHTED graph
+    * in the family (every other op treats edges as a set). The
+    * (order, part) distinct runs first so per-order line-item
+    * duplication can't inflate weights; the count shuffle is the
+    * build's one exchange and its fanout is quadratic only in order
+    * size (bounded by construction, the coPurchaseEdges argument). */
+  def weightedCoPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val half = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    half.unionByName(half.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+  }
+
+  /** Weighted fixed-point PageRank: each neighbor receives mass in
+    * proportion to its edge weight — `(rank·85·w) div (100·wsum)` —
+    * instead of the uniform 1/outdeg split. The per-edge product runs
+    * in DECIMAL(38,0) (the HITS overflow discipline: rank mass can
+    * reach |V|·Scale ≈ 2·10¹⁷ at sf1000, and ×85×w would overflow
+    * BIGINT silently) and truncates back to BIGINT — order-independent,
+    * bit-identical at any parallelism. Same iteration shape as the
+    * unweighted op: weighted adjacency lists checkpointed
+    * hash-partitioned on src, one dst-aggregate exchange per round. */
+  def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
+        sum(col("w")).as("wsum"))
+      .repartition(p, col("src"))
+      .localCheckpoint(eager = true)
+    val base = Scale * (DampDen - DampNum) / DampDen
+    val ranks0 = adj.select(col("src").as("node"), lit(Scale).as("rank"))
+    (1 to iters).foldLeft(ranks0) { (ranks, _) =>
+      adj
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .select(explode(col("nbrs")).as("nb"), col("rank"), col("wsum"))
+        .select(col("nb.dst").as("dst"),
+          expr(s"CAST((CAST(rank AS DECIMAL(38,0)) * $DampNum * nb.w)" +
+            s" div ($DampDen * wsum) AS BIGINT)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((sum(col("contrib")) + base).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+  }
+
+  /** Declared surface: 5 weighted iterations, top 100 parts. */
+  def partPageRankWeighted(lineitem: DataFrame, iters: Int = 5,
+      k: Int = 100): DataFrame =
+    pageRankWeighted(weightedCoPurchaseEdges(lineitem), iters)
+      .select(col("node").as("part"), col("rank"))
+      .orderBy(col("rank").desc, col("part"))
+      .limit(k)
+
+  def partPageRankWeightedSql(iters: Int = 5, k: Int = 100): String = {
+    val base = Scale * (DampDen - DampNum) / DampDen
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM((CAST(r.rank AS HUGEINT) * $DampNum * e.w)
+         |      // ($DampDen * d.wsum)) + $base AS BIGINT) AS rank
+         |  FROM r${i - 1} r
+         |  JOIN wsum d ON d.src = r.node
+         |  JOIN e ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |eh AS (
+       |  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM eh
+       |      UNION ALL SELECT dst, src, w FROM eh),
+       |wsum AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST($Scale AS BIGINT) AS rank FROM wsum),
+       |$iterCtes
+       |SELECT node AS part, rank FROM r$iters
+       |ORDER BY rank DESC, part
+       |LIMIT $k""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_pagerank_weighted" -> QueryDef(
+      (s, d) => partPageRankWeighted(Tables.lineitem(s, d)),
+      partPageRankWeightedSql()),
     "graph_hits" -> QueryDef(
       (s, d) => custSupplierHitsBucketed(s, d),
       hitsSql()),

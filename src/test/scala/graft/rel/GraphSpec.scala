@@ -416,4 +416,30 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(a === b)
   }
+
+  test("weighted pagerank: uniform weights reproduce the unweighted op " +
+      "bit-for-bit, skewed weights route mass proportionally") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 on 1, mirrored directions
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val uni = edges.withColumn("w", lit(1L))
+    val a = Graph.pageRank(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.pageRankWeighted(uni, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b, "w = 1 everywhere must equal the uniform split exactly")
+    // star: center 1 sends to 2 with weight 9, to 3 with weight 1 —
+    // after one round node 2 holds 9x node 3's received mass
+    val skewHalf = Seq((1L, 2L, 9L), (1L, 3L, 1L))
+    val skew = (skewHalf ++ skewHalf.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(skew, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Graph.Scale * 15L / 100L
+    val recv2 = got(2L) - base
+    val recv3 = got(3L) - base
+    assert(recv2 === 9L * recv3,
+      s"mass must split 9:1 by weight, got $recv2 vs $recv3")
+  }
 }
