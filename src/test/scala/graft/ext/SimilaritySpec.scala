@@ -281,4 +281,22 @@ class SimilaritySpec extends SparkSuite {
       s"32-hop greedy walk over the banded graph should recover most " +
         s"of the exhaustive top-10: $recall/10")
   }
+
+  test("graph ANN beam search: deterministic, at least greedy-walk " +
+      "recall, fewer sequential probes") {
+    def run() = Similarity.graphBeamSearch(spark, sfDir, 0L, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val got = run()
+    assert(got.map(_._1).toSeq === (1 to 10).toSeq)
+    assert(!got.map(_._2).contains(0L))
+    assert(got.toSeq === run().toSeq, "beam search is deterministic")
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val beamRecall = got.map(_._2).count(exact.contains)
+    val greedyRecall = Similarity.graphGreedySearch(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(1)).count(exact.contains)
+    info(s"beam recall@10: $beamRecall/10 (greedy: $greedyRecall/10)")
+    assert(beamRecall >= greedyRecall,
+      "ef-wide expansion must not lose to the single walker on the fixture")
+  }
 }
