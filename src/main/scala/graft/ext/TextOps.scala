@@ -660,10 +660,55 @@ object TextOps {
       |    AS looks_code
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Flesch reading-ease in integer fixed-point — the classic document
+    * difficulty score next to the Gopher/quality filters: sentences =
+    * terminator runs (min 1), syllables = vowel-group runs per the
+    * standard heuristic, and the score's two ratio terms are integer
+    * divisions in milli-units — `206835 − (1015·w) div s − (84600·sy) div w`
+    * (milli-points; each term one exact `div`), so the surfaced milli-score is
+    * bit-identical cross-engine (the readability twin of
+    * `text_code_detect`'s permille discipline). Narrow per-row regex
+    * counting; simple character-class regexes mean Java and RE2 agree. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = expr(
+      "size(regexp_extract_all(text, '[A-Za-z]+', 0))").cast("long")
+    val sentences = greatest(lit(1L), expr(
+      "size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"))
+    val syllables = expr(
+      "size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))").cast("long")
+    docs.select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .withColumn("score_milli",
+        when(col("n_words") > 0,
+          lit(206835L) - expr("(1015 * n_words) div n_sentences")
+            - expr("(84600 * n_syllables) div n_words"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val readabilitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+      |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+      |      AS n_sentences,
+      |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+      |      AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0
+      |       THEN 206835 - (1015 * n_words) // n_sentences
+      |                   - (84600 * n_syllables) // n_words
+      |       ELSE 0 END AS score_milli
+      |FROM t ORDER BY doc_id""".stripMargin
+
   private val q3: Seq[(String, QueryDef)] = Seq(
     "text_code_detect" -> QueryDef(
       (s, d) => codeSignals(Tables.documents(s, d)),
-      Some(codeSignalsSql)))
+      Some(codeSignalsSql)),
+    "text_readability" -> QueryDef(
+      (s, d) => readability(Tables.documents(s, d)),
+      Some(readabilitySql)))
 
   def queries: Seq[(String, QueryDef)] = q ++ q3
 }

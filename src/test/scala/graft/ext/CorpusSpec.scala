@@ -372,4 +372,20 @@ class CorpusSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === again.toSeq)
   }
+
+  test("readability: hand-counted words/sentences/syllables and the " +
+      "exact milli-score; empty text guards to zero") {
+    import spark.implicits._
+    // "The cat sat. It ran!" → words 5, sentences 2, vowel groups:
+    // The(1) cat(1) sat(1) It(1) ran(1) = 5
+    val docs = Seq((1L, "The cat sat. It ran!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L)._1 === 5L && got(1L)._2 === 2L && got(1L)._3 === 5L)
+    // 206835 - (1015*5) div 2 - (84600*5) div 5 = 206835 - 2537 - 84600
+    assert(got(1L)._4 === 206835L - 2537L - 84600L)
+    assert(got(2L) === ((0L, 1L, 0L, 0L)), "empty text: zero score, no div0")
+  }
 }
