@@ -192,6 +192,81 @@ object EventAnalytics {
     * extends that gate to the streaming path. The per-purchase argmax
     * plans as WindowGroupLimit; the interval join shuffles both sides
     * on user_id once. */
+  /** Position-based (U-shaped) multi-touch attribution — the standard
+    * third model beside last-touch and the Markov removal effect:
+    * within each CONVERTING journey (the markov journey split — events
+    * before each purchase), the first and last channel touches take
+    * 40% each and the interior splits the remaining 20% evenly. All
+    * credit is integer BASIS POINTS with the division remainder
+    * assigned to the EARLIEST interior touch (an explicit rule, so
+    * every journey sums to exactly 10000 and the cross-engine hash
+    * holds); single-touch journeys take all 10000, two-touch 5000/5000.
+    *
+    * Scale shape: the journey build is the markov chain's two
+    * user-keyed window passes; credit is a per-row CASE off (rn, n)
+    * and the final per-channel rollup is a partial-agg shuffle on
+    * |channels| keys. */
+  def positionAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withJourney = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("journey", coalesce(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    val convJ = withJourney.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey")).distinct()
+    val jw = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("ts"), col("event_id"))
+    val touches = withJourney.filter(col("event_type") =!= "purchase")
+      .join(convJ, Seq("user_id", "journey"), "left_semi")
+      .withColumn("rn", row_number().over(jw))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("journey"))))
+    val credit = expr(
+      """CASE WHEN n = 1 THEN 10000
+        |WHEN n = 2 THEN 5000
+        |WHEN rn = 1 OR rn = n THEN 4000
+        |WHEN rn = 2 THEN 2000 div (n - 2) + 2000 - (n - 2) * (2000 div (n - 2))
+        |ELSE 2000 div (n - 2) END""".stripMargin)
+    touches
+      .select(col("event_type"), credit.cast("long").as("bp"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("bp")).as("credit_bp"), count(lit(1)).as("n_touches"))
+      .orderBy(col("event_type"))
+  }
+
+  val positionAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |j AS (
+      |  SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+      |  FROM e),
+      |conv AS (
+      |  SELECT DISTINCT user_id, journey FROM j
+      |  WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT j.event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY j.user_id, j.journey
+      |      ORDER BY j.ts, j.event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY j.user_id, j.journey) AS n
+      |  FROM j SEMI JOIN conv ON conv.user_id = j.user_id
+      |    AND conv.journey = j.journey
+      |  WHERE j.event_type <> 'purchase'),
+      |c AS (
+      |  SELECT event_type,
+      |    CASE WHEN n = 1 THEN 10000
+      |         WHEN n = 2 THEN 5000
+      |         WHEN rn = 1 OR rn = n THEN 4000
+      |         WHEN rn = 2 THEN 2000 // (n - 2) + 2000 - (n - 2) * (2000 // (n - 2))
+      |         ELSE 2000 // (n - 2) END AS bp
+      |  FROM t)
+      |SELECT event_type, CAST(SUM(bp) AS BIGINT) AS credit_bp,
+      |       CAST(COUNT(*) AS BIGINT) AS n_touches
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def lastTouchAttribution(events: DataFrame): DataFrame = {
     val joined = graft.ext.streaming.Streams.purchaseAttribution(
       events.filter(col("event_type") === "view"),
@@ -875,6 +950,9 @@ object EventAnalytics {
     "events_attribution" -> QueryDef(
       (s, d) => lastTouchAttribution(Tables.events(s, d)),
       lastTouchAttributionSql),
+    "events_attribution_position" -> QueryDef(
+      (s, d) => positionAttribution(Tables.events(s, d)),
+      positionAttributionSql),
     "events_funnel" -> QueryDef(
       (s, d) => funnel(Tables.events(s, d)), funnelSql),
     "events_retention" -> QueryDef(

@@ -385,6 +385,32 @@ class EventAnalyticsSpec extends SparkSuite {
       "gap hours inside the window count as zero: mean is 1/hr")
   }
 
+  test("position attribution: U-shape on a hand journey, remainder to " +
+      "the earliest interior touch, only converting journeys credit") {
+    val e = ev(Seq(
+      // user 1 journey: v,c,v,c,v (n=5) then purchase
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 10:01:00", "click"),
+      (3L, 1L, "2024-01-01 10:02:00", "view"),
+      (4L, 1L, "2024-01-01 10:03:00", "click"),
+      (5L, 1L, "2024-01-01 10:04:00", "view"),
+      (6L, 1L, "2024-01-01 10:05:00", "purchase"),
+      // user 2: touches but NO purchase → zero credit
+      (7L, 2L, "2024-01-01 11:00:00", "view"),
+      (8L, 2L, "2024-01-01 11:01:00", "click")))
+    val got = EventAnalytics.positionAttribution(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // n=5: rn1 view 4000, rn2 click 666+2, rn3 view 666, rn4 click 666,
+    // rn5 view 4000 → view 8666+666=... view: 4000+666+4000=8666;
+    // click: 668+666=1334; total 10000
+    assert(got("view") === ((8666L, 3L)))
+    assert(got("click") === ((1334L, 2L)))
+    assert(got.values.map(_._1).sum === 10000L,
+      "every converting journey sums to exactly 10000 bp")
+    assert(!got.contains("signup") && got.size === 2,
+      "non-converting journeys contribute nothing")
+  }
+
   test("streaks: gap splits runs, same-day repeats collapse, equal best " +
       "streaks surface the earliest start") {
     val e = ev(Seq(
