@@ -53,6 +53,9 @@ object Bench {
     // and the bipartite HITS adjacency (both orientations, bucketed)
     try rel.Graph.ensureHitsAdjacency(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the weighted co-purchase adjacency (same standing-state story)
+    try rel.Graph.ensureWeightedAdjacency(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and the NSW kNN graph: standing ANN index like the IVF build —
     // simsearch_graph then times the greedy walk a deployment serves
     try ext.Similarity.ensureKnnGraph(spark, sfDir): Unit
