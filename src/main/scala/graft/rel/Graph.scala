@@ -1378,7 +1378,78 @@ object Graph {
        |LIMIT $k""".stripMargin
   }
 
+  /** Weighted synchronous label propagation: each round a node adopts
+    * the label with the LARGEST summed incident edge weight (tie →
+    * smallest label) — co-purchase multiplicity decides community
+    * pull, not bare neighbor count. Weights are exact BIGINTs so the
+    * argmax is integer-deterministic like the unweighted op's count
+    * argmax; the support cut (w ≥ 2) IS the backbone rule, since w
+    * counts distinct co-orders. Same two partially-aggregated
+    * exchanges per round as `labelPropagation`. */
+  def labelPropagationWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"))
+      .repartition(p, col("src"))
+      .localCheckpoint(eager = true)
+    val labels0 = adj.select(col("src").as("node"), col("src").as("label"))
+    (1 to iters).foldLeft(labels0) { (labels, _) =>
+      adj.join(labels.hint("shuffle_hash"), col("src") === col("node"))
+        .select(explode(col("nbrs")).as("nb"), col("label"))
+        .groupBy(col("nb.dst").as("dst"), col("label"))
+        .agg(sum(col("nb.w")).as("wsum"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("wsum")).as("neg_w"), col("label").as("label")))
+          .as("best"))
+        .select(col("dst").as("node"),
+          col("best").getField("label").as("label"))
+    }
+  }
+
+  /** Declared surface: weighted LPA over the support-≥2 weighted
+    * backbone, community sizes, top k. */
+  def partCommunitiesWeighted(lineitem: DataFrame, iters: Int = 3,
+      k: Int = 50): DataFrame =
+    labelPropagationWeighted(
+      weightedCoPurchaseEdges(lineitem).filter(col("w") >= 2), iters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+
+  def partCommunitiesWeightedSql(iters: Int = 3, k: Int = 50): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, SUM(e.w) AS wsum,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY SUM(e.w) DESC, l.label) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |eh AS (
+       |  SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS (SELECT u AS src, v AS dst, w FROM eh
+       |      UNION ALL SELECT v, u, w FROM eh),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$iterCtes
+       |SELECT label AS community, COUNT(*) AS n_members
+       |FROM l$iters GROUP BY label
+       |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_communities_weighted" -> QueryDef(
+      (s, d) => partCommunitiesWeighted(Tables.lineitem(s, d)),
+      partCommunitiesWeightedSql()),
     "graph_pagerank_weighted" -> QueryDef(
       (s, d) => partPageRankWeightedBucketed(s, d),
       partPageRankWeightedSql()),

@@ -442,4 +442,26 @@ class GraphSpec extends SparkSuite {
     assert(recv2 === 9L * recv3,
       s"mass must split 9:1 by weight, got $recv2 vs $recv3")
   }
+
+  test("weighted LPA: a heavy bridge pulls the boundary node into the " +
+      "heavy community where unweighted count-LPA would tie") {
+    import spark.implicits._
+    // node 5 has one edge into clique {1,2} (weight 10) and one into
+    // clique {3,4} (weight 1): counts tie 1-1 (unweighted LPA breaks
+    // to the SMALLEST label), weights decide for the heavy side
+    val half = Seq(
+      (1L, 2L, 5L), (3L, 4L, 5L),
+      (2L, 5L, 10L), (4L, 5L, 1L))
+    val edges = (half ++ half.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val got = Graph.labelPropagationWeighted(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // synchronous LPA label VALUES can oscillate on a pair; membership
+    // by side is the stable claim: 5 carries a heavy-side label, never
+    // a light-clique one
+    assert(Set(1L, 2L, 5L).contains(got(5L)),
+      s"weight-10 bridge must pull node 5 to the heavy side: $got")
+    assert(Set(3L, 4L).contains(got(4L)) && Set(3L, 4L).contains(got(3L)),
+      s"light clique keeps its own labels: $got")
+  }
 }
