@@ -1420,6 +1420,24 @@ object Graph {
       .orderBy(col("n_members").desc, col("community"))
       .limit(k)
 
+  /** Declared-query path: the weighted backbone derives from the
+    * standing bucketed adjacency by a NARROW explode + w ≥ 2 filter —
+    * no per-query edge rebuild (the ensureBackbone story, shared with
+    * weighted PageRank's standing state). */
+  def partCommunitiesWeightedBucketed(spark: SparkSession, dir: String,
+      iters: Int = 3, k: Int = 50): DataFrame = {
+    val adj = spark.table(ensureWeightedAdjacency(spark, dir))
+    val edges = adj
+      .select(col("src"), explode(col("nbrs")).as("nb"))
+      .select(col("src"), col("nb.dst").as("dst"), col("nb.w").as("w"))
+      .filter(col("w") >= 2)
+    labelPropagationWeighted(edges, iters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
   def partCommunitiesWeightedSql(iters: Int = 3, k: Int = 50): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""l$i AS (
@@ -1448,7 +1466,7 @@ object Graph {
 
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_communities_weighted" -> QueryDef(
-      (s, d) => partCommunitiesWeighted(Tables.lineitem(s, d)),
+      (s, d) => partCommunitiesWeightedBucketed(s, d),
       partCommunitiesWeightedSql()),
     "graph_pagerank_weighted" -> QueryDef(
       (s, d) => partPageRankWeightedBucketed(s, d),
