@@ -1005,6 +1005,52 @@ object Similarity {
     * the text-index bucket-probe pattern. Memoized per corpus snapshot
     * (`ParquetMemo`): the build pays the cell-blocked candidate join
     * once; probes are serving-path reads. */
+  /** Three 2-bit band keys off the shared 6-plane sign hash. */
+  private def bandKeys(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until 3).map(r =>
+        struct(lit(r).as("band"),
+          shiftright(col("cell"), 2 * r).bitwiseAND(lit(3)).as("bkey"))): _*))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+
+  /** Directed banded top-`graphK` edges from every `qSide` vector to
+    * its `nSide` candidates — the one candidate chain shared by the
+    * full build (qSide = nSide = corpus) and the incremental insert
+    * (qSide = batch, nSide = standing; never standing×standing). */
+  private def bandedKnnEdges(qSide: DataFrame, nSide: DataFrame,
+      graphK: Int): DataFrame = {
+    val cand = bandKeys(qSide).as("a")
+      .join(bandKeys(nSide).as("b"), Seq("band", "bkey"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct() // dedup across bands BEFORE paying any cosine
+    val scored = cand
+      .join(qSide.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(nSide.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
+      .withColumn("cos", cosine(col("nv"), col("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= graphK)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+  }
+
+  /** Symmetrize + denormalize destination vectors: the stored edge
+    * layout a probe hop reads. */
+  private def symWithVectors(edges: DataFrame, e0: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    sym.join(e0.select(col("vec_id").as("dst"), col("v").as("dvec")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("dvec"))
+  }
+
+  private def withCell(e0: DataFrame, dim: Int): DataFrame =
+    e0.withColumn("cell",
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, 6))
+
   def ensureKnnGraph(spark: SparkSession, dir: String,
       graphK: Int = 8): String =
     graft.core.ParquetMemo.ensure(
@@ -1019,33 +1065,26 @@ object Similarity {
       val e0 = Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val dim = e0.select(size(col("v"))).head().getInt(0)
-      val e = e0.withColumn("cell",
-        graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, 6))
-      val bands = e.select(col("vec_id"), explode(array((0 until 3).map(r =>
-          struct(lit(r).as("band"),
-            shiftright(col("cell"), 2 * r).bitwiseAND(lit(3)).as("bkey"))): _*))
-          .as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"),
-          col("bk.bkey").as("bkey"))
-      val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-        .filter(col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
-        .distinct() // dedup across bands BEFORE paying any cosine
-      val scored = cand
-        .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
-        .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
-        .withColumn("cos", cosine(col("nv"), col("qv")))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid"))
-      val edges = scored
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= graphK)
-        .select(col("qid").as("src"), col("nid").as("dst"))
-      val sym = edges.unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      sym.join(e0.select(col("vec_id").as("dst"),
-          col("v").as("dvec")), Seq("dst"))
-        .select(col("src"), col("dst"), col("dvec"))
+      val e = withCell(e0, dim)
+      symWithVectors(bandedKnnEdges(e, e, graphK), e0)
+        .repartitionByRange(16, col("src"))
+        .sortWithinPartitions(col("src"))
+    }
+
+  /** Standing-side graph for the incremental maintenance path: built
+    * once over the corpus EXCLUDING the arriving batch (the
+    * `simsearch_ivf_incremental` split, vec_id % batchMod = batchRem). */
+  def ensureStandingKnnGraph(spark: SparkSession, dir: String,
+      graphK: Int = 8, batchMod: Long = 10L, batchRem: Long = 7L): String =
+    graft.core.ParquetMemo.ensure(
+      s"$dir/embeddings.parquet",
+      s"knngraph_standing_k${graphK}_m${batchMod}r$batchRem", "v1") {
+      val e0 = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % batchMod =!= batchRem)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val dim = e0.select(size(col("v"))).head().getInt(0)
+      val e = withCell(e0, dim)
+      symWithVectors(bandedKnnEdges(e, e, graphK), e0)
         .repartitionByRange(16, col("src"))
         .sortWithinPartitions(col("src"))
     }
@@ -1069,6 +1108,90 @@ object Similarity {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    greedyWalkRanked(g, emb, qId, k, hops)
+  }
+
+  /** Incremental graph-index maintenance — the HNSW insert applied to
+    * the standing NSW graph (the `simsearch_ivf_incremental` story for
+    * the graph family): the arriving batch (vec_id % batchMod =
+    * batchRem) connects to its top-`graphK` STANDING neighbors via the
+    * banded candidate chain — batch×banded-standing work only, never a
+    * standing×standing rebuild — and the mirrored insert edges splice
+    * the new vectors into the walkable graph. The serve is the same
+    * greedy walk, now able to reach and return batch members.
+    * Asymmetry is the scale story: a 100 TB corpus absorbs a daily
+    * drop at the drop's size, exactly like `incrementalDedup`. */
+  def graphIncrementalSearch(spark: SparkSession, dir: String, qId: Long,
+      k: Int, graphK: Int = 8, hops: Int = 32, batchMod: Long = 10L,
+      batchRem: Long = 7L): DataFrame = {
+    val standingGraph = spark.read.parquet(
+      ensureStandingKnnGraph(spark, dir, graphK, batchMod, batchRem))
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val batch = e0.filter(col("vec_id") % batchMod === batchRem)
+    val standing = e0.filter(col("vec_id") % batchMod =!= batchRem)
+    val inserted = symWithVectors(
+      bandedKnnEdges(withCell(batch, dim), withCell(standing, dim), graphK),
+      e0)
+    // standing graph holds only standing↔standing edges, inserts only
+    // batch↔standing — disjoint by construction, no distinct needed
+    greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k, hops)
+  }
+
+  def graphIncrementalSearchSql(qId: Long, k: Int, graphK: Int = 8,
+      hops: Int = 32, batchMod: Long = 10L, batchRem: Long = 7L): String = {
+    val core = graphGreedySearchSql(qId, k, graphK, hops)
+    // reuse the shared plane/cell/band CTEs and walk; replace the
+    // single knn/edges pair with the standing + insert arms
+    val prefix = core.substring(0, core.indexOf("cand AS ("))
+    val suffix = core.substring(core.indexOf("qv AS ("))
+    s"""${prefix}candS AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM bands a JOIN bands b USING (band, bkey)
+       |  WHERE a.vec_id <> b.vec_id
+       |    AND a.vec_id % $batchMod <> $batchRem
+       |    AND b.vec_id % $batchMod <> $batchRem),
+       |candB AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM bands a JOIN bands b USING (band, bkey)
+       |  WHERE a.vec_id % $batchMod = $batchRem
+       |    AND b.vec_id % $batchMod <> $batchRem),
+       |knnS AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT cand.qid, cand.nid AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+       |        list_dot_product(eb.v, ea.v) /
+       |          (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(ea.v, ea.v)))
+       |        DESC, cand.nid) AS rnk
+       |    FROM candS cand JOIN e ea ON ea.vec_id = cand.qid
+       |    JOIN e eb ON eb.vec_id = cand.nid)
+       |  WHERE rnk <= $graphK),
+       |knnB AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT cand.qid, cand.nid AS vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+       |        list_dot_product(eb.v, ea.v) /
+       |          (sqrt(list_dot_product(eb.v, eb.v)) * sqrt(list_dot_product(ea.v, ea.v)))
+       |        DESC, cand.nid) AS rnk
+       |    FROM candB cand JOIN e ea ON ea.vec_id = cand.qid
+       |    JOIN e eb ON eb.vec_id = cand.nid)
+       |  WHERE rnk <= $graphK),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT qid AS src, vec_id AS dst FROM knnS
+       |    UNION ALL SELECT vec_id, qid FROM knnS
+       |    UNION ALL SELECT qid, vec_id FROM knnB
+       |    UNION ALL SELECT vec_id, qid FROM knnB)
+       |  WHERE src <> $qId AND dst <> $qId),
+       |$suffix""".stripMargin
+  }
+
+  /** The serving walk over an explicit (src, dst, dvec) graph — shared
+    * by the full-graph and incremental declared paths. */
+  private def greedyWalkRanked(g: DataFrame, emb: DataFrame, qId: Long,
+      k: Int, hops: Int): DataFrame = {
+    val spark = emb.sparkSession
     def vecOf(id: Long): Array[Double] =
       emb.filter(col("vec_id") === id).head().getSeq[Double](1).toArray
     val qv = vecOf(qId)
@@ -1298,6 +1421,10 @@ object Similarity {
     "simsearch_beam" -> QueryDef(
       (s: SparkSession, d: String) => graphBeamSearch(s, d, 0L, 10),
       Some(graphBeamSearchSql(0L, 10))),
+    // HNSW-insert maintenance: batch splices into the standing graph
+    "simsearch_graph_incremental" -> QueryDef(
+      (s: SparkSession, d: String) => graphIncrementalSearch(s, d, 0L, 10),
+      Some(graphIncrementalSearchSql(0L, 10))),
     // recall@5 of the blocked batch kNN vs the exhaustive ranking —
     // the tuning harness for the ANN ladder, itself oracle-checked
     "simsearch_recall" -> QueryDef(

@@ -299,4 +299,24 @@ class SimilaritySpec extends SparkSuite {
     assert(beamRecall >= greedyRecall,
       "ef-wide expansion must not lose to the single walker on the fixture")
   }
+
+  test("graph ANN incremental insert: batch members are walkable and " +
+      "surface exactly where the exhaustive ranking has them") {
+    def run() = Similarity.graphIncrementalSearch(spark, sfDir, 0L, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val got = run()
+    assert(got.toSeq === run().toSeq, "incremental serve is deterministic")
+    val ids = got.map(_._2)
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    // the fixture's exhaustive top-10 contains batch vectors (% 10 = 7):
+    // the spliced graph must surface batch members too — an index that
+    // cannot return newly inserted vectors has not been maintained
+    assert(exact.exists(_ % 10 == 7), "fixture sanity: batch in exact top-10")
+    assert(ids.exists(_ % 10 == 7),
+      s"inserted batch members must be reachable through the walk: $ids")
+    val recall = ids.count(exact.contains)
+    info(s"incremental graph recall@10: $recall/10")
+    assert(recall >= 6, s"recall after insert must stay useful: $recall/10")
+  }
 }
