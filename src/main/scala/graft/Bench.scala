@@ -60,6 +60,9 @@ object Bench {
     // simsearch_graph then times the greedy walk a deployment serves
     try ext.Similarity.ensureKnnGraph(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and its standing-side split for the incremental-insert path
+    try ext.Similarity.ensureStandingKnnGraph(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and for the synthetic media corpora: PNG/JPEG/WAV/AVI *encoding*
     // is corpus creation (write-once, memoized), not query work — the
     // media queries then time decode + fingerprint + join over stored
