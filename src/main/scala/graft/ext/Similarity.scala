@@ -1131,9 +1131,14 @@ object Similarity {
     val dim = e0.select(size(col("v"))).head().getInt(0)
     val batch = e0.filter(col("vec_id") % batchMod === batchRem)
     val standing = e0.filter(col("vec_id") % batchMod =!= batchRem)
+    // MATERIALIZE the insert once (eager localCheckpoint): the walk
+    // probes the graph once per hop, and an unmaterialized insert arm
+    // would re-run the banded connect chain on every probe — the
+    // insert is "the index accepted the batch", paid once, like a real
+    // index's in-memory delta segment. Batch×graphK×2 rows: tiny.
     val inserted = symWithVectors(
       bandedKnnEdges(withCell(batch, dim), withCell(standing, dim), graphK),
-      e0)
+      e0).localCheckpoint(eager = true)
     // standing graph holds only standing↔standing edges, inserts only
     // batch↔standing — disjoint by construction, no distinct needed
     greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k, hops)
