@@ -303,6 +303,37 @@ object RelQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A14 bitmap-index exact distinct: the third distinct-counting
+    //      discipline beside exact expansion (distinct_dims) and the
+    //      HLL sketch (agg_approx_distinct) — keys fold into 63-bit
+    //      words (word = key div 63, bit = key mod 63 — bit 63 stays
+    //      clear because DuckDB range-checks 1<<63), bit_or merges
+    //      them map-side (idempotent, order-free), popcounts sum to
+    //      the EXACT distinct count. Shuffle is (group × live words)
+    //      rows of 8 bytes — for dense key domains far below the
+    //      distinct-expansion volume, and unlike HLL the answer is
+    //      exact. The roaring-bitmap pattern in plain relational ops.
+    "agg_distinct_bitmap" -> QueryDef(
+      (s, d) => {
+        val words = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("l_orderkey div 63").as("word_idx"),
+            expr("shiftleft(1L, CAST(l_orderkey % 63 AS INT))").as("bit"))
+          .groupBy(col("l_returnflag"), col("word_idx"))
+          .agg(expr("bit_or(bit)").as("word"))
+        words.groupBy(col("l_returnflag"))
+          .agg(sum(expr("bit_count(word)")).cast("long").as("n_distinct"),
+            count(lit(1)).as("n_words"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH w AS (
+        |  SELECT l_returnflag, l_orderkey // 63 AS word_idx,
+        |         BIT_OR(1::BIGINT << CAST(l_orderkey % 63 AS INT)) AS word
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct,
+        |       CAST(COUNT(*) AS BIGINT) AS n_words
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- A11 second-moment statistics, bit-exact: built-in corr()/
     //      covar_samp()/stddev() accumulate doubles (order-dependent —
     //      unhashable cross-engine), so the moments are EXACT DECIMAL
