@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -147,6 +148,81 @@ object Classifier {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Exact ROC AUC of the trained scorer — the evaluation half of the
+    * filter loop: how well does ⟨w, x⟩ RANK English over non-English,
+    * threshold-free? AUC is the Mann–Whitney statistic
+    *   AUC = (Σ_{i:pos} avgrank(sᵢ) − n₊(n₊+1)/2) / (n₊·n₋)
+    * with average ranks over score ties. All-integer: doubled average
+    * rank r2(s) = 2·cntLess(s) + cntEq(s) + 1 keeps tie midpoints
+    * exact, and the result surfaces as floor basis points
+    *   auc_bp = ⌊10000·(Σ r2 − n₊(n₊+1)) / (2·n₊·n₋)⌋
+    * — one IEEE-free division, hash-comparable across engines.
+    *
+    * Scale shape (NO global rank window — the fat-key trap): scores
+    * aggregate to a score-frequency relation (distinct integer scores,
+    * vocabulary-bounded), the exclusive running count is a window over
+    * THAT bounded relation, and Σ r2 folds in the same pass. The wide
+    * relation is touched exactly once, by the frequency groupBy. */
+  def aucReport(docs: DataFrame, epochs: Int): DataFrame = {
+    val f = features(docs)
+    val finalW = trainPerceptron(f, epochs)
+      .orderBy(col("epoch").desc).limit(1)
+      .select("w0", "w1", "w2", "w3").head()
+    val w = (0 until Dim).map(finalW.getLong)
+    val score = (0 until Dim).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+    aucOf(f.select(score.as("s"),
+      when(col("y") === 1, 1L).otherwise(0L).as("pos")))
+  }
+
+  /** Tie-aware exact AUC of a (s: score, pos: 0/1 label) relation —
+    * the rank kernel `aucReport` wires behind the trained weights. */
+  def aucOf(scored: DataFrame): DataFrame = {
+    val freq = scored
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+    val cum = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    freq
+      .withColumn("less", coalesce(sum(col("n")).over(cum), lit(0L)))
+      .agg(
+        sum(col("npos")).as("n_pos"),
+        sum(col("n") - col("npos")).as("n_neg"),
+        sum(col("npos") * (lit(2) * col("less") + col("n") + lit(1)))
+          .as("sum_r2"))
+      // integer `div`, not IEEE `/` + cast — the quotient must be the
+      // exact floor both engines agree on
+      .select(col("n_pos"), col("n_neg"),
+        expr("(10000 * (sum_r2 - n_pos * (n_pos + 1)))" +
+          " div (2 * n_pos * n_neg)").as("auc_bp"))
+  }
+
+  def aucReportSql(epochs: Int): String = {
+    val train = trainPerceptronSql(epochs)
+    val ctes = train.substring(0, train.indexOf("SELECT * FROM (")).trim
+    s"""$ctes,
+       |scored AS (
+       |  SELECT f.x0 * (SELECT w0 FROM w$epochs)
+       |       + f.x1 * (SELECT w1 FROM w$epochs)
+       |       + f.x2 * (SELECT w2 FROM w$epochs)
+       |       + f.x3 * (SELECT w3 FROM w$epochs) AS s,
+       |    CASE WHEN f.y = 1 THEN 1 ELSE 0 END AS pos
+       |  FROM f),
+       |freq AS (
+       |  SELECT s, COUNT(*) AS n, SUM(pos) AS npos
+       |  FROM scored GROUP BY s),
+       |cum AS (
+       |  SELECT s, n, npos,
+       |    COALESCE(SUM(n) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+       |  FROM freq)
+       |SELECT CAST(SUM(npos) AS BIGINT) AS n_pos,
+       |       CAST(SUM(n - npos) AS BIGINT) AS n_neg,
+       |       CAST((10000 * (SUM(npos * (2 * less + n + 1))
+       |              - SUM(npos) * (SUM(npos) + 1)))
+       |            // (2 * SUM(npos) * SUM(n - npos)) AS BIGINT) AS auc_bp
+       |FROM cum""".stripMargin
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009) —
     * the featurizer that scales where a learned vocabulary cannot:
     * token → md5-derived bucket in [0, dim) with an md5-derived ±1
@@ -197,5 +273,8 @@ object Classifier {
       trainPerceptronSql(3)),
     "classify_quality" -> QueryDef(
       (s, d) => applyFilter(Tables.documents(s, d), 3),
-      applyFilterSql(3)))
+      applyFilterSql(3)),
+    "classify_auc" -> QueryDef(
+      (s, d) => aucReport(Tables.documents(s, d), 3),
+      aucReportSql(3)))
 }

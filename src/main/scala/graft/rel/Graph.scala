@@ -1464,7 +1464,84 @@ object Graph {
        |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
   }
 
+  /** Weighted single-source shortest paths, bounded Bellman–Ford —
+    * the weighted answer `bfsDistances` can't give: with edge cost
+    * `1 + (1000 div w)` (strong co-purchase ties are CHEAP — w ≥ 1000
+    * costs ~1, a singleton tie costs 1001, all integer-exact), the
+    * cheapest route can take MORE hops than BFS's fewest, and this op
+    * finds it. `rounds` synchronous relaxations from the smallest node
+    * id: dᵢ = min(dᵢ₋₁, min over edges (dᵢ₋₁(src) + cost)) — the
+    * result is exactly min-cost over paths of ≤ `rounds` edges, the
+    * same bounded-horizon truncation as every landmark op (true SSSP
+    * converges in |V| rounds; the horizon is what scales). Costs and
+    * distances are BIGINTs end to end, so each round — and the whole
+    * unrolled oracle — is bit-identical at any parallelism.
+    *
+    * Scale shape: the frontier relation joins the standing bucketed
+    * adjacency on src (co-located), one min-groupBy exchange per
+    * round, lineage cut by per-round checkpoint — the `bfsDistances`
+    * loop with min-cost in place of first-visit. */
+  def ssspWeighted(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val c = edges
+      .select(col("src"), col("dst"),
+        (lit(1L) + expr("1000 div w")).as("cost"))
+      .localCheckpoint(eager = true)
+    val src0 = c.agg(min(col("src"))).head().getLong(0)
+    val d0 = c.sparkSession.range(1)
+      .select(lit(src0).as("node"), lit(0L).as("dist"))
+    (1 to rounds).foldLeft(d0) { (d, _) =>
+      d.unionByName(
+          d.join(c, col("node") === col("src"))
+            .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }.select(col("node"), col("dist").as("dist_cost"))
+      .orderBy(col("node"))
+  }
+
+  /** Declared-query path: relax over the standing bucketed weighted
+    * adjacency (narrow explode, no edge rebuild). */
+  def ssspWeightedBucketed(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val adj = spark.table(ensureWeightedAdjacency(spark, dir))
+    ssspWeighted(adj
+      .select(col("src"), explode(col("nbrs")).as("nb"))
+      .select(col("src"), col("nb.dst").as("dst"), col("nb.w").as("w")),
+      rounds)
+  }
+
+  def ssspWeightedSql(rounds: Int = 3): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT c.dst AS node, d.dist + c.cost AS dist
+         |    FROM d${i - 1} d JOIN c ON c.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |eh AS (
+       |  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM eh
+       |      UNION ALL SELECT dst, src, w FROM eh),
+       |c AS (SELECT src, dst, 1 + (1000 // w) AS cost FROM e),
+       |d0 AS (SELECT (SELECT MIN(src) FROM c) AS node,
+       |              CAST(0 AS BIGINT) AS dist),
+       |$iterCtes
+       |SELECT node, CAST(dist AS BIGINT) AS dist_cost
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_sssp" -> QueryDef(
+      (s, d) => ssspWeightedBucketed(s, d),
+      ssspWeightedSql()),
     "graph_communities_weighted" -> QueryDef(
       (s, d) => partCommunitiesWeightedBucketed(s, d),
       partCommunitiesWeightedSql()),

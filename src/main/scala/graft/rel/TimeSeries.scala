@@ -741,7 +741,79 @@ object TimeSeries {
       |FROM dt JOIN s USING (event_type, dow)
       |ORDER BY dt.event_type, dt.day""".stripMargin
 
+  /** Holt double-exponential smoothing (level + linear trend, Holt
+    * 1957) of the daily event-count series — the forecasting step up
+    * from `ewmaDailyCounts` when the series drifts: with α = β = ½,
+    *   l_t = (x_t·256 + l_{t−1} + b_{t−1}) div 2
+    *   b_t = (l_t − l_{t−1} + b_{t−1}) div 2
+    * in 256-scaled integer fixed point with TRUNCATING integer `div`
+    * at every step (the `ts_ewma` truncated-integer discipline applied
+    * to a genuinely recursive filter — both engines' integer division
+    * truncates toward zero, verified for negative trends), initialized
+    * l_0 = x_0·256, b_0 = 0. No IEEE arithmetic anywhere, so the whole
+    * state trajectory — and the one-step-ahead forecast l + b — is
+    * bit-identical cross-engine and replays in a recursive-CTE oracle.
+    *
+    * Scale shape: the recursion runs AFTER the event log collapses to
+    * the |types|×|days| daily relation (one partial-aggregated
+    * groupBy) — per-type series are calendar-bounded metadata, folded
+    * sequentially by one codegen'd `aggregate` HOF over the sorted
+    * day array; nothing sequential ever touches raw events. */
+  def holtDailyCounts(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("sr"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(
+          |  slice(sr, 2, size(sr) - 1),
+          |  named_struct(
+          |    'l', sr[0].x * 256, 'b', 0L,
+          |    'out', array(named_struct('day', sr[0].day, 'x', sr[0].x,
+          |                              'lvl', sr[0].x * 256, 'tr', 0L))),
+          |  (acc, e) -> named_struct(
+          |    'l', (e.x * 256 + acc.l + acc.b) div 2,
+          |    'b', ((e.x * 256 + acc.l + acc.b) div 2 - acc.l + acc.b) div 2,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', e.day, 'x', e.x,
+          |      'lvl', (e.x * 256 + acc.l + acc.b) div 2,
+          |      'tr', ((e.x * 256 + acc.l + acc.b) div 2 - acc.l + acc.b)
+          |              div 2)))),
+          |  acc -> acc.out)""".stripMargin)).as("s"))
+      .select(col("event_type"), col("s.day").as("day"),
+        col("s.x").as("n_events"),
+        col("s.lvl").as("level_fp256"), col("s.tr").as("trend_fp256"),
+        (col("s.lvl") + col("s.tr")).as("forecast_fp256"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val holtDailyCountsSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |h AS (
+      |  SELECT event_type, day, x, rn, x * 256 AS lvl, CAST(0 AS BIGINT) AS tr
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.day, r.x, r.rn,
+      |    (r.x * 256 + h.lvl + h.tr) // 2,
+      |    ((r.x * 256 + h.lvl + h.tr) // 2 - h.lvl + h.tr) // 2
+      |  FROM h JOIN r ON r.event_type = h.event_type AND r.rn = h.rn + 1)
+      |SELECT event_type, day, x AS n_events,
+      |  CAST(lvl AS BIGINT) AS level_fp256,
+      |  CAST(tr AS BIGINT) AS trend_fp256,
+      |  CAST(lvl + tr AS BIGINT) AS forecast_fp256
+      |FROM h ORDER BY event_type, day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_holt" -> QueryDef(
+      (s, d) => holtDailyCounts(Tables.events(s, d)), holtDailyCountsSql),
     "ts_decompose" -> QueryDef(
       (s, d) => decomposeDaily(Tables.events(s, d)), decomposeDailySql),
     "ts_hampel" -> QueryDef(

@@ -54,6 +54,32 @@ class ClassifierSpec extends SparkSuite {
     assert(run(1) === run(8))
   }
 
+  test("aucOf matches the brute-force pair count, ties at half credit") {
+    // scores with a tie straddling both classes: pos scores {3, 2, 2},
+    // neg scores {2, 1}. Pairs (pos, neg): (3,2)+ (3,1)+ (2,2)½ (2,1)+
+    // (2,2)½ (2,1)+ → concordant 4, tied 2 → AUC = (4 + 2·½)/6 = 5/6
+    val scored = Seq((3L, 1L), (2L, 1L), (2L, 1L), (2L, 0L), (1L, 0L))
+      .toDF("s", "pos")
+    val r = Classifier.aucOf(scored).head()
+    assert((r.getLong(0), r.getLong(1)) === (3L, 2L))
+    assert(r.getLong(2) === 10000L * 5 / 6) // floor(8333.33) = 8333
+  }
+
+  test("aucOf: perfect separation gives 10000, reversal gives 0") {
+    val perfect = Seq((9L, 1L), (8L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "pos")
+    assert(Classifier.aucOf(perfect).head().getLong(2) === 10000L)
+    val reversed = Seq((1L, 1L), (2L, 1L), (8L, 0L), (9L, 0L)).toDF("s", "pos")
+    assert(Classifier.aucOf(reversed).head().getLong(2) === 0L)
+  }
+
+  test("aucOf is bit-identical across partitionings") {
+    val scored = (1 to 500).map(i => ((i * 7 % 23).toLong, (i % 3 min 1).toLong))
+    def run(parts: Int) =
+      Classifier.aucOf(scored.toDF("s", "pos").repartition(parts))
+        .collect().map(_.toSeq).toSeq
+    assert(run(1) === run(8))
+  }
+
   test("separable one-feature data reaches zero errors") {
     // y = +1 iff x1 ≥ 3; bias + x1 separate it
     val f = feats(

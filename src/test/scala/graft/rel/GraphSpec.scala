@@ -464,4 +464,37 @@ class GraphSpec extends SparkSuite {
     assert(Set(3L, 4L).contains(got(4L)) && Set(3L, 4L).contains(got(3L)),
       s"light clique keeps its own labels: $got")
   }
+
+  test("weighted sssp: the cheap two-hop route beats the direct weak tie, " +
+      "and the horizon bounds path length") {
+    import spark.implicits._
+    // source is node 1 (min id). Direct 1→2 has w=1 (cost 1001);
+    // detour 1→3→2 has w=1000 twice (cost 2+2=4). BFS would call 2 one
+    // hop away; min-COST must route around.
+    val half = Seq((1L, 2L, 1L), (1L, 3L, 1000L), (3L, 2L, 1000L),
+      (2L, 4L, 1000L)) // 4 reachable only via 2 → needs 3 relaxations
+    val edges = (half ++ half.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    val d3 = Graph.ssspWeighted(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 === Map(1L -> 0L, 3L -> 2L, 2L -> 4L, 4L -> 6L))
+    // with a 1-round horizon the detour is invisible: 2 costs 1001
+    val d1 = Graph.ssspWeighted(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1(2L) === 1001L && !d1.contains(4L))
+  }
+
+  test("weighted sssp is bit-identical across partitionings") {
+    import spark.implicits._
+    val half = (1 to 60).flatMap(i => Seq(
+      (i.toLong, (i % 20 + 1).toLong, (i % 7 + 1).toLong),
+      (i.toLong, (i % 13 + 2).toLong, (i % 3 + 1).toLong)))
+      .filter { case (s, d, _) => s != d }
+    val e = (half ++ half.map { case (s, d, w) => (d, s, w) })
+      .toDF("src", "dst", "w")
+    def run(parts: Int) =
+      Graph.ssspWeighted(e.repartition(parts), rounds = 3)
+        .collect().map(_.toSeq).toSeq
+    assert(run(2) === run(16))
+  }
 }

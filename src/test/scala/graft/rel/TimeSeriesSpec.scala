@@ -218,6 +218,44 @@ class TimeSeriesSpec extends SparkSuite {
       "re-centered window must accept the new level (global MAD would not)")
   }
 
+  test("holt: hand recursion incl. negative trend truncation; constant " +
+      "series is a fixed point") {
+    // one type, counts 4, 2, 1 (declining → negative trend exercises
+    // truncate-toward-zero on a negative numerator)
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 12:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 13:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (6L, "2024-01-02 11:00:00", 2L, "view", 0.0),
+      (7L, "2024-01-03 10:00:00", 1L, "view", 0.0))
+    val got = TimeSeries.holtDailyCounts(e)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // day1: l=4·256=1024, b=0
+    // day2: l=(512+1024+0) div 2 = 768; b=(768−1024+0) div 2 = −128
+    // day3: l=(256+768−128) div 2 = 448; b=(448−768−128) div 2 = −224
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 4L, 1024L, 0L, 1024L),
+      ("2024-01-02", 2L, 768L, -128L, 640L),
+      ("2024-01-03", 1L, 448L, -224L, 224L)))
+    // constant series: level pins at x·256, trend at 0
+    val c = ev((1 to 5).map(i =>
+      (i.toLong, s"2024-03-0$i 10:00:00", 1L, "buy", 0.0)): _*)
+    val cg = TimeSeries.holtDailyCounts(c)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(cg.forall(_ == (256L, 0L)))
+  }
+
+  test("holt is bit-identical across partitionings") {
+    val e = graft.core.Tables.events(spark, sfDir)
+    def run(parts: Int) =
+      TimeSeries.holtDailyCounts(e.repartition(parts))
+        .collect().map(_.toSeq).toSeq
+    assert(run(2) === run(16))
+  }
+
   test("decompose: constant series has zero detrend and remainder, " +
       "edges carry NULL trend, dow is ISO, scaled identities hold") {
     // 14 flat days at 10.00 starting Mon 2024-01-01
