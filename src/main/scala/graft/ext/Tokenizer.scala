@@ -166,7 +166,136 @@ object Tokenizer {
        |FROM tok_words w JOIN tok_wordtok t USING (word)
        |ORDER BY w.word""".stripMargin
 
+  // --------------------------------------------------- BPE training
+
+  /** Per-word character symbols — the round-0 state of BPE training.
+    * Derived via substr (the segmentation automaton's proven-portable
+    * character semantics), not split-on-empty. */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** One greedy left-to-right merge pass of pair (a, b) over a symbol
+    * array — the `subtokenCount` pos-pointer automaton with a merge
+    * step: at each live position, consume 2 symbols when (a, b) sits
+    * there, else 1. "a a a a" → "aa aa" (the classic sequential-BPE
+    * semantics, which plain string replace gets wrong: its match
+    * consumes the separator the next candidate needs). Bounds stay
+    * ANSI-safe behind lazy CASE branches. */
+  def mergePass(syms: Column, a: String, b: String): Column =
+    aggregate(
+      sequence(lit(1), size(syms)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("out")),
+      (st, i) => {
+        val pos = st.getField("pos")
+        val out = st.getField("out")
+        val cur = element_at(syms, pos)
+        val nxt = when(pos < size(syms), element_at(syms, pos + 1))
+        when(i === pos,
+          when(cur === lit(a) && nxt === lit(b),
+            struct((pos + 2).as("pos"),
+              concat(out, array(lit(a + b))).as("out")))
+            .otherwise(struct((pos + 1).as("pos"),
+              concat(out, array(cur)).as("out"))))
+          .otherwise(st)
+      },
+      st => st.getField("out"))
+
+  /** BPE merge-table training (Sennrich et al., ACL 2016) over the
+    * occurrence-weighted distinct-word relation: each round counts all
+    * adjacent symbol pairs (overlaps included, weights exact BIGINTs),
+    * adopts the (count DESC, pair ASC)-deterministic argmax as the
+    * round's merge rule, and rewrites every word by one greedy
+    * `mergePass`. Output is the learned artifact itself — the ranked
+    * merge table (rank, left, right, exact weighted count) a tokenizer
+    * ships with.
+    *
+    * Scale shape: the `wordTokens` discipline — every round is one
+    * partial-aggregated pair count over the VOCABULARY-sized symbol
+    * relation plus a narrow rewrite map; the argmax row is bounded
+    * driver metadata (the kmeans-centroid precedent), and the corpus
+    * itself is scanned exactly once by `wordCounts`. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var syms = wordCounts(docs)
+      .select(col("n_occ"), charSyms(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val best = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("n_occ"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('a', element_at(syms, i),
+            |                    'b', element_at(syms, i + 1)))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n_occ")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      if (r < rounds)
+        syms = syms
+          .select(col("n_occ"), mergePass(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+      (r, a, b, c)
+    }
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  def bpeTrainSql(rounds: Int): String = {
+    // per-round CTE triple: pN = the argmax pair over sN−1, mN = the
+    // greedy pos-pointer merge recursion, sN = the rewritten relation
+    val roundCtes = (1 to rounds).map { n =>
+      val merge =
+        if (n == rounds) "" // the last round only ranks, never rewrites
+        else s""",
+          |m$n AS (
+          |  SELECT n_occ, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS out
+          |  FROM s${n - 1}
+          |  UNION ALL
+          |  SELECT n_occ, syms,
+          |    pos + CASE WHEN syms[pos] = (SELECT a FROM p$n)
+          |                AND pos < len(syms)
+          |                AND syms[pos + 1] = (SELECT b FROM p$n)
+          |               THEN 2 ELSE 1 END,
+          |    list_append(out,
+          |      CASE WHEN syms[pos] = (SELECT a FROM p$n)
+          |            AND pos < len(syms)
+          |            AND syms[pos + 1] = (SELECT b FROM p$n)
+          |           THEN syms[pos] || syms[pos + 1] ELSE syms[pos] END)
+          |  FROM m$n WHERE pos <= len(syms)),
+          |s$n AS (SELECT n_occ, out AS syms FROM m$n WHERE pos > len(syms))""".stripMargin
+      s"""p$n AS (
+         |  SELECT a, b, c FROM (
+         |    SELECT syms[i] AS a, syms[i + 1] AS b, SUM(n_occ) AS c
+         |    FROM (SELECT n_occ, syms, unnest(range(1, len(syms))) AS i
+         |          FROM s${n - 1} WHERE len(syms) >= 2)
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, a, b LIMIT 1)$merge""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(n => s"SELECT CAST($n AS INT) AS merge_rank, a AS left_sym," +
+        s" b AS right_sym, CAST(c AS BIGINT) AS pair_count FROM p$n")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, COUNT(*) AS n_occ FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (
+       |  SELECT n_occ, list_transform(range(1, length(word) + 1),
+       |           i -> substr(word, CAST(i AS INT), 1)) AS syms
+       |  FROM w),
+       |$roundCtes
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "corpus_bpe_train" -> QueryDef(
+      (s, d) => bpeTrain(Tables.documents(s, d), 3),
+      bpeTrainSql(3)),
     "corpus_tokenize" -> QueryDef(
       (s, d) => wordTokens(Tables.documents(s, d))
         .select(col("word"), col("n_occ"),

@@ -59,4 +59,36 @@ class TokenizerSpec extends SparkSuite {
       assert(r.getLong(1) === viaTok(r.getLong(0)))
     }
   }
+
+  test("mergePass: sequential greedy, not string-replace — aaaa → aa aa") {
+    def run(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(Tokenizer.mergePass(col("syms"), a, b).as("m"))
+        .head().getSeq[String](0)
+    assert(run(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(run(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(run(Seq("x", "a", "b", "y"), "a", "b") === Seq("x", "ab", "y"))
+    assert(run(Seq("a", "b"), "a", "b") === Seq("ab"))
+    assert(run(Seq("b", "a"), "a", "b") === Seq("b", "a"))
+    assert(run(Seq("z"), "a", "b") === Seq("z"))
+  }
+
+  test("bpe training: hand-computed merge table, weights count") {
+    // "aab" ×3, "ab" ×1 → pairs: (a,a)=3, (a,b)=4 → rank 1 merges (a,b)
+    // round 2 symbols: a,ab ×3 / ab ×1 → pairs: (a,ab)=3 → rank 2
+    val docs = Seq((1L, "aab aab ab"), (2L, "aab"))
+      .toDF("doc_id", "text")
+    val got = Tokenizer.bpeTrain(docs, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "b", 4L), (2, "a", "ab", 3L)))
+  }
+
+  test("bpe training is bit-identical across partitionings") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def run(parts: Int) =
+      Tokenizer.bpeTrain(docs.repartition(parts), 3)
+        .collect().map(_.toSeq).toSeq
+    assert(run(2) === run(8))
+  }
 }
