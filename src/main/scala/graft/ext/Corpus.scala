@@ -530,6 +530,59 @@ object Corpus {
     (line, acc)
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007) — the
+    * weighted-sampling gold standard for subset-sum estimation: each
+    * doc draws a deterministic md5 uniform u ∈ [1, 2³²] and competes
+    * with priority q = (w·2³²) div u (exact BIGINT, ≥ w, in weight
+    * units); the sample is the top-k by (q DESC, doc_id), and with
+    * τ = the (k+1)-th priority the estimator ŵ = max(w, τ) gives an
+    * unbiased subset-sum estimate with provably near-optimal variance.
+    * Zero RNG state — the sample and every estimate are pure functions
+    * of the corpus, reproducible across engines, runs and partitionings
+    * like all sampling ops here.
+    *
+    * Scale shape: one narrow map derives priorities, the top-(k+1) is
+    * a TakeOrderedAndProject (never a global sort), and τ is one
+    * bounded scalar off that k+1-row relation. */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = conv(substring(
+      md5(concat(lit("prio:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") + 1L
+    val pri = docs.select(col("doc_id"), col("source"),
+        col("n_chars").as("w"), u.as("u"))
+      .select(col("doc_id"), col("source"), col("w"),
+        expr("(w * 4294967296) div u").as("priority"))
+    val topK1 = pri
+      .orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      .localCheckpoint(true)
+    val tau =
+      if (topK1.count() > k) topK1.agg(min(col("priority"))).head().getLong(0)
+      else 0L
+    topK1.orderBy(col("priority").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("source"), col("w"), col("priority"),
+        greatest(col("w"), lit(tau)).as("est_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  def prioritySampleSql(k: Int): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, n_chars AS w,
+       |    (n_chars * 4294967296) //
+       |      (('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)),
+       |                       1, 8))::BIGINT + 1) AS priority
+       |  FROM documents),
+       |top1 AS (
+       |  SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT ${k + 1}),
+       |tau AS (
+       |  SELECT CASE WHEN (SELECT COUNT(*) FROM top1) > $k
+       |              THEN (SELECT MIN(priority) FROM top1)
+       |              ELSE 0 END AS t)
+       |SELECT doc_id, source, w, CAST(priority AS BIGINT) AS priority,
+       |       CAST(GREATEST(w, (SELECT t FROM tau)) AS BIGINT) AS est_w
+       |FROM (SELECT * FROM top1 ORDER BY priority DESC, doc_id LIMIT $k)
+       |ORDER BY doc_id""".stripMargin
+
   def systematicWeightedSample(docs: DataFrame, k: Int): DataFrame = {
     val (line, total) = weightedLine(docs)
     val stride = total / k
@@ -1050,6 +1103,12 @@ object Corpus {
     "sample_weighted" -> QueryDef(
       (s, d) => systematicWeightedSample(Tables.documents(s, d), 50),
       Some(systematicWeightedSampleSql(50))),
+    // ---- Duffield priority sampling: top-k by (w·2^32) div u with the
+    //      max(w, tau) unbiased subset-sum estimator; TakeOrdered, no
+    //      global sort, tau is one bounded scalar ---------------------
+    "sample_priority" -> QueryDef(
+      (s, d) => prioritySample(Tables.documents(s, d), 60),
+      Some(prioritySampleSql(60))),
     "sample_bottomk_hash" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("source"),

@@ -388,4 +388,46 @@ class CorpusSpec extends SparkSuite {
     assert(got(1L)._4 === 206835L - 2537L - 84600L)
     assert(got(2L) === ((0L, 1L, 0L, 0L)), "empty text: zero score, no div0")
   }
+
+  test("priority sample: matches a driver-side emulation, estimator is " +
+      "max(w, tau) with tau the (k+1)-th priority") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1L to 20L).map(id => (id, s"src${id % 3}", 10L + id * 7))
+    val docs = rows.toDF("doc_id", "source", "n_chars")
+    // emulate: u = first-8-hex + 1, q = (w << 32) div u
+    val pri = rows.map { case (id, src, w) =>
+      val u = java.lang.Long.parseLong(md5hex(s"prio:$id").substring(0, 8), 16) + 1
+      (id, src, w, w * 4294967296L / u)
+    }
+    val ranked = pri.sortBy { case (id, _, _, q) => (-q, id) }
+    val k = 5
+    val tau = ranked(k)._4
+    val want = ranked.take(k)
+      .map { case (id, src, w, q) => (id, src, w, q, math.max(w, tau)) }
+      .sortBy(_._1)
+    val got = Corpus.prioritySample(docs, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === want)
+  }
+
+  test("priority sample: corpus smaller than k keeps all with est_w = w") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 100L), (2L, "b", 50L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Corpus.prioritySample(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 100L, 100L), (2L, 50L, 50L)))
+  }
+
+  test("priority sample is bit-identical across partitionings") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def run(parts: Int) =
+      Corpus.prioritySample(docs.repartition(parts), 40)
+        .collect().map(_.toSeq).toSeq
+    assert(run(2) === run(8))
+  }
 }
