@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -647,5 +648,69 @@ object AdvancedJoins {
         |ORDER BY o_custkey, okey_a, okey_b""".stripMargin)
   )
 
-  def queries: Seq[(String, QueryDef)] = q
+  /** Bloom-prefiltered shuffle join — the semi-join reduction pattern
+    * for the dim-too-big-to-broadcast, keys-fit-a-Bloom regime: build
+    * EXACT bit words over the (filtered) dimension's join keys — one
+    * bounded collect of mBits/64 longs, the kmeans-centroid precedent —
+    * and test every fact row against the literal word array in a NARROW
+    * map BEFORE the join's shuffle. Two md5 positions per key, identical
+    * derivation both sides of the build/probe; false positives are
+    * removed by the exact join that follows, so the rewrite is
+    * semantics-preserving and (like `join_salted`) its declared oracle
+    * is the PLAIN SQL join — the gate proves the prefilter loses
+    * nothing. At 100 TB the win is shuffle bytes: only fact rows whose
+    * key might match ever leave the map side. The shuffle_hash hint
+    * keeps the demo on the shuffle path the pattern exists for. */
+  def bloomPrefilteredJoin(lineitem: DataFrame, supplier: DataFrame,
+      mBits: Int = 4096): DataFrame = {
+    val dim = supplier.filter(col("s_acctbal") > 5000)
+      .select(col("s_suppkey"), col("s_name"))
+    def positions(key: Column): Seq[Column] = (0 until 2).map { i =>
+      conv(substring(md5(concat(lit(s"jb$i:"), key.cast("string"))), 1, 8),
+        16, 10).cast("long") % mBits
+    }
+    val byWord = dim
+      .select(explode(array(positions(col("s_suppkey")): _*)).as("pos"))
+      .select(expr("pos div 64").as("wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("w"))
+      .groupBy(col("wi")).agg(bit_or(col("w")).as("bits"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val words = (0 until mBits / 64).map(i => byWord.getOrElse(i, 0L))
+    val probe = lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("bw", typedlit(words))
+      .withColumn("p0", positions(col("l_suppkey"))(0))
+      .withColumn("p1", positions(col("l_suppkey"))(1))
+      .filter(expr(
+        """(shiftright(element_at(bw, CAST(p0 div 64 AS INT) + 1),
+          |            CAST(p0 % 64 AS INT)) & 1) = 1
+          |AND (shiftright(element_at(bw, CAST(p1 div 64 AS INT) + 1),
+          |                CAST(p1 % 64 AS INT)) & 1) = 1""".stripMargin))
+      .drop("bw", "p0", "p1")
+    probe.join(dim.hint("shuffle_hash"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        // the scale-4 product sum rounds to cents HALF_UP via the
+        // decimal(38,2) cast BEFORE ×100 (a bare long cast would
+        // truncate where DuckDB rounds — the vat_summary_decimal rule)
+        (sum(money(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .cast("decimal(38,2)") * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("s_name"))
+  }
+
+  val bloomPrefilteredJoinSql: String =
+    """SELECT s_name, COUNT(*) AS n_lines,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |        * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))), 2)
+      |       * 100 AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE s_acctbal > 5000
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "join_bloom" -> QueryDef(
+      (s, d) => bloomPrefilteredJoin(Tables.lineitem(s, d),
+        Tables.supplier(s, d)),
+      bloomPrefilteredJoinSql))
 }
