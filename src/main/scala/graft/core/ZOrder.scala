@@ -92,7 +92,107 @@ object ZOrder {
        |FROM z GROUP BY zblock ORDER BY zblock""".stripMargin
   }
 
+  /** Zone-map skipping effectiveness audit — the number the layout
+    * decision is actually about: parquet footers keep per-file min/max
+    * (zone maps), and a scan with a range predicate reads a file only
+    * if the predicate overlaps its zone. This op simulates BOTH layouts
+    * with value-based file assignment (linear = `p div 64` range
+    * buckets on the sort key; z-order = the audit's z-curve blocks —
+    * narrow maps, no global row_number), derives each file's s-zone,
+    * and for every band of an s-predicate workload reports files/rows
+    * each layout must read. The 100 TB claim made measurable: the
+    * partkey-sorted layout's s-zones are full-range stripes (every
+    * band reads ~all files), the z-layout's are bounded tiles.
+    * All-integer: band grid = (smax + nBands − 1) div nBands off one
+    * bounded scalar, overlap test two BIGINT compares. */
+  def zoneMapSkipAudit(lineitem: DataFrame, blockShift: Int,
+      nBands: Int): DataFrame = {
+    val spark = lineitem.sparkSession
+    val base = lineitem
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .localCheckpoint(true)
+    val smax = base.agg(max(col("s"))).head().getLong(0)
+    val w = (smax + nBands - 1) / nBands
+    val bands = spark.range(nBands).select(col("id").cast("long").as("band"),
+      (col("id") * w + 1).as("lo"),
+      least((col("id") + 1) * w, lit(smax)).as("hi"))
+    def zones(file: Column) = base
+      .groupBy(file.as("f"))
+      .agg(count(lit(1)).as("n"), min(col("s")).as("s_min"),
+        max(col("s")).as("s_max"))
+    def readStats(zm: DataFrame, tag: String) = zm
+      .crossJoin(broadcast(bands))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as(s"files_$tag"),
+        sum(when(col("s_max") >= col("lo") && col("s_min") <= col("hi"), 1L)
+          .otherwise(0L)).as(s"files_read_$tag"),
+        sum(when(col("s_max") >= col("lo") && col("s_min") <= col("hi"),
+          col("n")).otherwise(0L)).as(s"rows_read_$tag"))
+    val lin = readStats(zones(expr("p div 64")), "linear")
+    val zo = readStats(
+      zones(shiftrightunsigned(zValue(col("p"), col("s")), blockShift)), "z")
+    bands.join(lin, Seq("band")).join(zo, Seq("band"))
+      .orderBy(col("band"))
+  }
+
+  def zoneMapSkipAuditSql(blockShift: Int, nBands: Int): String = {
+    def spread(e: String): String = {
+      var cur = s"(CAST($e AS BIGINT) & 2147483647)"
+      Seq(16 -> "281470681808895", 8 -> "71777214294589695",
+        4 -> "1085102592571150095", 2 -> "3689348814741910323",
+        1 -> "6148914691236517205").foreach { case (s, m) =>
+        cur = s"(($cur | ($cur << $s)) & $m)"
+      }
+      cur
+    }
+    s"""WITH base AS (
+       |  SELECT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |mx AS (SELECT MAX(s) AS smax, (MAX(s) + $nBands - 1) // $nBands AS w
+       |       FROM base),
+       |bands AS (
+       |  SELECT r.range AS band,
+       |    r.range * (SELECT w FROM mx) + 1 AS lo,
+       |    least((r.range + 1) * (SELECT w FROM mx),
+       |          (SELECT smax FROM mx)) AS hi
+       |  FROM range(0, $nBands) r),
+       |zlin AS (
+       |  SELECT p // 64 AS f, COUNT(*) AS n, MIN(s) AS s_min,
+       |         MAX(s) AS s_max
+       |  FROM base GROUP BY 1),
+       |zz AS (
+       |  SELECT (${spread("p")} | (${spread("s")} << 1)) >> $blockShift AS f,
+       |         COUNT(*) AS n, MIN(s) AS s_min, MAX(s) AS s_max
+       |  FROM base GROUP BY 1),
+       |lin AS (
+       |  SELECT band, COUNT(*) AS files_linear,
+       |    SUM(CASE WHEN s_max >= lo AND s_min <= hi THEN 1 ELSE 0 END)
+       |      AS files_read_linear,
+       |    SUM(CASE WHEN s_max >= lo AND s_min <= hi THEN n ELSE 0 END)
+       |      AS rows_read_linear
+       |  FROM zlin, bands GROUP BY band),
+       |zo AS (
+       |  SELECT band, COUNT(*) AS files_z,
+       |    SUM(CASE WHEN s_max >= lo AND s_min <= hi THEN 1 ELSE 0 END)
+       |      AS files_read_z,
+       |    SUM(CASE WHEN s_max >= lo AND s_min <= hi THEN n ELSE 0 END)
+       |      AS rows_read_z
+       |  FROM zz, bands GROUP BY band)
+       |SELECT b.band, b.lo, b.hi,
+       |  CAST(files_linear AS BIGINT) AS files_linear,
+       |  CAST(files_read_linear AS BIGINT) AS files_read_linear,
+       |  CAST(rows_read_linear AS BIGINT) AS rows_read_linear,
+       |  CAST(files_z AS BIGINT) AS files_z,
+       |  CAST(files_read_z AS BIGINT) AS files_read_z,
+       |  CAST(rows_read_z AS BIGINT) AS rows_read_z
+       |FROM bands b JOIN lin USING (band) JOIN zo USING (band)
+       |ORDER BY band""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "layout_zonemap" -> QueryDef(
+      (s, d) => zoneMapSkipAudit(Tables.lineitem(s, d), blockShift = 16,
+        nBands = 10),
+      zoneMapSkipAuditSql(blockShift = 16, nBands = 10)),
     "layout_zorder" -> QueryDef(
       (s, d) => zOrderAudit(Tables.lineitem(s, d), blockShift = 16),
       zOrderAuditSql(blockShift = 16)),

@@ -80,4 +80,49 @@ class ZOrderSpec extends SparkSuite {
     assert(zTouched.toDouble / zTotal <= 0.5,
       s"z-order should bound the band to a file subset: $zTouched/$zTotal")
   }
+
+  test("zone-map audit: the z layout skips files the linear layout " +
+      "cannot, and row totals are conserved per full-coverage band") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val rows = ZOrder.zoneMapSkipAudit(li, blockShift = 16, nBands = 10)
+      .collect()
+    assert(rows.length === 10)
+    val totalRows = li.count()
+    rows.foreach { r =>
+      val (fl, frl) = (r.getLong(3), r.getLong(4))
+      val (fz, frz) = (r.getLong(6), r.getLong(7))
+      assert(frl <= fl && frz <= fz, "read counts bounded by file counts")
+      // rows read never exceed the table; a band below smax must read
+      // something (bands past smax legitimately read zero files)
+      assert(r.getLong(5) <= totalRows && r.getLong(8) <= totalRows)
+      val smax = rows.map(_.getLong(2)).max
+      if (r.getLong(1) <= smax) assert(frz >= 1 && frl >= 1)
+    }
+    // at fixture scale both layouts may zone similarly; the strict
+    // skip-advantage claim is pinned on the deterministic grid below
+    val linVisits = rows.map(_.getLong(4)).sum
+    val zVisits = rows.map(_.getLong(7)).sum
+    val zFrac = zVisits.toDouble / rows.map(_.getLong(6)).sum
+    val linFrac = linVisits.toDouble / rows.map(_.getLong(3)).sum
+    assert(zFrac <= linFrac,
+      s"z zone maps must never skip less: z $zFrac vs linear $linFrac")
+  }
+
+  test("zone-map audit on a uniform grid: linear stripes read ALL files " +
+      "on every band, z tiles read a bounded fraction") {
+    import spark.implicits._
+    // full 256×256 (p, s) grid; linear files p div 64 are full-range
+    // s stripes; z-blocks at shift 8 are 16×16 tiles with 16-wide
+    // s-zones, so a 32-wide s band touches ≤ 3 of 16 tile-rows
+    val grid = (0 until 256).flatMap(p => (0 until 256).map(s =>
+      (p.toLong, s.toLong))).toDF("l_partkey", "l_suppkey")
+    val rows = ZOrder.zoneMapSkipAudit(grid, blockShift = 8, nBands = 8)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(3),
+        "every band must read every stripe-zoned linear file")
+      assert(r.getLong(7).toDouble / r.getLong(6) <= 0.1875 + 1e-9,
+        s"z tiles must bound the band: ${r.getLong(7)}/${r.getLong(6)}")
+    }
+  }
 }
