@@ -331,6 +331,55 @@ object Corpus {
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** Duplicate-cluster size histogram — the corpus-health dashboard
+    * number a dedup pass is judged by: how much of the corpus sits in
+    * clusters of which size (size 1 = unique docs, the complement of
+    * every clustered id). Rides the portable md5 cluster chain, so the
+    * whole candidate → CC → histogram pipeline stays behind the hash
+    * gate; the singleton row is two bounded scalar counts folded
+    * in-plan (no driver arithmetic). Output (cluster_size, n_clusters,
+    * n_docs) is three exact BIGINTs per row, rows ≤ max cluster size. */
+  def dupClusterHistogram(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val comp = nearDupClustersMd5(docs, threshold).localCheckpoint(true)
+    val multi = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val singles = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(comp.agg(count(lit(1)).as("n_clustered")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    multi.unionByName(singles).orderBy(col("cluster_size"))
+  }
+
+  lazy val dupClusterHistogramSql: String = {
+    val cand = Dedup.md5MinhashPairsSql
+      .replaceAll("(?s)SELECT doc_a, doc_b, est_jaccard FROM pairs.*$", "").trim
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$cand,
+       |cand AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand
+       |      UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |sizes AS (SELECT component, COUNT(*) AS sz FROM comp
+       |          GROUP BY component)
+       |SELECT cluster_size, n_clusters, n_docs FROM (
+       |  SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |         CAST(SUM(sz) AS BIGINT) AS n_docs
+       |  FROM sizes GROUP BY sz
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT),
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp),
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp))
+       |ORDER BY cluster_size""".stripMargin
+  }
+
   /** Oracle contract for the murmur3 clustering: its components REFINE
     * the portable md5 components — every murmur3 cluster lives entirely
     * inside one md5 cluster and never touches a node the portable chain
@@ -903,6 +952,9 @@ object Corpus {
     "dedup_clusters_md5" -> QueryDef(
       (s, d) => nearDupClustersMd5(Tables.documents(s, d)),
       Some(nearDupClustersMd5Sql)),
+    "dedup_cluster_histogram" -> QueryDef(
+      (s, d) => dupClusterHistogram(Tables.documents(s, d)),
+      Some(dupClusterHistogramSql)),
     "corpus_canonical" -> QueryDef(
       (s, d) => canonicalCorpusMd5(Tables.documents(s, d)),
       Some(canonicalCorpusMd5Sql)),

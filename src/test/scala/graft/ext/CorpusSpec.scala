@@ -423,6 +423,22 @@ class CorpusSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 100L, 100L), (2L, 50L, 50L)))
   }
 
+  test("cluster histogram: totals conserve the corpus, size-1 row is " +
+      "the unclustered complement") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val rows = Corpus.dupClusterHistogram(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = docs.count()
+    assert(rows.map(_._3).sum === total, "every doc lands in one bucket")
+    rows.foreach { case (sz, nc, nd) =>
+      assert(nd === sz * nc, s"size $sz: $nd docs vs $nc clusters")
+    }
+    assert(rows.count(_._1 == 1L) === 1, "exactly one singleton row")
+    // multi-doc rows must agree with the cluster relation itself
+    val comp = Corpus.nearDupClustersMd5(docs)
+    assert(rows.filter(_._1 > 1).map(_._3).sum === comp.count())
+  }
+
   test("priority sample is bit-identical across partitionings") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     def run(parts: Int) =
