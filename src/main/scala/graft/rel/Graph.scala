@@ -1538,7 +1538,86 @@ object Graph {
        |FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** Deterministic random walks — the node2vec/DeepWalk CORPUS
+    * GENERATOR as a relational op: from the `nWalks` smallest node ids
+    * (the landmark discipline), `steps` steps where the next hop out
+    * of v is `nbrs[md5(walk:step:v) % deg(v)]` over the SORTED
+    * neighbor list — md5-derived choice, zero RNG state, so the walk
+    * corpus is a pure function of the graph (re-running on another
+    * engine, partitioning or day emits byte-identical training data —
+    * the property every sampling op here guarantees).
+    *
+    * Scale shape: per step ONE join of the (walks)-sized frontier
+    * against the standing bucketed adjacency + a narrow md5 pick;
+    * walk state is (walk_id, node) pairs, never paths; the unioned
+    * output streams to the sink. */
+  def randomWalks(edges: DataFrame, nWalks: Int, steps: Int): DataFrame = {
+    require(nWalks >= 1 && steps >= 1, s"need walks/steps >= 1")
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true)
+    val seeds = adj.select(col("src")).orderBy(col("src")).limit(nWalks)
+      .select(col("src").as("walk_id"), lit(0).as("step"),
+        col("src").as("node"))
+      .localCheckpoint(true)
+    var frontier = seeds
+    var acc = seeds
+    (1 to steps).foreach { t =>
+      val idx = (conv(substring(md5(concat_ws(":",
+        col("walk_id"), lit(t), col("node"))), 1, 8), 16, 10).cast("long")
+        % size(col("nbrs"))).cast("int") + 1
+      val next = frontier.join(adj, col("node") === col("src"))
+        .select(col("walk_id"), lit(t).as("step"),
+          element_at(col("nbrs"), idx).as("node"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(next)
+      frontier = next
+    }
+    acc.orderBy(col("walk_id"), col("step"))
+  }
+
+  def randomWalksBucketed(spark: SparkSession, dir: String,
+      nWalks: Int = 8, steps: Int = 6): DataFrame =
+    randomWalks(spark.table(ensureBackbone(spark, dir))
+      .select(col("src"), col("dst")), nWalks, steps)
+
+  def randomWalksSql(nWalks: Int = 8, steps: Int = 6): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS (
+         |  SELECT walk_id, CAST($t AS INT) AS step,
+         |    nbrs[CAST(('0x' || substr(md5(CAST(walk_id AS VARCHAR) ||
+         |          ':$t:' || CAST(node AS VARCHAR)), 1, 8))::BIGINT
+         |        % len(nbrs) AS INT) + 1] AS node
+         |  FROM w${t - 1} JOIN adj ON adj.src = w${t - 1}.node)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps)
+      .map(t => s"SELECT walk_id, step, node FROM w$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+       |w0 AS (
+       |  SELECT src AS walk_id, CAST(0 AS INT) AS step, src AS node
+       |  FROM (SELECT src FROM adj ORDER BY src LIMIT $nWalks)),
+       |$stepCtes
+       |SELECT walk_id, step, node FROM (
+       |  $unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_walks" -> QueryDef(
+      (s, d) => randomWalksBucketed(s, d),
+      randomWalksSql()),
     "graph_sssp" -> QueryDef(
       (s, d) => ssspWeightedBucketed(s, d),
       ssspWeightedSql()),

@@ -484,6 +484,37 @@ class GraphSpec extends SparkSuite {
     assert(d1(2L) === 1001L && !d1.contains(4L))
   }
 
+  test("random walks: every hop is a real edge, choice matches the " +
+      "driver-side md5 emulation, walks are partition-invariant") {
+    import spark.implicits._
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val adjacency = (half ++ half.map(_.swap))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).sorted }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def emulate(seed: Long, steps: Int): Seq[(Long, Int, Long)] = {
+      var node = seed
+      (0 to steps).map { t =>
+        if (t > 0) {
+          val nbrs = adjacency(node)
+          val h = java.lang.Long.parseLong(
+            md5hex(s"$seed:$t:$node").substring(0, 8), 16)
+          node = nbrs((h % nbrs.size).toInt)
+        }
+        (seed, t, node)
+      }
+    }
+    val want = Seq(1L, 2L).flatMap(emulate(_, 4))
+    val got = Graph.randomWalks(e, nWalks = 2, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    val again = Graph.randomWalks(e.repartition(7), nWalks = 2, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === want)
+  }
+
   test("weighted sssp is bit-identical across partitionings") {
     import spark.implicits._
     val half = (1 to 60).flatMap(i => Seq(
