@@ -526,7 +526,80 @@ object Quality {
        |ORDER BY exp.digit""".stripMargin
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic — the
+    * distribution-level check `profileDrift`'s moment compare can't
+    * see (equal means with different shapes): split the purchase-value
+    * population weekday vs weekend, bin exact cents on a grid derived
+    * from one bounded max scalar, and take the largest CDF gap. The
+    * gap is EXACT: D = max |cum₁·n₂ − cum₂·n₁| in cross-multiplied
+    * BIGINTs (no per-bin IEEE division), surfaced as floor ppm with
+    * one integer `div`; the argmax bin is the smallest achieving the
+    * max (deterministic via the struct max). Sub-binning resolution is
+    * the documented truncation — the statistic is exactly the KS of
+    * the binned distributions.
+    *
+    * Scale shape: one partial-aggregated groupBy collapses events to
+    * ≤ nBins rows; the CDF window and the final fold run on that
+    * bounded relation. */
+  def ksDrift(events: DataFrame, nBins: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .select(((weekday(col("ts")) + 1) >= 6).as("wend"),
+        (Exact.money(col("value")) * 100).cast("long").as("cents"))
+      .localCheckpoint(true)
+    val cmax = base.agg(max(col("cents"))).head().getLong(0)
+    val w = (cmax + nBins - 1) / nBins
+    val bins = base
+      .groupBy((col("cents") / w).cast("long").as("bin"))
+      .agg(sum(when(col("wend"), 0L).otherwise(1L)).as("c1"),
+        sum(when(col("wend"), 1L).otherwise(0L)).as("c2"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.orderBy(col("bin")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("cum1", sum(col("c1")).over(cum))
+      .withColumn("cum2", sum(col("c2")).over(cum))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+      .withColumn("d",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .agg(max(col("n1")).as("n_weekday"), max(col("n2")).as("n_weekend"),
+        max(struct(col("d"), (-col("bin")).as("nb"))).as("best"))
+      .select(col("n_weekday"), col("n_weekend"),
+        expr("(best.d * 1000000) div (n_weekday * n_weekend)").as("ks_ppm"),
+        (-col("best.nb")).as("bin_at_max"))
+  }
+
+  def ksDriftSql(nBins: Int = 50): String =
+    s"""WITH base AS (
+       |  SELECT CAST(date_part('isodow', CAST(ts AS TIMESTAMP)) AS INT) >= 6
+       |           AS wend,
+       |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |mx AS (SELECT (MAX(cents) + $nBins - 1) // $nBins AS w FROM base),
+       |b AS (
+       |  SELECT cents // (SELECT w FROM mx) AS bin,
+       |    SUM(CASE WHEN wend THEN 0 ELSE 1 END) AS c1,
+       |    SUM(CASE WHEN wend THEN 1 ELSE 0 END) AS c2
+       |  FROM base GROUP BY 1),
+       |c AS (
+       |  SELECT bin,
+       |    SUM(c1) OVER (ORDER BY bin) AS cum1,
+       |    SUM(c2) OVER (ORDER BY bin) AS cum2,
+       |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+       |  FROM b),
+       |d AS (
+       |  SELECT bin, abs(cum1 * n2 - cum2 * n1) AS d, n1, n2 FROM c)
+       |SELECT CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+       |  CAST((MAX(d) * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm,
+       |  CAST(MIN(CASE WHEN d = (SELECT MAX(d) FROM d) THEN bin END)
+       |       AS BIGINT) AS bin_at_max
+       |FROM d GROUP BY n1, n2""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_ks" -> QueryDef(
+      (s, d) => ksDrift(Tables.events(s, d)), ksDriftSql()),
     "dq_kanon" -> QueryDef(
       (s, d) => kAnonymity(Tables.customer(s, d)), kAnonymitySql()),
     "dq_referential" -> QueryDef(

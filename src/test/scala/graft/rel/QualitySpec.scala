@@ -167,4 +167,33 @@ class QualitySpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
     assert(g2("dead") === false, "past the bound flags")
   }
+
+  test("ks drift: disjoint populations hit 1e6 ppm at the right bin, " +
+      "identical populations score zero") {
+    def ev(rows: (Long, String, Double)*) =
+      rows.toDF("event_id", "tss", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("value"))
+    // 2024-01-01 = Monday, 2024-01-06 = Saturday. Weekday values all
+    // 1.00, weekend all 2.00 → cmax 200, w = 4, weekday mass ends at
+    // bin 25 where the full CDF gap opens: D/n1n2 = 1 → 1e6 ppm
+    val disjoint = ev(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-01 11:00:00", 1.00),
+      (3L, "2024-01-06 10:00:00", 2.00), (4L, "2024-01-06 11:00:00", 2.00))
+    val d = Quality.ksDrift(disjoint).head()
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3)) ===
+      ((2L, 2L, 1000000L, 25L)))
+    // same values on both sides: every cross-multiplied gap is zero
+    val same = ev(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-01 11:00:00", 2.00),
+      (3L, "2024-01-06 10:00:00", 1.00), (4L, "2024-01-06 11:00:00", 2.00))
+    assert(Quality.ksDrift(same).head().getLong(2) === 0L)
+  }
+
+  test("ks drift is bit-identical across partitionings") {
+    val e = graft.core.Tables.events(spark, sfDir)
+    def run(parts: Int) =
+      Quality.ksDrift(e.repartition(parts)).collect().map(_.toSeq).toSeq
+    assert(run(2) === run(16))
+  }
 }
