@@ -219,9 +219,61 @@ object Spans {
        |FROM t LEFT JOIN rebuilt r USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** CCNet-style cross-document sentence dedup report (Wenzek et al.
+    * 2020 dedup granularity): hash every trimmed sentence (the
+    * `text_sentences` `[.!?]+` split convention), count DISTINCT
+    * documents per hash, and report per doc how much of it is
+    * boilerplate shared with other docs — n_sents, n_dup_sents
+    * (sentence also in ≥ 1 other doc), dup_pct_bp in exact basis
+    * points. The granularity between `dedup_exact` (whole doc) and
+    * `dedup_spans` (positional w-grams): the one CCNet actually dedups
+    * CommonCrawl at.
+    *
+    * Scale shape: one explode → per-(hash) distinct-doc count (two
+    * partial-aggregated reduces) → join back on hash → one per-doc
+    * reduce. The hash relation is sentence-vocabulary-sized; nothing
+    * quadratic anywhere. */
+  def sentenceDedupReport(docs: DataFrame): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"), explode(filter(transform(
+        split(col("text"), "[.!?]+"), x => trim(x)), x => x =!= ""))
+        .as("sent"))
+      .select(col("doc_id"), md5(col("sent")).as("h"))
+    val docsPerHash = sents.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
+    sents.join(docsPerHash, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+          .as("n_dup_sents"))
+      .select(col("doc_id"), col("n_sents"), col("n_dup_sents"),
+        expr("(n_dup_sents * 10000) div n_sents").as("dup_pct_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sentenceDedupReportSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, md5(sent) AS h FROM (
+      |    SELECT doc_id, unnest(list_filter(list_transform(
+      |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |      x -> x <> '')) AS sent
+      |    FROM documents)),
+      |d AS (
+      |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs_with FROM s GROUP BY h)
+      |SELECT doc_id, COUNT(*) AS n_sents,
+      |  CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_sents,
+      |  CAST((SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) * 10000)
+      |    // COUNT(*) AS BIGINT) AS dup_pct_bp
+      |FROM s JOIN d USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- queries
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dedup_sentences" -> QueryDef(
+      (s, dir) => sentenceDedupReport(Tables.documents(s, dir)),
+      sentenceDedupReportSql),
     "dedup_spans" -> QueryDef(
       (s, dir) => duplicatedSpans(Tables.documents(s, dir)),
       duplicatedSpansSql()),

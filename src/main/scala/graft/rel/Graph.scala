@@ -1582,7 +1582,9 @@ object Graph {
     randomWalks(spark.table(ensureBackbone(spark, dir))
       .select(col("src"), col("dst")), nWalks, steps)
 
-  def randomWalksSql(nWalks: Int = 8, steps: Int = 6): String = {
+  /** Shared oracle CTE chain for the walk family: backbone → sorted
+    * adjacency → seed walks → `steps` md5-pick steps → `allw` union. */
+  private def walksCtesSql(nWalks: Int, steps: Int): String = {
     val stepCtes = (1 to steps).map { t =>
       s"""w$t AS (
          |  SELECT walk_id, CAST($t AS INT) AS step,
@@ -1593,7 +1595,7 @@ object Graph {
     }.mkString(",\n")
     val unions = (0 to steps)
       .map(t => s"SELECT walk_id, step, node FROM w$t")
-      .mkString("\n  UNION ALL\n  ")
+      .mkString("\n       UNION ALL\n       ")
     s"""WITH eh AS (
        |  SELECT u, v FROM (
        |    SELECT a.l_partkey AS u, b.l_partkey AS v,
@@ -1608,16 +1610,50 @@ object Graph {
        |w0 AS (
        |  SELECT src AS walk_id, CAST(0 AS INT) AS step, src AS node
        |  FROM (SELECT src FROM adj ORDER BY src LIMIT $nWalks)),
-       |$stepCtes
-       |SELECT walk_id, step, node FROM (
-       |  $unions)
-       |ORDER BY walk_id, step""".stripMargin
+       |$stepCtes,
+       |allw AS (
+       |  $unions)""".stripMargin
   }
+
+  def randomWalksSql(nWalks: Int = 8, steps: Int = 6): String =
+    s"""${walksCtesSql(nWalks, steps)}
+       |SELECT walk_id, step, node FROM allw
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** Skip-gram co-occurrence counts over the walk corpus — the
+    * word2vec-style training pairs a node-embedding trainer consumes
+    * (walks ARE sentences, nodes ARE words): unordered (u, v) pairs
+    * within `window` steps on the same walk, exact counts. The
+    * per-walk self-join fans out ≤ window rows per position — linear
+    * in total walk length, never node². */
+  def skipgramPairs(walks: DataFrame, window: Int): DataFrame =
+    walks.as("a").join(walks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("b.step") > col("a.step") &&
+          col("b.step") <= col("a.step") + window)
+      .select(least(col("a.node"), col("b.node")).as("u"),
+        greatest(col("a.node"), col("b.node")).as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("u"), col("v"))
+
+  def skipgramPairsSql(nWalks: Int = 8, steps: Int = 6,
+      window: Int = 2): String =
+    s"""${walksCtesSql(nWalks, steps)}
+       |SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v,
+       |       COUNT(*) AS n_cooc
+       |FROM allw a JOIN allw b
+       |  ON a.walk_id = b.walk_id AND b.step > a.step
+       | AND b.step <= a.step + $window
+       |GROUP BY 1, 2 ORDER BY u, v""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_walks" -> QueryDef(
       (s, d) => randomWalksBucketed(s, d),
       randomWalksSql()),
+    "graph_skipgram" -> QueryDef(
+      (s, d) => skipgramPairs(randomWalksBucketed(s, d), window = 2),
+      skipgramPairsSql()),
     "graph_sssp" -> QueryDef(
       (s, d) => ssspWeightedBucketed(s, d),
       ssspWeightedSql()),

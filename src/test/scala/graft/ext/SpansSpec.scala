@@ -164,4 +164,22 @@ class SpansSpec extends SparkSuite {
       }
     }
   }
+
+  test("sentence dedup: only cross-doc shared sentences count; " +
+      "within-doc repeats alone stay unique") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared line. own one! own two?"),
+      (2L, "shared line. different here."),
+      (3L, "solo text. solo text."), // repeated WITHIN one doc only
+      (4L, "wholly original."))
+      .toDF("doc_id", "text")
+    val got = Spans.sentenceDedupReport(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((3L, 1L, 3333L)))
+    assert(got(2L) === ((2L, 1L, 5000L)))
+    assert(got(3L) === ((2L, 0L, 0L)), "within-doc repeat is not cross-doc")
+    assert(got(4L) === ((1L, 0L, 0L)))
+  }
 }

@@ -515,6 +515,18 @@ class GraphSpec extends SparkSuite {
     assert(again.toSeq === want)
   }
 
+  test("skipgram pairs: hand-counted window-2 co-occurrences on a " +
+      "fixed walk") {
+    import spark.implicits._
+    // one walk 1→2→3→1: window 2 pairs by (step, step'): (0,1)=12,
+    // (0,2)=13, (1,2)=23, (1,3)=12 via (2,1), (2,3)=13 via (3,1)
+    val walks = Seq((9L, 0, 1L), (9L, 1, 2L), (9L, 2, 3L), (9L, 3, 1L))
+      .toDF("walk_id", "step", "node")
+    val got = Graph.skipgramPairs(walks, window = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 1L))
+  }
+
   test("weighted sssp is bit-identical across partitionings") {
     import spark.implicits._
     val half = (1 to 60).flatMap(i => Seq(
