@@ -670,6 +670,69 @@ object Dedup {
       |  (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** LSH calibration: sign-bit Hamming distance vs label agreement —
+    * the table you read BEFORE picking the multi-probe radius or band
+    * count: for every pair of a deterministic calibration sample
+    * (vec_id ≤ sampleMax — calibration runs on a bounded sample BY
+    * DESIGN; the quadratic stage never touches the corpus), the
+    * Hamming distance between full `nPlanes`-bit md5-plane signatures
+    * and whether the pair shares a label, aggregated per distance as
+    * (n_pairs, n_same_label, same_label_bp). All-integer comparison
+    * surface: signatures are sign bits (exact comparisons against 0,
+    * the proven-portable kernel), distances are bit_count of XOR, the
+    * rate is one integer `div` to basis points — no cosine banding, so
+    * no IEEE boundary ties near bucket edges. */
+  def lshCalibration(emb: DataFrame, nPlanes: Int = 16,
+      sampleMax: Long = 500L): DataFrame = {
+    val e = emb.filter(col("vec_id") <= sampleMax)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val sig = e.select(col("vec_id"), col("label"),
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes)
+        .as("sig"))
+    val a = sig.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("sig").as("sa"))
+    val b = sig.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("sig").as("sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")
+        .as("hamming"),
+        when(col("la") === col("lb"), 1L).otherwise(0L).as("same"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same_label"))
+      .select(col("hamming"), col("n_pairs"), col("n_same_label"),
+        expr("(n_same_label * 10000) div n_pairs").as("same_label_bp"))
+      .orderBy(col("hamming"))
+  }
+
+  def lshCalibrationSql(nPlanes: Int = 16, sampleMax: Long = 500L): String =
+    s"""WITH planes AS (
+       |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+       |    SELECT t.p, s.i,
+       |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' ||
+       |         CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+       |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |    FROM range(0, $nPlanes) t(p), range(0, 64) s(i))
+       |  GROUP BY p),
+       |e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <= $sampleMax),
+       |sig AS (
+       |  SELECT e.vec_id, e.label,
+       |    SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |        THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+       |  FROM e, planes pl GROUP BY e.vec_id, e.label)
+       |SELECT CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_same_label,
+       |  CAST((SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) * 10000)
+       |    // COUNT(*) AS BIGINT) AS same_label_bp
+       |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+       |GROUP BY 1 ORDER BY hamming""".stripMargin
+
   /** Oracle-checkable MinHash signature: the hash family is md5-derived
     * (first 15 hex chars → 60-bit positive long), reproducible in ANSI
     * SQL — so even the sketch computation itself sits behind the DuckDB
@@ -1230,6 +1293,9 @@ object Dedup {
       (s: SparkSession, d: String) =>
         incrementalDedup(Tables.documents(s, d), 0.1, 0.5),
       Some(incrementalDedupSql(0.1, 0.5))),
+    "dedup_lsh_calibration" -> QueryDef(
+      (s: SparkSession, d: String) => lshCalibration(Tables.embeddings(s, d)),
+      Some(lshCalibrationSql())),
     "dedup_embedding" -> QueryDef(
       (s: SparkSession, d: String) => embeddingPairs(Tables.embeddings(s, d), 0.35)
         .select(col("id_a"), col("id_b")),

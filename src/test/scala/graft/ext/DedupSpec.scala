@@ -342,4 +342,34 @@ class DedupSpec extends SparkSuite {
       .contains("WHERE dist * 1 <= mx * 0"),
       "parameterized SQL gate must mirror the Scala (num, den) gate")
   }
+
+  test("lsh calibration: pair count conserved, distances in range, and " +
+      "close distances carry more label agreement than far ones") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val n = emb.filter(org.apache.spark.sql.functions.col("vec_id") <= 500L)
+      .count()
+    val rows = Dedup.lshCalibration(emb)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._2).sum === n * (n - 1) / 2, "all sample pairs binned")
+    rows.foreach { case (h, np, same, bp) =>
+      assert(h >= 0 && h <= 16)
+      assert(same <= np && bp === same * 10000 / np)
+    }
+    // signal check: the label-agreement rate at the closest populated
+    // distances must exceed the rate at the farthest ones
+    val sorted = rows.sortBy(_._1)
+    val nearBp = sorted.take(3).map(_._4).max
+    val farBp = sorted.takeRight(3).map(_._4).min
+    assert(nearBp > farBp,
+      s"hamming distance must predict label agreement: $nearBp vs $farBp")
+  }
+
+  test("lsh calibration is bit-identical across partitionings") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    def run(parts: Int) =
+      Dedup.lshCalibration(emb.repartition(parts))
+        .collect().map(_.toSeq).toSeq
+    assert(run(2) === run(8))
+  }
 }
