@@ -243,7 +243,171 @@ object Sketches {
        |FROM range(0, ${mBits / 64}) r LEFT JOIN w ON w.word_idx = r.range
        |ORDER BY word_idx""".stripMargin
 
+  /** KMV (k-minimum-values / bottom-k theta) sketch intersection —
+    * the set-OVERLAP estimate HLL union cannot give (HLL merges to
+    * union only; overlap needs inclusion–exclusion with compounding
+    * error, theta sketches intersect directly): per source, the k
+    * smallest 60-bit md5 shingle fingerprints form the sketch; for a
+    * source pair the union sketch is the k smallest of the merged
+    * sets, |A∪B| ≈ (k−1)·2⁶⁰ div v_k (exact when the union carries
+    * < k values — the sketch IS the set), and |A∩B| ≈ m·est_union div
+    * \|sketch\| where m counts union-sketch members present in BOTH
+    * input sketches. Deterministic md5 ⇒ every estimate is a pure
+    * integer function of the corpus; the 2⁶⁰-scaled numerator runs in
+    * DECIMAL(38,0)/HUGEINT (the weighted-PageRank overflow rule).
+    * Declared behind the sketch-contract pattern: exact distinct
+    * union/intersection surfaced next to the estimates with a ±20%
+    * agreement boolean on the union arm (k = 512 puts the KMV standard
+    * error near 4.4%, so the 20% bound sits past 4 sigma).
+    *
+    * Scale shape: sketches are k rows per source (mergeable bounded
+    * state — THE theta-sketch property); only the exact contract arms
+    * touch the distinct fingerprint relation, and they exist for the
+    * gate, not the deployment path. */
+  def kmvIntersect(docs: DataFrame, k: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col("source"),
+        explode(graft.functions.WordShingles.word_shingles(col("text"), 3))
+          .as("gram"))
+      .select(col("source"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("fp"))
+      .distinct()
+      .persist()
+    val w = Window.partitionBy(col("source")).orderBy(col("fp"))
+    val sk = sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("source"), col("fp"))
+      .persist()
+    val srcs = sk.select(col("source")).distinct()
+    val pairSrc = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val pa = sk.select(col("source").as("src_a"), col("fp"))
+    val pb = sk.select(col("source").as("src_b"), col("fp"))
+    val u = pairSrc.join(pa, Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("fp"))
+      .unionByName(pairSrc.join(pb, Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("fp")))
+      .distinct()
+    val wp = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("fp"))
+    val uk = u.withColumn("rn", row_number().over(wp)).filter(col("rn") <= k)
+    val est = uk
+      .join(pa.withColumn("ina", lit(1)), Seq("src_a", "fp"), "left")
+      .join(pb.withColumn("inb", lit(1)), Seq("src_b", "fp"), "left")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_sk"), max(col("fp")).as("vk"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+          .as("m"))
+      .select(col("src_a"), col("src_b"), col("m"), col("n_sk"),
+        when(col("n_sk") < k, col("n_sk")).otherwise(expr(
+          s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)" +
+            " div CAST(vk AS DECIMAL(38,0)) AS BIGINT)")).as("est_union"))
+      .select(col("src_a"), col("src_b"), col("est_union"),
+        expr("(m * est_union) div n_sk").as("est_intersect"))
+    val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ex = sh.as("x").join(sh.as("y"),
+        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    pairSrc
+      .join(cnt.select(col("source").as("src_a"), col("n").as("na")),
+        Seq("src_a"))
+      .join(cnt.select(col("source").as("src_b"), col("n").as("nb")),
+        Seq("src_b"))
+      .join(ex, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"),
+        (col("na") + col("nb") - coalesce(col("exact_intersect"), lit(0L)))
+          .as("exact_union"))
+      .join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_union"),
+        col("exact_union"), col("est_intersect"), col("exact_intersect"),
+        (col("est_union") * 100 >= col("exact_union") * 80 &&
+          col("est_union") * 100 <= col("exact_union") * 120)
+          .as("union_in_bound"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def kmvIntersectSql(k: Int = 512): String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp FROM (
+       |    SELECT source,
+       |      unnest(CASE WHEN len(toks) < 3 THEN []
+       |        ELSE list_transform(range(1, len(toks) - 1),
+       |               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+       |      END) AS gram
+       |    FROM t)),
+       |sk AS (
+       |  SELECT source, fp FROM (
+       |    SELECT source, fp,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp) AS rn
+       |    FROM sh)
+       |  WHERE rn <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |u AS (
+       |  SELECT DISTINCT src_a, src_b, fp FROM (
+       |    SELECT p.src_a, p.src_b, s.fp FROM pairs p
+       |    JOIN sk s ON s.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, s.fp FROM pairs p
+       |    JOIN sk s ON s.source = p.src_b)),
+       |uk AS (
+       |  SELECT src_a, src_b, fp FROM (
+       |    SELECT src_a, src_b, fp, ROW_NUMBER() OVER (
+       |      PARTITION BY src_a, src_b ORDER BY fp) AS rn
+       |    FROM u)
+       |  WHERE rn <= $k),
+       |est0 AS (
+       |  SELECT uk.src_a, uk.src_b, COUNT(*) AS n_sk, MAX(uk.fp) AS vk,
+       |    SUM(CASE WHEN sa.fp IS NOT NULL AND sb.fp IS NOT NULL
+       |        THEN 1 ELSE 0 END) AS m
+       |  FROM uk
+       |  LEFT JOIN sk sa ON sa.source = uk.src_a AND sa.fp = uk.fp
+       |  LEFT JOIN sk sb ON sb.source = uk.src_b AND sb.fp = uk.fp
+       |  GROUP BY uk.src_a, uk.src_b),
+       |est AS (
+       |  SELECT src_a, src_b,
+       |    CASE WHEN n_sk < $k THEN n_sk
+       |         ELSE CAST((${k - 1}::HUGEINT * 1152921504606846976) // vk
+       |              AS BIGINT) END AS est_union,
+       |    m, n_sk
+       |  FROM est0),
+       |cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+       |ex AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |    COUNT(*) AS exact_intersect
+       |  FROM sh x JOIN sh y ON x.fp = y.fp AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |  CAST(e.est_union AS BIGINT) AS est_union,
+       |  CAST(ca.n + cb.n - COALESCE(ex.exact_intersect, 0) AS BIGINT)
+       |    AS exact_union,
+       |  CAST((e.m * e.est_union) // e.n_sk AS BIGINT) AS est_intersect,
+       |  CAST(COALESCE(ex.exact_intersect, 0) AS BIGINT) AS exact_intersect,
+       |  e.est_union * 100 >= (ca.n + cb.n - COALESCE(ex.exact_intersect, 0)) * 80
+       |    AND e.est_union * 100 <=
+       |      (ca.n + cb.n - COALESCE(ex.exact_intersect, 0)) * 120
+       |    AS union_in_bound
+       |FROM pairs p
+       |JOIN cnt ca ON ca.source = p.src_a
+       |JOIN cnt cb ON cb.source = p.src_b
+       |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+       |JOIN est e ON e.src_a = p.src_a AND e.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "distinct_kmv_intersect" -> QueryDef(
+      (s, d) => kmvIntersect(Tables.documents(s, d)),
+      Some(kmvIntersectSql())),
     "sketch_bloom_portable" -> QueryDef(
       (s, d) => portableBloom(Tables.documents(s, d)),
       Some(portableBloomSql())),

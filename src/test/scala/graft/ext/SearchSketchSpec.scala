@@ -327,4 +327,29 @@ class SearchSketchSpec extends SparkSuite {
         .map(_.getString(0)).toSet.subsetOf(Set("exact_dup", "near_dup", "new")))
     } finally out.unpersist()
   }
+
+  test("kmv intersect: sub-k sources make the sketch exact; estimates " +
+      "track planted overlap direction") {
+    import spark.implicits._
+    // three tiny sources: a/b share 'one two three four', c is disjoint;
+    // every distinct-shingle set is far below k, so the union sketch IS
+    // the union and every estimate must equal the exact value
+    val docs = Seq(
+      (1L, "one two three four alpha beta gamma", "a"),
+      (2L, "one two three four delta epsilon zeta", "b"),
+      (3L, "totally different words entirely here now", "c"))
+      .toDF("doc_id", "text", "source")
+    val rows = Sketches.kmvIntersect(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    rows.foreach { case (pair, (eu, xu, ei, xi, ok)) =>
+      assert(eu === xu, s"$pair sub-k union must be exact")
+      assert(ei === xi, s"$pair sub-k intersect must be exact")
+      assert(ok)
+    }
+    // a∩b shares the 4-token run → 2 shared 3-gram shingles; c overlaps nothing
+    assert(rows(("a", "b"))._4 === 2L)
+    assert(rows(("a", "c"))._4 === 0L && rows(("b", "c"))._4 === 0L)
+  }
 }
