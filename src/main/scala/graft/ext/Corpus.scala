@@ -488,6 +488,59 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary-growth (Heaps-law) audit — the curve that sizes a
+    * tokenizer vocabulary and predicts how many NEW types the next
+    * corpus drop will add: the corpus is cut into `nBuckets` ingest
+    * slices by doc_id range (value-based, from one bounded max scalar
+    * — no global row_number), and each slice reports its token
+    * occurrences, cumulative tokens, first-seen types (tokens whose
+    * MIN bucket is this slice) and cumulative vocabulary. All exact
+    * BIGINT counts; the cumulative window runs over ≤ nBuckets rows.
+    *
+    * Scale shape: one explode → two partial-aggregated reduces (per
+    * bucket, and per token for the min-bucket first-occurrence) — the
+    * token relation is touched once, the join-back is bucket-keyed
+    * bounded metadata. */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val toks = docs.select(
+        expr(s"((doc_id - 1) * $nBuckets) div $maxId").as("bucket"),
+        explode(Dedup.tokens(col("text"))).as("w"))
+      .persist()
+    val occ = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val fresh = toks.groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    occ.join(fresh, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("n_tokens_cum", sum(col("n_tokens")).over(cum))
+      .withColumn("n_types_cum", sum(col("n_new_types")).over(cum))
+      .orderBy(col("bucket"))
+  }
+
+  def vocabGrowthSql(nBuckets: Int = 10): String =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |t AS (
+       |  SELECT ((doc_id - 1) * $nBuckets) // (SELECT m FROM mx) AS bucket,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |occ AS (SELECT bucket, COUNT(*) AS n_tokens FROM t GROUP BY bucket),
+       |fresh AS (
+       |  SELECT bucket, COUNT(*) AS n_new_types FROM (
+       |    SELECT w, MIN(bucket) AS bucket FROM t GROUP BY w)
+       |  GROUP BY bucket)
+       |SELECT o.bucket, o.n_tokens,
+       |  CAST(COALESCE(f.n_new_types, 0) AS BIGINT) AS n_new_types,
+       |  CAST(SUM(o.n_tokens) OVER (ORDER BY o.bucket) AS BIGINT)
+       |    AS n_tokens_cum,
+       |  CAST(SUM(COALESCE(f.n_new_types, 0)) OVER (ORDER BY o.bucket)
+       |    AS BIGINT) AS n_types_cum
+       |FROM occ o LEFT JOIN fresh f ON f.bucket = o.bucket
+       |ORDER BY o.bucket""".stripMargin
+
   // --------------------------------------------------------------- sampling
 
   /** Deterministic stratified sampling: keep a row iff the uniform
@@ -1161,6 +1214,9 @@ object Corpus {
     "sample_priority" -> QueryDef(
       (s, d) => prioritySample(Tables.documents(s, d), 60),
       Some(prioritySampleSql(60))),
+    "corpus_vocab_growth" -> QueryDef(
+      (s, d) => vocabGrowth(Tables.documents(s, d)),
+      Some(vocabGrowthSql())),
     "sample_bottomk_hash" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("source"),

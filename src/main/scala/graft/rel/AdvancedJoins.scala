@@ -708,7 +708,71 @@ object AdvancedJoins {
       |WHERE s_acctbal > 5000
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  /** Point-in-time (feature-store) join — the as-of composition a
+    * training-set builder runs: for every label row (purchase), a
+    * feature VECTOR drawn from several streams with strict
+    * point-in-time correctness (nothing at-or-after the label's
+    * (ts, event_id) leaks in): last prior view value, last prior
+    * click value, signup-seen flag (strictly-prior ROWS frame,
+    * `last(..., ignoreNulls)` over the shared user-keyed sort) and a
+    * 30-minute trailing error count (RANGE frame on exact
+    * microseconds, same-timestamp peers included by definition —
+    * stated identically in the oracle). ONE shuffle on user_id total,
+    * however many features ride the pass — the merge_asof shape
+    * extended from one column to the feature vector; the range-framed
+    * count shares the exchange and only re-sorts within partitions. */
+  def pitFeatures(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-1800000000L, 0L)
+    events
+      .withColumn("f_last_view_value",
+        last(when(col("event_type") === "view", col("value")), true)
+          .over(byUser))
+      .withColumn("f_last_click_value",
+        last(when(col("event_type") === "click", col("value")), true)
+          .over(byUser))
+      .withColumn("f_signed_up",
+        coalesce(max(when(col("event_type") === "signup", true))
+          .over(byUser), lit(false)))
+      .withColumn("f_errors_30m",
+        coalesce(sum(when(col("event_type") === "error", 1L))
+          .over(byTime), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("f_last_view_value"),
+        col("f_last_click_value"), col("f_signed_up"), col("f_errors_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val pitFeaturesSql: String =
+    """SELECT e1.event_id, e1.user_id,
+      |  (SELECT e2.value FROM events e2
+      |   WHERE e2.user_id = e1.user_id AND e2.event_type = 'view'
+      |     AND (e2.ts < e1.ts OR (e2.ts = e1.ts AND e2.event_id < e1.event_id))
+      |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS f_last_view_value,
+      |  (SELECT e2.value FROM events e2
+      |   WHERE e2.user_id = e1.user_id AND e2.event_type = 'click'
+      |     AND (e2.ts < e1.ts OR (e2.ts = e1.ts AND e2.event_id < e1.event_id))
+      |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS f_last_click_value,
+      |  EXISTS (SELECT 1 FROM events e2
+      |   WHERE e2.user_id = e1.user_id AND e2.event_type = 'signup'
+      |     AND (e2.ts < e1.ts OR (e2.ts = e1.ts AND e2.event_id < e1.event_id)))
+      |    AS f_signed_up,
+      |  (SELECT COUNT(*) FROM events e2
+      |   WHERE e2.user_id = e1.user_id AND e2.event_type = 'error'
+      |     AND e2.ts <= e1.ts
+      |     AND e2.ts >= e1.ts - INTERVAL 30 MINUTE) AS f_errors_30m
+      |FROM events e1
+      |WHERE e1.event_type = 'purchase'
+      |ORDER BY e1.user_id, e1.event_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "join_pit_features" -> QueryDef(
+      (s, d) => pitFeatures(Tables.events(s, d)),
+      pitFeaturesSql),
     "join_bloom" -> QueryDef(
       (s, d) => bloomPrefilteredJoin(Tables.lineitem(s, d),
         Tables.supplier(s, d)),

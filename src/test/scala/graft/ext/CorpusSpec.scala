@@ -423,6 +423,25 @@ class CorpusSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, 100L, 100L), (2L, 50L, 50L)))
   }
 
+  test("vocab growth: hand buckets, conservation, monotone cumulative") {
+    import spark.implicits._
+    // ids 1..10 in 2 buckets (1–5, 6–10); 'a' recurs, 'b'/'c' are new
+    // in their buckets
+    val docs = Seq((1L, "a b"), (6L, "a c"), (10L, "c c"))
+      .toDF("doc_id", "text")
+    val got = Corpus.vocabGrowth(docs, nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0L, 2L, 2L, 2L, 2L), (1L, 4L, 1L, 6L, 3L)))
+    // fixture-level conservation: types_cum at the last bucket equals
+    // the corpus' distinct token count, tokens_cum the total count
+    val fx = graft.core.Tables.documents(spark, sfDir)
+    val rows = Corpus.vocabGrowth(fx).collect()
+    val toks = fx.select(explode(Dedup.tokens(col("text"))).as("w"))
+    assert(rows.last.getLong(3) === toks.count())
+    assert(rows.last.getLong(4) === toks.distinct().count())
+  }
+
   test("cluster histogram: totals conserve the corpus, size-1 row is " +
       "the unclustered complement") {
     val docs = graft.core.Tables.documents(spark, sfDir)
