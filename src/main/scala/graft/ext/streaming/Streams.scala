@@ -1207,4 +1207,80 @@ object Streams {
           }
       }
   }
+
+  case class PitEvent(event_id: Long, user_id: Long, event_type: String,
+      value: Double, ts: java.sql.Timestamp)
+  case class PitFeature(event_id: Long, user_id: Long,
+      f_last_view_value: Option[Double], f_last_click_value: Option[Double],
+      f_signed_up: Boolean, f_errors_30m: Long)
+
+  /** Streaming point-in-time feature enrichment — the stateful twin of
+    * `rel.AdvancedJoins.pitFeatures`, because feature serving IS a
+    * stream: the label event wants its feature vector the moment it
+    * arrives, not at the next batch sweep. State per user is the
+    * feature state itself: last view value, last click value,
+    * signup-seen flag, plus the error timestamps still inside the
+    * 30-minute trailing window (pruned each batch — O(errors in 30
+    * min), never unbounded history). Each micro-batch replays in the
+    * engine-wide (ts, event_id) order; a purchase reads view/click/
+    * signup from the STRICTLY-PRIOR walk (the batch op's equal-ts
+    * smaller-id rule falls out of the sort) while the error count
+    * scans all errors with ets ∈ [ts − 30 min, ts] — including
+    * equal-ts later-id errors, exactly the batch RANGE frame. Exact
+    * under the repo-wide twin contract (per-user event-time order
+    * across micro-batches). Unlike the episodic twins, feature state
+    * is LONG-LIVED by design (a feature store's user profile), so the
+    * horizon defaults to 90 days and only GCs truly dormant users —
+    * expiry resets their vector, the documented cut vs batch. */
+  def pitFeatureStream(events: Dataset[PitEvent],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 90L * 24 * 3600 * 1000): Dataset[PitFeature] = {
+    import events.sparkSession.implicits._
+    val windowUs = 1800000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+        (Option[Double], Option[Double], Boolean, List[Long]), PitFeature](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (lastView, lastClick, signedUp, errs) =
+              state.getOption.getOrElse(
+                (None: Option[Double], None: Option[Double], false,
+                  Nil: List[Long]))
+            // the RANGE frame sees every error with ets <= purchase ts,
+            // equal-ts later-id included: collect the batch's errors up
+            // front, filter per purchase
+            val allErrs = errs ++ batch
+              .filter(_.event_type == "error").map(r => tsMicros(r.ts))
+            val out = Vector.newBuilder[PitFeature]
+            batch.foreach { r =>
+              r.event_type match {
+                case "purchase" =>
+                  val ts = tsMicros(r.ts)
+                  out += PitFeature(r.event_id, userId, lastView, lastClick,
+                    signedUp,
+                    allErrs.count(e => e >= ts - windowUs && e <= ts).toLong)
+                case _ => ()
+              }
+              r.event_type match {
+                case "view"   => lastView = Some(r.value)
+                case "click"  => lastClick = Some(r.value)
+                case "signup" => signedUp = true
+                case _        => ()
+              }
+            }
+            val maxUs = tsMicros(batch.last.ts)
+            state.update((lastView, lastClick, signedUp,
+              allErrs.filter(_ > maxUs - windowUs)))
+            state.setTimeoutTimestamp( // clamp: a small horizon could land ≤ watermark and crash
+              math.max(batch.map(_.ts.getTime).max + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -1208,4 +1208,37 @@ class StreamingSpec extends SparkSuite {
         s"terminal alarms $terminal must equal the batch not-ok set $batchStale")
     } finally q.stop()
   }
+
+  test("streaming pit features == batch feature vectors on the fixture log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .as[Streams.PitEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.PitEvent]
+    val q = Streams.pitFeatureStream(input.toDS())
+      .writeStream.format("memory").queryName("pit_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4), r.getLong(5))
+      val streamed = spark.table("pit_out")
+        .collect().map(key).sorted.toSeq
+      val batched = graft.rel.AdvancedJoins
+        .pitFeatures(graft.core.Tables.events(spark, sfDir))
+        .collect().map(key).sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
