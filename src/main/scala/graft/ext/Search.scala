@@ -594,5 +594,89 @@ object Search {
       rankedSearchSql(Seq("vector", "hash", "join"), 20))
   )
 
-  def queries: Seq[(String, QueryDef)] = q
+  // ----------------------------------------------- spelling suggestion
+
+  /** All distinct single-deletion variants of a word, plus the word
+    * itself — the SymSpell neighborhood key. */
+  private def delVariants(w: Column): Column =
+    array_distinct(concat(array(w),
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))))
+
+  /** SymSpell-style spelling suggestion (Garbe's symmetric-delete
+    * algorithm): instead of scanning the vocabulary per query with an
+    * edit-distance UDF (O(\|vocab\|·\|queries\|) — the shape that dies
+    * first at scale), BOTH sides expand to their single-deletion
+    * neighborhoods and candidates meet on an EQUI key: any pair within
+    * Levenshtein 1 provably shares a variant (identity, or the shorter
+    * side = a deletion of the longer). Shared-variant candidates are
+    * then verified with the exact `levenshtein` built-in (same
+    * definition both engines) and the winner per query term is the
+    * (frequency DESC, word ASC) argmax; unmatched terms surface with
+    * NULL suggestion. Vocabulary variants are Σ\|w\| rows over the
+    * DISTINCT word relation — vocabulary-sized, never corpus-sized —
+    * and the query side is a literal handful. */
+  def spellSuggest(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
+    val wc = Tokenizer.wordCounts(docs)
+    val qv = terms.toDF("term")
+      .select(col("term"), explode(delVariants(col("term"))).as("v"))
+    val vv = wc.select(col("word"), col("n_occ"),
+      explode(delVariants(col("word"))).as("v"))
+    val best = qv.join(vv, Seq("v"))
+      .select(col("term"), col("word"), col("n_occ")).distinct()
+      .withColumn("dist", levenshtein(col("term"), col("word")))
+      .filter(col("dist") <= 1)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("term"))
+        .orderBy(col("n_occ").desc, col("word"))))
+      .filter(col("rn") === 1)
+    terms.toDF("term").join(best, Seq("term"), "left")
+      .select(col("term"), col("word").as("suggestion"),
+        col("dist").as("distance"), col("n_occ").as("suggestion_freq"))
+      .orderBy(col("term"))
+  }
+
+  def spellSuggestSql(terms: Seq[String]): String = {
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $vals) t(term)),
+       |w AS (
+       |  SELECT word, COUNT(*) AS n_occ FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '),
+       |      x -> x <> '')) AS word FROM documents)
+       |  GROUP BY word),
+       |qv AS (
+       |  SELECT term, unnest(list_distinct(list_prepend(term,
+       |    list_transform(range(1, length(term) + 1),
+       |      i -> substr(term, 1, CAST(i AS INT) - 1) ||
+       |           substr(term, CAST(i AS INT) + 1, length(term)))))) AS v
+       |  FROM q),
+       |vv AS (
+       |  SELECT word, n_occ, unnest(list_distinct(list_prepend(word,
+       |    list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, 1, CAST(i AS INT) - 1) ||
+       |           substr(word, CAST(i AS INT) + 1, length(word)))))) AS v
+       |  FROM w),
+       |cand AS (
+       |  SELECT DISTINCT term, word, n_occ
+       |  FROM qv JOIN vv USING (v)),
+       |ranked AS (
+       |  SELECT term, word, n_occ, levenshtein(term, word) AS dist,
+       |    ROW_NUMBER() OVER (PARTITION BY term
+       |      ORDER BY n_occ DESC, word) AS rn
+       |  FROM cand WHERE levenshtein(term, word) <= 1)
+       |SELECT q.term, r.word AS suggestion,
+       |  CAST(r.dist AS INT) AS distance,
+       |  CAST(r.n_occ AS BIGINT) AS suggestion_freq
+       |FROM q LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+       |  ON r.term = q.term
+       |ORDER BY q.term""".stripMargin
+  }
+
+  val spellTerms = Seq("tabl", "windoww", "filtar", "valu", "scan", "zzzz")
+
+  def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "search_spell" -> QueryDef(
+      (s, d) => spellSuggest(Tables.documents(s, d), spellTerms),
+      spellSuggestSql(spellTerms)))
 }

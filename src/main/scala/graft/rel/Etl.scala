@@ -367,6 +367,50 @@ object Etl {
       s"$arms\nORDER BY snapshot_date, c_custkey")
   }
 
+  /** Retention-expiry planning over the SCD2 history — the governance
+    * pass a regulated store runs BEFORE a destructive vacuum: with a
+    * retention cutoff, a history row is expirable iff its validity
+    * ended at-or-before the cutoff (closed AND stale; open rows and
+    * rows still valid past the cutoff are retained). The plan reports,
+    * per segment, row counts both ways plus how many KEYS lose at
+    * least one version — the blast-radius numbers a reviewer signs
+    * off, computed without touching any data file (one aggregate over
+    * the history; with the history partitioned on valid_from the
+    * expirable scan prunes partitions). */
+  def retentionExpiry(hist: DataFrame, cutoff: String): DataFrame = {
+    val d = to_date(lit(cutoff))
+    val exp = col("valid_to").isNotNull && col("valid_to") <= d
+    hist
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(exp, 1L).otherwise(0L)).as("n_expire"),
+        sum(when(exp, 0L).otherwise(1L)).as("n_keep"),
+        countDistinct(when(exp, col("c_custkey"))).as("n_keys_with_expiry"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val retentionCutoff = "2024-06-01"
+
+  lazy val retentionExpirySql: String = {
+    val tail =
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       valid_from, valid_to, is_current
+        |FROM hist ORDER BY c_custkey, valid_from""".stripMargin
+    scd2CustomerSql.replace(tail,
+      s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+         |       AND valid_to <= DATE '$retentionCutoff'
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_expire,
+         |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+         |       AND valid_to <= DATE '$retentionCutoff'
+         |       THEN 0 ELSE 1 END) AS BIGINT) AS n_keep,
+         |  CAST(COUNT(DISTINCT CASE WHEN valid_to IS NOT NULL
+         |       AND valid_to <= DATE '$retentionCutoff'
+         |       THEN c_custkey END) AS BIGINT) AS n_keys_with_expiry
+         |FROM hist GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Row-level quarantine routing — the per-row complement of
     * `rel/Quality.dqAudit`'s aggregate report: every fact row violating
     * a release policy is routed out with the FULL list of reasons it
@@ -409,6 +453,10 @@ object Etl {
     "etl_quarantine" -> QueryDef(
       (s, d) => quarantineLineitems(Tables.lineitem(s, d)),
       quarantineLineitemsSql),
+    "etl_retention_expiry" -> QueryDef(
+      (s, d) => retentionExpiry(scd2Customer(Tables.customer(s, d)),
+        retentionCutoff),
+      retentionExpirySql),
     "etl_time_travel" -> QueryDef(
       (s, d) => scd2Snapshots(scd2Customer(Tables.customer(s, d)),
         scd2SnapshotDates),

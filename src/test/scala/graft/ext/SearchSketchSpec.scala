@@ -328,6 +328,24 @@ class SearchSketchSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("spell suggest: deletion/insertion/substitution corrected, " +
+      "transposition (distance 2) rejected, frequency breaks ties") {
+    import spark.implicits._
+    // 'hello' is 3x more frequent than 'hella'; both are distance 1
+    // from 'hellx' — frequency must pick 'hello'
+    val docs = Seq((1L, "hello hello hello hella world"))
+      .toDF("doc_id", "text")
+    val got = Search.spellSuggest(docs,
+      Seq("helo", "hellx", "wrold", "world"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(got("helo")._1 === Some("hello"), "single deletion corrected")
+    assert(got("hellx")._1 === Some("hello"), "frequency wins the tie")
+    assert(got("world") === ((Some("world"), Some(0))), "exact match, dist 0")
+    assert(got("wrold")._1 === None,
+      "transposition is Levenshtein 2 — outside the distance-1 gate")
+  }
+
   test("kmv intersect: sub-k sources make the sketch exact; estimates " +
       "track planted overlap direction") {
     import spark.implicits._

@@ -137,4 +137,23 @@ class EtlSpec extends SparkSuite {
       col("l_quantity") > 45 || col("l_returnflag") === "R"))
     assert(q.count() + clean.count() === li.count())
   }
+
+  test("retention expiry: rows conserve, expirable = closed-and-stale, " +
+      "key counts match a direct recompute") {
+    val hist = Etl.scd2Customer(
+      graft.core.Tables.customer(spark, sfDir)).localCheckpoint(true)
+    val plan = Etl.retentionExpiry(hist, Etl.retentionCutoff).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1),
+        "expire + keep must conserve rows")
+    }
+    val direct = hist.filter(col("valid_to").isNotNull &&
+      col("valid_to") <= to_date(lit(Etl.retentionCutoff)))
+    assert(plan.map(_.getLong(2)).sum === direct.count())
+    assert(plan.map(_.getLong(4)).sum ===
+      direct.select("c_custkey").distinct().count(),
+      "per-segment key counts sum to the distinct expirable keys " +
+        "(segments partition keys in this history)")
+  }
 }
