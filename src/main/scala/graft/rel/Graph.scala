@@ -1,6 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -1647,10 +1648,122 @@ object Graph {
        | AND b.step <= a.step + $window
        |GROUP BY 1, 2 ORDER BY u, v""".stripMargin
 
+  /** node2vec-biased second-order walks (Grover & Leskovec, KDD 2016)
+    * — the return parameter p and in-out parameter q as INTEGER class
+    * weights over the previous step's neighborhood: a candidate x from
+    * cur is weighted 1 if x = prev (return, 1/p with p = 2), 2 if x is
+    * adjacent to prev (BFS-ish), 4 otherwise (DFS-ish, 1/q with
+    * q = ½) — the classic "explore outward" setting ×2 to stay
+    * integral. The md5 draw r = hash(walk:step:cur) mod Σweights picks
+    * the candidate whose weight interval covers r on the dst-sorted
+    * cumulative line — zero RNG, byte-identical corpus on any engine,
+    * exactly like `randomWalks` but distribution-correct for the
+    * second-order bias.
+    *
+    * Scale shape per step: frontier joins the standing adjacency
+    * (candidates = Σ deg(cur), linear in walk count × degree), ONE
+    * additional equi-join back against the edge relation flags
+    * prev-adjacency, and the cumulative pick is a window partitioned
+    * BY WALK — bounded by deg(cur), never global. */
+  def node2vecWalks(edges: DataFrame, nWalks: Int, steps: Int): DataFrame = {
+    require(nWalks >= 1 && steps >= 1, s"need walks/steps >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val pe = e.select(col("src").as("p_src"), col("dst").as("p_dst"))
+    val seeds = e.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nWalks)
+      .select(col("src").as("walk_id"), lit(0).as("step"),
+        col("src").as("node"), lit(null).cast("long").as("prev"))
+      .localCheckpoint(true)
+    var frontier = seeds
+    var acc = seeds.select(col("walk_id"), col("step"), col("node"))
+    (1 to steps).foreach { t =>
+      val wWalk = Window.partitionBy(col("walk_id"))
+      val cand = frontier.join(e, col("node") === col("src"))
+        .select(col("walk_id"), col("node").as("cur"), col("prev"),
+          col("dst").as("x"))
+        .join(pe, col("prev") === col("p_src") && col("x") === col("p_dst"),
+          "left")
+        .withColumn("wt",
+          when(col("x") === col("prev"), 1L)
+            .when(col("p_src").isNotNull, 2L)
+            .otherwise(4L))
+      val next = cand
+        .withColumn("cw", sum(col("wt")).over(wWalk.orderBy(col("x"))))
+        .withColumn("tw", sum(col("wt")).over(
+          wWalk.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("r", conv(substring(md5(concat_ws(":",
+          col("walk_id"), lit(t), col("cur"))), 1, 8), 16, 10)
+          .cast("long") % col("tw"))
+        .filter(col("cw") - col("wt") <= col("r") && col("r") < col("cw"))
+        .select(col("walk_id"), lit(t).as("step"), col("x").as("node"),
+          col("cur").as("prev"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(next.select(col("walk_id"), col("step"),
+        col("node")))
+      frontier = next
+    }
+    acc.orderBy(col("walk_id"), col("step"))
+  }
+
+  def node2vecWalksBucketed(spark: SparkSession, dir: String,
+      nWalks: Int = 8, steps: Int = 5): DataFrame =
+    node2vecWalks(spark.table(ensureBackbone(spark, dir))
+      .select(col("src"), col("dst")), nWalks, steps)
+
+  def node2vecWalksSql(nWalks: Int = 8, steps: Int = 5): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""c$t AS (
+         |  SELECT w.walk_id, w.node AS cur, w.prev, e.dst AS x,
+         |    CASE WHEN e.dst = w.prev THEN 1
+         |         WHEN EXISTS (SELECT 1 FROM e e2
+         |                      WHERE e2.src = w.prev AND e2.dst = e.dst)
+         |           THEN 2
+         |         ELSE 4 END AS wt
+         |  FROM b${t - 1} w JOIN e ON e.src = w.node),
+         |g$t AS (
+         |  SELECT walk_id, cur, x,
+         |    SUM(wt) OVER (PARTITION BY walk_id ORDER BY x) AS cw, wt,
+         |    SUM(wt) OVER (PARTITION BY walk_id) AS tw
+         |  FROM c$t),
+         |b$t AS (
+         |  SELECT walk_id, CAST($t AS INT) AS step, x AS node, cur AS prev
+         |  FROM g$t
+         |  WHERE cw - wt <= ('0x' || substr(md5(CAST(walk_id AS VARCHAR) ||
+         |          ':$t:' || CAST(cur AS VARCHAR)), 1, 8))::BIGINT % tw
+         |    AND ('0x' || substr(md5(CAST(walk_id AS VARCHAR) ||
+         |          ':$t:' || CAST(cur AS VARCHAR)), 1, 8))::BIGINT % tw < cw)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps)
+      .map(t => s"SELECT walk_id, step, node FROM b$t")
+      .mkString("\n       UNION ALL\n       ")
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |b0 AS (
+       |  SELECT src AS walk_id, CAST(0 AS INT) AS step, src AS node,
+       |         CAST(NULL AS BIGINT) AS prev
+       |  FROM (SELECT DISTINCT src FROM e ORDER BY src LIMIT $nWalks)),
+       |$stepCtes
+       |SELECT walk_id, step, node FROM (
+       |  $unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_walks" -> QueryDef(
       (s, d) => randomWalksBucketed(s, d),
       randomWalksSql()),
+    "graph_walks_biased" -> QueryDef(
+      (s, d) => node2vecWalksBucketed(s, d),
+      node2vecWalksSql()),
     "graph_skipgram" -> QueryDef(
       (s, d) => skipgramPairs(randomWalksBucketed(s, d), window = 2),
       skipgramPairsSql()),

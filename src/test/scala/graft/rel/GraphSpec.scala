@@ -515,6 +515,45 @@ class GraphSpec extends SparkSuite {
     assert(again.toSeq === want)
   }
 
+  test("node2vec walks match a driver-side emulation of the class " +
+      "weights (return 1, BFS 2, DFS 4) and the md5 interval pick") {
+    import spark.implicits._
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val adj = (half ++ half.map(_.swap)).groupBy(_._1)
+      .map { case (s, ps) => s -> ps.map(_._2).sorted }
+    val edgeSet = (half ++ half.map(_.swap)).toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def emulate(seed: Long, steps: Int): Seq[(Long, Int, Long)] = {
+      var cur = seed; var prev = -1L
+      (0 to steps).map { t =>
+        if (t > 0) {
+          val cands = adj(cur).map { x =>
+            val w = if (x == prev) 1L
+              else if (prev >= 0 && edgeSet((prev, x))) 2L else 4L
+            (x, w)
+          }
+          val tw = cands.map(_._2).sum
+          val r = java.lang.Long.parseLong(
+            md5hex(s"$seed:$t:$cur").substring(0, 8), 16) % tw
+          var acc = 0L
+          val pick = cands.find { case (_, w) => acc += w; r < acc }.get._1
+          prev = cur; cur = pick
+        }
+        (seed, t, cur)
+      }
+    }
+    val want = Seq(1L, 2L).flatMap(emulate(_, 4))
+    val got = Graph.node2vecWalks(e, nWalks = 2, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    val again = Graph.node2vecWalks(e.repartition(5), nWalks = 2, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === want)
+  }
+
   test("skipgram pairs: hand-counted window-2 co-occurrences on a " +
       "fixed walk") {
     import spark.implicits._
