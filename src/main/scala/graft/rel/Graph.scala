@@ -1821,6 +1821,9 @@ object Graph {
     "graph_modularity" -> QueryDef(
       (s, d) => modularity(s.table(ensureBackbone(s, d))),
       modularitySql()),
+    "graph_conductance" -> QueryDef(
+      (s, d) => conductance(s.table(ensureBackbone(s, d))),
+      conductanceSql()),
     "graph_assortativity" -> QueryDef(
       (s, d) => assortativity(s.table(ensureBackbone(s, d))),
       assortativitySql()))
@@ -1953,6 +1956,95 @@ object Graph {
        |FROM dc LEFT JOIN intra i ON i.community = dc.community
        |CROSS JOIN m2
        |ORDER BY n_communities""".stripMargin
+  }
+
+  /** Per-community conductance — the CUT-quality readout modularity's
+    * single global number hides: for each LPA community S,
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)) with vol = summed degree
+    * and cut = vol − intra-edge endpoints, all exact BIGINTs on the
+    * mirrored backbone, surfaced as floor basis points via integer
+    * `div` (vol ≥ 1 per non-empty community, min > 0 whenever both
+    * sides are non-empty; a whole-graph community surfaces NULL — no
+    * outside to leak to). The per-community triple (members, cut,
+    * φ_bp) is what a partitioner or sampler actually inspects before
+    * trusting a community. Same chain as `graph_modularity`: LPA
+    * labels + two label joins over the edge relation + one degree
+    * aggregate — nothing new touches the corpus. */
+  def conductance(edges: DataFrame, iters: Int = 3,
+      k: Int = 30): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val lab = labelPropagation(e, iters)
+    val sizes = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val intra = e
+      .join(lab.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("ec2"))
+    val dc = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .join(lab, Seq("node"))
+      .groupBy(col("label").as("community")).agg(sum(col("d")).as("dc"))
+    val tot = e.agg(count(lit(1)).as("m2"))
+    sizes.join(dc, Seq("community"))
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_members"),
+        (col("dc") - coalesce(col("ec2"), lit(0L))).as("cut"),
+        expr("""CASE WHEN least(dc, m2 - dc) > 0
+          |THEN ((dc - coalesce(ec2, 0L)) * 10000)
+          |     div least(dc, m2 - dc) END""".stripMargin)
+          .as("conductance_bp"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
+  def conductanceSql(iters: Int = 3, k: Int = 30): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label, COUNT(*) AS n,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$iterCtes,
+       |lab AS (SELECT node, label FROM l$iters),
+       |sizes AS (SELECT label AS community, COUNT(*) AS n_members
+       |          FROM lab GROUP BY label),
+       |intra AS (
+       |  SELECT a.label AS community, COUNT(*) AS ec2 FROM e
+       |  JOIN lab a ON a.node = e.src JOIN lab b ON b.node = e.dst
+       |  WHERE a.label = b.label GROUP BY a.label),
+       |dc AS (
+       |  SELECT l.label AS community, SUM(d.d) AS dc FROM (
+       |    SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src) d
+       |  JOIN lab l ON l.node = d.node GROUP BY l.label),
+       |m2 AS (SELECT COUNT(*) AS m2 FROM e)
+       |SELECT s.community, s.n_members,
+       |  CAST(dc.dc - COALESCE(i.ec2, 0) AS BIGINT) AS cut,
+       |  CAST(CASE WHEN least(dc.dc, m2.m2 - dc.dc) > 0
+       |       THEN ((dc.dc - COALESCE(i.ec2, 0)) * 10000)
+       |            // least(dc.dc, m2.m2 - dc.dc) END AS BIGINT)
+       |    AS conductance_bp
+       |FROM sizes s JOIN dc ON dc.community = s.community
+       |LEFT JOIN intra i ON i.community = s.community
+       |CROSS JOIN m2
+       |ORDER BY s.n_members DESC, s.community LIMIT $k""".stripMargin
   }
 
   /** Support-filtered co-purchase backbone: only pairs co-purchased in

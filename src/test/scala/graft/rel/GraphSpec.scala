@@ -515,6 +515,27 @@ class GraphSpec extends SparkSuite {
     assert(again.toSeq === want)
   }
 
+  test("conductance: two cliques with one bridge — hand-counted cut, " +
+      "vol, and basis points") {
+    import spark.implicits._
+    // K3 {1,2,3} + K3 {4,5,6} joined by bridge 3–4. LPA assigns each
+    // clique its min label. Community {1,2,3}: vol = 2·3+1 = 7, intra
+    // endpoints = 6, cut = 1; other side vol = 7, m2 = 14 →
+    // min(7, 14−7) = 7 → φ_bp = 10000·1 div 7 = 1428
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Graph.conductance(e, iters = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq === Seq((3L, 1L, 1428L), (3L, 1L, 1428L)))
+    // a connected single-community graph has no outside: NULL phi
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val e3 = (k3 ++ k3.map(_.swap)).toDF("src", "dst")
+    val whole = Graph.conductance(e3, iters = 3).collect()
+    assert(whole.length === 1 && whole.head.isNullAt(3))
+  }
+
   test("node2vec walks match a driver-side emulation of the class " +
       "weights (return 1, BFS 2, DFS 4) and the md5 interval pick") {
     import spark.implicits._
