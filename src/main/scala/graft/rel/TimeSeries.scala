@@ -811,7 +811,66 @@ object TimeSeries {
       |  CAST(lvl + tr AS BIGINT) AS forecast_fp256
       |FROM h ORDER BY event_type, day""".stripMargin
 
+  /** At-most-one-changepoint (AMOC) detection per series — WHERE did
+    * the level shift, the question `ts_cusum`'s alarm threshold doesn't
+    * answer: over the daily value series, the classic CUSUM location
+    * statistic D_k = |P_k − (k/n)·T| maximized over candidate split
+    * days k, held EXACT by cross-multiplication — stat_k = |n·P_k −
+    * k·T| on integer cents, so the argmax (ties → earliest day) is
+    * bit-identical cross-engine with zero IEEE anywhere. Split days
+    * exclude the last row (a split needs both sides non-empty).
+    *
+    * Scale shape: events collapse to the calendar-bounded daily
+    * relation in one partial agg; prefix sums and the argmax fold run
+    * per type over ≤ \|days\| rows. */
+  def changepoint(events: DataFrame): DataFrame = {
+    import graft.core.Exact.money
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tot = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pk", sum(col("v_cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("t", sum(col("v_cents")).over(tot))
+      .filter(col("k") < col("n"))
+      .withColumn("stat", abs(col("n") * col("pk") - col("k") * col("t")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(struct(col("stat"), (-col("k")).as("nk"), col("day").as("day")))
+          .as("best"))
+      .select(col("event_type"), col("n_days"),
+        col("best.day").as("change_day"), col("best.stat").as("stat_xn"))
+      .orderBy(col("event_type"))
+  }
+
+  val changepointSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v_cents
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, day,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    SUM(v_cents) OVER (PARTITION BY event_type ORDER BY day) AS pk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(v_cents) OVER (PARTITION BY event_type) AS t
+      |  FROM d),
+      |s AS (
+      |  SELECT event_type, day, n, abs(n * pk - k * t) AS stat,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(n * pk - k * t) DESC, k) AS rn
+      |  FROM p WHERE k < n)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS change_day,
+      |  CAST(stat AS BIGINT) AS stat_xn
+      |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_changepoint" -> QueryDef(
+      (s, d) => changepoint(Tables.events(s, d)), changepointSql),
     "ts_holt" -> QueryDef(
       (s, d) => holtDailyCounts(Tables.events(s, d)), holtDailyCountsSql),
     "ts_decompose" -> QueryDef(

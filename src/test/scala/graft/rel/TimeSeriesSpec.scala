@@ -248,6 +248,24 @@ class TimeSeriesSpec extends SparkSuite {
     assert(cg.forall(_ == (256L, 0L)))
   }
 
+  test("changepoint: a planted level shift is located exactly; flat " +
+      "series ties break to the earliest split") {
+    // type A: 10.00/day for 4 days then 50.00/day for 3 — the shift
+    // is after day 4; CUSUM argmax lands on the last low day
+    val shift = (1 to 4).map(i =>
+      (i.toLong, s"2024-01-0$i 10:00:00", 1L, "A", 10.0)) ++
+      (5 to 7).map(i => (i.toLong, s"2024-01-0$i 10:00:00", 1L, "A", 50.0))
+    // type B: perfectly flat — every stat is 0, earliest day wins
+    val flat = (1 to 4).map(i =>
+      ((10 + i).toLong, s"2024-02-0$i 10:00:00", 1L, "B", 7.0))
+    val got = TimeSeries.changepoint(ev((shift ++ flat): _*))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDate(2).toString, r.getLong(3))).toMap
+    // A: n=7, T=19000 cents; k=4: P=4000 → |7·4000−4·19000| = 48000
+    assert(got("A") === ((7L, "2024-01-04", 48000L)))
+    assert(got("B") === ((4L, "2024-02-01", 0L)))
+  }
+
   test("holt is bit-identical across partitionings") {
     val e = graft.core.Tables.events(spark, sfDir)
     def run(parts: Int) =
