@@ -367,6 +367,66 @@ object Etl {
       s"$arms\nORDER BY snapshot_date, c_custkey")
   }
 
+  /** Retroactive (late-arriving) SCD2 correction — the bi-temporal
+    * repair a warehouse runs when a fact turns out to have been wrong
+    * IN THE PAST: a correction (key, new value, effective date) splits
+    * the history interval COVERING the effective date — the prefix
+    * keeps the observed values and closes at the date (no longer
+    * current), the suffix carries the corrected values and inherits
+    * the interval's end and currency — while every other interval,
+    * including later REAL versions (observed afterwards, already
+    * reality), passes through untouched. Correction set here:
+    * keys ≡ 3 (mod 11), acctbal + 55, effective `retroEffective`.
+    *
+    * Scale shape: one broadcastable key-set membership test + a
+    * narrow two-arm projection of covering rows; the history is
+    * scanned once, nothing shuffles but the final sort. */
+  def retroCorrection(hist: DataFrame, eff: String): DataFrame = {
+    val e = to_date(lit(eff))
+    val isCorr = col("c_custkey") % 11 === 3
+    val covers = isCorr && col("valid_from") <= e &&
+      (col("valid_to").isNull || col("valid_to") > e)
+    val prefix = hist.filter(covers)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("valid_from"), e.as("valid_to"),
+        lit(false).as("is_current"))
+    val suffix = hist.filter(covers)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 55.0).as("c_acctbal"), col("c_mktsegment"),
+        e.as("valid_from"), col("valid_to"), col("is_current"))
+    hist.filter(!covers)
+      .unionByName(prefix).unionByName(suffix)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val retroEffective = "2024-03-01"
+
+  lazy val retroCorrectionSql: String = {
+    val tail =
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       valid_from, valid_to, is_current
+        |FROM hist ORDER BY c_custkey, valid_from""".stripMargin
+    scd2CustomerSql.replace(tail,
+      s"""SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         |       valid_from, valid_to, is_current
+         |FROM hist
+         |WHERE NOT (c_custkey % 11 = 3 AND valid_from <= DATE '$retroEffective'
+         |           AND (valid_to IS NULL OR valid_to > DATE '$retroEffective'))
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         |       valid_from, DATE '$retroEffective', FALSE
+         |FROM hist
+         |WHERE c_custkey % 11 = 3 AND valid_from <= DATE '$retroEffective'
+         |  AND (valid_to IS NULL OR valid_to > DATE '$retroEffective')
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_acctbal + 55.0, c_mktsegment,
+         |       DATE '$retroEffective', valid_to, is_current
+         |FROM hist
+         |WHERE c_custkey % 11 = 3 AND valid_from <= DATE '$retroEffective'
+         |  AND (valid_to IS NULL OR valid_to > DATE '$retroEffective')
+         |ORDER BY c_custkey, valid_from""".stripMargin)
+  }
+
   /** Retention-expiry planning over the SCD2 history — the governance
     * pass a regulated store runs BEFORE a destructive vacuum: with a
     * retention cutoff, a history row is expirable iff its validity
@@ -453,6 +513,10 @@ object Etl {
     "etl_quarantine" -> QueryDef(
       (s, d) => quarantineLineitems(Tables.lineitem(s, d)),
       quarantineLineitemsSql),
+    "etl_retro_correction" -> QueryDef(
+      (s, d) => retroCorrection(scd2Customer(Tables.customer(s, d)),
+        retroEffective),
+      retroCorrectionSql),
     "etl_retention_expiry" -> QueryDef(
       (s, d) => retentionExpiry(scd2Customer(Tables.customer(s, d)),
         retentionCutoff),

@@ -138,6 +138,38 @@ class EtlSpec extends SparkSuite {
     assert(q.count() + clean.count() === li.count())
   }
 
+  test("retro correction: covering intervals split losslessly, later " +
+      "real versions untouched, timeline stays gap-free") {
+    val hist = Etl.scd2Customer(
+      graft.core.Tables.customer(spark, sfDir)).localCheckpoint(true)
+    val out = Etl.retroCorrection(hist, Etl.retroEffective)
+      .localCheckpoint(true)
+    val eff = java.sql.Date.valueOf(Etl.retroEffective)
+    val isCorr = col("c_custkey") % 11 === 3
+    val covers = isCorr && col("valid_from") <= eff &&
+      (col("valid_to").isNull || col("valid_to") > eff)
+    val nCover = hist.filter(covers).count()
+    assert(nCover > 0, "fixture must exercise the split arm")
+    // each covering row becomes exactly two
+    assert(out.count() === hist.count() + nCover)
+    // suffix rows carry the corrected balance and inherit currency
+    val sample = hist.filter(covers).limit(1).head()
+    val key = sample.getLong(0)
+    val segs = out.filter(col("c_custkey") === key)
+      .orderBy(col("valid_from")).collect()
+    val prefix = segs.find(r => r.getDate(5) == eff).get
+    val suffix = segs.find(r => r.getDate(4) == eff).get
+    assert(!prefix.getBoolean(6), "prefix can never be current")
+    assert(suffix.getDouble(2) === sample.getDouble(2) + 55.0)
+    // gap-free: the split boundary is shared exactly
+    assert(prefix.getDate(5) === suffix.getDate(4))
+    // uncorrected keys are byte-identical
+    val a = hist.filter(!isCorr).collect().map(_.toSeq)
+      .sortBy(_.toString)
+    val b = out.filter(!isCorr).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a === b)
+  }
+
   test("retention expiry: rows conserve, expirable = closed-and-stale, " +
       "key counts match a direct recompute") {
     val hist = Etl.scd2Customer(
