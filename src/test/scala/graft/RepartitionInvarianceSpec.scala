@@ -49,7 +49,21 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "dq_referential",       // distinct-key probe + flag-counting agg
     "embedding_coreset",    // driver argmax rounds over integer d2
     "simsearch_graph",      // sequential pruned-probe greedy walk
-    "sample_balanced")      // data-derived floor + salted-hash ranking
+    "sample_balanced",      // data-derived floor + salted-hash ranking
+    "classify_auc",         // score-frequency rank kernel + integer div
+    "ts_holt",              // aggregate-HOF sequential fold per series
+    "graph_sssp",           // bounded min-cost relaxation rounds
+    "corpus_bpe_train",     // argmax-driven merge rounds, driver pick
+    "sample_priority",      // TakeOrdered top-k + bounded tau scalar
+    "join_bloom",           // collected bit words + map-side prefilter
+    "dedup_cluster_histogram", // CC chain + in-plan complement row
+    "graph_walks_biased",   // md5 interval pick on cumulative weights
+    "distinct_kmv_intersect", // bottom-k sketches + window rank
+    "dq_ks",                // binned CDF gap, cross-multiplied exact
+    "join_pit_features",    // dual-frame feature vector, one sort
+    "ts_changepoint",       // cross-multiplied CUSUM argmax
+    "graph_conductance",    // per-community cut fold over LPA labels
+    "etl_retro_correction") // covering-interval three-arm split
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf
