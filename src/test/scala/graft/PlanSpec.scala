@@ -268,4 +268,35 @@ class PlanSpec extends SparkSuite {
           "the driver compare cannot hash these; flatten to plain scalars")
     }
   }
+
+  test("join_bloom: the bit-word prefilter runs below the join's " +
+      "exchange (map-side), and the join stays on the shuffle path") {
+    val p = plan("join_bloom")
+    // the probe-side branch must carry a Filter mentioning the literal
+    // word array test BEFORE any Exchange above the lineitem scan
+    val lines = p.split("\n")
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("shiftright"))
+    assert(filterIdx >= 0, s"expected the bit-test Filter in:\n$p")
+    val exchangeAbove = lines.take(filterIdx).exists(_.contains("Exchange"))
+    val scanBelow = lines.drop(filterIdx)
+      .exists(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scanBelow, s"bit-test Filter must sit on the lineitem scan:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"the demo must stay on the shuffle join path:\n$p")
+    // and the filter feeds the shuffle, not the other way around: some
+    // Exchange must appear between the filter and the join operator
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin"))
+    assert(joinIdx < filterIdx,
+      s"probe filter must be below the join in the plan tree:\n$p")
+    assert(!exchangeAbove || joinIdx < filterIdx, "filter is map-side")
+  }
+
+  test("sample_priority: top-(k+1) is TakeOrderedAndProject, never a " +
+      "global sort") {
+    val p = plan("sample_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the priority top-k:\n$p")
+  }
 }
