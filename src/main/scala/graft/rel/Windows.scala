@@ -200,6 +200,41 @@ object Windows {
         |FROM orders
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin),
 
+    // ---- W3c running DISTINCT count via first-occurrence flags ----------
+    //      the scalable form of "distinct types seen so far": the naive
+    //      window carries a growing collect_set per row (O(types) state
+    //      re-hashed every step — and DISTINCT window aggregates don't
+    //      exist in Spark anyway); here occurrence rank 1 marks each
+    //      (user, type)'s first row, and a plain running SUM of the
+    //      0/1 flag over the user timeline IS the distinct count —
+    //      two keyed window passes, O(1) state per row, exact at any
+    //      parallelism (the (ts, event_id) total order pins ties) ----
+    "window_running_distinct" -> QueryDef(
+      (s, d) => {
+        val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val runW = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("f",
+            when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_seen", sum(col("f")).over(runW))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("n_types_seen"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """SELECT user_id, event_id, event_type,
+        |  CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS f
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin),
+
     "window_moving_avg" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

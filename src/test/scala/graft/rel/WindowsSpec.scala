@@ -57,4 +57,24 @@ class WindowsSpec extends SparkSuite {
       (Some(10.0), None, Some(30.0), Some(10.0)),  // obs: prev skips the null run
       (Some(30.0), None, Some(30.0), Some(10.0)))) // trailing null: no next
   }
+
+  test("running distinct count: first-occurrence flags reproduce the " +
+      "brute-force distinct prefix on the fixture") {
+    val q = graft.SparkEntry.queries("window_running_distinct")
+    val got = q(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // brute force on the driver: replay each user's timeline
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime * 1000 +
+        r.getTimestamp(3).getNanos / 1000 % 1000, r.getLong(1), r.getString(2)))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      rows.sortBy(r => (r._2, r._3)).foreach { case (u, _, id, tpe) =>
+        seen += tpe
+        assert(got((u, id)) === seen.size.toLong, s"user $u event $id")
+      }
+    }
+  }
 }
