@@ -612,8 +612,9 @@ object Search {
     * side = a deletion of the longer). Shared-variant candidates are
     * then verified with the exact `levenshtein` built-in (same
     * definition both engines) and the winner per query term is the
-    * (frequency DESC, word ASC) argmax; unmatched terms surface with
-    * NULL suggestion. Vocabulary variants are Σ\|w\| rows over the
+    * (distance ASC, frequency DESC, word ASC) argmax — an exact
+    * vocabulary hit can never be "corrected" away by a more frequent
+    * neighbor; unmatched terms surface with NULL suggestion. Vocabulary variants are Σ\|w\| rows over the
     * DISTINCT word relation — vocabulary-sized, never corpus-sized —
     * and the query side is a literal handful. */
   def spellSuggest(docs: DataFrame, terms: Seq[String]): DataFrame = {
@@ -629,7 +630,7 @@ object Search {
       .withColumn("dist", levenshtein(col("term"), col("word")))
       .filter(col("dist") <= 1)
       .withColumn("rn", row_number().over(Window.partitionBy(col("term"))
-        .orderBy(col("n_occ").desc, col("word"))))
+        .orderBy(col("dist"), col("n_occ").desc, col("word"))))
       .filter(col("rn") === 1)
     terms.toDF("term").join(best, Seq("term"), "left")
       .select(col("term"), col("word").as("suggestion"),
@@ -663,7 +664,7 @@ object Search {
        |ranked AS (
        |  SELECT term, word, n_occ, levenshtein(term, word) AS dist,
        |    ROW_NUMBER() OVER (PARTITION BY term
-       |      ORDER BY n_occ DESC, word) AS rn
+       |      ORDER BY levenshtein(term, word), n_occ DESC, word) AS rn
        |  FROM cand WHERE levenshtein(term, word) <= 1)
        |SELECT q.term, r.word AS suggestion,
        |  CAST(r.dist AS INT) AS distance,

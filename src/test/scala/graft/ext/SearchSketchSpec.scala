@@ -336,7 +336,7 @@ class SearchSketchSpec extends SparkSuite {
     val docs = Seq((1L, "hello hello hello hella world"))
       .toDF("doc_id", "text")
     val got = Search.spellSuggest(docs,
-      Seq("helo", "hellx", "wrold", "world"))
+      Seq("helo", "hellx", "wrold", "world", "hella"))
       .collect().map(r => r.getString(0) ->
         (Option(r.getString(1)), Option(r.get(2)))).toMap
     assert(got("helo")._1 === Some("hello"), "single deletion corrected")
@@ -344,6 +344,10 @@ class SearchSketchSpec extends SparkSuite {
     assert(got("world") === ((Some("world"), Some(0))), "exact match, dist 0")
     assert(got("wrold")._1 === None,
       "transposition is Levenshtein 2 — outside the distance-1 gate")
+    // distance ranks BEFORE frequency: 'hella' is in the vocab, and the
+    // 3x-more-frequent 'hello' sits at distance 1 — the exact hit wins
+    assert(got("hella") === ((Some("hella"), Some(0))),
+      "an exact vocabulary hit must never be corrected away")
   }
 
   test("kmv intersect: sub-k sources make the sketch exact; estimates " +
