@@ -31,6 +31,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // back-stop for the explicit between-query GC below: the
+      // ContextCleaner's own timer defaults to 30 min — longer than an
+      // entire bench run, i.e. never
+      .config("spark.cleaner.periodicGC.interval", "3min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
@@ -90,7 +94,7 @@ object Bench {
       .empty[String, List[Double]].withDefaultValue(Nil)
     val shuffle = scala.collection.mutable.Map.empty[String, Double]
     (1 to runs).foreach { sweep =>
-      names.foreach { name =>
+      names.zipWithIndex.foreach { case (name, qi) =>
         val sw0 = metrics.shuffleWrite.get
         val t0 = System.nanoTime()
         try { picked(name)(spark, sfDir).count() }
@@ -100,10 +104,22 @@ object Bench {
         // (and the next sweep) aren't timed under leftover memory
         // pressure
         spark.catalog.clearCache()
+        // Broadcast vars and shuffle files are reclaimed by the
+        // ContextCleaner only when their weak refs are GC'd — on a
+        // 128 GiB heap an organic GC may not run for hundreds of
+        // queries, so dead broadcast blocks and shuffle maps pile up and
+        // inflate LATER queries' times (measured: q15_top_supplier
+        // 0.73 s isolated vs 5.55 s inside the 299-query sweep, floor
+        // 0.115 vs 0.189 s — same plan, same shuffle bytes). A periodic
+        // explicit GC between timed sections keeps the JVM the one a
+        // fresh executor would be; the GC pause itself is never inside
+        // any query's timer.
+        if (qi % 20 == 19) System.gc()
         times(name) = dt :: times(name)
         if (sweep == 1)
           shuffle(name) = (metrics.shuffleWrite.get - sw0) / 1048576.0
       }
+      System.gc()
     }
     val results = names.map { name =>
       val ts = times(name).sorted

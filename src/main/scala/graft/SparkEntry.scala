@@ -32,6 +32,7 @@ object SparkEntry {
           Summary.lineitemVatSummary(s, d, decimalMoney = true),
         Summary.lineitemVatSummarySqlDecimal)) ++
       rel.RelQueries.queries ++
+      rel.Distribution.queries ++
       rel.Windows.queries ++
       rel.Scalars.queries ++
       rel.AdvancedJoins.queries ++

@@ -188,7 +188,61 @@ object ZOrder {
        |ORDER BY band""".stripMargin
   }
 
+  /** Build-once bucketed twins of the fact join's two sides (lineitem
+    * and orders, bucketed + sorted on the order key with the session's
+    * shuffle-partition count) — the `ensureBackbone` discipline applied
+    * to the hottest join in the schema. Paid once per corpus; every
+    * subsequent orderkey join reads co-located buckets. */
+  def ensureBucketedFacts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = synchronized {
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val lt = s"graft_bkt_lineitem_${tag}_b$buckets"
+    val ot = s"graft_bkt_orders_${tag}_b$buckets"
+    def build(table: String, df: DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true): Unit
+        Bucketing.writeBucketed(df, table, key, buckets, Seq(key))
+      }
+    build(lt, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice")), "l_orderkey")
+    build(ot, Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus")), "o_orderkey")
+    (lt, ot)
+  }
+
+  /** The declared bucketed-layout query: the orderkey fact join served
+    * from the bucketed twins — SortMergeJoin with NO Exchange on either
+    * side (pinned in BucketingSpec on this exact plan; at cluster scale
+    * this is the one-shuffle-amortized-forever layout the 100 TB
+    * contract wants). The RESULT is layout-independent, which is
+    * exactly what makes it oracle-checkable: DuckDB computes the same
+    * join from the flat parquet. */
+  def bucketedFactJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (lt, ot) = ensureBucketedFacts(spark, dir)
+    spark.table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.core.Exact.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val bucketedFactJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "layout_bucketed" -> QueryDef(
+      (s, d) => bucketedFactJoin(s, d), bucketedFactJoinSql),
     "layout_zonemap" -> QueryDef(
       (s, d) => zoneMapSkipAudit(Tables.lineitem(s, d), blockShift = 16,
         nBands = 10),

@@ -1358,7 +1358,78 @@ object Corpus {
       |  1.0 - CAST(sum_sq AS DOUBLE) / (n_docs * n_docs) AS gini
       |FROM m ORDER BY lang""".stripMargin
 
+  /** Token-budget fill plan: how much of the corpus fits a training
+    * budget B (here B = half the corpus' total char mass — data-derived,
+    * scale-free), filling SHORTEST-FIRST (maximizes document diversity
+    * per token — the curation choice this op encodes; any other integer
+    * priority drops in unchanged). The selection cutoff is computed on
+    * the DISTINCT-length relation (the `agg_gini` telescoping trick):
+    * cumulative mass/count windows run over |distinct lengths| rows,
+    * never per doc — no global per-document window at any corpus size.
+    * Published artifact is the single boundary row (cutoff length, docs
+    * and mass below it, how many boundary-length docs still fit); the
+    * per-doc keep flag is then one narrow map against these scalars.
+    * All BIGINT: the boundary take is one integer floor-division. */
+  def budgetFill(docs: DataFrame): DataFrame = {
+    val byLen = docs
+      .select(col("n_chars").as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("w") * col("cnt"))
+    val wAsc = Window.orderBy(col("w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = byLen.agg(sum(col("mass")).as("total"))
+    byLen
+      .withColumn("mass_below", coalesce(sum(col("mass")).over(wAsc), lit(0L)))
+      .withColumn("docs_below", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total div 2"))
+      .filter(col("mass_below") <= col("budget"))
+      .orderBy(col("w").desc)
+      .limit(1)
+      .select(col("budget"), col("total").as("total_mass"),
+        col("w").as("cutoff_len"),
+        col("docs_below"), col("mass_below"),
+        least(col("cnt"), expr("(budget - mass_below) div w"))
+          .as("boundary_taken"))
+      .select(col("budget"), col("total_mass"), col("cutoff_len"),
+        col("docs_below"), col("mass_below"), col("boundary_taken"),
+        (col("docs_below") + col("boundary_taken")).as("n_selected"),
+        (col("mass_below") + col("boundary_taken") * col("cutoff_len"))
+          .as("mass_selected"))
+  }
+
+  val budgetFillSql: String =
+    """WITH by_len AS (
+      |  SELECT n_chars AS w, COUNT(*) AS cnt, n_chars * COUNT(*) AS mass
+      |  FROM documents GROUP BY n_chars),
+      |cum AS (
+      |  SELECT w, cnt, mass,
+      |    CAST(COALESCE(SUM(mass) OVER (ORDER BY w
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS mass_below,
+      |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY w
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS docs_below
+      |  FROM by_len),
+      |t AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM by_len),
+      |boundary AS (
+      |  SELECT c.*, t.total, t.total // 2 AS budget
+      |  FROM cum c CROSS JOIN t
+      |  WHERE c.mass_below <= t.total // 2
+      |  ORDER BY c.w DESC LIMIT 1)
+      |SELECT budget, total AS total_mass, w AS cutoff_len,
+      |  docs_below, mass_below,
+      |  least(cnt, (budget - mass_below) // w) AS boundary_taken,
+      |  docs_below + least(cnt, (budget - mass_below) // w) AS n_selected,
+      |  mass_below + least(cnt, (budget - mass_below) // w) * w
+      |    AS mass_selected
+      |FROM boundary""".stripMargin
+
   private val q2: Seq[(String, QueryDef)] = Seq(
+    "corpus_budget_fill" -> QueryDef(
+      (s, d) => budgetFill(Tables.documents(s, d)),
+      Some(budgetFillSql)),
     "corpus_hard_negatives" -> QueryDef(
       (s, d) => hardNegatives(Tables.documents(s, d)),
       Some(hardNegativesSql())),

@@ -553,7 +553,42 @@ object Search {
        |ORDER BY rrf_fp DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** KWIC (keyword-in-context) snippet extraction: for every document
+    * matching a term, surface the first hit position and a fixed-width
+    * context window around it — the result-page presentation step after
+    * ranking. Pure per-row string kernels (instr + clamped substring,
+    * codegen'd, no shuffle before the top-k), so the operator is
+    * embarrassingly parallel; the TakeOrdered cut is on (pos, doc_id) —
+    * earliest, lowest-id hits first, a total order. */
+  def kwicSnippets(docs: DataFrame, term: String, width: Int,
+      k: Int): DataFrame = {
+    val winLen = 2 * width + term.length
+    docs
+      .select(col("doc_id"), col("text"))
+      .withColumn("pos", instr(col("text"), term))
+      .filter(col("pos") > 0)
+      .withColumn("snippet",
+        expr(s"substring(text, greatest(1, pos - $width), $winLen)"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("snippet"))
+      .orderBy(col("pos"), col("doc_id"))
+      .limit(k)
+  }
+
+  def kwicSnippetsSql(term: String, width: Int, k: Int): String = {
+    val winLen = 2 * width + term.length
+    s"""SELECT doc_id, CAST(strpos(text, '$term') AS BIGINT) AS pos,
+       |  substr(text, greatest(1, strpos(text, '$term') - $width), $winLen)
+       |    AS snippet
+       |FROM documents
+       |WHERE strpos(text, '$term') > 0
+       |ORDER BY pos, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "search_snippet" -> QueryDef(
+      (s, d) => kwicSnippets(Tables.documents(s, d), "vector", 30, 20),
+      kwicSnippetsSql("vector", 30, 20)),
     "search_hybrid_rrf" -> QueryDef(
       (s, d) => hybridRrf(s, d, Seq("vector", "hash", "join"),
         qId = 0L, kArm = 25, k = 15),

@@ -59,6 +59,44 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** Maximum-inner-product top-k (the recommendation-serving score:
+    * unnormalized u·v, where cosine would erase magnitude). Brute-force
+    * exact scan, rank-only surface (the `simsearch_topk` contract: ids
+    * not scores, so last-bit float accumulation never reaches the
+    * oracle compare — though here both engines fold strictly
+    * left-to-right, so even the scores agree). The ANN path for MIPS is
+    * the Bachrach et al. (RecSys 2014) reduction — augment each vector
+    * with sqrt(M² − ‖x‖²) so inner-product order becomes cosine order,
+    * then serve from the existing IVF index; SimilaritySpec pins that
+    * the augmented-cosine ranking reproduces exactly this top-k. */
+  def mipsTopK(spark: SparkSession, dir: String, qId: Long, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === qId).select(col("v").as("q"))
+    e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("ip", dot(col("v"), col("q")))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ip").desc, col("vec_id"))))
+      .select(col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  def mipsTopKSql(qId: Long, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $qId),
+       |scored AS (
+       |  SELECT e.vec_id, list_dot_product(e.v, q.qv) AS ip
+       |  FROM e, q WHERE e.vec_id <> $qId)
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY ip DESC, vec_id) AS INT) AS rank
+       |FROM scored
+       |ORDER BY ip DESC, vec_id
+       |LIMIT $k""".stripMargin
+
   val bruteForceTopKSql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1453,6 +1491,9 @@ object Similarity {
       Some(rangeSearchSql(0L, 1700000L))),
     "simsearch_topk" -> QueryDef(
       (s: SparkSession, d: String) => bruteForceTopK(s, d, 0L, 10), bruteForceTopKSql),
+    "simsearch_mips" -> QueryDef(
+      (s: SparkSession, d: String) => mipsTopK(s, d, 0L, 10),
+      Some(mipsTopKSql(0L, 10))),
     // portable md5-plane quantizer ⇒ full oracle; the xxhash64 native
     // quantizer path (`lshTopK`) is the throughput twin, spec-pinned
     "simsearch_lsh" -> QueryDef(

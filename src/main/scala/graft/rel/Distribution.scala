@@ -1,0 +1,144 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Distributional-shape aggregates: inequality (Gini coefficient) and
+  * label purity (Gini impurity). [EXT] — the reference aggregates sums
+  * and counts (fianl2.py:171-187); a curation pipeline also needs the
+  * SHAPE of a distribution: how concentrated spend is inside a segment
+  * (sampling-weight design), how mixed a source's language labels are
+  * (routing/filter design).
+  *
+  * Both surfaces are exact integers end to end (the engine-wide
+  * oracle-gate discipline): money enters as DECIMAL-derived whole
+  * dollars, every score is one integer floor-division of two BIGINT
+  * products — bit-identical cross-engine, stable under repartitioning.
+  */
+object Distribution {
+
+  /** Gini coefficient of per-customer spend inside each market segment,
+    * in basis points (10000 = perfect concentration).
+    *
+    * Identity used: with per-customer spends sorted ascending
+    * x_1..x_n, G = Σ_i (2i − n − 1)·x_i / (n·Σx). Summed over a
+    * DISTINCT spend value v with multiplicity c whose sorted positions
+    * are F+1..F+c (F = customers with smaller spend), the coefficient
+    * telescopes to v·c·(2F + c − n) — so the ranking window runs over
+    * the (segment, distinct-value) relation, not per customer:
+    * cardinality is bounded by distinct spend levels, the aggregation
+    * from customers is a plain partial-agg groupBy, and tie order
+    * inside a value is irrelevant by construction (no fat-key
+    * per-customer window). Spend is whole dollars (exact DECIMAL
+    * floor), keeping every product ≤ n·T far below BIGINT range at
+    * bench scales; the 38-digit-decimal widening is the documented
+    * path beyond ~10^8 customers/segment.
+    */
+  def giniBySegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      // whole dollars via exact decimal floor: sum cents, then div 100
+      .agg((sum((Exact.money(col("o_totalprice")) * 100).cast("long"))
+        .cast("long") / lit(100L)).cast("long").as("x"))
+    val byValue = spend.groupBy(col("seg"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("x"))
+    val ranked = byValue
+      .withColumn("f", coalesce(sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked
+      .groupBy(col("seg"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("x") * col("c")).as("total"),
+        sum(col("x") * col("c") * (lit(2) * col("f") + col("c"))).as("wsum"))
+      // Σ x·c·(2F + c − n) = wsum − n·total; G_bp = 1e4·num div (n·T)
+      .select(col("seg"), col("n"), col("total"),
+        expr("((wsum - n * total) * 10000L) div (n * total)").as("gini_bp"))
+      .orderBy(col("seg"))
+  }
+
+  val giniBySegmentSql: String =
+    """WITH spend AS (
+      |  SELECT c.c_mktsegment AS seg, c.c_custkey,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         // 100 AS BIGINT) AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_mktsegment, c.c_custkey),
+      |by_value AS (
+      |  SELECT seg, x, COUNT(*) AS c FROM spend GROUP BY seg, x),
+      |ranked AS (
+      |  SELECT seg, x, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY seg ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+      |  FROM by_value)
+      |SELECT seg, SUM(c) AS n, SUM(x * c) AS total,
+      |  ((SUM(x * c * (2 * f + c)) - SUM(c) * SUM(x * c)) * 10000)
+      |    // (SUM(c) * SUM(x * c)) AS gini_bp
+      |FROM ranked GROUP BY seg
+      |ORDER BY seg""".stripMargin
+
+  /** Gini impurity of the language-label distribution per document
+    * source: impurity_ppm = (n² − Σ_lang c²)·10^6 div n², plus the
+    * majority label and its share. The split-quality measure a
+    * label-routing or filter stage reads before trusting a source's
+    * language tags — 0 means single-label, →10^6·(1−1/k) means uniform
+    * over k labels. Two partial-agg groupBys (source×lang, then
+    * source); the majority label via max_by with lexical tie-break
+    * folded into the same pass (struct max over (count, reversed-rank
+    * lang) is order-deterministic). */
+  def labelImpurity(docs: DataFrame): DataFrame = {
+    val byLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val agg = byLang.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("c2"),
+        max(col("c")).as("max_c"))
+    // majority label, smallest lang string on count ties — a window over
+    // the vocabulary-small (source, lang) relation, never the documents
+    val top = byLang.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    agg.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        expr("max_c * 10000L div n_docs").as("top_share_bp"),
+        expr("(n_docs * n_docs - c2) * 1000000L div (n_docs * n_docs)")
+          .as("impurity_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val labelImpuritySql: String =
+    """WITH by_lang AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
+      |agg AS (
+      |  SELECT source, SUM(c) AS n_docs, COUNT(*) AS n_langs,
+      |    SUM(c * c) AS c2, MAX(c) AS max_c
+      |  FROM by_lang GROUP BY source),
+      |top AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY c DESC, lang) AS rk
+      |    FROM by_lang) WHERE rk = 1)
+      |SELECT a.source, a.n_docs, a.n_langs, t.top_lang,
+      |  a.max_c * 10000 // a.n_docs AS top_share_bp,
+      |  (a.n_docs * a.n_docs - a.c2) * 1000000 // (a.n_docs * a.n_docs)
+      |    AS impurity_ppm
+      |FROM agg a JOIN top t ON t.source = a.source
+      |ORDER BY a.source""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "agg_gini" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        giniBySegment(Tables.orders(s, d), Tables.customer(s, d)),
+      giniBySegmentSql),
+    "classify_gini_impurity" -> QueryDef(
+      (s: SparkSession, d: String) => labelImpurity(Tables.documents(s, d)),
+      labelImpuritySql))
+}

@@ -509,7 +509,100 @@ object Etl {
       |WHERE l_discount > 0.08 OR l_quantity > 45 OR l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin
 
+  /** Right-to-be-forgotten erasure audit: given a deletion cohort (here
+    * custkey ≡ 0 mod 97 — a data-derived stand-in for the legal request
+    * list), report per table how many rows the erasure removes and how
+    * many remain — the compliance artifact a DSAR pipeline emits BEFORE
+    * the destructive pass runs. Customer rows match directly; orders
+    * via their FK; lineitem transitively through its order. Each arm is
+    * one aggregate with a membership flag (the cohort predicate pushes
+    * into the scan for customer/orders; lineitem's membership travels
+    * through one orderkey join that AQE sizes) — no row-level output,
+    * so the report costs three scans regardless of cohort size. */
+  def erasureAudit(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def arm(table: String, df: DataFrame, isMember: Column) = df
+      .agg(count(lit(1)).as("n_before"),
+        sum(isMember.cast("long")).as("n_erased"))
+      .select(lit(table).as("table_name"),
+        col("n_before"),
+        coalesce(col("n_erased"), lit(0L)).as("n_erased"),
+        (col("n_before") - coalesce(col("n_erased"), lit(0L))).as("n_after"))
+    val c = arm("customer", customer, col("c_custkey") % 97 === 0)
+    val o = arm("orders", orders, col("o_custkey") % 97 === 0)
+    val erasedOrders = orders.filter(col("o_custkey") % 97 === 0)
+      .select(col("o_orderkey"))
+    val l = arm("lineitem",
+      lineitem.join(erasedOrders.withColumn("m", lit(1)),
+        col("l_orderkey") === col("o_orderkey"), "left"),
+      col("m").isNotNull)
+    c.unionByName(o).unionByName(l).orderBy(col("table_name"))
+  }
+
+  val erasureAuditSql: String =
+    """WITH c AS (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_before,
+      |    CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_erased
+      |  FROM customer),
+      |o AS (
+      |  SELECT 'orders', COUNT(*),
+      |    CAST(SUM(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'lineitem', COUNT(*),
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT)
+      |  FROM lineitem li
+      |  LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0) o
+      |    ON li.l_orderkey = o.o_orderkey),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+      |SELECT table_name, n_before, n_erased, n_before - n_erased AS n_after
+      |FROM u ORDER BY table_name""".stripMargin
+
+  /** Backfill batch plan: slice a historical reload into contiguous
+    * date batches of bounded row volume — the ops artifact that decides
+    * how many days each backfill job may claim so no single run blows
+    * its memory/SLA envelope. batch_id = cumulative-rows-before div
+    * budget (greedy contiguous packing: a batch may overflow by at most
+    * one day, the standard bin rule when days are atomic). The running
+    * sum is a window over the ≤|days| daily aggregate — bounded by the
+    * calendar, never by fact rows. */
+  def backfillPlan(orders: DataFrame, budget: Long): DataFrame = {
+    val daily = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    daily
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .select(col("day"), col("n_rows"),
+        expr(s"cum_before div $budget").as("batch_id"),
+        (col("cum_before") + col("n_rows")).as("cum_rows"))
+      .orderBy(col("day"))
+  }
+
+  def backfillPlanSql(budget: Long): String =
+    s"""WITH daily AS (
+       |  SELECT o_orderdate AS day, COUNT(*) AS n_rows
+       |  FROM orders GROUP BY 1),
+       |plan AS (
+       |  SELECT day, n_rows,
+       |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM daily)
+       |SELECT day, n_rows, cum_before // $budget AS batch_id,
+       |  cum_before + n_rows AS cum_rows
+       |FROM plan ORDER BY day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "etl_erasure" -> QueryDef(
+      (s, d) => erasureAudit(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d)),
+      erasureAuditSql),
+    "etl_backfill_plan" -> QueryDef(
+      (s, d) => backfillPlan(Tables.orders(s, d), budget = 5000L),
+      backfillPlanSql(5000L)),
     "etl_quarantine" -> QueryDef(
       (s, d) => quarantineLineitems(Tables.lineitem(s, d)),
       quarantineLineitemsSql),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{Exact, QueryDef, Tables}
 
 /** Event-sequence analytics over the `events` fixture: conversion
   * funnels and cohort retention — the two queries every product
@@ -924,7 +924,172 @@ object EventAnalytics {
       |  CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
       |FROM cls GROUP BY day ORDER BY day""".stripMargin
 
+  /** Discrete Kaplan–Meier time-to-conversion table: duration from each
+    * user's first `signup` to their first LATER `purchase`, bucketed in
+    * 12-hour intervals; users with no conversion are right-censored at
+    * the corpus horizon (global max ts). Per bucket k: n_at_risk =
+    * users still unconverted and uncensored entering k (a descending
+    * cumulative sum over the tiny bucket relation), n_converted =
+    * conversions inside k, hazard_bp = 10^4·converted div at_risk —
+    * the discrete hazard an LTV/payback model consumes.
+    *
+    * Scale shape: two partial-agg groupBys over events (first signup,
+    * first qualifying purchase — the purchase side pre-filtered before
+    * its join), one broadcast of the 1-row horizon, then ALL window
+    * work happens on the ≤O(horizon/bucket) bucket relation. Durations
+    * are microsecond integers (the sessionize discipline): bucket
+    * boundaries land identically in both engines. */
+  def survival(events: DataFrame): DataFrame = {
+    val bucketUs = 43200000000L // 12 h
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("st"))
+    val horizon = events.agg(max(unix_micros(col("ts"))).as("h"))
+    val firstPurchase = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), unix_micros(col("ts")).as("pt"))
+    val perUser = signup
+      .join(firstPurchase,
+        col("user_id") === col("p_uid") && col("pt") > col("st"), "left")
+      .groupBy(col("user_id"), col("st"))
+      .agg(min(col("pt")).as("pt"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("pt").isNotNull,
+          expr(s"(pt - st) div $bucketUs")).as("conv_bucket"),
+        expr(s"(h - st) div $bucketUs").as("censor_bucket"))
+      .select(coalesce(col("conv_bucket"), col("censor_bucket")).as("bucket"),
+        col("conv_bucket").isNotNull.cast("int").as("converted"))
+    val byBucket = perUser.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_exits"),
+        sum(col("converted")).cast("long").as("n_converted"))
+    // at-risk entering bucket k = everyone exiting at ≥ k
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("n_at_risk", sum(col("n_exits")).over(wDesc))
+      .select(col("bucket"), col("n_at_risk"), col("n_converted"),
+        expr("n_converted * 10000L div n_at_risk").as("hazard_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val survivalSql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS st
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |h AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS h FROM events),
+      |p AS (
+      |  SELECT s.user_id, s.st,
+      |    MIN(CASE WHEN e.event_type = 'purchase'
+      |             AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s.st
+      |        THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END) AS pt
+      |  FROM s LEFT JOIN events e ON e.user_id = s.user_id
+      |  GROUP BY s.user_id, s.st),
+      |per_user AS (
+      |  SELECT COALESCE((pt - st) // 43200000000,
+      |                  (h.h - st) // 43200000000) AS bucket,
+      |    CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS converted
+      |  FROM p CROSS JOIN h),
+      |by_bucket AS (
+      |  SELECT bucket, COUNT(*) AS n_exits, SUM(converted) AS n_converted
+      |  FROM per_user GROUP BY bucket),
+      |risk AS (
+      |  SELECT bucket,
+      |    CAST(SUM(n_exits) OVER (ORDER BY bucket DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_at_risk,
+      |    CAST(n_converted AS BIGINT) AS n_converted
+      |  FROM by_bucket)
+      |SELECT bucket, n_at_risk, n_converted,
+      |  n_converted * 10000 // n_at_risk AS hazard_bp
+      |FROM risk ORDER BY bucket""".stripMargin
+
+  /** Leaderboard-movement report: top-k revenue users of the window's
+    * first half vs its second half, full-outer-joined into the entered /
+    * exited / up / down / held story a BI consumer reads. Halves come
+    * from the data's own span (the PAA integer grid with 2 segments —
+    * no wall clock); revenue is exact DECIMAL cents so ranks are
+    * engine-deterministic with (cents DESC, user ASC) tie order. The
+    * per-half ranking is rank ≤ k over a per-user AGGREGATE — Spark
+    * plans it as WindowGroupLimit (top-k retained per partition before
+    * the full sort materializes, the `topk_per_group` contract). */
+  def topkMovers(events: DataFrame, k: Int): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (Exact.money(col("value")) * 100).cast("long").as("cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"),
+      (datediff(max(col("day")), min(col("day"))) + 1).cast("long").as("span"))
+    val perHalf = daily
+      .crossJoin(broadcast(bounds))
+      .withColumn("half",
+        expr("(CAST(datediff(day, d0) AS BIGINT) * 2) div span"))
+      .groupBy(col("user_id"), col("half"))
+      .agg(sum(col("cents")).as("cents"))
+    val ranked = perHalf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("half"))
+          .orderBy(col("cents").desc, col("user_id"))))
+      .filter(col("rk") <= k)
+    val h0 = ranked.filter(col("half") === 0)
+      .select(col("user_id"), col("rk").as("rank_prev"),
+        col("cents").as("cents_prev"))
+    val h1 = ranked.filter(col("half") === 1)
+      .select(col("user_id").as("uid1"), col("rk").as("rank_curr"),
+        col("cents").as("cents_curr"))
+    h0.join(h1, col("user_id") === col("uid1"), "full_outer")
+      .select(coalesce(col("user_id"), col("uid1")).as("user_id"),
+        col("rank_prev"), col("rank_curr"),
+        col("cents_prev"), col("cents_curr"),
+        when(col("rank_prev").isNull, "entered")
+          .when(col("rank_curr").isNull, "exited")
+          .when(col("rank_curr") < col("rank_prev"), "up")
+          .when(col("rank_curr") > col("rank_prev"), "down")
+          .otherwise("held").as("status"))
+      .orderBy(coalesce(col("rank_curr"), lit(999)),
+        coalesce(col("rank_prev"), lit(999)), col("user_id"))
+  }
+
+  def topkMoversSql(k: Int): String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |b AS (
+       |  SELECT MIN(day) AS d0,
+       |    CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span
+       |  FROM daily),
+       |per_half AS (
+       |  SELECT user_id,
+       |    (CAST(date_diff('day', b.d0, day) AS BIGINT) * 2) // b.span AS half,
+       |    SUM(cents) AS cents
+       |  FROM daily CROSS JOIN b
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT user_id, half, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY half
+       |      ORDER BY cents DESC, user_id) AS rk
+       |  FROM per_half),
+       |h0 AS (SELECT user_id, rk AS rank_prev, cents AS cents_prev
+       |       FROM ranked WHERE half = 0 AND rk <= $k),
+       |h1 AS (SELECT user_id, rk AS rank_curr, cents AS cents_curr
+       |       FROM ranked WHERE half = 1 AND rk <= $k)
+       |SELECT COALESCE(h0.user_id, h1.user_id) AS user_id,
+       |  CAST(rank_prev AS INT) AS rank_prev,
+       |  CAST(rank_curr AS INT) AS rank_curr,
+       |  CAST(cents_prev AS BIGINT) AS cents_prev,
+       |  CAST(cents_curr AS BIGINT) AS cents_curr,
+       |  CASE WHEN rank_prev IS NULL THEN 'entered'
+       |       WHEN rank_curr IS NULL THEN 'exited'
+       |       WHEN rank_curr < rank_prev THEN 'up'
+       |       WHEN rank_curr > rank_prev THEN 'down'
+       |       ELSE 'held' END AS status
+       |FROM h0 FULL OUTER JOIN h1 ON h0.user_id = h1.user_id
+       |ORDER BY COALESCE(rank_curr, 999), COALESCE(rank_prev, 999), user_id""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "topk_movers" -> QueryDef(
+      (s, d) => topkMovers(Tables.events(s, d), 10), topkMoversSql(10)),
+    "events_survival" -> QueryDef(
+      (s, d) => survival(Tables.events(s, d)), survivalSql),
     "events_growth" -> QueryDef(
       (s, d) => growthAccounting(Tables.events(s, d)),
       growthAccountingSql),

@@ -899,6 +899,106 @@ object Graph {
        |ORDER BY jaccard_fp DESC, c.u, c.v
        |LIMIT $k""".stripMargin
 
+  /** Global 4-cycle (rectangle) census over the backbone. Every
+    * rectangle u–a–w–b has two diagonal pairs (u,w) and (a,b); for a
+    * diagonal pair with c common neighbors there are C(c,2) rectangles
+    * through it, and summing C(c,2) over all unordered pairs counts
+    * each rectangle at both diagonals — so n_rectangles = Σ C(c,2)/2
+    * (always even, exact BIGINT division). The wedge stream is the
+    * SAME Σ deg(w)² enumeration `jaccardPairs` runs (support-≥2
+    * backbone bounds it); everything after is one groupBy and one
+    * global fold. Rectangle density (vs the wedge count) is the
+    * bipartite-community signal triangle counting is blind to. */
+  def rectangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val wedges = e.select(col("src").as("w"), col("dst").as("u"))
+      .join(e.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("c * (c - 1) div 2")).as("diag_pairs"),
+        max(col("c")).as("max_common"))
+      .select(col("n_pairs"), col("diag_pairs"),
+        expr("diag_pairs div 2").as("n_rectangles"), col("max_common"))
+  }
+
+  def rectangleCensusSql(): String =
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |common AS (
+       |  SELECT a.dst AS u, b.dst AS v, COUNT(*) AS c
+       |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY a.dst, b.dst)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS diag_pairs,
+       |  CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS n_rectangles,
+       |  CAST(MAX(c) AS BIGINT) AS max_common
+       |FROM common""".stripMargin
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009 — the
+    * strongest of the degree-penalized common-neighbor indices): for
+    * NON-adjacent pairs at distance 2, score = Σ_{w ∈ N(u)∩N(v)}
+    * 1/deg(w), each term held as the exact integer 10^6 div deg(w) so
+    * the sum is order-independent (the engine-wide fixed-point
+    * discipline — float 1/deg sums would disagree across partitionings
+    * in the last bits and flip ranks). Same wedge enumeration as
+    * `jaccardPairs`/`rectangleCensus`; existing edges leave via one
+    * anti join against the half-edge set. */
+  def linkPredictionRA(edges: DataFrame, k: Int,
+      minCommon: Long = 2L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
+    val wedges = e.select(col("src").as("w"), col("dst").as("u"))
+      .join(e.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = wedges.join(deg, Seq("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000L div d")).as("ra_fp"))
+      .filter(col("n_common") >= minCommon)
+    scored
+      .join(e.filter(col("src") < col("dst"))
+          .select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("ra_fp").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  def linkPredictionRASql(k: Int, minCommon: Long = 2L): String =
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |deg AS (SELECT src AS w, COUNT(*) AS d FROM e GROUP BY src),
+       |scored AS (
+       |  SELECT a.dst AS u, b.dst AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    CAST(SUM(1000000 // deg.d) AS BIGINT) AS ra_fp
+       |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+       |  JOIN deg ON deg.w = a.src
+       |  GROUP BY a.dst, b.dst
+       |  HAVING COUNT(*) >= $minCommon)
+       |SELECT u, v, n_common, ra_fp FROM scored s
+       |WHERE NOT EXISTS (SELECT 1 FROM eh
+       |                  WHERE eh.u = s.u AND eh.v = s.v)
+       |ORDER BY ra_fp DESC, u, v
+       |LIMIT $k""".stripMargin
+
   /** k-core membership: iteratively peel nodes of in-subgraph degree
     * < k until the fixpoint; survivors with their final core degree.
     * The classic graph-densification cut (stronger than the one-shot
@@ -1800,6 +1900,12 @@ object Graph {
     "graph_jaccard" -> QueryDef(
       (s, d) => jaccardPairs(s.table(ensureBackbone(s, d)), 50),
       jaccardPairsSql(50)),
+    "graph_rectangles" -> QueryDef(
+      (s, d) => rectangleCensus(s.table(ensureBackbone(s, d))),
+      rectangleCensusSql()),
+    "graph_link_predict" -> QueryDef(
+      (s, d) => linkPredictionRA(s.table(ensureBackbone(s, d)), 50),
+      linkPredictionRASql(50)),
     "graph_kcore" -> QueryDef(
       (s, d) => kCore(s.table(ensureBackbone(s, d))),
       kCoreSql()),

@@ -597,7 +597,83 @@ object Quality {
        |       AS BIGINT) AS bin_at_max
        |FROM d GROUP BY n1, n2""".stripMargin
 
+  /** Candidate-key / functional-dependency discovery audit: for a fixed
+    * probe set of column combinations, surface row count, distinct
+    * count, violation count and the verdict — the profiling step that
+    * decides merge keys and dedup keys before a pipeline trusts them.
+    * Uniqueness probes fold into ONE multi-distinct aggregate per table
+    * (Catalyst expands once per distinct set — still a single scan);
+    * the FD probe (o_custkey → o_orderpriority, expected to FAIL on this
+    * schema) is one grouped distinct-count over the determinant. All
+    * surfaces are exact BIGINT counts. */
+  def keyDiscovery(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("d_ok"),
+      countDistinct(col("o_custkey")).as("d_ck"),
+      countDistinct(col("o_custkey"), col("o_orderdate")).as("d_ckd"))
+      .select(report(Seq(
+        ("orders.key:o_orderkey", col("n") - col("d_ok"),
+          col("n") === col("d_ok")),
+        ("orders.key:o_custkey", col("n") - col("d_ck"),
+          col("n") === col("d_ck")),
+        ("orders.key:o_custkey+o_orderdate", col("n") - col("d_ckd"),
+          col("n") === col("d_ckd"))
+      )).as("r"))
+    val l = lineitem.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("d_pk"))
+      .select(report(Seq(
+        ("lineitem.key:l_orderkey+l_linenumber", col("n") - col("d_pk"),
+          col("n") === col("d_pk"))
+      )).as("r"))
+    val fd = orders.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("d"))
+      .agg(sum(when(col("d") > 1, 1L).otherwise(0L)).as("viol"))
+      .select(report(Seq(
+        ("orders.fd:o_custkey->o_orderpriority", col("viol"), col("viol") === 0)
+      )).as("r"))
+    o.unionByName(l).unionByName(fd)
+      .select(col("r.check").as("check"), col("r.measured").as("measured"),
+        col("r.ok").as("ok"))
+      .orderBy(col("check"))
+  }
+
+  val keyDiscoverySql: String =
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(DISTINCT o_orderkey) AS d_ok,
+      |    COUNT(DISTINCT o_custkey) AS d_ck,
+      |    COUNT(DISTINCT (o_custkey, o_orderdate)) AS d_ckd
+      |  FROM orders),
+      |l AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS d_pk
+      |  FROM lineitem),
+      |fd AS (
+      |  SELECT CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+      |        FROM orders GROUP BY o_custkey)),
+      |rows_out AS (
+      |  SELECT 'orders.key:o_orderkey' AS "check",
+      |    CAST(n - d_ok AS DOUBLE) AS measured, n = d_ok AS ok FROM o
+      |  UNION ALL
+      |  SELECT 'orders.key:o_custkey', CAST(n - d_ck AS DOUBLE), n = d_ck FROM o
+      |  UNION ALL
+      |  SELECT 'orders.key:o_custkey+o_orderdate',
+      |    CAST(n - d_ckd AS DOUBLE), n = d_ckd FROM o
+      |  UNION ALL
+      |  SELECT 'lineitem.key:l_orderkey+l_linenumber',
+      |    CAST(n - d_pk AS DOUBLE), n = d_pk FROM l
+      |  UNION ALL
+      |  SELECT 'orders.fd:o_custkey->o_orderpriority', CAST(viol AS DOUBLE),
+      |    viol = 0 FROM fd)
+      |SELECT "check", measured, ok FROM rows_out ORDER BY "check"""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_key_discovery" -> QueryDef(
+      (s, d) => keyDiscovery(Tables.orders(s, d), Tables.lineitem(s, d)),
+      keyDiscoverySql),
     "dq_ks" -> QueryDef(
       (s, d) => ksDrift(Tables.events(s, d)), ksDriftSql()),
     "dq_kanon" -> QueryDef(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{Exact, QueryDef, Tables}
 
 /** Time-series regularization over the event stream: calendar
   * densification with forward fill, and first-order transition counts.
@@ -868,7 +868,58 @@ object TimeSeries {
       |  CAST(stat AS BIGINT) AS stat_xn
       |FROM s WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** Piecewise Aggregate Approximation (Keogh et al. 2001): compress
+    * each event type's daily-revenue series into `nSeg` equal-width
+    * segments, each summarized by its exact mean — the dimensionality
+    * reduction under SAX/similarity indexing of long series. Segment
+    * assignment is the standard integer grid seg = (idx·nSeg) div n
+    * (exact, engine-identical, handles n not divisible by nSeg);
+    * means surface as exact cents numerator/denominator plus the
+    * floor-divided mean, so the whole sketch is BIGINT end to end.
+    * Scale shape: one partial-agg groupBy to days, a broadcast of the
+    * per-type (first day, length) bounds, one groupBy to segments —
+    * the per-type window never touches row-level data. */
+  def paaDailyValue(events: DataFrame, nSeg: Int): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    val bounds = daily.groupBy(col("event_type").as("et"))
+      .agg(min(col("day")).as("d0"),
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("n_days"))
+    daily
+      .join(bounds, col("event_type") === col("et"))
+      .withColumn("seg",
+        expr(s"(CAST(datediff(day, d0) AS BIGINT) * $nSeg) div n_days"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("event_type"), col("seg"), col("n"), col("sum_cents"),
+        expr("sum_cents div n").as("mean_cents"))
+      .orderBy(col("event_type"), col("seg"))
+  }
+
+  def paaDailyValueSql(nSeg: Int): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT event_type, MIN(day) AS d0,
+       |    CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS n_days
+       |  FROM daily GROUP BY 1)
+       |SELECT d.event_type,
+       |  (CAST(date_diff('day', b.d0, d.day) AS BIGINT) * $nSeg) // b.n_days
+       |    AS seg,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(d.cents) AS BIGINT) AS sum_cents,
+       |  CAST(SUM(d.cents) AS BIGINT) // COUNT(*) AS mean_cents
+       |FROM daily d JOIN bounds b USING (event_type)
+       |GROUP BY d.event_type, seg
+       |ORDER BY d.event_type, seg""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_paa" -> QueryDef(
+      (s, d) => paaDailyValue(Tables.events(s, d), 6), paaDailyValueSql(6)),
     "ts_changepoint" -> QueryDef(
       (s, d) => changepoint(Tables.events(s, d)), changepointSql),
     "ts_holt" -> QueryDef(

@@ -63,7 +63,11 @@ class RepartitionInvarianceSpec extends SparkSuite {
     "join_pit_features",    // dual-frame feature vector, one sort
     "ts_changepoint",       // cross-multiplied CUSUM argmax
     "graph_conductance",    // per-community cut fold over LPA labels
-    "etl_retro_correction") // covering-interval three-arm split
+    "etl_retro_correction", // covering-interval three-arm split
+    "agg_gini",             // distinct-value rank telescoping, integer bp
+    "events_survival",      // micro-bucketed K-M descending cumulative
+    "graph_link_predict",   // per-wedge integer RA terms, order-free sum
+    "ts_paa")               // integer segment grid + exact cent means
 
   test("representative queries are bit-identical at 2 vs 16 shuffle partitions") {
     val conf = spark.conf

@@ -40,4 +40,31 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("layout_bucketed declared path: zero-exchange join, layout-independent result") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = ZOrder.bucketedFactJoin(spark, sfDir)
+      val got = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed fact join must not shuffle its inputs:\n$p")
+      // the layout must never change the answer: same agg off flat parquet
+      val flat = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === flat)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }

@@ -374,4 +374,21 @@ class SearchSketchSpec extends SparkSuite {
     assert(rows(("a", "b"))._4 === 2L)
     assert(rows(("a", "c"))._4 === 0L && rows(("b", "c"))._4 === 0L)
   }
+
+  /** KWIC snippets: hit position is 1-based, the context window clamps
+    * at the string start, non-matching docs are absent, and the top-k
+    * cut orders by (pos, doc_id). */
+  test("search_snippet: positions, clamped windows, ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc vector xyz tail words"),
+      (2L, "vector at the very start"),
+      (3L, "no match here at all"))
+      .toDF("doc_id", "text")
+    val got = Search.kwicSnippets(docs, "vector", width = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (2L, 1L, "vector at the ve"),          // clamped at start, 16 chars
+      (1L, 5L, "abc vector xyz t")))         // pos−5 = 0 → clamp to 1
+  }
 }

@@ -319,4 +319,43 @@ class SimilaritySpec extends SparkSuite {
     info(s"incremental graph recall@10: $recall/10")
     assert(recall >= 6, s"recall after insert must stay useful: $recall/10")
   }
+
+  /** MIPS vs cosine on planted vectors where magnitude matters: the
+    * near-parallel unit vector wins on cosine, the long vector wins on
+    * inner product. The Bachrach et al. (2014) reduction — augment each
+    * corpus vector with sqrt(M²−‖x‖²) and the query with 0 — must turn
+    * the cosine ranking into exactly the MIPS ranking. */
+  test("simsearch_mips: magnitude-aware ranking; augmented-cosine reduction reproduces it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mips").toString
+    Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.0f)),   // cosine 1.0, ip 0.99
+      (2L, Seq(3.0f, 0.5f)),    // cosine ~0.986, ip 3.0
+      (3L, Seq(0.0f, 2.0f)))    // orthogonal: ip 0
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mips = Similarity.mipsTopK(spark, dir, 0L, 3)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(mips === Seq(2L, 1L, 3L))
+    val cos = Similarity.bruteForceTopK(spark, dir, 0L, 3)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(cos === Seq(1L, 2L, 3L))
+    // reduction: rank corpus by cosine of augmented vectors — ip order
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val m2 = e.select(max(expr(
+      "aggregate(v, 0d, (a, x) -> a + x * x)"))).head().getDouble(0)
+    val aug = e.withColumn("va",
+      expr(s"concat(v, array(sqrt($m2 - aggregate(v, 0d, (a, x) -> a + x * x))))"))
+    val q = aug.filter(col("vec_id") === 0L)
+      .select(expr("concat(v, array(0d))").as("qa"))
+    val reduced = aug.filter(col("vec_id") =!= 0L)
+      .crossJoin(q)
+      .withColumn("c", Similarity.cosineHof(col("va"), col("qa")))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(reduced === mips)
+  }
 }

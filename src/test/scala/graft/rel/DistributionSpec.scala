@@ -1,0 +1,51 @@
+package graft.rel
+
+import graft.SparkSuite
+
+/** Distributional-shape aggregates (rel/Distribution): hand-computed
+  * Gini coefficients and label impurities on planted inputs — the
+  * closed-form cases the integer formulas must reproduce exactly. */
+class DistributionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("gini: equal spends → 0; concentrated spends → hand value") {
+    val customer = Seq(
+      (1L, "EQ"), (2L, "EQ"), (3L, "EQ"), (4L, "EQ"),
+      (11L, "SK"), (12L, "SK"), (13L, "SK"), (14L, "SK"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      // EQ: four customers at exactly $100 (one split across two orders)
+      (1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 60.40), (4L, 39.60),
+      // SK: spends 1, 1, 1, 97 → Σ(2i−n−1)x = 288, G = 288/400 = 0.72
+      (11L, 1.0), (12L, 1.0), (13L, 1.0), (14L, 97.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Distribution.giniBySegment(orders, customer)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("EQ") === ((4L, 400L, 0L)))
+    assert(got("SK") === ((4L, 100L, 7200L)))
+  }
+
+  test("gini: invariant to input partitioning") {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    val customer = graft.core.Tables.customer(spark, sfDir)
+    val a = Distribution.giniBySegment(orders, customer).collect().toSeq
+    val b = Distribution.giniBySegment(orders.repartition(7), customer.repartition(3))
+      .collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("label impurity: pure → 0, even 2-way split → 500000 ppm, lexical tie-break") {
+    val docs = Seq(
+      (1L, "P", "en"), (2L, "P", "en"),
+      (3L, "Q", "fr"), (4L, "Q", "en"))
+      .toDF("doc_id", "source", "lang")
+    val got = Distribution.labelImpurity(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("P") === ((2L, 1L, "en", 10000L, 0L)))
+    assert(got("Q") === ((2L, 2L, "en", 5000L, 500000L)))
+  }
+}

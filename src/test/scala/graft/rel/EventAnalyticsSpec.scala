@@ -437,4 +437,26 @@ class EventAnalyticsSpec extends SparkSuite {
       "tied best streaks must surface the earliest start")
     assert(got(3L) === ((1L, 1L, 1L, "2024-03-04")))
   }
+
+  /** Hand-built Kaplan–Meier table (12 h buckets): u1 converts in
+    * bucket 0, u2 in bucket 1, u3 never (censored at the horizon), u4's
+    * only purchase PRECEDES its signup (must not count as conversion).
+    * Horizon = t0+25h → censor bucket 2. */
+  test("survival: hand K-M table, pre-signup purchases ignored") {
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "signup"),
+      (2L, 1L, "2024-01-01 01:00:00", "purchase"),   // bucket 0
+      (3L, 2L, "2024-01-01 00:00:00", "signup"),
+      (4L, 2L, "2024-01-01 13:00:00", "purchase"),   // bucket 1
+      (5L, 3L, "2024-01-01 00:00:00", "signup"),     // never converts
+      (6L, 4L, "2023-12-31 23:00:00", "purchase"),   // before signup
+      (7L, 4L, "2024-01-01 00:00:00", "signup"),
+      (8L, 1L, "2024-01-02 01:00:00", "view")))      // horizon t0+25h
+    val got = EventAnalytics.survival(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 4L, 1L, 2500L),
+      (1L, 3L, 1L, 3333L),
+      (2L, 2L, 0L, 0L)))
+  }
 }

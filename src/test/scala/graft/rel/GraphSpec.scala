@@ -147,6 +147,43 @@ class GraphSpec extends SparkSuite {
       (1L, 3L, 1L, 250000L)))
   }
 
+  /** Square 1–2–3–4–1: diagonal pairs (1,3) and (2,4) each see 2 common
+    * neighbors → ΣC(c,2) = 2, and the one rectangle is counted once
+    * after the div-2 (each 4-cycle has two diagonals). K4 check: every
+    * one of its 3 rectangles rides two of the C(4,2)=6 pairs, each pair
+    * has c=2 → diag_pairs 6, n_rectangles 3. */
+  test("rectangle census: square=1, K4=3, hand-counted diagonals") {
+    val square = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val sq = Graph.rectangleCensus(square).collect().head
+    assert((sq.getLong(0), sq.getLong(1), sq.getLong(2), sq.getLong(3)) ===
+      ((2L, 2L, 1L, 2L)))
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val kc = Graph.rectangleCensus(k4).collect().head
+    assert((kc.getLong(1), kc.getLong(2)) === ((6L, 3L)))
+  }
+
+  /** Cycle 2–1–3–4–2: the two non-adjacent pairs (1,4) and (2,3) each
+    * see two degree-2 common neighbors → RA = 2·(10^6 div 2) = 10^6.
+    * Adding the (2,3) edge must remove it from the prediction list
+    * (anti-join on existing edges). */
+  test("link prediction: RA scores exact, existing edges excluded") {
+    val half = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val e = half.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.linkPredictionRA(e, k = 10, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // all four nodes have degree 2: both distance-2 pairs score 2×(10^6/2)
+    assert(got.toSeq === Seq((1L, 4L, 2L, 1000000L), (2L, 3L, 2L, 1000000L)))
+    val withEdge = (half :+ (2L -> 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got2 = Graph.linkPredictionRA(withEdge, k = 10, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got2.contains((2L, 3L)))
+    assert(got2.contains((1L, 4L)))
+  }
+
   /** K4 has 4 triangles, 3 at each corner; the square has none; the
     * mirrored/duplicated input rows must not inflate counts. */
   test("triangle counts: K4 corners get 3 each, squares get none") {

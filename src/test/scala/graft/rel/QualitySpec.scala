@@ -196,4 +196,43 @@ class QualitySpec extends SparkSuite {
       Quality.ksDrift(e.repartition(parts)).collect().map(_.toSeq).toSeq
     assert(run(2) === run(16))
   }
+
+  /** Planted key/FD violations must fire exactly their own checks:
+    * duplicate orderkey breaks both orders key probes it touches, a
+    * custkey ordering twice on one date breaks the composite key, a
+    * custkey with two priorities breaks the FD, and a duplicated
+    * (orderkey, linenumber) breaks the lineitem PK. */
+  test("key discovery: planted duplicates and FD breaks fire") {
+    import spark.implicits._
+    import java.sql.Date
+    val d = Date.valueOf("1995-01-01")
+    val orders = Seq(
+      (1L, 10L, d, "1-URGENT"),
+      (1L, 11L, d, "1-URGENT"),            // dup o_orderkey
+      (2L, 12L, d, "1-URGENT"),
+      (3L, 12L, d, "5-LOW"))               // dup (custkey, date) + FD break
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 1), (1L, 1), (2L, 1))  // dup composite PK
+      .toDF("l_orderkey", "l_linenumber")
+    val got = Quality.keyDiscovery(orders, li)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(got("orders.key:o_orderkey") === ((1.0, false)))
+    assert(got("orders.key:o_custkey") === ((1.0, false)))
+    assert(got("orders.key:o_custkey+o_orderdate") === ((1.0, false)))
+    assert(got("lineitem.key:l_orderkey+l_linenumber") === ((1.0, false)))
+    assert(got("orders.fd:o_custkey->o_orderpriority") === ((1.0, false)))
+  }
+
+  test("key discovery: fixture verdicts — orderkey IS a key, the synthetic " +
+      "lineitem composite is NOT (the discovery's whole point)") {
+    val got = Quality.keyDiscovery(
+      graft.core.Tables.orders(spark, sfDir),
+      graft.core.Tables.lineitem(spark, sfDir))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(got("orders.key:o_orderkey"))
+    // the driver's synthetic lineitem reuses line numbers within an
+    // order — a candidate key a profiler must REJECT, not assume
+    assert(!got("lineitem.key:l_orderkey+l_linenumber"))
+  }
 }

@@ -300,4 +300,28 @@ class TimeSeriesSpec extends SparkSuite {
       assert(r.getLong(8) === r.getLong(5) * r.getLong(7) - r.getLong(6))
     }
   }
+
+  /** PAA on a hand series: 4 contiguous days in 2 segments (2 days
+    * each, exact cent means), and a gapped 3-day-span series whose
+    * integer grid maps day offsets 0→seg 0, 2→seg 1. */
+  test("ts_paa: exact segment grid and cent means, gap days included by span") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val e = Seq(
+      (1L, "X", "2024-01-01 10:00:00", 10.00),
+      (2L, "X", "2024-01-02 10:00:00", 20.00),
+      (3L, "X", "2024-01-03 10:00:00", 30.50),
+      (4L, "X", "2024-01-04 10:00:00", 40.50),
+      (5L, "Y", "2024-01-01 10:00:00", 5.00),
+      (6L, "Y", "2024-01-03 10:00:00", 7.00))
+      .map { case (id, ty, t, v) => (id, ty, Timestamp.valueOf(t), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.paaDailyValue(e, nSeg = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("X", 0L)) === ((2L, 3000L, 1500L)))
+    assert(got(("X", 1L)) === ((2L, 7100L, 3550L)))
+    assert(got(("Y", 0L)) === ((1L, 500L, 500L)))
+    assert(got(("Y", 1L)) === ((1L, 700L, 700L)))
+  }
 }
