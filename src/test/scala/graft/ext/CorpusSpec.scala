@@ -465,4 +465,17 @@ class CorpusSpec extends SparkSuite {
         .collect().map(_.toSeq).toSeq
     assert(run(2) === run(8))
   }
+
+  /** Lengths [1,1,4,4,4,10]: total 24, budget 12; both length-1 docs
+    * fit whole (mass 2), then (12−2) div 4 = 2 of the three length-4
+    * docs — a PARTIAL boundary take, the arithmetic the op exists for. */
+  test("budget fill: boundary row exact, partial take at the cutoff") {
+    import spark.implicits._
+    val docs = Seq((1L, 1L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 4L), (6L, 10L))
+      .toDF("doc_id", "n_chars")
+    val r = Corpus.budgetFill(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((12L, 24L, 4L, 2L, 2L, 2L, 4L, 10L)))
+  }
 }

@@ -188,4 +188,36 @@ class EtlSpec extends SparkSuite {
       "per-segment key counts sum to the distinct expirable keys " +
         "(segments partition keys in this history)")
   }
+
+  /** Erasure cohort = custkey ≡ 0 mod 97: one matching customer with
+    * two of three orders; lineitem erasure is TRANSITIVE through the
+    * order, so 3 of 4 line rows go. */
+  test("erasure audit: exact per-table counts incl. the transitive arm") {
+    import spark.implicits._
+    val customer = Seq(97L, 1L, 2L).toDF("c_custkey")
+    val orders = Seq((1L, 97L), (2L, 1L), (3L, 97L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(1L, 1L, 2L, 3L).toDF("l_orderkey")
+    val got = Etl.erasureAudit(customer, orders, li)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("customer", 3L, 1L, 2L),
+      ("lineitem", 4L, 3L, 1L),
+      ("orders", 3L, 2L, 1L)))
+  }
+
+  /** Budget 4 over daily volumes 3/3/2: the second day still fits batch
+    * 0 (cum_before 3 < 4), the third opens batch 1 (cum_before 6). */
+  test("backfill plan: greedy contiguous batches, exact boundaries") {
+    import spark.implicits._
+    import java.sql.Date
+    val orders = (Seq.fill(3)("2024-01-01") ++ Seq.fill(3)("2024-01-02") ++
+      Seq.fill(2)("2024-01-03")).map(Date.valueOf).toDF("o_orderdate")
+    val got = Etl.backfillPlan(orders, budget = 4L)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 3L, 0L, 3L),
+      ("2024-01-02", 3L, 0L, 6L),
+      ("2024-01-03", 2L, 1L, 8L)))
+  }
 }

@@ -459,4 +459,27 @@ class EventAnalyticsSpec extends SparkSuite {
       (1L, 3L, 1L, 3333L),
       (2L, 2L, 0L, 0L)))
   }
+
+  /** Two-day window (halves = single days), five users exercising every
+    * status arm: swap at the top (up/down), a newcomer, a dropout, and
+    * a held rank-4. */
+  test("topk movers: every status arm fires with exact ranks and cents") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 100.00), // A h0 rank 1
+      (2L, 1L, "2024-01-02 10:00:00", 50.00),  // A h1 rank 2 -> down
+      (3L, 2L, "2024-01-01 10:00:00", 50.00),  // B h0 rank 2
+      (4L, 2L, "2024-01-02 10:00:00", 100.00), // B h1 rank 1 -> up
+      (5L, 3L, "2024-01-01 10:00:00", 20.00),  // C h0 rank 3 -> exited
+      (6L, 4L, "2024-01-02 10:00:00", 20.00),  // D h1 rank 3 -> entered
+      (7L, 5L, "2024-01-01 10:00:00", 10.00),  // E rank 4 both -> held
+      (8L, 5L, "2024-01-02 10:00:00", 10.00))
+      .map { case (id, uid, t, v) => (id, uid, Timestamp.valueOf(t), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics.topkMovers(rows, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(5)))
+    assert(got.toSeq === Seq(
+      (2L, "up"), (1L, "down"), (4L, "entered"), (5L, "held"), (3L, "exited")))
+  }
 }
