@@ -1283,4 +1283,67 @@ object Streams {
           }
       }
   }
+
+  case class SurvivalExit(user_id: Long, bucket: Long, converted: Boolean)
+
+  /** Streaming survival exits — the stateful twin of
+    * `rel.EventAnalytics.survival`'s per-user stage. State is TWO
+    * scalars (signup µs, converted flag): under ordered per-user
+    * arrival the batch's MIN-qualifying-purchase collapses to the first
+    * purchase after the stored signup, which emits the CONVERTED exit
+    * row at event time with its duration bucket; a user still
+    * unconverted when the event-time timer passes the deployment's
+    * censoring horizon emits the CENSORED exit at the horizon bucket
+    * and drops its state. The batch table is the (bucket, converted)
+    * aggregation of exactly these exits plus the descending cumulative
+    * — which is how the differential pins streamed ≡ batch. The horizon
+    * is a parameter (a live feed censors against its retention window;
+    * the batch op uses the corpus' own max ts — the differential feeds
+    * that value). */
+  def survivalExitStream(events: Dataset[TransitionEvent],
+      horizonUs: Long,
+      bucketUs: Long = 43200000000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SurvivalExit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Boolean), SurvivalExit](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val (st, converted) = state.get
+            state.remove()
+            if (!converted) Iterator.single(
+              SurvivalExit(userId, (horizonUs - st) / bucketUs, false))
+            else Iterator.empty
+          } else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (st, converted) =
+              state.getOption.getOrElse((Long.MinValue, false))
+            val out = Vector.newBuilder[SurvivalExit]
+            batch.foreach { r =>
+              val us = tsMicros(r.ts)
+              r.event_type match {
+                case "signup" if st == Long.MinValue => st = us
+                case "purchase" if st != Long.MinValue && us > st &&
+                    !converted =>
+                  out += SurvivalExit(userId, (us - st) / bucketUs, true)
+                  converted = true
+                case _ => ()
+              }
+            }
+            // no signup yet ⇒ no state entry (the funnel stage-0 guard)
+            if (st != Long.MinValue) {
+              state.update((st, converted))
+              // censor timer at the horizon itself, clamped above the
+              // current watermark (the engine rejects a timer ≤ it)
+              state.setTimeoutTimestamp(
+                math.max(horizonUs / 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

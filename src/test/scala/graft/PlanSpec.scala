@@ -43,7 +43,7 @@ class PlanSpec extends SparkSuite {
     // WindowGroupLimit keeps a k-row group limit on both the partial
     // (pre-shuffle) and final sides — the property that makes top-k-per-
     // group survive fat keys at scale
-    for (name <- Seq("window_rank", "topk_per_group")) {
+    for (name <- Seq("window_rank", "topk_per_group", "topk_movers")) {
       val p = plan(name)
       assert(p.contains("WindowGroupLimit"),
         s"$name: expected WindowGroupLimit pushdown in:\n$p")

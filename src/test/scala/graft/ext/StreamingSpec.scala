@@ -1241,4 +1241,57 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming survival exits aggregate to the batch hazard table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.TransitionEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val horizonUs = ev.map(e => us(e.ts)).max
+    val input = MemoryStream[Streams.TransitionEvent]
+    val q = Streams.survivalExitStream(input.toDS(), horizonUs)
+      .writeStream.format("memory").queryName("survival_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 5 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // two sentinel events far past the horizon (no signup → no state)
+      // push the watermark beyond every censor timer so censored exits
+      // flush; two batches because timers fire on the trigger AFTER the
+      // watermark advances
+      val far1 = new Timestamp(horizonUs / 1000L + 3L * 24 * 3600 * 1000)
+      val far2 = new Timestamp(far1.getTime + 3600 * 1000)
+      input.addData(Streams.TransitionEvent(900001L, 999999L, "view", far1))
+      q.processAllAvailable()
+      input.addData(Streams.TransitionEvent(900002L, 999999L, "view", far2))
+      q.processAllAvailable()
+      // rebuild the batch table from the streamed exits: bucket counts +
+      // the descending cumulative = survival()'s own final aggregation
+      val byBucket = spark.table("survival_out")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_exits"),
+          sum(col("converted").cast("long")).as("n_converted"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val streamed = byBucket
+        .withColumn("n_at_risk", sum(col("n_exits")).over(w))
+        .select(col("bucket"), col("n_at_risk"), col("n_converted"),
+          expr("n_converted * 10000L div n_at_risk").as("hazard_bp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics.survival(fixture)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
