@@ -429,9 +429,54 @@ object Pipeline {
       |  CAST(CAST(SUM(is_en) AS VARCHAR) AS DOUBLE) / COUNT(*) AS english_rate
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic per-epoch shuffle manifest: each training epoch
+    * re-shards and re-orders the corpus by the md5-derived key
+    * h = md5(epoch:doc_id) — different every epoch (the property SGD
+    * wants), byte-identical on every rerun/engine/partitioning (the
+    * property reproducibility wants), zero RNG state to distribute.
+    * Shard = h mod nShards; within a shard the ascending-h order IS the
+    * read order. The declared surface is the per-(epoch, shard)
+    * manifest — doc count and an order-free checksum Σ(h mod 10⁹) a
+    * trainer validates its local shard against (bounded BIGINT by
+    * corpus size; the checksum is sum-of-residues, so no window and no
+    * fat key anywhere — the full ordered list is a narrow map + a
+    * per-shard sort at read time). */
+  def epochShuffle(docs: DataFrame, epochs: Int, nShards: Int): DataFrame = {
+    require(epochs >= 1 && nShards >= 1)
+    val perEpoch = (0 until epochs).map { e =>
+      docs.select(lit(e).cast("long").as("epoch"),
+        conv(substring(md5(concat(lit(s"$e:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    }.reduce(_ unionByName _)
+    perEpoch
+      .groupBy(col("epoch"), (col("h") % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h") % 1000000000L).as("checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  def epochShuffleSql(epochs: Int, nShards: Int): String = {
+    val arms = (0 until epochs).map(e =>
+      s"""  SELECT CAST($e AS BIGINT) AS epoch,
+         |    ('0x' || substr(md5('$e:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM documents""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH keyed AS (
+       |$arms)
+       |SELECT epoch, h % $nShards AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(h % 1000000000) AS BIGINT) AS checksum
+       |FROM keyed GROUP BY epoch, shard
+       |ORDER BY epoch, shard""".stripMargin
+  }
+
   // ------------------------------------------------------ declared queries
 
   private val q: Seq[(String, QueryDef)] = Seq(
+    "corpus_epoch_shuffle" -> QueryDef(
+      (s, d) => epochShuffle(Tables.documents(s, d), epochs = 3, nShards = 8),
+      epochShuffleSql(3, 8)),
     "corpus_pack" -> QueryDef(
       (s, d) => packSequences(Tables.documents(s, d), seqLen = 256, nShards = 4),
       packSequencesSql(256, 4)),

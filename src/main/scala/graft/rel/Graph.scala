@@ -999,6 +999,44 @@ object Graph {
        |ORDER BY ra_fp DESC, u, v
        |LIMIT $k""".stripMargin
 
+  /** Log-binned degree distribution: the first profile anyone draws of
+    * a graph (is it power-law? where's the hub tail?) — nodes bucketed
+    * by floor(log2(degree)) computed EXACTLY as binary-string length
+    * minus one (no float log near power-of-two boundaries, where IEEE
+    * log2 can land on 2.9999… and flip the bin); per bin: node count
+    * and exact degree extremes/mass. One degree aggregate + one
+    * |bins|-row aggregate — nothing data-sized after the first reduce. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    deg
+      .groupBy((length(bin(col("d"))) - 1).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_deg"), max(col("d")).as("max_deg"),
+        sum(col("d")).as("deg_mass"))
+      .orderBy(col("bin"))
+  }
+
+  def degreeHistogramSql(): String =
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src)
+       |SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS bin,
+       |  COUNT(*) AS n_nodes,
+       |  CAST(MIN(d) AS BIGINT) AS min_deg,
+       |  CAST(MAX(d) AS BIGINT) AS max_deg,
+       |  CAST(SUM(d) AS BIGINT) AS deg_mass
+       |FROM deg GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
   /** k-core membership: iteratively peel nodes of in-subgraph degree
     * < k until the fixpoint; survivors with their final core degree.
     * The classic graph-densification cut (stronger than the one-shot
@@ -1903,6 +1941,9 @@ object Graph {
     "graph_rectangles" -> QueryDef(
       (s, d) => rectangleCensus(s.table(ensureBackbone(s, d))),
       rectangleCensusSql()),
+    "graph_degrees" -> QueryDef(
+      (s, d) => degreeHistogram(s.table(ensureBackbone(s, d))),
+      degreeHistogramSql()),
     "graph_link_predict" -> QueryDef(
       (s, d) => linkPredictionRA(s.table(ensureBackbone(s, d)), 50),
       linkPredictionRASql(50)),

@@ -175,4 +175,32 @@ class PipelineSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(scalable == declared)
   }
+
+  /** Driver-side md5 emulation of the epoch-shuffle manifest: the
+    * engine's per-(epoch, shard) counts and residue checksums must
+    * equal a plain-Java recompute, and at least one document must land
+    * in different shards across epochs (the re-shuffle property). */
+  test("epoch shuffle: manifest equals the md5 recompute, epochs differ") {
+    import spark.implicits._
+    val ids = (0L until 40L)
+    val docs = ids.toDF("doc_id")
+    def h(e: Int, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$e:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = (for (e <- 0 until 3; id <- ids) yield (e, id))
+      .map { case (e, id) => (e.toLong, h(e, id) % 8, h(e, id) % 1000000000L) }
+      .groupBy { case (e, sh, _) => (e, sh) }
+      .map { case ((e, sh), rows) =>
+        (e, sh, rows.size.toLong, rows.map(_._3).sum) }
+      .toSeq.sorted
+    val got = Pipeline.epochShuffle(docs, epochs = 3, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === expected)
+    // re-shuffle property: some doc changes shard between epochs
+    assert(ids.exists(id => h(0, id) % 8 != h(1, id) % 8))
+  }
 }

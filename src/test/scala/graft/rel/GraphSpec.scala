@@ -147,6 +147,17 @@ class GraphSpec extends SparkSuite {
       (1L, 3L, 1L, 250000L)))
   }
 
+  /** Star 1–{2..9}: hub degree 8 lands in bin 3 (floor log2 = 3), the
+    * eight leaves in bin 0 — the exact binary-length binning with no
+    * float log2 anywhere near the power-of-two boundary. */
+  test("degree histogram: exact log2 bins on a star") {
+    val e = (2L to 9L).flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
+    val got = Graph.degreeHistogram(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0L, 8L, 1L, 1L, 8L), (3L, 1L, 8L, 8L, 8L)))
+  }
+
   /** Square 1–2–3–4–1: diagonal pairs (1,3) and (2,4) each see 2 common
     * neighbors → ΣC(c,2) = 2, and the one rectangle is counted once
     * after the div-2 (each 4-cycle has two diagonals). K4 check: every
