@@ -1085,7 +1085,92 @@ object EventAnalytics {
        |FROM h0 FULL OUTER JOIN h1 ON h0.user_id = h1.user_id
        |ORDER BY COALESCE(rank_curr, 999), COALESCE(rank_prev, 999), user_id""".stripMargin
 
+  /** Peak session concurrency per day: sessionize per user (the
+    * 30-minute window_sessionize rule), convert each session to ±1
+    * boundary deltas at exact microseconds (−1 at end+1 µs so a
+    * touching start/end still counts as overlap at the shared instant),
+    * aggregate deltas per distinct boundary timestamp, running-sum to
+    * the live-session count, and report each day's maximum with the
+    * EARLIEST instant achieving it — the capacity-planning readout
+    * (how many concurrent users must we serve?).
+    *
+    * Scale shape: the per-user sessionize windows are user-keyed; the
+    * global running sum runs over the DISTINCT boundary-timestamp
+    * relation (≤ 2·sessions rows, duplicates pre-merged by one partial
+    * agg) — the rel/DistributedRank prefix form is the documented path
+    * when even that relation outgrows one range partition. */
+  def sessionConcurrency(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wUser)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    val deltas = sessions.select(col("s").as("t"), lit(1L).as("d"))
+      .unionByName(sessions.select((col("e") + 1).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+    val wT = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val live = deltas
+      .withColumn("live", sum(col("d")).over(wT))
+      .select(to_date(timestamp_micros(col("t"))).as("day"),
+        col("t"), col("live"))
+    val peaks = live.groupBy(col("day")).agg(max(col("live")).as("peak"))
+    live.join(peaks, Seq("day"))
+      .filter(col("live") === col("peak"))
+      .groupBy(col("day"), col("peak"))
+      .agg(min(col("t")).as("at_us"))
+      .select(col("day"), col("peak"), col("at_us"))
+      .orderBy(col("day"))
+  }
+
+  val sessionConcurrencySql: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |         OR epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, session_id, MIN(us) AS s, MAX(us) AS e FROM (
+      |    SELECT user_id, us,
+      |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM g)
+      |  GROUP BY user_id, session_id),
+      |deltas AS (
+      |  SELECT t, CAST(SUM(d) AS BIGINT) AS d FROM (
+      |    SELECT s AS t, 1 AS d FROM sess
+      |    UNION ALL SELECT e + 1, -1 FROM sess)
+      |  GROUP BY t),
+      |live AS (
+      |  SELECT CAST(make_timestamp(t) AS DATE) AS day, t,
+      |    CAST(SUM(d) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS live
+      |  FROM deltas),
+      |peaks AS (SELECT day, MAX(live) AS peak FROM live GROUP BY day)
+      |SELECT l.day, p.peak, MIN(l.t) AS at_us
+      |FROM live l JOIN peaks p ON p.day = l.day AND l.live = p.peak
+      |GROUP BY l.day, p.peak
+      |ORDER BY l.day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_concurrency" -> QueryDef(
+      (s, d) => sessionConcurrency(Tables.events(s, d)),
+      sessionConcurrencySql),
     "topk_movers" -> QueryDef(
       (s, d) => topkMovers(Tables.events(s, d), 10), topkMoversSql(10)),
     "events_survival" -> QueryDef(

@@ -184,6 +184,49 @@ object RelQueries {
         |FROM lineitem
         |GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    // ---- A12b equi-DEPTH histogram (quantile-bucketed, tie-respecting):
+    //      bucket(v) = cum_rows_below(v)·k div n on the DISTINCT-value
+    //      relation, so all rows of a value share a bucket (the standard
+    //      tie rule) and the ranking window runs over |distinct values|
+    //      rows — bounded by the quantity domain here; for near-unique
+    //      keys the rel/DistributedRank two-pass prefix form is the
+    //      documented scale path. Bucket populations are equal up to tie
+    //      clumping — exactly what the surface lets a reader verify ----
+    "agg_histogram_eqdepth" -> QueryDef(
+      (s, d) => {
+        val k = 8
+        val byValue = Tables.lineitem(s, d)
+          .select(col("l_quantity").cast("long").as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val tot = byValue.agg(sum(col("cnt")).as("n"))
+        byValue
+          .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(expr(s"(below * $k) div n").as("bucket"),
+            col("v"), col("cnt"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("cnt")).as("n_rows"),
+            min(col("v")).as("lo"), max(col("v")).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      """WITH by_value AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT v, cnt,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS below
+        |  FROM by_value),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM by_value)
+        |SELECT (below * 8) // n AS bucket,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM cum CROSS JOIN t
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // ---- A4 mode aggregate, pinned min-key tie-break ---------------------
     "agg_mode_year" -> QueryDef(
       (s, d) => Tables.orders(s, d)

@@ -48,4 +48,23 @@ class DistributionSpec extends SparkSuite {
     assert(got("P") === ((2L, 1L, "en", 10000L, 0L)))
     assert(got("Q") === ((2L, 2L, "en", 5000L, 500000L)))
   }
+
+  /** Equi-depth histogram with ties: quantities [1,1,1,2,3,3,4,5], n=8,
+    * k=8 — each distinct value's rows land in ONE bucket at
+    * (rows_below·k) div n, so the tie clump at 1 fills bucket 0 and
+    * buckets 1-2 stay empty (the tie-respecting semantics, visible). */
+  test("equi-depth histogram: tie-respecting bucket assignment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eqd").toString
+    Seq(1L, 1L, 1L, 2L, 3L, 3L, 4L, 5L).toDF("l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("agg_histogram_eqdepth")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 1L, 1L),
+      (3L, 1L, 2L, 2L),
+      (4L, 2L, 3L, 3L),
+      (6L, 1L, 4L, 4L),
+      (7L, 1L, 5L, 5L)))
+  }
 }

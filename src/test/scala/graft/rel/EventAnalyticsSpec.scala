@@ -482,4 +482,22 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got.toSeq === Seq(
       (2L, "up"), (1L, "down"), (4L, "entered"), (5L, "held"), (3L, "exited")))
   }
+
+  /** Two overlapping sessions peak at 2 the instant the second starts;
+    * a session ENDING exactly when another begins still overlaps at the
+    * shared instant (the −1 lands at end+1 µs). */
+  test("session concurrency: overlap peaks, touching boundaries count") {
+    val e = ev(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view"),
+      (2L, 1L, "2024-01-01 00:10:00", "view"),   // u1: [00:00, 00:10]
+      (3L, 2L, "2024-01-01 00:05:00", "view"),
+      (4L, 2L, "2024-01-01 00:20:00", "view"),   // u2: [00:05, 00:20]
+      (5L, 4L, "2024-01-01 01:00:00", "view"),
+      (6L, 4L, "2024-01-01 01:30:00", "view"),   // u4: [01:00, 01:30]
+      (7L, 5L, "2024-01-01 01:30:00", "view")))  // u5 starts at u4's end
+    val got = EventAnalytics.sessionConcurrency(e)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val t0005 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00").getTime * 1000L
+    assert(got.toSeq === Seq(("2024-01-01", 2L, t0005)))
+  }
 }
