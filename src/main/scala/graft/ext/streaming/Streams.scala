@@ -1284,6 +1284,58 @@ object Streams {
       }
   }
 
+  case class SessionSpan(user_id: Long, start_us: Long, end_us: Long)
+
+  /** Streaming session spans — the sessionize stage of
+    * `rel.EventAnalytics.sessionConcurrency` as a live feed: per-user
+    * state is TWO scalars (first µs, last µs of the open session); an
+    * in-batch gap > 30 min closes the span immediately, the event-time
+    * timer at exactly lastTs + gap closes the final open one when the
+    * watermark passes (the `sessionPaths` gap-timeout rule minus the
+    * path buffer — state is two longs regardless of session length).
+    * Downstream, the ±1 boundary-delta running count over emitted spans
+    * IS the live concurrency gauge; each span emits exactly once, so
+    * the differential pins streamed spans ≡ the batch session relation
+    * and therefore the whole concurrency table. */
+  def sessionSpans(events: Dataset[PathEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSpan] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionSpan](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val (firstUs, lastUs) = state.get
+            state.remove()
+            Iterator.single(SessionSpan(userId, firstUs, lastUs))
+          } else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (firstUs, lastUs) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            val out = Vector.newBuilder[SessionSpan]
+            batch.foreach { r =>
+              val t = tsMicros(r.ts)
+              if (lastUs != Long.MinValue && t - lastUs > gapMs * 1000L) {
+                out += SessionSpan(userId, firstUs, lastUs)
+                firstUs = Long.MinValue
+              }
+              if (firstUs == Long.MinValue) firstUs = t
+              lastUs = t
+            }
+            if (lastUs != Long.MinValue) {
+              state.update((firstUs, lastUs))
+              state.setTimeoutTimestamp(
+                math.max(Math.floorDiv(lastUs + 999, 1000) + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class SurvivalExit(user_id: Long, bucket: Long, converted: Boolean)
 
   /** Streaming survival exits — the stateful twin of

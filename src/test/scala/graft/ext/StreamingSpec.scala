@@ -1294,4 +1294,57 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming session spans rebuild the batch concurrency table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.sessionSpans(input.toDS())
+      .writeStream.format("memory").queryName("spans_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 5 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // push the watermark past every open session's gap boundary
+      val last = ev.map(e => e.ts.getTime).max
+      input.addData(Streams.PathEvent(999999L,
+        new Timestamp(last + 2L * 3600 * 1000), 900001L, "view"))
+      q.processAllAvailable()
+      input.addData(Streams.PathEvent(999999L,
+        new Timestamp(last + 4L * 3600 * 1000), 900002L, "view"))
+      q.processAllAvailable()
+      // rebuild concurrency from the streamed spans (sentinel user's
+      // spans excluded) with the batch op's own delta/cumulative shape
+      val spans = spark.table("spans_out")
+        .filter(col("user_id") =!= 999999L)
+      val deltas = spans.select(col("start_us").as("t"), lit(1L).as("d"))
+        .unionByName(spans.select((col("end_us") + 1).as("t"), lit(-1L).as("d")))
+        .groupBy(col("t")).agg(sum(col("d")).as("d"))
+      val wT = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val live = deltas.withColumn("live", sum(col("d")).over(wT))
+        .select(to_date(timestamp_micros(col("t"))).as("day"),
+          col("t"), col("live"))
+      val peaks = live.groupBy(col("day")).agg(max(col("live")).as("peak"))
+      val streamed = live.join(peaks, Seq("day"))
+        .filter(col("live") === col("peak"))
+        .groupBy(col("day"), col("peak")).agg(min(col("t")).as("at_us"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics.sessionConcurrency(fixture)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
