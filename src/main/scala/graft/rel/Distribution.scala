@@ -133,7 +133,73 @@ object Distribution {
       |FROM agg a JOIN top t ON t.source = a.source
       |ORDER BY a.source""".stripMargin
 
+  /** Pareto concentration readout: what share of total spend do the
+    * top 20% of customers carry (the 80/20 check next to [[agg_gini]]'s
+    * full-curve coefficient). m = ceil(n/5) exactly; the top-m sum
+    * comes from the DESCENDING distinct-value cumulative — count and
+    * mass windows over |distinct spend| rows, a partial take of
+    * (m − count_above) customers at the boundary value — so no global
+    * per-customer sort exists anywhere. Single-row artifact, all
+    * BIGINT, share as floor basis points. */
+  def paretoShare(orders: DataFrame): DataFrame = {
+    val spend = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum((Exact.money(col("o_totalprice")) * 100).cast("long")).as("x"))
+    val byValue = spend.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val wDesc = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = byValue.agg(sum(col("c")).as("n"),
+      sum(col("x") * col("c")).as("total"))
+    byValue
+      .withColumn("cnt_above", coalesce(sum(col("c")).over(wDesc), lit(0L)))
+      .withColumn("mass_above", coalesce(sum(col("x") * col("c")).over(wDesc),
+        lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("m", expr("(n + 4) div 5"))
+      .filter(col("cnt_above") < col("m"))
+      .orderBy(col("x"))
+      .limit(1)
+      .select(col("n"), col("m"), col("total").as("total_cents"),
+        (col("mass_above") +
+          least(col("c"), col("m") - col("cnt_above")) * col("x"))
+          .as("top_cents"))
+      .select(col("n"), col("m"), col("total_cents"), col("top_cents"),
+        expr("top_cents * 10000L div total_cents").as("share_bp"))
+  }
+
+  val paretoShareSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |by_value AS (SELECT x, COUNT(*) AS c FROM spend GROUP BY x),
+      |cum AS (
+      |  SELECT x, c,
+      |    CAST(COALESCE(SUM(c) OVER (ORDER BY x DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cnt_above,
+      |    CAST(COALESCE(SUM(x * c) OVER (ORDER BY x DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS mass_above
+      |  FROM by_value),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |             CAST(SUM(x * c) AS BIGINT) AS total FROM by_value),
+      |boundary AS (
+      |  SELECT cum.*, t.n, t.total, (t.n + 4) // 5 AS m
+      |  FROM cum CROSS JOIN t
+      |  WHERE cum.cnt_above < (t.n + 4) // 5
+      |  ORDER BY cum.x ASC LIMIT 1)
+      |SELECT n, m, total AS total_cents,
+      |  mass_above + least(c, m - cnt_above) * x AS top_cents,
+      |  (mass_above + least(c, m - cnt_above) * x) * 10000 // total
+      |    AS share_bp
+      |FROM boundary""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "agg_pareto_share" -> QueryDef(
+      (s: SparkSession, d: String) => paretoShare(Tables.orders(s, d)),
+      paretoShareSql),
     "agg_gini" -> QueryDef(
       (s: SparkSession, d: String) =>
         giniBySegment(Tables.orders(s, d), Tables.customer(s, d)),

@@ -1167,7 +1167,63 @@ object EventAnalytics {
       |GROUP BY l.day, p.peak
       |ORDER BY l.day""".stripMargin
 
+  /** Seasonal-baseline rate anomalies: each (type, day, hour) judged
+    * against the SAME HOUR on prior days — the daily-rhythm baseline
+    * `events_spike`'s trailing window can't give (9 am is always busier
+    * than 4 am; a trailing window flags every morning). Flag when
+    * n·n_prior_days > 2·Σ prior same-hour counts (strictly more than
+    * 2× the seasonal mean, exact cross-multiplication — no IEEE mean),
+    * requiring ≥ 3 prior days so day-one noise can't fire. One
+    * partial-agg reduce to (type, day, hour), then windows keyed on
+    * (type, hour) over the calendar-bounded daily relation; gap days
+    * count as zero via the n_prior_days = days-since-first computation
+    * (a silent day IS evidence the hour is normally quiet). */
+  def seasonalSpikes(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("day"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .withColumn("sum_prior", coalesce(sum(col("n")).over(wSum), lit(0L)))
+      // prior DAYS, not prior rows: a day with zero events at this hour
+      // has no row but still counts in the baseline denominator
+      .withColumn("n_prior_days",
+        datediff(col("day"), min(col("day")).over(w)).cast("long"))
+      .filter(col("n_prior_days") >= 3 &&
+        col("n") * col("n_prior_days") > col("sum_prior") * 2)
+      .select(col("event_type"), col("day"), col("hr"), col("n"),
+        col("n_prior_days"), col("sum_prior"))
+      .orderBy(col("event_type"), col("day"), col("hr"))
+  }
+
+  val seasonalSpikesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT event_type, day, hr, n,
+      |    CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type, hr
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS sum_prior,
+      |    CAST(date_diff('day',
+      |      MIN(day) OVER (PARTITION BY event_type, hr ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), day)
+      |      AS BIGINT) AS n_prior_days
+      |  FROM hourly)
+      |SELECT event_type, day, hr, CAST(n AS BIGINT) AS n,
+      |  n_prior_days, sum_prior
+      |FROM j
+      |WHERE n_prior_days >= 3 AND n * n_prior_days > sum_prior * 2
+      |ORDER BY event_type, day, hr""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_spike_seasonal" -> QueryDef(
+      (s, d) => seasonalSpikes(Tables.events(s, d)), seasonalSpikesSql),
     "events_concurrency" -> QueryDef(
       (s, d) => sessionConcurrency(Tables.events(s, d)),
       sessionConcurrencySql),

@@ -67,4 +67,21 @@ class DistributionSpec extends SparkSuite {
       (6L, 1L, 4L, 4L),
       (7L, 1L, 5L, 5L)))
   }
+
+  /** Pareto share hand cases: n=5 → m=1, top spender carries 1/3; a tie
+    * at the boundary value takes exactly (m − above) of the tied
+    * customers, not all of them. */
+  test("pareto share: exact top-20% mass incl. boundary ties") {
+    import spark.implicits._
+    val a = Seq((1L, 1.00), (2L, 2.00), (3L, 3.00), (4L, 4.00), (5L, 5.00))
+      .toDF("o_custkey", "o_totalprice")
+    val ra = Distribution.paretoShare(a).collect().head
+    assert((ra.getLong(0), ra.getLong(1), ra.getLong(2), ra.getLong(3),
+      ra.getLong(4)) === ((5L, 1L, 1500L, 500L, 3333L)))
+    val b = Seq((1L, 1.00), (2L, 1.00), (3L, 4.00), (4L, 4.00))
+      .toDF("o_custkey", "o_totalprice")
+    val rb = Distribution.paretoShare(b).collect().head
+    assert((rb.getLong(0), rb.getLong(1), rb.getLong(2), rb.getLong(3),
+      rb.getLong(4)) === ((4L, 1L, 1000L, 400L, 4000L)))
+  }
 }

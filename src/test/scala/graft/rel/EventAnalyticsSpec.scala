@@ -500,4 +500,27 @@ class EventAnalyticsSpec extends SparkSuite {
     val t0005 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00").getTime * 1000L
     assert(got.toSeq === Seq(("2024-01-01", 2L, t0005)))
   }
+
+  /** Seasonal spikes: a 10×-burst on day 5 fires against the same-hour
+    * baseline; steady days do not; gap days count as quiet evidence in
+    * the denominator; fewer than 3 prior days never fires. */
+  test("seasonal spikes: burst fires, steady and day-one do not, gaps count") {
+    val rows = (0 to 4).map(d =>
+      (d.toLong + 1, 100L + d, f"2024-01-0${d + 1}%d 09:00:00", "view")) ++ // X-ish steady user noise
+      Seq.tabulate(5)(i => (50L + i, 200L, "2024-01-05 09:01:00", "view")) ++  // burst extra
+      Seq((90L, 300L, "2024-01-01 10:00:00", "click"),
+        (91L, 301L, "2024-01-05 10:00:00", "click"),
+        (92L, 302L, "2024-01-05 10:01:00", "click"))
+    val e = ev(rows)
+    val got = EventAnalytics.seasonalSpikes(e)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // view@09: days 1-4 have 1 event each, day 5 has 1+5 = 6:
+    //   6·4 = 24 > 2·4 = 8 → fires with sum_prior 4
+    // click@10: day 1 has 1, day 5 has 2: n_prior_days 4 (gap days
+    //   count), 2·4 = 8 > 2·1 = 2 → fires with sum_prior 1
+    assert(got === Seq(
+      ("click", "2024-01-05", 10L, 2L, 4L, 1L),
+      ("view", "2024-01-05", 9L, 6L, 4L, 4L)))
+  }
 }
