@@ -1426,7 +1426,65 @@ object Corpus {
       |    AS mass_selected
       |FROM boundary""".stripMargin
 
+  /** Corpus snapshot diff — the dataset-versioning readout (what
+    * changed between drop v1 and drop v2?): FULL OUTER join on doc_id,
+    * rows classify as removed / added / changed (md5(text) differs) /
+    * same, and the report aggregates counts plus char mass on both
+    * sides — the summary a dataset card's "changes since v1" section
+    * carries. The v2 snapshot is synthesized deterministically from v1
+    * (drop ≡0 mod 13, rewrite text ≡0 mod 7, add a shifted copy ≡0 mod
+    * 11) so the operator is fixture-pure; a real deployment feeds two
+    * real snapshot paths. Content compare is md5 (portable), join keyed
+    * on doc_id with AQE sizing — never a text×text compare. */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val v1 = docs.select(col("doc_id"), col("text"))
+    val v2base = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val v2 = v2base.unionByName(
+      v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    v1.select(col("doc_id"), col("text").as("t1"))
+      .join(v2.select(col("doc_id"), col("text").as("t2")),
+        Seq("doc_id"), "full_outer")
+      .select(
+        when(col("t2").isNull, "removed")
+          .when(col("t1").isNull, "added")
+          .when(md5(col("t1")) =!= md5(col("t2")), "changed")
+          .otherwise("same").as("status"),
+        col("t1"), col("t2"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col("t1")), lit(0))).cast("long").as("chars_v1"),
+        sum(coalesce(length(col("t2")), lit(0))).cast("long").as("chars_v2"))
+      .orderBy(col("status"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 11 = 0),
+      |d AS (
+      |  SELECT CASE WHEN b.text IS NULL THEN 'removed'
+      |              WHEN a.text IS NULL THEN 'added'
+      |              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+      |              ELSE 'same' END AS status,
+      |    a.text AS t1, b.text AS t2
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT status, COUNT(*) AS n_docs,
+      |  CAST(SUM(COALESCE(length(t1), 0)) AS BIGINT) AS chars_v1,
+      |  CAST(SUM(COALESCE(length(t2), 0)) AS BIGINT) AS chars_v2
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   private val q2: Seq[(String, QueryDef)] = Seq(
+    "corpus_snapshot_diff" -> QueryDef(
+      (s, d) => snapshotDiff(Tables.documents(s, d)),
+      Some(snapshotDiffSql)),
     "corpus_budget_fill" -> QueryDef(
       (s, d) => budgetFill(Tables.documents(s, d)),
       Some(budgetFillSql)),

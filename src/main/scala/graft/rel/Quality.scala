@@ -670,7 +670,37 @@ object Quality {
       |    viol = 0 FROM fd)
       |SELECT "check", measured, ok FROM rows_out ORDER BY "check"""".stripMargin
 
+  /** Content-checksum manifest: per source, an ORDER-FREE corpus
+    * fingerprint — doc count, char mass, and Σ(md5(text) residue mod
+    * 10⁹) — the cheap equality certificate two copies of a dataset
+    * compare before anyone diffs rows (silent corruption, partial
+    * copies, re-encoding drift all move the sum). Residue sums are
+    * commutative, so the manifest is partitioning/order-independent
+    * by construction; one narrow md5 map + one partial-agg reduce. */
+  def contentChecksum(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+          % 1000000000L).as("res"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("res")).as("checksum"))
+      .orderBy(col("source"))
+
+  val contentChecksumSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000000)
+      |       AS BIGINT) AS checksum
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_content_checksum" -> QueryDef(
+      (s, d) => contentChecksum(Tables.documents(s, d)),
+      contentChecksumSql),
     "dq_key_discovery" -> QueryDef(
       (s, d) => keyDiscovery(Tables.orders(s, d), Tables.lineitem(s, d)),
       keyDiscoverySql),

@@ -478,4 +478,20 @@ class CorpusSpec extends SparkSuite {
       r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
       ((12L, 24L, 4L, 2L, 2L, 2L, 4L, 10L)))
   }
+
+  /** Snapshot diff on hand ids {1,7,11,13,14}: 13 drops, 7 and 14 get
+    * the ' v2' rewrite, 11 also spawns a shifted copy — every status
+    * arm fires with exact char masses on both sides. */
+  test("snapshot diff: all four status arms with exact char masses") {
+    import spark.implicits._
+    val docs = Seq(1L, 7L, 11L, 13L, 14L)
+      .map(i => (i, "a" * i.toInt)).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("added", 1L, 0L, 11L),
+      ("changed", 2L, 21L, 27L),
+      ("removed", 1L, 13L, 0L),
+      ("same", 2L, 12L, 12L)))
+  }
 }

@@ -235,4 +235,26 @@ class QualitySpec extends SparkSuite {
     // order — a candidate key a profiler must REJECT, not assume
     assert(!got("lineitem.key:l_orderkey+l_linenumber"))
   }
+
+  /** Content checksum equals a driver-side md5 recompute and is
+    * invariant to partitioning (the order-free residue-sum property the
+    * manifest exists for). */
+  test("content checksum: md5 recompute equality, partition invariance") {
+    import spark.implicits._
+    val docs = Seq((1L, "s0", "alpha"), (2L, "s0", "beta"), (3L, "s1", "gamma"))
+      .toDF("doc_id", "source", "text")
+    def res(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000000000L
+    }
+    val got = Quality.contentChecksum(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("s0", 2L, 9L, res("alpha") + res("beta")),
+      ("s1", 1L, 5L, res("gamma"))))
+    val rep = Quality.contentChecksum(docs.repartition(5))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq === got.toSeq)
+  }
 }
