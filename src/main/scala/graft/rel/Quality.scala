@@ -697,7 +697,55 @@ object Quality {
       |FROM documents
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Event-time lateness audit — the measurement that SIZES a
+    * watermark: within each type, events arrive in event_id order (the
+    * log's ingest sequence); an event whose timestamp sits behind the
+    * running event-time maximum is LATE by exactly that gap. Per type:
+    * events, late events, max and total lateness in exact microseconds
+    * — read these before choosing `withWatermark`'s delay (the
+    * streaming twins here default to 10 minutes; this table is how
+    * that number stops being a guess). One type-keyed window over the
+    * arrival order + one partial-agg reduce. */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_us",
+        greatest(coalesce(col("hwm") - col("us"), lit(0L)), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("sum_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val latenessAuditSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    greatest(COALESCE(MAX(us) OVER (PARTITION BY event_type
+      |      ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0)
+      |      AS late_us
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+      |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_lateness" -> QueryDef(
+      (s, d) => latenessAudit(Tables.events(s, d)), latenessAuditSql),
     "dq_content_checksum" -> QueryDef(
       (s, d) => contentChecksum(Tables.documents(s, d)),
       contentChecksumSql),

@@ -257,4 +257,24 @@ class QualitySpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rep.toSeq === got.toSeq)
   }
+
+  /** Lateness: arrival order is event_id; an event behind the running
+    * event-time max is late by the exact gap, the first event never is,
+    * and types audit independently. */
+  test("lateness audit: exact micro gaps against the running max") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 10:05:00", "a"),
+      (3L, "2024-01-01 10:03:00", "a"),   // 2 min late
+      (4L, "2024-01-01 10:05:00", "a"),   // ties are not late
+      (5L, "2024-01-01 09:00:00", "b"))   // first of its type: on time
+      .map { case (id, t, ty) => (id, Timestamp.valueOf(t), ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = Quality.latenessAudit(e)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("a", 4L, 1L, 120000000L, 120000000L),
+      ("b", 1L, 0L, 0L, 0L)))
+  }
 }
