@@ -1380,8 +1380,9 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = byLen.agg(sum(col("mass")).as("total"))
     byLen
-      .withColumn("mass_below", coalesce(sum(col("mass")).over(wAsc), lit(0L)))
-      .withColumn("docs_below", coalesce(sum(col("cnt")).over(wAsc), lit(0L)))
+      .select(col("w"), col("cnt"), col("mass"),
+        coalesce(sum(col("mass")).over(wAsc), lit(0L)).as("mass_below"),
+        coalesce(sum(col("cnt")).over(wAsc), lit(0L)).as("docs_below"))
       .crossJoin(broadcast(tot))
       .withColumn("budget", expr("total div 2"))
       .filter(col("mass_below") <= col("budget"))

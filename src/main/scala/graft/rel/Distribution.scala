@@ -151,9 +151,10 @@ object Distribution {
     val tot = byValue.agg(sum(col("c")).as("n"),
       sum(col("x") * col("c")).as("total"))
     byValue
-      .withColumn("cnt_above", coalesce(sum(col("c")).over(wDesc), lit(0L)))
-      .withColumn("mass_above", coalesce(sum(col("x") * col("c")).over(wDesc),
-        lit(0L)))
+      .select(col("x"), col("c"),
+        coalesce(sum(col("c")).over(wDesc), lit(0L)).as("cnt_above"),
+        coalesce(sum(col("x") * col("c")).over(wDesc), lit(0L))
+          .as("mass_above"))
       .crossJoin(broadcast(tot))
       .withColumn("m", expr("(n + 4) div 5"))
       .filter(col("cnt_above") < col("m"))

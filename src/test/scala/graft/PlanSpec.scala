@@ -302,4 +302,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected TakeOrdered for the priority top-k:\n$p")
   }
+
+  test("distribution-shape ops: ONE window, over the aggregated relation " +
+      "(agg_gini / agg_pareto_share / agg_histogram_eqdepth / corpus_budget_fill)") {
+    // the telescoping trick's whole point: the ranking window runs over
+    // the distinct-value AGGREGATE, never per input row — exactly one
+    // Window node, with a HashAggregate strictly below it
+    for (name <- Seq("agg_gini", "agg_pareto_share", "agg_histogram_eqdepth",
+        "corpus_budget_fill")) {
+      val p = plan(name)
+      val lines = p.split("\n")
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      assert(winIdx >= 0, s"$name: expected a Window node in:\n$p")
+      assert("(?<!GroupLimit)Window".r.findAllIn(p).length == 1,
+        s"$name: expected exactly one Window in:\n$p")
+      assert(lines.drop(winIdx + 1).exists(_.contains("HashAggregate")),
+        s"$name: the Window must consume an aggregate, not raw rows:\n$p")
+    }
+  }
+
+  test("search_snippet: embarrassingly parallel — top-k cut, no hash exchange") {
+    val p = plan("search_snippet")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"snippet extraction must not shuffle:\n$p")
+  }
+
+  test("simsearch_mips: query vector broadcasts; the scan side never shuffles " +
+      "before the top-k") {
+    val p = plan("simsearch_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row query side broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")
+  }
 }
