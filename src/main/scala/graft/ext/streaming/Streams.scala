@@ -1284,6 +1284,79 @@ object Streams {
       }
   }
 
+  case class SeasonalSpike(event_type: String, day: java.sql.Date,
+      hr: Long, n: Long, n_prior_days: Long, sum_prior: Long)
+
+  /** Streaming seasonal-baseline anomalies — the stateful twin of
+    * `rel.EventAnalytics.seasonalSpikes`. Keyed by (type, hour); state
+    * is FOUR scalars (first day, Σ prior closed-day counts, open day,
+    * open count). A day closes when a later day's event arrives for the
+    * key (ordered per-key arrival) or when the event-time timer passes
+    * the open day's end — the verdict n·n_prior_days > 2·sum_prior
+    * evaluates ON CLOSE with the calendar-distance denominator, exactly
+    * the batch rule, then the day folds into the baseline. Gap days
+    * need no rows on either side: the calendar distance carries them. */
+  def seasonalSpikeStream(events: Dataset[PathEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[SeasonalSpike] = {
+    import events.sparkSession.implicits._
+    def dayOf(us: Long): Long = Math.floorDiv(us, 86400000000L)
+    def hourOf(us: Long): Long = Math.floorDiv(us, 3600000000L) % 24
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.event_type, hourOf(tsMicros(e.ts))))
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SeasonalSpike](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        case ((etype, hr), rows, state) =>
+          def verdict(firstDay: Long, sumPrior: Long, day: Long,
+              cnt: Long): Option[SeasonalSpike] = {
+            val nPrior = day - firstDay
+            if (nPrior >= 3 && cnt * nPrior > sumPrior * 2)
+              Some(SeasonalSpike(etype,
+                new java.sql.Date(day * 86400000L), hr, cnt, nPrior, sumPrior))
+            else None
+          }
+          if (state.hasTimedOut) {
+            // close the open day but KEEP the key's baseline — the
+            // watermark passing a quiet day must not reset first-day
+            // history (gap days are evidence, not amnesia)
+            val (firstDay, sumPrior, curDay, curCount) = state.get
+            if (curDay == Long.MinValue) Iterator.empty
+            else {
+              val v = verdict(firstDay, sumPrior, curDay, curCount)
+              state.update((firstDay, sumPrior + curCount, Long.MinValue, 0L))
+              v.iterator
+            }
+          } else {
+            val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+            var (firstDay, sumPrior, curDay, curCount) =
+              state.getOption.getOrElse((Long.MinValue, 0L, Long.MinValue, 0L))
+            val out = Vector.newBuilder[SeasonalSpike]
+            batch.foreach { r =>
+              val day = dayOf(tsMicros(r.ts))
+              if (firstDay == Long.MinValue) {
+                firstDay = day; curDay = day; curCount = 1L
+              } else if (curDay == Long.MinValue) {
+                // timer already folded the previous open day
+                curDay = day; curCount = 1L
+              } else if (day == curDay) {
+                curCount += 1L
+              } else {
+                out ++= verdict(firstDay, sumPrior, curDay, curCount)
+                sumPrior += curCount
+                curDay = day; curCount = 1L
+              }
+            }
+            state.update((firstDay, sumPrior, curDay, curCount))
+            if (curDay != Long.MinValue)
+              // close the open day once the watermark passes its end
+              state.setTimeoutTimestamp(
+                math.max((curDay + 1) * 86400000L,
+                  state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class SessionSpan(user_id: Long, start_us: Long, end_us: Long)
 
   /** Streaming session spans — the sessionize stage of

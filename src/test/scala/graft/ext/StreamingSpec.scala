@@ -1347,4 +1347,43 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming seasonal spikes match the batch anomaly table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.seasonalSpikeStream(input.toDS())
+      .writeStream.format("memory").queryName("seasonal_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 6 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val last = ev.map(_.ts.getTime).max
+      input.addData(Streams.PathEvent(999999L,
+        new Timestamp(last + 3L * 24 * 3600 * 1000), 900001L, "sentinel"))
+      q.processAllAvailable()
+      input.addData(Streams.PathEvent(999999L,
+        new Timestamp(last + 4L * 24 * 3600 * 1000), 900002L, "sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("seasonal_out")
+        .filter(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sorted.toSeq
+      val batched = graft.rel.EventAnalytics.seasonalSpikes(fixture)
+        .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }

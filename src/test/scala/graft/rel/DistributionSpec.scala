@@ -84,4 +84,33 @@ class DistributionSpec extends SparkSuite {
     assert((rb.getLong(0), rb.getLong(1), rb.getLong(2), rb.getLong(3),
       rb.getLong(4)) === ((4L, 1L, 1000L, 400L, 4000L)))
   }
+
+  /** Property: the Gini coefficient is scale-free — multiplying every
+    * spend by a constant must not move a single basis point (the
+    * integer numerator and denominator both scale by k, and the
+    * floor-division ratio is exact). Randomized spends, exact equality. */
+  test("gini: scale invariance property on random spends") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(60, Gen.choose(1L, 2000L))
+    for (seed <- 1L to 5L) {
+      val spends = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      def ordersOf(k: Long) = {
+        import spark.implicits._
+        spends.zipWithIndex
+          .map { case (v, i) => (i.toLong, (v * k).toDouble) }
+          .toDF("o_custkey", "o_totalprice")
+      }
+      import spark.implicits._
+      val customer = spends.indices.map(i => (i.toLong, "S"))
+        .toDF("c_custkey", "c_mktsegment")
+      val base = Distribution.giniBySegment(ordersOf(1L), customer)
+        .collect().head
+      val scaled = Distribution.giniBySegment(ordersOf(7L), customer)
+        .collect().head
+      assert(base.getLong(3) === scaled.getLong(3), s"seed $seed: gini moved")
+      assert(scaled.getLong(2) === 7L * base.getLong(2), s"seed $seed: total")
+      assert(base.getLong(1) === scaled.getLong(1))
+    }
+  }
 }
