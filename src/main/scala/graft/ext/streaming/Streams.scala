@@ -1284,6 +1284,40 @@ object Streams {
       }
   }
 
+  case class LatenessInc(event_type: String, late_us: Long)
+
+  /** Streaming lateness increments — the stateful twin of
+    * `rel.Quality.latenessAudit`, and the one op that is MORE natural
+    * streamed than batched: the batch side must reconstruct ingest
+    * order from event_id, while a stream observes it. State per type is
+    * ONE scalar (the event-time high-water mark); every event emits its
+    * exact lateness against it (0 when on time). Aggregating increments
+    * per type (count, count>0, max, sum) reproduces the batch audit —
+    * the differential pins it — and the same aggregate windowed by
+    * processing time is the live lateness dashboard that tunes
+    * `withWatermark`. */
+  def latenessStream(events: Dataset[PathEvent]): Dataset[LatenessInc] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, LatenessInc](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype, rows, state) =>
+          // ingest order within the micro-batch = event_id (the log's
+          // arrival sequence — the batch op's ordering contract)
+          val batch = rows.toVector.sortBy(_.event_id)
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = batch.map { r =>
+            val us = tsMicros(r.ts)
+            val late = if (hwm == Long.MinValue) 0L else math.max(hwm - us, 0L)
+            if (us > hwm) hwm = us
+            LatenessInc(etype, late)
+          }
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
   case class SeasonalSpike(event_type: String, day: java.sql.Date,
       hr: Long, n: Long, n_prior_days: Long, sum_prior: Long)
 

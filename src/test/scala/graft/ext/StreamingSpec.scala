@@ -1386,4 +1386,39 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming lateness increments aggregate to the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    // ingest order IS event_id — feed the log as it was written
+    val ev = fixture
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(_.event_id)
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.latenessStream(input.toDS())
+      .writeStream.format("memory").queryName("lateness_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("lateness_out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("late_us") > 0).cast("long")).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          sum(col("late_us")).as("sum_late_us"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      val batched = graft.rel.Quality.latenessAudit(fixture)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
