@@ -197,7 +197,78 @@ object Distribution {
       |    AS share_bp
       |FROM boundary""".stripMargin
 
+  /** Winsorized mean of the price column — the robust location
+    * estimate an outlier-ridden 100 TB drop needs before plain AVG
+    * means anything: values below the p5 / above the p95 rank cut are
+    * CLAMPED to the cut values (winsorizing keeps mass, trimming drops
+    * it), cuts found on the distinct-value cumulative (the A15/A16
+    * relation — never a global per-row sort), clamped sum is
+    * Σ clamp(v)·cnt in exact cents, mean one floor division. Rank
+    * semantics: cut_lo = smallest v with cum_count ≥ ceil(n/20),
+    * cut_hi = smallest v with cum_count ≥ ceil(19n/20) — deterministic
+    * under ties by construction. */
+  def winsorizedMean(lineitem: DataFrame): DataFrame = {
+    val cents = lineitem.select(
+      (Exact.money(col("l_extendedprice")) * 100).cast("long").as("v"))
+    val byValue = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue
+      .select(col("v"), col("c"), sum(col("c")).over(w).as("cum"))
+    val tot = byValue.agg(sum(col("c")).as("n"))
+    val withN = cum.crossJoin(broadcast(tot))
+      .withColumn("r_lo", expr("(n + 19) div 20"))
+      .withColumn("r_hi", expr("(19 * n + 19) div 20"))
+    val loCut = withN.filter(col("cum") >= col("r_lo"))
+      .agg(min(col("v")).as("lo"))
+    val hiCut = withN.filter(col("cum") >= col("r_hi"))
+      .agg(min(col("v")).as("hi"))
+    byValue.crossJoin(broadcast(loCut)).crossJoin(broadcast(hiCut))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("lo"), col("hi"),
+        (least(greatest(col("v"), col("lo")), col("hi")) * col("c"))
+          .as("wmass"),
+        (col("v") * col("c")).as("mass"))
+      .groupBy(col("n"), col("lo"), col("hi"))
+      .agg(sum(col("wmass")).as("winsorized_cents"),
+        sum(col("mass")).as("raw_cents"))
+      .select(col("n"), col("lo").as("lo_cut_cents"),
+        col("hi").as("hi_cut_cents"),
+        col("winsorized_cents"), col("raw_cents"),
+        expr("winsorized_cents div n").as("winsorized_mean_cents"),
+        expr("raw_cents div n").as("raw_mean_cents"))
+  }
+
+  val winsorizedMeanSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS v FROM lineitem),
+      |by_value AS (SELECT v, COUNT(*) AS c FROM cents GROUP BY v),
+      |cum AS (
+      |  SELECT v, c,
+      |    CAST(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM by_value),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM by_value),
+      |lo AS (SELECT MIN(v) AS lo FROM cum CROSS JOIN t
+      |       WHERE cum >= (n + 19) // 20),
+      |hi AS (SELECT MIN(v) AS hi FROM cum CROSS JOIN t
+      |       WHERE cum >= (19 * n + 19) // 20)
+      |SELECT t.n, lo.lo AS lo_cut_cents, hi.hi AS hi_cut_cents,
+      |  CAST(SUM(least(greatest(v, lo.lo), hi.hi) * c) AS BIGINT)
+      |    AS winsorized_cents,
+      |  CAST(SUM(v * c) AS BIGINT) AS raw_cents,
+      |  CAST(SUM(least(greatest(v, lo.lo), hi.hi) * c) AS BIGINT) // t.n
+      |    AS winsorized_mean_cents,
+      |  CAST(SUM(v * c) AS BIGINT) // t.n AS raw_mean_cents
+      |FROM by_value CROSS JOIN t CROSS JOIN lo CROSS JOIN hi
+      |GROUP BY t.n, lo.lo, hi.hi""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "agg_winsorized" -> QueryDef(
+      (s: SparkSession, d: String) => winsorizedMean(Tables.lineitem(s, d)),
+      winsorizedMeanSql),
     "agg_pareto_share" -> QueryDef(
       (s: SparkSession, d: String) => paretoShare(Tables.orders(s, d)),
       paretoShareSql),

@@ -999,6 +999,48 @@ object Graph {
        |ORDER BY ra_fp DESC, u, v
        |LIMIT $k""".stripMargin
 
+  /** Top-k nodes by exact 2-hop reach (ego-network size at radius 2,
+    * self excluded): the influence readout degree alone overstates for
+    * nodes whose neighbors all know each other — reach counts DISTINCT
+    * vertices within two hops, so a clustered hub scores low and a
+    * bridge scores high. Candidates = direct neighbors ∪ wedge
+    * endpoints (the same Σ deg(w)² stream as `jaccardPairs`); one
+    * distinct + one count per node; TakeOrdered cut on (reach DESC,
+    * node). */
+  def reachTwoHop(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val twoHop = e.select(col("src").as("w"), col("dst").as("u"))
+      .join(e.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u").as("node"), col("v").as("r"))
+    val oneHop = e.select(col("src").as("node"), col("dst").as("r"))
+    oneHop.unionByName(twoHop).distinct()
+      .groupBy(col("node")).agg(count(lit(1)).as("reach2"))
+      .orderBy(col("reach2").desc, col("node"))
+      .limit(k)
+  }
+
+  def reachTwoHopSql(k: Int): String =
+    s"""WITH eh AS (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM eh
+       |      UNION ALL SELECT v, u FROM eh),
+       |reach AS (
+       |  SELECT src AS node, dst AS r FROM e
+       |  UNION
+       |  SELECT a.dst AS node, b.dst AS r
+       |  FROM e a JOIN e b ON a.src = b.src AND a.dst <> b.dst)
+       |SELECT node, COUNT(*) AS reach2
+       |FROM reach GROUP BY node
+       |ORDER BY reach2 DESC, node
+       |LIMIT $k""".stripMargin
+
   /** Log-binned degree distribution: the first profile anyone draws of
     * a graph (is it power-law? where's the hub tail?) — nodes bucketed
     * by floor(log2(degree)) computed EXACTLY as binary-string length
@@ -1944,6 +1986,9 @@ object Graph {
     "graph_degrees" -> QueryDef(
       (s, d) => degreeHistogram(s.table(ensureBackbone(s, d))),
       degreeHistogramSql()),
+    "graph_reach2" -> QueryDef(
+      (s, d) => reachTwoHop(s.table(ensureBackbone(s, d)), 50),
+      reachTwoHopSql(50)),
     "graph_link_predict" -> QueryDef(
       (s, d) => linkPredictionRA(s.table(ensureBackbone(s, d)), 50),
       linkPredictionRASql(50)),

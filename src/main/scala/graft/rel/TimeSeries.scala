@@ -917,7 +917,77 @@ object TimeSeries {
        |GROUP BY d.event_type, seg
        |ORDER BY d.event_type, seg""".stripMargin
 
+  /** Moving-average crossover detector (the golden/death-cross signal):
+    * per event type, the 3-day revenue SMA against the 7-day SMA, a
+    * signal on every day where the relation FLIPS. Exactness: the SMAs
+    * never materialize — the compare is the cross-multiplication
+    * 7·sum3 > 3·sum7 on exact cents, both sums RANGE-framed over the
+    * integer day index so calendar gaps count as zero revenue instead
+    * of silently shrinking the window; days before both windows (and
+    * the previous day's) fill are excluded. One daily reduce + three
+    * same-ordering windows per type — calendar-bounded. */
+  def smaCrossover(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .withColumn("didx", datediff(col("day"), col("d0")).cast("long"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("didx"))
+    val f3 = byType.rangeBetween(-2, 0)
+    val s7 = byType.rangeBetween(-6, 0)
+    idx
+      .select(col("event_type"), col("day"), col("didx"), col("cents"),
+        sum(col("cents")).over(f3).as("sum3"),
+        sum(col("cents")).over(s7).as("sum7"),
+        min(col("didx")).over(byType
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_idx"))
+      .withColumn("above", (col("sum3") * 7 > col("sum7") * 3).cast("int"))
+      .withColumn("prev_above", lag(col("above"), 1).over(byType))
+      .filter(col("didx") >= col("first_idx") + 7 &&
+        col("prev_above").isNotNull && col("above") =!= col("prev_above"))
+      .select(col("event_type"), col("day"),
+        col("sum3").as("sum3_cents"), col("sum7").as("sum7_cents"),
+        when(col("above") === 1, "golden").otherwise("death").as("signal"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val smaCrossoverSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |idx AS (
+      |  SELECT event_type, day,
+      |    CAST(date_diff('day', d0.d0, day) AS BIGINT) AS didx, cents
+      |  FROM daily CROSS JOIN d0),
+      |wins AS (
+      |  SELECT event_type, day, didx,
+      |    CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY didx
+      |      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3,
+      |    CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY didx
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7,
+      |    MIN(didx) OVER (PARTITION BY event_type ORDER BY didx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_idx
+      |  FROM idx),
+      |flags AS (
+      |  SELECT event_type, day, didx, first_idx, sum3, sum7,
+      |    CASE WHEN sum3 * 7 > sum7 * 3 THEN 1 ELSE 0 END AS above,
+      |    LAG(CASE WHEN sum3 * 7 > sum7 * 3 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY event_type ORDER BY didx) AS prev_above
+      |  FROM wins)
+      |SELECT event_type, day, sum3 AS sum3_cents, sum7 AS sum7_cents,
+      |  CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS signal
+      |FROM flags
+      |WHERE didx >= first_idx + 7 AND prev_above IS NOT NULL
+      |  AND above <> prev_above
+      |ORDER BY event_type, day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_crossover" -> QueryDef(
+      (s, d) => smaCrossover(Tables.events(s, d)), smaCrossoverSql),
     "ts_paa" -> QueryDef(
       (s, d) => paaDailyValue(Tables.events(s, d), 6), paaDailyValueSql(6)),
     "ts_changepoint" -> QueryDef(

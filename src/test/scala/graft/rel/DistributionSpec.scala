@@ -113,4 +113,16 @@ class DistributionSpec extends SparkSuite {
       assert(base.getLong(1) === scaled.getLong(1))
     }
   }
+
+  /** Winsorized mean on cents 1..40: p5 rank cut = 2, p95 = 38 — the
+    * tails clamp (1→2, 39→38, 40→38) and the robust mean stays at the
+    * uncontaminated center. */
+  test("winsorized mean: exact rank cuts and clamped mass") {
+    import spark.implicits._
+    val li = (1 to 40).map(i => i / 100.0).toDF("l_extendedprice")
+    val r = Distribution.winsorizedMean(li).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ===
+      ((40L, 2L, 38L, 818L, 820L, 20L, 20L)))
+  }
 }

@@ -147,6 +147,18 @@ class GraphSpec extends SparkSuite {
       (1L, 3L, 1L, 250000L)))
   }
 
+  /** Path 1–2–3–4–5: the middle vertex reaches 4 nodes within two
+    * hops, its neighbors 3, the endpoints 2 — degree alone would call
+    * all interior nodes equal. */
+  test("two-hop reach: exact ego sizes on a path") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = Graph.reachTwoHop(e, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      (3L, 4L), (2L, 3L), (4L, 3L), (1L, 2L), (5L, 2L)))
+  }
+
   /** Star 1–{2..9}: hub degree 8 lands in bin 3 (floor log2 = 3), the
     * eight leaves in bin 0 — the exact binary-length binning with no
     * float log2 anywhere near the power-of-two boundary. */

@@ -324,4 +324,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(("Y", 0L)) === ((1L, 500L, 500L)))
     assert(got(("Y", 1L)) === ((1L, 700L, 700L)))
   }
+
+  /** Crossover: eight flat days arm the windows (3/3 vs 7/7 average is
+    * EQUAL — strict compare stays below), the day-9 burst flips the
+    * fast SMA above the slow one exactly once; the settling day does
+    * not flip back. */
+  test("ts_crossover: single golden cross, warm-up days excluded") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val cents = Seq.fill(8)(100L) ++ Seq(1000L, 1L)
+    val e = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, "X", Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        c / 100.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.smaCrossover(e)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(("X", "2024-01-09", 1200L, 1600L, "golden")))
+  }
 }
