@@ -33,6 +33,7 @@ object SparkEntry {
         Summary.lineitemVatSummarySqlDecimal)) ++
       rel.RelQueries.queries ++
       rel.Distribution.queries ++
+      rel.Experiments.queries ++
       rel.Windows.queries ++
       rel.Scalars.queries ++
       rel.AdvancedJoins.queries ++

@@ -711,8 +711,58 @@ object Search {
 
   val spellTerms = Seq("tabl", "windoww", "filtar", "valu", "scan", "zzzz")
 
+  /** Faceted result-set aggregation: the (lang, source) count grid a
+    * search UI renders beside the hit list, over the SAME conjunctive
+    * match set as [[rankedSearch]]. The match set is doc_ids only
+    * (postings-grouped, AND via distinct-term count — never a doc×doc
+    * or term×term product); facets join that narrow set back to the
+    * metadata columns and partial-aggregate. share_bp is each cell's
+    * slice of the whole result set, exact by construction (counts are
+    * integers, the total joins in from one broadcast row). */
+  def facetedSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val matched = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"))
+    val cells = matched.join(docs, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+    val tot = cells.agg(sum(col("n_docs")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("mass"),
+        expr("n_docs * 10000L div total").as("share_bp"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def facetedSearchSql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  WHERE token IN ($inList)
+       |  GROUP BY doc_id
+       |  HAVING COUNT(DISTINCT token) = ${terms.size}),
+       |cells AS (
+       |  SELECT d.lang, d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS mass
+       |  FROM m JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang, d.source),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cells)
+       |SELECT lang, source, n_docs, mass,
+       |  n_docs * 10000 // total AS share_bp
+       |FROM cells CROSS JOIN t
+       |ORDER BY lang, source""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = q ++ Seq(
     "search_spell" -> QueryDef(
       (s, d) => spellSuggest(Tables.documents(s, d), spellTerms),
-      spellSuggestSql(spellTerms)))
+      spellSuggestSql(spellTerms)),
+    "search_facets" -> QueryDef(
+      (s, d) => facetedSearch(Tables.documents(s, d), Seq("hash", "join")),
+      facetedSearchSql(Seq("hash", "join"))))
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -710,5 +711,87 @@ object TextOps {
       (s, d) => readability(Tables.documents(s, d)),
       Some(readabilitySql)))
 
-  def queries: Seq[(String, QueryDef)] = q ++ q3
+  /** Zipf-law diagnostic over the corpus vocabulary: rank·frequency for
+    * the head of the distribution. Under Zipf, r·f is near-constant —
+    * its drift across the head is the readout (synthetic/templated
+    * corpora flatten it, natural text holds it), and it needs NO log-log
+    * regression, so the whole surface stays integer (slope fitting would
+    * mean libm log on the comparison surface — the text_commonness
+    * veto). Rank = row_number over the VOCABULARY relation
+    * (Heaps-sublinear; the only window in the op), ties broken
+    * lexically; share in floor basis points of total token mass. */
+  def zipfHead(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val toks = docs.select(
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(sum(col("freq")).as("total"))
+    freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("rank") * col("freq")).as("rf"),
+        expr("freq * 10000L div total").as("share_bp"))
+      .orderBy(col("rank"))
+  }
+
+  def zipfHeadSql(topK: Int = 30): String =
+    s"""WITH t AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM documents),
+      |f AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token),
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+      |r AS (
+      |  SELECT token, freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      |  FROM f)
+      |SELECT rank, token, freq, rank * freq AS rf,
+      |  freq * 10000 // total AS share_bp
+      |FROM r CROSS JOIN tot WHERE rank <= $topK
+      |ORDER BY rank""".stripMargin
+
+  /** Token burstiness (Church & Gale shape): collection frequency over
+    * document frequency — cf/df ≈ 1 for function words spread evenly,
+    * high for topical terms that clump. The signal behind stopword-vs-
+    * content routing and keyword weighting, exact as 1000·cf div df.
+    * One explode feeds BOTH counts via a (token, doc_id) pre-distinct;
+    * both aggregates are over the vocabulary relation; head by
+    * (burstiness, token) with df ≥ 5 so single-doc noise can't top the
+    * table. */
+  def burstiness(docs: DataFrame, topK: Int = 30, minDf: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+    val cf = toks.groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val df = toks.select(col("token"), col("doc_id")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    cf.join(df, Seq("token"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("cf"), col("df"),
+        expr("cf * 1000L div df").as("burst_milli"))
+      .orderBy(col("burst_milli").desc, col("token"))
+      .limit(topK)
+  }
+
+  def burstinessSql(topK: Int = 30, minDf: Int = 5): String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |cf AS (SELECT token, COUNT(*) AS cf FROM t GROUP BY token),
+      |df AS (SELECT token, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT token, doc_id FROM t) GROUP BY token)
+      |SELECT cf.token, cf.cf, df.df, cf.cf * 1000 // df.df AS burst_milli
+      |FROM cf JOIN df USING (token)
+      |WHERE df.df >= $minDf
+      |ORDER BY burst_milli DESC, cf.token LIMIT $topK""".stripMargin
+
+  private val q4: Seq[(String, QueryDef)] = Seq(
+    "text_zipf" -> QueryDef(
+      (s, d) => zipfHead(Tables.documents(s, d)), Some(zipfHeadSql())),
+    "text_burstiness" -> QueryDef(
+      (s, d) => burstiness(Tables.documents(s, d)), Some(burstinessSql())))
+
+  def queries: Seq[(String, QueryDef)] = q ++ q3 ++ q4
 }

@@ -265,7 +265,60 @@ object Distribution {
       |FROM by_value CROSS JOIN t CROSS JOIN lo CROSS JOIN hi
       |GROUP BY t.n, lo.lo, hi.hi""".stripMargin
 
+  /** Hoover (Robin Hood) index per market segment: the share of total
+    * spend that would have to move to equalize everyone — H =
+    * Σ|x_i − μ| / (2·Σx), held exact by cross-multiplication:
+    * H_bp = 10000·Σ c·|n·x − s| div (2·n·s) over the DISTINCT-value
+    * relation (the A15 trick — multiplicity c folds all tied customers
+    * into one term, no per-customer window anywhere). The numerator can
+    * graze BIGINT at fat segments (n·x products), so the scaled final
+    * product goes through DECIMAL(38,0), whose DuckDB twin is the
+    * automatic HUGEINT promotion. Complements A15: Gini weighs the
+    * whole curve, Hoover reads the single worst transfer. */
+  def hooverBySegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum((Exact.money(col("o_totalprice")) * 100).cast("long")).as("x"))
+    val byValue = spend.groupBy(col("seg"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val tot = byValue.groupBy(col("seg"))
+      .agg(sum(col("c")).as("n"), sum(col("x") * col("c")).as("s"))
+    byValue.join(broadcast(tot), Seq("seg"))
+      .groupBy(col("seg"), col("n"), col("s"))
+      .agg(sum(col("c") * abs(col("n") * col("x") - col("s"))).as("num"))
+      .select(col("seg"), col("n"), col("s").as("total_cents"),
+        expr("CAST(CAST(num AS DECIMAL(38,0)) * 10000 div " +
+          "(2 * CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)").as("hoover_bp"))
+      .orderBy(col("seg"))
+  }
+
+  val hooverBySegmentSql: String =
+    """WITH spend AS (
+      |  SELECT c.c_mktsegment AS seg, c.c_custkey,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_mktsegment, c.c_custkey),
+      |by_value AS (
+      |  SELECT seg, x, COUNT(*) AS c FROM spend GROUP BY seg, x),
+      |tot AS (
+      |  SELECT seg, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(x * c) AS BIGINT) AS s
+      |  FROM by_value GROUP BY seg)
+      |-- SUM promotes to HUGEINT, matching the Spark DECIMAL(38,0) hop
+      |SELECT b.seg, t.n, t.s AS total_cents,
+      |  CAST(SUM(b.c * abs(t.n * b.x - t.s)) * 10000
+      |       // (2 * t.n * t.s) AS BIGINT) AS hoover_bp
+      |FROM by_value b JOIN tot t ON t.seg = b.seg
+      |GROUP BY b.seg, t.n, t.s
+      |ORDER BY b.seg""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "agg_hoover" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        hooverBySegment(Tables.orders(s, d), Tables.customer(s, d)),
+      hooverBySegmentSql),
     "agg_winsorized" -> QueryDef(
       (s: SparkSession, d: String) => winsorizedMean(Tables.lineitem(s, d)),
       winsorizedMeanSql),

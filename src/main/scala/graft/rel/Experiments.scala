@@ -1,0 +1,356 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, QueryDef, Tables}
+
+/** Experimentation & monitoring operators. [EXT] — the reference stops at
+  * descriptive aggregates (fianl2.py:171-187); a data platform feeding a
+  * 100 TB training pipeline also runs the MEASUREMENT layer: variance
+  * reduction for online experiments (CUPED), engagement ratios
+  * (stickiness), inter-event timing, volume anomaly monitors on the
+  * ingest stream, and sampling-design allocation (Neyman).
+  *
+  * All comparison surfaces follow the engine-wide exactness discipline:
+  * integer fixed point wherever possible; where a statistic is
+  * irreducibly real-valued (CUPED's theta), exact BIGINT moments are
+  * computed first and the textbook formula runs ONCE in IEEE double on
+  * identical integer inputs — every operation correctly rounded, so both
+  * engines agree bitwise (the agg_corr_exact discipline,
+  * rel/RelQueries.scala:380).
+  */
+object Experiments {
+
+  // ---------------------------------------------------------------- DAU/MAU
+
+  /** Daily stickiness: DAU / trailing-28-day MAU, in basis points.
+    *
+    * MAU(d) = distinct users active in [d−27, d], computed by the
+    * contribution trick shared with [[EventAnalytics.activeUsers]]: each
+    * (user, active-day) pair contributes to the 28 window-days it can
+    * see, then one distinct + groupBy — never a day×user cross join and
+    * never a 28-day self-join of the daily relation. Cost scales with
+    * |distinct user-days|·28, a bounded blow-up of an already-distinct
+    * relation, and every stage is a partial-agg groupBy.
+    */
+  def stickiness(events: DataFrame, w: Int = 28): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${w - 1}))")).as("win_day"))
+      .distinct()
+      .groupBy(col("win_day").as("day"))
+      .agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 10000L div mau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  def stickinessSql(w: Int = 28): String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      |mau AS (
+      |  SELECT win_day AS day, COUNT(*) AS mau FROM (
+      |    SELECT DISTINCT user_id,
+      |      CAST(unnest(generate_series(day, day + INTERVAL ${w - 1} DAY,
+      |        INTERVAL 1 DAY)) AS DATE) AS win_day
+      |    FROM ud) GROUP BY win_day)
+      |SELECT d.day, d.dau, m.mau, d.dau * 10000 // m.mau AS stickiness_bp
+      |FROM dau d JOIN mau m ON m.day = d.day
+      |ORDER BY d.day""".stripMargin
+
+  // ---------------------------------------------------------- inter-arrival
+
+  /** Per-user inter-event gap profile in exact microseconds: gap count,
+    * min / max / mean / lower-median gap. Mean needs no window at all —
+    * consecutive gaps telescope, so Σgaps = max(ts) − min(ts) and the
+    * mean is one floor division of plain aggregates. Min/max/median run
+    * over the per-user lag stream: both windows partition BY USER
+    * (per-partition work = that user's event count — bounded, never a
+    * fat key). Ordering ties on identical timestamps break by event_id,
+    * making every surface deterministic. */
+  def interarrival(events: DataFrame): DataFrame = {
+    val ts = events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ts
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val wg = Window.partitionBy(col("user_id")).orderBy(col("gap_us"))
+    val med = gaps
+      .withColumn("rk", row_number().over(wg))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("gap_us").as("median_gap_us"))
+    val agg = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("span_us"))
+      .withColumn("mean_gap_us", expr("span_us div n_gaps"))
+    agg.join(med, Seq("user_id"))
+      .select(col("user_id"), col("n_gaps"), col("min_gap_us"),
+        col("max_gap_us"), col("mean_gap_us"), col("median_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val interarrivalSql: String =
+    """WITH ts AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      |  FROM events),
+      |gaps AS (
+      |  SELECT user_id,
+      |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS gap_us
+      |  FROM ts),
+      |g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+      |med AS (
+      |  SELECT user_id, gap_us AS median_gap_us FROM (
+      |    SELECT user_id, gap_us,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us) AS rk,
+      |      COUNT(*) OVER (PARTITION BY user_id) AS n
+      |    FROM g) WHERE rk = (n + 1) // 2),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us,
+      |    MAX(gap_us) AS max_gap_us, SUM(gap_us) // COUNT(*) AS mean_gap_us
+      |  FROM g GROUP BY user_id)
+      |SELECT a.user_id, a.n_gaps, a.min_gap_us, a.max_gap_us,
+      |  CAST(a.mean_gap_us AS BIGINT) AS mean_gap_us, m.median_gap_us
+      |FROM agg a JOIN med m ON m.user_id = a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  // ----------------------------------------------------------------- CUPED
+
+  /** CUPED variance reduction (Deng et al., WSDM'13 shape) over the
+    * events stream: the experiment window is split at its midpoint
+    * (mid_us = (min+max) div 2 in exact epoch-micros), each user's
+    * pre-period spend X and post-period spend Y are exact cent sums,
+    * variants assigned by user_id parity, and the adjusted post metric
+    * is Y − θ·(X − μX) with θ = cov(X,Y)/var(X) POOLED across variants
+    * (the standard choice — θ must not depend on assignment).
+    *
+    * Scale shape: one pass builds per-user (X, Y) — a partial-agg
+    * groupBy with two conditional sums; moments are five more BIGINT
+    * partial aggregates; the final row is arithmetic over broadcast
+    * scalars. θ and the adjusted means are the only real-valued
+    * surfaces: computed once in IEEE double from exact integers
+    * (div/mul/sub only — all correctly rounded, cross-engine
+    * bit-equal). Output: one row per variant with raw and adjusted
+    * means in double plus all exact inputs. */
+  def cuped(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      (Exact.money(col("value")) * 100).cast("long").as("cents"))
+    val bounds = base.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val perUser = base.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L))
+          .as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L))
+          .as("y"))
+      .withColumn("variant", expr("CAST(user_id % 2 AS INT)"))
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast("double").as("sxy"))
+    val byVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    byVariant.crossJoin(broadcast(pooled))
+      .withColumn("theta",
+        (col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("mu_x", col("sx").cast("double") / col("n").cast("double"))
+      .select(col("variant"), col("n_v"), col("sx_v"), col("sy_v"),
+        col("theta"),
+        (col("sy_v").cast("double") / col("n_v").cast("double"))
+          .as("mean_y"),
+        ((col("sy_v").cast("double") -
+          col("theta") * (col("sx_v").cast("double") -
+            col("n_v").cast("double") * col("mu_x"))) /
+          col("n_v").cast("double")).as("adj_mean_y"))
+      .orderBy(col("variant"))
+  }
+
+  val cupedSql: String =
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM base),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+      |  FROM base CROSS JOIN b GROUP BY user_id),
+      |pv AS (SELECT *, CAST(user_id % 2 AS INT) AS variant FROM pu),
+      |pooled AS (
+      |  -- per-user cents fit BIGINT squared; DuckDB SUM promotes to
+      |  -- HUGEINT, the VARCHAR hop gives the correctly rounded double
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM pv),
+      |bv AS (
+      |  SELECT variant, COUNT(*) AS n_v,
+      |    CAST(SUM(x) AS BIGINT) AS sx_v, CAST(SUM(y) AS BIGINT) AS sy_v
+      |  FROM pv GROUP BY variant)
+      |SELECT variant, n_v, sx_v, sy_v,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    AS theta,
+      |  CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE) AS mean_y,
+      |  (CAST(sy_v AS DOUBLE)
+      |    - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * (CAST(sx_v AS DOUBLE)
+      |         - CAST(n_v AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    / CAST(n_v AS DOUBLE) AS adj_mean_y
+      |FROM bv CROSS JOIN pooled
+      |ORDER BY variant""".stripMargin
+
+  // ------------------------------------------------------- volume anomaly
+
+  /** Ingest-volume anomaly monitor: daily event counts against their
+    * trailing-7-day window (excluding the current day), flagged when
+    * the squared z-score exceeds 3² — entirely in integers via
+    * z² = (n·c − s)² / (n·s2 − s²), so no mean/stddev doubles ever
+    * exist. Exactly the check a 100 TB ingest DAG runs before trusting
+    * a day's drop: the window is over the DAILY relation (≤ one row per
+    * day — trivially small), all heavy lifting is one partial-agg
+    * groupBy over the raw stream. Days with fewer than 7 predecessors
+    * report z2_milli = NULL and never flag (warm-up). */
+  def volumeAnomaly(events: DataFrame, zThresh: Int = 3): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prev", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .select(col("day"), col("cnt"), col("n_prev"),
+        when(col("n_prev") === 7,
+          expr("CASE WHEN n_prev * s2 - s * s = 0 THEN NULL ELSE " +
+            "(n_prev * cnt - s) * (n_prev * cnt - s) * 1000L " +
+            "div (n_prev * s2 - s * s) END")).as("z2_milli"))
+      .withColumn("flag",
+        coalesce(col("z2_milli") > lit(zThresh * zThresh * 1000L),
+          lit(false)))
+      .orderBy(col("day"))
+  }
+
+  def volumeAnomalySql(zThresh: Int = 3): String =
+    s"""WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, cnt,
+      |    COUNT(cnt) OVER tw AS n_prev,
+      |    SUM(cnt) OVER tw AS s,
+      |    SUM(cnt * cnt) OVER tw AS s2
+      |  FROM daily
+      |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, cnt, n_prev,
+      |  CASE WHEN n_prev = 7 AND n_prev * s2 - s * s <> 0
+      |       THEN (n_prev * cnt - s) * (n_prev * cnt - s) * 1000
+      |            // (n_prev * s2 - s * s) END AS z2_milli,
+      |  COALESCE(CASE WHEN n_prev = 7 AND n_prev * s2 - s * s <> 0
+      |       THEN (n_prev * cnt - s) * (n_prev * cnt - s) * 1000
+      |            // (n_prev * s2 - s * s) END > ${zThresh * zThresh * 1000},
+      |    FALSE) AS flag
+      |FROM w ORDER BY day""".stripMargin
+
+  // -------------------------------------------------------- Neyman design
+
+  /** Neyman-optimal stratified sampling allocation over customer
+    * account balances by market segment: n_h ∝ N_h·σ_h for a total
+    * budget B. All-integer: per-stratum variance in cents² is the
+    * exact rational (n·Σx² − (Σx)²) / (n·(n−1)) floored to BIGINT
+    * (DECIMAL(38,0) intermediates — products of 15k×1e16 overflow
+    * BIGINT), σ as the INTEGER sqrt. floor(sqrt(v)) on a correctly
+    * rounded IEEE sqrt is deterministic for v < 2^52 (a non-square v
+    * would need |v − k²| < k²·2⁻⁵² < 1 to straddle an integer —
+    * impossible for integers once k < 2²⁶); variances here are ≤
+    * ~1e12 cents². Weights and allocations are then pure BIGINT
+    * arithmetic: no cross-stratum double sum ever happens (double
+    * totals over a handful of rows are NOT order-stable cross-engine —
+    * the reason σ never leaves integer land). */
+  def neymanAllocation(customer: DataFrame, budget: Long = 1000L): DataFrame = {
+    val m = customer
+      .select(col("c_mktsegment").as("seg"),
+        (Exact.money(col("c_acctbal")) * 100).cast("long").as("cents"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("cents")).as("sx"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sxx"))
+      .withColumn("var_c2",
+        expr("""CAST((CAST(n_h AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx)
+                div (CAST(n_h AS DECIMAL(38,0)) * (n_h - 1)) AS BIGINT)"""))
+      .withColumn("sd_cents",
+        floor(sqrt(col("var_c2").cast("double"))).cast("long"))
+      .withColumn("w", col("n_h") * col("sd_cents"))
+    val tot = m.agg(sum(col("w")).as("w_tot"))
+    m.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_h"), col("sd_cents"), col("w"),
+        expr(s"w * ${budget}L div w_tot").as("alloc"),
+        expr("w * 10000L div w_tot").as("share_bp"))
+      .orderBy(col("seg"))
+  }
+
+  def neymanAllocationSql(budget: Long = 1000L): String =
+    s"""WITH c AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |-- DuckDB SUM(BIGINT) → HUGEINT, so n·Σx² (~2e20) never overflows;
+      |-- the Spark twin runs the same values through DECIMAL(38,0)
+      |m AS (
+      |  SELECT seg, COUNT(*) AS n_h, SUM(cents) AS sx,
+      |    SUM(cents * cents) AS sxx
+      |  FROM c GROUP BY seg),
+      |v AS (
+      |  SELECT seg, n_h, sx,
+      |    CAST((n_h * sxx - sx * sx) // (n_h * (n_h - 1)) AS BIGINT) AS var_c2
+      |  FROM m),
+      |s AS (
+      |  SELECT seg, n_h, var_c2,
+      |    CAST(FLOOR(SQRT(CAST(var_c2 AS DOUBLE))) AS BIGINT) AS sd_cents
+      |  FROM v),
+      |wgt AS (SELECT *, n_h * sd_cents AS w FROM s),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM wgt)
+      |SELECT seg, n_h, sd_cents, CAST(w AS BIGINT) AS w,
+      |  w * ${budget} // w_tot AS alloc,
+      |  w * 10000 // w_tot AS share_bp
+      |FROM wgt CROSS JOIN t
+      |ORDER BY seg""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = Seq(
+    "events_stickiness" -> QueryDef(
+      (s: SparkSession, d: String) => stickiness(Tables.events(s, d)),
+      stickinessSql()),
+    "events_interarrival" -> QueryDef(
+      (s: SparkSession, d: String) => interarrival(Tables.events(s, d)),
+      interarrivalSql),
+    "events_cuped" -> QueryDef(
+      (s: SparkSession, d: String) => cuped(Tables.events(s, d)),
+      cupedSql),
+    "dq_volume_anomaly" -> QueryDef(
+      (s: SparkSession, d: String) => volumeAnomaly(Tables.events(s, d)),
+      volumeAnomalySql()),
+    "sample_neyman" -> QueryDef(
+      (s: SparkSession, d: String) => neymanAllocation(Tables.customer(s, d)),
+      neymanAllocationSql()))
+}

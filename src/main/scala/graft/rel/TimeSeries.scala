@@ -985,7 +985,138 @@ object TimeSeries {
       |  AND above <> prev_above
       |ORDER BY event_type, day""".stripMargin
 
+  /** SAX symbolization (Lin et al. 2003 shape, empirical breakpoints):
+    * each type's daily-revenue value becomes one of four letters by its
+    * position against the type's own quartile cuts — the alphabet
+    * reduction under motif discovery and series indexing, downstream of
+    * TS15's PAA. Breakpoints are EMPIRICAL rank cuts (the A17 winsorize
+    * rule: cut_p = smallest value whose cumulative count reaches
+    * ceil(p·n)) found on the distinct-value cumulative per type — the
+    * Gaussian-table breakpoints of the paper assume z-normalized input,
+    * which would mean IEEE mean/std on the comparison surface; rank cuts
+    * keep the whole operator in exact cents and are the standard
+    * equi-depth variant. Windows run over the per-type DISTINCT-value
+    * relation (calendar-bounded), symbols assigned by integer compare. */
+  def saxDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    val byValue = daily.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    val cuts = cum.groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("cents")))
+          .as("q1"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("cents"))).as("q2"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("cents")))
+          .as("q3"))
+    daily.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cents"),
+        when(col("cents") < col("q1"), "a")
+          .when(col("cents") < col("q2"), "b")
+          .when(col("cents") < col("q3"), "c")
+          .otherwise("d").as("sym"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val saxDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |bv AS (
+      |  SELECT event_type, cents, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, cents, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM bv),
+      |cuts AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN cents END) AS q1,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS q2,
+      |    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cents END) AS q3
+      |  FROM cum GROUP BY event_type)
+      |SELECT d.event_type, d.day, d.cents,
+      |  CASE WHEN d.cents < c.q1 THEN 'a'
+      |       WHEN d.cents < c.q2 THEN 'b'
+      |       WHEN d.cents < c.q3 THEN 'c'
+      |       ELSE 'd' END AS sym
+      |FROM daily d JOIN cuts c ON c.event_type = d.event_type
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  /** Bollinger band breakout detector over each type's daily revenue:
+    * a day breaks out when its value leaves mean ± 2σ of the trailing
+    * 7-row window — held EXACT by cross-multiplication, n·c vs
+    * s ± 2·isqrt(n·s2 − s²) (σ·n = √(n·s2−s²); floor(√) on a correctly
+    * rounded IEEE sqrt is integer-deterministic below 2^52 — the L5q
+    * argument; 7-day cent variances sit orders below that, and the
+    * documented path beyond is the 38-digit decimal isqrt). Band
+    * surfaces in milli-cents are floor divisions of the same integers.
+    * Warm-up (< 7 trailing rows) is excluded; the window runs over the
+    * per-type DAILY relation, never raw events. */
+  def bollingerDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_w", count(col("cents")).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n_w") === 7)
+      .withColumn("sig_n",
+        floor(sqrt((col("n_w") * col("s2") - col("s") * col("s"))
+          .cast("double"))).cast("long"))
+      .select(col("event_type"), col("day"), col("cents"),
+        expr("s * 1000L div n_w").as("mid_milli"),
+        expr("(s + 2 * sig_n) * 1000L div n_w").as("upper_milli"),
+        expr("(s - 2 * sig_n) * 1000L div n_w").as("lower_milli"),
+        (col("cents") * col("n_w") > col("s") + lit(2) * col("sig_n"))
+          .as("break_up"),
+        (col("cents") * col("n_w") < col("s") - lit(2) * col("sig_n"))
+          .as("break_down"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val bollingerDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, cents,
+      |    COUNT(cents) OVER tw AS n_w,
+      |    SUM(cents) OVER tw AS s,
+      |    SUM(cents * cents) OVER tw AS s2
+      |  FROM daily
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |f AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(n_w * s2 - s * s AS DOUBLE)))
+      |    AS BIGINT) AS sig_n
+      |  FROM w WHERE n_w = 7)
+      |SELECT event_type, day, cents,
+      |  s * 1000 // n_w AS mid_milli,
+      |  (s + 2 * sig_n) * 1000 // n_w AS upper_milli,
+      |  (s - 2 * sig_n) * 1000 // n_w AS lower_milli,
+      |  cents * n_w > s + 2 * sig_n AS break_up,
+      |  cents * n_w < s - 2 * sig_n AS break_down
+      |FROM f ORDER BY event_type, day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_sax" -> QueryDef(
+      (s, d) => saxDaily(Tables.events(s, d)), saxDailySql),
+    "ts_bollinger" -> QueryDef(
+      (s, d) => bollingerDaily(Tables.events(s, d)), bollingerDailySql),
     "ts_crossover" -> QueryDef(
       (s, d) => smaCrossover(Tables.events(s, d)), smaCrossoverSql),
     "ts_paa" -> QueryDef(

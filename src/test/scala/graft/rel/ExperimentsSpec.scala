@@ -1,0 +1,143 @@
+package graft.rel
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+/** Experimentation & monitoring ops (rel/Experiments): hand-computed
+  * planted cases for the integer surfaces plus the CUPED identity
+  * (perfect pre-period predictor → adjusted means equalize). */
+class ExperimentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:$s%02d")
+
+  test("stickiness: dau/mau in bp, trailing window") {
+    // u1 active day1+day2, u2 active day2 → dau 1,2; mau(1)=1, mau(2)=2
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(2)), (2L, ts(2)), (2L, ts(2, 5)))
+      .toDF("user_id", "ts")
+    val got = Experiments.stickiness(events)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("2024-01-01") === ((1L, 1L, 10000L)))
+    assert(got("2024-01-02") === ((2L, 2L, 10000L)))
+  }
+
+  test("stickiness: user active only long ago leaves the MAU window") {
+    // u2's day-1 activity is outside the 3-day window at day 5
+    val events = Seq(
+      (1L, ts(1)), (2L, ts(1)), (1L, ts(5)))
+      .toDF("user_id", "ts")
+    val got = Experiments.stickiness(events, w = 3)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("2024-01-01") === ((2L, 2L)))
+    assert(got("2024-01-05") === ((1L, 1L))) // u2 aged out
+  }
+
+  test("interarrival: gaps, telescoped mean, lower median") {
+    // u1: events at 0s, 10s, 30s, 60s → gaps 10,20,30 s
+    val events = Seq(
+      (1L, ts(1, 0, 0), 1L), (1L, ts(1, 0, 10), 2L),
+      (1L, ts(1, 0, 30), 3L), (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 4L),
+      // u2: a single event → no gaps, absent from output
+      (2L, ts(1), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Experiments.interarrival(events).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 3L)              // n_gaps
+    assert(r.getLong(2) === 10000000L)       // min 10 s
+    assert(r.getLong(3) === 30000000L)       // max 30 s
+    assert(r.getLong(4) === 20000000L)       // mean = 60 s / 3
+    assert(r.getLong(5) === 20000000L)       // lower median of {10,20,30}
+  }
+
+  test("interarrival: simultaneous events tie-break to a zero gap") {
+    val events = Seq(
+      (1L, ts(1, 0, 5), 2L), (1L, ts(1, 0, 5), 1L), (1L, ts(1, 0, 9), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val r = Experiments.interarrival(events).collect().head
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 0L)        // the tied pair
+    assert(r.getLong(3) === 4000000L)
+  }
+
+  test("cuped: perfect pre-period predictor equalizes adjusted means") {
+    // Y = 2·X per user; variant 1 users have double the raw spend.
+    // theta = cov/var = 2 exactly; adjusted means collapse to the
+    // pooled mean of Y − 2(X − μX) = 2μX for every user → equal.
+    val events = Seq(
+      // pre-period (day 1-2), post-period (day 3-4); mid = day 2.5-ish
+      (0L, ts(1), 10.0), (0L, ts(4), 20.0),
+      (2L, ts(1), 30.0), (2L, ts(4), 60.0),
+      (1L, ts(1), 20.0), (1L, ts(4), 40.0),
+      (3L, ts(1), 40.0), (3L, ts(4), 80.0))
+      .toDF("user_id", "ts", "value")
+    val got = Experiments.cuped(events).collect()
+    assert(got.length === 2)
+    val v0 = got(0); val v1 = got(1)
+    assert(v0.getInt(0) === 0 && v1.getInt(0) === 1)
+    assert(math.abs(v0.getDouble(4) - 2.0) < 1e-12)   // theta
+    assert(v0.getDouble(5) !== v1.getDouble(5))       // raw means differ
+    assert(math.abs(v0.getDouble(6) - v1.getDouble(6)) < 1e-9) // adjusted equal
+  }
+
+  test("volume anomaly: constant history then a spike flags; warm-up null") {
+    val rows = (1 to 8).map(d => ts(d)) ++ // 100/day baseline ×8 days
+      Seq.fill(99)((1 to 8).map(d => ts(d))).flatten ++
+      Seq.fill(500)(Seq(ts(9))).flatten    // day 9 spikes to 500
+    val events = rows.toDF("ts")
+    val got = Experiments.volumeAnomaly(events)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))
+      .toMap
+    // warm-up: day 3 has only 2 predecessors → z2 null, no flag
+    assert(got("2024-01-03")._3.isEmpty && !got("2024-01-03")._4)
+    // day 9: 7 constant predecessors → var 0 → z2 null (degenerate)…
+    assert(got("2024-01-09")._1 === 500L)
+    // …so plant variance: re-run with one wiggle day
+    val rows2 = rows ++ Seq(ts(2)) // day 2 = 101
+    val got2 = Experiments.volumeAnomaly(rows2.toDF("ts"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    // day 9 window: counts {100,101,100,100,100,100,100}: s=701, s2=70201
+    // n·c−s = 7·500−701 = 2799; n·s2−s² = 491407−491401 = 6
+    // z2_milli = 2799²·1000 div 6 = 1305733500
+    assert(got2("2024-01-09")._2 === Some(1305733500L))
+    assert(got2("2024-01-09")._3)
+    assert(!got2("2024-01-08")._3)
+  }
+
+  test("neyman: zero-variance stratum gets zero allocation; known case") {
+    // A: balances 1.00, 3.00 → var = (2·(10000+90000) − 160000)/2
+    //    = 20000 cents², sd = isqrt(20000) = 141
+    // B: two equal balances → sd 0 → weight 0, alloc 0
+    val customer = Seq(
+      ("A", 1.00), ("A", 3.00), ("B", 5.00), ("B", 5.00))
+      .toDF("c_mktsegment", "c_acctbal")
+    val got = Experiments.neymanAllocation(customer, budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("A") === ((2L, 141L, 282L, 100L, 10000L)))
+    assert(got("B") === ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("experiments queries: invariant to input partitioning") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    for (q <- Seq("events_stickiness", "events_interarrival",
+        "events_cuped", "dq_volume_anomaly")) {
+      val f = graft.SparkEntry.queries(q)
+      val a = f(spark, sfDir).collect().toSeq
+      assert(a.nonEmpty, q)
+    }
+    val a = Experiments.interarrival(ev).collect().toSeq
+    val b = Experiments.interarrival(ev.repartition(13)).collect().toSeq
+    assert(a === b)
+  }
+}
