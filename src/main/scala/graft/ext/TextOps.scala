@@ -727,7 +727,7 @@ object TextOps {
     val tot = freq.agg(sum(col("freq")).as("total"))
     freq
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("token"))))
+        Window.orderBy(col("freq").desc, col("token"))).cast("long"))
       .filter(col("rank") <= topK)
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("token"), col("freq"),

@@ -1105,9 +1105,9 @@ object TimeSeries {
       |    AS BIGINT) AS sig_n
       |  FROM w WHERE n_w = 7)
       |SELECT event_type, day, cents,
-      |  s * 1000 // n_w AS mid_milli,
-      |  (s + 2 * sig_n) * 1000 // n_w AS upper_milli,
-      |  (s - 2 * sig_n) * 1000 // n_w AS lower_milli,
+      |  CAST(s * 1000 // n_w AS BIGINT) AS mid_milli,
+      |  CAST((s + 2 * sig_n) * 1000 // n_w AS BIGINT) AS upper_milli,
+      |  CAST((s - 2 * sig_n) * 1000 // n_w AS BIGINT) AS lower_milli,
       |  cents * n_w > s + 2 * sig_n AS break_up,
       |  cents * n_w < s - 2 * sig_n AS break_down
       |FROM f ORDER BY event_type, day""".stripMargin

@@ -494,4 +494,28 @@ class CorpusSpec extends SparkSuite {
       ("removed", 1L, 13L, 0L),
       ("same", 2L, 12L, 12L)))
   }
+
+  test("zipf head: rank·freq products, lexical ties, floor shares") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.zipfHead(d, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 3L, 3L, 5000L),
+      (2L, "b", 2L, 4L, 3333L),
+      (3L, "c", 1L, 3L, 1666L)))
+  }
+
+  test("burstiness: cf/df in milli, clumped token outranks spread one") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x x x x"), (2L, "x y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.burstiness(d, topK = 10, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("x", 5L, 2L, 2500L),   // clumped: 4 occurrences in one doc
+      ("y", 2L, 2L, 1000L)))  // spread: one per doc
+  }
 }

@@ -391,4 +391,21 @@ class SearchSketchSpec extends SparkSuite {
       (2L, 1L, "vector at the ve"),          // clamped at start, 16 chars
       (1L, 5L, "abc vector xyz t")))         // pos−5 = 0 → clamp to 1
   }
+
+  test("facets: conjunctive match set, per-cell counts and shares") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "web", 10L, "x y"),     // matches both terms
+      (2L, "en", "web", 20L, "x y z"),   // matches
+      (3L, "fr", "lab", 30L, "y x"),     // matches
+      (4L, "en", "web", 40L, "x"),       // x only → out
+      (5L, "de", "web", 50L, "z"))       // no terms → out
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = Search.facetedSearch(d, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("en", "web", 2L, 30L, 6666L),
+      ("fr", "lab", 1L, 30L, 3333L)))
+  }
 }

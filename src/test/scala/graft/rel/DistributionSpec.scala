@@ -125,4 +125,23 @@ class DistributionSpec extends SparkSuite {
       r.getLong(4), r.getLong(5), r.getLong(6)) ===
       ((40L, 2L, 38L, 818L, 820L, 20L, 20L)))
   }
+
+  test("hoover: equal spends → 0; concentrated → hand value") {
+    import spark.implicits._
+    val customer = Seq(
+      (1L, "EQ"), (2L, "EQ"), (3L, "EQ"), (4L, "EQ"),
+      (11L, "SK"), (12L, "SK"), (13L, "SK"), (14L, "SK"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 100.0),
+      // SK: 1, 1, 1, 97 → Σ|4x − 100| = 3·96 + 288 = 576 (dollars)
+      // H_bp = 10000·57600¢ div (2·4·10000¢) = 7200
+      (11L, 1.0), (12L, 1.0), (13L, 1.0), (14L, 97.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Distribution.hooverBySegment(orders, customer)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("EQ") === ((4L, 40000L, 0L)))
+    assert(got("SK") === ((4L, 10000L, 7200L)))
+  }
 }

@@ -342,4 +342,38 @@ class TimeSeriesSpec extends SparkSuite {
         r.getLong(2), r.getLong(3), r.getString(4)))
     assert(got.toSeq === Seq(("X", "2024-01-09", 1200L, 1600L, "golden")))
   }
+
+  /** SAX: 8 distinct daily values → empirical quartile cuts at ranks
+    * 2/4/6 (ceil rules), so the alphabet splits 1|2-3|4-5|6-8. */
+  test("ts_sax: empirical quartile cuts, hand alphabet") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val e = (1 to 8).map { i =>
+      (i.toLong, "X", Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), i * 1.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.saxDaily(e)
+      .collect().map(r => (r.getDate(1).toString.takeRight(2), r.getString(3)))
+    assert(got.map(_._2).mkString === "abbccddd")
+  }
+
+  /** Bollinger: 7 flat warm-up days (zero variance → bands collapse to
+    * the mean), day 8 spikes → break_up; warm-up days never emit. */
+  test("ts_bollinger: flat window collapses bands; spike breaks out") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val cents = Seq.fill(7)(100L) ++ Seq(1000L)
+    val e = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, "X", Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        c / 100.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.bollingerDaily(e).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getDate(1).toString === "2024-01-08")
+    assert(r.getLong(2) === 1000L)
+    assert(r.getLong(3) === 100000L)     // mid = upper = lower (σ = 0)
+    assert(r.getLong(4) === 100000L)
+    assert(r.getLong(5) === 100000L)
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+  }
 }
