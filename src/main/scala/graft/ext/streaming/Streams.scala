@@ -1505,4 +1505,90 @@ object Streams {
           }
       }
   }
+
+  case class GapInc(user_id: Long, gap_us: Long)
+
+  /** Streaming inter-arrival gaps — the stateful twin of
+    * `rel.Experiments.interarrival`. Per-user state is ONE scalar (the
+    * last event's exact µs); each micro-batch replays its events in the
+    * engine-wide (ts, event_id) order and emits one exact gap per
+    * event after the user's first. Aggregating the emitted stream
+    * (count/min/max/sum) rebuilds the batch profile exactly — pinned
+    * differentially in StreamingSpec. State is O(users), never
+    * O(events); the fraud/liveness monitors that consume gap streams
+    * (bot cadence, session heartbeat) read increments, not tables. */
+  def interarrivalStream(events: Dataset[PathEvent]): Dataset[GapInc] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, GapInc](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          val batch = rows.toVector.sortBy(r => (tsMicros(r.ts), r.event_id))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[GapInc]
+          batch.foreach { r =>
+            val us = tsMicros(r.ts)
+            if (last != Long.MinValue) out += GapInc(userId, us - last)
+            last = us
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
+  case class VolumeDay(day: java.sql.Date, cnt: Long, n_prev: Long,
+      z2_milli: Option[Long], flag: Boolean)
+
+  /** Streaming ingest-volume monitor — the stateful twin of
+    * `rel.Experiments.volumeAnomaly`. Single global key (volume is a
+    * per-corpus gauge; the daily relation is one row per day at ANY
+    * data scale, so one key with O(8) scalars of state — open-day count
+    * plus the ≤7 most recent closed-day counts — is the honest
+    * distribution story, not a bottleneck). Days close when a later
+    * day's first event arrives; each close emits the day with the same
+    * integer z² = (n·c−s)²/(n·s2−s²) compare as the batch op. The
+    * caller closes the final day with a far-future sentinel (the
+    * forecastErrorStream convention); the sentinel's own day stays
+    * open and never emits. */
+  def volumeStream(events: Dataset[PathEvent],
+      zThresh: Int = 3): Dataset[VolumeDay] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Long, List[Long]), VolumeDay](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val batch = rows.toVector
+            .map(r => Math.floorDiv(tsMicros(r.ts), 86400000000L))
+            .sorted
+          var (openDay, openCnt, prev) =
+            state.getOption.getOrElse((Long.MinValue, 0L, List.empty[Long]))
+          val out = Vector.newBuilder[VolumeDay]
+          def close(): Unit = if (openDay != Long.MinValue) {
+            val w = prev.take(7)
+            val n = w.size.toLong
+            val s = w.sum
+            val s2 = w.map(c => c * c).sum
+            val z2 =
+              if (n == 7 && n * s2 - s * s != 0)
+                Some((n * openCnt - s) * (n * openCnt - s) * 1000L /
+                  (n * s2 - s * s))
+              else None
+            out += VolumeDay(
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(openDay)),
+              openCnt, n, z2,
+              z2.exists(_ > zThresh.toLong * zThresh * 1000L))
+            prev = openCnt :: prev
+          }
+          batch.foreach { d =>
+            if (d != openDay) {
+              close(); openDay = d; openCnt = 0L
+            }
+            openCnt += 1L
+          }
+          state.update((openDay, openCnt, prev.take(7)))
+          out.result().iterator
+      }
+  }
 }

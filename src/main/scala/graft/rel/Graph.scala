@@ -1937,6 +1937,96 @@ object Graph {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** Distributed Borůvka MAXIMUM spanning forest over a weighted
+    * half-edge relation (u < v, weight w) — the affinity backbone of
+    * the co-purchase graph (max forest keeps the STRONGEST tree
+    * connecting each component; min-MST is the same loop with the
+    * comparator flipped). Not SQL-expressible, so spec-gated: GraphSpec
+    * pins a hand forest and a driver-side Kruskal differential.
+    *
+    * Scale shape (the textbook distributed-MST algorithm): each round,
+    * every component picks its best incident cross edge via ONE
+    * partial-agg groupBy over the (still-cross) edge relation — struct
+    * max with the total order (w, −u, −v), so ties break to the
+    * smallest (u, v) and the forest is unique without requiring unique
+    * weights. Picked edges contract via the shared connected-components
+    * machinery (`ext.Corpus.connectedComponents`: size-guarded driver
+    * union-find with distributed hash-min fallback — pick-pair count is
+    * ≤ #components, shrinking geometrically). Component count at least
+    * halves per round → ≤ log₂|V| rounds; the edge relation SHRINKS
+    * in-place each round (intra-component edges leave the join), and
+    * every round's state is eagerly localCheckpoint'ed (the BFS/PageRank
+    * lineage discipline). No driver collect anywhere: the driver holds
+    * only the loop counter and the empty-check. */
+  def maxSpanningForest(halfEdges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val spark = halfEdges.sparkSession
+    var edges = halfEdges.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(true)
+    // vertex → component map; starts as the identity over the vertex set
+    var comp = edges
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var forest: DataFrame = null
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val cu = comp.select(col("id").as("u"), col("comp").as("cu"))
+      val cv = comp.select(col("id").as("v"), col("comp").as("cv"))
+      val cross = edges.join(cu, Seq("u")).join(cv, Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint(true)
+      if (cross.isEmpty) done = true
+      else {
+        // per-component best incident edge: lexicographic struct max on
+        // (w, −u, −v) — deterministic under weight ties
+        val cand = struct(col("w"), (-col("u")).as("nu"), (-col("v")).as("nv"),
+          col("u"), col("v"), col("cu"), col("cv")).as("cand")
+        val inc = cross.select(col("cu").as("c"), cand)
+          .unionByName(cross.select(col("cv").as("c"), cand))
+        val best = inc.groupBy(col("c")).agg(max(col("cand")).as("m"))
+          .select(col("m.u").as("u"), col("m.v").as("v"),
+            col("m.w").as("w"), col("m.cu").as("cu"), col("m.cv").as("cv"))
+          .distinct() // both endpoints picking the same edge collapse
+          .withColumn("round", lit(round.toLong))
+          .localCheckpoint(true)
+        forest =
+          if (forest == null) best.select(col("u"), col("v"), col("w"), col("round"))
+          else forest.unionByName(
+            best.select(col("u"), col("v"), col("w"), col("round")))
+            .localCheckpoint(true)
+        // contract: CC over the picked component pairs relabels merged
+        // components to their minimum id; untouched components keep theirs
+        val merged = graft.ext.Corpus.connectedComponents(
+          best.select(col("cu").as("doc_a"), col("cv").as("doc_b")))
+          .select(col("id").as("comp"), col("component").as("newc"))
+        comp = comp.join(merged, Seq("comp"), "left")
+          .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        // shrink: drop now-intra-component edges for every later round
+        edges = cross.select(col("u"), col("v"), col("w"))
+      }
+    }
+    if (forest == null)
+      spark.emptyDataFrame
+        .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("w"),
+          lit(0L).as("round")).limit(0)
+    else forest.orderBy(col("u"), col("v"))
+  }
+
+  /** The declared co-purchase backbone: maximum spanning forest over
+    * the (u < v, shared-order count) weighted pair relation. */
+  def coPurchaseBackbone(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val weighted = a.join(b, Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+    maxSpanningForest(weighted)
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_walks" -> QueryDef(
       (s, d) => randomWalksBucketed(s, d),

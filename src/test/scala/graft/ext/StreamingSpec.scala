@@ -1421,4 +1421,77 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming inter-arrival gaps aggregate to the batch profile") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.interarrivalStream(input.toDS())
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("gaps_out")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), min(col("gap_us")).as("mn"),
+          max(col("gap_us")).as("mx"),
+          expr("sum(gap_us) div count(1)").as("mean"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      val batched = graft.rel.Experiments.interarrival(fixture)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
+
+  test("streaming volume monitor matches the batch anomaly table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(e => (us(e.ts), e.event_id))
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.volumeStream(input.toDS())
+      .writeStream.format("memory").queryName("volume_out")
+      .outputMode("update").start()
+    try {
+      // a day may span micro-batches — the open-day count must carry
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // far-future sentinel closes the last real day
+      val far = ev.map(_.ts.getTime).max + 100L * 24 * 3600 * 1000
+      input.addData(Streams.PathEvent(-1L, new Timestamp(far), -1L, "x"))
+      q.processAllAvailable()
+      val streamed = spark.table("volume_out")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4)))
+        .sorted.toSeq
+      val batched = graft.rel.Experiments.volumeAnomaly(fixture)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4)))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }

@@ -660,4 +660,60 @@ class GraphSpec extends SparkSuite {
         .collect().map(_.toSeq).toSeq
     assert(run(2) === run(16))
   }
+
+  test("max spanning forest: hand case with a weight tie and two components") {
+    // triangle 1-2 (w3), 2-3 (w2), 1-3 (w2): forest keeps 1-2 and the
+    // TIE between the two w=2 edges breaks to the smaller (u,v) = (1,3);
+    // disjoint pair 10-11 forms its own tree
+    val half = Seq((1L, 2L, 3L), (2L, 3L, 2L), (1L, 3L, 2L), (10L, 11L, 5L))
+      .toDF("u", "v", "w")
+    val got = Graph.maxSpanningForest(half)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((1L, 2L, 3L), (1L, 3L, 2L), (10L, 11L, 5L)))
+  }
+
+  test("max spanning forest: chained merges need a deep contraction") {
+    // path 1-2-3-4-5 with rising weights: round 1 picks 1-2? no —
+    // every component picks its best incident edge; the pick graph
+    // chains (1→2, 2→3, 3→4, 4→5 by weight), so contraction must
+    // collapse a 5-long chain in one round (the CC reuse, not a
+    // single-hop merge)
+    val half = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 5L, 4L))
+      .toDF("u", "v", "w")
+    val out = Graph.maxSpanningForest(half)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a 5-vertex path: the spanning tree is the path itself
+    assert(out.toSet === Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L),
+      (4L, 5L, 4L)))
+  }
+
+  test("max spanning forest: equals driver Kruskal on the sf0.001 backbone") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+    val weighted = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("w"))
+    val half = weighted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Kruskal under the SAME total order (w desc, u asc, v asc) — the
+    // strict order makes the forest unique, so the edge SETS must match
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    val kruskal = scala.collection.mutable.Set[(Long, Long, Long)]()
+    half.sortBy { case (u, v, w) => (-w, u, v) }.foreach { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(math.max(ru, rv)) = math.min(ru, rv)
+        kruskal += ((u, v, w)) }
+    }
+    val got = Graph.maxSpanningForest(weighted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === kruskal.toSet)
+    assert(got.nonEmpty)
+  }
 }
