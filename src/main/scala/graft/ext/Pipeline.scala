@@ -473,7 +473,51 @@ object Pipeline {
 
   // ------------------------------------------------------ declared queries
 
+  /** Subword fertility by language: tokenizer tokens per whitespace
+    * word — THE tokenizer-equity metric a multilingual pipeline reads
+    * before trusting a shared vocabulary (a language at fertility 2×
+    * another pays 2× the context budget for the same text). Reuses the
+    * real BPE-ish tokenizer's per-doc counts ([[Tokenizer.docTokenCounts]]
+    * — vocabulary-bounded broadcast join, the corpus_mixture plumbing);
+    * word counts are one narrow HOF map; the surface is exact integer
+    * milli-tokens-per-word. */
+  def fertility(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), col("lang"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_words"))
+    words.join(Tokenizer.docTokenCounts(docs), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("n_subtokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        expr("CASE WHEN n_words > 0 THEN n_subtokens * 1000L div n_words END")
+          .as("fertility_milli"))
+      .orderBy(col("lang"))
+  }
+
+  val fertilitySql: String =
+    s"""WITH RECURSIVE
+       |${Tokenizer.ctesSql},
+       |w AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_words
+       |  FROM documents),
+       |j AS (
+       |  SELECT w.lang, w.n_words, COALESCE(t.n_tokens, 0) AS n_tokens
+       |  FROM w LEFT JOIN tok_doc t USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_subtokens,
+       |  CASE WHEN SUM(n_words) > 0
+       |       THEN CAST(SUM(n_tokens) * 1000 // SUM(n_words) AS BIGINT) END
+       |    AS fertility_milli
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "corpus_fertility" -> QueryDef(
+      (s, d) => fertility(Tables.documents(s, d)), fertilitySql),
     "corpus_epoch_shuffle" -> QueryDef(
       (s, d) => epochShuffle(Tables.documents(s, d), epochs = 3, nShards = 8),
       epochShuffleSql(3, 8)),

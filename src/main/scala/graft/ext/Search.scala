@@ -758,7 +758,59 @@ object Search {
        |ORDER BY lang, source""".stripMargin
   }
 
+  /** Prefix autocomplete table: top-k completions per 3-char prefix by
+    * corpus frequency — the typeahead artifact a search box reads. The
+    * per-prefix rank plans as WindowGroupLimit (the topk_per_group
+    * contract: k rows retained per key BEFORE the shuffle sort — fat
+    * prefixes never fully sort), over the vocabulary relation (Heaps-
+    * sublinear). Prefixes below `minMass` total hits are dropped so the
+    * artifact stays head-heavy; ties break lexically. */
+  def autocomplete(docs: DataFrame, k: Int = 3, minLen: Int = 4,
+      minMass: Long = 50L): DataFrame = {
+    val freq = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= minLen)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("prefix", substring(col("token"), 1, 3))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix"))
+      .orderBy(col("freq").desc, col("token"))
+    val wMass = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix"))
+    freq
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("mass", sum(col("freq")).over(wMass))
+      .filter(col("mass") >= minMass)
+      .select(col("prefix"), col("rank"), col("token"), col("freq"))
+      .orderBy(col("prefix"), col("rank"))
+  }
+
+  def autocompleteSql(k: Int = 3, minLen: Int = 4, minMass: Long = 50L): String =
+    s"""WITH f AS (
+       |  SELECT token, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) >= $minLen
+       |  GROUP BY token),
+       |p AS (SELECT substr(token, 1, 3) AS prefix, token, freq FROM f),
+       |r AS (
+       |  SELECT prefix, token, freq,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+       |      ORDER BY freq DESC, token) AS BIGINT) AS rank
+       |  FROM p),
+       |top AS (SELECT * FROM r WHERE rank <= $k),
+       |m AS (
+       |  SELECT *, CAST(SUM(freq) OVER (PARTITION BY prefix) AS BIGINT)
+       |    AS mass
+       |  FROM top)
+       |SELECT prefix, rank, token, freq
+       |FROM m WHERE mass >= $minMass
+       |ORDER BY prefix, rank""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "search_autocomplete" -> QueryDef(
+      (s, d) => autocomplete(Tables.documents(s, d)),
+      autocompleteSql()),
     "search_spell" -> QueryDef(
       (s, d) => spellSuggest(Tables.documents(s, d), spellTerms),
       spellSuggestSql(spellTerms)),

@@ -337,7 +337,48 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // -------------------------------------------------------- activity grid
+
+  /** Hour-of-week activity heatmap: the (weekday, hour) count grid with
+    * exact basis-point shares — the load profile behind capacity
+    * planning and the seasonal baselines (E28 keys on hour-of-day; this
+    * is its two-axis readout). Weekday is computed from the epoch-day
+    * INTEGER ((d + 3) mod 7 → Monday = 0; 1970-01-01 was a Thursday),
+    * sidestepping both engines' dayofweek convention drift entirely.
+    * One partial-agg groupBy over raw events; the grid is ≤ 168 rows. */
+  def hourOfWeekHeatmap(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(
+        expr("(datediff(to_date(ts), DATE '1970-01-01') + 3) % 7")
+          .cast("long").as("weekday"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("weekday"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cells.agg(sum(col("cnt")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("weekday"), col("hr"), col("cnt"),
+        expr("cnt * 10000L div total").as("share_bp"))
+      .orderBy(col("weekday"), col("hr"))
+  }
+
+  val hourOfWeekHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT
+      |    CAST((date_diff('day', DATE '1970-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) + 3) % 7 AS BIGINT)
+      |      AS weekday,
+      |    CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cells)
+      |SELECT weekday, hr, cnt, cnt * 10000 // total AS share_bp
+      |FROM cells CROSS JOIN t
+      |ORDER BY weekday, hr""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_heatmap" -> QueryDef(
+      (s: SparkSession, d: String) => hourOfWeekHeatmap(Tables.events(s, d)),
+      hourOfWeekHeatmapSql),
     "events_stickiness" -> QueryDef(
       (s: SparkSession, d: String) => stickiness(Tables.events(s, d)),
       stickinessSql()),

@@ -335,4 +335,26 @@ class PlanSpec extends SparkSuite {
       s"expected the 1-row query side broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$p")
   }
+
+  test("round-10 experiment/monitor ops: scalar broadcasts, top-k cuts, " +
+      "partial+final aggregates") {
+    // CUPED / stickiness / neyman / hoover / facets: every global scalar
+    // (midpoint, pooled moments, weight totals) rides a broadcast —
+    // never a shuffled cross join
+    for (name <- Seq("events_cuped", "sample_neyman", "agg_hoover",
+        "search_facets")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$name: expected broadcast scalar join in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian in:\n$p")
+    }
+    // burstiness / zipf: the head cut is TakeOrdered, not a global sort
+    val pb = plan("text_burstiness")
+    assert(pb.contains("TakeOrderedAndProject"), s"expected top-k cut:\n$pb")
+    // volume monitor: the heavy lifting is one partial+final aggregate
+    // over raw events; the window runs on the daily relation
+    val pv = plan("dq_volume_anomaly")
+    assert("HashAggregate".r.findAllIn(pv).length >= 2,
+      s"expected partial+final daily aggregate:\n$pv")
+  }
 }

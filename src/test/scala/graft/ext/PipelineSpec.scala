@@ -203,4 +203,33 @@ class PipelineSpec extends SparkSuite {
     // re-shuffle property: some doc changes shard between epochs
     assert(ids.exists(id => h(0, id) % 8 != h(1, id) % 8))
   }
+
+  test("fertility: per-lang sums re-derive from the tokenizer relation; " +
+      "milli ratio is the floor division") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val got = Pipeline.fertility(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // independent re-derivation: words by split, subtokens by the same
+    // docTokenCounts relation aggregated here
+    val words = docs.selectExpr("doc_id", "lang",
+      "CAST(size(filter(split(text, ' '), t -> t != '')) AS LONG) AS w")
+    val toks = Tokenizer.docTokenCounts(docs)
+    val expect = words.join(toks, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("w").as("w"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col("n_tokens"),
+            org.apache.spark.sql.functions.lit(0L))).as("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (lang, (n, w, t, f)) =>
+      assert((n, w, t) === expect(lang), lang)
+      assert(f === t * 1000L / w, lang)
+    }
+  }
 }

@@ -408,4 +408,17 @@ class SearchSketchSpec extends SparkSuite {
       ("en", "web", 2L, 30L, 6666L),
       ("fr", "lab", 1L, 30L, 3333L)))
   }
+
+  test("autocomplete: per-prefix rank, mass floor drops thin prefixes") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha alpha alphabet beta"))
+      .toDF("doc_id", "text")
+    val got = Search.autocomplete(d, k = 2, minLen = 4, minMass = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // "alp": alpha(2) then alphabet(1), mass 3 ≥ 2; "beta": mass 1 → out
+    assert(got.toSeq === Seq(
+      ("alp", 1L, "alpha", 2L), ("alp", 2L, "alphabet", 1L)))
+  }
 }

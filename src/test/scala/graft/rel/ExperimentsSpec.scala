@@ -140,4 +140,15 @@ class ExperimentsSpec extends SparkSuite {
     val b = Experiments.interarrival(ev.repartition(13)).collect().toSeq
     assert(a === b)
   }
+
+  test("heatmap: integer weekday from epoch day, exact shares") {
+    // 2024-01-01 is a Monday → weekday 0; 2024-01-02 → 1
+    val events = Seq(
+      (1L, ts(1, 5)), (2L, ts(1, 5)), (3L, Timestamp.valueOf("2024-01-02 23:00:00")))
+      .toDF("user_id", "ts")
+    val got = Experiments.hourOfWeekHeatmap(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 5L, 2L, 6666L), (1L, 23L, 1L, 3333L)))
+  }
 }
