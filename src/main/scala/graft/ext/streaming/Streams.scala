@@ -1537,6 +1537,38 @@ object Streams {
       }
   }
 
+  case class UserDayFirst(user_id: Long, day: java.sql.Date)
+
+  /** Streaming (user, day) first-activity increments — the stateful
+    * feed under `rel.Experiments.stickiness` (and E13's DAU/WAU): each
+    * user's state is the SET of epoch days already seen (bounded by
+    * the calendar, not by events), and every micro-batch emits exactly
+    * the new (user, day) pairs. Aggregating the emitted stream through
+    * the same contribution expansion rebuilds the batch DAU/MAU table
+    * bit-for-bit (pinned in StreamingSpec) — the live engagement board
+    * consumes increments, never a re-scan. */
+  def userDayFirsts(events: Dataset[PathEvent]): Dataset[UserDayFirst] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], UserDayFirst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (userId, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil).toSet
+          val out = Vector.newBuilder[UserDayFirst]
+          rows.foreach { r =>
+            val d = Math.floorDiv(tsMicros(r.ts), 86400000000L)
+            if (!seen(d)) {
+              seen += d
+              out += UserDayFirst(userId,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
+            }
+          }
+          state.update(seen.toList)
+          out.result().iterator
+      }
+  }
+
   case class VolumeDay(day: java.sql.Date, cnt: Long, n_prev: Long,
       z2_milli: Option[Long], flag: Boolean)
 

@@ -743,7 +743,91 @@ object Quality {
       |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ join-size forecast
+
+  /** Join-cardinality forecast WITHOUT running the join: for a join on
+    * key k, |A ⋈ B| = Σ_k c_A(k)·c_B(k) exactly — two partial-agg
+    * degree tables joined on the key domain (vocabulary-sized), never
+    * the fact×fact product. Surfaces, per candidate join: both input
+    * sizes, exact predicted output rows, the single heaviest key's
+    * contribution and its share — the "will this join explode, and is
+    * it one skewed key or genuine fan-out" readout a planner (or an
+    * engineer sizing `spark.sql.shuffle.partitions`) wants BEFORE
+    * paying the shuffle. The self-join row is the co-purchase build's
+    * own cost forecast (Σ c² is its pair count before the u<v halving).
+    * Heaviest key ties break to the smallest key id (struct max on
+    * (contribution, −key)). */
+  def joinSizeForecast(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def degrees(df: DataFrame, key: String) =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def forecast(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val da = degrees(a, ka)
+      val db = degrees(b, kb)
+      da.join(db.withColumnRenamed("c", "c2"), Seq("k"))
+        .select(col("k"), (col("c") * col("c2")).as("contrib"))
+        .agg(
+          sum(col("contrib")).as("predicted_rows"),
+          count(lit(1)).as("n_shared_keys"),
+          max(struct(col("contrib"), (-col("k")).as("nk"), col("k")))
+            .as("m"))
+        .select(lit(name).as("join_name"),
+          col("predicted_rows"), col("n_shared_keys"),
+          col("m.k").as("top_key"), col("m.contrib").as("top_contrib"),
+          expr("m.contrib * 10000L div predicted_rows").as("top_share_bp"))
+    }
+    forecast("lineitem.orderkey x orders", lineitem, "l_orderkey",
+        orders, "o_orderkey")
+      .unionByName(forecast("lineitem.partkey self", lineitem, "l_partkey",
+        lineitem, "l_partkey"))
+      .unionByName(forecast("orders.custkey self", orders, "o_custkey",
+        orders, "o_custkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val joinSizeForecastSql: String = {
+    // top key = smallest k among max-contribution keys, spelled as a
+    // max-then-filter CTE (the portable twin of Spark's struct max)
+    def arm(name: String, a: String, ka: String, b: String, kb: String) =
+      s"""SELECT '$name' AS join_name, agg.predicted_rows,
+         |  agg.n_shared_keys, top.top_key, top.top_contrib,
+         |  top.top_contrib * 10000 // agg.predicted_rows AS top_share_bp
+         |FROM (
+         |  SELECT CAST(SUM(contrib) AS BIGINT) AS predicted_rows,
+         |    COUNT(*) AS n_shared_keys
+         |  FROM (
+         |    SELECT da.k, da.c * db.c AS contrib
+         |    FROM (SELECT $ka AS k, COUNT(*) AS c FROM $a GROUP BY 1) da
+         |    JOIN (SELECT $kb AS k, COUNT(*) AS c FROM $b GROUP BY 1) db
+         |      USING (k))) agg
+         |CROSS JOIN (
+         |  SELECT MIN(k) AS top_key, CAST(MAX(contrib) AS BIGINT)
+         |    AS top_contrib
+         |  FROM (
+         |    SELECT da.k, da.c * db.c AS contrib
+         |    FROM (SELECT $ka AS k, COUNT(*) AS c FROM $a GROUP BY 1) da
+         |    JOIN (SELECT $kb AS k, COUNT(*) AS c FROM $b GROUP BY 1) db
+         |      USING (k))
+         |  WHERE contrib = (
+         |    SELECT MAX(da.c * db.c)
+         |    FROM (SELECT $ka AS k, COUNT(*) AS c FROM $a GROUP BY 1) da
+         |    JOIN (SELECT $kb AS k, COUNT(*) AS c FROM $b GROUP BY 1) db
+         |      USING (k))) top""".stripMargin
+    s"""${arm("lineitem.orderkey x orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey")}
+       |UNION ALL
+       |${arm("lineitem.partkey self", "lineitem", "l_partkey",
+        "lineitem", "l_partkey")}
+       |UNION ALL
+       |${arm("orders.custkey self", "orders", "o_custkey",
+        "orders", "o_custkey")}
+       |ORDER BY join_name""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_join_size" -> QueryDef(
+      (s, d) => joinSizeForecast(Tables.lineitem(s, d), Tables.orders(s, d)),
+      joinSizeForecastSql),
     "dq_lateness" -> QueryDef(
       (s, d) => latenessAudit(Tables.events(s, d)), latenessAuditSql),
     "dq_content_checksum" -> QueryDef(

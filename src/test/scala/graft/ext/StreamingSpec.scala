@@ -1494,4 +1494,39 @@ class StreamingSpec extends SparkSuite {
       assert(streamed === batched)
     } finally q.stop()
   }
+
+  test("streaming user-day firsts rebuild the batch stickiness table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Streams.PathEvent]
+      .collect().sortBy(_.event_id)
+    val input = MemoryStream[Streams.PathEvent]
+    val q = Streams.userDayFirsts(input.toDS())
+      .writeStream.format("memory").queryName("firsts_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val firsts = spark.table("firsts_out")
+      // exactly-once: the increments ARE the distinct user-day relation
+      val streamedSet = firsts.collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString)).toSeq
+      val batchSet = fixture
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSeq
+      assert(streamedSet.sorted === batchSet.sorted)
+      // and the stickiness table built from the increments matches the
+      // declared batch query end to end
+      val viaStream = graft.rel.Experiments.stickiness(
+        firsts.select(col("user_id"), col("day").cast("timestamp").as("ts")))
+        .collect().map(_.toSeq).toSeq
+      val viaBatch = graft.rel.Experiments.stickiness(fixture)
+        .collect().map(_.toSeq).toSeq
+      assert(viaStream === viaBatch)
+    } finally q.stop()
+  }
 }

@@ -277,4 +277,21 @@ class QualitySpec extends SparkSuite {
       ("a", 4L, 1L, 120000000L, 120000000L),
       ("b", 1L, 0L, 0L, 0L)))
   }
+
+  test("join-size forecast: degree products, skewed key surfaces") {
+    import spark.implicits._
+    // orderkey join: orders {1,2}, lineitem {1:3 rows, 2:1 row} →
+    // predicted 3+1 = 4; top key 1 with 3 (7500 bp)
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 13L))
+      .toDF("l_orderkey", "l_partkey")
+    val o = Seq((1L, 100L), (2L, 100L)).toDF("o_orderkey", "o_custkey")
+    val got = Quality.joinSizeForecast(li, o)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("lineitem.orderkey x orders") === ((4L, 2L, 1L, 3L, 7500L)))
+    // partkey self: all degrees 1 → Σc² = 4, top tie → smallest key 10
+    assert(got("lineitem.partkey self") === ((4L, 4L, 10L, 1L, 2500L)))
+    // custkey self: one key with 2 orders → 4 predicted, share 10000
+    assert(got("orders.custkey self") === ((4L, 1L, 100L, 4L, 10000L)))
+  }
 }
