@@ -2355,4 +2355,74 @@ object Graph {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
       .select(col("src"), col("dst"))
+
+  /** Deterministic Luby-style maximal independent set over a HALF-edge
+    * relation (src < dst): the conflict-free scheduling primitive
+    * (which vertices can run/update/serve simultaneously). Not
+    * SQL-expressible (the round recurrence), so spec-gated on its two
+    * defining properties — independence and maximality — plus
+    * partitioning-invariance.
+    *
+    * Luby's algorithm with the RANDOM priorities replaced by
+    * md5(node) — uniform, engine-reproducible, zero RNG state (the
+    * corpus_split derivation): each round, an undecided vertex enters
+    * the MIS iff its (priority, id) is strictly smaller than every
+    * undecided neighbor's; winners' neighbors become covered; both
+    * leave the frontier, the edge relation shrinks to
+    * undecided×undecided, and the expected frontier halves per round
+    * (Luby's bound holds for any uniform priority draw). Each round is
+    * one groupBy over the live edge relation + two broadcast-friendly
+    * semi/anti joins; state is eagerly localCheckpoint'ed (the BFS
+    * discipline); no driver collects. */
+  def maximalIndependentSet(halfEdges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val prio = (n: org.apache.spark.sql.Column) =>
+      substring(md5(concat(lit("mis:"), n.cast("string"))), 1, 16)
+    var edges = halfEdges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var verts = edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .select(col("id"), prio(col("id")).as("p"))
+      .localCheckpoint(true)
+    var mis: DataFrame = null
+    var round = 0
+    while (round < maxRounds && !verts.isEmpty) {
+      round += 1
+      // neighbor minimum (priority, id) per live vertex, both directions
+      val ep = edges
+        .join(verts.select(col("id").as("src"), col("p").as("ps")), Seq("src"))
+        .join(verts.select(col("id").as("dst"), col("p").as("pd")), Seq("dst"))
+      val nbrMin = ep.select(col("src").as("id"),
+          struct(col("pd").as("p"), col("dst").as("n")).as("np"))
+        .unionByName(ep.select(col("dst").as("id"),
+          struct(col("ps").as("p"), col("src").as("n")).as("np")))
+        .groupBy(col("id")).agg(min(col("np")).as("nmin"))
+      // isolated live vertices have no live neighbor → always win
+      val winners = verts.join(nbrMin, Seq("id"), "left")
+        .filter(col("nmin").isNull ||
+          struct(col("p").as("p"), col("id").as("n")) < col("nmin"))
+        .select(col("id"), lit(round.toLong).as("round"))
+        .localCheckpoint(true)
+      mis = if (mis == null) winners
+        else mis.unionByName(winners).localCheckpoint(true)
+      // covered = winners ∪ their neighbors; both leave the frontier
+      val covered = winners.select(col("id"))
+        .unionByName(edges.join(winners.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")))
+        .unionByName(edges.join(winners.select(col("id").as("dst")), Seq("dst"))
+          .select(col("src").as("id")))
+        .distinct()
+      verts = verts.join(covered, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      edges = edges
+        .join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    if (mis == null)
+      halfEdges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("round")).limit(0)
+    else mis.orderBy(col("id"))
+  }
 }

@@ -716,4 +716,35 @@ class GraphSpec extends SparkSuite {
     assert(got === kruskal.toSet)
     assert(got.nonEmpty)
   }
+
+  test("MIS: independent, maximal, partitioning-invariant") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val half = Graph.backboneEdges(li, 2L)
+      .select(col("src"), col("dst"))
+    val mis = Graph.maximalIndependentSet(half)
+      .collect().map(_.getLong(0)).toSet
+    val edges = half.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mis.nonEmpty)
+    // independence: no surviving edge inside the set
+    assert(!edges.exists { case (a, b) => mis(a) && mis(b) })
+    // maximality: every vertex outside the set touches a member
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val uncovered = (verts -- mis).filterNot { v =>
+      edges.exists { case (a, b) =>
+        (a == v && mis(b)) || (b == v && mis(a)) }
+    }
+    assert(uncovered.isEmpty, s"non-members with no MIS neighbor: $uncovered")
+    // determinism under repartitioning
+    val again = Graph.maximalIndependentSet(half.repartition(7))
+      .collect().map(_.getLong(0)).toSet
+    assert(again === mis)
+  }
+
+  test("MIS: star graph resolves to the center or all leaves") {
+    val half = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+      .toDF("src", "dst")
+    val mis = Graph.maximalIndependentSet(half)
+      .collect().map(_.getLong(0)).toSet
+    assert(mis === Set(0L) || mis === Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
