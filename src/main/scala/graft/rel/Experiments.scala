@@ -337,6 +337,51 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // ------------------------------------------------- Wilson-ranked CTR
+
+  /** Conversion rates ranked by their Wilson lower bound (z = 2) — the
+    * "sort by lower bound, not by average" rule that keeps a 1/1
+    * bucket from outranking a 96/100 one. Buckets are user_id % 10
+    * (deterministic campaign arms), success = E18's high-value-purchase
+    * conversion. The bound is integerized once and for all:
+    * wilson_milli = (1000·(c+2) − 2·isqrt(10⁶·(c·(n−c)+n) div n))
+    * div (n+4) — exactly the z=2 Wilson formula with the sqrt floored
+    * (the L5q deterministic-isqrt argument; the floor is part of the
+    * declared semantics, biasing the bound conservatively by < 1 milli).
+    * Two partial-agg passes over events; 10-row artifact. */
+  def wilsonCtr(events: DataFrame, minValue: Double = 200.0): DataFrame = {
+    val per = events
+      .groupBy(expr("CAST(user_id % 10 AS INT)").as("bucket"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === "purchase"
+          && col("value") >= minValue, col("user_id"))).as("c"))
+    per
+      .withColumn("ctr_milli", expr("c * 1000L div n"))
+      .withColumn("wilson_milli",
+        expr("""(1000L * (c + 2) - 2L * CAST(FLOOR(SQRT(CAST(
+             |  (c * (n - c) + n) * 1000000L div n AS DOUBLE))) AS BIGINT))
+             |  div (n + 4)""".stripMargin))
+      .select(col("bucket"), col("n"), col("c"),
+        col("ctr_milli"), col("wilson_milli"))
+      .orderBy(col("wilson_milli").desc, col("bucket"))
+  }
+
+  def wilsonCtrSql(minValue: Double = 200.0): String =
+    s"""WITH per AS (
+      |  SELECT CAST(user_id % 10 AS INT) AS bucket,
+      |    COUNT(DISTINCT user_id) AS n,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |                         AND value >= $minValue
+      |                        THEN user_id END) AS c
+      |  FROM events GROUP BY 1)
+      |SELECT bucket, n, c,
+      |  c * 1000 // n AS ctr_milli,
+      |  (1000 * (c + 2) - 2 * CAST(FLOOR(SQRT(CAST(
+      |    (c * (n - c) + n) * 1000000 // n AS DOUBLE))) AS BIGINT))
+      |    // (n + 4) AS wilson_milli
+      |FROM per
+      |ORDER BY wilson_milli DESC, bucket""".stripMargin
+
   // -------------------------------------------------------- activity grid
 
   /** Hour-of-week activity heatmap: the (weekday, hour) count grid with
@@ -376,6 +421,9 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_ctr_wilson" -> QueryDef(
+      (s: SparkSession, d: String) => wilsonCtr(Tables.events(s, d)),
+      wilsonCtrSql()),
     "events_heatmap" -> QueryDef(
       (s: SparkSession, d: String) => hourOfWeekHeatmap(Tables.events(s, d)),
       hourOfWeekHeatmapSql),

@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exact, QueryDef, Tables}
@@ -406,5 +407,71 @@ object Scalars {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
   )
 
-  def queries: Seq[(String, QueryDef)] = q
+  /** Business-day arithmetic — the calendar kernel under every SLA
+    * report: weekdays strictly after the order date up to and including
+    * the first ship date. Closed form at any span: full weeks × 5 plus
+    * a ≤ 6-element HOF over the remainder (never a per-day explode of
+    * the whole span); weekday from the epoch-day integer ((d + 3) mod 7,
+    * Monday 0 — the E32 convention, no engine dayofweek drift). The SLA
+    * verdict (> 10 business days) is part of the hashed surface. */
+  def businessDaySla(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val firstShip = lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("ship_day"))
+    orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"))
+      .join(firstShip, Seq("o_orderkey"))
+      .withColumn("span", datediff(col("ship_day"), col("order_day"))
+        .cast("long"))
+      .withColumn("dow1",
+        expr("(datediff(order_day, DATE '1970-01-01') + 3) % 7"))
+      // the synthetic fixture has UNCORRELATED dates, so ship-before-
+      // order happens; a real SLA report flags those rows rather than
+      // running the kernel backwards — valid is part of the surface
+      .withColumn("busdays",
+        expr("""CASE WHEN span >= 0 THEN
+             |  span div 7 * 5 + aggregate(
+             |    CASE WHEN span % 7 = 0 THEN array()
+             |         ELSE sequence(1L, span % 7) END,
+             |    0L, (acc, i) ->
+             |    acc + IF((dow1 + i) % 7 < 5, 1L, 0L)) END""".stripMargin))
+      .select(col("o_orderkey"), col("order_day"), col("ship_day"),
+        col("span"), (col("span") >= 0).as("valid"), col("busdays"),
+        when(col("span") >= 0, col("busdays") > 10).as("sla_breach"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val businessDaySlaSql: String =
+    """WITH fs AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    MIN(CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)) AS ship_day
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE) AS order_day,
+      |    fs.ship_day
+      |  FROM orders o JOIN fs USING (o_orderkey)),
+      |k AS (
+      |  SELECT *,
+      |    CAST(date_diff('day', order_day, ship_day) AS BIGINT) AS span,
+      |    (date_diff('day', DATE '1970-01-01', order_day) + 3) % 7 AS dow1
+      |  FROM j)
+      |SELECT o_orderkey, order_day, ship_day, span, span >= 0 AS valid,
+      |  CASE WHEN span >= 0 THEN
+      |    CAST(span // 7 * 5 + COALESCE(len(list_filter(
+      |      CASE WHEN span % 7 = 0 THEN CAST([] AS BIGINT[])
+      |           ELSE generate_series(1, CAST(span % 7 AS INT)) END,
+      |      i -> (dow1 + i) % 7 < 5)), 0) AS BIGINT) END AS busdays,
+      |  CASE WHEN span >= 0 THEN
+      |    span // 7 * 5 + COALESCE(len(list_filter(
+      |      CASE WHEN span % 7 = 0 THEN CAST([] AS BIGINT[])
+      |           ELSE generate_series(1, CAST(span % 7 AS INT)) END,
+      |      i -> (dow1 + i) % 7 < 5)), 0) > 10 END AS sla_breach
+      |FROM k ORDER BY o_orderkey""".stripMargin
+
+  def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "scalar_busdays" -> QueryDef(
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        businessDaySla(Tables.orders(s, d), Tables.lineitem(s, d)),
+      businessDaySlaSql))
 }

@@ -1162,7 +1162,52 @@ object TimeSeries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Record-breaking days: each day that sets a new all-time high for
+    * its type's daily revenue, with the record it broke and the days it
+    * stood. Strict compare (ties do NOT break a record), the first day
+    * of a type is its first record by convention (no prior → broke
+    * nothing). One daily reduce + two same-ordering type-keyed windows
+    * over the calendar-bounded daily relation; record rows are a
+    * monotone subsequence, so the output is tiny at any scale. */
+  def recordDays(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_max", max(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prev_max").isNull || col("cents") > col("prev_max"))
+      .withColumn("prev_record_day", lag(col("day"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("prev_max").as("broke_cents"),
+        datediff(col("day"), col("prev_record_day")).cast("long")
+          .as("stood_days"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val recordDaysSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, day, cents,
+      |    MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM daily),
+      |rec AS (SELECT * FROM r WHERE prev_max IS NULL OR cents > prev_max)
+      |SELECT event_type, day, cents, prev_max AS broke_cents,
+      |  CAST(date_diff('day',
+      |    LAG(day) OVER (PARTITION BY event_type ORDER BY day), day)
+      |    AS BIGINT) AS stood_days
+      |FROM rec ORDER BY event_type, day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_records" -> QueryDef(
+      (s, d) => recordDays(Tables.events(s, d)), recordDaysSql),
     "ts_sax" -> QueryDef(
       (s, d) => saxDaily(Tables.events(s, d)), saxDailySql),
     "ts_bollinger" -> QueryDef(

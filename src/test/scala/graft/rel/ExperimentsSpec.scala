@@ -151,4 +151,43 @@ class ExperimentsSpec extends SparkSuite {
         r.getLong(3)))
     assert(got.toSeq === Seq((0L, 5L, 2L, 6666L), (1L, 23L, 1L, 3333L)))
   }
+
+  test("wilson CTR: 9/10 outranks 1/1 — the lower-bound ranking rule") {
+    // bucket 1: users 1,11,...,91 (n=10), 9 convert; bucket 2: user 2
+    // alone converts (n=1, c=1, raw CTR 1000)
+    val rows =
+      (0 until 10).map(i => (1L + 10 * i, "purchase",
+        if (i < 9) 250.0 else 10.0)) :+ ((2L, "purchase", 250.0))
+    val events = rows.map { case (u, t, v) => (u, ts(1), t, v) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Experiments.wilsonCtr(events).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // hand: wilson(9/10) = (11000 − 2·isqrt(1.9e6)) div 14 = 588
+    //       wilson(1/1)  = (3000 − 2·isqrt(1e6))  div 5  = 200
+    assert(got.toSeq === Seq(
+      (1, 10L, 9L, 900L, 588L),
+      (2, 1L, 1L, 1000L, 200L)))
+  }
+
+  test("busdays kernel: weekday spans, weekend skips, invalid rows flagged") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),  // Monday
+      (2L, Timestamp.valueOf("2024-01-05 00:00:00")),  // Friday
+      (3L, Timestamp.valueOf("2024-02-01 00:00:00")))  // ships BEFORE order
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, Timestamp.valueOf("2024-01-05 00:00:00")),  // Mon→Fri: 4 busdays
+      (2L, Timestamp.valueOf("2024-01-08 00:00:00")),  // Fri→Mon: 1 busday
+      (3L, Timestamp.valueOf("2024-01-02 00:00:00")))  // negative span
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.rel.Scalars.businessDaySla(orders, li).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (1L, 4L, true, Some(4L)),
+      (2L, 3L, true, Some(1L)),
+      (3L, -30L, false, None)))
+  }
 }

@@ -397,4 +397,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(m(("x", "y")) === 10L)
     assert(m.size === 6) // 4 types → 6 half pairs
   }
+
+  test("ts_records: strict records only, ties do not break, stood days") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val cents = Seq(100L, 50L, 200L, 200L, 300L)
+    val e = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, "X", Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        c / 100.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.recordDays(e).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 100L, None, None),
+      ("2024-01-03", 200L, Some(100L), Some(2L)),
+      ("2024-01-05", 300L, Some(200L), Some(2L))))
+  }
 }
