@@ -337,6 +337,155 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // ------------------------------------------- difference-in-differences
+
+  /** Difference-in-differences readout — E31's (CUPED) sibling when the
+    * "treatment" switches on at a known time for one group: the 2×2
+    * (variant × pre/post) spend table and the DiD estimate
+    * (Δtreated − Δcontrol), all exact. Period splits at the E31 epoch-
+    * micros midpoint, variant by user parity; per-variant user counts
+    * are the denominators (a user's absence in a period is a 0, not a
+    * dropout). The estimate is surfaced as exact milli-cents via one
+    * cross-multiplied integer division: ((s11−s10)·u0 − (s01−s00)·u1)
+    * ·1000 div (u1·u0) — no IEEE means anywhere. One event pass + a
+    * 4-cell pivot. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      (Exact.money(col("value")) * 100).cast("long").as("cents"))
+    val bounds = base.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val cells = base.crossJoin(broadcast(bounds))
+      .withColumn("variant", expr("CAST(user_id % 2 AS INT)"))
+      .withColumn("post", (col("us") >= col("mid")).cast("int"))
+      .groupBy(col("variant"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        sum(when(col("post") === 0, col("cents")).otherwise(0L)).as("s_pre"),
+        sum(when(col("post") === 1, col("cents")).otherwise(0L)).as("s_post"))
+    cells.agg(
+        max(when(col("variant") === 0, col("u"))).as("u0"),
+        max(when(col("variant") === 0, col("s_pre"))).as("s00"),
+        max(when(col("variant") === 0, col("s_post"))).as("s01"),
+        max(when(col("variant") === 1, col("u"))).as("u1"),
+        max(when(col("variant") === 1, col("s_pre"))).as("s10"),
+        max(when(col("variant") === 1, col("s_post"))).as("s11"))
+      .select(col("u0"), col("s00"), col("s01"),
+        col("u1"), col("s10"), col("s11"),
+        expr("((s11 - s10) * u0 - (s01 - s00) * u1) * 1000L div (u1 * u0)")
+          .as("did_millicents"))
+  }
+
+  val diffInDiffSql: String =
+    """WITH base AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM base),
+      |cells AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS variant,
+      |    COUNT(DISTINCT user_id) AS u,
+      |    CAST(SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT)
+      |      AS s_pre,
+      |    CAST(SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT)
+      |      AS s_post
+      |  FROM base CROSS JOIN b GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    MAX(CASE WHEN variant = 0 THEN u END) AS u0,
+      |    MAX(CASE WHEN variant = 0 THEN s_pre END) AS s00,
+      |    MAX(CASE WHEN variant = 0 THEN s_post END) AS s01,
+      |    MAX(CASE WHEN variant = 1 THEN u END) AS u1,
+      |    MAX(CASE WHEN variant = 1 THEN s_pre END) AS s10,
+      |    MAX(CASE WHEN variant = 1 THEN s_post END) AS s11
+      |  FROM cells)
+      |SELECT u0, s00, s01, u1, s10, s11,
+      |  ((s11 - s10) * u0 - (s01 - s00) * u1) * 1000 // (u1 * u0)
+      |    AS did_millicents
+      |FROM p""".stripMargin
+
+  // --------------------------------------------- Markov steady state
+
+  /** Stationary distribution of the event-type transition chain by
+    * integer power iteration — "where does a user's attention settle":
+    * π' = πP with P the row-normalized per-user consecutive-pair
+    * counts, mass in Scale = 10¹² units, each step's per-edge transfer
+    * one exact floor division π_i·c_ij div out_i (the PageRank
+    * fixed-point discipline — float iteration could never sit behind a
+    * cross-engine hash). Dangling states (no outgoing pair) hold their
+    * mass. The state space is the event-type vocabulary (tiny at any
+    * data scale — the heavy lifting is the ONE windowed pass building
+    * pair counts); floor remainders bias total mass down a few units
+    * per round, deterministically in both engines. */
+  def markovSteadyState(events: DataFrame, iters: Int = 12): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(wu).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val out = trans.groupBy(col("src")).agg(sum(col("n")).as("out"))
+    val te = trans.join(out, Seq("src")).localCheckpoint(true)
+    val states = events.select(col("event_type").as("state")).distinct()
+    val k = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("state"), expr(s"${graft.rel.Graph.Scale}L div k").as("m"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val moved = pi.join(te, col("state") === col("src"))
+        .select(col("dst").as("state"),
+          expr("m * n div out").as("mm"))
+      val dangling = pi.join(te.select(col("src")).distinct(),
+          col("state") === col("src"), "left_anti")
+        .select(col("state"), col("m").as("mm"))
+      pi = moved.unionByName(dangling)
+        .groupBy(col("state")).agg(sum(col("mm")).as("m"))
+        .localCheckpoint(true)
+    }
+    // a state that shed ALL its mass leaves the vector mid-iteration
+    // (absent ≡ 0 for every later step) — surface it explicitly
+    states.join(pi, Seq("state"), "left")
+      .select(col("state"), coalesce(col("m"), lit(0L)).as("m"))
+      .orderBy(col("state"))
+  }
+
+  def markovSteadyStateSql(iters: Int = 12): String = {
+    // MATERIALIZED: each step references its predecessor three times —
+    // left inlined, the chain re-expands exponentially (2^iters scans
+    // of the base relation blew DuckDB's file-handle budget)
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT state, CAST(SUM(mm) AS BIGINT) AS m FROM (
+         |    SELECT te.dst AS state, p${i - 1}.m * te.n // te.out AS mm
+         |    FROM p${i - 1} JOIN te ON te.src = p${i - 1}.state
+         |    UNION ALL
+         |    SELECT p${i - 1}.state, p${i - 1}.m
+         |    FROM p${i - 1}
+         |    WHERE p${i - 1}.state NOT IN (SELECT src FROM te))
+         |  GROUP BY state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |    LAG(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |tr AS (
+       |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+       |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |o AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out FROM tr GROUP BY src),
+       |te AS MATERIALIZED (SELECT tr.src, tr.dst, tr.n, o.out
+       |       FROM tr JOIN o ON o.src = tr.src),
+       |st AS (SELECT DISTINCT event_type AS state FROM events),
+       |kk AS (SELECT COUNT(*) AS k FROM st),
+       |p0 AS MATERIALIZED (SELECT state, ${graft.rel.Graph.Scale} // k AS m
+       |       FROM st CROSS JOIN kk),
+       |$steps
+       |SELECT st.state, CAST(COALESCE(p.m, 0) AS BIGINT) AS m
+       |FROM st LEFT JOIN p$iters p ON p.state = st.state
+       |ORDER BY st.state""".stripMargin
+  }
+
   // ------------------------------------------------- Wilson-ranked CTR
 
   /** Conversion rates ranked by their Wilson lower bound (z = 2) — the
@@ -421,6 +570,12 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_did" -> QueryDef(
+      (s: SparkSession, d: String) => diffInDiff(Tables.events(s, d)),
+      diffInDiffSql),
+    "events_markov_steady" -> QueryDef(
+      (s: SparkSession, d: String) => markovSteadyState(Tables.events(s, d)),
+      markovSteadyStateSql()),
     "events_ctr_wilson" -> QueryDef(
       (s: SparkSession, d: String) => wilsonCtr(Tables.events(s, d)),
       wilsonCtrSql()),

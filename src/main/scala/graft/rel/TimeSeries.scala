@@ -1205,7 +1205,117 @@ object TimeSeries {
       |    AS BIGINT) AS stood_days
       |FROM rec ORDER BY event_type, day""".stripMargin
 
+  /** Segmented trend: the CUSUM changepoint (TS10's exact argmax)
+    * splits each type's daily series in two, and each side gets its own
+    * OLS slope — the "before vs after the regime change" readout that a
+    * level-shift alone understates. Moments Σk, Σv, Σk², Σkv are exact
+    * BIGINTs per segment (k = the per-type day rank, v = exact cents);
+    * slopes evaluate ONCE in IEEE double from those integers (the
+    * agg_corr_exact discipline), degenerate segments (< 2 points or a
+    * constant day index) surface NULL; segment means stay integer
+    * milli-cents. Three same-ordering windows + two partial-agg
+    * groupBys, everything over the calendar-bounded daily relation. */
+  def segmentedTrend(events: DataFrame): DataFrame = {
+    import graft.core.Exact.money
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(money(col("value"))) * 100).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tot = Window.partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pk", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("t", sum(col("v")).over(tot))
+    val cp = ranked.filter(col("k") < col("n"))
+      .withColumn("stat", abs(col("n") * col("pk") - col("k") * col("t")))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("stat"), (-col("k")).as("nk"), col("k").as("k"),
+        col("day").as("day"))).as("best"))
+      .select(col("event_type"), col("best.k").as("ck"),
+        col("best.day").as("change_day"))
+    val mom = ranked.join(cp, Seq("event_type"))
+      .withColumn("seg", (col("k") > col("ck")).cast("int"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(count(lit(1)).as("m"), sum(col("k")).as("sx"),
+        sum(col("v")).as("sy"), sum(col("k") * col("k")).as("sxx"),
+        sum(col("k") * col("v")).as("sxy"))
+      .withColumn("slope",
+        when(col("m") >= 2 &&
+            col("m") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("m").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("m").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))))
+      .withColumn("mean_milli", expr("sy * 1000L div m"))
+    mom.groupBy(col("event_type"))
+      .agg(
+        max(when(col("seg") === 0, col("m"))).as("n1"),
+        max(when(col("seg") === 0, col("mean_milli"))).as("mean1_milli"),
+        max(when(col("seg") === 0, col("slope"))).as("slope1"),
+        max(when(col("seg") === 1, col("m"))).as("n2"),
+        max(when(col("seg") === 1, col("mean_milli"))).as("mean2_milli"),
+        max(when(col("seg") === 1, col("slope"))).as("slope2"))
+      .join(cp.select(col("event_type"), col("change_day")), Seq("event_type"))
+      .select(col("event_type"), col("change_day"), col("n1"),
+        col("mean1_milli"), col("slope1"), col("n2"), col("mean2_milli"),
+        col("slope2"))
+      .orderBy(col("event_type"))
+  }
+
+  val segmentedTrendSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, day, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS pk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(v) OVER (PARTITION BY event_type) AS t
+      |  FROM d),
+      |cp AS (
+      |  SELECT event_type, k AS ck, day AS change_day FROM (
+      |    SELECT event_type, k, day,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type
+      |        ORDER BY abs(n * pk - k * t) DESC, k) AS rn
+      |    FROM p WHERE k < n) WHERE rn = 1),
+      |mom AS (
+      |  SELECT p.event_type,
+      |    CASE WHEN p.k > cp.ck THEN 1 ELSE 0 END AS seg,
+      |    COUNT(*) AS m,
+      |    CAST(SUM(p.k) AS BIGINT) AS sx, CAST(SUM(p.v) AS BIGINT) AS sy,
+      |    CAST(SUM(p.k * p.k) AS BIGINT) AS sxx,
+      |    CAST(SUM(p.k * p.v) AS BIGINT) AS sxy
+      |  FROM p JOIN cp ON cp.event_type = p.event_type
+      |  GROUP BY 1, 2),
+      |sl AS (
+      |  SELECT *,
+      |    CASE WHEN m >= 2 AND m * sxx - sx * sx <> 0 THEN
+      |      (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+      |    sy * 1000 // m AS mean_milli
+      |  FROM mom)
+      |SELECT sl.event_type, cp.change_day,
+      |  MAX(CASE WHEN seg = 0 THEN m END) AS n1,
+      |  CAST(MAX(CASE WHEN seg = 0 THEN mean_milli END) AS BIGINT)
+      |    AS mean1_milli,
+      |  MAX(CASE WHEN seg = 0 THEN slope END) AS slope1,
+      |  MAX(CASE WHEN seg = 1 THEN m END) AS n2,
+      |  CAST(MAX(CASE WHEN seg = 1 THEN mean_milli END) AS BIGINT)
+      |    AS mean2_milli,
+      |  MAX(CASE WHEN seg = 1 THEN slope END) AS slope2
+      |FROM sl JOIN cp ON cp.event_type = sl.event_type
+      |GROUP BY sl.event_type, cp.change_day
+      |ORDER BY sl.event_type""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_segmented_trend" -> QueryDef(
+      (s, d) => segmentedTrend(Tables.events(s, d)), segmentedTrendSql),
     "ts_records" -> QueryDef(
       (s, d) => recordDays(Tables.events(s, d)), recordDaysSql),
     "ts_sax" -> QueryDef(

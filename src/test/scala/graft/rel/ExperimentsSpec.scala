@@ -190,4 +190,42 @@ class ExperimentsSpec extends SparkSuite {
       (2L, 3L, true, Some(1L)),
       (3L, -30L, false, None)))
   }
+
+  test("DiD: hand 2x2 table and exact milli-cent estimate") {
+    // same plant as the CUPED identity: Y = 2X, variant 1 doubles spend
+    val events = Seq(
+      (0L, ts(1), 10.0), (0L, ts(4), 20.0),
+      (2L, ts(1), 30.0), (2L, ts(4), 60.0),
+      (1L, ts(1), 20.0), (1L, ts(4), 40.0),
+      (3L, ts(1), 40.0), (3L, ts(4), 80.0))
+      .toDF("user_id", "ts", "value")
+    val r = Experiments.diffInDiff(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((2L, 4000L, 8000L, 2L, 6000L, 12000L)))
+    // ((12000−6000)·2 − (8000−4000)·2)·1000 div 4 = 1,000,000
+    assert(r.getLong(6) === 1000000L)
+  }
+
+  test("markov steady state: symmetric 2-cycle stays uniform; " +
+      "absorbing state takes all mass") {
+    // u1 alternates A,B,A,B → A→B ×2? path A B A B: A→B 2, B→A 1
+    // make it symmetric instead: two users with opposite phases
+    val sym = Seq(
+      (1L, ts(1, 1), 1L, "A"), (1L, ts(1, 2), 2L, "B"),
+      (1L, ts(1, 3), 3L, "A"), (1L, ts(1, 4), 4L, "B"),
+      (2L, ts(1, 1), 5L, "B"), (2L, ts(1, 2), 6L, "A"),
+      (2L, ts(1, 3), 7L, "B"), (2L, ts(1, 4), 8L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val g1 = Experiments.markovSteadyState(sym)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g1 === Map("A" -> 500000000000L, "B" -> 500000000000L))
+    // absorbing: every transition lands in B, B never leaves
+    val abs = Seq(
+      (1L, ts(1, 1), 1L, "A"), (1L, ts(1, 2), 2L, "B"),
+      (2L, ts(1, 1), 3L, "A"), (2L, ts(1, 2), 4L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val g2 = Experiments.markovSteadyState(abs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 === Map("A" -> 0L, "B" -> 1000000000000L))
+  }
 }

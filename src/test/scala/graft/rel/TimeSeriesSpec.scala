@@ -415,4 +415,19 @@ class TimeSeriesSpec extends SparkSuite {
       ("2024-01-03", 200L, Some(100L), Some(2L)),
       ("2024-01-05", 300L, Some(200L), Some(2L))))
   }
+
+  test("segmented trend: clean level shift, flat slopes both sides") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val cents = Seq(100L, 100L, 100L, 500L, 500L, 500L)
+    val e = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, "X", Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        c / 100.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val r = TimeSeries.segmentedTrend(e).collect().head
+    assert(r.getDate(1).toString === "2024-01-03") // CUSUM break at day 3
+    assert((r.getLong(2), r.getLong(3)) === ((3L, 100000L)))
+    assert((r.getLong(5), r.getLong(6)) === ((3L, 500000L)))
+    assert(r.getDouble(4) === 0.0 && r.getDouble(7) === 0.0)
+  }
 }
