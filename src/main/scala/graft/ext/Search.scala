@@ -807,7 +807,107 @@ object Search {
        |FROM m WHERE mass >= $minMass
        |ORDER BY prefix, rank""".stripMargin
 
+  /** Ranking-quality evaluation: MRR and recall@k of the DISJUNCTIVE
+    * rarity ranker against conjunctive ground truth (a doc is relevant
+    * to a query iff it contains ALL the query's terms — the qrels a
+    * zero-label corpus can self-derive; the OR-ranker may surface
+    * partial matches above full ones, which is exactly what the metric
+    * measures). All integer: reciprocal rank as 10⁶ div rank, recall
+    * in floor bp. Queries arrive as a literal relation (a handful of
+    * rows); postings, ranks and relevance flags are the L6 vocabulary-
+    * relation shapes — the rank window partitions BY QUERY over docs
+    * that matched ≥ 1 term, never the whole corpus. */
+  def searchEval(docs: DataFrame, queryTerms: Seq[Seq[String]],
+      k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qrel = queryTerms.zipWithIndex
+      .flatMap { case (ts, qi) => ts.map(t => (qi.toLong, t)) }
+      .toDF("qid", "term")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(qrel), col("token") === col("term"))
+      .groupBy(col("qid"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dict = postings.groupBy(col("qid"), col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qsize = qrel.groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
+    val scored = postings
+      .join(dict, Seq("qid", "term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("tf") * (col("n_docs") - col("df"))).as("score"),
+        countDistinct(col("term")).as("hit_terms"))
+      .join(broadcast(qsize), Seq("qid"))
+      .withColumn("relevant", col("hit_terms") === col("n_terms"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    scored.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("relevant").cast("long")).as("n_relevant"),
+        min(when(col("relevant"), col("rank"))).as("first_rel_rank"),
+        sum((col("relevant") && col("rank") <= k).cast("long"))
+          .as(s"rel_in_top"))
+      .select(col("qid"), col("n_ranked"), col("n_relevant"),
+        col("first_rel_rank"),
+        expr("CASE WHEN first_rel_rank IS NOT NULL " +
+          "THEN 1000000L div first_rel_rank END").as("rr_micro"),
+        expr("CASE WHEN n_relevant > 0 " +
+          "THEN rel_in_top * 10000L div n_relevant END").as("recall_k_bp"))
+      .orderBy(col("qid"))
+  }
+
+  def searchEvalSql(queryTerms: Seq[Seq[String]], k: Int = 10): String = {
+    val qrows = queryTerms.zipWithIndex
+      .flatMap { case (ts, qi) => ts.map(t => s"($qi, '$t')") }
+      .mkString(", ")
+    s"""WITH qrel(qid, term) AS (VALUES $qrows),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |p AS (
+       |  SELECT q.qid, t.doc_id, q.term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) t
+       |  JOIN qrel q ON q.term = t.token
+       |  GROUP BY q.qid, t.doc_id, q.term),
+       |dict AS (SELECT qid, term, COUNT(DISTINCT doc_id) AS df
+       |         FROM p GROUP BY qid, term),
+       |qs AS (SELECT qid, COUNT(*) AS n_terms FROM qrel GROUP BY qid),
+       |scored AS (
+       |  SELECT p.qid, p.doc_id,
+       |    CAST(SUM(p.tf * (n.n_docs - d.df)) AS BIGINT) AS score,
+       |    COUNT(DISTINCT p.term) AS hit_terms
+       |  FROM p JOIN dict d ON d.qid = p.qid AND d.term = p.term
+       |  CROSS JOIN n
+       |  GROUP BY p.qid, p.doc_id),
+       |ranked AS (
+       |  SELECT s.qid, s.doc_id, s.hit_terms = qs.n_terms AS relevant,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.qid
+       |      ORDER BY s.score DESC, s.doc_id) AS BIGINT) AS rank
+       |  FROM scored s JOIN qs ON qs.qid = s.qid)
+       |SELECT qid, COUNT(*) AS n_ranked,
+       |  CAST(SUM(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_relevant,
+       |  MIN(CASE WHEN relevant THEN rank END) AS first_rel_rank,
+       |  CASE WHEN MIN(CASE WHEN relevant THEN rank END) IS NOT NULL
+       |       THEN 1000000 // MIN(CASE WHEN relevant THEN rank END) END
+       |    AS rr_micro,
+       |  CASE WHEN SUM(CASE WHEN relevant THEN 1 ELSE 0 END) > 0
+       |       THEN CAST(SUM(CASE WHEN relevant AND rank <= $k
+       |                     THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |            // SUM(CASE WHEN relevant THEN 1 ELSE 0 END) END
+       |    AS recall_k_bp
+       |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin
+  }
+
+  private val evalQueries: Seq[Seq[String]] =
+    Seq(Seq("vector", "hash"), Seq("hash", "join"), Seq("data", "model"))
+
   def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "search_eval" -> QueryDef(
+      (s, d) => searchEval(Tables.documents(s, d), evalQueries),
+      searchEvalSql(evalQueries)),
     "search_autocomplete" -> QueryDef(
       (s, d) => autocomplete(Tables.documents(s, d)),
       autocompleteSql()),

@@ -421,4 +421,23 @@ class SearchSketchSpec extends SparkSuite {
     assert(got.toSeq === Seq(
       ("alp", 1L, "alpha", 2L), ("alp", 2L, "alphabet", 1L)))
   }
+
+  test("search eval: OR-ranker vs AND-truth, hand MRR and recall") {
+    import spark.implicits._
+    // query (x, y): doc 1 = "x x x" (3 x, no y → irrelevant, high score),
+    // doc 2 = "x y" (relevant). N=3, df(x)=2, df(y)=1 →
+    // score1 = 3·(3−2) = 3; score2 = 1·(3−2) + 1·(3−1) = 3 → TIE,
+    // doc_id ascending: irrelevant doc 1 ranks first → MRR = 1/2
+    val d = Seq(
+      (1L, "x x x"), (2L, "x y"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val got = Search.searchEval(d, Seq(Seq("x", "y")), k = 10).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(1) === 2L)          // docs ranked (doc 3 matched none)
+    assert(r.getLong(2) === 1L)          // one relevant doc
+    assert(r.getLong(3) === 2L)          // first relevant at rank 2
+    assert(r.getLong(4) === 500000L)     // 10^6 div 2
+    assert(r.getLong(5) === 10000L)      // recall@10 complete
+  }
 }
