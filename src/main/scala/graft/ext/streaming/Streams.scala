@@ -1537,6 +1537,55 @@ object Streams {
       }
   }
 
+  case class RecordDay(event_type: String, day: java.sql.Date, cents: Long,
+      broke_cents: Option[Long], stood_days: Option[Long])
+
+  /** Streaming record-breaking days — the stateful twin of
+    * `rel.TimeSeries.recordDays`. Per-type state is FOUR scalars (open
+    * day, open cents, record cents, record day); a day is judged
+    * against the record only once it CLOSES (the next day's first
+    * event arrives — daily revenue isn't knowable mid-day), emitting
+    * the same strict-record row the batch op derives, including the
+    * days the old record stood. The caller closes the final day with a
+    * far-future sentinel (the volumeStream convention — the sentinel's
+    * own day never emits). The "new all-time high" pager alert, as an
+    * increment stream. */
+  def recordStream(events: Dataset[TypedValueEvent]): Dataset[RecordDay] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), RecordDay](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype, rows, state) =>
+          def cents(v: Double) = java.math.BigDecimal.valueOf(v)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+          val batch = rows.toVector
+            .map(r => (Math.floorDiv(tsMicros(r.ts), 86400000000L),
+              cents(r.value)))
+            .sortBy(_._1)
+          // (openDay, openCents, recordCents, recordDay); MinValue = none
+          var (od, oc, rc, rd) = state.getOption
+            .getOrElse((Long.MinValue, 0L, Long.MinValue, Long.MinValue))
+          val out = Vector.newBuilder[RecordDay]
+          def close(): Unit = if (od != Long.MinValue) {
+            if (rc == Long.MinValue || oc > rc) {
+              out += RecordDay(etype,
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(od)), oc,
+                if (rc == Long.MinValue) None else Some(rc),
+                if (rd == Long.MinValue) None else Some(od - rd))
+              rc = oc; rd = od
+            }
+          }
+          batch.foreach { case (d, cents) =>
+            if (d != od) { close(); od = d; oc = 0L }
+            oc += cents
+          }
+          state.update((od, oc, rc, rd))
+          out.result().iterator
+      }
+  }
+
   case class UserDayFirst(user_id: Long, day: java.sql.Date)
 
   /** Streaming (user, day) first-activity increments — the stateful

@@ -357,4 +357,10 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(pv).length >= 2,
       s"expected partial+final daily aggregate:\n$pv")
   }
+
+  test("autocomplete: per-prefix rank pushes WindowGroupLimit") {
+    val p = plan("search_autocomplete")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected per-prefix group limit in:\n$p")
+  }
 }

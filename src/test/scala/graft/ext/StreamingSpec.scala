@@ -1529,4 +1529,40 @@ class StreamingSpec extends SparkSuite {
       assert(viaStream === viaBatch)
     } finally q.stop()
   }
+
+  test("streaming record days match the batch record table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fixture = graft.core.Tables.events(spark, sfDir)
+    val ev = fixture
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .as[Streams.TypedValueEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.TypedValueEvent]
+    val q = Streams.recordStream(input.toDS())
+      .writeStream.format("memory").queryName("records_out")
+      .outputMode("update").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      val far = ev.map(_.ts.getTime).max + 100L * 24 * 3600 * 1000
+      val types = ev.map(_.event_type).distinct
+      input.addData(types.zipWithIndex.map { case (t, i) =>
+        Streams.TypedValueEvent(-1L - i, t, new Timestamp(far), 0.0) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("records_out").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .sorted.toSeq
+      val batched = graft.rel.TimeSeries.recordDays(fixture).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .sorted.toSeq
+      assert(batched.nonEmpty)
+      assert(streamed === batched)
+    } finally q.stop()
+  }
 }
