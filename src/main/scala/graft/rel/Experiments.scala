@@ -531,6 +531,50 @@ object Experiments {
       |FROM per
       |ORDER BY wilson_milli DESC, bucket""".stripMargin
 
+  // --------------------------------------------------- cumulative users
+
+  /** Users-to-date growth curve: per active day, DAU, first-time users
+    * and the cumulative distinct user count — WITHOUT any running
+    * distinct: a user's first day is one partial-agg groupBy, new-user
+    * counts aggregate per day, and the running sum over the daily
+    * relation IS the cumulative distinct (each user counted exactly
+    * once, on their first day). The growth-chart query every dashboard
+    * runs, in the shape that survives 100 TB (the naive
+    * count(distinct) over an expanding window re-scans history per
+    * day). */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val firsts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    dau.join(firsts, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      |f AS (
+      |  SELECT day, COUNT(*) AS new_users FROM (
+      |    SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id)
+      |  GROUP BY day)
+      |SELECT d.day, d.dau,
+      |  CAST(COALESCE(f.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(SUM(COALESCE(f.new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM dau d LEFT JOIN f ON f.day = d.day
+      |ORDER BY d.day""".stripMargin
+
   // -------------------------------------------------------- activity grid
 
   /** Hour-of-week activity heatmap: the (weekday, hour) count grid with
@@ -579,6 +623,9 @@ object Experiments {
     "events_ctr_wilson" -> QueryDef(
       (s: SparkSession, d: String) => wilsonCtr(Tables.events(s, d)),
       wilsonCtrSql()),
+    "events_cumulative_users" -> QueryDef(
+      (s: SparkSession, d: String) => cumulativeUsers(Tables.events(s, d)),
+      cumulativeUsersSql),
     "events_heatmap" -> QueryDef(
       (s: SparkSession, d: String) => hourOfWeekHeatmap(Tables.events(s, d)),
       hourOfWeekHeatmapSql),

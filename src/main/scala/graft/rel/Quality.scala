@@ -824,7 +824,66 @@ object Quality {
        |ORDER BY join_name""".stripMargin
   }
 
+  // -------------------------------------- k-anonymity generalization
+
+  /** Generalization-lattice proposer for DQ7's k-anonymity audit: how
+    * coarse must the sensitive band get before every (nation, segment,
+    * band) class reaches size k? One row per candidate granularity
+    * (whole dollars → $10 → $100 → $1000 bands, computed on exact
+    * cents), with the class count, the smallest class, and whether this
+    * is the CHOSEN level (the finest one meeting k — the standard
+    * utility-preserving pick). All levels share one pass over customer
+    * (a union of partial-agg groupBys over the tiny class relations);
+    * min class size per level is bounded metadata. */
+  def kAnonGeneralize(customer: DataFrame, k: Long = 5L): DataFrame = {
+    val base = customer.select(col("c_nationkey"), col("c_mktsegment"),
+      (Exact.money(col("c_acctbal")) * 100).cast("long").as("cents"))
+    val levels = Seq(1L, 10L, 100L, 1000L)
+    val perLevel = levels.map { lvl =>
+      // +10^8 cents shifts every balance positive BEFORE the band
+      // division: Spark div truncates toward zero, DuckDB // floors —
+      // they agree only on non-negative operands (same classes, bands
+      // uniformly shifted)
+      base
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          expr(s"(cents + 100000000L) div ${lvl * 100}L").as("band"))
+        .agg(count(lit(1)).as("cs"))
+        .agg(lit(lvl).as("band_dollars"), count(lit(1)).as("n_classes"),
+          min(col("cs")).as("min_class"))
+    }.reduce(_ unionByName _)
+    val chosen = perLevel.filter(col("min_class") >= k)
+      .agg(min(col("band_dollars")).as("chosen_level"))
+    perLevel.crossJoin(broadcast(chosen))
+      .select(col("band_dollars"), col("n_classes"), col("min_class"),
+        (col("min_class") >= k).as("meets_k"),
+        (col("band_dollars") === col("chosen_level")).as("chosen"))
+      .orderBy(col("band_dollars"))
+  }
+
+  def kAnonGeneralizeSql(k: Long = 5L): String = {
+    def arm(lvl: Long) =
+      s"""SELECT $lvl AS band_dollars, COUNT(*) AS n_classes,
+         |  CAST(MIN(cs) AS BIGINT) AS min_class FROM (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      + 100000000) // ${lvl * 100} AS band,
+         |    COUNT(*) AS cs
+         |  FROM customer GROUP BY 1, 2, 3)""".stripMargin
+    val union = Seq(1L, 10L, 100L, 1000L).map(arm).mkString("\nUNION ALL\n")
+    s"""WITH lv AS ($union),
+       |ch AS (SELECT MIN(band_dollars) AS chosen_level FROM lv
+       |       WHERE min_class >= $k)
+       |SELECT band_dollars, n_classes, min_class,
+       |  min_class >= $k AS meets_k,
+       |  band_dollars = ch.chosen_level AS chosen
+       |FROM lv CROSS JOIN ch
+       |ORDER BY band_dollars""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "dq_kanon_generalize" -> QueryDef(
+      (s, d) => kAnonGeneralize(Tables.customer(s, d)),
+      kAnonGeneralizeSql()),
     "dq_join_size" -> QueryDef(
       (s, d) => joinSizeForecast(Tables.lineitem(s, d), Tables.orders(s, d)),
       joinSizeForecastSql),

@@ -228,4 +228,19 @@ class ExperimentsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(g2 === Map("A" -> 0L, "B" -> 1000000000000L))
   }
+
+  test("cumulative users: first-day counting, running total exact") {
+    val events = Seq(
+      (1L, ts(1)), (2L, ts(1)),          // day 1: both new
+      (1L, ts(2)),                        // day 2: dau 1, no new
+      (3L, ts(3)), (1L, ts(3)))           // day 3: u3 new
+      .toDF("user_id", "ts")
+    val got = Experiments.cumulativeUsers(events)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 2L),
+      ("2024-01-02", 1L, 0L, 2L),
+      ("2024-01-03", 2L, 1L, 3L)))
+  }
 }

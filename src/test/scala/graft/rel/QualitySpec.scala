@@ -294,4 +294,21 @@ class QualitySpec extends SparkSuite {
     // custkey self: one key with 2 orders → 4 predicted, share 10000
     assert(got("orders.custkey self") === ((4L, 1L, 100L, 4L, 10000L)))
   }
+
+  test("kanon generalize: finest level meeting k is chosen") {
+    import spark.implicits._
+    // one (nation, segment); balances 1.00 and 5.00: $1 bands split them
+    // (classes of 1), $10 bands merge them (class of 2) → k=2 picks 10
+    val customer = Seq(
+      (1L, "S", 1.00), (1L, "S", 5.00))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Quality.kAnonGeneralize(customer, k = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, false, false),
+      (10L, 1L, 2L, true, true),
+      (100L, 1L, 2L, true, false),
+      (1000L, 1L, 2L, true, false)))
+  }
 }
