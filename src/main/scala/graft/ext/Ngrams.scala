@@ -226,7 +226,83 @@ object Ngrams {
        |ORDER BY dsir_fp DESC, a.doc_id
        |LIMIT $k""".stripMargin
 
+  /** CCNet-style head/middle/tail routing (Wenzek et al. 2020 shape):
+    * within each language, documents rank by their LM score and split
+    * 10/40/50 into head (cleanest), middle, tail — the bucket table a
+    * curation pipeline reads to decide what trains, what gets a second
+    * look, what drops. Tie-respecting by construction: the decile index
+    * is rows_before·10 div n computed on the DISTINCT-score cumulative
+    * (the A12b relation — all docs sharing a score share a bucket, the
+    * window is bounded by score cardinality, never a per-doc rank).
+    * Unscorable docs (< 2 tokens → NULL score) route to tail
+    * explicitly. Surfaces per (lang, bucket): docs and char mass. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(lmScore(docs).select(col("doc_id"), col("lm_score_fp")),
+        Seq("doc_id"))
+    val byValue = scored
+      .groupBy(col("lang"), col("lm_score_fp"))
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("mass"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("lm_score_fp").desc_nulls_last)
+    val cum = byValue
+      .withColumn("before", coalesce(sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+    cum
+      .withColumn("bucket",
+        when(col("lm_score_fp").isNull, "tail")
+          .when(expr("before * 10 div n") < 1, "head")
+          .when(expr("before * 10 div n") < 5, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("mass")).as("mass"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  lazy val ccnetBucketsSql: String =
+    s"""WITH $bigramsCte,
+       |pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2),
+       |hc AS (SELECT w1, COUNT(*) AS c_hist FROM bg GROUP BY w1),
+       |voc AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |         ((pc.c_ab + 1) * 1000000000) // (hc.c_hist + voc.v) AS p_fp
+       |  FROM bg JOIN pc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN voc),
+       |ds AS (
+       |  SELECT doc_id, CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS lm_score_fp
+       |  FROM sc GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars, ds.lm_score_fp
+       |  FROM documents d LEFT JOIN ds USING (doc_id)),
+       |bv AS (
+       |  SELECT lang, lm_score_fp, COUNT(*) AS c,
+       |    CAST(SUM(n_chars) AS BIGINT) AS mass
+       |  FROM scored GROUP BY lang, lm_score_fp),
+       |cum AS (
+       |  SELECT lang, lm_score_fp, c, mass,
+       |    CAST(COALESCE(SUM(c) OVER (PARTITION BY lang
+       |      ORDER BY lm_score_fp DESC NULLS LAST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS bef,
+       |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM bv)
+       |SELECT lang,
+       |  CASE WHEN lm_score_fp IS NULL THEN 'tail'
+       |       WHEN bef * 10 // n < 1 THEN 'head'
+       |       WHEN bef * 10 // n < 5 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  CAST(SUM(c) AS BIGINT) AS n_docs, CAST(SUM(mass) AS BIGINT) AS mass
+       |FROM cum GROUP BY 1, 2
+       |ORDER BY lang, bucket""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "corpus_ccnet_buckets" -> QueryDef(
+      (s, d) => ccnetBuckets(Tables.documents(s, d)),
+      ccnetBucketsSql),
     "text_collocations" -> QueryDef(
       (s, d) => collocations(Tables.documents(s, d)),
       collocationsSql()),

@@ -337,6 +337,88 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // ----------------------------------------------------- power analysis
+
+  /** Post-hoc power check for the E18 experiment: was the sample big
+    * enough to detect the difference it observed? Required n per arm =
+    * 2·p̄(1−p̄)·(z_{α/2}+z_β)²/δ² with α=.05, power=.80 — (1.96+0.84)²
+    * = 7.84 held as the exact rational 784/100, p̄ and δ as exact count
+    * rationals, the whole ceiling one DECIMAL(38,0) ≡ HUGEINT division:
+    * required = ⌈(2·784·C·(N−C)·(n0·n1)²) / (100·N²·(c1·n0−c0·n1)²)⌉.
+    * δ = 0 (identical arms) → NULL required, powered NULL — the honest
+    * "observed nothing, can't power a zero effect" answer. One event
+    * pass (the abTest cells) + scalar arithmetic. */
+  def powerCheck(events: DataFrame, minValue: Double = 200.0): DataFrame = {
+    val per = events
+      .groupBy(expr("CAST(user_id % 2 AS INT)").as("variant"))
+      .agg(countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === "purchase"
+          && col("value") >= minValue, col("user_id"))).as("c"))
+    per.agg(
+        coalesce(max(when(col("variant") === 0, col("n"))), lit(0L)).as("n0"),
+        coalesce(max(when(col("variant") === 0, col("c"))), lit(0L)).as("c0"),
+        coalesce(max(when(col("variant") === 1, col("n"))), lit(0L)).as("n1"),
+        coalesce(max(when(col("variant") === 1, col("c"))), lit(0L)).as("c1"))
+      .withColumn("bigN", col("n0") + col("n1"))
+      .withColumn("bigC", col("c0") + col("c1"))
+      .withColumn("dnum", expr("abs(c1 * n0 - c0 * n1)"))
+      .withColumn("required_per_arm", expr(
+        """CASE WHEN dnum > 0 THEN CAST(
+          |  (CAST(2 * 784 AS DECIMAL(38,0)) * bigC * (bigN - bigC)
+          |     * (CAST(n0 AS DECIMAL(38,0)) * n1)
+          |     * (CAST(n0 AS DECIMAL(38,0)) * n1)
+          |   + CAST(100 AS DECIMAL(38,0)) * bigN * bigN * dnum * dnum - 1)
+          |  div (CAST(100 AS DECIMAL(38,0)) * bigN * bigN * dnum * dnum)
+          |  AS BIGINT) END""".stripMargin))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("bigC * 1000L div bigN").as("pbar_milli"),
+        expr("CASE WHEN n0 > 0 AND n1 > 0 "
+          + "THEN dnum * 1000000L div (n0 * n1) END").as("delta_micro"),
+        col("required_per_arm"),
+        expr("CASE WHEN required_per_arm IS NOT NULL "
+          + "THEN n0 >= required_per_arm AND n1 >= required_per_arm END")
+          .as("powered"))
+  }
+
+  def powerCheckSql(minValue: Double = 200.0): String =
+    s"""WITH per AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS variant,
+      |    COUNT(DISTINCT user_id) AS n,
+      |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |                         AND value >= $minValue
+      |                        THEN user_id END) AS c
+      |  FROM events GROUP BY 1),
+      |ab AS (
+      |  SELECT
+      |    COALESCE(MAX(CASE WHEN variant = 0 THEN n END), 0) AS n0,
+      |    COALESCE(MAX(CASE WHEN variant = 0 THEN c END), 0) AS c0,
+      |    COALESCE(MAX(CASE WHEN variant = 1 THEN n END), 0) AS n1,
+      |    COALESCE(MAX(CASE WHEN variant = 1 THEN c END), 0) AS c1
+      |  FROM per),
+      |k AS (
+      |  SELECT *, n0 + n1 AS bigN, c0 + c1 AS bigC,
+      |    abs(c1 * n0 - c0 * n1) AS dnum
+      |  FROM ab),
+      |-- HUGEINT promotion carries the ~1e31 numerator exactly (the
+      |-- Spark twin runs the same values through DECIMAL(38,0))
+      |r AS (
+      |  SELECT *, CASE WHEN dnum > 0 THEN CAST(
+      |    (2 * 784 * bigC * (bigN - bigC)
+      |       * (CAST(n0 AS HUGEINT) * n1) * (CAST(n0 AS HUGEINT) * n1)
+      |     + 100 * CAST(bigN AS HUGEINT) * bigN * dnum * dnum - 1)
+      |    // (100 * CAST(bigN AS HUGEINT) * bigN * dnum * dnum)
+      |    AS BIGINT) END AS required_per_arm
+      |  FROM k)
+      |SELECT n0, c0, n1, c1,
+      |  bigC * 1000 // bigN AS pbar_milli,
+      |  CASE WHEN n0 > 0 AND n1 > 0
+      |       THEN dnum * 1000000 // (n0 * n1) END AS delta_micro,
+      |  required_per_arm,
+      |  CASE WHEN required_per_arm IS NOT NULL
+      |       THEN n0 >= required_per_arm AND n1 >= required_per_arm END
+      |    AS powered
+      |FROM r""".stripMargin
+
   // ------------------------------------------- difference-in-differences
 
   /** Difference-in-differences readout — E31's (CUPED) sibling when the
@@ -614,6 +696,9 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_power_check" -> QueryDef(
+      (s: SparkSession, d: String) => powerCheck(Tables.events(s, d)),
+      powerCheckSql()),
     "events_did" -> QueryDef(
       (s: SparkSession, d: String) => diffInDiff(Tables.events(s, d)),
       diffInDiffSql),

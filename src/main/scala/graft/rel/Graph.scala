@@ -2027,7 +2027,68 @@ object Graph {
     maxSpanningForest(weighted)
   }
 
+  /** Rich-club coefficient ladder: among nodes of degree > k, what
+    * fraction of possible edges exists — φ(k) = 2·E_k/(N_k·(N_k−1)) in
+    * exact ppm, for k ∈ {1, 2, 4, 8}. The "do the hubs talk to each
+    * other" readout (assortativity's G8 sibling reads the correlation;
+    * this reads the subgraph density). One degree reduce, then per
+    * level two broadcast-friendly semi-joins of the half-edge relation
+    * against the >k node set — never a node×node product; N_k < 2
+    * surfaces NULL. */
+  def richClub(lineitem: DataFrame, ks: Seq[Long] = Seq(1L, 2L, 4L, 8L)): DataFrame = {
+    val half = backboneEdges(lineitem, 2L)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val deg = half.select(col("u").as("id"))
+      .unionByName(half.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    ks.map { k =>
+      val rich = deg.filter(col("deg") > k).select(col("id"))
+      val nk = rich.agg(count(lit(1)).as("n_k"))
+      val ek = half
+        .join(rich.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(rich.select(col("id").as("v")), Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("e_k"))
+      nk.crossJoin(ek)
+        .select(lit(k).as("k"), col("n_k"), col("e_k"),
+          expr("CASE WHEN n_k >= 2 THEN e_k * 2000000L div (n_k * (n_k - 1)) END")
+            .as("phi_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("k"))
+  }
+
+  def richClubSql(ks: Seq[Long] = Seq(1L, 2L, 4L, 8L)): String = {
+    val arms = ks.map { k =>
+      s"""SELECT $k AS k,
+         |  (SELECT COUNT(*) FROM deg WHERE deg > $k) AS n_k,
+         |  (SELECT COUNT(*) FROM eh
+         |   WHERE u IN (SELECT id FROM deg WHERE deg > $k)
+         |     AND v IN (SELECT id FROM deg WHERE deg > $k)) AS e_k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH eh AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |           COUNT(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    WHERE a.l_partkey < b.l_partkey
+       |    GROUP BY a.l_partkey, b.l_partkey)
+       |  WHERE n >= 2),
+       |deg AS MATERIALIZED (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT u AS id FROM eh UNION ALL SELECT v FROM eh)
+       |  GROUP BY id),
+       |arms AS ($arms)
+       |SELECT k, CAST(n_k AS BIGINT) AS n_k, CAST(e_k AS BIGINT) AS e_k,
+       |  CASE WHEN n_k >= 2
+       |       THEN e_k * 2000000 // (n_k * (n_k - 1)) END AS phi_ppm
+       |FROM arms ORDER BY k""".stripMargin
+  }
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "graph_richclub" -> QueryDef(
+      (s, d) => richClub(Tables.lineitem(s, d)),
+      richClubSql()),
     "graph_walks" -> QueryDef(
       (s, d) => randomWalksBucketed(s, d),
       randomWalksSql()),

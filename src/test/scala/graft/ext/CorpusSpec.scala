@@ -518,4 +518,27 @@ class CorpusSpec extends SparkSuite {
       ("x", 5L, 2L, 2500L),   // clumped: 4 occurrences in one doc
       ("y", 2L, 2L, 1000L)))  // spread: one per doc
   }
+
+  test("ccnet buckets: per-lang masses conserve; planted clean doc heads") {
+    import spark.implicits._
+    // lang P: doc 1 repeats one bigram (high LM score), docs 2-10 are
+    // all distinct noise → doc 1 alone lands in head (n=10 → decile 0)
+    val noise = (2 to 10).map(i =>
+      (i.toLong, s"n$i a$i b$i c$i d$i", "P", 10L))
+    val docs = ((1L, "x y x y x y x y", "P", 10L) +: noise)
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Ngrams.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._3).sum === 10L)
+    val head = got.find(_._2 == "head").get
+    assert(head._3 === 1L) // exactly the clean doc
+    // and on the fixture: per-lang bucket counts conserve the corpus
+    val fx = graft.core.Tables.documents(spark, sfDir)
+    val buckets = Ngrams.ccnetBuckets(fx).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val langs = fx.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets === langs)
+  }
 }

@@ -243,4 +243,27 @@ class ExperimentsSpec extends SparkSuite {
       ("2024-01-02", 1L, 0L, 2L),
       ("2024-01-03", 2L, 1L, 3L)))
   }
+
+  test("power check: identical arms give NULL; planted effect sizes n") {
+    // arms 10 vs 10 users, 5 vs 5 conversions → delta 0 → NULL
+    val same = (0 until 20).map { i =>
+      (i.toLong, ts(1), "purchase", if (i < 10) 250.0 else 10.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r0 = Experiments.powerCheck(same).collect().head
+    assert(r0.isNullAt(6) && r0.isNullAt(7))
+    // 2 users/arm, conversions 1 vs 2: pbar=3/4, delta=1/2
+    // required = ceil(2·784·3·1·16 / (100·16·4)) = ceil(75264/6400) = 12
+    val eff = Seq(
+      (0L, 250.0), (2L, 10.0),   // variant 0: 1 of 2 converts
+      (1L, 250.0), (3L, 250.0))  // variant 1: both convert
+      .map { case (u, v) => (u, ts(1), "purchase", v) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val r1 = Experiments.powerCheck(eff).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      === ((2L, 1L, 2L, 2L)))
+    assert(r1.getLong(4) === 750L)      // pbar_milli
+    assert(r1.getLong(5) === 500000L)   // delta_micro
+    assert(r1.getLong(6) === 12L)       // required per arm
+    assert(!r1.getBoolean(7))           // 2 < 12 → underpowered
+  }
 }

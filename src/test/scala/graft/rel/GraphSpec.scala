@@ -747,4 +747,28 @@ class GraphSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(mis === Set(0L) || mis === Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("rich club: hand ladder on a hub triangle with pendants") {
+    import spark.implicits._
+    // orders plant a triangle 1-2-3 (each pair co-bought twice) plus
+    // pendants 4,5 attached to 1 (twice each): deg(1)=4? degrees over
+    // the support-2 backbone: 1:{2,3,4,5}=4, 2:{1,3}=2, 3:{1,2}=2,
+    // 4:{1}=1, 5:{1}=1
+    val orders = Seq(
+      Seq(1L, 2L, 3L), Seq(1L, 2L, 3L),
+      Seq(1L, 4L), Seq(1L, 4L), Seq(1L, 5L), Seq(1L, 5L))
+    val li = orders.zipWithIndex.flatMap { case (ps, ok) =>
+      ps.map(p => (ok.toLong, p)) }
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.richClub(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    // k=1: nodes {1,2,3} (deg>1), edges among them = 3 → phi = 10^6
+    // k=2: only node 1 → NULL; k=4,8: none → NULL
+    assert(got === Seq(
+      (1L, 3L, 3L, Some(1000000L)),
+      (2L, 1L, 0L, None),
+      (4L, 0L, 0L, None),
+      (8L, 0L, 0L, None)))
+  }
 }
