@@ -769,7 +769,47 @@ object AdvancedJoins {
       |WHERE e1.event_type = 'purchase'
       |ORDER BY e1.user_id, e1.event_id""".stripMargin
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics a conformed
+    * dimension with "unknown" members needs (a plain `=` silently drops
+    * every unknown-to-unknown row, the classic fact-table leak). Both
+    * sides derive NULL keys via NULLIF on the shared {'O','F'} status
+    * domain; surfaced per matched key: both sides' counts, plus the
+    * count a PLAIN join would have produced (0 for the NULL row — the
+    * leak made visible). The join runs on two partial-agg key tables
+    * (each ≤ |status domain| rows). Output order pins NULLS FIRST in
+    * both engines. */
+  def nullSafeJoin(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val l = lineitem
+      .groupBy(expr("nullif(l_linestatus, 'F')").as("k"))
+      .agg(count(lit(1)).as("l_cnt"))
+    val r = orders
+      .groupBy(expr("nullif(o_orderstatus, 'F')").as("k2"))
+      .agg(count(lit(1)).as("r_cnt"))
+    l.join(r, col("k") <=> col("k2"))
+      .select(col("k"), col("l_cnt"), col("r_cnt"),
+        when(col("k").isNotNull, col("l_cnt") * col("r_cnt"))
+          .otherwise(lit(0L)).as("plain_join_rows"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH l AS (
+      |  SELECT nullif(l_linestatus, 'F') AS k, COUNT(*) AS l_cnt
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT nullif(o_orderstatus, 'F') AS k2, COUNT(*) AS r_cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT l.k, l.l_cnt, r.r_cnt,
+      |  CASE WHEN l.k IS NOT NULL
+      |       THEN l.l_cnt * r.r_cnt ELSE 0 END AS plain_join_rows
+      |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+      |ORDER BY l.k NULLS FIRST""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = q ++ Seq(
+    "join_nullsafe" -> QueryDef(
+      (s, d) => nullSafeJoin(Tables.lineitem(s, d), Tables.orders(s, d)),
+      nullSafeJoinSql),
     "join_pit_features" -> QueryDef(
       (s, d) => pitFeatures(Tables.events(s, d)),
       pitFeaturesSql),

@@ -337,6 +337,59 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // ----------------------------------------------------------- bot flags
+
+  /** Bot-cadence heuristic: users whose event stream is both inhumanly
+    * fast (any sub-second inter-event gap) and inhumanly dense (events
+    * per active day over a threshold) — the first-line abuse filter an
+    * analytics pipeline runs before trusting engagement counts. Builds
+    * on the E30 gap relation: per user n_events, active days, min gap,
+    * exact milli events-per-day, and the two-condition verdict — all
+    * integer, all partial-agg + one user-keyed lag window. */
+  def botFlags(events: DataFrame, maxGapUs: Long = 1000000L,
+      perDayMilliThresh: Long = 5000L): DataFrame = {
+    val ts = events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      to_date(col("ts")).as("day"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ts.withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("active_days"),
+        min(col("gap_us")).as("min_gap_us"))
+      .withColumn("per_day_milli",
+        expr("n_events * 1000L div active_days"))
+      .withColumn("bot",
+        coalesce(col("min_gap_us") < maxGapUs, lit(false)) &&
+          col("per_day_milli") > perDayMilliThresh)
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("min_gap_us"), col("per_day_milli"), col("bot"))
+      .orderBy(col("user_id"))
+  }
+
+  def botFlagsSql(maxGapUs: Long = 1000000L,
+      perDayMilliThresh: Long = 5000L): String =
+    s"""WITH ts AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS gap_us
+      |  FROM ts),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT day) AS active_days,
+      |    MIN(gap_us) AS min_gap_us
+      |  FROM g GROUP BY user_id)
+      |SELECT user_id, n_events, active_days, min_gap_us,
+      |  n_events * 1000 // active_days AS per_day_milli,
+      |  COALESCE(min_gap_us < $maxGapUs, FALSE)
+      |    AND n_events * 1000 // active_days > $perDayMilliThresh AS bot
+      |FROM agg ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------- power analysis
 
   /** Post-hoc power check for the E18 experiment: was the sample big
@@ -696,6 +749,9 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_bot_flags" -> QueryDef(
+      (s: SparkSession, d: String) => botFlags(Tables.events(s, d)),
+      botFlagsSql()),
     "events_power_check" -> QueryDef(
       (s: SparkSession, d: String) => powerCheck(Tables.events(s, d)),
       powerCheckSql()),

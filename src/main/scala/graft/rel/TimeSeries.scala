@@ -1313,7 +1313,47 @@ object TimeSeries {
       |GROUP BY sl.event_type, cp.change_day
       |ORDER BY sl.event_type""".stripMargin
 
+  /** Index-100 rebasing: every type's daily revenue as basis points of
+    * its own first day — the "all series start at 100" overlay chart
+    * that makes differently-sized series comparable. base = the
+    * FIRST day's cents via one min-day self-join per type (broadcast,
+    * |types| rows — not a first_value window over the fact stream);
+    * index exact floor bp; zero-base days surface NULL rather than a
+    * division blowup. */
+  def rebaseDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    // min_by is unambiguous here: the daily relation has one row per
+    // (type, day), so the minimum day is unique
+    val base = daily
+      .groupBy(col("event_type"))
+      .agg(expr("min_by(cents, day)").as("base_cents"))
+    daily.join(broadcast(base), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cents"), col("base_cents"),
+        expr("CASE WHEN base_cents > 0 THEN cents * 10000L div base_cents END")
+          .as("index_bp"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val rebaseDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT event_type, CAST(arg_min(cents, day) AS BIGINT) AS base_cents
+      |  FROM daily GROUP BY event_type)
+      |SELECT d.event_type, d.day, d.cents, base.base_cents,
+      |  CASE WHEN base.base_cents > 0
+      |       THEN d.cents * 10000 // base.base_cents END AS index_bp
+      |FROM daily d JOIN base ON base.event_type = d.event_type
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_rebase" -> QueryDef(
+      (s, d) => rebaseDaily(Tables.events(s, d)), rebaseDailySql),
     "ts_segmented_trend" -> QueryDef(
       (s, d) => segmentedTrend(Tables.events(s, d)), segmentedTrendSql),
     "ts_records" -> QueryDef(

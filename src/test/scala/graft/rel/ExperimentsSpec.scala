@@ -266,4 +266,22 @@ class ExperimentsSpec extends SparkSuite {
     assert(r1.getLong(6) === 12L)       // required per arm
     assert(!r1.getBoolean(7))           // 2 < 12 → underpowered
   }
+
+  test("bot flags: fast+dense fires, fast-only and dense-only do not") {
+    // u1: 10 events 100 ms apart on one day → sub-second gaps, 10000 milli/day
+    val fast = (0 until 10).map(i =>
+      (1L, Timestamp.valueOf(f"2024-01-01 10:00:00.${i}00"), i.toLong))
+    // u2: 10 events, one per day → dense? 1000 milli/day, gaps huge
+    val slow = (0 until 10).map(i =>
+      (2L, ts(i + 1), 100L + i))
+    // u3: two events a millisecond apart but only 2 total (sparse)
+    val brief = Seq(
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00.000"), 200L),
+      (3L, Timestamp.valueOf("2024-01-01 10:00:00.001"), 201L))
+    val events = (fast ++ slow ++ brief)
+      .toDF("user_id", "ts", "event_id")
+    val got = Experiments.botFlags(events)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
 }

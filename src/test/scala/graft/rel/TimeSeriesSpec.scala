@@ -430,4 +430,23 @@ class TimeSeriesSpec extends SparkSuite {
     assert((r.getLong(5), r.getLong(6)) === ((3L, 500000L)))
     assert(r.getDouble(4) === 0.0 && r.getDouble(7) === 0.0)
   }
+
+  test("ts_rebase: index anchored at the first day, zero base → NULL") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val e = Seq(
+      (1L, "X", Timestamp.valueOf("2024-01-01 12:00:00"), 2.00),
+      (2L, "X", Timestamp.valueOf("2024-01-02 12:00:00"), 3.00),
+      (3L, "Z", Timestamp.valueOf("2024-01-01 12:00:00"), 0.00),
+      (4L, "Z", Timestamp.valueOf("2024-01-02 12:00:00"), 9.00))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.rebaseDaily(e).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      ("X", "2024-01-01", Some(10000L)),
+      ("X", "2024-01-02", Some(15000L)),
+      ("Z", "2024-01-01", None),   // zero base never divides
+      ("Z", "2024-01-02", None)))
+  }
 }
