@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("jaro_winkler_micro"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerMicro].getName,
+        "jaro_winkler_micro"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.JaroWinklerMicro(exprs.head, exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
