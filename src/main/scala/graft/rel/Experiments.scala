@@ -552,6 +552,8 @@ object Experiments {
     * pair counts); floor remainders bias total mass down a few units
     * per round, deterministically in both engines. */
   def markovSteadyState(events: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val wu = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val trans = events
@@ -560,28 +562,37 @@ object Experiments {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("n"))
-    val out = trans.groupBy(col("src")).agg(sum(col("n")).as("out"))
-    val te = trans.join(out, Seq("src")).localCheckpoint(true)
-    val states = events.select(col("event_type").as("state")).distinct()
-    val k = states.agg(count(lit(1)).as("k"))
-    var pi = states.crossJoin(broadcast(k))
-      .select(col("state"), expr(s"${graft.rel.Graph.Scale}L div k").as("m"))
-      .localCheckpoint(true)
+    // the transition matrix over event TYPES is vocabulary-bounded
+    // metadata (≤ |types|² cells at ANY data scale — the centroid /
+    // per-partition-count exception, not a result-set collect); the one
+    // heavy pass is the windowed pair count above, which stays
+    // distributed. Guarded so a mis-use on an unbounded key fails loud.
+    val cells = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= 100000,
+      s"markovSteadyState: ${cells.length} transition cells — the state " +
+        "space must be vocabulary-bounded")
+    val states = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val out = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pi: Map[String, Long] =
+      states.map(_ -> graft.rel.Graph.Scale / states.length).toMap
     for (_ <- 1 to iters) {
-      val moved = pi.join(te, col("state") === col("src"))
-        .select(col("dst").as("state"),
-          expr("m * n div out").as("mm"))
-      val dangling = pi.join(te.select(col("src")).distinct(),
-          col("state") === col("src"), "left_anti")
-        .select(col("state"), col("m").as("mm"))
-      pi = moved.unionByName(dangling)
-        .groupBy(col("state")).agg(sum(col("mm")).as("m"))
-        .localCheckpoint(true)
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      pi.foreach { case (s, m) =>
+        out.get(s) match {
+          case None => next(s) += m // dangling state holds its mass
+          case Some(o) =>
+            cells.filter(_._1 == s).foreach { case (_, d, n) =>
+              next(d) += m * n / o
+            }
+        }
+      }
+      pi = states.map(s => s -> next(s)).toMap
     }
-    // a state that shed ALL its mass leaves the vector mid-iteration
-    // (absent ≡ 0 for every later step) — surface it explicitly
-    states.join(pi, Seq("state"), "left")
-      .select(col("state"), coalesce(col("m"), lit(0L)).as("m"))
+    pi.toSeq.map { case (s, m) => (s, m) }
+      .toDF("state", "m")
       .orderBy(col("state"))
   }
 
