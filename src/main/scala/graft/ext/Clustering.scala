@@ -519,7 +519,87 @@ object Clustering {
        |FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) j
        |GROUP BY j.i ORDER BY pos""".stripMargin
 
+  /** Class-centroid geometry: pairwise cosine between label centroids
+    * in exact integer micro — which classes the embedding space
+    * actually separates (the confusion-risk map read before trusting
+    * labels for SemDeDup routing or classifier training). Centroid
+    * cosine needs no division by n: cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb),
+    * so the whole surface lives on per-label quantized component SUMS
+    * (one explode + partial-agg; the label relation is vocabulary-
+    * bounded). cos_micro = ±(|dot|·10⁶ div (isqrt(‖a‖²)·isqrt(‖b‖²)))
+    * — sign split so Spark's truncating div and DuckDB's flooring //
+    * agree on negative dots; isqrt deterministic below 2^52 (the L5q
+    * argument; micro scaling shifts to DECIMAL beyond ~10⁷ rows/label,
+    * the documented path). */
+  def classGeometry(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val q = emb.select(col("label"), quantize(col("embedding")).as("v"))
+    val n = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val sums = q
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, s))), e -> e.s)")
+        .as("sv"))
+      .join(n, Seq("label"))
+      .withColumn("n2", aggregate(
+        zip_with(col("sv"), col("sv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    val a = sums.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("sv").as("sa"), col("n2").as("na2"))
+    val b = sums.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("sv").as("sb"), col("n2").as("nb2"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("dot", aggregate(
+        zip_with(col("sa"), col("sb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("den",
+        floor(sqrt(col("na2").cast("double"))).cast("long") *
+          floor(sqrt(col("nb2").cast("double"))).cast("long"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"),
+        expr("""CASE WHEN den = 0 THEN NULL
+             |     WHEN dot >= 0 THEN dot * 1000000L div den
+             |     ELSE -((-dot) * 1000000L div den) END""".stripMargin)
+          .as("cos_micro"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  def classGeometrySql(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT label,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * $Q) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+       |s AS (
+       |  SELECT label, j.i AS pos, CAST(SUM(v[j.i]) AS BIGINT) AS s
+       |  FROM e, (SELECT unnest(range(1, ${dim + 1})) AS i) j
+       |  GROUP BY label, j.i),
+       |vec AS (
+       |  SELECT label, list(s ORDER BY pos) AS sv FROM s GROUP BY label),
+       |vn AS (
+       |  SELECT v.label, n.n, v.sv,
+       |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |      j -> sv[j] * sv[j])) AS BIGINT) AS n2
+       |  FROM vec v JOIN n ON n.label = v.label),
+       |p AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    a.n AS n_a, b.n AS n_b,
+       |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |      j -> a.sv[j] * b.sv[j])) AS BIGINT) AS dot,
+       |    CAST(FLOOR(SQRT(CAST(a.n2 AS DOUBLE))) AS BIGINT)
+       |      * CAST(FLOOR(SQRT(CAST(b.n2 AS DOUBLE))) AS BIGINT) AS den
+       |  FROM vn a JOIN vn b ON a.label < b.label)
+       |SELECT label_a, label_b, n_a, n_b, dot,
+       |  CASE WHEN den = 0 THEN NULL
+       |       WHEN dot >= 0 THEN dot * 1000000 // den
+       |       ELSE -((-dot) * 1000000 // den) END AS cos_micro
+       |FROM p ORDER BY label_a, label_b""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "embedding_class_geometry" -> QueryDef(
+      (s, d) => classGeometry(Tables.embeddings(s, d)),
+      classGeometrySql()),
     "dq_embedding_dims" -> QueryDef(
       (s, d) => dimStats(Tables.embeddings(s, d)), dimStatsSql()),
     "embedding_coreset" -> QueryDef(

@@ -114,4 +114,25 @@ class ClusteringSpec extends SparkSuite {
     assert(got(2) === ((2L, 1024L, 2L * 512L * 512L, 512L, 512L, true)),
       "constant dimension must flag dead")
   }
+
+  test("class geometry: orthogonal/identical/opposite planted centroids") {
+    import spark.implicits._
+    // label 0: e1-ish vectors; label 1: e2; label 2: -e1 (exactly
+    // opposite of 0); label 3: same as 0 → cosines 0 / -1e6 / 1e6
+    def vec(i: Int, s: Double) =
+      (0 until 64).map(j => if (j == i) s.toFloat else 0.0f)
+    val rows = Seq(
+      (1L, vec(0, 0.25), 0), (2L, vec(0, 0.25), 0),
+      (3L, vec(1, 0.25), 1),
+      (4L, vec(0, -0.25), 2),
+      (5L, vec(0, 0.25), 3))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Clustering.classGeometry(df).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(got((0, 1)) === Some(0L))
+    assert(got((0, 2)) === Some(-1000000L))
+    assert(got((0, 3)) === Some(1000000L))
+    assert(got((1, 2)) === Some(0L))
+  }
 }
