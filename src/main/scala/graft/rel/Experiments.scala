@@ -337,6 +337,54 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // -------------------------------------------------- next-type baseline
+
+  /** Majority-class next-event baseline: per event type, the most
+    * likely successor and the accuracy "always predict the argmax"
+    * achieves — THE floor any sequence model must beat before its
+    * training run is worth the tokens. One windowed pair count (the
+    * E35 relation), argmax via struct max with lexical tie-break,
+    * accuracy in floor bp; all over the vocabulary-bounded transition
+    * matrix. */
+  def nextTypeBaseline(events: DataFrame): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(wu).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    trans.groupBy(col("src"))
+      // struct max = largest n, then lexicographically largest dst —
+      // mirrored by ORDER BY n DESC, dst DESC in the oracle
+      .agg(sum(col("n")).as("total"),
+        max(struct(col("n"), col("dst"))).as("m"))
+      .select(col("src"), col("total"), col("m.dst").as("predicted"),
+        col("m.n").as("hits"),
+        expr("m.n * 10000L div total").as("accuracy_bp"))
+      .orderBy(col("src"))
+  }
+
+  val nextTypeBaselineSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |b AS (
+      |  SELECT src, dst, n,
+      |    ROW_NUMBER() OVER (PARTITION BY src
+      |      ORDER BY n DESC, dst DESC) AS rk,
+      |    CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS total
+      |  FROM tr)
+      |SELECT src, total, dst AS predicted, CAST(n AS BIGINT) AS hits,
+      |  n * 10000 // total AS accuracy_bp
+      |FROM b WHERE rk = 1 ORDER BY src""".stripMargin
+
   // ----------------------------------------------------------- bot flags
 
   /** Bot-cadence heuristic: users whose event stream is both inhumanly
@@ -760,6 +808,9 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_next_type_baseline" -> QueryDef(
+      (s: SparkSession, d: String) => nextTypeBaseline(Tables.events(s, d)),
+      nextTypeBaselineSql),
     "events_bot_flags" -> QueryDef(
       (s: SparkSession, d: String) => botFlags(Tables.events(s, d)),
       botFlagsSql()),

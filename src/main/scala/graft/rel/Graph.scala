@@ -2027,6 +2027,59 @@ object Graph {
     maxSpanningForest(weighted)
   }
 
+  /** Full core decomposition: every node's core NUMBER (the largest k
+    * whose k-core still contains it) — G13's fixed-k peel promoted to
+    * the full hierarchy, the standard "how deep in the dense part"
+    * coordinate under community seeding and influence ranking. Runs
+    * the G13 peel at k = 1, 2, … until the graph empties: nodes that
+    * vanish during the k-peel carry core number k−1. Each level is the
+    * proven semi-join peel loop (degree filter + two semi-joins per
+    * round, checkpointed); levels are bounded by the max core (tiny on
+    * sparse graphs), rounds within a level by the peel depth. Not
+    * SQL-expressible (nested loops) — spec-gated against a driver
+    * reference peeling on the sf0.001 backbone plus a planted
+    * clique-with-tail. */
+  def coreDecomposition(edges: DataFrame, maxK: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var result: DataFrame = null
+    var k = 1L
+    var done = e.isEmpty
+    while (!done && k <= maxK) {
+      // peel to the k-core
+      var stable = false
+      while (!stable) {
+        val keep = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("node"))
+        val ne = e
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        stable = ne.count() == e.count()
+        e = ne
+      }
+      val survivors = e.select(col("src").as("node")).distinct()
+        .withColumn("core", lit(k))
+        .localCheckpoint(true)
+      // survivors of the k-peel have core ≥ k; overwrite each level
+      result =
+        if (result == null) survivors
+        else result.join(survivors.select(col("node")), Seq("node"),
+            "left_anti")
+          .unionByName(survivors)
+          .localCheckpoint(true)
+      done = e.isEmpty
+      k += 1
+    }
+    if (result == null)
+      spark.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("core")).limit(0)
+    else result.orderBy(col("node"))
+  }
+
   /** Rich-club coefficient ladder: among nodes of degree > k, what
     * fraction of possible edges exists — φ(k) = 2·E_k/(N_k·(N_k−1)) in
     * exact ppm, for k ∈ {1, 2, 4, 8}. The "do the hubs talk to each

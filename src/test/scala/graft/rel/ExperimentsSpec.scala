@@ -284,4 +284,20 @@ class ExperimentsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("next-type baseline: argmax successor, lexical-max tie, floor bp") {
+    val events = Seq(
+      // u1: A→B, B→A, A→B ; u2: A→C
+      (1L, ts(1, 1), 1L, "A"), (1L, ts(1, 2), 2L, "B"),
+      (1L, ts(1, 3), 3L, "A"), (1L, ts(1, 4), 4L, "B"),
+      (2L, ts(1, 1), 5L, "A"), (2L, ts(1, 2), 6L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Experiments.nextTypeBaseline(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // A: B×2, C×1 → predict B, 2/3 → 6666 bp; B: A×1 → 10000 bp
+    assert(got.toSeq === Seq(
+      ("A", 3L, "B", 2L, 6666L),
+      ("B", 1L, "A", 1L, 10000L)))
+  }
 }

@@ -771,4 +771,39 @@ class GraphSpec extends SparkSuite {
       (4L, 0L, 0L, None),
       (8L, 0L, 0L, None)))
   }
+
+  test("core decomposition: clique-with-tail hand cores; driver reference") {
+    import spark.implicits._
+    // triangle 1-2-3 (core 2) with tail 3-4-5 (core 1)
+    val half = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val e = (half ++ half.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = Graph.coreDecomposition(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // driver reference peeling on the sf0.001 backbone
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val bb = Graph.backboneEdges(li, 2L)
+    val sym = bb.unionByName(
+      bb.select(col("dst").as("src"), col("src").as("dst")))
+    val dist = Graph.coreDecomposition(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: repeated peeling in plain Scala
+    var adj = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    var k = 1L
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val drop = adj.filter(_._2.size < k).keySet
+        changed = drop.nonEmpty
+        if (changed)
+          adj = (adj -- drop).view
+            .mapValues(_ -- drop).filter(_._2.nonEmpty).toMap
+      }
+      adj.keys.foreach(n => ref(n) = k)
+      k += 1
+    }
+    assert(dist === ref.toMap)
+  }
 }
