@@ -337,6 +337,78 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // -------------------------------------------------- session coverage
+
+  /** Engagement density: how much of a user's lifetime span is spent
+    * INSIDE sessions (the 30-minute-gap rule shared with the W5 /
+    * E27 sessionizers) — total in-session microseconds over first-to-
+    * last-event span, exact floor bp. Single-event sessions contribute
+    * zero duration (a point has no extent — the honest convention);
+    * single-session users whose one session IS their span read 10000.
+    * Two user-keyed windows (gap flag, session id by running sum) +
+    * two partial-agg groupBys; per-partition work is bounded by a
+    * user's event count. */
+  def sessionCoverage(events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("new_session",
+        (coalesce(col("us") - lag(col("us"), 1).over(w), lit(Long.MaxValue))
+          > gapUs).cast("long"))
+      .withColumn("sid", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = marked.groupBy(col("user_id"), col("sid"))
+      .agg((max(col("us")) - min(col("us"))).as("dur_us"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_us")).as("in_session_us"))
+      .join(
+        marked.groupBy(col("user_id"))
+          .agg((max(col("us")) - min(col("us"))).as("span_us")),
+        Seq("user_id"))
+      .select(col("user_id"), col("n_sessions"), col("in_session_us"),
+        col("span_us"),
+        expr("CASE WHEN span_us > 0 "
+          + "THEN in_session_us * 10000L div span_us END").as("coverage_bp"))
+      .orderBy(col("user_id"))
+  }
+
+  def sessionCoverageSql(gapUs: Long = 30L * 60 * 1000000): String =
+    s"""WITH ts AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, event_id,
+      |    CASE WHEN us - LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w > $gapUs
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ts
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, sid, MAX(us) - MIN(us) AS dur_us
+      |  FROM sid GROUP BY user_id, sid),
+      |per AS (
+      |  SELECT user_id, COUNT(*) AS n_sessions,
+      |    CAST(SUM(dur_us) AS BIGINT) AS in_session_us
+      |  FROM sess GROUP BY user_id),
+      |sp AS (
+      |  SELECT user_id, MAX(us) - MIN(us) AS span_us FROM ts
+      |  GROUP BY user_id)
+      |SELECT p.user_id, p.n_sessions, p.in_session_us, sp.span_us,
+      |  CASE WHEN sp.span_us > 0
+      |       THEN p.in_session_us * 10000 // sp.span_us END AS coverage_bp
+      |FROM per p JOIN sp ON sp.user_id = p.user_id
+      |ORDER BY p.user_id""".stripMargin
+
   // -------------------------------------------------- next-type baseline
 
   /** Majority-class next-event baseline: per event type, the most
@@ -808,6 +880,9 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_session_coverage" -> QueryDef(
+      (s: SparkSession, d: String) => sessionCoverage(Tables.events(s, d)),
+      sessionCoverageSql()),
     "events_next_type_baseline" -> QueryDef(
       (s: SparkSession, d: String) => nextTypeBaseline(Tables.events(s, d)),
       nextTypeBaselineSql),

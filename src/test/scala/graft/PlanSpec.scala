@@ -244,8 +244,9 @@ class PlanSpec extends SparkSuite {
     val exempt = Set("agg_stats_global", "q14_promo_share",
       "q19_discounted_revenue", "q17_small_quantity", "q6_forecast_revenue",
       // round-10 single-row aggregates (global rectangle census, one-row
-      // budget-fill boundary artifact)
-      "graph_rectangles", "corpus_budget_fill")
+      // budget-fill boundary artifact, one-row DiD / power readouts)
+      "graph_rectangles", "corpus_budget_fill", "events_did",
+      "events_power_check")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!exempt(name))
         assert(sql.toUpperCase.contains("ORDER BY"),

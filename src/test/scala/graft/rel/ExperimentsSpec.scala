@@ -300,4 +300,21 @@ class ExperimentsSpec extends SparkSuite {
       ("A", 3L, "B", 2L, 6666L),
       ("B", 1L, "A", 1L, 10000L)))
   }
+
+  test("session coverage: gaps split sessions, point sessions are zero") {
+    val events = Seq(
+      // u1: session A 10:00-10:10, then 40-min gap, session B 10:50 (point)
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 10:50:00"), 3L),
+      // u2: single event → span 0 → coverage NULL
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Experiments.sessionCoverage(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // u1: in-session 600s, span 3000s → 2000 bp
+    assert(got(1L) === ((2L, 600000000L, 3000000000L, Some(2000L))))
+    assert(got(2L) === ((1L, 0L, 0L, None)))
+  }
 }
