@@ -1351,7 +1351,60 @@ object TimeSeries {
       |FROM daily d JOIN base ON base.event_type = d.event_type
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** Week-over-week same-weekday comparison: each day's revenue against
+    * exactly seven days earlier (the seasonality-free growth compare —
+    * day-over-day mixes weekday effects, E28 flags anomalies; this is
+    * the plain BI readout). The lag is a RANGE lookup on the integer
+    * day index (didx − 7 exactly — a missing calendar day yields NULL,
+    * never "7 rows back"); delta in exact floor bp, zero baselines
+    * surface NULL. One daily reduce + one type-keyed range window. */
+  def weekOverWeek(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((Exact.money(col("value")) * 100).cast("long")).as("cents"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .withColumn("didx", datediff(col("day"), col("d0")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("didx"))
+      .rangeBetween(-7, -7)
+    idx
+      .withColumn("prev_cents", max(col("cents")).over(w))
+      .select(col("event_type"), col("day"), col("cents"), col("prev_cents"),
+        expr("""CASE WHEN prev_cents > 0 THEN
+             |  CASE WHEN cents >= prev_cents
+             |       THEN (cents - prev_cents) * 10000L div prev_cents
+             |       ELSE -((prev_cents - cents) * 10000L div prev_cents)
+             |  END END""".stripMargin).as("wow_bp"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val weekOverWeekSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |idx AS (
+      |  SELECT event_type, day, cents,
+      |    CAST(date_diff('day', d0.d0, day) AS BIGINT) AS didx
+      |  FROM daily CROSS JOIN d0),
+      |l AS (
+      |  SELECT event_type, day, cents,
+      |    MAX(cents) OVER (PARTITION BY event_type ORDER BY didx
+      |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS prev_cents
+      |  FROM idx)
+      |SELECT event_type, day, cents, prev_cents,
+      |  CASE WHEN prev_cents > 0 THEN
+      |    CASE WHEN cents >= prev_cents
+      |         THEN (cents - prev_cents) * 10000 // prev_cents
+      |         ELSE -((prev_cents - cents) * 10000 // prev_cents) END
+      |  END AS wow_bp
+      |FROM l ORDER BY event_type, day""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "ts_wow" -> QueryDef(
+      (s, d) => weekOverWeek(Tables.events(s, d)), weekOverWeekSql),
     "ts_rebase" -> QueryDef(
       (s, d) => rebaseDaily(Tables.events(s, d)), rebaseDailySql),
     "ts_segmented_trend" -> QueryDef(

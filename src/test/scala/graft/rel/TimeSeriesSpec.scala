@@ -449,4 +449,23 @@ class TimeSeriesSpec extends SparkSuite {
       ("Z", "2024-01-01", None),   // zero base never divides
       ("Z", "2024-01-02", None)))
   }
+
+  test("ts_wow: exact same-weekday lookup, gaps yield NULL, sign split") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val e = Seq(
+      (1L, "X", Timestamp.valueOf("2024-01-01 12:00:00"), 2.00),
+      (2L, "X", Timestamp.valueOf("2024-01-08 12:00:00"), 3.00),  // +50%
+      (3L, "X", Timestamp.valueOf("2024-01-15 12:00:00"), 1.50),  // −50%
+      (4L, "X", Timestamp.valueOf("2024-01-21 12:00:00"), 9.00))  // 6 days: gap
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.weekOverWeek(e).collect()
+      .map(r => (r.getDate(1).toString,
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", None),
+      ("2024-01-08", Some(5000L)),
+      ("2024-01-15", Some(-5000L)),
+      ("2024-01-21", None)))   // 6-day gap: no same-weekday baseline
+  }
 }
