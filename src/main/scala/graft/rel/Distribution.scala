@@ -314,7 +314,65 @@ object Distribution {
       |GROUP BY b.seg, t.n, t.s
       |ORDER BY b.seg""".stripMargin
 
+  /** Trimmed mean — A17's sibling that DROPS the tails instead of
+    * clamping them: the middle 90% by rank, with tie clumps at the cut
+    * boundaries included PARTIALLY and exactly — a value with
+    * cumulative range (cum−c, cum] contributes
+    * max(0, min(cum, hi) − max(cum−c, lo)) ranks, so the kept mass is
+    * rank-exact whatever the tie structure (most implementations
+    * silently keep or drop whole clumps). Ranks lo = ceil(n/20) drop
+    * from the bottom, ranks above hi = floor(19n/20) from the top.
+    * Same distinct-value cumulative as A15–A17; all BIGINT. */
+  def trimmedMean(lineitem: DataFrame): DataFrame = {
+    val cents = lineitem.select(
+      (Exact.money(col("l_extendedprice")) * 100).cast("long").as("v"))
+    val byValue = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue
+      .select(col("v"), col("c"), sum(col("c")).over(w).as("cum"))
+    val tot = byValue.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("lo", expr("(n + 19) div 20"))
+      .withColumn("hi", expr("(19 * n) div 20"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("c"), col("lo"))))
+      .groupBy(col("n"), col("lo"), col("hi"))
+      .agg(sum(col("kept")).as("kept_ranks"),
+        sum(col("kept") * col("v")).as("trimmed_cents"))
+      .select(col("n"), col("lo"), col("hi"), col("kept_ranks"),
+        col("trimmed_cents"),
+        expr("trimmed_cents div kept_ranks").as("trimmed_mean_cents"))
+  }
+
+  val trimmedMeanSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS v FROM lineitem),
+      |by_value AS (SELECT v, COUNT(*) AS c FROM cents GROUP BY v),
+      |cum AS (
+      |  SELECT v, c,
+      |    CAST(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM by_value),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM by_value),
+      |k AS (
+      |  SELECT cum.*, t.n, (t.n + 19) // 20 AS lo, (19 * t.n) // 20 AS hi,
+      |    GREATEST(0, LEAST(cum, (19 * t.n) // 20)
+      |      - GREATEST(cum - c, (t.n + 19) // 20)) AS kept
+      |  FROM cum CROSS JOIN t)
+      |SELECT n, lo, hi, CAST(SUM(kept) AS BIGINT) AS kept_ranks,
+      |  CAST(SUM(kept * v) AS BIGINT) AS trimmed_cents,
+      |  CAST(SUM(kept * v) AS BIGINT) // CAST(SUM(kept) AS BIGINT)
+      |    AS trimmed_mean_cents
+      |FROM k GROUP BY n, lo, hi""".stripMargin
+
   def queries: Seq[(String, QueryDef)] = Seq(
+    "agg_trimmed_mean" -> QueryDef(
+      (s: SparkSession, d: String) => trimmedMean(Tables.lineitem(s, d)),
+      trimmedMeanSql),
     "agg_hoover" -> QueryDef(
       (s: SparkSession, d: String) =>
         hooverBySegment(Tables.orders(s, d), Tables.customer(s, d)),

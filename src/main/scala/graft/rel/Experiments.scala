@@ -337,6 +337,56 @@ object Experiments {
       |FROM wgt CROSS JOIN t
       |ORDER BY seg""".stripMargin
 
+  // ----------------------------------------------------- activation
+
+  /** Unordered activation checklist: what share of users has performed
+    * EVERY core action at least once (order-free — the E9 funnel's
+    * sibling for setup checklists where sequence doesn't matter), plus
+    * per-step penetration. One distinct (user, type) relation feeds
+    * both: penetration per type, and per-user distinct-step counts for
+    * the all-steps rate. All exact floor bp. */
+  def activation(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ut = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type")).distinct()
+    val users = events.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val per = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_step_users"))
+    val complete = ut.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") === steps.size)
+      .agg(count(lit(1)).as("n_complete"))
+    per.crossJoin(broadcast(users)).crossJoin(broadcast(complete))
+      .select(col("event_type"), col("n_step_users"), col("n_users"),
+        expr("n_step_users * 10000L div n_users").as("penetration_bp"),
+        col("n_complete"),
+        expr("n_complete * 10000L div n_users").as("activation_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  def activationSql(
+      steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val inList = steps.map(s => s"'$s'").mkString(", ")
+    s"""WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE event_type IN ($inList)),
+      |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+      |per AS (
+      |  SELECT event_type, COUNT(*) AS n_step_users FROM ut GROUP BY 1),
+      |cmp AS (
+      |  SELECT COUNT(*) AS n_complete FROM (
+      |    SELECT user_id FROM ut GROUP BY user_id
+      |    HAVING COUNT(*) = ${steps.size}))
+      |SELECT event_type, n_step_users, u.n_users,
+      |  n_step_users * 10000 // u.n_users AS penetration_bp,
+      |  cmp.n_complete,
+      |  cmp.n_complete * 10000 // u.n_users AS activation_bp
+      |FROM per CROSS JOIN u CROSS JOIN cmp
+      |ORDER BY event_type""".stripMargin
+  }
+
   // -------------------------------------------------- session coverage
 
   /** Engagement density: how much of a user's lifetime span is spent
@@ -880,6 +930,9 @@ object Experiments {
       |ORDER BY weekday, hr""".stripMargin
 
   def queries: Seq[(String, QueryDef)] = Seq(
+    "events_activation" -> QueryDef(
+      (s: SparkSession, d: String) => activation(Tables.events(s, d)),
+      activationSql()),
     "events_session_coverage" -> QueryDef(
       (s: SparkSession, d: String) => sessionCoverage(Tables.events(s, d)),
       sessionCoverageSql()),

@@ -144,4 +144,24 @@ class DistributionSpec extends SparkSuite {
     assert(got("EQ") === ((4L, 40000L, 0L)))
     assert(got("SK") === ((4L, 10000L, 7200L)))
   }
+
+  test("trimmed mean: partial boundary takes on 1..40, ranks exact") {
+    import spark.implicits._
+    // n=40: lo = ceil(40/20) = 2 (ranks 1-2 drop), hi = 38 (39-40 drop)
+    // kept = values 3..38 → sum = (3+38)·36/2 = 738 cents, mean 20
+    val li = (1 to 40).map(i => i / 100.0).toDF("l_extendedprice")
+    val r = Distribution.trimmedMean(li).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((40L, 2L, 38L, 36L, 738L, 20L)))
+  }
+
+  test("trimmed mean: tie clump straddling a cut is taken partially") {
+    import spark.implicits._
+    // 20 copies of 1 cent: n=20, lo=1, hi=19 → kept = 18 ranks of the
+    // SAME value (the clump spans both cuts; whole-clump keep/drop
+    // would give 20 or 0)
+    val li = Seq.fill(20)(0.01).toDF("l_extendedprice")
+    val r = Distribution.trimmedMean(li).collect().head
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((18L, 18L, 1L)))
+  }
 }

@@ -317,4 +317,20 @@ class ExperimentsSpec extends SparkSuite {
     assert(got(1L) === ((2L, 600000000L, 3000000000L, Some(2000L))))
     assert(got(2L) === ((1L, 0L, 0L, None)))
   }
+
+  test("activation: all-steps rate vs per-step penetration") {
+    val events = Seq(
+      (1L, ts(1), "view"), (1L, ts(1, 1), "click"), (1L, ts(1, 2), "purchase"),
+      (2L, ts(1), "view"), (2L, ts(1, 1), "click"),
+      (3L, ts(1), "view"),
+      (4L, ts(1), "error"))  // counted in n_users, no core steps
+      .toDF("user_id", "ts", "event_type")
+    val got = Experiments.activation(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("click", 2L, 4L, 5000L, 1L, 2500L),
+      ("purchase", 1L, 4L, 2500L, 1L, 2500L),
+      ("view", 3L, 4L, 7500L, 1L, 2500L)))
+  }
 }
