@@ -515,7 +515,74 @@ object Pipeline {
        |    AS fertility_milli
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Split-leakage audit: n-gram contamination ACROSS the declared
+    * train/test assignment — the guard that catches near-duplicate
+    * documents landing on both sides of the holdout (the md5 split is
+    * uniform over doc_ids, so duplicates split independently and WILL
+    * leak; this measures how much). Per test doc: distinct w-grams,
+    * how many also appear in ANY train doc, leak share in floor bp —
+    * the L5f decontaminate machinery pointed at the pipeline's own
+    * split instead of an external benchmark. Gram relations are
+    * distinct'ed before the one semi-flag join; never doc×doc. */
+  def splitLeakage(docs: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1, w: Int = 8): DataFrame = {
+    val s = splitAssign(docs, trainFrac, valFrac)
+      .select(col("doc_id"), col("split"))
+    val grams = docs.join(s, Seq("doc_id"))
+      .select(col("doc_id"), col("split"),
+        graft.ext.Dedup.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - ${w - 1}),
+           |  i -> md5(array_join(slice(toks, i, $w), ' '))))""".stripMargin))
+        .as("g"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("g")).distinct()
+      .withColumn("leaked", lit(1L))
+    grams.filter(col("split") === "test")
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("leaked"), lit(0L))).as("n_leaked"))
+      .select(col("doc_id"), col("n_grams"), col("n_leaked"),
+        expr("n_leaked * 10000L div n_grams").as("leak_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def splitLeakageSql(trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      w: Int = 8): String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           / 4294967296.0 < $trainFrac THEN 'train'
+       |         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           / 4294967296.0 < ${trainFrac + valFrac} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |t AS (
+       |  SELECT d.doc_id, sp.split,
+       |    list_filter(string_split(d.text, ' '), x -> x <> '') AS toks
+       |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
+       |pg AS (
+       |  SELECT DISTINCT doc_id, split,
+       |    md5(array_to_string(list_slice(toks, CAST(i AS INT),
+       |      CAST(i AS INT) + ${w - 1}), ' ')) AS g
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${w - 1} + 1)) AS i) r
+       |  WHERE len(toks) >= $w),
+       |tg AS (SELECT DISTINCT g FROM pg WHERE split = 'train')
+       |SELECT pg.doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_leaked,
+       |  CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 10000 // COUNT(*) AS leak_bp
+       |FROM pg LEFT JOIN tg ON tg.g = pg.g
+       |WHERE pg.split = 'test'
+       |GROUP BY pg.doc_id
+       |ORDER BY pg.doc_id""".stripMargin
+
   private val q: Seq[(String, QueryDef)] = Seq(
+    "corpus_split_leakage" -> QueryDef(
+      (s, d) => splitLeakage(Tables.documents(s, d)), splitLeakageSql()),
     "corpus_fertility" -> QueryDef(
       (s, d) => fertility(Tables.documents(s, d)), fertilitySql),
     "corpus_epoch_shuffle" -> QueryDef(

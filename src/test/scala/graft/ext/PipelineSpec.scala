@@ -232,4 +232,28 @@ class PipelineSpec extends SparkSuite {
       assert(f === t * 1000L / w, lang)
     }
   }
+
+  test("split leakage: planted cross-split duplicate leaks fully; " +
+      "unique test doc leaks nothing") {
+    import spark.implicits._
+    // find a train id and two test ids under the declared md5 split
+    val probe = (1L to 200L).map(i => (i, "src", s"probe"))
+      .toDF("doc_id", "source", "text")
+    val assign = Pipeline.splitAssign(probe, 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val trainId = assign.collectFirst { case (id, "train") => id }.get
+    val testIds = assign.collect { case (id, "test") => id }.take(2).toSeq
+    val dupText = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val uniqText = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (trainId, "src", dupText),
+      (testIds(0), "src", dupText),   // exact duplicate across the split
+      (testIds(1), "src", uniqText))  // unique to test
+      .toDF("doc_id", "source", "text")
+    val got = Pipeline.splitLeakage(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got(testIds(0)) === ((3L, 3L, 10000L))) // 3 distinct 8-grams, all leaked
+    assert(got(testIds(1)) === ((3L, 0L, 0L)))
+  }
 }
