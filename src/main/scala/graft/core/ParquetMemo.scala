@@ -45,7 +45,22 @@ object ParquetMemo {
     * per (source snapshot, tag, version). `build` is only evaluated on
     * a cache miss. */
   def ensure(srcFile: String, tag: String, version: String)
-            (build: => DataFrame): String = synchronized {
+            (build: => DataFrame): String =
+    ensureCore(srcFile, tag, version)(staging =>
+      build.write.mode("overwrite").parquet(staging))
+
+  /** Like [[ensure]] but DIRECTORY-PARTITIONED on `partitionCols` — the
+    * layout for standing indexes probed by literal low-cardinality
+    * filters (quantizer cells): the probe's `IN (...)` becomes a
+    * PartitionFilter and unprobed directories are never opened. */
+  def ensurePartitioned(srcFile: String, tag: String, version: String,
+      partitionCols: Seq[String])(build: => DataFrame): String =
+    ensureCore(srcFile, tag, version)(staging =>
+      build.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(staging))
+
+  private def ensureCore(srcFile: String, tag: String, version: String)
+      (writeTo: String => Unit): String = synchronized {
     val path = cachePath(srcFile, tag, version)
     val target = new java.io.File(path)
     if (!new java.io.File(target, "_SUCCESS").exists()) {
@@ -63,7 +78,7 @@ object ParquetMemo {
       val staging = new java.io.File(
         path + ".build." + java.lang.ProcessHandle.current().pid())
       try {
-        build.write.mode("overwrite").parquet(staging.getAbsolutePath)
+        writeTo(staging.getAbsolutePath)
         if (!staging.renameTo(target)) {
           // rename refused: a concurrent builder won (use theirs) or
           // something is genuinely wrong; never hand back an empty path

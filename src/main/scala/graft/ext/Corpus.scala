@@ -567,7 +567,9 @@ object Corpus {
        |  SELECT doc_id, source,
        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        |      / 4294967296.0 AS u,
-       |    CASE $cases ELSE $defaultRate END AS rate
+       |    -- DOUBLE, not the decimal-literal DECIMAL(3,2): Spark's rate
+       |    -- is a double, and the u < rate compare must be IEEE on both
+       |    CAST(CASE $cases ELSE $defaultRate END AS DOUBLE) AS rate
        |  FROM documents)
        |SELECT doc_id, source, u, rate FROM t
        |WHERE u < rate ORDER BY doc_id""".stripMargin

@@ -860,8 +860,11 @@ object Search {
   }
 
   def searchEvalSql(queryTerms: Seq[Seq[String]], k: Int = 10): String = {
+    // BIGINT literal (qi::BIGINT) so qid surfaces int64 like the Spark
+    // side's qi.toLong, not the VALUES-default INTEGER
     val qrows = queryTerms.zipWithIndex
-      .flatMap { case (ts, qi) => ts.map(t => s"($qi, '$t')") }
+      .flatMap { case (ts, qi) =>
+        ts.map(t => s"(CAST($qi AS BIGINT), '$t')") }
       .mkString(", ")
     s"""WITH qrel(qid, term) AS (VALUES $qrows),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -893,10 +896,11 @@ object Search {
        |  CASE WHEN MIN(CASE WHEN relevant THEN rank END) IS NOT NULL
        |       THEN 1000000 // MIN(CASE WHEN relevant THEN rank END) END
        |    AS rr_micro,
-       |  CASE WHEN SUM(CASE WHEN relevant THEN 1 ELSE 0 END) > 0
+       |  CAST(CASE WHEN SUM(CASE WHEN relevant THEN 1 ELSE 0 END) > 0
        |       THEN CAST(SUM(CASE WHEN relevant AND rank <= $k
        |                     THEN 1 ELSE 0 END) AS BIGINT) * 10000
-       |            // SUM(CASE WHEN relevant THEN 1 ELSE 0 END) END
+       |            // SUM(CASE WHEN relevant THEN 1 ELSE 0 END)
+       |       END AS BIGINT)
        |    AS recall_k_bp
        |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin
   }

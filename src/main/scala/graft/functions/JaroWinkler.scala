@@ -96,9 +96,20 @@ object JaroWinklerMicro {
     }
     val t = half / 2
     val mm = m.toLong
-    val num = mm * mm * l2 + mm * mm * l1 + (mm - t) * l1 * l2
-    val den = 3L * l1 * l2 * mm
-    val jaro = num * 1000000L / den
+    // num ≤ 3·l³ and the scaled numerator is num·10⁶, which exceeds
+    // Long once max(l1,l2) ≳ 14.5k codepoints — the expression is a
+    // general SQL function, so document-length inputs are legal. Route
+    // long inputs through BigInt; the common (name-length) path stays
+    // allocation-free Long arithmetic.
+    val jaro: Long =
+      if (math.max(l1, l2) > 14000) {
+        val num = BigInt(mm) * mm * l2 + BigInt(mm) * mm * l1 +
+          BigInt(mm - t) * l1 * l2
+        (num * 1000000 / (BigInt(3) * l1 * l2 * mm)).toLong
+      } else {
+        val num = mm * mm * l2 + mm * mm * l1 + (mm - t) * l1 * l2
+        num * 1000000L / (3L * l1 * l2 * mm)
+      }
     var prefix = 0
     while (prefix < math.min(4, math.min(l1, l2)) &&
       a(prefix) == b(prefix)) prefix += 1

@@ -41,9 +41,13 @@ object Distribution {
     val spend = orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
-      // whole dollars via exact decimal floor: sum cents, then div 100
-      .agg((sum((Exact.money(col("o_totalprice")) * 100).cast("long"))
-        .cast("long") / lit(100L)).cast("long").as("x"))
+      // whole dollars via exact integer floor: sum cents, then div 100
+      // (`div`, not `/`: Spark's `/` on longs is double division + cast,
+      // which only floors exactly below ~9e13 cents — `div` is floor
+      // division by construction at any magnitude)
+      .agg(sum((Exact.money(col("o_totalprice")) * 100).cast("long"))
+        .as("sum_cents"))
+      .select(col("seg"), expr("sum_cents div 100").as("x"))
     val byValue = spend.groupBy(col("seg"), col("x"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("seg")).orderBy(col("x"))
@@ -75,9 +79,13 @@ object Distribution {
       |    COALESCE(SUM(c) OVER (PARTITION BY seg ORDER BY x
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
       |  FROM by_value)
-      |SELECT seg, SUM(c) AS n, SUM(x * c) AS total,
-      |  ((SUM(x * c * (2 * f + c)) - SUM(c) * SUM(x * c)) * 10000)
-      |    // (SUM(c) * SUM(x * c)) AS gini_bp
+      |-- DuckDB SUM(BIGINT) widens to HUGEINT (fetched as float64) while
+      |-- Spark stays int64 — cast every aggregate-derived output back to
+      |-- BIGINT so the driver's representation hash matches
+      |SELECT seg, CAST(SUM(c) AS BIGINT) AS n,
+      |  CAST(SUM(x * c) AS BIGINT) AS total,
+      |  CAST(((SUM(x * c * (2 * f + c)) - SUM(c) * SUM(x * c)) * 10000)
+      |    // (SUM(c) * SUM(x * c)) AS BIGINT) AS gini_bp
       |FROM ranked GROUP BY seg
       |ORDER BY seg""".stripMargin
 
@@ -117,8 +125,10 @@ object Distribution {
     """WITH by_lang AS (
       |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
       |agg AS (
-      |  SELECT source, SUM(c) AS n_docs, COUNT(*) AS n_langs,
-      |    SUM(c * c) AS c2, MAX(c) AS max_c
+      |  -- CAST the SUMs back: DuckDB widens SUM(BIGINT) to HUGEINT,
+      |  -- which the driver fetches as float64 vs Spark's int64
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+      |    CAST(SUM(c * c) AS BIGINT) AS c2, MAX(c) AS max_c
       |  FROM by_lang GROUP BY source),
       |top AS (
       |  SELECT source, lang AS top_lang FROM (
@@ -127,9 +137,9 @@ object Distribution {
       |        ORDER BY c DESC, lang) AS rk
       |    FROM by_lang) WHERE rk = 1)
       |SELECT a.source, a.n_docs, a.n_langs, t.top_lang,
-      |  a.max_c * 10000 // a.n_docs AS top_share_bp,
-      |  (a.n_docs * a.n_docs - a.c2) * 1000000 // (a.n_docs * a.n_docs)
-      |    AS impurity_ppm
+      |  CAST(a.max_c * 10000 // a.n_docs AS BIGINT) AS top_share_bp,
+      |  CAST((a.n_docs * a.n_docs - a.c2) * 1000000
+      |    // (a.n_docs * a.n_docs) AS BIGINT) AS impurity_ppm
       |FROM agg a JOIN top t ON t.source = a.source
       |ORDER BY a.source""".stripMargin
 

@@ -1135,7 +1135,7 @@ object EventAnalytics {
 
   val sessionConcurrencySql: String =
     """WITH g AS (
-      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
       |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
       |           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
       |         OR epoch_us(CAST(ts AS TIMESTAMP))
@@ -1144,9 +1144,12 @@ object EventAnalytics {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
+      |  -- tie-break on event_id like the Spark twin (and the sibling
+      |  -- sessionCoverageSql): a ROWS running sum over us alone is
+      |  -- engine-arbitrary when a user's events share a timestamp
       |  SELECT user_id, session_id, MIN(us) AS s, MAX(us) AS e FROM (
       |    SELECT user_id, us,
-      |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |    FROM g)
       |  GROUP BY user_id, session_id),

@@ -258,8 +258,10 @@ object Experiments {
       |w AS (
       |  SELECT day, cnt,
       |    COUNT(cnt) OVER tw AS n_prev,
-      |    SUM(cnt) OVER tw AS s,
-      |    SUM(cnt * cnt) OVER tw AS s2
+      |    -- CAST back from the windowed-SUM HUGEINT so z2_milli stays
+      |    -- BIGINT (exact at any magnitude, not float64 past 2^53)
+      |    CAST(SUM(cnt) OVER tw AS BIGINT) AS s,
+      |    CAST(SUM(cnt * cnt) OVER tw AS BIGINT) AS s2
       |  FROM daily
       |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
       |SELECT day, cnt, n_prev,
@@ -755,7 +757,11 @@ object Experiments {
           case None => next(s) += m // dangling state holds its mass
           case Some(o) =>
             cells.filter(_._1 == s).foreach { case (_, d, n) =>
-              next(d) += m * n / o
+              // m·n can wrap Long once a cell count n exceeds ~9.2e6
+              // (mass m is up to Scale = 10¹²) — the 100k-cell guard
+              // bounds cardinality, not magnitudes. Widen the product;
+              // the quotient is ≤ m, so the Long result is safe.
+              next(d) += (BigInt(m) * n / o).toLong
             }
         }
       }
@@ -773,7 +779,11 @@ object Experiments {
     val steps = (1 to iters).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT state, CAST(SUM(mm) AS BIGINT) AS m FROM (
-         |    SELECT te.dst AS state, p${i - 1}.m * te.n // te.out AS mm
+         |    -- widen the m·n product (HUGEINT ≙ the Scala BigInt hop):
+         |    -- BIGINT·BIGINT raises on overflow once n is large
+         |    SELECT te.dst AS state,
+         |      CAST(CAST(p${i - 1}.m AS HUGEINT) * te.n // te.out AS BIGINT)
+         |        AS mm
          |    FROM p${i - 1} JOIN te ON te.src = p${i - 1}.state
          |    UNION ALL
          |    SELECT p${i - 1}.state, p${i - 1}.m

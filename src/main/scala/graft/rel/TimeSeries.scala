@@ -722,8 +722,10 @@ object TimeSeries {
       |t AS (
       |  SELECT event_type, day, v_cents,
       |    COUNT(*) OVER w7 AS n7,
-      |    CASE WHEN COUNT(*) OVER w7 = 7
-      |         THEN SUM(v_cents) OVER w7 END AS trend_sum7,
+      |    -- CAST back: windowed SUM(BIGINT) widens to HUGEINT, which
+      |    -- would surface (lossily, above 2^53) as float64
+      |    CAST(CASE WHEN COUNT(*) OVER w7 = 7
+      |         THEN SUM(v_cents) OVER w7 END AS BIGINT) AS trend_sum7,
       |    CAST(date_part('isodow', day) AS INT) AS dow
       |  FROM d
       |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day

@@ -74,9 +74,22 @@ def main():
             print(f"  exp dtypes: {dict(exp.dtypes.astype(str))}")
             n_bad += 1
             continue
-        if str(dict(got.dtypes.astype(str))) != str(dict(exp.dtypes.astype(str))):
-            print(f"WARN {name}: values equal but dtypes differ: "
-                  f"{dict(got.dtypes.astype(str))} vs {dict(exp.dtypes.astype(str))}")
+        # Driver parity: the driver hashes cell REPRESENTATIONS, so a
+        # dtype KIND drift (e.g. DuckDB HUGEINT->float64 vs Spark int64:
+        # "123.0" vs "123") is a hash mismatch there even when values
+        # are numerically equal. FAIL, not WARN. Width-only drift inside
+        # a kind (int32 vs int64) prints identically and stays green —
+        # same as the driver.
+        gk = {c: got[c].dtype.kind for c in gc}
+        ek = {c: exp[c].dtype.kind for c in gc}
+        if gk != ek:
+            bad_cols = [c for c in gc if gk[c] != ek[c]]
+            print(f"FAIL {name}: values equal but dtype kinds differ "
+                  f"on {bad_cols} (driver hashes representations)\n"
+                  f"  got dtypes: {dict(got.dtypes.astype(str))}\n"
+                  f"  exp dtypes: {dict(exp.dtypes.astype(str))}")
+            n_bad += 1
+            continue
         print(f"ok   {name} ({len(got)} rows)")
         n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed, "

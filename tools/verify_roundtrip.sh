@@ -41,5 +41,8 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   --add-opens java.base/sun.security.action=ALL-UNNAMED \
   -cp "$CP" graft.Verify "$SF_DIR" "$OUT_DIR"
 
+echo "[roundtrip] oracle dtype lint (static DESCRIBE)"
+python3 tools/lint_oracle_dtypes.py "$OUT_DIR/oracle_sql.json" "$SF_DIR"
+
 echo "[roundtrip] DuckDB compare"
 python3 tools/check_oracle.py "$OUT_DIR" "$SF_DIR"
