@@ -97,7 +97,23 @@ object Bench {
     val times = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
     val shuffle = scala.collection.mutable.Map.empty[String, Double]
-    (1 to runs).foreach { sweep =>
+
+    // harness floor: the fixed per-query cost at this parallelism —
+    // scheduling + tiny-file scan + one shuffle over a 5-row table. A
+    // pure function of machine load (no plan can regress it), so it
+    // doubles as the ambient-load sentinel's probe.
+    def measureFloor(n: Int): Double = {
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_name").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+
+    def runSweep(): Map[String, Double] = {
+      val out = scala.collection.mutable.Map.empty[String, Double]
       names.zipWithIndex.foreach { case (name, qi) =>
         val sw0 = metrics.shuffleWrite.get
         val t0 = System.nanoTime()
@@ -119,11 +135,46 @@ object Bench {
         // fresh executor would be; the GC pause itself is never inside
         // any query's timer.
         if (qi % 20 == 19) System.gc()
-        times(name) = dt :: times(name)
-        if (sweep == 1)
+        out(name) = dt
+        // shuffle volume is deterministic — attribute it from the first
+        // attempt that ran the query, re-runs included
+        if (!shuffle.contains(name))
           shuffle(name) = (metrics.shuffleWrite.get - sw0) / 1048576.0
       }
       System.gc()
+      out.toMap
+    }
+
+    // Ambient-load sentinel (the round-11 contamination lesson): bound
+    // every sweep with a floor measurement; a sweep whose bounding
+    // floors sit >25% above the run's best floor ran under external
+    // load and is re-run (global budget of 2 re-runs). The baseline is
+    // the run MINIMUM, so a quiet late floor retroactively exposes
+    // early loaded sweeps — those get salvage re-runs from the same
+    // budget; whatever stays load-bounded after the budget marks the
+    // artifact `contaminated` so it can never silently stand as a
+    // clean number (r11's did: floor was measured once, at the end).
+    // warm the probe's codegen/footer path before the first MEASURED
+    // batch — a cold first probe reads as phantom load
+    measureFloor(1): Unit
+    val floors = scala.collection.mutable.ArrayBuffer(measureFloor(3))
+    // (bounding-interval index into `floors`, that sweep's times)
+    val sweeps = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, Map[String, Double])]
+    var retries = 2
+    def attempt(): (Int, Map[String, Double]) = {
+      val st = runSweep()
+      floors += measureFloor(3)
+      (floors.size - 1, st)
+    }
+    (1 to runs).foreach { _ =>
+      var cur = attempt()
+      while (retries > 0 &&
+        LoadSentinel.suspectSweeps(floors.toSeq).contains(cur._1)) {
+        retries -= 1
+        cur = attempt() // discard the loaded sweep's times, re-run
+      }
+      sweeps += cur
     }
     val results = names.map { name =>
       val ts = times(name).sorted
@@ -134,19 +185,24 @@ object Bench {
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
       name -> (median, shuffle(name))
     }
-    // harness floor: the fixed per-query cost at this parallelism —
-    // scheduling + tiny-file scan + one shuffle over a 5-row table.
-    // Median of 5 so plan regressions aren't masked by (or blamed on)
-    // local[n] overhead; reported beside the totals, never added to them.
-    val floor = {
-      val ts = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        spark.read.parquet(s"$sfDir/region.parquet")
-          .groupBy("r_name").count().count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(ts.length / 2)
+    // reported floor: median of 5 so plan regressions aren't masked by
+    // (or blamed on) local[n] overhead; reported beside the totals,
+    // never added to them. Joins the sentinel's floor series, so a
+    // quiet end-of-run measurement retroactively exposes sweeps that
+    // ran loaded (the exact r11 failure mode).
+    val floor = measureFloor(5)
+    floors += floor
+    // salvage: re-run retroactively-exposed sweeps while budget remains
+    var suspects = LoadSentinel.suspectSweeps(floors.toSeq)
+    var si = sweeps.indexWhere(s => suspects.contains(s._1))
+    while (si >= 0 && retries > 0) {
+      retries -= 1
+      sweeps(si) = attempt()
+      suspects = LoadSentinel.suspectSweeps(floors.toSeq)
+      si = sweeps.indexWhere(s => suspects.contains(s._1))
     }
+    val contaminated = sweeps.exists(s => suspects.contains(s._1))
+    sweeps.foreach(_._2.foreach { case (n, dt) => times(n) = dt :: times(n) })
     // 4-decimal seconds (0.1 ms resolution): at ~150 queries the map is
     // the bulk of the line, and the driver artifact keeps only the LAST
     // 2000 chars — compact values let more of the tail survive
@@ -168,7 +224,8 @@ object Bench {
     // the very END (guaranteed to survive truncation) preceded by the
     // per-query seconds (most of which fit), with the bulky deterministic
     // shuffle map first where truncation costs nothing new.
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
+    val floorsJson = floors.map(num("%.4f", _)).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the run's best even after re-runs","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
     println(line)
     // durable copy: the full untruncated line, committed per round so
     // per-query seconds are always recoverable from the repo itself
@@ -185,7 +242,7 @@ object Bench {
     val slow = results.sortBy(-_._2._1).take(30)
       .map { case (k, (v, _)) => s"\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"sf":"$sfDir","n_queries":${results.size},"runs":$runs,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"spill_mb_total":$totalSpillMb,"queries_note":"slowest 30 of ${results.size}; full per-query medians + shuffle-MB map in BENCH_LOCAL.json","queries":$slow}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total":$total,"sf":"$sfDir","n_queries":${results.size},"runs":$runs,"floor_sec":$floor,"contaminated":$contaminated,"floors":$floorsJson,"total_minus_floor":$totalMinusFloor,"spill_mb_total":$totalSpillMb,"queries_note":"slowest 30 of ${results.size}; full per-query medians + shuffle-MB map in BENCH_LOCAL.json","queries":$slow}""")
     spark.stop()
   }
 }

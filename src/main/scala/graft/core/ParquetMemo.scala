@@ -52,10 +52,15 @@ object ParquetMemo {
   /** Like [[ensure]] but DIRECTORY-PARTITIONED on `partitionCols` — the
     * layout for standing indexes probed by literal low-cardinality
     * filters (quantizer cells): the probe's `IN (...)` becomes a
-    * PartitionFilter and unprobed directories are never opened. */
+    * PartitionFilter and unprobed directories are never opened.
+    * The partition layout is folded into the fingerprint: the same
+    * (srcFile, tag, version) used with [[ensure]], or with different
+    * `partitionCols`, must never serve a cached build whose directory
+    * layout doesn't match what this caller will read. */
   def ensurePartitioned(srcFile: String, tag: String, version: String,
       partitionCols: Seq[String])(build: => DataFrame): String =
-    ensureCore(srcFile, tag, version)(staging =>
+    ensureCore(srcFile, tag,
+        version + "|part=" + partitionCols.mkString(","))(staging =>
       build.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(staging))
 

@@ -41,10 +41,11 @@ object Distribution {
     val spend = orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
-      // whole dollars via exact integer floor: sum cents, then div 100
-      // (`div`, not `/`: Spark's `/` on longs is double division + cast,
-      // which only floors exactly below ~9e13 cents — `div` is floor
-      // division by construction at any magnitude)
+      // whole dollars via exact integer division: sum cents, then div
+      // 100 (`div`, not `/`: Spark's `/` on longs is double division +
+      // cast, which is only exact below ~9e13 cents — `div` is exact at
+      // any magnitude and truncates toward zero, identical to DuckDB's
+      // `//`; operands here are non-negative, so truncation = floor)
       .agg(sum((Exact.money(col("o_totalprice")) * 100).cast("long"))
         .as("sum_cents"))
       .select(col("seg"), expr("sum_cents div 100").as("x"))

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's ambient-load sentinel (LoadSentinel.scala) on planted
+  * floor sequences — the round-11 prescription: a sweep bounded by a
+  * floor >25% above the run's best must flag, and a quiet run must
+  * never flag. No Spark needed: the logic is pure. */
+class LoadSentinelSpec extends AnyFunSuite {
+
+  test("quiet run: small jitter never flags") {
+    // 3 sweeps, floors within ±8% of 0.13 — all intervals clean
+    assert(LoadSentinel.suspectSweeps(
+      Seq(0.13, 0.14, 0.13, 0.135)) === Set.empty[Int])
+  }
+
+  test("planted slow floor mid-run flags exactly its bounding sweeps") {
+    // the r11 shape: load burst during sweep 2's closing floor —
+    // sweeps 2 and 3 are both bounded by the 0.20 measurement
+    assert(LoadSentinel.suspectSweeps(
+      Seq(0.13, 0.13, 0.20, 0.13)) === Set(2, 3))
+  }
+
+  test("loaded FIRST measurement flags sweep 1 once a quiet floor appears") {
+    // baseline is the run MINIMUM, not the first measurement — a run
+    // that starts loaded and quiets down retroactively exposes sweep 1
+    assert(LoadSentinel.suspectSweeps(
+      Seq(0.20, 0.13, 0.13)) === Set(1))
+  }
+
+  test("boundary: exactly +25% does not flag, just above does") {
+    assert(!LoadSentinel.loaded(0.125, 0.1, 0.25))
+    assert(LoadSentinel.loaded(0.1251, 0.1, 0.25))
+    assert(LoadSentinel.suspectSweeps(Seq(0.1, 0.125)) === Set.empty[Int])
+    assert(LoadSentinel.suspectSweeps(Seq(0.1, 0.126)) === Set(1))
+  }
+
+  test("downward deviation never flags (a faster floor is less load)") {
+    assert(LoadSentinel.suspectSweeps(
+      Seq(0.13, 0.11, 0.13, 0.13)) === Set.empty[Int])
+  }
+
+  test("uniformly loaded run is indistinguishable and stays unflagged") {
+    // documented limitation: if every measurement is equally slow the
+    // baseline IS the loaded floor — medians are internally consistent
+    assert(LoadSentinel.suspectSweeps(
+      Seq(0.20, 0.20, 0.20)) === Set.empty[Int])
+  }
+}

@@ -52,9 +52,15 @@ class OracleLintSpec extends SparkSuite {
   test("every declared oracle SQL surfaces only driver-hashable dtypes") {
     val tmp = Files.createTempDirectory("oracle-lint")
     val json = tmp.resolve("oracle_sql.json")
-    Files.writeString(json, Verify.oracleJson(None))
-    val (code, out) = lint(Seq(json.toString, sf))
-    assert(code == 0, s"oracle dtype lint failed:\n${out.linesIterator
-      .filter(_.startsWith("FAIL")).mkString("\n")}")
+    try {
+      Files.writeString(json, Verify.oracleJson(None))
+      val (code, out) = lint(Seq(json.toString, sf))
+      assert(code == 0, s"oracle dtype lint failed:\n${out.linesIterator
+        .filter(_.startsWith("FAIL")).mkString("\n")}")
+    } finally {
+      Files.deleteIfExists(json)
+      Files.deleteIfExists(tmp)
+      ()
+    }
   }
 }

@@ -36,6 +36,32 @@ class JaroWinklerSpec extends SparkSuite {
     assert(jw("ABCDEF", "ABCDXF") > jw("XBCDEF", "YBCDEF"))
   }
 
+  test("BigInt overflow branch: long inputs match the analytic formula") {
+    // independent reference: the published formula evaluated in BigInt
+    // with (m, t, prefix) known by construction — never the kernel's own
+    // arithmetic, so a regression in either branch (or the 14000
+    // threshold) fails here instead of shipping silently
+    def expected(l1: Int, l2: Int, m: Long, t: Long, prefix: Int): Long = {
+      val num = BigInt(m) * m * l2 + BigInt(m) * m * l1 +
+        BigInt(m - t) * l1 * l2
+      val jaro = (num * 1000000 / (BigInt(3) * l1 * l2 * m)).toLong
+      jaro + prefix * (1000000L - jaro) / 10L
+    }
+    // ~15k codepoints, one trailing substitution: m = 14999, t = 0
+    assert(jw("a" * 15000, "a" * 14999 + "b")
+      === expected(15000, 15000, 14999L, 0L, 4))
+    // transposed tail at long length: every codepoint matches
+    // (m = 15001), the final "ab"/"ba" swap is one transposition
+    val p = "c" * 14999
+    assert(jw(p + "ab", p + "ba") === expected(15001, 15001, 15001L, 1L, 4))
+    // branch boundary: max length 14000 stays on the Long path, 14001
+    // routes through BigInt — both must agree with the same formula
+    assert(jw("a" * 14000, "a" * 13999 + "b")
+      === expected(14000, 14000, 13999L, 0L, 4))
+    assert(jw("a" * 14001, "a" * 14000 + "b")
+      === expected(14001, 14001, 14000L, 0L, 4))
+  }
+
   test("column API ≡ kernel; SQL registration works") {
     val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"))
       .toDF("a", "b")
