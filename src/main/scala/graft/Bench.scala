@@ -60,6 +60,11 @@ object Bench {
     // and the weighted co-purchase adjacency (same standing-state story)
     try rel.Graph.ensureWeightedAdjacency(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the Bachrach MIPS index: same standing-state story — the
+    // augmented-cell partitioned layout is built once per corpus,
+    // simsearch_mips_indexed then times only the pruned probe
+    try ext.Similarity.ensureMipsIndex(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and the NSW kNN graph: standing ANN index like the IVF build —
     // simsearch_graph then times the greedy walk a deployment serves
     try ext.Similarity.ensureKnnGraph(spark, sfDir): Unit

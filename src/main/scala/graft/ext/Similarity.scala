@@ -97,6 +97,128 @@ object Similarity {
        |ORDER BY ip DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  // ------------------------------------------ indexed MIPS (Bachrach)
+
+  /** Standing MIPS index via the Bachrach et al. (RecSys 2014)
+    * reduction: augment every corpus vector with sqrt(M² − ‖v‖²)
+    * (M = max corpus norm) so all augmented vectors share norm M and
+    * inner-product order against ANY query becomes cosine order of
+    * the augmented space — then the existing portable md5 sign-bit
+    * quantizer applies unchanged. The index stores (vec_id, v, cell)
+    * DIRECTORY-PARTITIONED by the augmented vector's `nPlanes`-bit
+    * cell (ParquetMemo.ensurePartitioned), so a probe's literal
+    * `cell IN (...)` becomes a PartitionFilter and unprobed
+    * directories are never opened. M² is one MAX scalar (bounded
+    * driver metadata, like the IVF centroid table); the build is one
+    * narrow map + the partitioned write — the offline "add to index"
+    * step, paid once per corpus. */
+  def ensureMipsIndex(spark: SparkSession, dir: String,
+      nPlanes: Int = 4): String =
+    graft.core.ParquetMemo.ensurePartitioned(
+        s"$dir/embeddings.parquet", s"mipsidx_p$nPlanes", "v1", Seq("cell")) {
+      val e0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val dim = e0.select(size(col("v"))).head().getInt(0)
+      val m2 = e0.agg(max(dot(col("v"), col("v")))).head().getDouble(0)
+      // greatest(…, 0): the max-norm vector's own augmentation is an
+      // exact 0, but float edges on OTHER near-max vectors must never
+      // hand sqrt a -1e-16 (mirrored in the oracle SQL)
+      val vaug = concat(col("v"),
+        array(sqrt(greatest(lit(m2) - dot(col("v"), col("v")), lit(0.0)))))
+      e0.withColumn("cell",
+        graft.functions.SignBitLsh.sign_bit_lsh_md5(vaug, dim + 1, nPlanes))
+    }
+
+  /** The declared `simsearch_mips_indexed` surface: probe the standing
+    * Bachrach index at the query's augmented cell plus its `nPlanes`
+    * Hamming-1 neighbors (multiprobe: a sign-bit code disagreeing on
+    * one plane still holds near vectors), then EXACT inner-product
+    * re-score on the probed candidates only — rank-only output, the
+    * `simsearch_topk` contract. Query-side augmentation is the
+    * reduction's gift: qaug = [q, 0], so serving needs no knowledge of
+    * M. The probe cells are computed driver-side from the same md5
+    * plane matrix the index used (nPlanes·(dim+1) doubles — bounded
+    * metadata), and the scan's `cell IN (...)` rides PartitionFilters:
+    * at 100 TB the query opens (nPlanes+1)/2^nPlanes of the corpus
+    * directories, never the rest. Recall vs the exact arm
+    * (`simsearch_mips`) is pinned in SimilaritySpec. */
+  def mipsIndexedTopK(spark: SparkSession, dir: String, qId: Long, k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    val path = ensureMipsIndex(spark, dir, nPlanes)
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === qId)
+      .select(asDouble(col("embedding")).as("v")).collect()
+    require(qRows.nonEmpty, s"vec_id $qId not in $dir/embeddings")
+    val qv = qRows(0).getSeq[Double](0)
+    val qaug = qv :+ 0.0
+    // same left-to-right fold as SignBitLsh's kernel and the oracle's
+    // list_dot_product — the sign decision must be bit-identical
+    val planes =
+      graft.functions.SignBitLsh.md5PlaneMatrix(qaug.length, nPlanes)
+    var qcell = 0
+    planes.zipWithIndex.foreach { case (plane, p) =>
+      var s = 0.0; var i = 0
+      while (i < plane.length) { s += qaug(i) * plane(i); i += 1 }
+      if (s >= 0) qcell |= 1 << p
+    }
+    val probeCells =
+      (qcell +: (0 until nPlanes).map(p => qcell ^ (1 << p))).map(Int.box)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qId)
+      .withColumn("ip", dot(col("v"), typedlit(qv)))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ip").desc, col("vec_id"))))
+      .select(col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin of the whole Bachrach lifecycle: max-norm scalar,
+    * augmentation (query side appends literal 0), md5 plane derivation
+    * over dim+1 components, sign-bit cells, Hamming-1 multiprobe via
+    * xor, exact inner-product re-score. Fixed to the declared
+    * nPlanes = 4 (the xor fan below is the probe set). */
+  def mipsIndexedTopKSql(qId: Long, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT MAX(list_dot_product(v, v)) AS m2 FROM e),
+       |ea AS (
+       |  SELECT vec_id, v,
+       |    list_append(v, sqrt(greatest(m.m2 - list_dot_product(v, v), 0))) AS va
+       |  FROM e, m),
+       |planes AS (
+       |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+       |    SELECT t.p, s.i,
+       |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+       |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |    FROM range(0, 4) t(p), range(0, 65) s(i))
+       |  GROUP BY p),
+       |cellid AS (
+       |  SELECT ea.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(ea.va, pl.plane) >= 0
+       |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
+       |  FROM ea, planes pl GROUP BY ea.vec_id),
+       |q AS (SELECT v AS qv, list_append(v, 0.0) AS qva FROM e
+       |      WHERE vec_id = $qId),
+       |qc AS (
+       |  SELECT CAST(SUM(CASE WHEN list_dot_product(q.qva, pl.plane) >= 0
+       |           THEN (1 << pl.p) ELSE 0 END) AS INT) AS qcell
+       |  FROM q, planes pl),
+       |probed AS (
+       |  SELECT qcell AS cell FROM qc
+       |  UNION ALL SELECT xor(qcell, 1) FROM qc
+       |  UNION ALL SELECT xor(qcell, 2) FROM qc
+       |  UNION ALL SELECT xor(qcell, 4) FROM qc
+       |  UNION ALL SELECT xor(qcell, 8) FROM qc),
+       |scored AS (
+       |  SELECT e.vec_id, list_dot_product(e.v, q.qv) AS ip
+       |  FROM e JOIN cellid c ON c.vec_id = e.vec_id CROSS JOIN q
+       |  WHERE c.cell IN (SELECT cell FROM probed) AND e.vec_id <> $qId)
+       |SELECT vec_id AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY ip DESC, vec_id) AS INT) AS rank
+       |FROM scored ORDER BY ip DESC, vec_id LIMIT $k""".stripMargin
+
   val bruteForceTopKSql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1494,6 +1616,14 @@ object Similarity {
     "simsearch_mips" -> QueryDef(
       (s: SparkSession, d: String) => mipsTopK(s, d, 0L, 10),
       Some(mipsTopKSql(0L, 10))),
+    // the indexed MIPS arm: Bachrach augmentation onto the portable
+    // md5 sign-bit quantizer, directory-partitioned standing index,
+    // Hamming-1 multiprobe, exact IP re-score on probed candidates
+    // only — full oracle (the simsearch_lsh replay discipline); recall
+    // vs the exact arm pinned in SimilaritySpec
+    "simsearch_mips_indexed" -> QueryDef(
+      (s: SparkSession, d: String) => mipsIndexedTopK(s, d, 0L, 10),
+      Some(mipsIndexedTopKSql(0L, 10))),
     // portable md5-plane quantizer ⇒ full oracle; the xxhash64 native
     // quantizer path (`lshTopK`) is the throughput twin, spec-pinned
     "simsearch_lsh" -> QueryDef(
