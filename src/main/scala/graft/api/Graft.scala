@@ -168,8 +168,14 @@ final class VatPipeline(spark: SparkSession) {
         config.nanBoxCompat, config.decimalMoney))
       catch { case e: Exception => Left(SheetFailure(name, String.valueOf(e.getMessage))) }
     }
-    val frames = results.collect { case Right(r) => r }
-    val failures = results.collect { case Left(f) => f }
+    finish(results.collect { case Right(r) => r },
+      results.collect { case Left(f) => f }, config)
+  }
+
+  /** Shared tail of every ingest front door: union, per-sheet
+    * diagnostics in ONE grouped job, warning assembly. */
+  private def finish(frames: Seq[(String, DataFrame)],
+      failures: Seq[SheetFailure], config: VatConfig): VatResult = {
     require(frames.nonEmpty, "No valid sheets processed")
     // A5 — the reference's "Multiple years detected" warning
     // (fianl2.py:124-125), surfaced per sheet
@@ -229,6 +235,56 @@ final class VatPipeline(spark: SparkSession) {
     val sheets = graft.sources.Xlsx.toCsv(xlsxPath, tmp.getAbsolutePath)
     sheets.foreach { case (p, _) => new java.io.File(p).deleteOnExit() }
     processSheets(sheets, config)
+  }
+
+  /** Bulk-backfill front door: MANY workbooks decoded on EXECUTORS.
+    * `binaryFile` ships each workbook's bytes to a partition, the same
+    * StAX codec (`sources.Xlsx.readAllSheets`) parses there, and only
+    * the ≤30-row header samples and per-sheet metadata ever reach the
+    * driver — a backfill of thousands of workbooks parallelizes across
+    * the cluster instead of serializing through driver-side decode.
+    * The interactive path (`processWorkbook`) stays for single uploads
+    * (mirrors the reference's upload flow, fianl2.py:212). Sheet labels
+    * are `<workbook basename>/<sheet name>` so same-named sheets across
+    * workbooks stay distinct. Decoded cells are persisted once (every
+    * per-sheet conform filters the cache, not the zip codec) and
+    * lazily back the returned frames — release is the caller's
+    * contract (`spark.catalog.clearCache()`), as with every standing
+    * intermediate in this engine. */
+  def processWorkbooks(pathOrGlob: String,
+      config: VatConfig = VatConfig()): VatResult = {
+    import spark.implicits._
+    val decoded = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(pathOrGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.substring(path.lastIndexOf('/') + 1)
+          .replaceAll("(?i)\\.xlsx$", "")
+        graft.sources.Xlsx.readAllSheets(bytes).flatMap { case (sheet, rows) =>
+          rows.zipWithIndex.map { case (cells, i) =>
+            // "" ↔ null: the driver path's CSV round trip reads empty
+            // fields back as SQL nulls; mirror it so both paths
+            // conform identically
+            (s"$base/$sheet", i.toLong,
+              cells.map(c => if (c.isEmpty) null else c))
+          }
+        }
+      }
+      .toDF("sheet_label", "idx", "cells")
+      .persist()
+    val labels = decoded.select("sheet_label").distinct()
+      .orderBy("sheet_label").collect().map(_.getString(0)).toSeq
+    val results = labels.map { label =>
+      try Right(label -> Conform.processCellsSheet(
+        decoded.filter(col("sheet_label") === label).drop("sheet_label"),
+        label, config.nanBoxCompat, config.decimalMoney))
+      catch { case e: Exception =>
+        Left(SheetFailure(label, String.valueOf(e.getMessage))) }
+    }
+    finish(results.collect { case Right(r) => r },
+      results.collect { case Left(f) => f }, config)
   }
 
   /** S3 — sheet enumeration: one CSV per sheet in a directory, sheet

@@ -78,6 +78,26 @@ object Xlsx {
     }
   }
 
+  /** Whole workbook from BYTES — the executor-side entry for bulk
+    * ingest (`VatPipeline.processWorkbooks`): spill to a per-call temp
+    * file (ZipFile needs random access; workbooks are interactive-
+    * upload sized, KB–MB) and run the EXACT same parse chain as the
+    * driver path, so the two paths agree bit-for-bit by construction.
+    * Returns (sheetName, dense rows) in workbook order. */
+  def readAllSheets(bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
+    val tmp = File.createTempFile("graft_wb", ".xlsx")
+    try {
+      val out = new FileOutputStream(tmp)
+      try out.write(bytes) finally out.close()
+      withZip(tmp.getAbsolutePath) { z =>
+        val sst = parseSharedStrings(z)
+        parseWorkbook(z).map { case (name, target) =>
+          name -> densify(parseWorksheet(z, target, sst))
+        }
+      }
+    } finally { tmp.delete(); () }
+  }
+
   private def csvQuote(v: String): String =
     if (v.exists(c => c == ',' || c == '"' || c == '\n'))
       "\"" + v.replace("\"", "\"\"") + "\""

@@ -124,6 +124,26 @@ object Conform {
     enrich(conformColumns(named), sheetName, nanBoxCompat, decimalMoney)
   }
 
+  /** `processCsvSheet`'s twin over ALREADY-DECODED cells — `cellsDf` is
+    * (idx BIGINT, cells ARRAY<STRING>) rows from the executor-side
+    * workbook codec (`sources.Xlsx.readAllSheets`), dense and padded,
+    * with empty cells as SQL nulls (mirroring what the driver path's
+    * CSV round trip reads back). Same ≤30-row header sample, same
+    * preamble drop, same conform/enrich — the decode TRANSPORT is the
+    * only difference, so the two paths agree bit-for-bit
+    * (GraftApiSpec pins it). */
+  def processCellsSheet(cellsDf: DataFrame, sheetName: String,
+      nanBoxCompat: Boolean = false, decimalMoney: Boolean = false): DataFrame = {
+    val head = cellsDf.orderBy(col("idx")).limit(30).collect().toSeq
+      .map(_.getSeq[String](1).map(v => if (v == null) "None" else v))
+    val headerIdx = detectHeaderRow(head)
+    val headers = head(headerIdx).map(normalizeHeader)
+    val named = cellsDf.filter(col("idx") > headerIdx)
+      .select(headers.zipWithIndex.map { case (h, i) =>
+        col("cells").getItem(i).as(if (h.isEmpty) s"_c$i" else h) }: _*)
+    enrich(conformColumns(named), sheetName, nanBoxCompat, decimalMoney)
+  }
+
   /** Currency conversion, period detection, provenance, box letter
     * (fianl2.py:153-163). Year = mode of parsed Date years with pinned
     * min-year tie-break (SURVEY.md A4).

@@ -141,6 +141,54 @@ class GraftApiSpec extends SparkSuite {
       ds.collect().map(_.net_value).toSet)
   }
 
+  test("bulk workbook ingest decodes on executors, bit-identical to " +
+      "the driver path (S9)") {
+    val dir = Files.createTempDirectory("graft_bulk").toFile
+    def wb(name: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit =
+      graft.sources.Xlsx.write(
+        new java.io.File(dir, s"$name.xlsx").getAbsolutePath, sheets)
+    val header = Seq("Supply Type", "Invoice #", "Date", "Net", "Tax", "Box")
+    wb("wb1", Seq(
+      "Jan 2024" -> Seq(Seq("junk", "", "", "", "", ""), header,
+        Seq("Standard", "1", "2024-01-05", "AED 100", "5", "A"),
+        Seq("Zero", "2", "2024-01-06", "$100", "0", "B")),
+      "Feb 2024" -> Seq(header,
+        Seq("Standard", "9", "2024-02-02", "200", "10", "A"))))
+    wb("wb2", Seq(
+      "Mar 2024" -> Seq(header,
+        Seq("Input", "3", "2024-03-07", "50", "2.5", "C"),
+        Seq("Standard", "4", "2024-03-09", "1,000", "50", "A"))))
+    // wb3 reuses wb1's sheet NAME — labels must keep them distinct
+    wb("wb3", Seq(
+      "Jan 2024" -> Seq(header,
+        Seq("Standard", "7", "2024-01-15", "300", "15", "A"))))
+    val p = new VatPipeline(spark)
+    val cfg = VatConfig(decimalMoney = true)
+    val bulk = p.processWorkbooks(dir.getAbsolutePath, cfg)
+    assert(bulk.failures.isEmpty, bulk.failures)
+    assert(bulk.mapping.count() == 4) // 4 sheets across 3 workbooks
+    // per-sheet conforms must filter the ONE persisted decode, never
+    // re-run the zip codec (the at-scale contract: decode once)
+    assert(bulk.data.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"), "decoded cells not cached")
+    // driver-path equivalent: extract each workbook driver-side with
+    // the same labels, run the interactive pipeline
+    val pairs = dir.listFiles().filter(_.getName.endsWith(".xlsx"))
+      .sortBy(_.getName).toSeq.flatMap { f =>
+        val out = Files.createTempDirectory("graft_bulk_csv").toFile
+        val base = f.getName.replaceAll("(?i)\\.xlsx$", "")
+        graft.sources.Xlsx.toCsv(f.getAbsolutePath, out.getAbsolutePath)
+          .map { case (csv, sheet) => csv -> s"$base/$sheet" }
+      }
+    val drv = p.processSheets(pairs, cfg)
+    assert(bulk.summary.columns.toSeq === drv.summary.columns.toSeq)
+    assert(bulk.summary.collect().map(_.toSeq).toSeq ===
+      drv.summary.collect().map(_.toSeq).toSeq)
+    assert(bulk.mapping.collect().map(_.toSeq).toSeq ===
+      drv.mapping.collect().map(_.toSeq).toSeq)
+    assert(bulk.warnings.sorted === drv.warnings.sorted)
+  }
+
   test("openCatalog exposes the corpus to spark.sql") {
     Graft.openCatalog(spark, sfDir)
     val n = spark.sql(
