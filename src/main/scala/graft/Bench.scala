@@ -152,13 +152,15 @@ object Bench {
 
     // Ambient-load sentinel (the round-11 contamination lesson): bound
     // every sweep with a floor measurement; a sweep whose bounding
-    // floors sit >25% above the run's best floor ran under external
-    // load and is re-run (global budget of 2 re-runs). The baseline is
-    // the run MINIMUM, so a quiet late floor retroactively exposes
-    // early loaded sweeps — those get salvage re-runs from the same
-    // budget; whatever stays load-bounded after the budget marks the
-    // artifact `contaminated` so it can never silently stand as a
-    // clean number (r11's did: floor was measured once, at the end).
+    // floors ROSE >25% above the best floor seen so far (the burst
+    // shape — prefix-min baseline, so a fresh JVM's warm-up decline
+    // never flags, see LoadSentinel) ran under external load and is
+    // re-run (global budget of 2 re-runs). A quiet late floor can
+    // retroactively expose a mid-run burst — those sweeps get salvage
+    // re-runs from the same budget; whatever stays load-bounded after
+    // the budget marks the artifact `contaminated` so it can never
+    // silently stand as a clean number (r11's did: floor was measured
+    // once, at the end).
     // warm the probe's codegen/footer path before the first MEASURED
     // batch — a cold first probe reads as phantom load
     measureFloor(1): Unit
@@ -181,15 +183,6 @@ object Bench {
       }
       sweeps += cur
     }
-    val results = names.map { name =>
-      val ts = times(name).sorted
-      // a real median: middle element for odd run counts, mean of the
-      // two middles for even (upper-middle alone would bias high)
-      val median =
-        if (ts.length % 2 == 1) ts(ts.length / 2)
-        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-      name -> (median, shuffle(name))
-    }
     // reported floor: median of 5 so plan regressions aren't masked by
     // (or blamed on) local[n] overhead; reported beside the totals,
     // never added to them. Joins the sentinel's floor series, so a
@@ -208,6 +201,15 @@ object Bench {
     }
     val contaminated = sweeps.exists(s => suspects.contains(s._1))
     sweeps.foreach(_._2.foreach { case (n, dt) => times(n) = dt :: times(n) })
+    val results = names.map { name =>
+      val ts = times(name).sorted
+      // a real median: middle element for odd run counts, mean of the
+      // two middles for even (upper-middle alone would bias high)
+      val median =
+        if (ts.length % 2 == 1) ts(ts.length / 2)
+        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
+      name -> (median, shuffle(name))
+    }
     // 4-decimal seconds (0.1 ms resolution): at ~150 queries the map is
     // the bulk of the line, and the driver artifact keeps only the LAST
     // 2000 chars — compact values let more of the tail survive
@@ -230,7 +232,7 @@ object Bench {
     // per-query seconds (most of which fit), with the bulky deterministic
     // shuffle map first where truncation costs nothing new.
     val floorsJson = floors.map(num("%.4f", _)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the run's best even after re-runs","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the best floor seen up to that point (burst shape; warm-up declines never flag) even after re-runs","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
     println(line)
     // durable copy: the full untruncated line, committed per round so
     // per-query seconds are always recoverable from the repo itself

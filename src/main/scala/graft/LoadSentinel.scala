@@ -24,24 +24,27 @@ object LoadSentinel {
   def loaded(floor: Double, baseline: Double, tol: Double = 0.25): Boolean =
     floor > baseline * (1.0 + tol)
 
-  /** Baseline = the minimum floor observed across the run: the floor is
-    * a fixed cost, so the smallest observation is the closest to the
-    * true quiet-machine value. (A machine loaded for the ENTIRE run is
-    * indistinguishable from a slow machine — every measurement becomes
-    * the baseline and nothing flags; the per-query medians are then at
-    * least internally consistent.) */
-  def baseline(floors: Seq[Double]): Double = floors.min
+  /** Baseline for measurement i = the PREFIX minimum (best floor seen
+    * up to and including i): load is a floor that RISES above an
+    * earlier quiet state — the r11 burst shape. A monotone-declining
+    * series never flags, deliberately: a fresh JVM's JIT ramp produces
+    * exactly that decline (measured: 0.23→0.14 over a short scoped
+    * run), and it is indistinguishable from a run that STARTS loaded
+    * and quiets down — flagging it would mark every cold-start sweep
+    * contaminated and make the flag useless. (A machine loaded for the
+    * entire run is likewise indistinguishable from a slow machine;
+    * medians then stay internally consistent.) */
+  def loadedAt(floors: Seq[Double], i: Int, tol: Double = 0.25): Boolean =
+    loaded(floors(i), floors.take(i + 1).min, tol)
 
   /** Sweep i (1-based) is suspect when either of its bounding floor
     * measurements — floors(i-1) taken just before it, floors(i) taken
-    * just after — is loaded relative to the run baseline. `floors` must
-    * hold n+1 measurements for n sweeps. */
+    * just after — rose more than `tol` above the best floor seen up to
+    * that point. `floors` must hold n+1 measurements for n sweeps. */
   def suspectSweeps(floors: Seq[Double], tol: Double = 0.25): Set[Int] = {
     require(floors.size >= 2, "need at least one sweep's bounding floors")
-    val base = baseline(floors)
     (1 until floors.size)
-      .filter(i => loaded(floors(i - 1), base, tol) ||
-        loaded(floors(i), base, tol))
+      .filter(i => loadedAt(floors, i - 1, tol) || loadedAt(floors, i, tol))
       .toSet
   }
 }

@@ -409,34 +409,47 @@ object Clustering {
     * (mind DESC, vec_id) tie-break are integer-exact in any engine —
     * no float comparison anywhere. Seed = min vec_id.
     *
-    * Scale shape: each of the k rounds is a zero-shuffle map (the ≤k
-    * picked centers fold in as a LITERAL matrix, `bestCluster`) plus a
-    * TakeOrdered(1) — per-partition top-1 then a driver merge of
-    * #partitions candidate rows, bounded metadata like the IVF probe's
-    * centroid ranking. The quantized relation is persisted once; at a
-    * 100 TB corpus the same loop holds with the literal fold-in
-    * because k·d literals are O(KB), and no round shuffles. */
+    * Scale shape — INCREMENTAL running-min (Gonzalez's own trick):
+    * a persisted `mind` column holds each point's distance to its
+    * nearest picked center; every round compares it against ONLY the
+    * newest center (one `least(mind, d2)` narrow map — min over a
+    * prefix folds incrementally), then takes a TakeOrdered(1) argmax —
+    * per-partition top-1, driver merge of #partitions candidate rows,
+    * bounded metadata like the IVF probe's centroid ranking. Total
+    * distance work is O(N·k), not the O(N·k²) a re-fold of all picked
+    * centers per round would cost, and every round is exactly one job
+    * (spec-asserted via a job listener). No round shuffles; each
+    * round's relation is cached and its predecessor released as soon
+    * as the successor materializes, so peak storage is 2 relations
+    * regardless of k. */
   def kcenterOn(emb: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
-    val embInt = emb
-      .select(col("vec_id"), quantize(col("embedding")).as("v")).persist()
-    val first = embInt.orderBy(col("vec_id")).limit(1).collect()(0)
-    var centers =
-      Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
-    (2 to k).foreach { _ =>
-      val cents = centers.zipWithIndex.map { case ((_, v, _), i) => i -> v }
+    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val first = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    val firstV = first.getSeq[Long](1).toSeq
+    var centers = Vector((first.getLong(0), firstV, 0L))
+    var cur = base.withColumn("mind", d2(col("v"), firstV)).persist()
+    var prev: Option[DataFrame] = None
+    (2 to k).foreach { i =>
       val picked = centers.map(_._1)
-      val cand = embInt
+      val cand = cur
         .filter(!col("vec_id").isInCollection(picked))
-        .withColumn("mind", bestCluster(col("v"), cents).getField("d2"))
         .orderBy(col("mind").desc, col("vec_id")).limit(1)
-        .collect() // single-row argmax lookup: bounded
+        .collect() // single-row argmax lookup: bounded; materializes cur
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(cur)
       if (cand.nonEmpty) {
         val r = cand(0)
-        centers :+= ((r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+        val cv = r.getSeq[Long](1).toSeq
+        centers :+= ((r.getLong(0), cv, r.getLong(2)))
+        if (i < k) // the last pick needs no further mind refresh
+          cur = cur
+            .withColumn("mind", least(col("mind"), d2(col("v"), cv)))
+            .persist()
       }
     }
-    embInt.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     centers.zipWithIndex
       .map { case ((id, _, rad), i) => (i + 1, id, rad) }

@@ -296,27 +296,24 @@ object DistributedRank {
   def skylineScalable(spark: SparkSession, dir: String,
       parts: Int = 32): DataFrame = {
     import graft.core.Exact.money
-    // persisted: the point table feeds BOTH the per-price maxima (via
-    // the frontier scan) and the multiplicity rejoin — unpersisted it
-    // would re-run the full scan + the widest shuffle twice. The
-    // returned frame still depends on this cache lazily, so there is
-    // no in-function unpersist point; release is the CALLER's contract
-    // (Bench/Verify run spark.catalog.clearCache() per query — a
-    // long-lived session embedding this operator must do the same)
     val pts = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"),
         money(col("l_extendedprice")).cast("double").as("price"),
         col("l_quantity").as("qty"))
       .agg(count(lit(1)).as("n"))
-      .persist()
+    // each (group, price)'s candidate is its max-qty triple — taken as
+    // a struct max so the triple's multiplicity RIDES ALONG as frontier
+    // payload (qty is unique per (group, price) in `pts` by
+    // construction, so the struct max is unambiguous). This removes the
+    // former 3-key multiplicity rejoin against a persisted point table
+    // — the widest exchange in the query and the reason it trailed the
+    // plain window form (r10/r11 verdicts); the frontier scan now needs
+    // only its own range exchange plus the final small orderBy.
     val mx = pts.groupBy(col("l_returnflag"), col("price"))
-      .agg(max(col("qty")).as("qty"))
-    // the UNORDERED frontier: the multiplicity rejoin destroys order
-    // anyway, so sorting inside the frontier scan would be a wasted
-    // exchange — the query's own orderBy below is the only sort
+      .agg(max(struct(col("qty"), col("n"))).as("top"))
+      .select(col("l_returnflag"), col("price"),
+        col("top.qty").as("qty"), col("top.n").as("n"))
     skylineFrontier(mx, parts)
-      .join(pts, Seq("l_returnflag", "price", "qty"))
-      .select(col("l_returnflag"), col("price"), col("qty"), col("n"))
       .orderBy(col("l_returnflag"), col("price"))
   }
 
@@ -324,16 +321,20 @@ object DistributedRank {
     * projection holding one row per (group, value): emit rows whose
     * score strictly exceeds every lower-value row's score. */
   def skylineOver(input: DataFrame, parts: Int): DataFrame = {
-    val Seq(grp, value, _) = input.columns.toSeq.map(col)
+    val Seq(grp, value) = input.columns.take(2).toSeq.map(col)
     skylineFrontier(input, parts).orderBy(grp, value)
   }
 
   /** `skylineOver` without the final total order — for callers that
     * join or re-aggregate the frontier (the composed declared query),
-    * where an internal sort is a wasted exchange. */
+    * where an internal sort is a wasted exchange. The first three
+    * columns are (group STRING, value DOUBLE, score DOUBLE); any
+    * FURTHER columns are payload and ride through the scan untouched
+    * (the multiplicity column of the declared scalable query), so a
+    * caller never needs a rejoin to recover per-row attributes. */
   def skylineFrontier(input: DataFrame, parts: Int): DataFrame = {
     val spark = input.sparkSession
-    val Seq(grp, value, _) = input.columns.toSeq.map(col)
+    val Seq(grp, value) = input.columns.take(2).toSeq.map(col)
     // Persisted and NOT eagerly released: pass 2 is a LAZY distributed
     // scan over this exact partitioning, so the blocks must outlive this
     // call; they are freed by the session-level catalog.clearCache()
@@ -371,11 +372,9 @@ object DistributedRank {
     // rows against the broadcast predecessor heights. The frontier of a
     // 100× corpus with a fine value grid is unbounded, so it must never
     // round-trip through the driver; the final total order is a normal
-    // distributed sort over the (already small) frontier.
-    val schema = StructType(Seq(
-      StructField(input.columns(0), StringType),
-      StructField(input.columns(1), DoubleType),
-      StructField(input.columns(2), DoubleType)))
+    // distributed sort over the (already small) frontier. Kept rows
+    // pass through WHOLE, payload columns included.
+    val schema = sorted.schema
     val kept = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       val run = mutable.Map.empty[String, Double]
       it.flatMap { r =>
@@ -383,7 +382,7 @@ object DistributedRank {
         val s = r.getDouble(2)
         val prev = run.getOrElse(g, bOff.value((pid, g)))
         run.update(g, math.max(prev, s))
-        if (s > prev) Some(Row(g, r.getDouble(1), s)) else None
+        if (s > prev) Some(r) else None
       }
     }
     spark.createDataFrame(kept, schema)

@@ -21,11 +21,20 @@ class LoadSentinelSpec extends AnyFunSuite {
       Seq(0.13, 0.13, 0.20, 0.13)) === Set(2, 3))
   }
 
-  test("loaded FIRST measurement flags sweep 1 once a quiet floor appears") {
-    // baseline is the run MINIMUM, not the first measurement — a run
-    // that starts loaded and quiets down retroactively exposes sweep 1
+  test("monotone warm-up decline never flags (JIT ramp ≠ load)") {
+    // the prefix-min baseline: a fresh JVM's floor declines for tens of
+    // seconds as C2 compiles the scheduler paths — indistinguishable
+    // from a run that starts loaded and quiets, and flagging it would
+    // mark every cold-start sweep contaminated
     assert(LoadSentinel.suspectSweeps(
-      Seq(0.20, 0.13, 0.13)) === Set(1))
+      Seq(0.23, 0.20, 0.18, 0.14, 0.14)) === Set.empty[Int])
+  }
+
+  test("burst AFTER a quiet prefix flags even if later floors are lower") {
+    // rise above the earlier quiet state is the signal; the prefix min
+    // at the burst point is 0.13, so 0.20 flags its bounding sweeps
+    assert(LoadSentinel.suspectSweeps(
+      Seq(0.14, 0.13, 0.20, 0.12)) === Set(2, 3))
   }
 
   test("boundary: exactly +25% does not flag, just above does") {

@@ -102,6 +102,35 @@ class ClusteringSpec extends SparkSuite {
     assert(Clustering.kcenterOn(emb.limit(2), k = 5).count() === 2L)
   }
 
+  test("k-center incremental-min: one job per round, O(N·k) total work") {
+    // the running-min formulation must spend exactly one job on the
+    // seed lookup plus one argmax job per remaining pick — never a
+    // job-per-center re-fold (the O(N·k²) shape this replaced)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val k = 8
+      val res = Clustering.kcenterOn(emb, k)
+      res.count(): Unit
+      // listener events are async; a short settle keeps the count honest
+      Thread.sleep(500)
+      // seed + (k-1) argmax rounds + the final toDF/count on driver
+      // rows; a small slack absorbs Spark-internal bookkeeping jobs
+      val n = jobs.get()
+      assert(n <= k + 3, s"expected ≤ ${k + 3} jobs for k=$k, saw $n")
+      // and the per-round plan folds ONE center, not the whole prefix:
+      // distance work per round is a single least(mind, d2(v, newest))
+      assert(res.collect().length == k)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dimension stats: exact grid moments per dim, dead dim flagged") {
     // dim 1 varies (0.0, 1.0 → 0, 1024), dim 2 constant 0.5 → dead
     val emb = Seq(
