@@ -25,6 +25,26 @@ class ParquetMemoSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("partitioned and flat builds of the same (src, tag, version) " +
+      "never collide; partitionCols participate in the fingerprint") {
+    import spark.implicits._
+    val src = s"$sfDir/documents.parquet"
+    val tag = "memospec_part_" + System.nanoTime()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cell")
+    val flat = ParquetMemo.ensure(src, tag, "v1")(df)
+    val part = ParquetMemo.ensurePartitioned(src, tag, "v1", Seq("cell"))(df)
+    assert(flat != part,
+      "same (src, tag, version) must not serve a flat build to a " +
+        "partitioned caller")
+    // the partitioned layout really is directory-partitioned
+    assert(new java.io.File(part).listFiles()
+      .exists(_.getName.startsWith("cell=")), "expected cell=... dirs")
+    // and different partitionCols are different layouts too
+    val part2 =
+      ParquetMemo.ensurePartitioned(src, tag, "v1", Seq("id"))(df)
+    assert(part2 != part)
+  }
+
   test("version bump invalidates the cache and sweeps the stale build") {
     import spark.implicits._
     val src = s"$sfDir/documents.parquet"
