@@ -22,9 +22,17 @@ import graft.core.{QueryDef, Tables}
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a fold — strictly left-to-right double accumulation. */
+  /** Σ aᵢ·bᵢ as a fold — strictly left-to-right double accumulation.
+    * HOF form (interpreted); kept as the differential-testing twin of
+    * the native expression below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Native codegen'd inner product (graft.functions.InnerProduct) —
+    * bit-identical to `dot` (same accumulation order, spec-pinned),
+    * the throughput form for full-scan MIPS scoring. */
+  def dotNative(a: Column, b: Column): Column =
+    graft.functions.InnerProduct.inner_product(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -75,7 +83,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === qId).select(col("v").as("q"))
     e.filter(col("vec_id") =!= qId)
       .crossJoin(broadcast(q))
-      .withColumn("ip", dot(col("v"), col("q")))
+      .withColumn("ip", dotNative(col("v"), col("q")))
       .orderBy(col("ip").desc, col("vec_id"))
       .limit(k)
       .withColumn("rank", row_number().over(
@@ -119,12 +127,12 @@ object Similarity {
       val e0 = Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val dim = e0.select(size(col("v"))).head().getInt(0)
-      val m2 = e0.agg(max(dot(col("v"), col("v")))).head().getDouble(0)
+      val m2 = e0.agg(max(dotNative(col("v"), col("v")))).head().getDouble(0)
       // greatest(…, 0): the max-norm vector's own augmentation is an
       // exact 0, but float edges on OTHER near-max vectors must never
       // hand sqrt a -1e-16 (mirrored in the oracle SQL)
       val vaug = concat(col("v"),
-        array(sqrt(greatest(lit(m2) - dot(col("v"), col("v")), lit(0.0)))))
+        array(sqrt(greatest(lit(m2) - dotNative(col("v"), col("v")), lit(0.0)))))
       e0.withColumn("cell",
         graft.functions.SignBitLsh.sign_bit_lsh_md5(vaug, dim + 1, nPlanes))
     }
@@ -165,7 +173,7 @@ object Similarity {
       (qcell +: (0 until nPlanes).map(p => qcell ^ (1 << p))).map(Int.box)
     spark.read.parquet(path)
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= qId)
-      .withColumn("ip", dot(col("v"), typedlit(qv)))
+      .withColumn("ip", dotNative(col("v"), typedlit(qv)))
       .orderBy(col("ip").desc, col("vec_id"))
       .limit(k)
       .withColumn("rank", row_number().over(
