@@ -148,6 +148,55 @@ object Corpus {
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
        |ORDER BY doc_id""".stripMargin
 
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * pass above: paraphrased, fuzzed or translated benchmark leakage
+    * survives exact-gram checks, so production pipelines also flag
+    * training vectors whose cosine to ANY eval vector clears a
+    * threshold. Benchmark = `vec_id % benchMod = 0` (the knn_join
+    * query-set convention standing in for the eval set).
+    *
+    * Scale shape: the benchmark is BROADCAST — eval sets are bounded
+    * by construction (thousands of rows, not corpus-scale), so the
+    * corpus scans ONCE computing |bench| codegen'd cosines per row
+    * (native CosineSimilarity, no lambda dispatch), zero shuffle
+    * before the per-doc aggregate. EXACT by design: unlike the ANN
+    * serving probes, a contamination pass must not trade recall for
+    * pruning — a missed leak poisons an eval. (A corpus-scale bench
+    * would switch to the banded-LSH candidate chain `dedup_embedding
+    * _lsh` already ships; this op is the small-bench exact arm.)
+    * Output surfaces only integers (hit count, first matching bench
+    * id) — no float columns reach the oracle compare. */
+  def semanticContaminationOn(emb: DataFrame, thr: Double = 0.40,
+      benchMod: Long = 50L): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bench = e.filter(col("vec_id") % benchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+    e.filter(col("vec_id") % benchMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .filter(Similarity.cosine(col("v"), col("bv")) >= lit(thr))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        min(col("bench_id")).as("first_bench"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticContaminationSql(thr: Double = 0.40,
+      benchMod: Long = 50L): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+       |      WHERE vec_id % $benchMod = 0),
+       |hits AS (
+       |  SELECT e.vec_id, b.bench_id FROM e, b
+       |  WHERE e.vec_id % $benchMod <> 0
+       |    AND list_dot_product(e.v, b.bv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv)))
+       |        >= $thr)
+       |SELECT vec_id, COUNT(*) AS n_bench_hits,
+       |       MIN(bench_id) AS first_bench
+       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- clustering
 
   /** Prefix-fingerprint duplicate clusters: documents sharing the md5 of
@@ -1016,6 +1065,11 @@ object Corpus {
     "corpus_clean" -> QueryDef(
       (s, d) => cleanCorpus(Tables.documents(s, d)),
       Some(cleanCorpusSql)),
+    // embedding-space twin of corpus_decontaminate: exact broadcast-
+    // bench cosine pass, integer-only output surface
+    "contamination_semantic" -> QueryDef(
+      (s, d) => semanticContaminationOn(Tables.embeddings(s, d)),
+      Some(semanticContaminationSql())),
     "corpus_decontaminate" -> QueryDef(
       (s, d) => decontaminate(Tables.documents(s, d)),
       Some(decontaminateSql())),

@@ -310,6 +310,33 @@ class CorpusSpec extends SparkSuite {
     assert(kept.toSeq == Seq((3L, "web", "en"), (4L, "web", "de")))
   }
 
+  test("semantic contamination: planted near-benchmark vector flagged " +
+      "with its hit count, orthogonal corpus vectors pass") {
+    import spark.implicits._
+    // bench vectors (ids 0, 50 — % 50 = 0): two orthogonal axes.
+    // corpus: id 1 is a slightly-perturbed copy of bench 0 (cos ≈ 1 —
+    // a paraphrase-style leak), id 2 sits on the third axis (cos 0 to
+    // both), id 3 is anti-parallel to bench 50 (cos −1: opposite
+    // meaning must NOT flag)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (50L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, -1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Corpus.semanticContaminationOn(emb, thr = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 0L)),
+      s"only the near-copy flags, with bench 0 as evidence: ${got.toSeq}")
+    // and the bench side is broadcast — the corpus never shuffles
+    // before the per-doc aggregate
+    val plan = Corpus.semanticContaminationOn(emb, thr = 0.40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("domain cap: over-cap sources pruned to cap, under-cap untouched, deterministic") {
     import spark.implicits._
     val docs = ((1L to 10L).map(i => (i, "big", s"doc $i")) ++
