@@ -1672,4 +1672,28 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** L5t streaming twin — the stream-STATIC enrichment join, the
+    * canonical "arriving data × standing dimension" Structured
+    * Streaming shape: each ARRIVING embedding checks against the
+    * STATIC benchmark set (broadcast — eval sets are bounded by
+    * construction) and emits one hit row per (vec_id, bench_id) whose
+    * native-codegen cosine clears `thr`. Stateless append — no
+    * watermark, no state store: flag verdicts stream out as vectors
+    * arrive, and the per-doc rollup is exactly the batch twin's
+    * aggregate (`Corpus.semanticContaminationOn`; StreamingSpec pins
+    * streamed hits ≡ batch verdicts). At 100 TB/day the per-arrival
+    * cost is |bench| cosines — constant, the batch twin's own
+    * per-row cost. */
+  def semanticContaminationHitsStream(arrivals: DataFrame,
+      bench: DataFrame, thr: Double = 0.40): DataFrame = {
+    val b = broadcast(bench.select(col("vec_id").as("bench_id"),
+      transform(col("embedding"), x => x.cast("double")).as("bv")))
+    arrivals
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .crossJoin(b)
+      .filter(graft.ext.Similarity.cosine(col("v"), col("bv")) >= lit(thr))
+      .select(col("vec_id"), col("bench_id"))
+  }
 }

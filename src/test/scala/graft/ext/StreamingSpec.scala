@@ -11,6 +11,8 @@ import graft.ext.streaming.Streams
 /** W4/W5 streaming twins: the same transforms must produce the batch
   * answer when driven through MemoryStream + processAllAvailable, and
   * watermark semantics must drop late data (SURVEY.md §2.9). */
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long,
     event_id: Long)
 
@@ -1563,6 +1565,48 @@ class StreamingSpec extends SparkSuite {
         .sorted.toSeq
       assert(batched.nonEmpty)
       assert(streamed === batched)
+    } finally q.stop()
+  }
+
+  test("semantic-contamination hits stream == batch twin " +
+      "(stream-static broadcast join, stateless append)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // bench ids follow the batch twin's % 50 = 0 convention
+    val bench = Seq(Vec(0L, Array(1f, 0f, 0f, 0f)),
+      Vec(50L, Array(0f, 1f, 0f, 0f)))
+    // arrivals across TWO micro-batches: a near-copy of bench 0, an
+    // orthogonal vector, an anti-parallel vector (must not flag), and
+    // a near-copy of bench 50 arriving late
+    val chunk1 = Seq(Vec(1L, Array(0.99f, 0.1f, 0f, 0f)),
+      Vec(2L, Array(0f, 0f, 1f, 0f)))
+    val chunk2 = Seq(Vec(3L, Array(0f, -1f, 0f, 0f)),
+      Vec(4L, Array(0.05f, 0.98f, 0f, 0f)))
+    val input = MemoryStream[Vec]
+    val q = Streams.semanticContaminationHitsStream(
+        input.toDF(), bench.toDF(), thr = 0.40)
+      .writeStream.format("memory").queryName("semcon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(chunk1: _*)
+      q.processAllAvailable()
+      val afterFirst = spark.table("semcon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterFirst == Set((1L, 0L)),
+        s"first micro-batch must flag only the near-copy: $afterFirst")
+      input.addData(chunk2: _*)
+      q.processAllAvailable()
+      val streamedHits = spark.table("semcon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin over the SAME corpus: per-doc rollup of these hits
+      val all = (bench ++ chunk1 ++ chunk2).toDF()
+      val batched = graft.ext.Corpus.semanticContaminationOn(all, thr = 0.40)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val rolled = streamedHits.groupBy(_._1).map { case (id, hs) =>
+        (id, hs.size.toLong, hs.map(_._2).min) }.toSeq.sortBy(_._1)
+      assert(rolled == batched,
+        s"streamed rollup $rolled != batch twin ${batched.toSeq}")
+      assert(batched.map(_._1).toSet == Set(1L, 4L))
     } finally q.stop()
   }
 }
