@@ -844,6 +844,179 @@ object Graph {
        |FROM comp c JOIN sz s USING (component)
        |ORDER BY node""".stripMargin
 
+  // ------------------------------------------------------- directed SCC
+
+  /** Distinct DIRECTED succession edges over part families (partkey div
+    * `famDiv`): within each order, consecutive line items (by line
+    * number) emit fam(i) → fam(i+1). Cross-level hops are kept only
+    * "upward" (`src mod levels <= dst mod levels`), orienting the
+    * otherwise-uniform succession graph so its condensation is a
+    * non-trivial DAG of level communities — without a cut the random
+    * graph collapses into one giant SCC and the operator has nothing to
+    * find. A LEVEL cut (id mod k), unlike a band cut (id div k), keeps
+    * the number of condensation layers fixed as the corpus grows, so
+    * SCC peel depth below is scale-invariant. One self-join on
+    * (orderkey, linenumber) + one distinct — both shuffle once on keys
+    * that partition evenly. */
+  def successionEdges(lineitem: DataFrame, famDiv: Long = 4L,
+      levels: Long = 4L): DataFrame = {
+    val seq = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      expr(s"l_partkey div $famDiv").as("fam"))
+    seq.select(col("ok"), col("ln"), col("fam").as("src"))
+      .join(seq.select(col("ok"), (col("ln") - 1L).as("ln"),
+        col("fam").as("dst")), Seq("ok", "ln"))
+      .filter(col("src") =!= col("dst"))
+      .filter(col("src") % levels <= col("dst") % levels)
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
+  /** FUSED forward/backward min-label fixpoint: per vertex,
+    * f(v) = min({v} ∪ {f(u) : u→v}) and b(v) = min({v} ∪ {b(w) : v→w}),
+    * both advanced in the SAME superstep (forward messages carry f with
+    * a MaxValue b-sentinel, backward messages the reverse; the shared
+    * groupBy-min merges them — sentinels never survive because the
+    * state rows ride in the union). Halves the superstep count of
+    * running two fixpoints back-to-back: iterations = max of the two
+    * propagation radii, not their sum. Labels are monotone
+    * non-increasing non-negative ids, so an unchanged (Σf, Σb) pair is
+    * exact convergence detection; the state is checkpointed LAZILY and
+    * the convergence aggregate is the action that materializes it —
+    * one job per superstep, no separate checkpoint job. */
+  private def fbFixpoint(e: DataFrame, verts: DataFrame,
+      maxIters: Int): DataFrame = {
+    val sentinel = Long.MaxValue
+    // ONE tagged message relation instead of separate forward/backward
+    // joins: a forward message reads f at the edge's source and lands
+    // on its destination, a backward message reads b at the destination
+    // and lands on the source — tagging halves the per-superstep
+    // exchange count (narrow union of two projections, no extra
+    // shuffle; the join below moves 2|E| message rows either way)
+    val msgs0 = e.select(col("src").as("key"), col("dst").as("out"),
+        lit(true).as("isf"))
+      .unionByName(e.select(col("dst").as("key"), col("src").as("out"),
+        lit(false).as("isf")))
+    var lbl = verts.select(col("v"), col("v").as("f"), col("v").as("b"))
+      .localCheckpoint(true)
+    var prev = (-1L, -1L)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val msgs = msgs0
+        .join(lbl.select(col("v").as("key"), col("f"), col("b")), Seq("key"))
+        .select(col("out").as("v"),
+          when(col("isf"), col("f")).otherwise(sentinel).as("f"),
+          when(col("isf"), lit(sentinel)).otherwise(col("b")).as("b"))
+      lbl = lbl.unionByName(msgs)
+        .groupBy(col("v"))
+        .agg(min(col("f")).as("f"), min(col("b")).as("b"))
+        .localCheckpoint(eager = false)
+      val r = lbl.agg(sum(col("f")), sum(col("b"))).head()
+      val s = (r.getLong(0), r.getLong(1))
+      converged = s == prev
+      prev = s
+      iter += 1
+    }
+    require(converged, s"FW-BW fixpoint did not converge in $maxIters")
+    lbl
+  }
+
+  /** Strongly connected components via forward/backward min-label
+    * REFINEMENT (the FW-BW coloring scheme, Orzan 2004 / Fleischer
+    * et al. 2000, re-expressed as DataFrame fixpoints): each peel
+    * computes F(v) = min vertex reaching v and B(v) = min vertex v
+    * reaches, both inside v's current class; vertices with F = B are
+    * exactly SCC(F) and retire, survivors refine their class to the
+    * (F, B) pair, and edges whose endpoints now disagree on (F, B) are
+    * deleted — safe because every cycle through an SCC lies wholly
+    * inside one class, so no SCC-internal edge ever crosses classes.
+    * All classes refine IN PARALLEL inside the same DataFrames (class
+    * membership is data, not driver loop structure), which is what
+    * keeps peel count at the REFINEMENT depth (2–3 on the level-chain
+    * succession graph, independent of corpus size) instead of the
+    * condensation depth that one-SCC-at-a-time FW-BW peeling pays.
+    * Driver sees only per-iteration convergence scalars; state is
+    * O(|V|) labels + the shrinking O(|E|) edge relation, checkpoint-
+    * truncated every step (the BFS/CC lineage discipline). Output: one
+    * row per SCC — (scc_id = min member, scc_size, v_min, v_max). */
+  def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 12,
+      maxIters: Int = 64): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var remaining = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint(true)
+    // empty seed fixes both degenerate-input reduce and result schema
+    val assigned = scala.collection.mutable.ArrayBuffer[DataFrame](
+      edges.sparkSession.range(0)
+        .select(col("id").as("v"), col("id").as("scc_id")))
+    var peel = 0
+    var nRemaining = remaining.count()
+    while (peel < maxPeels && nRemaining > 0) {
+      // the fixpoint's own convergence action materialized `lab`'s
+      // lineage tail; one count on the survivor filter drives both the
+      // loop decision and whether the edge rebuild is worth planning
+      val lab = fbFixpoint(e, remaining, maxIters)
+      assigned += lab.filter(col("f") === col("b"))
+        .select(col("v"), col("f").as("scc_id"))
+      val survivors = lab.filter(col("f") =!= col("b"))
+      nRemaining = survivors.count()
+      if (nRemaining > 0) {
+        remaining = survivors.select(col("v"))
+        // keep only intra-class edges between SURVIVORS: retired
+        // vertices have f = b, so the sf <> sb guard drops their
+        // incident edges in the same pass as the class filter
+        e = e
+          .join(lab.select(col("v").as("src"), col("f").as("sf"),
+            col("b").as("sb")), Seq("src"))
+          .join(lab.select(col("v").as("dst"), col("f").as("df"),
+            col("b").as("db")), Seq("dst"))
+          .filter(col("sf") === col("df") && col("sb") === col("db") &&
+            col("sf") =!= col("sb"))
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+      }
+      peel += 1
+    }
+    require(nRemaining == 0,
+      s"SCC refinement did not converge in $maxPeels peels")
+    assigned.reduce(_.unionByName(_))
+      .groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+      .orderBy(col("scc_id"))
+  }
+
+  /** Oracle: exact transitive closure as a recursive CTE; v ∈ SCC(m)
+    * iff m→*v and v→*m, m = the minimum such mutual-reach partner
+    * (LEAST with v itself covers singletons). Closure is oracle-side
+    * only — the engine never materializes reachability. */
+  def sccSql(famDiv: Long = 4L, levels: Long = 4L): String =
+    s"""WITH RECURSIVE seq AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |         l_partkey // $famDiv AS fam
+       |  FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.fam AS src, b.fam AS dst
+       |  FROM seq a JOIN seq b ON a.ok = b.ok AND b.ln = a.ln + 1
+       |  WHERE a.fam <> b.fam AND a.fam % $levels <= b.fam % $levels),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT reach.src, e.dst FROM reach JOIN e ON e.src = reach.dst),
+       |nodes AS (SELECT DISTINCT src AS v FROM e
+       |          UNION SELECT DISTINCT dst FROM e),
+       |mutual AS (
+       |  SELECT r1.dst AS v, r1.src AS u
+       |  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+       |scc AS (
+       |  SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+       |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+       |  GROUP BY n.v)
+       |SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size,
+       |       MIN(v) AS v_min, MAX(v) AS v_max
+       |FROM scc GROUP BY scc_id ORDER BY scc_id""".stripMargin
+
   /** Common-neighbor Jaccard link prediction: top-k NON-adjacent-or-
     * adjacent node pairs ranked by |N(u)∩N(v)| / |N(u)∪N(v)|, held as
     * fixed-point ×10^6 BIGINT (exact integer counts, one integer
@@ -2181,6 +2354,10 @@ object Graph {
     "graph_cc" -> QueryDef(
       (s, d) => componentSizes(s.table(ensureBackbone(s, d))),
       componentSizesSql()),
+    "graph_scc" -> QueryDef(
+      (s, d) => stronglyConnectedComponents(
+        successionEdges(Tables.lineitem(s, d))),
+      sccSql()),
     "graph_jaccard" -> QueryDef(
       (s, d) => jaccardPairs(s.table(ensureBackbone(s, d)), 50),
       jaccardPairsSql(50)),

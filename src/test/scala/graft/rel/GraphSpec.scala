@@ -806,4 +806,70 @@ class GraphSpec extends SparkSuite {
     }
     assert(dist === ref.toMap)
   }
+
+  // ------------------------------------------------------- directed SCC
+
+  private def sccMap(e: org.apache.spark.sql.DataFrame) =
+    Graph.stronglyConnectedComponents(e)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  /** Two 3-cycles joined by a one-way bridge, plus a dangling tail:
+    * the condensation {1,2,3} → {4,5,6} → {7} must come back as three
+    * SCCs keyed by their minima. */
+  test("scc: two cycles bridged one-way plus a tail") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 6L -> 7L)
+    assert(sccMap(e) === Map(
+      1L -> ((3L, 1L, 3L)), 4L -> ((3L, 4L, 6L)), 7L -> ((1L, 7L, 7L))))
+  }
+
+  /** A chord that joins a cycle enlarges the SCC: 1→2→3→1 with 2⇄4
+    * makes {1,2,3,4} one component (4 reaches 1 through 2→3→1). */
+  test("scc: chord merges into the cycle's component") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 4L, 4L -> 2L)
+    assert(sccMap(e) === Map(1L -> ((4L, 1L, 4L))))
+  }
+
+  /** Pure DAG: every vertex is its own singleton SCC — the all-
+    * refinement path (no peel ever finds a cycle). */
+  test("scc: path DAG yields all singletons") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(sccMap(e) === Map(
+      1L -> ((1L, 1L, 1L)), 2L -> ((1L, 2L, 2L)),
+      3L -> ((1L, 3L, 3L)), 4L -> ((1L, 4L, 4L))))
+  }
+
+  /** The declared query's contract on the fixture: level-oriented
+    * succession graph — scc_id is always the component's own minimum,
+    * sizes sum to the vertex count, and each SCC is level-pure (every
+    * member shares scc_id mod 4, the orientation invariant: upward-only
+    * cross-level edges can never close a cross-level cycle). */
+  test("scc: succession graph invariants at sf0.001") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val e = Graph.successionEdges(li).persist()
+    val nVerts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct().count()
+    val out = Graph.stronglyConnectedComponents(e).collect()
+    assert(out.map(_.getLong(1)).sum === nVerts)
+    assert(out.forall(r => r.getLong(0) === r.getLong(2)),
+      "scc_id must be the component minimum")
+    assert(out.forall(r => r.getLong(3) % 4 === r.getLong(0) % 4),
+      "SCCs must be level-pure: upward-only cross-level edges cannot " +
+        "close a cross-level cycle, so min and max member share a level")
+    e.unpersist(): Unit
+  }
+
+  /** Bit-identity across partitionings: min-label fixpoints and the
+    * refinement are integer-exact, so 1-partition and 8-partition runs
+    * must agree row-for-row. */
+  test("scc: bit-identical across partitionings") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def run(parts: Int) =
+      Graph.stronglyConnectedComponents(
+        Graph.successionEdges(li.repartition(parts)))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq
+    assert(run(1) === run(8))
+  }
 }
