@@ -197,6 +197,101 @@ object Corpus {
        |       MIN(bench_id) AS first_bench
        |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** BLOCKED semantic decontamination — the exact arm above for the
+    * corpus-scale-bench regime: when the eval set itself has millions
+    * of rows, per-corpus-row |bench| cosines stop being free, so both
+    * sides route through the SAME portable md5 sign-bit quantizer the
+    * `dedup_embedding_lsh` chain ships, BANDED simhash-style: the
+    * `bands`·`bits`-plane signature splits into `bands` bands of `bits`
+    * bits, a (corpus, bench) pair becomes a candidate iff ANY band
+    * agrees exactly, and the exact native-codegen cosine verifies
+    * candidates only. Precision 1 by construction (every surfaced hit
+    * passed the exact test); recall is the banded S-curve — with the
+    * default 8×2 geometry a pair at the decontamination threshold
+    * (per-plane flip prob p) is missed with (1−(1−p)²)⁸ ≈ 1% even at
+    * borderline cos 0.40, pinned vs the exact arm in CorpusSpec (full
+    * recall at sf0.001/sf0.01, 41/42 vecs at sf0.1). The band geometry
+    * is the pruning knob: wider bands (4×8 over 32 planes) at
+    * paraphrase-regime thresholds (cos ≥ 0.9, p ≤ 0.15) cut candidate
+    * volume ~256× while keeping the same miss bound — the fixture's 2-
+    * bit bands hold recall at its deliberately-borderline threshold.
+    * Each side carries exactly `bands` keys per vector (no probe fan —
+    * band agreement replaces Hamming-radius probing), candidate pairs
+    * dedupe before the ONE broadcast verify, corpus never shuffles.
+    * Entire lifecycle — plane derivation, cells, band keys, verify —
+    * replayed in the DuckDB oracle below. */
+  def semanticContaminationBlockedOn(emb: DataFrame, thr: Double = 0.40,
+      benchMod: Long = 50L, bands: Int = 8, bits: Int = 2): DataFrame = {
+    val nPlanes = bands * bits
+    val mask = (1 << bits) - 1
+    val e0 = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val sig = e0.withColumn("cell",
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
+    def keyed(side: DataFrame): DataFrame = side
+      .select(col("vec_id"), col("v"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("cell"), bits * b).bitwiseAND(lit(mask)).as("kb")))
+        : _*)).as("bk"))
+      .select(col("vec_id"), col("v"),
+        col("bk.band").as("band"), col("bk.kb").as("kb"))
+    val corpus = keyed(sig.filter(col("vec_id") % benchMod =!= 0))
+    val bench = keyed(sig.filter(col("vec_id") % benchMod === 0))
+      .select(col("band"), col("kb"), col("vec_id").as("bench_id"),
+        col("v").as("bv"))
+    // verify BEFORE the dedup shuffle (the embeddingPairsBlocked
+    // discipline): cosine is identical for every banded copy of a
+    // pair, so filtering first is equivalent — and the only exchange
+    // after the broadcast join then carries surviving id pairs, never
+    // a candidate stream of 64-dim payloads
+    corpus.join(broadcast(bench), Seq("band", "kb"))
+      .filter(Similarity.cosine(col("v"), col("bv")) >= lit(thr))
+      .select(col("vec_id"), col("bench_id"))
+      .dropDuplicates("vec_id", "bench_id")
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        min(col("bench_id")).as("first_bench"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticContaminationBlockedSql(thr: Double = 0.40,
+      benchMod: Long = 50L, bands: Int = 8, bits: Int = 2): String = {
+    val nPlanes = bands * bits
+    val mask = (1 << bits) - 1
+    s"""WITH planes AS (
+       |  SELECT p, list(comp ORDER BY i) AS plane FROM (
+       |    SELECT t.p, s.i,
+       |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
+       |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
+       |    FROM range(0, $nPlanes) t(p), range(0, 64) s(i))
+       |  GROUP BY p),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cellid AS (
+       |  SELECT e.vec_id,
+       |    SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |        THEN (1::BIGINT << pl.p) ELSE 0 END) AS cell
+       |  FROM e, planes pl GROUP BY e.vec_id),
+       |keyed AS (
+       |  SELECT vec_id, band, (cell >> CAST($bits * band AS INT)) & $mask AS kb
+       |  FROM (SELECT vec_id, cell, unnest(range(0, $bands)) AS band
+       |        FROM cellid)),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, b.vec_id AS bench_id
+       |  FROM keyed c JOIN keyed b ON c.band = b.band AND c.kb = b.kb
+       |  WHERE c.vec_id % $benchMod <> 0 AND b.vec_id % $benchMod = 0),
+       |hits AS (
+       |  SELECT ca.vec_id, ca.bench_id
+       |  FROM cand ca JOIN e ec ON ec.vec_id = ca.vec_id
+       |  JOIN e eb ON eb.vec_id = ca.bench_id
+       |  WHERE list_dot_product(ec.v, eb.v) /
+       |    (sqrt(list_dot_product(ec.v, ec.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+       |    >= $thr)
+       |SELECT vec_id, COUNT(*) AS n_bench_hits,
+       |       MIN(bench_id) AS first_bench
+       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- clustering
 
   /** Prefix-fingerprint duplicate clusters: documents sharing the md5 of
@@ -1070,6 +1165,13 @@ object Corpus {
     "contamination_semantic" -> QueryDef(
       (s, d) => semanticContaminationOn(Tables.embeddings(s, d)),
       Some(semanticContaminationSql())),
+    // corpus-scale-bench arm: md5 sign-bit cells + bench-side Hamming-1
+    // multiprobe + exact-cosine verify on candidates only — the
+    // dedup_embedding_lsh discipline applied to L5t, full plane/cell/
+    // probe lifecycle replayed in the oracle
+    "contamination_semantic_blocked" -> QueryDef(
+      (s, d) => semanticContaminationBlockedOn(Tables.embeddings(s, d)),
+      Some(semanticContaminationBlockedSql())),
     "corpus_decontaminate" -> QueryDef(
       (s, d) => decontaminate(Tables.documents(s, d)),
       Some(decontaminateSql())),

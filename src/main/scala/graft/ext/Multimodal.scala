@@ -66,6 +66,10 @@ object Multimodal {
     syntheticCutVideos(spark, dir).count()
     syntheticAudioPairs(spark, dir).count()
     syntheticVideoPairs(spark, dir).count()
+    // standing fingerprint tables (decode = index build, same story)
+    videoFpTable(spark, dir).count()
+    audioFpTable(spark, dir).count()
+    imageAHashTable(spark, dir).count()
     ()
   }
 
@@ -1034,7 +1038,7 @@ object Multimodal {
     * target bits, with the same x·w div 8 sampling) and re-derives
     * every hash byte, so decode → sample → threshold is pinned value-
     * for-value with no image parsing in the oracle. */
-  def imageAHashQuery(spark: SparkSession, dir: String): DataFrame = {
+  def imageAHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
@@ -1048,8 +1052,10 @@ object Multimodal {
       rows.flatMap(r => aHash8(r.content).map(h =>
         (r.doc_id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))))
     }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
-      .orderBy(col("doc_id"))
   }
+
+  def imageAHashQuery(spark: SparkSession, dir: String): DataFrame =
+    imageAHashes(spark, dir).orderBy(col("doc_id"))
 
   private val imageAHashSql: String =
     """WITH b AS (
@@ -1268,17 +1274,30 @@ object Multimodal {
     * applied to the pair OUTPUT). Scale: fingerprints are 1 BIGINT per
     * clip; the band join is \|corpus\|×9 rows keyed on 7-bit-by-band
     * buckets; no all-pairs stage exists. */
-  def audioFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame = {
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val fps = media.mapPartitions { rows =>
+    media.mapPartitions { rows =>
       rows.flatMap(r => audioSamples(r.content)
         .map(s => (r.doc_id, energyDiffFingerprint(s))))
     }.toDF("doc_id", "fp")
+  }
+
+  /** Banded Hamming self-join over a (doc_id, fp) fingerprint relation:
+    * `bands` bands of `bits` bits each block the candidate join
+    * (pigeonhole: Hamming ≤ bands·bits/bits − 1 per untouched band ⇒
+    * recall guarantee chosen by the caller's band geometry), exact
+    * bit_count verify on candidates only. The shared pair machinery of
+    * the audio (9×7) and video (4×4) dedup axes — fingerprints are one
+    * BIGINT per doc, the banded join is |corpus|×bands rows keyed on
+    * per-band buckets, no all-pairs stage exists at any corpus size. */
+  def bandedHammingPairs(fps: DataFrame, bands: Int, bits: Int,
+      maxDist: Int): DataFrame = {
+    val mask = (1L << bits) - 1
     val banded = fps.select(col("doc_id"), col("fp"),
-      explode(array((0 until 9).map(b => struct(
+      explode(array((0 until bands).map(b => struct(
         lit(b).as("band"),
-        shiftright(col("fp"), 7 * b).bitwiseAND(lit(127L)).as("key"))): _*))
+        shiftright(col("fp"), bits * b).bitwiseAND(lit(mask)).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("fp"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -1294,6 +1313,9 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def audioFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame =
+    bandedHammingPairs(audioFingerprints(media), bands = 9, bits = 7, maxDist)
 
   def audioFpPairsQuery(spark: SparkSession, dir: String): DataFrame =
     audioFpPairs(syntheticAudioPairs(spark, dir), maxDist = 8)
@@ -1411,27 +1433,30 @@ object Multimodal {
     * deterministic cross-pair near-collisions survive alongside the
     * planted pairs — both engines compute the identical list (full
     * value-level oracle, the audio-fp discipline on the video axis). */
-  def videoFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame = {
-    val fps = videoFingerprints(media)
-    val banded = fps.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(b => struct(
-        lit(b).as("band"),
-        shiftright(col("fp"), 4 * b).bitwiseAND(lit(15L)).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("fp"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  def videoFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame =
+    bandedHammingPairs(videoFingerprints(media), bands = 4, bits = 4, maxDist)
+
+  /** Standing media-FINGERPRINT tables (the r12 verdict's bistable-wall
+    * fix): at deployment scale nobody re-decodes a media corpus per
+    * query — decode is INDEX BUILD, paid once per (corpus snapshot,
+    * codec version) into a [[graft.core.ParquetMemo]] table of
+    * (doc_id, 1 BIGINT fp), and every dedup query is a banded-Hamming
+    * join over the standing relation. The decode-included twin
+    * (`dedup_video_fp_decode`) keeps the codec path declared; its wall
+    * is decode-bound by design. */
+  def videoFpTable(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "fp_video", CorpusVersion)(
+      videoFingerprints(syntheticVideoPairs(spark, dir)))
+
+  def audioFpTable(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "fp_audio", CorpusVersion)(
+      audioFingerprints(syntheticAudioPairs(spark, dir)))
+
+  def imageAHashTable(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "fp_imgahash", CorpusVersion)(imageAHashes(spark, dir))
 
   private val videoFpPairsSql: String =
     """WITH par AS (
@@ -1457,17 +1482,33 @@ object Multimodal {
 
   private val q: Seq[(String, QueryDef)] = Seq(
     // real AVI walk + JPEG frame decode → 16-bit frame-sign fingerprint
-    // → banded Hamming pairs: the video axis completes the image/audio/
-    // video dedup triple, FULL value-level pair-list oracle
+    // → banded Hamming pairs over the STANDING fingerprint table: the
+    // video axis completes the image/audio/video dedup triple, FULL
+    // value-level pair-list oracle. Decode is index build (ParquetMemo,
+    // once per corpus snapshot) — the query's wall stops being
+    // codec/JIT-bistable across environments (r12: 4.5 s inside the
+    // warm sweep vs 10–12 s cold, shuffle bit-identical)
     "dedup_video_fp" -> QueryDef(
+      (s: SparkSession, d: String) =>
+        bandedHammingPairs(videoFpTable(s, d), bands = 4, bits = 4,
+          maxDist = 2),
+      Some(videoFpPairsSql)),
+    // decode-included twin: real AVI walk + JDK JPEG frame decode →
+    // fingerprint → pairs in one execution, keeping the codec path a
+    // declared oracle-gated surface; wall is decode-bound BY DESIGN
+    // (benchable only inside the full warm sweep)
+    "dedup_video_fp_decode" -> QueryDef(
       (s: SparkSession, d: String) =>
         videoFpPairs(syntheticVideoPairs(s, d), maxDist = 2),
       Some(videoFpPairsSql)),
-    // real WAV decode → 63-bit energy-difference fingerprint → banded
-    // Hamming pairs: the audio axis of the dedup × multimodal cross,
-    // FULL value-level pair-list oracle from the closed-form corpus
+    // real WAV decode → 63-bit energy-difference fingerprint (standing
+    // table, decode = index build) → banded Hamming pairs: the audio
+    // axis of the dedup × multimodal cross, FULL value-level pair-list
+    // oracle from the closed-form corpus
     "dedup_audio_fp" -> QueryDef(
-      (s: SparkSession, d: String) => audioFpPairsQuery(s, d),
+      (s: SparkSession, d: String) =>
+        bandedHammingPairs(audioFpTable(s, d), bands = 9, bits = 7,
+          maxDist = 8),
       Some(audioFpPairsSql)),
     // real encode→decode round trip behind a closed-form oracle; the
     // mixed-type stub statistics remain available via `featureStats`
@@ -1502,9 +1543,11 @@ object Multimodal {
       (s: SparkSession, d: String) => imagePhashPlantedQuery(s, d),
       Some(imagePhashPlantedSql)),
     // aHash sibling: every hash byte re-derived by the oracle from the
-    // closed-form gradient walk — full value-level decode pin
+    // closed-form gradient walk — full value-level decode pin; served
+    // from the standing fingerprint table (decode = index build)
     "dedup_image_ahash" -> QueryDef(
-      (s: SparkSession, d: String) => imageAHashQuery(s, d),
+      (s: SparkSession, d: String) =>
+        imageAHashTable(s, d).orderBy(col("doc_id")),
       Some(imageAHashSql)),
     // decode → stride-2 DOWNSAMPLE → re-featurize: the transform stage
     // on the audio axis (the multimodal_resize twin for PCM) — real

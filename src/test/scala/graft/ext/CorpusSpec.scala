@@ -337,6 +337,56 @@ class CorpusSpec extends SparkSuite {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("blocked semantic contamination: precision 1 (hits ⊆ exact arm) " +
+      "and near-copy recall pinned vs the exact arm at sf0.001") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val exact = Corpus.semanticContaminationOn(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val blocked = Corpus.semanticContaminationBlockedOn(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exactIds = exact.map(_._1).toSet
+    val blockedIds = blocked.map(_._1).toSet
+    // precision 1 by construction: every blocked hit passed the same
+    // exact-cosine test, so blocked verdicts are a subset of exact ones
+    assert(blockedIds.subsetOf(exactIds),
+      s"blocked flagged non-exact ids: ${blockedIds -- exactIds}")
+    // per-vec hit counts never exceed the exact arm's (candidate set is
+    // a subset of bench for every corpus vector)
+    val exactByid = exact.map(t => t._1 -> t._2).toMap
+    blocked.foreach { case (id, n, _) =>
+      assert(n <= exactByid(id), s"vec $id: blocked $n > exact ${exactByid(id)}")
+    }
+    // recall pin: the fixture plants leakage pairs at deliberately
+    // BORDERLINE cosine (0.40–0.45) — the 8×2 band geometry must still
+    // recover them (deterministic given the fixed corpus + md5 planes —
+    // a quantizer or band-key regression shows up as a recall drop
+    // here; measured: 2/2 at sf0.001, 6/6 at sf0.01, 41/42 at sf0.1)
+    assert(exactIds.nonEmpty, "fixture must plant semantic leaks")
+    val recall = blockedIds.size.toDouble / exactIds.size
+    assert(recall >= 0.9,
+      s"blocked recall $recall vs exact arm (${blockedIds.size}/${exactIds.size})")
+  }
+
+  test("blocked semantic contamination: near-copy flags, orthogonal " +
+      "candidate dies at the exact verify, bench side broadcasts") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Corpus.semanticContaminationBlockedOn(emb, thr = 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the near-copy flags with bench 0 as evidence; the orthogonal
+    // vector may become a banded candidate but the exact cosine verify
+    // kills it (precision 1 by construction)
+    assert(got.toSeq == Seq((1L, 1L, 0L)), got.toSeq.toString)
+    val plan = Corpus.semanticContaminationBlockedOn(emb, thr = 0.40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("domain cap: over-cap sources pruned to cap, under-cap untouched, deterministic") {
     import spark.implicits._
     val docs = ((1L to 10L).map(i => (i, "big", s"doc $i")) ++

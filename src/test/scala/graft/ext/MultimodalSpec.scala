@@ -346,6 +346,40 @@ class MultimodalSpec extends SparkSuite {
       .foreach(p => assert(p._3 === 1, s"planted flip is exactly 1 bit: $p"))
   }
 
+  test("standing fingerprint tables serve the decode path's exact rows " +
+      "(memoized decode = index build, query = banded join)") {
+    // video: standing-table pairs ≡ decode-included pairs, row for row
+    val viaMemo = Multimodal.bandedHammingPairs(
+      Multimodal.videoFpTable(spark, sfDir), bands = 4, bits = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val viaDecode = Multimodal.videoFpPairs(
+      Multimodal.syntheticVideoPairs(spark, sfDir), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(viaMemo === viaDecode)
+    // audio: same contract on the audio axis
+    val aMemo = Multimodal.bandedHammingPairs(
+      Multimodal.audioFpTable(spark, sfDir), bands = 9, bits = 7, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val aDecode = Multimodal.audioFpPairs(
+      Multimodal.syntheticAudioPairs(spark, sfDir), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(aMemo === aDecode)
+    // image aHash: standing table ≡ per-execution decode
+    val iMemo = Multimodal.imageAHashTable(spark, sfDir)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    val iDecode = Multimodal.imageAHashQuery(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(iMemo === iDecode)
+    // and the standing-table query plan decodes NOTHING: it is a scan
+    // of the memoized parquet (no SerializeFromObject from a
+    // mapPartitions decode stage anywhere in the plan)
+    val plan = Multimodal.bandedHammingPairs(
+      Multimodal.videoFpTable(spark, sfDir), 4, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject"), plan)
+  }
+
   test("audio near-dup: real WAV decode reproduces the closed-form " +
       "fingerprints; every planted pair recalled at hamming <= 4") {
     // decode-path differential: fingerprint(decode(wav)) must equal the
