@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r12 shuffle-misattribution fix, gated: in a FRESH environment a
+  * standing index does not exist yet, and before round 13 its one-time
+  * build ran inside the first timed query attempt — the driver's r12
+  * artifact recorded 4.03 MB of build shuffle on `text_search_indexed`
+  * against the committed map's 0.15 MB, corrupting the deterministic
+  * shuffle signal that round-over-round adjudication depends on. Bench
+  * now warms every `ensure*` entry point before sweep 1; this spec
+  * plants a COLD memo (fresh java.io.tmpdir, so `ensureTextIndex*`
+  * cannot find any prior build) and asserts that after the warm-up
+  * call, two consecutive query executions attribute the SAME shuffle
+  * bytes — i.e. the build cost all landed in the warm-up, none in the
+  * first "timed" run. */
+class BenchWarmupSpec extends AnyFunSuite with SparkSuite {
+
+  private final class ShuffleListener extends SparkListener {
+    val bytes = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+    }
+  }
+
+  /** Run `body`, return the shuffle bytes its stages wrote. Listener
+    * events are async, so drain with a short settle loop (stable
+    * reading twice in a row). */
+  private def shuffleOf(l: ShuffleListener)(body: => Unit): Long = {
+    val before = {
+      var prev = -1L
+      while (prev != l.bytes.get) { prev = l.bytes.get; Thread.sleep(200) }
+      prev
+    }
+    body
+    var prev = -1L
+    while (prev != l.bytes.get) { prev = l.bytes.get; Thread.sleep(200) }
+    prev - before
+  }
+
+  test("planted cold memo: after warm-up, a fresh-env query run " +
+      "attributes the same shuffle as a warm one (no build leakage)") {
+    val freshTmp = java.nio.file.Files
+      .createTempDirectory("graft_cold_env").toString
+    val savedTmp = sys.props("java.io.tmpdir")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sys.props("java.io.tmpdir") = freshTmp
+      // the Bench warm-up step: the COLD build happens here and must
+      // shuffle something (tokenize + postings groupBys)
+      val buildShuffle = shuffleOf(listener) {
+        ext.Search.ensureTextIndexIncremental(spark, sfDir): Unit
+      }
+      assert(buildShuffle > 0, "cold index build must do real work")
+      // two consecutive "timed" runs of the declared query path
+      def runQuery(): Unit = ext.Search.rankedSearchIndexed(spark,
+        ext.Search.ensureTextIndexIncremental(spark, sfDir),
+        Seq("vector", "hash", "join"), 20).collect(): Unit
+      val first = shuffleOf(listener)(runQuery())
+      val second = shuffleOf(listener)(runQuery())
+      // the first post-warm-up run carries NO build residue: identical
+      // shuffle to the second (both probe the standing artifact), and
+      // strictly below the build itself
+      assert(first === second,
+        s"fresh-env first run attributed extra shuffle: $first vs $second")
+      assert(first < buildShuffle,
+        s"query shuffle $first should be below build shuffle $buildShuffle")
+    } finally {
+      sys.props("java.io.tmpdir") = savedTmp
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+}
