@@ -901,40 +901,52 @@ object Graph {
     // on its destination, a backward message reads b at the destination
     // and lands on the source — tagging halves the per-superstep
     // exchange count (narrow union of two projections, no extra
-    // shuffle; the join below moves 2|E| message rows either way)
+    // shuffle). The relation is FIXED across the fixpoint, so it is
+    // hash-partitioned on the join key ONCE and persisted: the cached
+    // InMemoryRelation advertises that partitioning and every
+    // superstep's join reuses it — only the O(V) label side exchanges
+    // per superstep, never the 2|E| message rows (the r13 tier-2
+    // rehearsal measured the re-shuffled form at 20× bytes for 10×
+    // data once labels outgrew the broadcast threshold; this caps the
+    // per-superstep exchange at state size, the PageRank standing-
+    // adjacency discipline applied inside the query).
     val msgs0 = e.select(col("src").as("key"), col("dst").as("out"),
         lit(true).as("isf"))
       .unionByName(e.select(col("dst").as("key"), col("src").as("out"),
         lit(false).as("isf")))
+      .repartition(col("key")).persist()
     var lbl = verts.select(col("v"), col("v").as("f"), col("v").as("b"))
       .localCheckpoint(true)
     // empty vertex set: already converged (guards the null aggregate
     // row below — sum() over zero rows is NULL, and getDecimal would
     // NPE; callers today pre-filter, but this helper shouldn't mine)
-    if (lbl.isEmpty) return lbl
-    var prev = (BigDecimal(-1), BigDecimal(-1))
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val msgs = msgs0
-        .join(lbl.select(col("v").as("key"), col("f"), col("b")), Seq("key"))
-        .select(col("out").as("v"),
-          when(col("isf"), col("f")).otherwise(sentinel).as("f"),
-          when(col("isf"), lit(sentinel)).otherwise(col("b")).as("b"))
-      lbl = lbl.unionByName(msgs)
-        .groupBy(col("v"))
-        .agg(min(col("f")).as("f"), min(col("b")).as("b"))
-        .localCheckpoint(eager = false)
-      val r = lbl.agg(
-        sum(col("f").cast("decimal(38,0)")),
-        sum(col("b").cast("decimal(38,0)"))).head()
-      val s = (BigDecimal(r.getDecimal(0)), BigDecimal(r.getDecimal(1)))
-      converged = s == prev
-      prev = s
-      iter += 1
-    }
-    require(converged, s"FW-BW fixpoint did not converge in $maxIters")
-    lbl
+    if (lbl.isEmpty) { msgs0.unpersist(); return lbl }
+    try {
+      var prev = (BigDecimal(-1), BigDecimal(-1))
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val msgs = msgs0
+          .join(lbl.select(col("v").as("key"), col("f"), col("b")),
+            Seq("key"))
+          .select(col("out").as("v"),
+            when(col("isf"), col("f")).otherwise(sentinel).as("f"),
+            when(col("isf"), lit(sentinel)).otherwise(col("b")).as("b"))
+        lbl = lbl.unionByName(msgs)
+          .groupBy(col("v"))
+          .agg(min(col("f")).as("f"), min(col("b")).as("b"))
+          .localCheckpoint(eager = false)
+        val r = lbl.agg(
+          sum(col("f").cast("decimal(38,0)")),
+          sum(col("b").cast("decimal(38,0)"))).head()
+        val s = (BigDecimal(r.getDecimal(0)), BigDecimal(r.getDecimal(1)))
+        converged = s == prev
+        prev = s
+        iter += 1
+      }
+      require(converged, s"FW-BW fixpoint did not converge in $maxIters")
+      lbl
+    } finally msgs0.unpersist(): Unit
   }
 
   /** Strongly connected components via forward/backward min-label
