@@ -2296,6 +2296,28 @@ object Graph {
       .unionByName(half.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    richClubLadder(half, deg, ks)
+  }
+
+  /** The declared surface's form: the same ladder fed from the
+    * STANDING mirrored backbone (`ensureBackbone`) like every other
+    * backbone consumer — the in-query lineitem self-join (the whole
+    * basket-pair enumeration, ~16 MB of shuffle at sf0.1) moves to the
+    * build-once table; the half relation is the src<dst filter of the
+    * mirrored edges and degrees are the src-side reduce over the
+    * BUCKETED layout (co-located, no exchange). */
+  def richClubFromMirrored(mirrored: DataFrame,
+      ks: Seq[Long] = Seq(1L, 2L, 4L, 8L)): DataFrame = {
+    val half = mirrored.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val deg = mirrored.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint(true)
+    richClubLadder(half, deg, ks)
+  }
+
+  private def richClubLadder(half: DataFrame, deg: DataFrame,
+      ks: Seq[Long]): DataFrame = {
     ks.map { k =>
       val rich = deg.filter(col("deg") > k).select(col("id"))
       val nk = rich.agg(count(lit(1)).as("n_k"))
@@ -2340,7 +2362,7 @@ object Graph {
 
   def queries: Seq[(String, QueryDef)] = Seq(
     "graph_richclub" -> QueryDef(
-      (s, d) => richClub(Tables.lineitem(s, d)),
+      (s, d) => richClubFromMirrored(s.table(ensureBackbone(s, d))),
       richClubSql()),
     "graph_walks" -> QueryDef(
       (s, d) => randomWalksBucketed(s, d),

@@ -770,6 +770,17 @@ class GraphSpec extends SparkSuite {
       (2L, 1L, 0L, None),
       (4L, 0L, 0L, None),
       (8L, 0L, 0L, None)))
+    // the declared surface's standing-backbone form is row-identical:
+    // half = src<dst filter of the mirrored relation, degree = the
+    // src-side reduce (each undirected edge appears once per direction)
+    val half = Graph.backboneEdges(li, 2L)
+    val mirrored = half.unionByName(
+      half.select(org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst")))
+    val got2 = Graph.richClubFromMirrored(mirrored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got2 === got)
   }
 
   test("core decomposition: clique-with-tail hand cores; driver reference") {
