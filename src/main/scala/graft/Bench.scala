@@ -76,13 +76,13 @@ object Bench {
     // layout: the write-time shuffle is corpus build, not query work)
     try core.ZOrder.ensureBucketedFacts(spark, sfDir): Unit
     catch { case _: Throwable => () }
-    // and the inverted text indexes (full + incremental-merge builds):
-    // in a fresh environment these otherwise build inside the FIRST
-    // timed attempt — the r12 driver artifact put the build's 4 MB of
-    // shuffle on text_search_indexed (committed map: 0.15 MB),
-    // corrupting the round-over-round shuffle adjudication signal
-    try ext.Search.ensureTextIndex(spark, sfDir): Unit
-    catch { case _: Throwable => () }
+    // and the inverted text index (the incremental-merge build both
+    // indexed search queries read): in a fresh environment it otherwise
+    // builds inside the FIRST timed attempt — the r12 driver artifact
+    // put the build's 4 MB of shuffle on text_search_indexed (committed
+    // map: 0.15 MB), corrupting the round-over-round shuffle
+    // adjudication signal. (The full-rebuild artifact is spec-only —
+    // no declared query reads it, so it is not warmed.)
     try ext.Search.ensureTextIndexIncremental(spark, sfDir): Unit
     catch { case _: Throwable => () }
     // and the mirrored co-purchase backbone (triangles / communities /

@@ -211,10 +211,12 @@ object Corpus {
     * (per-plane flip prob p) is missed with (1−(1−p)²)⁸ ≈ 1% even at
     * borderline cos 0.40, pinned vs the exact arm in CorpusSpec (full
     * recall at sf0.001/sf0.01, 41/42 vecs at sf0.1). The band geometry
-    * is the pruning knob: wider bands (4×8 over 32 planes) at
-    * paraphrase-regime thresholds (cos ≥ 0.9, p ≤ 0.15) cut candidate
-    * volume ~256× while keeping the same miss bound — the fixture's 2-
-    * bit bands hold recall at its deliberately-borderline threshold.
+    * is the pruning knob: wider bands (e.g. 4×7 over 28 planes —
+    * bands·bits is capped at 30, the quantizer's Int cell budget,
+    * enforced below) at paraphrase-regime thresholds (cos ≥ 0.9,
+    * p ≤ 0.15) cut per-band candidate volume ~2⁷ while keeping the
+    * same miss bound — the fixture's 2-bit bands hold recall at its
+    * deliberately-borderline threshold.
     * Each side carries exactly `bands` keys per vector (no probe fan —
     * band agreement replaces Hamming-radius probing), candidate pairs
     * dedupe before the ONE broadcast verify, corpus never shuffles.
@@ -223,10 +225,22 @@ object Corpus {
   def semanticContaminationBlockedOn(emb: DataFrame, thr: Double = 0.40,
       benchMod: Long = 50L, bands: Int = 8, bits: Int = 2): DataFrame = {
     val nPlanes = bands * bits
+    require(nPlanes >= 1 && nPlanes <= 30,
+      s"bands*bits must be in [1, 30] (the quantizer's Int cell budget), " +
+        s"got $bands*$bits = $nPlanes")
     val mask = (1 << bits) - 1
     val e0 = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v")).persist()
-    val dim = e0.select(size(col("v"))).head().getInt(0)
+    // empty corpus: converge to the exact arm's empty verdict relation
+    // instead of NoSuchElementException on the dim probe
+    val dimRow = e0.select(size(col("v"))).head(1)
+    if (dimRow.isEmpty) {
+      e0.unpersist()
+      return emb.sparkSession.range(0).select(
+        col("id").as("vec_id"), col("id").as("n_bench_hits"),
+        col("id").as("first_bench"))
+    }
+    val dim = dimRow(0).getInt(0)
     val sig = e0.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
     def keyed(side: DataFrame): DataFrame = side
@@ -1165,10 +1179,10 @@ object Corpus {
     "contamination_semantic" -> QueryDef(
       (s, d) => semanticContaminationOn(Tables.embeddings(s, d)),
       Some(semanticContaminationSql())),
-    // corpus-scale-bench arm: md5 sign-bit cells + bench-side Hamming-1
-    // multiprobe + exact-cosine verify on candidates only — the
-    // dedup_embedding_lsh discipline applied to L5t, full plane/cell/
-    // probe lifecycle replayed in the oracle
+    // corpus-scale-bench arm: banded md5 sign-bit blocking (candidate
+    // iff ANY band agrees — no probe fan) + exact-cosine verify on
+    // candidates only; full plane/cell/band-key lifecycle replayed in
+    // the oracle
     "contamination_semantic_blocked" -> QueryDef(
       (s, d) => semanticContaminationBlockedOn(Tables.embeddings(s, d)),
       Some(semanticContaminationBlockedSql())),

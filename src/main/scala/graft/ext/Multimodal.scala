@@ -1284,10 +1284,13 @@ object Multimodal {
   }
 
   /** Banded Hamming self-join over a (doc_id, fp) fingerprint relation:
-    * `bands` bands of `bits` bits each block the candidate join
-    * (pigeonhole: Hamming ≤ bands·bits/bits − 1 per untouched band ⇒
-    * recall guarantee chosen by the caller's band geometry), exact
-    * bit_count verify on candidates only. The shared pair machinery of
+    * `bands` bands of `bits` bits each block the candidate join —
+    * pigeonhole guarantees FULL recall for every pair at Hamming
+    * ≤ bands − 1 (fewer differing bits than bands leaves at least one
+    * band untouched, and one agreeing band is enough to surface the
+    * candidate); callers must keep maxDist ≤ bands − 1 to preserve the
+    * exact-recall contract. Exact bit_count verify on candidates only.
+    * The shared pair machinery of
     * the audio (9×7) and video (4×4) dedup axes — fingerprints are one
     * BIGINT per doc, the banded join is |corpus|×bands rows keyed on
     * per-band buckets, no all-pairs stage exists at any corpus size. */
@@ -1316,9 +1319,6 @@ object Multimodal {
 
   def audioFpPairs(media: Dataset[MediaRow], maxDist: Int): DataFrame =
     bandedHammingPairs(audioFingerprints(media), bands = 9, bits = 7, maxDist)
-
-  def audioFpPairsQuery(spark: SparkSession, dir: String): DataFrame =
-    audioFpPairs(syntheticAudioPairs(spark, dir), maxDist = 8)
 
   private val audioFpPairsSql: String =
     """WITH par AS (

@@ -29,17 +29,24 @@ class BenchWarmupSpec extends AnyFunSuite with SparkSuite {
 
   /** Run `body`, return the shuffle bytes its stages wrote. Listener
     * events are async, so drain with a short settle loop (stable
-    * reading twice in a row). */
-  private def shuffleOf(l: ShuffleListener)(body: => Unit): Long = {
-    val before = {
-      var prev = -1L
-      while (prev != l.bytes.get) { prev = l.bytes.get; Thread.sleep(200) }
-      prev
-    }
-    body
+    * reading twice in a row), BOUNDED at ~30 s so trickling background
+    * stage events can never spin it forever. (This suite relies on
+    * sbt's default sequential forked-test execution — the shared
+    * SparkSession and the java.io.tmpdir patch below are not safe
+    * under parallel suites.) */
+  private def settle(l: ShuffleListener): Long = {
     var prev = -1L
-    while (prev != l.bytes.get) { prev = l.bytes.get; Thread.sleep(200) }
-    prev - before
+    var rounds = 0
+    while (prev != l.bytes.get && rounds < 150) {
+      prev = l.bytes.get; rounds += 1; Thread.sleep(200)
+    }
+    prev
+  }
+
+  private def shuffleOf(l: ShuffleListener)(body: => Unit): Long = {
+    val before = settle(l)
+    body
+    settle(l) - before
   }
 
   test("planted cold memo: after warm-up, a fresh-env query run " +

@@ -367,6 +367,18 @@ class CorpusSpec extends SparkSuite {
       s"blocked recall $recall vs exact arm (${blockedIds.size}/${exactIds.size})")
   }
 
+  test("blocked semantic contamination: empty corpus converges to the " +
+      "exact arm's empty verdict; invalid band geometry fails loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Corpus.semanticContaminationBlockedOn(empty).collect().isEmpty)
+    assert(Corpus.semanticContaminationOn(empty).collect().isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.semanticContaminationBlockedOn(empty, bands = 4, bits = 8)
+    }
+    assert(e.getMessage.contains("30"))
+  }
+
   test("blocked semantic contamination: near-copy flags, orthogonal " +
       "candidate dies at the exact verify, bench side broadcasts") {
     import spark.implicits._

@@ -6,10 +6,15 @@ with a map covering only the scoped queries. Twice now (r10's warning
 notwithstanding, again at the r12 snapshot) such a subset map has been
 committed as the round's record, destroying the full per-query
 round-over-round shuffle/wall adjudication signal. This check compares
-BENCH_LOCAL.json's per-query map against the declared query registry
-(read from the Verify dump's oracle_sql.json, whose keys ARE
-SparkEntry.queries' keys minus nothing — Verify iterates the registry)
-and exits non-zero when the bench map is a strict subset.
+BENCH_LOCAL.json's per-query map against the ORACLE-DECLARED query set
+(read from the Verify dump's oracle_sql.json — the registry's keys
+minus any oracle-ineligible rows-only queries; today the two sets are
+identical, 367 = 367) and exits non-zero when any oracle-declared
+query is missing from the bench map. A subset sweep covers a handful
+of queries, so it fails immediately; a map that covered every
+oracle-declared query while omitting a future rows-only query would
+slip through — if rows-only queries are ever declared, extend this to
+read the registry size directly.
 
 Usage: check_bench_local.py <oracle_sql.json> [BENCH_LOCAL.json]
 """
@@ -18,6 +23,9 @@ import sys
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__.strip().splitlines()[-1], file=sys.stderr)
+        return 2
     oracle_path = sys.argv[1]
     bench_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_LOCAL.json"
     with open(oracle_path) as f:
