@@ -202,7 +202,7 @@ object Bench {
     // never added to them. Joins the sentinel's floor series, so a
     // quiet end-of-run measurement retroactively exposes sweeps that
     // ran loaded (the exact r11 failure mode).
-    val floor = measureFloor(5)
+    var floor = measureFloor(5)
     floors += floor
     // salvage: re-run retroactively-exposed sweeps while budget
     // remains. The judgment here is the RETROSPECTIVE one — every
@@ -213,11 +213,23 @@ object Bench {
     // official artifact with `contaminated:false`).
     var suspects = LoadSentinel.suspectSweepsFinal(floors.toSeq)
     var si = sweeps.indexWhere(s => suspects.contains(s._1))
+    var salvaged = 0
     while (si >= 0 && retries > 0) {
       retries -= 1
+      salvaged += 1
       sweeps(si) = attempt()
       suspects = LoadSentinel.suspectSweepsFinal(floors.toSeq)
       si = sweeps.indexWhere(s => suspects.contains(s._1))
+    }
+    if (salvaged > 0) {
+      // the reported floor must bracket the sweeps whose times it nets
+      // out of the total: salvage re-runs happened AFTER the median-of-5
+      // was taken, under possibly different conditions, so take it
+      // again. Joins the sentinel's floor series like every probe, and
+      // the retrospective judgment is recomputed over the longer series.
+      floor = measureFloor(5)
+      floors += floor
+      suspects = LoadSentinel.suspectSweepsFinal(floors.toSeq)
     }
     val contaminated = sweeps.exists(s => suspects.contains(s._1))
     sweeps.foreach(_._2.foreach { case (n, dt) => times(n) = dt :: times(n) })
@@ -241,6 +253,21 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, m)) =>
       s"\"" + k + "\":" + num("%.2f", m) }.mkString("{", ",", "}")
+    // Environment-sensitivity class per query, consumed by
+    // tools/adjudicate_bench.py: only "steady" walls enter the
+    // uniform-load median — decode-bound, iterative-fixpoint and
+    // serving-shaped walls are environment-bistable (codec/JIT state,
+    // superstep scheduling; the r13 verdict's wobble list) and would
+    // only add noise to the load estimate.
+    def wallClass(name: String): String =
+      if (name.endsWith("_decode") || name.startsWith("multimodal_"))
+        "decode"
+      else if (name.startsWith("graph_")) "iterative"
+      else if (name.startsWith("simsearch_") || name.startsWith("search_"))
+        "serving"
+      else "steady"
+    val wcJson = results.map { case (k, _) =>
+      s"\"" + k + "\":\"" + wallClass(k) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalSpillMb = metrics.spilled.get / 1048576.0
     // plan cost net of harness physics: round-over-round comparisons
@@ -252,7 +279,7 @@ object Bench {
     // per-query seconds (most of which fit), with the bulky deterministic
     // shuffle map first where truncation costs nothing new.
     val floorsJson = floors.map(num("%.4f", _)).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the GLOBAL minimum floor (retrospective re-judgment; only the leading pre-sweep-1 floor is exempt as JIT warm-up) even after re-runs","shuffle_write_mb":$sh,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the GLOBAL minimum floor (retrospective re-judgment; only the leading pre-sweep-1 floor is exempt as JIT warm-up) even after re-runs","shuffle_write_mb":$sh,"wall_class":$wcJson,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"salvaged_sweeps":$salvaged,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
     println(line)
     // durable copy: the full untruncated line, committed per round so
     // per-query seconds are always recoverable from the repo itself

@@ -330,8 +330,10 @@ class MultimodalSpec extends SparkSuite {
     assert(fps.nonEmpty)
     fps.foreach { case (id, fp) =>
       val p = (id - 2) / 3
-      val want = (Multimodal.videoTarget(p / 2) ^ (p % 2).toInt).toLong
+      val want = Multimodal.videoTarget62(p / 2) ^ (p % 2)
       assert(fp === want, s"JPEG-noise margin breached for clip $id")
+      assert(fp >= 0L && fp < (1L << 62),
+        s"fingerprint must stay in the sign-safe 62-bit space: $id")
     }
     val pairs = Multimodal.videoFpPairs(
       Multimodal.syntheticVideoPairs(spark, sfDir), maxDist = 2)
@@ -350,7 +352,7 @@ class MultimodalSpec extends SparkSuite {
       "(memoized decode = index build, query = banded join)") {
     // video: standing-table pairs ≡ decode-included pairs, row for row
     val viaMemo = Multimodal.bandedHammingPairs(
-      Multimodal.videoFpTable(spark, sfDir), bands = 4, bits = 4, maxDist = 2)
+      Multimodal.videoFpTable(spark, sfDir), bands = 4, bits = 16, maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     val viaDecode = Multimodal.videoFpPairs(
       Multimodal.syntheticVideoPairs(spark, sfDir), maxDist = 2)
@@ -364,6 +366,14 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.syntheticAudioPairs(spark, sfDir), maxDist = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(aMemo === aDecode)
+    // image dHash (phash): standing-table planted report ≡ the
+    // decode-included twin, row for row
+    val pMemo = Multimodal.imagePhashPlantedQuery(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val pDecode = Multimodal.imagePhashPlantedDecodeQuery(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(pMemo === pDecode)
+    assert(pMemo.nonEmpty)
     // image aHash: standing table ≡ per-execution decode
     val iMemo = Multimodal.imageAHashTable(spark, sfDir)
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
@@ -375,7 +385,7 @@ class MultimodalSpec extends SparkSuite {
     // of the memoized parquet (no SerializeFromObject from a
     // mapPartitions decode stage anywhere in the plan)
     val plan = Multimodal.bandedHammingPairs(
-      Multimodal.videoFpTable(spark, sfDir), 4, 4, 2)
+      Multimodal.videoFpTable(spark, sfDir), 4, 16, 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SerializeFromObject"), plan)
   }

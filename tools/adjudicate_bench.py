@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Adjudicate a candidate BENCH_LOCAL.json against the last committed
+CLEAN map — the uniform-load detector the r13 builder ran by hand.
+
+The in-run LoadSentinel catches load BURSTS (floor spikes mid-run) and,
+since r13, retrospective floor decline; but a machine that is UNIFORMLY
+loaded for the whole run produces internally-consistent floors and a
+map that is simply ~15-25% slow everywhere — invisible to any
+floor-based judgment (r13: a 335.9 s run read "clean" while the quiet
+machine gives 289.3 s; median per-query ratio 1.19). The only signal is
+the comparison this tool automates: against the last committed clean
+map, restricted to queries whose SHUFFLE BYTES ARE IDENTICAL (same
+plan, so any wall ratio is environment, not code) and whose wall_class
+is "steady" (decode-bound / iterative-fixpoint / serving walls are
+environment-bistable by their nature — r13 VERDICT "What's wrong" —
+and only add noise to the load estimate).
+
+Judgment: median(candidate_wall / baseline_wall) over the comparison
+set. > threshold (default 1.10) => exit 1, "uniformly loaded — re-run
+on a quiet machine". A candidate self-reporting contaminated=true is
+refused outright. NOTE the deliberate asymmetry: a uniformly FAST run
+(ratio < 1) is never refused — faster-than-baseline is what code
+improvements look like, and the per-query shuffle map still gates
+plan-level claims.
+
+Baseline resolution: --baseline FILE, else walk `git log` for
+BENCH_LOCAL.json and take the newest committed version that
+self-reports contaminated=false and covers >= --min-n queries (the
+r13 driver commit holds a contaminated map ABOVE the clean one, so
+"HEAD's copy" is not good enough).
+
+Usage:
+  adjudicate_bench.py CANDIDATE [--baseline FILE] [--threshold 1.10]
+                      [--min-n 20] [--min-wall 0.3]
+
+Exit: 0 accept, 1 refuse, 2 usage/environment error.
+"""
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+
+# Queries slower than this in the BASELINE enter the ratio; below it,
+# the harness floor (~0.15-0.2 s) dominates and ratios are noise.
+DEFAULT_MIN_WALL = 0.3
+# Shuffle "identical": abs diff <= 0.05 MB or rel diff <= 2% (the maps
+# record MB at 2 decimals; bit-identical plans agree to the digit, the
+# tolerance only absorbs rounding and AQE wobble on tiny exchanges).
+SHUFFLE_ABS_MB = 0.05
+SHUFFLE_REL = 0.02
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def committed_clean_baseline(min_n):
+    """Newest committed BENCH_LOCAL.json with contaminated=false."""
+    try:
+        hashes = subprocess.run(
+            ["git", "log", "--format=%H", "--", "BENCH_LOCAL.json"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except subprocess.CalledProcessError as e:
+        print(f"[adjudicate] ERROR: git log failed: {e.stderr.strip()}",
+              file=sys.stderr)
+        return None, None
+    for h in hashes:
+        shown = subprocess.run(
+            ["git", "show", f"{h}:BENCH_LOCAL.json"],
+            capture_output=True, text=True)
+        if shown.returncode != 0:
+            continue
+        try:
+            m = json.loads(shown.stdout)
+        except json.JSONDecodeError:
+            continue
+        if m.get("contaminated") is False and len(m.get("queries", {})) >= min_n:
+            return m, h[:8]
+    return None, None
+
+
+def shuffle_identical(a, b):
+    if a is None or b is None:
+        return False
+    return abs(a - b) <= SHUFFLE_ABS_MB or (
+        max(a, b) > 0 and abs(a - b) / max(a, b) <= SHUFFLE_REL)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("candidate")
+    ap.add_argument("--baseline")
+    ap.add_argument("--threshold", type=float, default=1.10)
+    ap.add_argument("--min-n", type=int, default=20,
+                    help="minimum comparison-set size to judge on")
+    ap.add_argument("--min-wall", type=float, default=DEFAULT_MIN_WALL)
+    args = ap.parse_args()
+
+    cand = load(args.candidate)
+    if cand.get("contaminated") is True:
+        print("[adjudicate] REFUSE: candidate self-reports "
+              "contaminated=true (LoadSentinel) — re-run on a quiet "
+              "machine", file=sys.stderr)
+        return 1
+
+    if args.baseline:
+        base, base_ref = load(args.baseline), args.baseline
+    else:
+        base, base_ref = committed_clean_baseline(args.min_n)
+        if base is None:
+            print("[adjudicate] WARN: no committed clean BENCH_LOCAL.json "
+                  "found in git history — nothing to adjudicate against; "
+                  "accepting on the in-run sentinel alone")
+            return 0
+
+    cq, bq = cand.get("queries", {}), base.get("queries", {})
+    csh = cand.get("shuffle_write_mb", {})
+    bsh = base.get("shuffle_write_mb", {})
+    # wall_class ships in the candidate (Bench emits it); fall back to
+    # the baseline's, then to steady-for-everyone for old maps.
+    wc = cand.get("wall_class") or base.get("wall_class") or {}
+
+    ratios = []
+    for q in sorted(set(cq) & set(bq)):
+        if wc.get(q, "steady") != "steady":
+            continue
+        if bq[q] < args.min_wall:
+            continue
+        if not shuffle_identical(csh.get(q), bsh.get(q)):
+            continue  # plan changed: wall delta is code, not load
+        ratios.append((cq[q] / bq[q], q))
+
+    if len(ratios) < args.min_n:
+        print(f"[adjudicate] WARN: only {len(ratios)} comparable "
+              f"steady/shuffle-identical queries vs baseline {base_ref} "
+              f"(need {args.min_n}) — too few to judge load; accepting "
+              f"on the in-run sentinel alone")
+        return 0
+
+    med = statistics.median(r for r, _ in ratios)
+    worst = sorted(ratios, reverse=True)[:5]
+    detail = ", ".join(f"{q} {r:.2f}x" for r, q in worst)
+    if med > args.threshold:
+        print(f"[adjudicate] REFUSE: median wall ratio {med:.3f} over "
+              f"{len(ratios)} steady shuffle-identical queries vs "
+              f"baseline {base_ref} (> {args.threshold:.2f}) — the "
+              f"machine was uniformly loaded for the whole run (the "
+              f"r13 335.9s-vs-289.3s failure shape). Re-run the full "
+              f"bench on a quiet machine. Worst: {detail}",
+              file=sys.stderr)
+        return 1
+    print(f"[adjudicate] OK: median wall ratio {med:.3f} over "
+          f"{len(ratios)} steady shuffle-identical queries vs baseline "
+          f"{base_ref} (threshold {args.threshold:.2f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
