@@ -37,9 +37,18 @@ object ParquetMemo {
       .mkString("|") + "|" + version
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(fpInput.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+    memoRoot +
       "/graft_memo_" + sanitize(srcFile) + "_" + sanitize(tag) + "_" + fp
   }
+
+  /** Root directory for EVERY standing on-disk artifact (memo tables,
+    * text/IVF indexes): the dedicated `graft.memo.root` property wins
+    * (tests plant cold environments through it without mutating the
+    * global java.io.tmpdir, which other JVM machinery reads), else
+    * tmpdir. */
+  def memoRoot: String =
+    sys.props.getOrElse("graft.memo.root",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
 
   /** Return the cache dir for `build`'s output, building at most once
     * per (source snapshot, tag, version). `build` is only evaluated on

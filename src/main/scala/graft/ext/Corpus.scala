@@ -229,18 +229,26 @@ object Corpus {
       s"bands*bits must be in [1, 30] (the quantizer's Int cell budget), " +
         s"got $bands*$bits = $nPlanes")
     val mask = (1 << bits) - 1
-    val e0 = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v")).persist()
-    // empty corpus: converge to the exact arm's empty verdict relation
-    // instead of NoSuchElementException on the dim probe
-    val dimRow = e0.select(size(col("v"))).head(1)
+    // dim probe: the md5 plane quantizer needs the dimensionality as a
+    // literal (it is baked into both engines' plane derivation), so ONE
+    // single-row job runs at construction time — reading one parquet
+    // row-group, never the corpus. Also the empty-corpus guard:
+    // converge to the exact arm's empty verdict relation instead of
+    // NoSuchElementException.
+    val dimRow = emb.select(size(col("embedding"))).head(1)
     if (dimRow.isEmpty) {
-      e0.unpersist()
       return emb.sparkSession.range(0).select(
         col("id").as("vec_id"), col("id").as("n_bench_hits"),
         col("id").as("first_bench"))
     }
     val dim = dimRow(0).getInt(0)
+    // deliberately NOT persisted: the cast + LSH expression is
+    // recomputed once per side (corpus / bench), each a single linear
+    // pushed-down scan — cheaper than pinning a cached copy of the
+    // embeddings relation in executor storage for the rest of the
+    // session (at deployment scale the corpus never fits anyway)
+    val e0 = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
     val sig = e0.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
     def keyed(side: DataFrame): DataFrame = side

@@ -284,7 +284,7 @@ object Search {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(fpInput.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)
-    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_text_" +
+    val path = graft.core.ParquetMemo.memoRoot + "/graft_text_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
     if (!new java.io.File(s"$path/stats/_SUCCESS").exists()) {
       val target = new java.io.File(path)
@@ -326,7 +326,7 @@ object Search {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(fpInput.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)
-    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_textinc_" +
+    val path = graft.core.ParquetMemo.memoRoot + "/graft_textinc_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
     if (!new java.io.File(s"$path/stats/_SUCCESS").exists()) {
       val target = new java.io.File(path)

@@ -563,7 +563,7 @@ object Similarity {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(fpInput.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_ivf_" +
+    graft.core.ParquetMemo.memoRoot + "/graft_ivf_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + fp
   }
 

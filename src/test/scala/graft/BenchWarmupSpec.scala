@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * against the committed map's 0.15 MB, corrupting the deterministic
   * shuffle signal that round-over-round adjudication depends on. Bench
   * now warms every `ensure*` entry point before sweep 1; this spec
-  * plants a COLD memo (fresh java.io.tmpdir, so `ensureTextIndex*`
+  * plants a COLD memo (fresh `graft.memo.root`, so `ensureTextIndex*`
   * cannot find any prior build) and asserts that after the warm-up
   * call, two consecutive query executions attribute the SAME shuffle
   * bytes — i.e. the build cost all landed in the warm-up, none in the
@@ -32,7 +32,7 @@ class BenchWarmupSpec extends AnyFunSuite with SparkSuite {
     * reading twice in a row), BOUNDED at ~30 s so trickling background
     * stage events can never spin it forever. (This suite relies on
     * sbt's default sequential forked-test execution — the shared
-    * SparkSession and the java.io.tmpdir patch below are not safe
+    * SparkSession and the `graft.memo.root` patch below are not safe
     * under parallel suites.) */
   private def settle(l: ShuffleListener): Long = {
     var prev = -1L
@@ -53,11 +53,13 @@ class BenchWarmupSpec extends AnyFunSuite with SparkSuite {
       "attributes the same shuffle as a warm one (no build leakage)") {
     val freshTmp = java.nio.file.Files
       .createTempDirectory("graft_cold_env").toString
-    val savedTmp = sys.props("java.io.tmpdir")
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
     try {
-      sys.props("java.io.tmpdir") = freshTmp
+      // plant the cold environment through ParquetMemo's dedicated
+      // root property — NOT java.io.tmpdir, which other JVM machinery
+      // (Spark temp dirs, NIO) reads concurrently
+      sys.props("graft.memo.root") = freshTmp
       // the Bench warm-up step: the COLD build happens here and must
       // shuffle something (tokenize + postings groupBys)
       val buildShuffle = shuffleOf(listener) {
@@ -78,8 +80,14 @@ class BenchWarmupSpec extends AnyFunSuite with SparkSuite {
       assert(first < buildShuffle,
         s"query shuffle $first should be below build shuffle $buildShuffle")
     } finally {
-      sys.props("java.io.tmpdir") = savedTmp
+      sys.props.remove("graft.memo.root"): Unit
       spark.sparkContext.removeSparkListener(listener)
+      // the planted cold environment accumulates a built index per run
+      // — delete it rather than leaking one per test execution
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(freshTmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
     }
   }
 }
