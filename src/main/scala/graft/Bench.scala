@@ -39,8 +39,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    // warm-up: JVM/codegen/parquet-footer init paid once, not billed to
-    // whichever query the Map happens to iterate first
+    warmStandingState(spark, sfDir)
+    runSweeps(spark, sfDir, metrics)
+  }
+
+  /** Pre-sweep warm-up: JVM/codegen/parquet-footer init plus every
+    * standing `ensure*` build, paid once and not billed to whichever
+    * query the Map happens to iterate first. Shared with
+    * [[ScopedProbe]] so a per-execution adjudication run is
+    * index-warm exactly like a bench sweep. */
+  def warmStandingState(spark: SparkSession, sfDir: String): Unit = {
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
@@ -96,6 +104,10 @@ object Bench {
     // bytes, which is what a deployment runs
     try ext.Multimodal.ensureCorpora(spark, sfDir)
     catch { case _: Throwable => () }
+  }
+
+  private def runSweeps(spark: SparkSession, sfDir: String,
+      metrics: MetricsListener): Unit = {
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

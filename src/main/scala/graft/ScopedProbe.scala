@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** Per-execution wall probe for a single declared query — the
+  * adjudication tool behind round-14's `graph_pagerank_weighted`
+  * verdict item. A scoped `Bench` reports the median of 3 interleaved
+  * sweeps, which SAMPLES the JVM's tiered-compilation warm-up curve at
+  * whatever maturity the sweep composition happens to provide; when a
+  * round's sweep changes (new queries, faster upstream queries paying
+  * less shared warm-up), a query's median can move ±1 s with
+  * bit-identical shuffle and untouched code. This main runs ONE query
+  * N times back-to-back in a single JVM and prints every wall plus the
+  * per-run GC time, so the curve itself is visible: a code regression
+  * shifts the whole curve (steady state included); a sampling artifact
+  * leaves steady state unchanged. (r14 finding: the weighted-PageRank
+  * "drift" was 23.0 s cold → 1.9 s steady over ~7 executions, GC ≤ 2 s
+  * per run — steady state BELOW every full-sweep reading ever
+  * recorded, code bit-identical since r12.)
+  *
+  * Usage: runMain graft.ScopedProbe <queryName> [n] [sfDir]
+  * Standing `ensure*` state is warmed exactly like Bench's pre-sweep
+  * block, so run 1 is codegen-cold but index-warm.
+  */
+object ScopedProbe {
+
+  private def gcMs: Long = java.lang.management.ManagementFactory
+    .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: ScopedProbe <queryName> [n] [sfDir]")
+    val name = args(0)
+    val n = if (args.length > 1) args(1).toInt else 8
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name' — see SparkEntry.declaredNames"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.warmStandingState(spark, sfDir)
+    val walls = (1 to n).map { i =>
+      val g0 = gcMs
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"run $i%2d: $dt%7.3f s  gc=${gcMs - g0}%5d ms")
+      dt
+    }
+    val steady = walls.takeRight(math.min(3, n)).min
+    println(f"$name: cold=${walls.head}%.3f s, steady(min of last 3)=" +
+      f"$steady%.3f s over $n runs")
+    spark.stop()
+  }
+}

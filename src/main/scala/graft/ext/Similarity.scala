@@ -1174,10 +1174,39 @@ object Similarity {
     * (`ParquetMemo`): the build pays the cell-blocked candidate join
     * once; probes are serving-path reads. */
   /** Three 2-bit band keys off the shared 6-plane sign hash. */
-  private def bandKeys(e: DataFrame): DataFrame =
+  /** Corpus-size-aware band width for the NSW build's banded sign-LSH
+    * candidate join. A FIXED width saturates: with the historical
+    * 2-bit bands every bucket holds N/4 of the corpus and the
+    * candidate stream grows as N² — the r14 30× rehearsal measured
+    * ~2.7e9 candidate rows and a 45-minute single-task HashAggregate
+    * on the `.distinct()`. Holding bucket occupancy near `target`
+    * instead keeps the stream ~3·N·target — linear in N, the IVF
+    * nlist≈√N sizing discipline applied to the banded join. Smallest b
+    * with 2^b ≥ ceil(N/target), clamped to [2, 10]; b=2 reproduces the
+    * historical 6-plane geometry bit-exactly, so the sf0.001/sf0.01
+    * corpora (≤1000 vectors) and every committed oracle hash at those
+    * scales are unchanged. The DuckDB oracle derives the same b from
+    * count(*) via the power-of-two CASE ladder in the shared `geo`
+    * CTE (`graphGreedySearchSql`). */
+  private[ext] def knnBandBits(n: Long, target: Long = 250L): Int = {
+    val m = math.max(1L, (n + target - 1) / target)
+    val b =
+      if (m <= 1L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(10, math.max(2, b))
+  }
+
+  /** The band width for a corpus directory — one parquet-footer count
+    * of the FULL embeddings table (the standing/batch split must agree
+    * on geometry, so both derive b from the unsplit corpus). */
+  private def knnBandBitsFor(spark: SparkSession, dir: String): Int =
+    knnBandBits(Tables.embeddings(spark, dir).count())
+
+  private def bandKeys(e: DataFrame, bits: Int): DataFrame =
     e.select(col("vec_id"), explode(array((0 until 3).map(r =>
         struct(lit(r).as("band"),
-          shiftright(col("cell"), 2 * r).bitwiseAND(lit(3)).as("bkey"))): _*))
+          shiftright(col("cell"), bits * r)
+            .bitwiseAND(lit((1 << bits) - 1)).as("bkey"))): _*))
         .as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
@@ -1187,9 +1216,9 @@ object Similarity {
     * full build (qSide = nSide = corpus) and the incremental insert
     * (qSide = batch, nSide = standing; never standing×standing). */
   private def bandedKnnEdges(qSide: DataFrame, nSide: DataFrame,
-      graphK: Int): DataFrame = {
-    val cand = bandKeys(qSide).as("a")
-      .join(bandKeys(nSide).as("b"), Seq("band", "bkey"))
+      graphK: Int, bits: Int): DataFrame = {
+    val cand = bandKeys(qSide, bits).as("a")
+      .join(bandKeys(nSide, bits).as("b"), Seq("band", "bkey"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
       .distinct() // dedup across bands BEFORE paying any cosine
@@ -1215,47 +1244,56 @@ object Similarity {
       .select(col("src"), col("dst"), col("dvec"))
   }
 
-  private def withCell(e0: DataFrame, dim: Int): DataFrame =
+  private def withCell(e0: DataFrame, dim: Int, bits: Int): DataFrame =
     e0.withColumn("cell",
-      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, 6))
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, 3 * bits))
 
   def ensureKnnGraph(spark: SparkSession, dir: String,
-      graphK: Int = 8): String =
+      graphK: Int = 8): String = {
+    val bits = knnBandBitsFor(spark, dir)
     graft.core.ParquetMemo.ensure(
-      s"$dir/embeddings.parquet", s"knngraph_k$graphK", "v2") {
+      s"$dir/embeddings.parquet", s"knngraph_k${graphK}_b$bits",
+      "v3-adaptive") {
       // BANDED candidate generation, not single-cell blocking: a
-      // 6-plane sign hash split into three 2-bit bands — two nearby
+      // 3·b-plane sign hash split into three b-bit bands — two nearby
       // vectors disagreeing on a couple of planes still co-block in
       // some band, so the graph gets the cross-cell links greedy
       // search needs (single-cell blocking yields a DISCONNECTED
       // graph and caps recall at the entry cell's content). Same
-      // pigeonhole geometry as the dedup MinHash bands.
+      // pigeonhole geometry as the dedup MinHash bands; b adapts to
+      // corpus size (knnBandBits) so the candidate stream stays linear.
       val e0 = Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val dim = e0.select(size(col("v"))).head().getInt(0)
-      val e = withCell(e0, dim)
-      symWithVectors(bandedKnnEdges(e, e, graphK), e0)
+      val e = withCell(e0, dim, bits)
+      symWithVectors(bandedKnnEdges(e, e, graphK, bits), e0)
         .repartitionByRange(16, col("src"))
         .sortWithinPartitions(col("src"))
     }
+  }
 
   /** Standing-side graph for the incremental maintenance path: built
     * once over the corpus EXCLUDING the arriving batch (the
     * `simsearch_ivf_incremental` split, vec_id % batchMod = batchRem). */
   def ensureStandingKnnGraph(spark: SparkSession, dir: String,
-      graphK: Int = 8, batchMod: Long = 10L, batchRem: Long = 7L): String =
+      graphK: Int = 8, batchMod: Long = 10L, batchRem: Long = 7L): String = {
+    // geometry from the FULL corpus count, not the standing split —
+    // the incremental insert (batch side) must band identically
+    val bits = knnBandBitsFor(spark, dir)
     graft.core.ParquetMemo.ensure(
       s"$dir/embeddings.parquet",
-      s"knngraph_standing_k${graphK}_m${batchMod}r$batchRem", "v1") {
+      s"knngraph_standing_k${graphK}_m${batchMod}r${batchRem}_b$bits",
+      "v2-adaptive") {
       val e0 = Tables.embeddings(spark, dir)
         .filter(col("vec_id") % batchMod =!= batchRem)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val dim = e0.select(size(col("v"))).head().getInt(0)
-      val e = withCell(e0, dim)
-      symWithVectors(bandedKnnEdges(e, e, graphK), e0)
+      val e = withCell(e0, dim, bits)
+      symWithVectors(bandedKnnEdges(e, e, graphK, bits), e0)
         .repartitionByRange(16, col("src"))
         .sortWithinPartitions(col("src"))
     }
+  }
 
   /** Greedy best-first walk over the kNN graph — graph ANN serving:
     * start at the deterministic entry (min vec_id ≠ query), and for
@@ -1276,7 +1314,7 @@ object Similarity {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    greedyWalkRanked(g, emb, qId, k, hops)
+    greedyWalkRanked(g, emb, qId, k, hops, knnBandBitsFor(spark, dir))
   }
 
   /** Incremental graph-index maintenance — the HNSW insert applied to
@@ -1296,6 +1334,7 @@ object Similarity {
       ensureStandingKnnGraph(spark, dir, graphK, batchMod, batchRem))
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bits = knnBandBitsFor(spark, dir)
     val dim = e0.select(size(col("v"))).head().getInt(0)
     val batch = e0.filter(col("vec_id") % batchMod === batchRem)
     val standing = e0.filter(col("vec_id") % batchMod =!= batchRem)
@@ -1305,11 +1344,13 @@ object Similarity {
     // insert is "the index accepted the batch", paid once, like a real
     // index's in-memory delta segment. Batch×graphK×2 rows: tiny.
     val inserted = symWithVectors(
-      bandedKnnEdges(withCell(batch, dim), withCell(standing, dim), graphK),
+      bandedKnnEdges(withCell(batch, dim, bits),
+        withCell(standing, dim, bits), graphK, bits),
       e0).localCheckpoint(eager = true)
     // standing graph holds only standing↔standing edges, inserts only
     // batch↔standing — disjoint by construction, no distinct needed
-    greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k, hops)
+    greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k,
+      hops, bits)
   }
 
   def graphIncrementalSearchSql(qId: Long, k: Int, graphK: Int = 8,
@@ -1363,7 +1404,7 @@ object Similarity {
   /** The serving walk over an explicit (src, dst, dvec) graph — shared
     * by the full-graph and incremental declared paths. */
   private def greedyWalkRanked(g: DataFrame, emb: DataFrame, qId: Long,
-      k: Int, hops: Int): DataFrame = {
+      k: Int, hops: Int, bits: Int): DataFrame = {
     val spark = emb.sparkSession
     def vecOf(id: Long): Array[Double] =
       emb.filter(col("vec_id") === id).head().getSeq[Double](1).toArray
@@ -1377,9 +1418,11 @@ object Similarity {
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
     // entry point: the lowest-id vector sharing the query's LSH cell
     // (the IVF-flavored entry HNSW gets from its hierarchy), falling
-    // back to the global min id if the query's cell has no other member
+    // back to the global min id if the query's cell has no other
+    // member; the cell uses the graph's own adaptive 3·b-plane hash
     val cells = emb.withColumn("cell",
-      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length, 6))
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length,
+        3 * bits))
     val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
     val entry = cells
       .filter(col("vec_id") =!= qId)
@@ -1434,6 +1477,7 @@ object Similarity {
   def graphBeamSearch(spark: SparkSession, dir: String, qId: Long,
       k: Int, graphK: Int = 8, ef: Int = 6, rounds: Int = 8): DataFrame = {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
+    val bits = knnBandBitsFor(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     def vecOf(id: Long): Array[Double] =
@@ -1447,7 +1491,8 @@ object Similarity {
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
     val cells = emb.withColumn("cell",
-      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length, 6))
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length,
+        3 * bits))
     val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
     val entry = cells
       .filter(col("vec_id") =!= qId)
@@ -1511,23 +1556,34 @@ object Similarity {
 
   def graphGreedySearchSql(qId: Long, k: Int, graphK: Int = 8,
       hops: Int = 32): String = {
-    s"""WITH RECURSIVE planes AS (
+    // geo.b mirrors knnBandBits: smallest b with 2^b >= ceil(N/250),
+    // clamped [2,10] — a pure power-of-two CASE ladder, so both
+    // engines agree exactly (no float log2 at the boundaries)
+    s"""WITH RECURSIVE geo AS (
+       |  SELECT CASE WHEN m <= 4 THEN 2 WHEN m <= 8 THEN 3
+       |              WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
+       |              WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7
+       |              WHEN m <= 256 THEN 8 WHEN m <= 512 THEN 9
+       |              ELSE 10 END AS b
+       |  FROM (SELECT (COUNT(*) + 249) // 250 AS m FROM embeddings)),
+       |planes AS (
        |  SELECT p, list(comp ORDER BY i) AS plane FROM (
        |    SELECT t.p, s.i,
        |      ('0x' || substr(md5(CAST(t.p AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 13))::BIGINT
        |        / 4503599627370496.0 * 2.0 - 1.0 AS comp
-       |    FROM range(0, 6) t(p), range(0, 64) s(i))
+       |    FROM range(0, 30) t(p), range(0, 64) s(i))
        |  GROUP BY p),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cellid AS (
        |  SELECT e.vec_id,
        |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
        |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
-       |  FROM e, planes pl GROUP BY e.vec_id),
+       |  FROM e, planes pl, geo WHERE pl.p < 3 * geo.b
+       |  GROUP BY e.vec_id),
        |bands AS (
        |  SELECT c.vec_id, t.r AS band,
-       |    (c.cell >> (2 * t.r)) & 3 AS bkey
-       |  FROM cellid c, range(0, 3) t(r)),
+       |    (c.cell >> (geo.b * t.r)) & ((1 << geo.b) - 1) AS bkey
+       |  FROM cellid c, range(0, 3) t(r), geo),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
        |  FROM bands a JOIN bands b USING (band, bkey)

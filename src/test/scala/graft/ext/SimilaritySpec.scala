@@ -399,4 +399,33 @@ class SimilaritySpec extends SparkSuite {
       .limit(3).collect().map(_.getLong(0)).toSeq
     assert(reduced === mips)
   }
+
+  test("knnBandBits: adaptive width is linear-candidate, clamped, and " +
+      "backward-compatible at small N") {
+    // b=2 reproduces the historical 6-plane geometry for every corpus
+    // up to 1000 vectors — sf0.001/sf0.01 oracle hashes unchanged
+    assert(Similarity.knnBandBits(1L) === 2)
+    assert(Similarity.knnBandBits(500L) === 2)
+    assert(Similarity.knnBandBits(1000L) === 2)
+    // the fixture ladder: sf0.1 / 10x / 30x synth corpora
+    assert(Similarity.knnBandBits(2000L) === 3)
+    assert(Similarity.knnBandBits(20000L) === 7)
+    assert(Similarity.knnBandBits(60000L) === 8)
+    // smallest b with 2^b >= ceil(N/250): exact at the boundaries
+    assert(Similarity.knnBandBits(250L * 8) === 3)
+    assert(Similarity.knnBandBits(250L * 8 + 1) === 4)
+    // clamp: bucket occupancy stops shrinking at b=10 (pair volume
+    // then grows quadratically again, but only past N = 256k vectors
+    // per... 250*1024 — the next adaptive step if it ever binds)
+    assert(Similarity.knnBandBits(1000000L) === 10)
+    assert(Similarity.knnBandBits(Long.MaxValue / 4) === 10)
+    // bucket occupancy N/2^b stays within [target/2, target] across
+    // three decades => banded candidate stream ~ 3 * N * target
+    for (n <- Seq(2000L, 6000L, 20000L, 60000L, 200000L)) {
+      val b = Similarity.knnBandBits(n)
+      val occupancy = n.toDouble / (1 << b)
+      assert(occupancy <= 250.0 * 2,
+        s"N=$n b=$b occupancy $occupancy not bounded")
+    }
+  }
 }
