@@ -1248,9 +1248,27 @@ object Similarity {
     e0.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, 3 * bits))
 
+  /** Plane count for the serving walks' ENTRY cell — fixed at the
+    * historical 6-plane geometry, deliberately decoupled from the
+    * adaptive 3·b band planes: with adaptive bands the cell space grows
+    * to 2^30 and every cell is a singleton past a few thousand vectors,
+    * so a band-geometry entry cell would always fall back to the global
+    * min vec_id — the IVF-flavored warm start would be OFF at exactly
+    * the corpus sizes the adaptive geometry targets. 64 coarse cells
+    * keep the entry near the query at any N. At b=2 (every corpus ≤
+    * ~1000 vectors, incl. the committed oracle scales) 3·b = 6, so this
+    * constant reproduces the historical entry bit-exactly. */
+  private[ext] val EntryPlanes = 6
+
   def ensureKnnGraph(spark: SparkSession, dir: String,
-      graphK: Int = 8): String = {
-    val bits = knnBandBitsFor(spark, dir)
+      graphK: Int = 8): String =
+    ensureKnnGraphB(spark, dir, graphK, knnBandBitsFor(spark, dir))
+
+  /** [[ensureKnnGraph]] with the band width precomputed — serving
+    * callers that already counted the corpus pass `bits` down so each
+    * serving call pays at most ONE footer count. */
+  private def ensureKnnGraphB(spark: SparkSession, dir: String,
+      graphK: Int, bits: Int): String = {
     graft.core.ParquetMemo.ensure(
       s"$dir/embeddings.parquet", s"knngraph_k${graphK}_b$bits",
       "v3-adaptive") {
@@ -1276,10 +1294,14 @@ object Similarity {
     * once over the corpus EXCLUDING the arriving batch (the
     * `simsearch_ivf_incremental` split, vec_id % batchMod = batchRem). */
   def ensureStandingKnnGraph(spark: SparkSession, dir: String,
-      graphK: Int = 8, batchMod: Long = 10L, batchRem: Long = 7L): String = {
+      graphK: Int = 8, batchMod: Long = 10L, batchRem: Long = 7L): String =
     // geometry from the FULL corpus count, not the standing split —
     // the incremental insert (batch side) must band identically
-    val bits = knnBandBitsFor(spark, dir)
+    ensureStandingKnnGraphB(spark, dir, graphK, batchMod, batchRem,
+      knnBandBitsFor(spark, dir))
+
+  private def ensureStandingKnnGraphB(spark: SparkSession, dir: String,
+      graphK: Int, batchMod: Long, batchRem: Long, bits: Int): String = {
     graft.core.ParquetMemo.ensure(
       s"$dir/embeddings.parquet",
       s"knngraph_standing_k${graphK}_m${batchMod}r${batchRem}_b$bits",
@@ -1314,7 +1336,7 @@ object Similarity {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    greedyWalkRanked(g, emb, qId, k, hops, knnBandBitsFor(spark, dir))
+    greedyWalkRanked(g, emb, qId, k, hops)
   }
 
   /** Incremental graph-index maintenance — the HNSW insert applied to
@@ -1330,11 +1352,13 @@ object Similarity {
   def graphIncrementalSearch(spark: SparkSession, dir: String, qId: Long,
       k: Int, graphK: Int = 8, hops: Int = 32, batchMod: Long = 10L,
       batchRem: Long = 7L): DataFrame = {
+    // ONE footer count per serving call: bits feeds both the standing
+    // build's memo key and the insert arm's banding
+    val bits = knnBandBitsFor(spark, dir)
     val standingGraph = spark.read.parquet(
-      ensureStandingKnnGraph(spark, dir, graphK, batchMod, batchRem))
+      ensureStandingKnnGraphB(spark, dir, graphK, batchMod, batchRem, bits))
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bits = knnBandBitsFor(spark, dir)
     val dim = e0.select(size(col("v"))).head().getInt(0)
     val batch = e0.filter(col("vec_id") % batchMod === batchRem)
     val standing = e0.filter(col("vec_id") % batchMod =!= batchRem)
@@ -1349,8 +1373,7 @@ object Similarity {
       e0).localCheckpoint(eager = true)
     // standing graph holds only standing↔standing edges, inserts only
     // batch↔standing — disjoint by construction, no distinct needed
-    greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k,
-      hops, bits)
+    greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k, hops)
   }
 
   def graphIncrementalSearchSql(qId: Long, k: Int, graphK: Int = 8,
@@ -1404,7 +1427,7 @@ object Similarity {
   /** The serving walk over an explicit (src, dst, dvec) graph — shared
     * by the full-graph and incremental declared paths. */
   private def greedyWalkRanked(g: DataFrame, emb: DataFrame, qId: Long,
-      k: Int, hops: Int, bits: Int): DataFrame = {
+      k: Int, hops: Int): DataFrame = {
     val spark = emb.sparkSession
     def vecOf(id: Long): Array[Double] =
       emb.filter(col("vec_id") === id).head().getSeq[Double](1).toArray
@@ -1416,13 +1439,16 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
-    // entry point: the lowest-id vector sharing the query's LSH cell
-    // (the IVF-flavored entry HNSW gets from its hierarchy), falling
-    // back to the global min id if the query's cell has no other
-    // member; the cell uses the graph's own adaptive 3·b-plane hash
+    // entry point: the lowest-id vector sharing the query's COARSE
+    // LSH cell (the IVF-flavored entry HNSW gets from its hierarchy),
+    // falling back to the global min id if the query's cell has no
+    // other member. The cell hash is the FIXED [[EntryPlanes]]
+    // geometry, NOT the adaptive band planes — at adaptive widths the
+    // cell space is up to 2^30 and every cell a singleton, which would
+    // silently disable the warm start at scale.
     val cells = emb.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length,
-        3 * bits))
+        EntryPlanes))
     val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
     val entry = cells
       .filter(col("vec_id") =!= qId)
@@ -1477,7 +1503,6 @@ object Similarity {
   def graphBeamSearch(spark: SparkSession, dir: String, qId: Long,
       k: Int, graphK: Int = 8, ef: Int = 6, rounds: Int = 8): DataFrame = {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
-    val bits = knnBandBitsFor(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     def vecOf(id: Long): Array[Double] =
@@ -1490,9 +1515,10 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
+    // fixed-geometry entry cell — see greedyWalkRanked / EntryPlanes
     val cells = emb.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length,
-        3 * bits))
+        EntryPlanes))
     val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
     val entry = cells
       .filter(col("vec_id") =!= qId)
@@ -1580,6 +1606,12 @@ object Similarity {
        |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
        |  FROM e, planes pl, geo WHERE pl.p < 3 * geo.b
        |  GROUP BY e.vec_id),
+       |ecell AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+       |             THEN (1 << pl.p) ELSE 0 END) AS INT) AS cell
+       |  FROM e, planes pl WHERE pl.p < 6
+       |  GROUP BY e.vec_id),
        |bands AS (
        |  SELECT c.vec_id, t.r AS band,
        |    (c.cell >> (geo.b * t.r)) & ((1 << geo.b) - 1) AS bkey
@@ -1616,8 +1648,8 @@ object Similarity {
        |  WHERE isfinite(cos)),
        |entry AS (
        |  SELECT COALESCE(
-       |    (SELECT MIN(c.vec_id) FROM cellid c
-       |     WHERE c.cell = (SELECT cell FROM cellid WHERE vec_id = $qId)
+       |    (SELECT MIN(c.vec_id) FROM ecell c
+       |     WHERE c.cell = (SELECT cell FROM ecell WHERE vec_id = $qId)
        |       AND c.vec_id <> $qId),
        |    (SELECT MIN(vec_id) FROM e WHERE vec_id <> $qId)) AS id),
        |walk AS (

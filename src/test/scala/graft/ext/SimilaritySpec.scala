@@ -428,4 +428,37 @@ class SimilaritySpec extends SparkSuite {
         s"N=$n b=$b occupancy $occupancy not bounded")
     }
   }
+
+  test("band-geometry contract: knnBandBits ≡ the oracle's CASE ladder " +
+      "over a dense N sweep, and 3·b never exceeds SignBitLsh's plane cap") {
+    // the DuckDB side of the contract, re-stated in Scala: m =
+    // ceil(N/250), then the power-of-two ladder clamped at 10 — any
+    // edit to knnBandBits's target/clamp or the SQL literal that
+    // desyncs the engines fails here instead of at oracle-hash time
+    def sqlLadder(n: Long): Int = {
+      val m = (n + 249L) / 250L
+      if (m <= 4) 2 else if (m <= 8) 3 else if (m <= 16) 4
+      else if (m <= 32) 5 else if (m <= 64) 6 else if (m <= 128) 7
+      else if (m <= 256) 8 else if (m <= 512) 9 else 10
+    }
+    // dense sweep across every ladder boundary ±2 plus a coarse range
+    val boundaries = (2 to 10).flatMap { b =>
+      val m = 1L << b
+      val n = (m - 1) * 250L // largest N with ceil(N/250) <= 2^(b)
+      (n - 2) to (n + 2)
+    }
+    val dense = (1L to 4000L) ++ boundaries ++
+      Seq(100000L, 1000000L, 10000000L, Long.MaxValue / 4, Long.MaxValue)
+    for (n <- dense if n >= 1)
+      assert(Similarity.knnBandBits(n) === sqlLadder(n),
+        s"ladder desync at N=$n")
+    // the adaptive maximum (b=10 → 30 planes) exactly saturates
+    // SignBitLsh's require(nPlanes <= 30); a clamp bump without a
+    // plane-cap bump would fail at runtime — pin the pair here
+    assert(3 * Similarity.knnBandBits(Long.MaxValue) <= 30)
+    // the fixed entry-cell geometry must stay a legal plane count and
+    // must coincide with the band cell at small N (committed oracles)
+    assert(Similarity.EntryPlanes <= 30)
+    assert(Similarity.EntryPlanes === 3 * Similarity.knnBandBits(1000L))
+  }
 }
