@@ -22,7 +22,11 @@ import scala.jdk.CollectionConverters._
   *
   * Usage: runMain graft.ScopedProbe <queryName> [n] [sfDir]
   * Standing `ensure*` state is warmed exactly like Bench's pre-sweep
-  * block, so run 1 is codegen-cold but index-warm.
+  * block, so run 1 is codegen-cold but index-warm. Session geometry
+  * (SPARK_GRAFT_CPUS default, shuffle partitions) and the timed action
+  * (`.count()`) are Bench's own, so probe walls are the SAME metric as
+  * the sweep medians they adjudicate — a `.collect()` here would add
+  * driver-side result serialization and let Catalyst prune differently.
   */
 object ScopedProbe {
 
@@ -37,11 +41,12 @@ object ScopedProbe {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name' — see SparkEntry.declaredNames"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same default + knobs as Bench.main: with env unset a probe must
+    // reproduce the bench's parallelism, not a different one
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,7 +54,7 @@ object ScopedProbe {
     val walls = (1 to n).map { i =>
       val g0 = gcMs
       val t0 = System.nanoTime()
-      fn(spark, sfDir).collect()
+      fn(spark, sfDir).count() // Bench's timed action, not collect()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"run $i%2d: $dt%7.3f s  gc=${gcMs - g0}%5d ms")
       dt
