@@ -185,6 +185,18 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Seq((1L, 5L, 1L, 3), (2L, 4L, 0L, -1)))
   }
 
+  test("scene cuts: standing luma-table path ≡ decode-included path " +
+      "row-for-row on the cut-video corpus") {
+    val standing = Multimodal.sceneCutsFromLumas(
+        Multimodal.videoLumaTable(spark, sfDir), threshold = 24.0)
+      .collect().toSeq
+    val decoded = Multimodal.videoSceneCuts(
+        Multimodal.syntheticCutVideos(spark, sfDir), threshold = 24.0)
+      .collect().toSeq
+    assert(standing.nonEmpty)
+    assert(standing == decoded)
+  }
+
   test("video decode: non-AVI bytes fall back to the stub, never throw") {
     assert(Multimodal.decodeVideo("not a RIFF at all".getBytes, 8).isEmpty)
     assert(Multimodal.decodeVideo(Array[Byte](), 8).isEmpty)
