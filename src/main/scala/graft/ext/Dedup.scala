@@ -74,6 +74,28 @@ object Dedup {
         graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
   }
 
+  /** STANDING shingle/fingerprint relation over the documents corpus —
+    * the standing-index discipline (`videoFpTable`, `ensureKnnGraph`)
+    * applied to the corpus' hottest derived relation: (doc_id, source,
+    * sh = distinct 3-word shingles, fph = distinct 60-bit md5 gram
+    * fingerprints), ParquetMemo'd once per corpus snapshot. At 100 TB
+    * nobody re-tokenizes and re-hashes the corpus for every similarity
+    * query; the shingle pass is paid once and every chain that starts
+    * "shingle the corpus" (containment, all-pairs, KMV sketches, …)
+    * becomes a columnar scan of this table. Both representations ride
+    * along because the chains split on hash family: the md5-MinHash arm
+    * needs the raw gram STRINGS, the prefix-filter / KMV arms the
+    * integer fingerprints. */
+  def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "shingles3", "v1-words3-md560")(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          graft.functions.WordShingles.word_shingles(col("text"), 3).as("sh"))
+        .withColumn("fph", array_distinct(transform(col("sh"), s =>
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long")))))
+
   /** MinHash signature from a materialized shingle-array column — the
     * native codegen'd expression (graft.functions.MinHashSig): one loop,
     * K slots per pass, unboxed murmur3 over unsafe bytes. */
@@ -228,8 +250,19 @@ object Dedup {
     *    the inventory side is the shingle pass this operator already
     *    ran, and the join shuffles candidates only (AQE splits hot
     *    shingle keys). */
-  def containmentVerifyMd5(docs: DataFrame, threshold: Double): DataFrame = {
-    val withSh = md5Shingled(docs).persist()
+  def containmentVerifyMd5(docs: DataFrame, threshold: Double): DataFrame =
+    containmentFromShingles(md5Shingled(docs), threshold)
+
+  /** [[containmentVerifyMd5]] over the standing [[shingleTable]] —
+    * the declared serving path: the shingle pass is index build. */
+  def containmentVerifyMd5Standing(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    containmentFromShingles(
+      shingleTable(spark, dir).select(col("doc_id"), col("sh")), threshold)
+
+  private def containmentFromShingles(shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val withSh = shingled.persist()
     val banded = md5MinhashPairsFromShingles(withSh, 0.3, 4)
       .select(col("doc_a"), col("doc_b"))
     val inventory = withSh
@@ -344,7 +377,7 @@ object Dedup {
     * The per-doc ranking window partitions on doc_id — key width
     * bounded by document length, never a fat key. Verify joins move
     * candidates only. */
-  def allPairsJaccard(docs: DataFrame, num: Long = 3L, den: Long = 5L): DataFrame = {
+  def allPairsJaccard(docs: DataFrame, num: Long = 3L, den: Long = 5L): DataFrame =
     // grams as 60-bit md5 ints (the portable hash family): every
     // downstream stage — the df aggregate, the ranking join, the
     // prefix self-join, the verify intersections — shuffles and
@@ -352,11 +385,24 @@ object Dedup {
     // Cross-gram collisions (≈ |grams|²/2^60) are deterministic and
     // identical in both engines; list_distinct after hashing keeps the
     // set sizes consistent under one.
-    val sized = withShingles(docs)
+    allPairsFromHashed(withShingles(docs)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         array_distinct(transform(col("sh"), s =>
-          conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+          conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh")),
+      num, den)
+
+  /** [[allPairsJaccard]] over the standing [[shingleTable]]'s
+    * pre-hashed fingerprint arrays — the declared serving path. */
+  def allPairsJaccardStanding(spark: SparkSession, dir: String,
+      num: Long = 3L, den: Long = 5L): DataFrame =
+    allPairsFromHashed(shingleTable(spark, dir)
+      .filter(size(col("fph")) > 0)
+      .select(col("doc_id"), col("fph").as("sh")), num, den)
+
+  private def allPairsFromHashed(hashed: DataFrame, num: Long,
+      den: Long): DataFrame = {
+    val sized = hashed
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
       .persist()
     val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
@@ -1247,7 +1293,7 @@ object Dedup {
     // COMPLETE exact all-pairs Jaccard join via df-ordered prefix
     // filtering — the deterministic-recall twin of the banded chain
     "dedup_allpairs" -> QueryDef(
-      (s: SparkSession, d: String) => allPairsJaccard(Tables.documents(s, d)),
+      (s: SparkSession, d: String) => allPairsJaccardStanding(s, d),
       Some(allPairsJaccardSql())),
     // sketch-vs-truth calibration table: slot overlap next to exact
     // intersection/union for every banded candidate, all-integer surface
@@ -1257,7 +1303,7 @@ object Dedup {
     // asymmetric containment over the same chain: the quote/subset
     // detector Jaccard misses when set sizes diverge
     "dedup_containment" -> QueryDef(
-      (s: SparkSession, d: String) => containmentVerifyMd5(Tables.documents(s, d), 0.6),
+      (s: SparkSession, d: String) => containmentVerifyMd5Standing(s, d, 0.6),
       Some(containmentVerifyMd5Sql)),
     // maxDist 3 = the published near-dup radius (Manku WWW'07) and the
     // genuinely scalable default blocking config: 10 tables of ~26-bit

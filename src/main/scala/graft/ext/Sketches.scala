@@ -264,16 +264,28 @@ object Sketches {
     * state — THE theta-sketch property); only the exact contract arms
     * touch the distinct fingerprint relation, and they exist for the
     * gate, not the deployment path. */
-  def kmvIntersect(docs: DataFrame, k: Int = 512): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col("source"),
+  def kmvIntersect(docs: DataFrame, k: Int = 512): DataFrame =
+    kmvIntersectFromFp(docs.select(col("source"),
         explode(graft.functions.WordShingles.word_shingles(col("text"), 3))
           .as("gram"))
       .select(col("source"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
           .as("fp"))
-      .distinct()
-      .persist()
+      .distinct(), k)
+
+  /** [[kmvIntersect]] over the standing shingle table's pre-hashed
+    * fingerprints (`Dedup.shingleTable`) — the declared serving path:
+    * per-doc fph arrays explode to the per-source distinct fingerprint
+    * relation without re-tokenizing or re-hashing the corpus. */
+  def kmvIntersectStanding(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 512): DataFrame =
+    kmvIntersectFromFp(Dedup.shingleTable(spark, dir)
+      .select(col("source"), explode(col("fph")).as("fp"))
+      .distinct(), k)
+
+  private def kmvIntersectFromFp(shFp: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shFp.persist()
     val w = Window.partitionBy(col("source")).orderBy(col("fp"))
     val sk = sh.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select(col("source"), col("fp"))
@@ -406,7 +418,7 @@ object Sketches {
 
   private val q: Seq[(String, QueryDef)] = Seq(
     "distinct_kmv_intersect" -> QueryDef(
-      (s, d) => kmvIntersect(Tables.documents(s, d)),
+      (s, d) => kmvIntersectStanding(s, d),
       Some(kmvIntersectSql())),
     "sketch_bloom_portable" -> QueryDef(
       (s, d) => portableBloom(Tables.documents(s, d)),
