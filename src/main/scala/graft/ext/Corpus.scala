@@ -635,7 +635,7 @@ object Corpus {
 
   /** `canonicalCorpusMd5` keeping the full row (text included) for
     * downstream score columns. */
-  private def canonicalCorpusMd5Docs(docs: DataFrame): DataFrame =
+  private[ext] def canonicalCorpusMd5Docs(docs: DataFrame): DataFrame =
     keepCanonical(docs, nearDupClustersMd5(docs, 0.5))
 
   lazy val cleanCorpusSql: String = {

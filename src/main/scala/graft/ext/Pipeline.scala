@@ -443,32 +443,113 @@ object Pipeline {
     * per-shard sort at read time). */
   def epochShuffle(docs: DataFrame, epochs: Int, nShards: Int): DataFrame = {
     require(epochs >= 1 && nShards >= 1)
-    val perEpoch = (0 until epochs).map { e =>
-      docs.select(lit(e).cast("long").as("epoch"),
-        conv(substring(md5(concat(lit(s"$e:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long").as("h"))
-    }.reduce(_ unionByName _)
-    perEpoch
+    epochKeyed(docs, epochs)
       .groupBy(col("epoch"), (col("h") % nShards).as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("h") % 1000000000L).as("checksum"))
       .orderBy(col("epoch"), col("shard"))
   }
 
-  def epochShuffleSql(epochs: Int, nShards: Int): String = {
-    val arms = (0 until epochs).map(e =>
-      s"""  SELECT CAST($e AS BIGINT) AS epoch,
+  /** The keying stage of [[epochShuffle]] on its own — (epoch, doc_id,
+    * h) per document per epoch; [[exportPipeline]] reads the per-doc
+    * detail the shuffle summary aggregates away. */
+  private[ext] def epochKeyed(docs: DataFrame, epochs: Int): DataFrame =
+    (0 until epochs).map { e =>
+      docs.select(lit(e).cast("long").as("epoch"), col("doc_id"),
+        conv(substring(md5(concat(lit(s"$e:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    }.reduce(_ unionByName _)
+
+  private[ext] def epochKeyedSql(epochs: Int): String =
+    (0 until epochs).map(e =>
+      s"""  SELECT CAST($e AS BIGINT) AS epoch, doc_id,
          |    ('0x' || substr(md5('$e:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
          |      AS h
          |  FROM documents""".stripMargin).mkString("\n  UNION ALL\n")
+
+  def epochShuffleSql(epochs: Int, nShards: Int): String =
     s"""WITH keyed AS (
-       |$arms)
+       |${epochKeyedSql(epochs)})
        |SELECT epoch, h % $nShards AS shard,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(h % 1000000000) AS BIGINT) AS checksum
        |FROM keyed GROUP BY epoch, shard
        |ORDER BY epoch, shard""".stripMargin
+
+  // ---------------------------------------------------- export composition
+
+  /** The END-TO-END training-EXPORT pipeline as ONE declarative plan —
+    * the T-side twin of `corpus_curation_pipeline`: canonical corpus
+    * (keep one doc per near-dup cluster) → 8-gram decontamination
+    * (benchmark slice and leaked docs cut) → greedy shard assignment →
+    * sequence packing → deterministic interleave order → per-epoch
+    * shard keys, every stage the SAME code as its standalone declared
+    * operator (`corpus_canonical`, `corpus_decontaminate`,
+    * `corpus_shard_assign`, `corpus_pack`, `corpus_interleave`,
+    * `corpus_epoch_shuffle`'s keying), chained on the kept membership.
+    * Output is the per-document export MANIFEST a trainer consumes:
+    * one row per (epoch, kept-and-packable doc) with its export shard,
+    * token budget, packed sequence span, interleave position and
+    * epoch shard. Docs the packer drops (zero subword tokens) drop
+    * from the manifest — pack's own inner-join semantics.
+    *
+    * Scale shape: membership flows as id sets (semi-joins); each stage
+    * keeps its standalone plan (no stage is re-derived), and the final
+    * assembly is doc_id-keyed joins of per-doc relations — one shuffle
+    * key end-to-end. The oracle composes the stage SQLs verbatim as
+    * derived tables over the kept membership. */
+  def exportPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = Corpus.decontaminate(Corpus.canonicalCorpusMd5Docs(docs))
+    val keptDocs = docs.join(kept.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val sa = Corpus.shardAssign(keptDocs, 3000L)
+    val pk = packSequences(keptDocs, seqLen = 256, nShards = 4)
+    val il = interleave(keptDocs)
+    val ek = epochKeyed(keptDocs, epochs = 3)
+    ek
+      .join(sa.select(col("doc_id"), col("source"),
+        col("shard").as("export_shard")), Seq("doc_id"))
+      .join(pk.select(col("doc_id"), col("n_tokens"), col("first_seq"),
+        col("last_seq"), col("straddles")), Seq("doc_id"))
+      .join(il.select(col("doc_id"), col("position")), Seq("doc_id"))
+      .select(col("epoch"), col("doc_id"), col("source"), col("export_shard"),
+        col("n_tokens"), col("first_seq"), col("last_seq"), col("straddles"),
+        col("position"), (col("h") % 8).as("epoch_shard"))
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  /** Oracle: each stage's published SQL embedded WHOLE as a derived
+    * table (DuckDB scopes a subquery's WITH chain locally and outer
+    * CTEs stay visible inside it), with only its `documents` source
+    * rebound to the kept membership — the same string the standalone
+    * gate hash-checks, so the composition proof runs on one source of
+    * truth per stage. */
+  lazy val exportPipelineSql: String = {
+    def over(sql: String, src: String): String =
+      sql.replaceAll("\\bdocuments\\b", src)
+    s"""WITH kept0 AS (SELECT doc_id FROM (${Corpus.canonicalCorpusMd5Sql})),
+       |kept0docs AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM kept0)),
+       |kept AS (SELECT doc_id FROM (${over(Corpus.decontaminateSql(), "kept0docs")})),
+       |keptdocs AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |sa AS (SELECT * FROM (${over(Corpus.shardAssignSql(3000L), "keptdocs")})),
+       |pk AS (SELECT * FROM (${over(packSequencesSql(256, 4), "keptdocs")})),
+       |il AS (SELECT * FROM (${over(interleaveSql, "keptdocs")})),
+       |ek AS (
+       |${over(epochKeyedSql(3), "keptdocs")})
+       |SELECT ek.epoch, ek.doc_id, sa.source, sa.shard AS export_shard,
+       |  pk.n_tokens, pk.first_seq, pk.last_seq, pk.straddles,
+       |  il.position, ek.h % 8 AS epoch_shard
+       |FROM ek
+       |JOIN sa ON sa.doc_id = ek.doc_id
+       |JOIN pk ON pk.doc_id = ek.doc_id
+       |JOIN il ON il.doc_id = ek.doc_id
+       |ORDER BY ek.epoch, ek.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------ declared queries
@@ -602,7 +683,13 @@ object Pipeline {
     "corpus_datacard" -> QueryDef(
       (s, d) => dataCardPlanted(Tables.documents(s, d)), dataCardSql),
     "corpus_interleave" -> QueryDef(
-      (s, d) => interleave(Tables.documents(s, d)), interleaveSql)
+      (s, d) => interleave(Tables.documents(s, d)), interleaveSql),
+    // the end-to-end training-export composition: canonical →
+    // decontaminate → shard_assign → pack → interleave → epoch keys in
+    // ONE plan, every stage the standalone operator's exact code, the
+    // oracle the standalone SQL strings composed as derived tables
+    "corpus_export_pipeline" -> QueryDef(
+      (s, d) => exportPipeline(s, d), Some(exportPipelineSql))
   )
 
   def queries: Seq[(String, QueryDef)] = q
