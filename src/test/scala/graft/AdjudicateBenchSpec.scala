@@ -25,16 +25,22 @@ class AdjudicateBenchSpec extends AnyFunSuite {
     p
   }
 
-  private def run(candidate: Path, baseline: Path, minN: Int = 3): Int = {
+  private def run(candidate: Path, baseline: Path, minN: Int = 3,
+      extra: Seq[String] = Seq.empty): Int = run2(candidate, baseline,
+    minN, extra)._1
+
+  private def run2(candidate: Path, baseline: Path, minN: Int = 3,
+      extra: Seq[String] = Seq.empty): (Int, String) = {
     val pb = new ProcessBuilder(
-      "python3", "tools/adjudicate_bench.py", candidate.toString,
-      "--baseline", baseline.toString, "--min-n", minN.toString)
+      (Seq("python3", "tools/adjudicate_bench.py", candidate.toString,
+        "--baseline", baseline.toString, "--min-n", minN.toString) ++
+        extra): _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val rc = proc.waitFor()
     info(out.trim)
-    rc
+    (rc, out)
   }
 
   private def mapJson(walls: Map[String, Double],
@@ -114,5 +120,65 @@ class AdjudicateBenchSpec extends AnyFunSuite {
     val cand = write(dir, "cand.json",
       mapJson(baseWalls.view.mapValues(_ * 1.19).toMap, baseShuffle, false))
     assert(run(cand, base, minN = 50) === 0)
+  }
+
+  test("graph_scc's known broadcast-threshold bistable shuffle states " +
+      "are plan-identical: the wall still enters the load judgment") {
+    val dir = Files.createTempDirectory("adjbench")
+    // baseline saw the broadcast state, candidate the exchange state —
+    // bit-identical code on either side of the AQE threshold. A 1.30x
+    // wall on the ONLY comparable query must still be judged (refused),
+    // proving the bistable pair was not silently dropped as plan-change.
+    val base = write(dir, "baseline.json", mapJson(
+      Map("graph_scc" -> 6.0), Map("graph_scc" -> 8.58), false))
+    val cand = write(dir, "cand.json", mapJson(
+      Map("graph_scc" -> 7.8), Map("graph_scc" -> 10.26), false))
+    assert(run(cand, base, minN = 1) !== 0)
+    // and at wall parity the same bistable pair accepts
+    val cand2 = write(dir, "cand2.json", mapJson(
+      Map("graph_scc" -> 6.05), Map("graph_scc" -> 10.26), false))
+    assert(run(cand2, base, minN = 1) === 0)
+    // unknown queries with the same bytes stay plan-changed (exempt)
+    val base3 = write(dir, "base3.json", mapJson(
+      Map("other_q" -> 6.0), Map("other_q" -> 8.58), false))
+    val cand3 = write(dir, "cand3.json", mapJson(
+      Map("other_q" -> 7.8), Map("other_q" -> 10.26), false))
+    assert(run(cand3, base3, minN = 1) === 0)
+  }
+
+  test("--probe auto-runs ScopedProbe on flagged unchanged-plan wall " +
+      "increases and writes the cold/steady/GC verdict artifact") {
+    val dir = Files.createTempDirectory("adjbench")
+    // b's wall went 2.0 -> 3.0 (1.5x) with identical shuffle: flagged.
+    // Others at parity so the load median accepts the run.
+    val base = fixture(dir)
+    val cand = write(dir, "cand.json", mapJson(
+      baseWalls + ("b" -> 3.0), baseShuffle, false))
+    // fake probe: a canned tiered-JIT warm-up curve whose steady state
+    // (1.9 s) sits below the baseline wall -> environment_or_jit
+    val probeOut = dir.resolve("probe.json")
+    val fake = "printf 'run  1:  23.000 s  gc= 1200 ms\\n" +
+      "run  2:   4.000 s  gc=  300 ms\\nrun  3:   1.900 s  gc=   50 ms\\n" +
+      "run  4:   1.950 s  gc=   40 ms\\n'"
+    val (rc, out) = run2(cand, base, minN = 3, extra = Seq(
+      "--probe", "--probe-cmd", fake,
+      "--probe-out", probeOut.toString))
+    assert(rc === 0, out)
+    val art = new String(Files.readAllBytes(probeOut), "UTF-8")
+    assert(art.contains("\"query\": \"b\""), art)
+    assert(art.contains("\"cold\": 23.0"), art)
+    assert(art.contains("\"steady\": 1.9"), art)
+    assert(art.contains("\"gc_max_ms\": 1200"), art)
+    assert(art.contains("\"verdict\": \"environment_or_jit\""), art)
+    // a curve whose steady state stays at the slow wall -> regression
+    val fakeSlow = "printf 'run  1:   3.100 s  gc=  100 ms\\n" +
+      "run  2:   3.000 s  gc=   50 ms\\nrun  3:   2.980 s  gc=   40 ms\\n'"
+    val probeOut2 = dir.resolve("probe2.json")
+    val (rc2, out2) = run2(cand, base, minN = 3, extra = Seq(
+      "--probe", "--probe-cmd", fakeSlow,
+      "--probe-out", probeOut2.toString))
+    assert(rc2 === 0, out2)
+    val art2 = new String(Files.readAllBytes(probeOut2), "UTF-8")
+    assert(art2.contains("\"verdict\": \"code_regression\""), art2)
   }
 }

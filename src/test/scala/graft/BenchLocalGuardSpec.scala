@@ -54,4 +54,22 @@ class BenchLocalGuardSpec extends AnyFunSuite {
     val oracle = write(dir, "oracle_sql.json", oracleJson)
     assert(run(oracle, dir.resolve("nope.json")) !== 0)
   }
+
+  test("provenance: a full-coverage map from a driver/ad-hoc run " +
+      "(provenance != builder-clean) is refused; builder-clean passes; " +
+      "pre-marker maps pass with a warning") {
+    val dir = Files.createTempDirectory("benchguard")
+    val oracle = write(dir, "oracle_sql.json", oracleJson)
+    val full = """"q1":0.5,"q2":0.4,"q3":0.3,"q4":0.2"""
+    // the r14 shape: the driver's own full sweep overwrote the
+    // committed builder map — full coverage, wrong provenance
+    val driver = write(dir, "driver.json",
+      s"""{"provenance":"unmarked","queries":{$full}}""")
+    assert(run(oracle, driver) !== 0)
+    val builder = write(dir, "builder.json",
+      s"""{"provenance":"builder-clean","queries":{$full}}""")
+    assert(run(oracle, builder) === 0)
+    val legacy = write(dir, "legacy.json", s"""{"queries":{$full}}""")
+    assert(run(oracle, legacy) === 0)
+  }
 }

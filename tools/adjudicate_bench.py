@@ -29,14 +29,25 @@ self-reports contaminated=false and covers >= --min-n queries (the
 r13 driver commit holds a contaminated map ABOVE the clean one, so
 "HEAD's copy" is not good enough).
 
+Probe mode (--probe): any comparable query (steady OR iterative,
+shuffle-identical) whose wall ratio exceeds --probe-threshold is
+auto-adjudicated with graft.ScopedProbe — N back-to-back executions in
+one JVM — and the cold/steady/GC curve lands in --probe-out as a typed
+verdict ("environment_or_jit" when steady state is within 10% of the
+baseline wall, "code_regression" otherwise). This is the r14
+pagerank/pagerank_weighted hand-run adjudication as a tool output.
+
 Usage:
   adjudicate_bench.py CANDIDATE [--baseline FILE] [--threshold 1.10]
                       [--min-n 20] [--min-wall 0.3]
+                      [--probe] [--probe-n 6] [--probe-threshold 1.25]
+                      [--probe-out FILE] [--probe-cmd TEMPLATE]
 
 Exit: 0 accept, 1 refuse, 2 usage/environment error.
 """
 import argparse
 import json
+import re
 import statistics
 import subprocess
 import sys
@@ -49,6 +60,19 @@ DEFAULT_MIN_WALL = 0.3
 # tolerance only absorbs rounding and AQE wobble on tiny exchanges).
 SHUFFLE_ABS_MB = 0.05
 SHUFFLE_REL = 0.02
+
+# Known BROADCAST-THRESHOLD bistability: queries whose label/edge side
+# sits near spark.sql.autoBroadcastJoinThreshold at the bench SF, so
+# AQE legitimately flips some supersteps between broadcast (lower
+# shuffle) and exchange (higher) across environments with bit-identical
+# code. Values are the two observed stable states in MB; a candidate/
+# baseline pair where EACH side matches ONE of the listed states is
+# treated as plan-identical (the r14 verdict item #7 exemption, encoded
+# as tool data instead of prose). At 100 TB the exchange state is the
+# only one — the transition itself is the documented design.
+KNOWN_BISTABLE_SHUFFLE_MB = {
+    "graph_scc": (8.58, 10.26),
+}
 
 
 def load(path):
@@ -89,6 +113,61 @@ def shuffle_identical(a, b):
         max(a, b) > 0 and abs(a - b) / max(a, b) <= SHUFFLE_REL)
 
 
+def shuffle_identical_q(q, a, b):
+    """shuffle_identical, plus the known broadcast-threshold bistable
+    states: both sides matching (possibly different) listed states for
+    q is the SAME plan caught on different sides of the threshold."""
+    if shuffle_identical(a, b):
+        return True
+    states = KNOWN_BISTABLE_SHUFFLE_MB.get(q)
+    if states is None or a is None or b is None:
+        return False
+    def matches_some(x):
+        return any(shuffle_identical(x, s) for s in states)
+    if matches_some(a) and matches_some(b):
+        print(f"[adjudicate] INFO: {q} shuffle {a} vs {b} MB matches the "
+              f"known broadcast-threshold bistable states {states} — "
+              f"treated as plan-identical")
+        return True
+    return False
+
+
+PROBE_RUN_RE = re.compile(
+    r"run\s+(\d+):\s+([0-9.]+)\s+s\s+gc=\s*(\d+)\s+ms")
+
+
+def run_probe(q, args, sf_dir):
+    """Run graft.ScopedProbe for q and parse per-execution walls/GC."""
+    if args.probe_cmd:
+        cmd = ["bash", "-c", args.probe_cmd.format(
+            query=q, n=args.probe_n, sf=sf_dir)]
+    else:
+        import glob
+        cp = "target/scala-2.13/classes:" + ":".join(
+            sorted(glob.glob("/opt/spark/jars/*.jar")))
+        cmd = ["java", "-Xmx24g",
+               "--add-exports", "java.base/sun.nio.ch=ALL-UNNAMED",
+               "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+               "--add-opens", "java.base/java.util=ALL-UNNAMED",
+               "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+               "--add-opens", "java.base/java.lang.invoke=ALL-UNNAMED",
+               "--add-opens", "java.base/jdk.internal.misc=ALL-UNNAMED",
+               "--add-opens", "java.base/sun.security.action=ALL-UNNAMED",
+               "-cp", cp, "graft.ScopedProbe", q, str(args.probe_n), sf_dir]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    runs = [(float(w), int(g))
+            for _, w, g in PROBE_RUN_RE.findall(proc.stdout)]
+    if not runs:
+        return {"query": q, "error": "probe produced no run lines",
+                "rc": proc.returncode,
+                "stderr_tail": proc.stderr.strip().splitlines()[-3:]}
+    walls = [w for w, _ in runs]
+    steady = min(walls[-min(3, len(walls)):])
+    return {"query": q, "walls": walls, "gc_ms": [g for _, g in runs],
+            "cold": walls[0], "steady": steady,
+            "gc_max_ms": max(g for _, g in runs)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("candidate")
@@ -97,6 +176,15 @@ def main():
     ap.add_argument("--min-n", type=int, default=20,
                     help="minimum comparison-set size to judge on")
     ap.add_argument("--min-wall", type=float, default=DEFAULT_MIN_WALL)
+    ap.add_argument("--probe", action="store_true",
+                    help="ScopedProbe-adjudicate flagged wall increases")
+    ap.add_argument("--probe-n", type=int, default=6)
+    ap.add_argument("--probe-threshold", type=float, default=1.25)
+    ap.add_argument("--probe-out", default="PROBE_ADJUDICATION.json")
+    ap.add_argument("--probe-cmd", default=None,
+                    help="override probe command template "
+                         "({query} {n} {sf} placeholders; tests inject "
+                         "a fake probe here)")
     args = ap.parse_args()
 
     cand = load(args.candidate)
@@ -129,9 +217,48 @@ def main():
             continue
         if bq[q] < args.min_wall:
             continue
-        if not shuffle_identical(csh.get(q), bsh.get(q)):
+        if not shuffle_identical_q(q, csh.get(q), bsh.get(q)):
             continue  # plan changed: wall delta is code, not load
         ratios.append((cq[q] / bq[q], q))
+
+    if args.probe:
+        # flagged = steady/iterative, plan-identical, wall up past the
+        # probe threshold: exactly the unchanged-plan increases r13/r14
+        # closed with hand-run probes (pagerank 3.31->4.29 s etc.)
+        flagged = [
+            q for q in sorted(set(cq) & set(bq))
+            if wc.get(q, "steady") in ("steady", "iterative")
+            and bq[q] >= args.min_wall
+            and shuffle_identical_q(q, csh.get(q), bsh.get(q))
+            and cq[q] / bq[q] > args.probe_threshold]
+        sf_dir = cand.get("sf") or base.get("sf") or "/root/testdata/sf0.1"
+        results = []
+        for q in flagged:
+            r = run_probe(q, args, sf_dir)
+            r["baseline_wall"] = bq[q]
+            r["candidate_wall"] = cq[q]
+            r["ratio"] = round(cq[q] / bq[q], 3)
+            if "steady" in r:
+                # steady state at-or-below ~1.1x baseline: the whole
+                # increase was warm-up sampling / environment, not code
+                r["verdict"] = ("environment_or_jit"
+                                if r["steady"] <= bq[q] * 1.10
+                                else "code_regression")
+                print(f"[adjudicate] PROBE {q}: cold={r['cold']:.3f}s "
+                      f"steady={r['steady']:.3f}s (baseline {bq[q]:.3f}s, "
+                      f"sweep {cq[q]:.3f}s) gc_max={r['gc_max_ms']}ms -> "
+                      f"{r['verdict']}")
+            else:
+                print(f"[adjudicate] PROBE {q}: FAILED ({r.get('error')})",
+                      file=sys.stderr)
+            results.append(r)
+        with open(args.probe_out, "w") as f:
+            json.dump({"probe_n": args.probe_n,
+                       "probe_threshold": args.probe_threshold,
+                       "sf": sf_dir, "flagged": results}, f, indent=1)
+        print(f"[adjudicate] probe artifact: {args.probe_out} "
+              f"({len(results)} flagged quer"
+              f"{'y' if len(results) == 1 else 'ies'})")
 
     if len(ratios) < args.min_n:
         print(f"[adjudicate] WARN: only {len(ratios)} comparable "

@@ -50,8 +50,29 @@ def main() -> int:
               f"artifact. Re-run the FULL bench (no SPARK_GRAFT_ONLY) "
               f"before committing.", file=sys.stderr)
         return 1
+    # provenance: the committed canonical map must come from the
+    # builder's own quiet-machine sweep (SPARK_GRAFT_BENCH_PROVENANCE=
+    # builder-clean). The r14 driver sweep silently replaced the
+    # committed 285.3 s builder map with its own 296.95 s artifact in
+    # the working tree; full coverage alone cannot catch that, only the
+    # marker can. Maps older than the marker ("provenance" absent) pass
+    # with a warning so history stays checkable.
+    prov = bench.get("provenance")
+    if prov is not None and prov != "builder-clean":
+        print(f"[bench-local] FAIL: {bench_path} provenance is "
+              f"'{prov}', not 'builder-clean' — this is a driver or "
+              f"ad-hoc artifact, not the builder's canonical "
+              f"quiet-machine sweep. Re-run the full bench with "
+              f"SPARK_GRAFT_BENCH_PROVENANCE=builder-clean before "
+              f"committing it as the round's map.", file=sys.stderr)
+        return 1
+    if prov is None:
+        print(f"[bench-local] WARN: {bench_path} predates the "
+              f"provenance marker — cannot distinguish builder from "
+              f"driver artifact")
     print(f"[bench-local] OK: {bench_path} covers all {len(declared)} "
-          f"declared queries ({len(benched)} benched)")
+          f"declared queries ({len(benched)} benched"
+          + (f", provenance {prov}" if prov else "") + ")")
     return 0
 
 
