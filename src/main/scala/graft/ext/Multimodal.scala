@@ -60,10 +60,24 @@ object Multimodal {
       version: String = CorpusVersion)
       (build: => Dataset[MediaRow]): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
-      "media_" + tag, version)(build.toDF())
+    val read = graft.core.ParquetMemo.ensureRead(spark,
+      s"$dir/documents.parquet", "media_" + tag, version)(build.toDF())
       .select(col("doc_id"), col("media_type"), col("n_bytes"), col("content"))
-      .as[MediaRow]
+    // Decode-parallelism floor: a memoized media corpus is a few MB of
+    // parquet, which the scan bin-packs into 1-2 input partitions — but
+    // every downstream mapPartitions is decode-CPU-bound (µs-per-byte,
+    // not per-partition-overhead-bound), so a 1-partition scan runs the
+    // whole codec wall on one core (the r14 dedup_video_fp_decode 19 s
+    // wall was 105k JPEG decodes on a single thread). Re-spread to the
+    // cluster width when — and only when — the scan is narrower than the
+    // core count; at deployment scale a media corpus splits into ≥ cores
+    // partitions by maxPartitionBytes and this is a no-op, so no shuffle
+    // is added where the scan already parallelizes.
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (read.rdd.getNumPartitions < target) read.repartition(target)
+      else read
+    spread.as[MediaRow]
   }
 
   /** Pre-build every memoized corpus (Bench warm-up hook): the offline
