@@ -1216,16 +1216,60 @@ object Similarity {
     * full build (qSide = nSide = corpus) and the incremental insert
     * (qSide = batch, nSide = standing; never standing×standing). */
   private def bandedKnnEdges(qSide: DataFrame, nSide: DataFrame,
-      graphK: Int, bits: Int): DataFrame = {
+      graphK: Int, bits: Int, nQ: Long = 0L, nN: Long = 0L,
+      dim: Int = 0): DataFrame = {
+    // Candidate-volume-sized shuffle width for the BUILD's wide stages
+    // (the full build passes its corpus count; serving-sized callers
+    // leave nQ = 0 and keep the session width): the candidate stream is
+    // ~3·nQ·250 narrow rows, and at the session's fixed width (cpus) a
+    // 30× corpus put ~1.6M of them in every distinct/top-k-sort task —
+    // starving per-task execution memory into multi-pass spill merges
+    // (50M candidates: ~50 GB spill accounting, 1914 task-seconds, the
+    // whole 30× build overhang). Sizing tasks at ~500k candidate rows
+    // spills nothing; AQE coalesces the over-provisioned width right
+    // back for small corpora, so one formula serves every scale. The
+    // explicit hash repartitions SATISFY the downstream distribution
+    // requirements (distinct clusters on (qid,nid), the window on qid),
+    // so no extra exchange is added — the same two exchanges, wider.
+    val session = qSide.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val width = math.max(session, ((3L * nQ * 250L) / 500000L).toInt)
     val cand = bandKeys(qSide, bits).as("a")
       .join(bandKeys(nSide, bits).as("b"), Seq("band", "bkey"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .repartition(width, col("qid"), col("nid"))
       .distinct() // dedup across bands BEFORE paying any cosine
+    // Score with BROADCAST vector lookups whenever the vector relation
+    // provably fits (count × row bytes ≤ 256 MB, callers pass exact
+    // footer counts): past the 10 MB autobroadcast threshold Catalyst
+    // plans these joins as SortMergeJoin, and the ~3·N·250-row
+    // candidate stream then gets re-shuffled and re-sorted CARRYING a
+    // dim-sized double vector between the two joins — at 30× that
+    // intermediate was 50M rows × ~520 B ≈ 25 GB through one exchange,
+    // the entire build overhang (46 GB spill, ~3900 task-seconds).
+    // With both sides broadcast the candidate stream stays 16 B/row
+    // end-to-end and the cosine is a map-side lookup. Beyond the bound
+    // the join falls back to shuffle — the documented
+    // broadcast→shuffle transition class (§6.2c).
+    val vecBytes = math.max(nQ, nN) * (8L * dim + 24L)
+    val bcastVecs = dim > 0 && math.max(nQ, nN) > 0 &&
+      vecBytes <= (256L << 20)
+    val qVec0 = qSide.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val nVec0 = nSide.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val qVec = if (bcastVecs) broadcast(qVec0) else qVec0
+    val nVec = if (bcastVecs) broadcast(nVec0) else nVec0
     val scored = cand
-      .join(qSide.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
-      .join(nSide.select(col("vec_id").as("nid"), col("v").as("nv")), Seq("nid"))
-      .withColumn("cos", cosine(col("nv"), col("qv")))
+      .join(qVec, Seq("qid"))
+      .join(nVec, Seq("nid"))
+      // drop both vector payloads the moment the cosine is computed:
+      // the top-k window exchange repartitions the full candidate
+      // stream by qid, and carrying two dim-sized double arrays per
+      // candidate row makes that exchange ~30× wider than the
+      // (qid, nid, cos) triple it needs.
+      .select(col("qid"), col("nid"),
+        cosine(col("nv"), col("qv")).as("cos"))
+      .repartition(width, col("qid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored
@@ -1267,27 +1311,60 @@ object Similarity {
   /** [[ensureKnnGraph]] with the band width precomputed — serving
     * callers that already counted the corpus pass `bits` down so each
     * serving call pays at most ONE footer count. */
+  /** The full-build plan behind [[ensureKnnGraph]] — factored out so
+    * the §6.2c build probe can `.explain` and execute exactly what the
+    * memoized build writes. BANDED candidate generation, not
+    * single-cell blocking: a 3·b-plane sign hash split into three
+    * b-bit bands — two nearby vectors disagreeing on a couple of
+    * planes still co-block in some band, so the graph gets the
+    * cross-cell links greedy search needs (single-cell blocking yields
+    * a DISCONNECTED graph and caps recall at the entry cell's
+    * content). Same pigeonhole geometry as the dedup MinHash bands; b
+    * adapts to corpus size (knnBandBits) so the candidate stream stays
+    * linear. */
+  private[ext] def knnGraphBuildPlan(spark: SparkSession, dir: String,
+      graphK: Int, bits: Int): DataFrame = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val e = withCell(e0, dim, bits)
+    // build-only footer count: sizes the candidate-stream shuffle
+    // width and the broadcast decision, paid once per cold index
+    // build, never when serving
+    val n = e0.count()
+    symWithVectors(bandedKnnEdges(e, e, graphK, bits, n, n, dim), e0)
+      .repartitionByRange(16, col("src"))
+      .sortWithinPartitions(col("src"))
+  }
+
   private def ensureKnnGraphB(spark: SparkSession, dir: String,
       graphK: Int, bits: Int): String = {
     graft.core.ParquetMemo.ensure(
       s"$dir/embeddings.parquet", s"knngraph_k${graphK}_b$bits",
       "v3-adaptive") {
-      // BANDED candidate generation, not single-cell blocking: a
-      // 3·b-plane sign hash split into three b-bit bands — two nearby
-      // vectors disagreeing on a couple of planes still co-block in
-      // some band, so the graph gets the cross-cell links greedy
-      // search needs (single-cell blocking yields a DISCONNECTED
-      // graph and caps recall at the entry cell's content). Same
-      // pigeonhole geometry as the dedup MinHash bands; b adapts to
-      // corpus size (knnBandBits) so the candidate stream stays linear.
-      val e0 = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val dim = e0.select(size(col("v"))).head().getInt(0)
-      val e = withCell(e0, dim, bits)
-      symWithVectors(bandedKnnEdges(e, e, graphK, bits), e0)
-        .repartitionByRange(16, col("src"))
-        .sortWithinPartitions(col("src"))
+      knnGraphBuildPlan(spark, dir, graphK, bits)
     }
+  }
+
+  /** Build-geometry audit for [[ensureKnnGraph]] (SURVEY §6.2c, the
+    * post-fix 30× measurement): band-bucket occupancy and candidate-pair
+    * volume of the banded build at a corpus, computed from the SAME
+    * withCell/bandKeys chain the build runs — (N, b, candidate ordered
+    * pairs Σc·(c−1), mean occupancy, max occupancy). The adaptive-width
+    * contract says candidates ≈ 3·N·target and occupancy ≈ target. */
+  private[ext] def knnBuildGeometry(spark: SparkSession,
+      dir: String): (Long, Int, Long, Double, Long) = {
+    val e0 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val n = e0.count()
+    val bits = knnBandBits(n)
+    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val row = bandKeys(withCell(e0, dim, bits), bits)
+      .groupBy("band", "bkey").count()
+      .agg(sum(col("count") * (col("count") - 1)).as("cand"),
+        avg(col("count")).as("mean_occ"),
+        max(col("count")).as("max_occ")).head()
+    (n, bits, row.getLong(0), row.getDouble(1), row.getLong(2))
   }
 
   /** Standing-side graph for the incremental maintenance path: built
@@ -1311,7 +1388,8 @@ object Similarity {
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val dim = e0.select(size(col("v"))).head().getInt(0)
       val e = withCell(e0, dim, bits)
-      symWithVectors(bandedKnnEdges(e, e, graphK, bits), e0)
+      val n = e0.count()
+      symWithVectors(bandedKnnEdges(e, e, graphK, bits, n, n, dim), e0)
         .repartitionByRange(16, col("src"))
         .sortWithinPartitions(col("src"))
     }
@@ -1352,9 +1430,11 @@ object Similarity {
   def graphIncrementalSearch(spark: SparkSession, dir: String, qId: Long,
       k: Int, graphK: Int = 8, hops: Int = 32, batchMod: Long = 10L,
       batchRem: Long = 7L): DataFrame = {
-    // ONE footer count per serving call: bits feeds both the standing
-    // build's memo key and the insert arm's banding
-    val bits = knnBandBitsFor(spark, dir)
+    // ONE footer count per serving call: it feeds the banding geometry
+    // (bits → the standing build's memo key + the insert arm's bands)
+    // AND the insert arm's broadcast decision
+    val nCorpus = Tables.embeddings(spark, dir).count()
+    val bits = knnBandBits(nCorpus)
     val standingGraph = spark.read.parquet(
       ensureStandingKnnGraphB(spark, dir, graphK, batchMod, batchRem, bits))
     val e0 = Tables.embeddings(spark, dir)
@@ -1369,7 +1449,8 @@ object Similarity {
     // index's in-memory delta segment. Batch×graphK×2 rows: tiny.
     val inserted = symWithVectors(
       bandedKnnEdges(withCell(batch, dim, bits),
-        withCell(standing, dim, bits), graphK, bits),
+        withCell(standing, dim, bits), graphK, bits,
+        nQ = nCorpus / batchMod + 1, nN = nCorpus, dim = dim),
       e0).localCheckpoint(eager = true)
     // standing graph holds only standing↔standing edges, inserts only
     // batch↔standing — disjoint by construction, no distinct needed
