@@ -20,7 +20,10 @@ import scala.jdk.CollectionConverters._
   * per run — steady state BELOW every full-sweep reading ever
   * recorded, code bit-identical since r12.)
   *
-  * Usage: runMain graft.ScopedProbe <queryName> [n] [sfDir]
+  * Usage: runMain graft.ScopedProbe <queryName> [n] [sfDir] [stages]
+  * A 4th arg "stages" attaches [[StageProbe]] — one line per completed
+  * stage (wall / taskSum / shuffle / spill), the root-cause layer under
+  * the per-execution curve.
   * Standing `ensure*` state is warmed exactly like Bench's pre-sweep
   * block, so run 1 is codegen-cold but index-warm. Session geometry
   * (SPARK_GRAFT_CPUS default, shuffle partitions) and the timed action
@@ -50,6 +53,8 @@ object ScopedProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 3 && args(3) == "stages")
+      spark.sparkContext.addSparkListener(new StageProbe)
     Bench.warmStandingState(spark, sfDir)
     val walls = (1 to n).map { i =>
       val g0 = gcMs

@@ -18,29 +18,6 @@ import org.apache.spark.sql.SparkSession
   */
 object KnnBuildProbe {
 
-  /** Per-stage print listener (enabled with a 3rd arg "stages"): wall,
-    * task-time sum, shuffle read/write, spill — the §6.2c stage-probe
-    * discipline used for the dedup_clusters 30× adjudication. */
-  private final class StagePrinter
-      extends org.apache.spark.scheduler.SparkListener {
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      val i = sc.stageInfo
-      val m = i.taskMetrics
-      if (m != null) {
-        val wall = (for {
-          s <- i.submissionTime; c <- i.completionTime
-        } yield (c - s) / 1e3).getOrElse(-1.0)
-        println(f"stage ${i.stageId}%3d wall=$wall%7.2f s " +
-          f"taskSum=${m.executorRunTime / 1e3}%8.2f s " +
-          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1f MB " +
-          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1f MB " +
-          f"spill=${(m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6}%6.1f MB" +
-          f"  ${i.name.takeWhile(_ != '\n').take(60)}")
-      }
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: KnnBuildProbe <sfDir> [label]")
     val dir = args(0)
@@ -53,7 +30,7 @@ object KnnBuildProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 2 && args(2) == "stages")
-      spark.sparkContext.addSparkListener(new StagePrinter)
+      spark.sparkContext.addSparkListener(new graft.StageProbe)
     if (args.length > 2 && args(2) == "explain") {
       val n = graft.core.Tables.embeddings(spark, dir).count()
       Similarity.knnGraphBuildPlan(spark, dir, 8,

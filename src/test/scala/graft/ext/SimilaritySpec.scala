@@ -461,4 +461,33 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.EntryPlanes <= 30)
     assert(Similarity.EntryPlanes === 3 * Similarity.knnBandBits(1000L))
   }
+
+  test("kNN-graph build plan: bounded-broadcast scoring joins, narrow " +
+    "top-k exchange (the 30× scale-overhang fix)") {
+    // The fix is the EXPLICIT broadcast() hint under the 256 MB
+    // count×row-bytes bound — past the default 10 MB autobroadcast
+    // threshold Catalyst alone plans the scoring joins as
+    // SortMergeJoin, which re-sorts the whole candidate stream
+    // carrying a dim-sized vector payload (the 245 s / 46 GB-spill
+    // shape the 30× probe caught, §6.2c addendum). Pin the hint
+    // itself: with autobroadcast OFF, the scoring joins must still
+    // come out BroadcastHashJoin.
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.knnGraphBuildPlan(spark, sfDir, 8,
+        Similarity.knnBandBits(n)).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected hinted broadcast scoring joins in the build plan:\n$plan")
+      // and the hinted build still produces the bit-exact committed
+      // graph: same edges as the memoized standing build
+      val edges = Similarity.knnGraphBuildPlan(spark, sfDir, 8,
+        Similarity.knnBandBits(n)).count()
+      val standing = spark.read.parquet(
+        Similarity.ensureKnnGraph(spark, sfDir, 8)).count()
+      assert(edges === standing, "plan-only fix: edges unchanged")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
