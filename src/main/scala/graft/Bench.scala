@@ -111,6 +111,11 @@ object Bench {
     catch { case _: Throwable => () }
   }
 
+  /** Durable-map routing (spec-gated in BenchLocalGuardSpec): a scoped
+    * run must never write the canonical full-coverage file. */
+  private[graft] def benchMapFile(scoped: Boolean): String =
+    if (scoped) "BENCH_SCOPED.json" else "BENCH_LOCAL.json"
+
   private def runSweeps(spark: SparkSession, sfDir: String,
       metrics: MetricsListener): Unit = {
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q1,q2
@@ -192,9 +197,19 @@ object Bench {
     // the budget marks the artifact `contaminated` so it can never
     // silently stand as a clean number (r11's did: floor was measured
     // once, at the end).
-    // warm the probe's codegen/footer path before the first MEASURED
-    // batch — a cold first probe reads as phantom load
-    measureFloor(1): Unit
+    // Warm the probe PAST ITS OWN C2 ramp before the first MEASURED
+    // batch. The probe's generated code is its own class, warmed only
+    // by its own executions — the 370 queries between floor batches
+    // warm nothing of it — so with a 1-execution warm-up the first two
+    // floor MEDIANS ride the probe's tiered-JIT curve (measured across
+    // three r15 full sweeps: 0.20 → 0.13 → 0.12 → 0.098, monotone to
+    // steady state near execution ~11), and the retrospective
+    // global-min judgment then reads the ramp as phantom load — three
+    // consecutive builder-clean sweeps (totals within 2.3%, zero
+    // spill) self-flagged `contaminated` on exactly this shape. Eight
+    // warm executions (~1 s) put floor[0] at the steady state the
+    // global min is judged from.
+    measureFloor(8): Unit
     val floors = scala.collection.mutable.ArrayBuffer(measureFloor(3))
     // (bounding-interval index into `floors`, that sweep's times)
     val sweeps = scala.collection.mutable
@@ -306,10 +321,17 @@ object Bench {
     val line = s"""{"metric":"total","unit":"sec","provenance":"$provenance","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the GLOBAL minimum floor (retrospective re-judgment; only the leading pre-sweep-1 floor is exempt as JIT warm-up) even after re-runs","shuffle_write_mb":$sh,"wall_class":$wcJson,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"salvaged_sweeps":$salvaged,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
     println(line)
     // durable copy: the full untruncated line, committed per round so
-    // per-query seconds are always recoverable from the repo itself
+    // per-query seconds are always recoverable from the repo itself.
+    // A SCOPED run (SPARK_GRAFT_ONLY subset) writes BENCH_SCOPED.json
+    // instead: twice (r10, r12) a subset map overwrote and then got
+    // COMMITTED over the canonical full map, and the commit-time guard
+    // (check_bench_local.py) only protects people who remember to run
+    // it — routing the write kills the trap at the source. The full
+    // canonical file is only ever written by a full-coverage sweep.
+    val mapFile = benchMapFile(sys.env.contains("SPARK_GRAFT_ONLY"))
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(mapFile),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // LAST line is a complete, compact JSON object: the driver keeps

@@ -72,4 +72,11 @@ class BenchLocalGuardSpec extends AnyFunSuite {
     val legacy = write(dir, "legacy.json", s"""{"queries":{$full}}""")
     assert(run(oracle, legacy) === 0)
   }
+
+  test("durable-map routing: a scoped run writes BENCH_SCOPED.json, " +
+      "never the canonical BENCH_LOCAL.json (the r10/r12/r15 overwrite " +
+      "trap killed at the source)") {
+    assert(Bench.benchMapFile(scoped = true) === "BENCH_SCOPED.json")
+    assert(Bench.benchMapFile(scoped = false) === "BENCH_LOCAL.json")
+  }
 }
