@@ -1,7 +1,12 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.core.{QueryDef, Tables}
 
@@ -53,10 +58,26 @@ object Sketches {
     val evalGrams = grams(docs.filter(col("source") === evalSource))
       .select(col("gram")).distinct().persist()
     val nEval = evalGrams.count()
-    val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
-    // serializable sketch captured in the closure → shipped once per
-    // task like a broadcast; the probe is a narrow map, no shuffle
-    val mightContain = udf((g: String) => bloom.mightContainString(g))
+    // Bloom build + probe through Spark's codegen'd expression pair
+    // (the same BloomFilterAggregate/BloomFilterMightContain that
+    // runtime row-level filtering injects): items enter as
+    // xxhash64(gram) longs and the probe hashes identically, so the
+    // filter semantics match build-side insertion by construction.
+    // The one-row binary collect sizes/ships the filter — an index
+    // statistic on the SMALL eval side, same driver-action class as
+    // the nEval count above; the train-side probe stays a narrow
+    // whole-stage-codegen map over a filter LITERAL (the expression
+    // requires a foldable filter side), no per-row Scala udf.
+    val numBits = BloomFilter.optimalNumOfBits(math.max(nEval, 1L), fpp)
+    val bloomBin = evalGrams.agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
+          Literal(math.max(nEval, 1L)), Literal(numBits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    def mightContain(g: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBin, BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(g)))))
     val train = grams(docs.filter(col("source") =!= evalSource))
     val flags = train
       .join(evalGrams.withColumn("in_eval", lit(1)), Seq("gram"), "left")
@@ -113,14 +134,23 @@ object Sketches {
       .filter(col("token") =!= "")
       .persist() // feeds sketch build, total count, and exact agg
     val cms = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
-    val est = udf((t: String) => cms.estimateCount(t))
     val total = toks.agg(count(lit(1)).as("total")) // 1 row
-    toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token")).limit(k)
+    val topk = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k).persist()
+    // CMS probe runs driver-side over EXACTLY the k result rows
+    // (bounded ≤ k — the documented ≤2·k probe-row class) and rejoins
+    // as a broadcast literal relation: no per-row Scala udf in the
+    // plan, and the sketch object never ships to executors at all
+    import toks.sparkSession.implicits._
+    val est = broadcast(
+      topk.select(col("token")).collect().toSeq
+        .map(r => (r.getString(0), cms.estimateCount(r.getString(0))))
+        .toDF("token", "est"))
+    topk.join(est, Seq("token"))
       .crossJoin(total)
       .select(col("token"), col("n"),
-        (est(col("token")) >= col("n")).as("never_underestimates"),
-        (est(col("token")) <= col("n") +
+        (col("est") >= col("n")).as("never_underestimates"),
+        (col("est") <= col("n") +
           ceil(col("total") * eps).cast("long")).as("within_eps_bound"))
       .orderBy(col("n").desc, col("token"))
   }
