@@ -40,6 +40,7 @@ object KnnBuildProbe {
     // fresh memo root: the probe must time a COLD index build
     val root = java.nio.file.Files
       .createTempDirectory("knn_build_probe_").toString
+    val priorRoot = sys.props.get("graft.memo.root") // restore, don't clobber
     sys.props("graft.memo.root") = root
     try {
       val t0 = System.nanoTime()
@@ -53,8 +54,16 @@ object KnnBuildProbe {
         f"candidates=$cand (3N·250=${3L * n * 250}) " +
         f"mean_occ=$meanOcc%.1f max_occ=$maxOcc edges=$edges")
     } finally {
-      sys.props.remove("graft.memo.root")
+      priorRoot match {
+        case Some(v) => sys.props("graft.memo.root") = v
+        case None => sys.props.remove("graft.memo.root")
+      }
       spark.stop()
+      // remove the cold-build parquet litter the probe created
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 }

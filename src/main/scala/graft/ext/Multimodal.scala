@@ -72,13 +72,27 @@ object Multimodal {
     // cluster width when — and only when — the scan is narrower than the
     // core count; at deployment scale a media corpus splits into ≥ cores
     // partitions by maxPartitionBytes and this is a no-op, so no shuffle
-    // is added where the scan already parallelizes.
+    // is added where the scan already parallelizes. The scan-width
+    // check instantiates a physical plan, so its verdict is cached per
+    // memoized corpus (file layout is write-once under the memo key);
+    // the re-spread hashes on doc_id rather than round-robin — same
+    // balance (doc_id is unique), but no sortBeforeRepartition local
+    // sort of the multi-KB content payloads ahead of the exchange.
     val target = spark.sparkContext.defaultParallelism
+    val narrow = spreadCache.computeIfAbsent(
+      s"$dir|$tag|$version|$target",
+      _ => read.rdd.getNumPartitions < target)
     val spread =
-      if (read.rdd.getNumPartitions < target) read.repartition(target)
+      if (narrow) read.repartition(target, col("doc_id"))
       else read
     spread.as[MediaRow]
   }
+
+  /** Per-(corpus, width) verdict of the decode-parallelism floor check
+    * above — the memoized parquet layout is write-once, so the scan
+    * width never changes for a given memo key within a JVM. */
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
   /** Pre-build every memoized corpus (Bench warm-up hook): the offline
     * "encode the corpus" step, amortized out of query timings exactly

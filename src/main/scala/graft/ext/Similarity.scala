@@ -1226,11 +1226,17 @@ object Similarity {
     // starving per-task execution memory into multi-pass spill merges
     // (50M candidates: ~50 GB spill accounting, 1914 task-seconds, the
     // whole 30× build overhang). Sizing tasks at ~500k candidate rows
-    // spills nothing; AQE coalesces the over-provisioned width right
-    // back for small corpora, so one formula serves every scale. The
-    // explicit hash repartitions SATISFY the downstream distribution
-    // requirements (distinct clusters on (qid,nid), the window on qid),
-    // so no extra exchange is added — the same two exchanges, wider.
+    // spills nothing; small corpora are protected by the max() below —
+    // width never drops under the session width, and it only exceeds it
+    // when the candidate volume genuinely warrants more tasks (AQE does
+    // NOT coalesce explicit-count repartitions, so the guard is the
+    // formula, not the runtime). The explicit hash repartitions SATISFY
+    // the downstream distribution requirements (distinct clusters on
+    // (qid,nid), the window on qid), so no extra exchange is added —
+    // the same two exchanges, wider. Known trade: repartition-then-
+    // distinct forfeits map-side partial dedup of cross-band duplicate
+    // pairs (≤3× inflation through the exchange; measured +2 MB at
+    // sf0.1, dwarfed by the spill it prevents at 30×).
     val session = qSide.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val width = math.max(session, ((3L * nQ * 250L) / 500000L).toInt)
@@ -1249,19 +1255,33 @@ object Similarity {
     // intermediate was 50M rows × ~520 B ≈ 25 GB through one exchange,
     // the entire build overhang (46 GB spill, ~3900 task-seconds).
     // With both sides broadcast the candidate stream stays 16 B/row
-    // end-to-end and the cosine is a map-side lookup. Beyond the bound
-    // the join falls back to shuffle — the documented
-    // broadcast→shuffle transition class (§6.2c).
-    val vecBytes = math.max(nQ, nN) * (8L * dim + 24L)
-    val bcastVecs = dim > 0 && math.max(nQ, nN) > 0 &&
-      vecBytes <= (256L << 20)
+    // end-to-end and the cosine is a map-side lookup. Each side is
+    // gated INDEPENDENTLY (the incremental insert pairs a tiny batch
+    // side with a corpus-sized standing side — broadcasting the batch
+    // still keeps one join map-side when the standing side outgrows the
+    // bound), at 128 MB per side so two simultaneous broadcasts stay
+    // well under driver/executor memory even with the several-×
+    // hashed-relation expansion; the per-row estimate charges the
+    // 8-byte vec_id key and ~64 B of UnsafeRow + hashed-relation
+    // overhead on top of the double-array payload. Beyond the bound a
+    // side falls back to shuffle — the documented broadcast→shuffle
+    // transition class (§6.2c).
+    val rowBytes = 8L * dim + 24L + 8L + 64L
+    def fitsBroadcast(n: Long): Boolean =
+      dim > 0 && n > 0 && n * rowBytes <= (128L << 20)
+    val bcastQ = fitsBroadcast(nQ)
+    val bcastN = fitsBroadcast(nN)
     val qVec0 = qSide.select(col("vec_id").as("qid"), col("v").as("qv"))
     val nVec0 = nSide.select(col("vec_id").as("nid"), col("v").as("nv"))
-    val qVec = if (bcastVecs) broadcast(qVec0) else qVec0
-    val nVec = if (bcastVecs) broadcast(nVec0) else nVec0
-    val scored = cand
-      .join(qVec, Seq("qid"))
-      .join(nVec, Seq("nid"))
+    val qVec = if (bcastQ) broadcast(qVec0) else qVec0
+    val nVec = if (bcastN) broadcast(nVec0) else nVec0
+    // any shuffle-joined vector side attaches FIRST, while candidate
+    // rows are still 16 B — a shuffle join downstream of an attached
+    // vector payload would drag that payload through its exchange
+    val joined =
+      if (bcastQ && !bcastN) cand.join(nVec, Seq("nid")).join(qVec, Seq("qid"))
+      else cand.join(qVec, Seq("qid")).join(nVec, Seq("nid"))
+    val scored = joined
       // drop both vector payloads the moment the cosine is computed:
       // the top-k window exchange repartitions the full candidate
       // stream by qid, and carrying two dim-sized double arrays per

@@ -464,8 +464,8 @@ class SimilaritySpec extends SparkSuite {
 
   test("kNN-graph build plan: bounded-broadcast scoring joins, narrow " +
     "top-k exchange (the 30× scale-overhang fix)") {
-    // The fix is the EXPLICIT broadcast() hint under the 256 MB
-    // count×row-bytes bound — past the default 10 MB autobroadcast
+    // The fix is the EXPLICIT broadcast() hint under the per-side
+    // 128 MB count×row-bytes bound — past the default 10 MB autobroadcast
     // threshold Catalyst alone plans the scoring joins as
     // SortMergeJoin, which re-sorts the whole candidate stream
     // carrying a dim-sized vector payload (the 245 s / 46 GB-spill
@@ -481,12 +481,17 @@ class SimilaritySpec extends SparkSuite {
       assert(plan.contains("BroadcastHashJoin"),
         s"expected hinted broadcast scoring joins in the build plan:\n$plan")
       // and the hinted build still produces the bit-exact committed
-      // graph: same edges as the memoized standing build
+      // graph: the SAME edge SET as the memoized standing build (set
+      // equality, not row counts — a regression that swapped which
+      // edges survive the top-k while preserving count must fail here)
       val edges = Similarity.knnGraphBuildPlan(spark, sfDir, 8,
-        Similarity.knnBandBits(n)).count()
+        Similarity.knnBandBits(n))
       val standing = spark.read.parquet(
-        Similarity.ensureKnnGraph(spark, sfDir, 8)).count()
-      assert(edges === standing, "plan-only fix: edges unchanged")
+        Similarity.ensureKnnGraph(spark, sfDir, 8))
+        .select(edges.columns.map(col): _*)
+      assert(edges.exceptAll(standing).isEmpty &&
+        standing.exceptAll(edges).isEmpty,
+        "plan-only fix: edge set unchanged")
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
