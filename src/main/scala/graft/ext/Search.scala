@@ -652,10 +652,16 @@ object Search {
     * neighbor; unmatched terms surface with NULL suggestion. Vocabulary variants are Σ\|w\| rows over the
     * DISTINCT word relation — vocabulary-sized, never corpus-sized —
     * and the query side is a literal handful. */
-  def spellSuggest(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def spellSuggest(docs: DataFrame, terms: Seq[String]): DataFrame =
+    spellSuggestFromCounts(docs.sparkSession, Tokenizer.wordCounts(docs),
+      terms)
+
+  /** [[spellSuggest]] over an explicitly supplied (word, n_occ)
+    * relation — the standing-table seam (`Tokenizer.wordTokenTable`). */
+  def spellSuggestFromCounts(spark: org.apache.spark.sql.SparkSession,
+      wc: DataFrame, terms: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import docs.sparkSession.implicits._
-    val wc = Tokenizer.wordCounts(docs)
+    import spark.implicits._
     val qv = terms.toDF("term")
       .select(col("term"), explode(delVariants(col("term"))).as("v"))
     val vv = wc.select(col("word"), col("n_occ"),
@@ -916,7 +922,9 @@ object Search {
       (s, d) => autocomplete(Tables.documents(s, d)),
       autocompleteSql()),
     "search_spell" -> QueryDef(
-      (s, d) => spellSuggest(Tables.documents(s, d), spellTerms),
+      (s, d) => spellSuggestFromCounts(s,
+        Tokenizer.wordTokenTable(s, d).select(col("word"), col("n_occ")),
+        spellTerms),
       spellSuggestSql(spellTerms)),
     "search_facets" -> QueryDef(
       (s, d) => facetedSearch(Tables.documents(s, d), Seq("hash", "join")),

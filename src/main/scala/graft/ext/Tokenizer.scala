@@ -36,6 +36,12 @@ object Tokenizer {
     * raise for a real training vocab — the plan shape is unchanged. */
   val VocabQuota = 40
 
+  /** Algorithm version of the vocab-derivation + greedy-segmentation
+    * chain, the ParquetMemo key for every standing token relation below
+    * — bump whenever `wordCounts`/`vocabOf`/`subtokenCount` semantics
+    * change, or a stale relation silently serves old counts. */
+  private[ext] val TokenizerVersion = s"v1-greedy234-q$VocabQuota"
+
   /** Distinct words with exact occurrence counts — the ONE
     * corpus-sized reduction everything downstream reuses. */
   def wordCounts(docs: DataFrame): DataFrame =
@@ -99,15 +105,42 @@ object Tokenizer {
   /** Per-document subword token counts: explode → broadcast join
     * against the (word → n_sub) relation → one partial-aggregated
     * reduction. Documents with no words simply have no row. */
-  def docTokenCounts(docs: DataFrame): DataFrame = {
-    val wt = wordTokens(docs).select(col("word"), col("n_sub"))
+  def docTokenCounts(docs: DataFrame): DataFrame =
+    docTokenCountsWith(docs, wordTokens(docs))
+
+  /** [[docTokenCounts]] over an explicitly supplied (word, n_sub)
+    * relation — the seam standing-table callers go through so the
+    * vocab + segmentation chain is not re-derived per query. */
+  def docTokenCountsWith(docs: DataFrame, wordTok: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(graft.functions.WordShingles.word_ngrams(col("text"), 1))
           .as("word"))
-      .join(broadcast(wt), Seq("word"))
+      .join(broadcast(wordTok.select(col("word"), col("n_sub"))), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_sub")).as("n_tokens"))
-  }
+
+  /** STANDING (word, n_occ, n_sub) relation over the corpus — the
+    * `Dedup.shingleTable` discipline applied to the tokenizer: the
+    * vocab derivation + greedy segmentation is a pure function of the
+    * corpus snapshot, so at 100 TB nobody re-trains the vocabulary per
+    * query; it is paid once per (snapshot, algorithm version) and every
+    * tokenizer consumer reads this vocabulary-sized columnar table. */
+  def wordTokenTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "wordtokens", TokenizerVersion)(
+      wordTokens(Tables.documents(spark, dir)))
+
+  /** STANDING (doc_id, n_tokens) relation — the per-doc reduction over
+    * [[wordTokenTable]], memoized because pack/mixture/fertility/export
+    * all start from exactly this relation: one corpus-sized
+    * explode+join pass per snapshot instead of one per query. */
+  def docTokenTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.core.ParquetMemo.ensureRead(spark, s"$dir/documents.parquet",
+      "doctokens", TokenizerVersion)(
+      docTokenCountsWith(Tables.documents(spark, dir),
+        wordTokenTable(spark, dir)))
 
   /** The shared oracle CTE chain: vocab derivation + recursive greedy
     * segmentation + per-doc counts, mirroring the engine exactly.
@@ -214,10 +247,16 @@ object Tokenizer {
     * relation plus a narrow rewrite map; the argmax row is bounded
     * driver metadata (the kmeans-centroid precedent), and the corpus
     * itself is scanned exactly once by `wordCounts`. */
-  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
-    import docs.sparkSession.implicits._
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTrainFromCounts(wordCounts(docs), rounds)
+
+  /** [[bpeTrain]] over an explicitly supplied (word, n_occ) relation —
+    * the standing-table seam: the one corpus scan BPE training needs is
+    * the word-count reduction, which [[wordTokenTable]] already holds. */
+  def bpeTrainFromCounts(wc: DataFrame, rounds: Int): DataFrame = {
+    import wc.sparkSession.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var syms = wordCounts(docs)
+    var syms = wc
       .select(col("n_occ"), charSyms(col("word")).as("syms"))
       .localCheckpoint(true)
     val merges = (1 to rounds).map { r =>
@@ -292,12 +331,16 @@ object Tokenizer {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // both declared queries serve from the standing relation (the engine
+  // memoizes; the oracle recomputes the whole chain from scratch, so
+  // the gate still proves the build, not just the readback)
   def queries: Seq[(String, QueryDef)] = Seq(
     "corpus_bpe_train" -> QueryDef(
-      (s, d) => bpeTrain(Tables.documents(s, d), 3),
+      (s, d) => bpeTrainFromCounts(
+        wordTokenTable(s, d).select(col("word"), col("n_occ")), 3),
       bpeTrainSql(3)),
     "corpus_tokenize" -> QueryDef(
-      (s, d) => wordTokens(Tables.documents(s, d))
+      (s, d) => wordTokenTable(s, d)
         .select(col("word"), col("n_occ"),
           length(col("word")).cast("int").as("word_len"), col("n_sub"))
         .orderBy(col("word")),
