@@ -3,6 +3,7 @@ package graft.rel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
 
 import graft.core.{QueryDef, Tables}
 
@@ -105,7 +106,17 @@ object Graph {
     * repartition), each iteration plans exactly ONE exchange — the dst
     * aggregate — because the rank vector exits that aggregate already
     * hash-partitioned on node with the same count, so the next rank
-    * join moves NOTHING on either side (pinned in GraphSpec). */
+    * join moves NOTHING on either side (pinned in GraphSpec).
+    *
+    * Two-iterations-per-exchange was evaluated and REJECTED: fusing
+    * rounds needs 2-hop messages u→w weighted by
+    * floor(r'(v)·d / outdeg(v)) for the intermediate v, and (a) the
+    * floor over the COMPLETED per-v sum is not decomposable into
+    * per-u terms — the declared integer semantics (each round floors
+    * exactly once per contribution) force the v-aggregation barrier —
+    * and (b) even under real-valued semantics the fused message volume
+    * is the 2-hop path count |A²| ≫ |E|. One partial-aggregated
+    * exchange per superstep is the floor for this operator. */
   def pageRankFromAdjacency(adj: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val base = Scale * (DampDen - DampNum) / DampDen // exact: (1-d)·Scale
@@ -131,18 +142,21 @@ object Graph {
 
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
-    val p = spark.sparkContext.defaultParallelism
-    // eager localCheckpoint, not persist(): (a) a LogicalRDD REPORTS its
-    // hash(src) partitioning to EnsureRequirements — an InMemoryRelation
-    // under AQE does not (observed: every iteration re-exchanged the
-    // cached adjacency), so this deletes the per-iteration adjacency
-    // exchange; (b) checkpoint blocks are reclaimed by the
-    // ContextCleaner when the frame becomes unreachable, so repeated
-    // calls in one session don't accumulate dead cache the way a
-    // never-unpersisted relation does
-    val adj = adjacencyOf(edges)
-      .repartition(p, col("src"))
-      .localCheckpoint(eager = true)
+    val p = spark.sessionState.conf.numShufflePartitions
+    // eager partitioned checkpoint, not persist(): (a) the stamped
+    // LogicalRDD REPORTS its hash(src) partitioning to
+    // EnsureRequirements — an InMemoryRelation under AQE does not, and
+    // a PLAIN localCheckpoint does not either (AdaptiveSparkPlanExec
+    // never overrides outputPartitioning, so Dataset.localCheckpoint
+    // stamps UnknownPartitioning; see PlanBridge) — so this deletes the
+    // per-iteration adjacency exchange; (b) checkpoint blocks are
+    // reclaimed by the ContextCleaner when the frame becomes
+    // unreachable, so repeated calls in one session don't accumulate
+    // dead cache the way a never-unpersisted relation does. Width =
+    // the session SHUFFLE width so it matches every iteration
+    // aggregate's exit partitioning.
+    val adj = PlanBridge.checkpointHashPartitioned(
+      adjacencyOf(edges), Seq("src"), p)
     pageRankFromAdjacency(adj, iters)
   }
 
@@ -171,13 +185,26 @@ object Graph {
   }
 
   /** Declared-query path: 5 iterations over the bucketed co-purchase
-    * adjacency, top k parts by rank. */
+    * adjacency, top k parts by rank. The scan is checkpointed ONCE
+    * before the fold (the `custSupplierHitsBucketed` discipline):
+    * every iteration otherwise re-scans the bucketed parquet and
+    * re-decodes the array column — measured ~1/3 of each iteration
+    * stage's CPU at sf0.1 — where the checkpointed relation is read
+    * back deserialized and reports its hash(src) partitioning. */
   def partPageRankBucketed(spark: SparkSession, dir: String,
-      iters: Int = 5, k: Int = 100): DataFrame =
-    pageRankFromAdjacency(spark.table(ensureAdjacency(spark, dir)), iters)
+      iters: Int = 5, k: Int = 100): DataFrame = {
+    // width = the session SHUFFLE width (≡ the bucket count), NOT
+    // defaultParallelism: the rank vector exits each iteration's
+    // aggregate at the shuffle width, and any mismatch re-exchanges
+    // BOTH join sides every round
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = PlanBridge.checkpointHashPartitioned(
+      spark.table(ensureAdjacency(spark, dir)), Seq("src"), p)
+    pageRankFromAdjacency(adj, iters)
       .select(col("node").as("part"), col("rank"))
       .orderBy(col("rank").desc, col("part"))
       .limit(k)
+  }
 
   /** Raw mirrored co-purchase pairs, duplicates kept: `pageRank`'s
     * collect_set dedups them inside the aggregation it already pays, so
@@ -1358,8 +1385,10 @@ object Graph {
     * sensitive, un-hashable). Normalizing by the vector MAX instead
     * preserves the ranking (any positive rescale does), needs only
     * `(raw * Scale) div max` — exact, order-independent, and the
-    * max itself is a one-row aggregate broadcast back, never a driver
-    * round-trip. Normalization happens once per FULL round, not per
+    * max itself is a one-row aggregate over the round's checkpointed
+    * vector, folded in as a literal (bounded driver metadata — the
+    * BPE-argmax class; the round already blocks at its checkpoint).
+    * Normalization happens once per FULL round, not per
     * half-round: the authority half-vector flows into the hub sum
     * UNNORMALIZED, so each round is ONE superstep barrier instead of
     * two (any positive rescale preserves the power iteration's
@@ -1385,11 +1414,18 @@ object Graph {
     * what an iterative engine materializes between supersteps. */
   private def hitsNormalize(raw0: DataFrame): DataFrame = {
     val raw = raw0.localCheckpoint(eager = true)
-    val mx = raw.agg(max(col("raw")).as("mx"))
-    raw.crossJoin(broadcast(mx))
-      .select(col("node"), expr(
-        s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) div mx AS BIGINT)")
-        .as("score"))
+    // The normalizing max as a DRIVER LITERAL read off the checkpoint
+    // (1 row — the BPE-argmax bounded-metadata class), not a broadcast
+    // crossJoin: the checkpoint already blocks the driver each round,
+    // so the extra action costs one tiny cached-read job, and in
+    // exchange the rescale becomes a PURE PROJECTION over the
+    // checkpointed LogicalRDD — it reports hash(node) partitioning to
+    // the next round's join (a BroadcastNestedLoopJoin in the middle
+    // hid it), and the per-round broadcast-exchange job disappears.
+    val mx = raw.agg(max(col("raw"))).head().getLong(0)
+    raw.select(col("node"), expr(
+      s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) div ${mx}L AS BIGINT)")
+      .as("score"))
   }
 
   /** The iteration fold over the two adjacency-list orientations:
@@ -1427,12 +1463,12 @@ object Graph {
   }
 
   def hits(edges: DataFrame, iters: Int): DataFrame = {
-    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val p = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col("c"), col("s")).distinct()
-    val adjC = e.groupBy(col("c")).agg(collect_set(col("s")).as("ss"))
-      .repartition(p, col("c")).localCheckpoint(eager = true)
-    val adjS = e.groupBy(col("s")).agg(collect_set(col("c")).as("cs"))
-      .repartition(p, col("s")).localCheckpoint(eager = true)
+    val adjC = PlanBridge.checkpointHashPartitioned(
+      e.groupBy(col("c")).agg(collect_set(col("s")).as("ss")), Seq("c"), p)
+    val adjS = PlanBridge.checkpointHashPartitioned(
+      e.groupBy(col("s")).agg(collect_set(col("c")).as("cs")), Seq("s"), p)
     hitsFromAdjacency(adjC, adjS, iters)
   }
 
@@ -1488,11 +1524,13 @@ object Graph {
   def custSupplierHitsBucketed(spark: SparkSession, dir: String,
       iters: Int = 4): DataFrame = {
     val (tc, ts) = ensureHitsAdjacency(spark, dir)
-    val p = spark.sparkContext.defaultParallelism
-    val adjC = spark.table(tc).repartition(p, col("c"))
-      .localCheckpoint(eager = true)
-    val adjS = spark.table(ts).repartition(p, col("s"))
-      .localCheckpoint(eager = true)
+    // session shuffle width, matching every score aggregate's exit
+    // partitioning (see partPageRankBucketed)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adjC = PlanBridge.checkpointHashPartitioned(
+      spark.table(tc), Seq("c"), p)
+    val adjS = PlanBridge.checkpointHashPartitioned(
+      spark.table(ts), Seq("s"), p)
     hitsFromAdjacency(adjC, adjS, iters)
   }
 
@@ -1647,13 +1685,12 @@ object Graph {
   def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
-    val p = spark.sparkContext.defaultParallelism
-    val adj = edges
-      .groupBy(col("src"))
-      .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
-        sum(col("w")).as("wsum"))
-      .repartition(p, col("src"))
-      .localCheckpoint(eager = true)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = PlanBridge.checkpointHashPartitioned(
+      edges.groupBy(col("src"))
+        .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
+          sum(col("w")).as("wsum")),
+      Seq("src"), p)
     val base = Scale * (DampDen - DampNum) / DampDen
     val ranks0 = adj.select(col("src").as("node"), lit(Scale).as("rank"))
     (1 to iters).foldLeft(ranks0) { (ranks, _) =>
@@ -1714,13 +1751,18 @@ object Graph {
   }
 
   /** Declared-query path: 5 weighted iterations over the bucketed
-    * standing adjacency. */
+    * standing adjacency, the scan checkpointed once before the fold
+    * (see [[partPageRankBucketed]]). */
   def partPageRankWeightedBucketed(spark: SparkSession, dir: String,
-      iters: Int = 5, k: Int = 100): DataFrame =
-    pageRankWeightedFromAdjacency(spark.table(ensureWeightedAdjacency(spark, dir)), iters)
+      iters: Int = 5, k: Int = 100): DataFrame = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = PlanBridge.checkpointHashPartitioned(
+      spark.table(ensureWeightedAdjacency(spark, dir)), Seq("src"), p)
+    pageRankWeightedFromAdjacency(adj, iters)
       .select(col("node").as("part"), col("rank"))
       .orderBy(col("rank").desc, col("part"))
       .limit(k)
+  }
 
   /** Ad-hoc surface over raw lineitem (spec path; the declared query
     * uses the bucketed standing state). */

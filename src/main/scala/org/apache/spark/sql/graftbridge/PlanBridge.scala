@@ -14,4 +14,54 @@ object PlanBridge {
   /** The analyzed logical plan of a DataFrame (child plans for custom
     * logical nodes must already be resolved). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** `repartition(n, keys) + localCheckpoint(eager)` whose resulting
+    * LogicalRDD actually REPORTS `HashPartitioning(keys, n)`. Under AQE
+    * `Dataset.localCheckpoint` captures the partitioning from an
+    * `AdaptiveSparkPlanExec`, which never overrides
+    * `outputPartitioning` — so every checkpoint stamps
+    * UnknownPartitioning and each iteration of a fixpoint loop
+    * re-exchanges state that is already correctly partitioned.
+    *
+    * The claim must be true BY CONSTRUCTION, and two planner behaviors
+    * can silently falsify it, so the build runs in an ISOLATED child
+    * session (own SQLConf, shared SparkContext — suites run in
+    * parallel against one session, so the flags are never flipped on
+    * the caller's conf):
+    *   - `EnsureRequirements` elides a REPARTITION_BY_NUM whose child
+    *     already reports the same HashPartitioning — and
+    *     `DisableUnnecessaryBucketedScan` can then DISABLE the bucketed
+    *     scan that justified the elision, leaving raw file-split
+    *     layout under a hash claim (observed: 149/200 adjacency rows
+    *     in the wrong partition, bucketed pagerank top-100 garbage).
+    *     autoBucketedScan is turned OFF for the build so an elision's
+    *     justification cannot be revoked after the fact.
+    *   - AQE can coalesce an upstream ENSURE_REQUIREMENTS exchange
+    *     after the same elision, so the materialized layout is a
+    *     coalesced merge that is no longer any HashPartitioning. AQE
+    *     is OFF for the build; the explicit-count repartition then
+    *     either runs or was elided against a truthful, un-revocable
+    *     child partitioning. */
+  def checkpointHashPartitioned(df: DataFrame, keys: Seq[String],
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val orig = df.sparkSession
+    val iso = orig.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    iso.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val ck = ofRows(iso, df.queryExecution.analyzed)
+      .repartition(n, keys.map(col): _*).localCheckpoint(true)
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = keys.map(k => l.output.find(_.name == k).getOrElse(
+          sys.error(s"checkpoint output has no column '$k'")))
+        ofRows(orig, l.copy(outputPartitioning =
+          org.apache.spark.sql.catalyst.plans.physical
+            .HashPartitioning(attrs, n))(
+          orig.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None))
+      case _ => ck
+    }
+  }
 }

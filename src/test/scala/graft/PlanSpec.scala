@@ -154,10 +154,12 @@ class PlanSpec extends SparkSuite {
   test("pagerank iterations use shuffle-hash joins, never per-iteration sorts") {
     val p = plan("graph_pagerank")
     assert(p.contains("ShuffledHashJoin"), s"rank joins must hash, not SMJ:\n$p")
-    // the adjacency is a build-once bucketed table whose scan reports
-    // its hash(src) partitioning — the rank joins plan no exchange on
-    // either side (GraphSpec pins the exchange census)
-    assert(p.contains("Bucketed: true"), s"adjacency not bucketed:\n$p")
+    // the adjacency is a build-once bucketed table, checkpointed once
+    // per query (the parquet array decode would otherwise re-run every
+    // iteration); the LogicalRDD reports hash(src) partitioning so the
+    // rank joins plan no exchange on either side (GraphSpec pins the
+    // exchange census)
+    assert(p.contains("Scan ExistingRDD"), s"adjacency not checkpointed:\n$p")
   }
 
   test("perceptron epoch reduces in one pass: no join, no window in the report") {

@@ -242,18 +242,22 @@ class GraphSpec extends SparkSuite {
     assert(p.contains("Scan ExistingRDD"), s"adjacency not checkpointed:\n$p")
   }
 
-  /** THE bucketed-plan pin (round-5 contract): with the adjacency
-    * written bucketed by src at the session's shuffle-partition count,
-    * each iteration plans exactly ONE exchange — the dst aggregate.
-    * Every hash exchange in the executed plan must be on `dst`; the
-    * rank joins ride the bucketed scan + the previous aggregate's
-    * partitioning with no exchange on either side. */
+  /** THE bucketed-plan pin (round-5 contract, r16 form): the standing
+    * adjacency scan is checkpointed ONCE before the fold (iterations
+    * otherwise re-scan the parquet and re-decode the array column
+    * every round), so the iteration plan reads a LogicalRDD reporting
+    * hash(src) partitioning, and each iteration plans exactly ONE
+    * exchange — the dst aggregate. Every hash exchange in the executed
+    * plan must be on `dst`; the rank joins ride the checkpointed
+    * partitioning + the previous aggregate's with no exchange on
+    * either side. */
   test("bucketed pagerank: one exchange per iteration, all on dst") {
     val iters = 5
     val pr = Graph.partPageRankBucketed(spark, sfDir, iters = iters, k = 100)
     pr.collect()
     val plan = pr.queryExecution.executedPlan.toString
-    assert(plan.contains("Bucketed: true"), s"adjacency scan not bucketed:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"adjacency not checkpointed once before the fold:\n$plan")
     val exchangeKeys = raw"Exchange hashpartitioning\(([A-Za-z_]+)#".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(exchangeKeys.nonEmpty && exchangeKeys.forall(_ == "dst"),
