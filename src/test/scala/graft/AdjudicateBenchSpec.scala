@@ -31,10 +31,16 @@ class AdjudicateBenchSpec extends AnyFunSuite {
 
   private def run2(candidate: Path, baseline: Path, minN: Int = 3,
       extra: Seq[String] = Seq.empty): (Int, String) = {
+    // default the drift artifact next to the candidate fixture — a bare
+    // run would otherwise drop DRIFT_VERDICT.json into the repo root
+    val drift =
+      if (extra.contains("--drift-out")) Seq.empty
+      else Seq("--drift-out",
+        candidate.resolveSibling("DRIFT_VERDICT.json").toString)
     val pb = new ProcessBuilder(
       (Seq("python3", "tools/adjudicate_bench.py", candidate.toString,
         "--baseline", baseline.toString, "--min-n", minN.toString) ++
-        extra): _*)
+        extra ++ drift): _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
@@ -45,14 +51,18 @@ class AdjudicateBenchSpec extends AnyFunSuite {
 
   private def mapJson(walls: Map[String, Double],
       shuffle: Map[String, Double], contaminated: Boolean,
-      wallClass: Map[String, String] = Map.empty): String = {
+      wallClass: Map[String, String] = Map.empty,
+      floorSec: Option[Double] = None,
+      spillMb: Option[Double] = None): String = {
     def obj[T](m: Map[String, T], fmt: T => String): String =
       m.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val wc =
       if (wallClass.isEmpty) ""
       else s""""wall_class":${obj[String](wallClass, v => s""""$v"""")},"""
+    val fl = floorSec.map(f => s""""floor_sec":$f,""").getOrElse("")
+    val sp = spillMb.map(s => s""""spill_mb_total":$s,""").getOrElse("")
     s"""{"queries":${obj[Double](walls, _.toString)},
-       |"shuffle_write_mb":${obj[Double](shuffle, _.toString)},$wc
+       |"shuffle_write_mb":${obj[Double](shuffle, _.toString)},$wc$fl$sp
        |"contaminated":$contaminated,
        |"total":${walls.values.sum}}""".stripMargin.replace("\n", "")
   }
@@ -144,6 +154,57 @@ class AdjudicateBenchSpec extends AnyFunSuite {
     val cand3 = write(dir, "cand3.json", mapJson(
       Map("other_q" -> 7.8), Map("other_q" -> 10.26), false))
     assert(run(cand3, base3, minN = 1) === 0)
+  }
+
+  test("uniform-drift verdict: floor-corroborated drift reads " +
+      "uniform_drift, uncorroborated reads unexplained_drift, parity " +
+      "reads clean, past-threshold reads uniformly_loaded — the r15 " +
+      "close's hand adjudication as a typed tool output") {
+    val dir = Files.createTempDirectory("adjbench")
+    val base = write(dir, "baseline.json", mapJson(baseWalls, baseShuffle,
+      contaminated = false, floorSec = Some(0.100), spillMb = Some(0.0)))
+    // every invocation routes the artifact into the temp dir — a bare
+    // run would drop DRIFT_VERDICT.json into the repo root
+    def runD(cand: Path, tag: String): Int =
+      run(cand, base, extra = Seq("--drift-out",
+        dir.resolve(s"drift_$tag.json").toString))
+    def verdictOf(cand: Path, tag: String): String = {
+      runD(cand, tag)
+      new String(Files.readAllBytes(dir.resolve(s"drift_$tag.json")),
+        "UTF-8")
+    }
+    // 1.08x walls, floor 0.110 (moved the full drift), zero spill:
+    // exactly the r15 machine-slowdown signature
+    val drift = write(dir, "drift.json", mapJson(
+      baseWalls.view.mapValues(_ * 1.08).toMap, baseShuffle, false,
+      floorSec = Some(0.110), spillMb = Some(0.0)))
+    assert(runD(drift, "a0") === 0)
+    assert(verdictOf(drift, "a").contains("\"verdict\": \"uniform_drift\""))
+    // same walls but the floor did NOT move: something slowed the
+    // queries that is not machine-wide — flagged for a manual look
+    val odd = write(dir, "odd.json", mapJson(
+      baseWalls.view.mapValues(_ * 1.08).toMap, baseShuffle, false,
+      floorSec = Some(0.100), spillMb = Some(0.0)))
+    assert(runD(odd, "b0") === 0)
+    assert(verdictOf(odd, "b").contains("\"verdict\": \"unexplained_drift\""))
+    // spill growth is a code signature, never ambient load: the same
+    // floor-corroborated drift with new spill must NOT read uniform
+    val spilly = write(dir, "spilly.json", mapJson(
+      baseWalls.view.mapValues(_ * 1.08).toMap, baseShuffle, false,
+      floorSec = Some(0.110), spillMb = Some(500.0)))
+    assert(verdictOf(spilly, "c").contains(
+      "\"verdict\": \"unexplained_drift\""))
+    // parity is clean; past the refuse threshold is uniformly_loaded
+    val par = write(dir, "par.json", mapJson(
+      baseWalls.view.mapValues(_ * 1.01).toMap, baseShuffle, false,
+      floorSec = Some(0.101), spillMb = Some(0.0)))
+    assert(verdictOf(par, "d").contains("\"verdict\": \"clean\""))
+    val loaded = write(dir, "loaded.json", mapJson(
+      baseWalls.view.mapValues(_ * 1.19).toMap, baseShuffle, false,
+      floorSec = Some(0.119), spillMb = Some(0.0)))
+    assert(runD(loaded, "e0") !== 0)
+    assert(verdictOf(loaded, "e").contains(
+      "\"verdict\": \"uniformly_loaded\""))
   }
 
   test("--probe auto-runs ScopedProbe on flagged unchanged-plan wall " +

@@ -61,6 +61,26 @@ DEFAULT_MIN_WALL = 0.3
 SHUFFLE_ABS_MB = 0.05
 SHUFFLE_REL = 0.02
 
+# Uniform-drift classification (the r15 close's hand adjudication —
+# "median ratio 1.088 over 208 steady shuffle-identical queries, floors
+# 0.110-0.117 vs 0.098-0.107, zero spill => machine drift" — as tool
+# thresholds instead of BENCH_NOTES prose, pinned by
+# AdjudicateBenchSpec):
+#   clean            median ratio <= DRIFT_CLEAN_MED
+#   uniform_drift    ratio above clean but within the refuse threshold,
+#                    AND the harness floor moved at least
+#                    DRIFT_FLOOR_SHARE of the drift (machine-wide
+#                    slowdowns hit the floor probe too), AND spill did
+#                    not grow past DRIFT_SPILL_TOL_MB (spill growth is a
+#                    code/memory signature, never ambient load)
+#   unexplained_drift  same ratio band but floor/spill do NOT corroborate
+#                    a machine-wide cause — accepted (exit 0) but the
+#                    verdict demands a manual look before the map stands
+#   uniformly_loaded median ratio past the refuse threshold (exit 1)
+DRIFT_CLEAN_MED = 1.03
+DRIFT_FLOOR_SHARE = 0.5
+DRIFT_SPILL_TOL_MB = 1.0
+
 # Known BROADCAST-THRESHOLD bistability: queries whose label/edge side
 # sits near spark.sql.autoBroadcastJoinThreshold at the bench SF, so
 # AQE legitimately flips some supersteps between broadcast (lower
@@ -132,6 +152,35 @@ def shuffle_identical_q(q, a, b):
     return False
 
 
+def drift_verdict(med, n, cand, base, threshold):
+    """Single typed uniform-drift verdict (see constants above)."""
+    fr = None
+    cf, bf = cand.get("floor_sec"), base.get("floor_sec")
+    if cf and bf:
+        fr = cf / bf
+    cs, bs = cand.get("spill_mb_total"), base.get("spill_mb_total")
+    spill_ok = cs is None or bs is None or cs <= bs + DRIFT_SPILL_TOL_MB
+    if med > threshold:
+        v = "uniformly_loaded"
+    elif med <= DRIFT_CLEAN_MED:
+        v = "clean"
+    elif (fr is not None and fr >= 1 + (med - 1) * DRIFT_FLOOR_SHARE
+          and spill_ok):
+        v = "uniform_drift"
+    else:
+        v = "unexplained_drift"
+    return {
+        "verdict": v,
+        "median_wall_ratio": round(med, 4),
+        "n_compared": n,
+        "floor_ratio": round(fr, 4) if fr is not None else None,
+        "spill_mb": {"candidate": cs, "baseline": bs},
+        "thresholds": {"refuse": threshold, "clean": DRIFT_CLEAN_MED,
+                       "floor_share": DRIFT_FLOOR_SHARE,
+                       "spill_tol_mb": DRIFT_SPILL_TOL_MB},
+    }
+
+
 PROBE_RUN_RE = re.compile(
     r"run\s+(\d+):\s+([0-9.]+)\s+s\s+gc=\s*(\d+)\s+ms")
 
@@ -185,6 +234,8 @@ def main():
                     help="override probe command template "
                          "({query} {n} {sf} placeholders; tests inject "
                          "a fake probe here)")
+    ap.add_argument("--drift-out", default="DRIFT_VERDICT.json",
+                    help="file for the typed uniform-drift verdict")
     args = ap.parse_args()
 
     cand = load(args.candidate)
@@ -268,9 +319,13 @@ def main():
         return 0
 
     med = statistics.median(r for r, _ in ratios)
+    verdict = drift_verdict(med, len(ratios), cand, base, args.threshold)
+    with open(args.drift_out, "w") as f:
+        json.dump(verdict, f, indent=1)
+    print(f"[adjudicate] uniform-drift verdict: {json.dumps(verdict)}")
     worst = sorted(ratios, reverse=True)[:5]
     detail = ", ".join(f"{q} {r:.2f}x" for r, q in worst)
-    if med > args.threshold:
+    if verdict["verdict"] == "uniformly_loaded":
         print(f"[adjudicate] REFUSE: median wall ratio {med:.3f} over "
               f"{len(ratios)} steady shuffle-identical queries vs "
               f"baseline {base_ref} (> {args.threshold:.2f}) — the "
@@ -279,9 +334,17 @@ def main():
               f"bench on a quiet machine. Worst: {detail}",
               file=sys.stderr)
         return 1
-    print(f"[adjudicate] OK: median wall ratio {med:.3f} over "
-          f"{len(ratios)} steady shuffle-identical queries vs baseline "
-          f"{base_ref} (threshold {args.threshold:.2f})")
+    if verdict["verdict"] == "unexplained_drift":
+        print(f"[adjudicate] WARN: median wall ratio {med:.3f} is in the "
+              f"drift band but the floor/spill evidence does NOT "
+              f"corroborate a machine-wide cause (floor_ratio="
+              f"{verdict['floor_ratio']}) — accepted, but look before "
+              f"the map stands. Worst: {detail}")
+        return 0
+    print(f"[adjudicate] OK ({verdict['verdict']}): median wall ratio "
+          f"{med:.3f} over {len(ratios)} steady shuffle-identical "
+          f"queries vs baseline {base_ref} "
+          f"(threshold {args.threshold:.2f})")
     return 0
 
 
