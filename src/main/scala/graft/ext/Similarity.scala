@@ -1429,6 +1429,24 @@ object Similarity {
     * contract) via a src-pruned scan of the standing graph — the
     * corpus itself is touched only twice, for the query vector and the
     * entry point, both single-row lookups. */
+  /** BEAM serving budgets, adaptive in the corpus' band width b (b ≈
+    * log2(N/250), the `knnBandBits` geometry): a FIXED budget that
+    * recalls well at one N explores a vanishing corpus fraction at
+    * 10×/30× — the r15 constants (ef 6, rounds 8) measured beam
+    * recall@10 collapsing 0.51 → 0.09 from 1× to 10× even with the
+    * best-cosine entry, while ef = 8b / rounds = 3b read 0.93 / 0.92 /
+    * 0.87 at 1× / 10× / 30× (§6.2c). Budgets grow LOGARITHMICALLY with
+    * N — the HNSW ef_search scaling — so serving stays a bounded-probe
+    * driver walk at any corpus size.
+    *
+    * The GREEDY walk deliberately keeps its fixed 32-hop budget: the
+    * single walker SATURATES (measured 10×: 0.115 recall at 32 hops →
+    * only 0.30 at 112, at 3× the serving wall), so scaling hops buys
+    * latency without usable recall — greedy is the declared
+    * minimal-latency arm, the beam the quality arm at every N. */
+  private[ext] def beamEf(bits: Int): Int = 8 * bits
+  private[ext] def beamRounds(bits: Int): Int = 3 * bits
+
   def graphGreedySearch(spark: SparkSession, dir: String, qId: Long,
       k: Int, graphK: Int = 8, hops: Int = 32): DataFrame = {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
@@ -1525,6 +1543,41 @@ object Similarity {
        |$suffix""".stripMargin
   }
 
+  /** The fixed-geometry entry cells for the serving walks: the cell
+    * hash is the FIXED [[EntryPlanes]] geometry, NOT the adaptive band
+    * planes — at adaptive widths the cell space is up to 2^30 and
+    * every cell a singleton, which would silently disable the warm
+    * start at scale. */
+  private def entryCells(emb: DataFrame, dim: Int): DataFrame =
+    emb.withColumn("cell",
+      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim,
+        EntryPlanes))
+
+  /** Entry point for the serving walks: the BEST-COSINE member of the
+    * query's entry cell (the IVF probe applied as the HNSW warm
+    * start), falling back to the global min id when the cell has no
+    * finite-cosine member. The r15 min-id entry started the walk at a
+    * RANDOM cell member, and at 10× the fixed hop/round budget could
+    * not recover the distance — measured recall@10 collapsed 0.41 →
+    * 0.12 (greedy) / 0.50 → 0.09 (beam) from 1× to 10×; the argmax
+    * entry puts the walker inside the answer's neighborhood before the
+    * first hop at any N. Cost shape is the IVF probe's: cosines for
+    * the ONE probed cell (corpus/2^EntryPlanes rows), rank-only
+    * selection, and the cells scan was already corpus-wide. */
+  private def walkEntry(cells: DataFrame, qId: Long, qCell: Int,
+      qv: Array[Double]): Long = {
+    val qLit = array(qv.map(lit): _*)
+    val best = cells
+      .filter(col("vec_id") =!= qId && col("cell") === qCell)
+      .select(col("vec_id"), cosine(col("v"), qLit).as("cos"))
+      .filter(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .collect()
+    if (best.nonEmpty) best(0).getLong(0)
+    else cells.filter(col("vec_id") =!= qId)
+      .agg(min(col("vec_id"))).head().getLong(0)
+  }
+
   /** The serving walk over an explicit (src, dst, dvec) graph — shared
     * by the full-graph and incremental declared paths. */
   private def greedyWalkRanked(g: DataFrame, emb: DataFrame, qId: Long,
@@ -1540,23 +1593,9 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
-    // entry point: the lowest-id vector sharing the query's COARSE
-    // LSH cell (the IVF-flavored entry HNSW gets from its hierarchy),
-    // falling back to the global min id if the query's cell has no
-    // other member. The cell hash is the FIXED [[EntryPlanes]]
-    // geometry, NOT the adaptive band planes — at adaptive widths the
-    // cell space is up to 2^30 and every cell a singleton, which would
-    // silently disable the warm start at scale.
-    val cells = emb.withColumn("cell",
-      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length,
-        EntryPlanes))
+    val cells = entryCells(emb, qv.length)
     val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
-    val entry = cells
-      .filter(col("vec_id") =!= qId)
-      .agg(min(when(col("cell") === qCell, col("vec_id"))).as("inCell"),
-        min(col("vec_id")).as("anyId"))
-      .select(coalesce(col("inCell"), col("anyId")))
-      .head().getLong(0)
+    val entry = walkEntry(cells, qId, qCell, qv)
     val visited = scala.collection.mutable.LinkedHashMap(
       entry -> cosQ(vecOf(entry)))
     var cur = entry
@@ -1602,8 +1641,11 @@ object Similarity {
     * (cos DESC, vec_id), so intra-beam order never matters, which is
     * what lets the oracle's list() aggregation replay it exactly. */
   def graphBeamSearch(spark: SparkSession, dir: String, qId: Long,
-      k: Int, graphK: Int = 8, ef: Int = 6, rounds: Int = 8): DataFrame = {
-    val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
+      k: Int, graphK: Int = 8, ef: Int = -1, rounds: Int = -1): DataFrame = {
+    val bits = knnBandBitsFor(spark, dir)
+    val efN = if (ef < 0) beamEf(bits) else ef
+    val roundsN = if (rounds < 0) beamRounds(bits) else rounds
+    val g = spark.read.parquet(ensureKnnGraphB(spark, dir, graphK, bits))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     def vecOf(id: Long): Array[Double] =
@@ -1616,22 +1658,15 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
-    // fixed-geometry entry cell — see greedyWalkRanked / EntryPlanes
-    val cells = emb.withColumn("cell",
-      graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), qv.length,
-        EntryPlanes))
+    // fixed-geometry best-cosine entry cell — see walkEntry/EntryPlanes
+    val cells = entryCells(emb, qv.length)
     val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
-    val entry = cells
-      .filter(col("vec_id") =!= qId)
-      .agg(min(when(col("cell") === qCell, col("vec_id"))).as("inCell"),
-        min(col("vec_id")).as("anyId"))
-      .select(coalesce(col("inCell"), col("anyId")))
-      .head().getLong(0)
+    val entry = walkEntry(cells, qId, qCell, qv)
     val visited = scala.collection.mutable.LinkedHashMap(
       entry -> cosQ(vecOf(entry)))
     var beam = Vector(entry)
     var round = 0
-    while (round < rounds && beam.nonEmpty) {
+    while (round < roundsN && beam.nonEmpty) {
       val next = g
         .filter(col("src").isInCollection(beam) && col("dst") =!= qId)
         .collect() // ≤ ef·2·graphK rows: bounded probe metadata
@@ -1640,7 +1675,7 @@ object Similarity {
           (id, cosQ(rs.head.getSeq[Double](2).toArray)) }
         .filter(!_._2.isNaN)
         .toSeq.sortBy { case (id, c) => (-c, id) }
-        .take(ef)
+        .take(efN)
       next.foreach { case (id, c) => visited.update(id, c) }
       beam = next.map(_._1).toVector
       round += 1
@@ -1655,7 +1690,11 @@ object Similarity {
   }
 
   def graphBeamSearchSql(qId: Long, k: Int, graphK: Int = 8,
-      ef: Int = 6, rounds: Int = 8): String = {
+      ef: Int = -1, rounds: Int = -1): String = {
+    // adaptive budgets mirror beamEf/beamRounds off the geo CTE's b —
+    // both engines derive them from the same corpus count
+    val efX = if (ef < 0) "(SELECT 8 * b FROM geo)" else ef.toString
+    val roundsX = if (rounds < 0) "(SELECT 3 * b FROM geo)" else rounds.toString
     val core = graphGreedySearchSql(qId, k, graphK, hops = 0)
     // reuse the shared build CTEs (planes … entry) and replace the walk
     val prefix = core.substring(0, core.indexOf("walk AS ("))
@@ -1665,13 +1704,18 @@ object Similarity {
        |  UNION ALL
        |  SELECT w.round + 1, p.nb, list_concat(w.visited, p.nb)
        |  FROM walk w CROSS JOIN LATERAL (
-       |    SELECT list(v) AS nb FROM (
-       |      SELECT DISTINCT s.vec_id AS v, s.cos
-       |      FROM edges ed JOIN score s ON s.vec_id = ed.dst
-       |      WHERE list_contains(w.beam, ed.src)
-       |        AND NOT list_contains(w.visited, ed.dst)
-       |      ORDER BY s.cos DESC, s.vec_id LIMIT $ef) t) p
-       |  WHERE w.round < $rounds AND len(p.nb) > 0),
+       |    -- ROW_NUMBER + WHERE, not LIMIT: DuckDB rejects a
+       |    -- non-constant limit inside a correlated subquery, and the
+       |    -- adaptive ef is a scalar subquery over geo
+       |    SELECT list(v ORDER BY rn) AS nb FROM (
+       |      SELECT v, ROW_NUMBER() OVER (ORDER BY cos DESC, v) AS rn
+       |      FROM (
+       |        SELECT DISTINCT s.vec_id AS v, s.cos
+       |        FROM edges ed JOIN score s ON s.vec_id = ed.dst
+       |        WHERE list_contains(w.beam, ed.src)
+       |          AND NOT list_contains(w.visited, ed.dst)))
+       |    WHERE rn <= $efX) p
+       |  WHERE w.round < $roundsX AND len(p.nb) > 0),
        |fin AS (SELECT visited FROM walk ORDER BY round DESC LIMIT 1),
        |vis AS (SELECT unnest(visited) AS vec_id FROM fin)
        |SELECT rank, vec_id FROM (
@@ -1683,6 +1727,7 @@ object Similarity {
 
   def graphGreedySearchSql(qId: Long, k: Int, graphK: Int = 8,
       hops: Int = 32): String = {
+    val hopsX = hops.toString
     // geo.b mirrors knnBandBits: smallest b with 2^b >= ceil(N/250),
     // clamped [2,10] — a pure power-of-two CASE ladder, so both
     // engines agree exactly (no float log2 at the boundaries)
@@ -1748,10 +1793,13 @@ object Similarity {
        |    FROM e, qv WHERE e.vec_id <> $qId)
        |  WHERE isfinite(cos)),
        |entry AS (
+       |  -- best-cosine member of the query's entry cell (score already
+       |  -- excludes the query id and non-finite cosines); global min id
+       |  -- only when the cell has no finite-cosine member
        |  SELECT COALESCE(
-       |    (SELECT MIN(c.vec_id) FROM ecell c
+       |    (SELECT s.vec_id FROM score s JOIN ecell c ON c.vec_id = s.vec_id
        |     WHERE c.cell = (SELECT cell FROM ecell WHERE vec_id = $qId)
-       |       AND c.vec_id <> $qId),
+       |     ORDER BY s.cos DESC, s.vec_id LIMIT 1),
        |    (SELECT MIN(vec_id) FROM e WHERE vec_id <> $qId)) AS id),
        |walk AS (
        |  SELECT 0 AS hop, (SELECT id FROM entry) AS cur,
@@ -1763,7 +1811,7 @@ object Similarity {
        |    JOIN score s ON s.vec_id = ed.dst
        |    WHERE ed.src = w.cur AND NOT list_contains(w.visited, ed.dst)
        |    ORDER BY s.cos DESC, s.vec_id LIMIT 1) p
-       |  WHERE w.hop < $hops),
+       |  WHERE w.hop < $hopsX),
        |fin AS (SELECT visited FROM walk ORDER BY hop DESC LIMIT 1),
        |vis AS (SELECT unnest(visited) AS vec_id FROM fin)
        |SELECT rank, vec_id FROM (

@@ -339,6 +339,11 @@ class SimilaritySpec extends SparkSuite {
     info(s"beam recall@10: $beamRecall/10 (greedy: $greedyRecall/10)")
     assert(beamRecall >= greedyRecall,
       "ef-wide expansion must not lose to the single walker on the fixture")
+    // the beam is the QUALITY serving arm (the walkEntry + adaptive-
+    // budget claim, §6.2c: mean recall ≥ 0.9 at 1×/10×/30×) — pin a
+    // floor on the fixture so a budget/entry regression fails loudly
+    assert(beamRecall >= 8,
+      s"beam recall@10 fell under the claimed floor: $beamRecall/10")
   }
 
   test("graph ANN incremental insert: batch members are walkable and " +
@@ -460,6 +465,17 @@ class SimilaritySpec extends SparkSuite {
     // must coincide with the band cell at small N (committed oracles)
     assert(Similarity.EntryPlanes <= 30)
     assert(Similarity.EntryPlanes === 3 * Similarity.knnBandBits(1000L))
+    // adaptive BEAM budgets (the §6.2c recall fix): logarithmic in N
+    // through b. The 1×/10×/30× recall claims (beam mean 0.93/0.92/0.87
+    // at ef = 8b, rounds = 3b) were measured against exactly these
+    // formulas — a silent change here invalidates the recorded §6.2c
+    // rows. (The greedy walk keeps its fixed 32 hops by design: the
+    // single walker saturates — 0.115 → only 0.30 recall for 3.5× the
+    // hop budget at 10× — so it stays the minimal-latency arm.)
+    assert(Similarity.beamEf(2) === 16)
+    assert(Similarity.beamRounds(2) === 6)
+    assert(Similarity.beamEf(7) === 56 && Similarity.beamRounds(7) === 21)
+    assert(Similarity.beamEf(8) === 64 && Similarity.beamRounds(8) === 24)
   }
 
   test("kNN-graph build plan: bounded-broadcast scoring joins, narrow " +
