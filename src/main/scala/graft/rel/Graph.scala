@@ -168,6 +168,37 @@ object Graph {
     * side. Session-memoized via the catalog (the fixture corpus is
     * immutable); a stale on-disk directory from a dead session is swept
     * before the rewrite. */
+  /** Child session whose shuffle width is sized to a BUILD's dominant
+    * row volume (~500k rows/task — the `bandedKnnEdges` discipline,
+    * r15): the standing-graph corpus builds join/aggregate O(|E|) pair
+    * streams, and at 30× the session's SERVING width (32) starved
+    * per-task execution memory into multi-GB sort/aggregate spills
+    * (measured: 39 GB total across the adjacency builds in one bench
+    * warm-up). Every exchange planned in the returned session inherits
+    * the wide width; the bucketed WRITE still uses the caller's width,
+    * because bucket count = serving width is the zero-exchange
+    * iteration contract. At bench scale the max() keeps the build at
+    * the session width — a no-op. */
+  private def buildSession(spark: SparkSession, rows: Long): SparkSession = {
+    val width = math.max(spark.sessionState.conf.numShufflePartitions.toLong,
+      rows / 500000L).toInt
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // AQE coalescing sizes partitions by SHUFFLE BYTES and would merge
+    // the sized width right back (observed: 108 → 36 at 30×, and the
+    // spill returned) — but the width here provisions the aggregation
+    // and sort EXECUTION memory (collect_set lists, SMJ runs), which
+    // AQE's advisory byte target never sees. Pin the width for the
+    // build session; serving sessions keep AQE untouched.
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s
+  }
+
+  /** Co-purchase pair volume estimate from the lineitem footer count:
+    * orders average ~4 items, so ordered pairs ≈ 3·|lineitem|. */
+  private def coPairVolume(spark: SparkSession, dir: String): Long =
+    3L * Tables.lineitem(spark, dir).count()
+
   def ensureAdjacency(spark: SparkSession, dir: String): String = synchronized {
     val buckets = spark.sessionState.conf.numShufflePartitions
     val table = ("graft_pr_adj_" +
@@ -177,8 +208,9 @@ object Graph {
         spark.conf.get("spark.sql.warehouse.dir"), table)
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) fs.delete(loc, true): Unit
+      val bs = buildSession(spark, coPairVolume(spark, dir))
       graft.core.Bucketing.writeBucketed(
-        adjacencyOf(coPurchasePairs(Tables.lineitem(spark, dir))),
+        adjacencyOf(coPurchasePairs(Tables.lineitem(bs, dir))),
         table, "src", buckets)
     }
     table
@@ -817,7 +849,8 @@ object Graph {
         spark.conf.get("spark.sql.warehouse.dir"), table)
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) fs.delete(loc, true): Unit
-      val half = backboneEdges(Tables.lineitem(spark, dir), minSupport)
+      val bs = buildSession(spark, coPairVolume(spark, dir))
+      val half = backboneEdges(Tables.lineitem(bs, dir), minSupport)
       graft.core.Bucketing.writeBucketed(
         half.unionByName(
           half.select(col("dst").as("src"), col("src").as("dst"))),
@@ -1484,9 +1517,12 @@ object Graph {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_b" + buckets).toLowerCase
       val (tc, ts) = (stem + "_c", stem + "_s")
       if (!spark.catalog.tableExists(tc) || !spark.catalog.tableExists(ts)) {
-        val e = Tables.orders(spark, dir)
+        // pair volume here is |lineitem| (one (c,s) row per line item)
+        val bs = buildSession(spark,
+          Tables.lineitem(spark, dir).count())
+        val e = Tables.orders(bs, dir)
           .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"))
-          .join(Tables.lineitem(spark, dir)
+          .join(Tables.lineitem(bs, dir)
             .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")), Seq("ok"))
           .select(col("c"), col("s")).distinct()
           .localCheckpoint(eager = true)
@@ -1741,7 +1777,8 @@ object Graph {
         spark.conf.get("spark.sql.warehouse.dir"), table)
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) fs.delete(loc, true): Unit
-      val adj = weightedCoPurchaseEdges(Tables.lineitem(spark, dir))
+      val bs = buildSession(spark, coPairVolume(spark, dir))
+      val adj = weightedCoPurchaseEdges(Tables.lineitem(bs, dir))
         .groupBy(col("src"))
         .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
           sum(col("w")).as("wsum"))
