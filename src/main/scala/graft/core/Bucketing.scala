@@ -14,10 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed managed table (overwriting). */
+  /** Persist `df` as a bucketed managed table (overwriting). The input
+    * is repartitioned to the BUCKET layout first: the bucketed writer
+    * emits one file per (write task × bucket), so a build plan running
+    * at a volume-sized width (e.g. the 30× adjacency builds, or any
+    * plan with AQE coalescing off) would otherwise scatter each bucket
+    * across every task's file — measured: 1,992 files for a 32-bucket
+    * backbone table, +1–2 s of scan overhead on EVERY consumer. After
+    * the repartition each task holds exactly one bucket's rows (hash
+    * repartitioning and bucket assignment share the same
+    * HashPartitioning id function), so the table is exactly `buckets`
+    * files regardless of how wide the build ran. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
