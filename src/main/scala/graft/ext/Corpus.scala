@@ -1097,7 +1097,20 @@ object Corpus {
     val tagged = docs.select(col("doc_id"), col("source"))
       .join(counts, Seq("source"))
     val under = tagged.where(col("n") <= cap)
-    val capped = tagged.where(col("n") > cap)
+    // bottom-cap per source WITHOUT the fat-key window (the
+    // kmvIntersectFromFp discipline): bottom-k by a pure order
+    // statistic commutes with cell-union, so the salted pre-stage
+    // bounds every sort task at |source|/cells rows and the final
+    // ranking sees ≤ cells·cap rows per source — identical output,
+    // oracle untouched
+    val cells = 64
+    val pre = tagged.where(col("n") > cap)
+      .withColumn("cell", pmod(hash(col("doc_id")), lit(cells)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"), col("cell"))
+          .orderBy(h, col("doc_id"))))
+      .where(col("rk") <= cap).drop("rk", "cell")
+    val capped = pre
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
       .where(col("rk") <= cap)

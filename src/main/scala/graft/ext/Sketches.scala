@@ -316,8 +316,22 @@ object Sketches {
   private def kmvIntersectFromFp(shFp: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shFp.persist()
+    // Per-source bottom-k WITHOUT the fat-key window: `source` is a
+    // low-cardinality key, so a direct partitionBy(source) sorts each
+    // source's whole distinct-fingerprint relation in ONE task — the
+    // shape that dies at 100 TB. Bottom-k commutes with cell-union
+    // (min-k of per-cell min-ks = global min-k, exactly), so a salted
+    // pre-stage bounds every sort task at |source|/cells rows and the
+    // final window ranks ≤ cells·k rows per source — bounded state,
+    // identical output, oracle untouched.
+    val cells = 64
     val w = Window.partitionBy(col("source")).orderBy(col("fp"))
-    val sk = sh.withColumn("rn", row_number().over(w))
+    val pre = sh
+      .withColumn("cell", pmod(hash(col("fp")), lit(cells)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("cell")).orderBy(col("fp"))))
+      .filter(col("rn") <= k).select(col("source"), col("fp"))
+    val sk = pre.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select(col("source"), col("fp"))
       .persist()
     val srcs = sk.select(col("source")).distinct()
