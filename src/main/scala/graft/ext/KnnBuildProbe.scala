@@ -62,8 +62,10 @@ object KnnBuildProbe {
       // remove the cold-build parquet litter the probe created
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds a directory handle until closed
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 }

@@ -1452,7 +1452,7 @@ object Similarity {
     val g = spark.read.parquet(ensureKnnGraph(spark, dir, graphK))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    greedyWalkRanked(g, emb, qId, k, hops)
+    greedyWalkRanked(g, emb, dir, qId, k, hops)
   }
 
   /** Incremental graph-index maintenance — the HNSW insert applied to
@@ -1492,7 +1492,8 @@ object Similarity {
       e0).localCheckpoint(eager = true)
     // standing graph holds only standing↔standing edges, inserts only
     // batch↔standing — disjoint by construction, no distinct needed
-    greedyWalkRanked(standingGraph.unionByName(inserted), e0, qId, k, hops)
+    greedyWalkRanked(standingGraph.unionByName(inserted), e0, dir, qId, k,
+      hops)
   }
 
   def graphIncrementalSearchSql(qId: Long, k: Int, graphK: Int = 8,
@@ -1553,6 +1554,50 @@ object Similarity {
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim,
         EntryPlanes))
 
+  /** Standing ENTRY index for the graph-serving walks: (vec_id, v)
+    * DIRECTORY-PARTITIONED by the fixed [[EntryPlanes]]-bit entry cell
+    * (the `ensureMipsIndex` layout). Before this artifact existed the
+    * serving walks hashed and scanned the WHOLE embeddings relation
+    * per query to find the entry point — at 100 TB a full corpus pass
+    * per ANN lookup, defeating the memoized graph's purpose. With the
+    * partitioned layout the query's `cell = qCell` literal rides
+    * PartitionFilters, so the probe opens 1/2^[[EntryPlanes]] of the
+    * corpus directories and the serving call touches O(cell + walk)
+    * data. Build is one narrow map + the partitioned write, memoized
+    * once per corpus beside the graph itself. */
+  private[ext] def ensureEntryIndex(spark: SparkSession, dir: String)
+      : String =
+    graft.core.ParquetMemo.ensurePartitioned(
+        s"$dir/embeddings.parquet", s"knnentry_p$EntryPlanes", "v1",
+        Seq("cell")) {
+      val e0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val dim = e0.select(size(col("v"))).head().getInt(0)
+      // one output file per cell directory (the Bucketing.scala:28
+      // lesson): cluster rows by the partition column before the
+      // partitioned write so a 32-task build doesn't emit
+      // tasks×cells files
+      entryCells(e0, dim).repartition(col("cell"))
+    }
+
+  /** The query's entry cell computed DRIVER-SIDE from the portable md5
+    * plane matrix — the `mipsIndexedTopK` precedent: same strict
+    * left-to-right double fold and `>= 0` sign decision as the
+    * SignBitLsh kernel that built the index, so the cell literal is
+    * bit-identical to what the Spark expression would produce, without
+    * touching the corpus. EntryPlanes·dim doubles: bounded metadata. */
+  private[ext] def entryCellOf(qv: Array[Double]): Int = {
+    val planes =
+      graft.functions.SignBitLsh.md5PlaneMatrix(qv.length, EntryPlanes)
+    var cell = 0
+    planes.zipWithIndex.foreach { case (plane, p) =>
+      var s = 0.0; var i = 0
+      while (i < plane.length) { s += qv(i) * plane(i); i += 1 }
+      if (s >= 0) cell |= 1 << p
+    }
+    cell
+  }
+
   /** Entry point for the serving walks: the BEST-COSINE member of the
     * query's entry cell (the IVF probe applied as the HNSW warm
     * start), falling back to the global min id when the cell has no
@@ -1561,27 +1606,37 @@ object Similarity {
     * not recover the distance — measured recall@10 collapsed 0.41 →
     * 0.12 (greedy) / 0.50 → 0.09 (beam) from 1× to 10×; the argmax
     * entry puts the walker inside the answer's neighborhood before the
-    * first hop at any N. Cost shape is the IVF probe's: cosines for
-    * the ONE probed cell (corpus/2^EntryPlanes rows), rank-only
-    * selection, and the cells scan was already corpus-wide. */
-  private def walkEntry(cells: DataFrame, qId: Long, qCell: Int,
-      qv: Array[Double]): Long = {
+    * first hop at any N. Cost shape: the probe reads ONLY the query's
+    * cell directory of the standing [[ensureEntryIndex]] artifact
+    * (PartitionFilters — asserted in SimilaritySpec), i.e.
+    * corpus/2^[[EntryPlanes]] rows; the min-id fallback scans just the
+    * vec_id column and only when the probed cell is empty of
+    * finite-cosine members. */
+  private def walkEntry(spark: SparkSession, dir: String, qId: Long,
+      qCell: Int, qv: Array[Double]): Long = {
+    val idx = spark.read.parquet(ensureEntryIndex(spark, dir))
     val qLit = array(qv.map(lit): _*)
-    val best = cells
-      .filter(col("vec_id") =!= qId && col("cell") === qCell)
-      .select(col("vec_id"), cosine(col("v"), qLit).as("cos"))
-      .filter(!isnan(col("cos")))
-      .orderBy(col("cos").desc, col("vec_id")).limit(1)
-      .collect()
+    val best = entryProbePlan(idx, qId, qCell, qLit).collect()
     if (best.nonEmpty) best(0).getLong(0)
-    else cells.filter(col("vec_id") =!= qId)
+    else idx.filter(col("vec_id") =!= qId)
       .agg(min(col("vec_id"))).head().getLong(0)
   }
 
+  /** The entry probe's plan, factored out so SimilaritySpec can assert
+    * the `cell = qCell` literal lands in PartitionFilters. */
+  private[ext] def entryProbePlan(idx: DataFrame, qId: Long, qCell: Int,
+      qLit: Column): DataFrame =
+    idx.filter(col("vec_id") =!= qId && col("cell") === qCell)
+      .select(col("vec_id"), cosine(col("v"), qLit).as("cos"))
+      .filter(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(1)
+
   /** The serving walk over an explicit (src, dst, dvec) graph — shared
-    * by the full-graph and incremental declared paths. */
-  private def greedyWalkRanked(g: DataFrame, emb: DataFrame, qId: Long,
-      k: Int, hops: Int): DataFrame = {
+    * by the full-graph and incremental declared paths. `dir` feeds the
+    * standing entry index; the corpus relation itself is touched only
+    * for the query/entry vectors (single-row lookups). */
+  private def greedyWalkRanked(g: DataFrame, emb: DataFrame, dir: String,
+      qId: Long, k: Int, hops: Int): DataFrame = {
     val spark = emb.sparkSession
     def vecOf(id: Long): Array[Double] =
       emb.filter(col("vec_id") === id).head().getSeq[Double](1).toArray
@@ -1593,9 +1648,7 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
-    val cells = entryCells(emb, qv.length)
-    val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
-    val entry = walkEntry(cells, qId, qCell, qv)
+    val entry = walkEntry(spark, dir, qId, entryCellOf(qv), qv)
     val visited = scala.collection.mutable.LinkedHashMap(
       entry -> cosQ(vecOf(entry)))
     var cur = entry
@@ -1658,10 +1711,10 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
-    // fixed-geometry best-cosine entry cell — see walkEntry/EntryPlanes
-    val cells = entryCells(emb, qv.length)
-    val qCell = cells.filter(col("vec_id") === qId).head().getInt(2)
-    val entry = walkEntry(cells, qId, qCell, qv)
+    // fixed-geometry best-cosine entry cell — see walkEntry/EntryPlanes;
+    // the cell is computed driver-side and probed through the standing
+    // partitioned entry index, never by scanning the corpus
+    val entry = walkEntry(spark, dir, qId, entryCellOf(qv), qv)
     val visited = scala.collection.mutable.LinkedHashMap(
       entry -> cosQ(vecOf(entry)))
     var beam = Vector(entry)
