@@ -51,6 +51,15 @@ object Bench {
   def warmStandingState(spark: SparkSession, sfDir: String): Unit = {
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // Floor-probe warm-up belongs HERE, not just before the first
+      // measured batch: the probe's generated class is compiled by the
+      // same C2 queue the standing-table builds flood, so warm
+      // executions taken immediately before measurement can all ride
+      // the ramp (r16: floors[0] = 0.40 — 3× steady — despite 8
+      // back-to-back warm executions). Enqueue the probe FIRST and let
+      // the minutes of standing builds absorb its compile, so the
+      // pre-sweep measureFloor(8) is a warm re-touch, not the ramp.
+      (1 to 6).foreach(_ => floorProbeOnce(spark, sfDir))
       SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // offline index build (IVF "add to index" step): done once per
@@ -122,6 +131,19 @@ object Bench {
     catch { case _: Throwable => () }
   }
 
+  /** One harness-floor probe execution: scan + one shuffle + count over
+    * the 5-row region table — the fixed per-query cost at this
+    * parallelism, a pure function of machine load. Shared by the
+    * warm-up (so the probe's generated class compiles during the
+    * standing builds) and the measured batches. */
+  private[graft] def floorProbeOnce(spark: SparkSession,
+      sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Durable-map routing (spec-gated in BenchLocalGuardSpec): a scoped
     * run must never write the canonical full-coverage file. */
   private[graft] def benchMapFile(scoped: Boolean): String =
@@ -154,12 +176,17 @@ object Bench {
     // scheduling + tiny-file scan + one shuffle over a 5-row table. A
     // pure function of machine load (no plan can regress it), so it
     // doubles as the ambient-load sentinel's probe.
+    // floorCurve keeps every RAW probe execution in measurement order —
+    // the artifact-level evidence that separates a JIT ramp (monotone
+    // decline within the first batch) from ambient load (random or
+    // sustained elevation anywhere): a flagged median can be adjudicated
+    // from the artifact alone instead of re-running the machine.
+    val floorCurve = scala.collection.mutable.ArrayBuffer.empty[Double]
     def measureFloor(n: Int): Double = {
       val ts = (1 to n).map { _ =>
-        val t0 = System.nanoTime()
-        spark.read.parquet(s"$sfDir/region.parquet")
-          .groupBy("r_name").count().count()
-        (System.nanoTime() - t0) / 1e9
+        val t = floorProbeOnce(spark, sfDir)
+        floorCurve += t
+        t
       }.sorted
       ts(ts.length / 2)
     }
@@ -322,6 +349,8 @@ object Bench {
     // per-query seconds (most of which fit), with the bulky deterministic
     // shuffle map first where truncation costs nothing new.
     val floorsJson = floors.map(num("%.4f", _)).mkString("[", ",", "]")
+    val floorCurveJson =
+      floorCurve.map(num("%.4f", _)).mkString("[", ",", "]")
     // Provenance marker for tools/check_bench_local.py: the builder's
     // canonical quiet-machine sweeps export
     // SPARK_GRAFT_BENCH_PROVENANCE=builder-clean; a driver-side or ad-hoc
@@ -329,7 +358,7 @@ object Bench {
     // committed canonical map (the r14 working-tree-overwrite nit).
     val provenance = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE",
       "unmarked")
-    val line = s"""{"metric":"total","unit":"sec","provenance":"$provenance","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the GLOBAL minimum floor (retrospective re-judgment; only the leading pre-sweep-1 floor is exempt as JIT warm-up) even after re-runs","shuffle_write_mb":$sh,"wall_class":$wcJson,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"salvaged_sweeps":$salvaged,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","provenance":"$provenance","runs":$runs,"runs_note":"per-query seconds are the median of $runs runs","sf":"$sfDir","floor_note":"median of 5 runs of scan+shuffle+count on the 5-row region table; the fixed per-query harness cost at this parallelism","sentinel_note":"floors = per-sweep bounding floor measurements + the final median-of-5; contaminated = an accepted sweep was bounded by a floor >25% above the GLOBAL minimum floor (retrospective re-judgment; only the leading pre-sweep-1 floor is exempt as JIT warm-up) even after re-runs","floor_curve_note":"every raw floor-probe execution in measurement order (warm-up executions excluded): a flagged floor median can be adjudicated as JIT ramp vs ambient load from the artifact alone","floor_curve":$floorCurveJson,"shuffle_write_mb":$sh,"wall_class":$wcJson,"queries":$qs,"spill_mb_total":$totalSpillMb,"floors":$floorsJson,"contaminated":$contaminated,"salvaged_sweeps":$salvaged,"floor_sec":$floor,"total_minus_floor":$totalMinusFloor,"value":$total,"total":$total}"""
     println(line)
     // durable copy: the full untruncated line, committed per round so
     // per-query seconds are always recoverable from the repo itself.

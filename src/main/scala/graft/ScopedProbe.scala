@@ -65,6 +65,18 @@ object ScopedProbe {
       dt
     }
     val steady = walls.takeRight(math.min(3, n)).min
+    // The probe's OWN harness floor, measured in the same JVM right
+    // after the runs: walls are floor + work, and the floor is a pure
+    // function of machine load that drifts between rounds (r16: 0.115
+    // → 0.149 s between the r15 and r16 clean maps — enough to push a
+    // flat 0.45 s query past a 10% wall threshold with zero code
+    // change). Publishing it lets adjudicate_bench judge WORK against
+    // work instead of wall against wall.
+    val floor = {
+      val fs = (1 to 5).map(_ => Bench.floorProbeOnce(spark, sfDir)).sorted
+      fs(fs.length / 2)
+    }
+    println(f"probe floor: $floor%.3f s (median of 5)")
     println(f"$name: cold=${walls.head}%.3f s, steady(min of last 3)=" +
       f"$steady%.3f s over $n runs")
     spark.stop()

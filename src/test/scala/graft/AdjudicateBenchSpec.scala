@@ -242,4 +242,42 @@ class AdjudicateBenchSpec extends AnyFunSuite {
     val art2 = new String(Files.readAllBytes(probeOut2), "UTF-8")
     assert(art2.contains("\"verdict\": \"code_regression\""), art2)
   }
+
+  test("probe verdict judges WORK against work when floors are known: " +
+      "a floor drift that pushes a flat wall past 10% is environment, " +
+      "not code (the r16 entity_matches false positive)") {
+    val dir = Files.createTempDirectory("adjbench")
+    // the r16 shape, numerically: baseline wall 0.419 at floor 0.115;
+    // sweep wall 0.608 (1.45x, flagged); probe steady 0.471 at probe
+    // floor 0.149 — raw rule reads 0.471 > 0.419*1.10 = regression,
+    // but work 0.322 vs 0.304*1.10 = 0.334 is parity.
+    val base = write(dir, "baseline.json", mapJson(
+      baseWalls + ("em" -> 0.419), baseShuffle + ("em" -> 3.0),
+      contaminated = false, floorSec = Some(0.115)))
+    val cand = write(dir, "cand.json", mapJson(
+      baseWalls + ("em" -> 0.608), baseShuffle + ("em" -> 3.0),
+      contaminated = false, floorSec = Some(0.149)))
+    val fake = "printf 'run  1:   1.843 s  gc=   39 ms\\n" +
+      "run  2:   0.482 s  gc=    0 ms\\nrun  3:   0.472 s  gc=    0 ms\\n" +
+      "run  4:   0.471 s  gc=    0 ms\\nprobe floor: 0.149 s\\n'"
+    val probeOut = dir.resolve("probe.json")
+    val (rc, out) = run2(cand, base, minN = 3, extra = Seq(
+      "--probe", "--probe-cmd", fake, "--probe-out", probeOut.toString))
+    assert(rc === 0, out)
+    val art = new String(Files.readAllBytes(probeOut), "UTF-8")
+    assert(art.contains("\"probe_floor\": 0.149"), art)
+    assert(art.contains("\"steady_work\": 0.322"), art)
+    assert(art.contains("\"verdict\": \"environment_or_jit\""), art)
+    // a REAL regression does not hide behind the floor: steady 0.60 at
+    // the same probe floor is work 0.451 > 0.334 -> code_regression
+    val fakeSlow = "printf 'run  1:   1.843 s  gc=   39 ms\\n" +
+      "run  2:   0.610 s  gc=    0 ms\\nrun  3:   0.605 s  gc=    0 ms\\n" +
+      "run  4:   0.600 s  gc=    0 ms\\nprobe floor: 0.149 s\\n'"
+    val probeOut2 = dir.resolve("probe2.json")
+    val (rc2, out2) = run2(cand, base, minN = 3, extra = Seq(
+      "--probe", "--probe-cmd", fakeSlow, "--probe-out", probeOut2.toString))
+    assert(rc2 === 0, out2)
+    val art2 = new String(Files.readAllBytes(probeOut2), "UTF-8")
+    assert(art2.contains("\"verdict\": \"code_regression\""), art2)
+  }
 }

@@ -156,7 +156,9 @@ def drift_verdict(med, n, cand, base, threshold):
     """Single typed uniform-drift verdict (see constants above)."""
     fr = None
     cf, bf = cand.get("floor_sec"), base.get("floor_sec")
-    if cf and bf:
+    # explicit None check: a 0.0 candidate floor is real data, not
+    # missing — truthiness would misclassify it as unexplained_drift
+    if cf is not None and bf:
         fr = cf / bf
     cs, bs = cand.get("spill_mb_total"), base.get("spill_mb_total")
     spill_ok = cs is None or bs is None or cs <= bs + DRIFT_SPILL_TOL_MB
@@ -183,6 +185,7 @@ def drift_verdict(med, n, cand, base, threshold):
 
 PROBE_RUN_RE = re.compile(
     r"run\s+(\d+):\s+([0-9.]+)\s+s\s+gc=\s*(\d+)\s+ms")
+PROBE_FLOOR_RE = re.compile(r"probe floor:\s+([0-9.]+)\s+s")
 
 
 def run_probe(q, args, sf_dir):
@@ -212,9 +215,13 @@ def run_probe(q, args, sf_dir):
                 "stderr_tail": proc.stderr.strip().splitlines()[-3:]}
     walls = [w for w, _ in runs]
     steady = min(walls[-min(3, len(walls)):])
-    return {"query": q, "walls": walls, "gc_ms": [g for _, g in runs],
-            "cold": walls[0], "steady": steady,
-            "gc_max_ms": max(g for _, g in runs)}
+    out = {"query": q, "walls": walls, "gc_ms": [g for _, g in runs],
+           "cold": walls[0], "steady": steady,
+           "gc_max_ms": max(g for _, g in runs)}
+    floor = PROBE_FLOOR_RE.search(proc.stdout)
+    if floor:
+        out["probe_floor"] = float(floor.group(1))
+    return out
 
 
 def main():
@@ -290,15 +297,33 @@ def main():
             r["candidate_wall"] = cq[q]
             r["ratio"] = round(cq[q] / bq[q], 3)
             if "steady" in r:
-                # steady state at-or-below ~1.1x baseline: the whole
-                # increase was warm-up sampling / environment, not code
-                r["verdict"] = ("environment_or_jit"
-                                if r["steady"] <= bq[q] * 1.10
-                                else "code_regression")
+                # Judge WORK against work when both floors are known:
+                # wall = harness floor + work, and the floor is a pure
+                # machine-load term that drifts between rounds (r16:
+                # 0.115 -> 0.149 s between consecutive clean maps, which
+                # alone pushed a flat 0.45 s query past a 10% wall
+                # threshold and minted the tool's only false
+                # code_regression). The probe publishes its own floor
+                # (same JVM, right after the runs); the baseline map
+                # self-measured its floor at sweep time.
+                pf, blf = r.get("probe_floor"), base.get("floor_sec")
+                if pf is not None and blf is not None:
+                    work = max(r["steady"] - pf, 0.0)
+                    base_work = max(bq[q] - blf, 1e-6)
+                    r["steady_work"] = round(work, 4)
+                    r["baseline_work"] = round(base_work, 4)
+                    r["verdict"] = ("environment_or_jit"
+                                    if work <= base_work * 1.10
+                                    else "code_regression")
+                else:
+                    # floor-less probe output (old build): raw wall rule
+                    r["verdict"] = ("environment_or_jit"
+                                    if r["steady"] <= bq[q] * 1.10
+                                    else "code_regression")
                 print(f"[adjudicate] PROBE {q}: cold={r['cold']:.3f}s "
                       f"steady={r['steady']:.3f}s (baseline {bq[q]:.3f}s, "
-                      f"sweep {cq[q]:.3f}s) gc_max={r['gc_max_ms']}ms -> "
-                      f"{r['verdict']}")
+                      f"sweep {cq[q]:.3f}s) gc_max={r['gc_max_ms']}ms "
+                      f"floor={r.get('probe_floor')} -> {r['verdict']}")
             else:
                 print(f"[adjudicate] PROBE {q}: FAILED ({r.get('error')})",
                       file=sys.stderr)
