@@ -69,15 +69,23 @@ object Sketches {
     // whole-stage-codegen map over a filter LITERAL (the expression
     // requires a foldable filter side), no per-row Scala udf.
     val numBits = BloomFilter.optimalNumOfBits(math.max(nEval, 1L), fpp)
-    val bloomBin = evalGrams.agg(ColumnBridge.column(
-        new BloomFilterAggregate(
-          new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
-          Literal(math.max(nEval, 1L)), Literal(numBits))
-          .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    def mightContain(g: Column): Column = ColumnBridge.column(
-      BloomFilterMightContain(Literal(bloomBin, BinaryType),
-        new XxHash64(Seq(ColumnBridge.expression(g)))))
+    // Over ZERO eval grams the aggregate returns a null binary and the
+    // probe would yield null per row; an empty filter contains nothing,
+    // so the probe short-circuits to a false literal.
+    val bloomBinOpt: Option[Array[Byte]] =
+      if (nEval == 0L) None
+      else Option(evalGrams.agg(ColumnBridge.column(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
+            Literal(math.max(nEval, 1L)), Literal(numBits))
+            .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]]("bf"))
+    def mightContain(g: Column): Column = bloomBinOpt match {
+      case Some(bloomBin) => ColumnBridge.column(
+        BloomFilterMightContain(Literal(bloomBin, BinaryType),
+          new XxHash64(Seq(ColumnBridge.expression(g)))))
+      case None => lit(false)
+    }
     val train = grams(docs.filter(col("source") =!= evalSource))
     val flags = train
       .join(evalGrams.withColumn("in_eval", lit(1)), Seq("gram"), "left")
