@@ -953,7 +953,7 @@ object Graph {
     * a larger budget (the failure mode is a loud require, never a
     * silent wrong answer). */
   private def fbFixpoint(e: DataFrame, verts: DataFrame,
-      maxIters: Int): DataFrame = {
+      maxIters: Int): (DataFrame, Long) = {
     val sentinel = Long.MaxValue
     // ONE tagged message relation instead of separate forward/backward
     // joins: a forward message reads f at the edge's source and lands
@@ -982,7 +982,7 @@ object Graph {
     // shouldn't mine)
     if (lbl.isEmpty) {
       msgs0.unpersist()
-      return lbl.select(col("v"), col("f"), col("b"))
+      return (lbl.select(col("v"), col("f"), col("b")), 0L)
     }
     try {
       var iter = 0
@@ -994,47 +994,63 @@ object Graph {
       // the first superstep marks everyone changed, so every initial
       // label is delivered once. Each superstep's groupBy therefore
       // exchanges O(V + 2·E_active) rows instead of O(V + 2|E|), and
-      // the frontier decays geometrically once labels stabilize — the
-      // lever the unroll A/B pointed at (superstep WORK, not driver
-      // job count: a 2-step unrolled variant with one materializing
-      // action per two supersteps measured SLOWER at sf0.1, steady
-      // 5.40 s vs 4.52 s, because it paid full-width supersteps to
-      // witness convergence at block ends). Convergence detection is
-      // the frontier count itself — an empty frontier IS the fixpoint
-      // witness (replaces the r13 Σf/Σb DECIMAL checksum pair), and
-      // the count is the one materializing action per superstep.
+      // the frontier decays geometrically once labels stabilize.
+      // Convergence detection is the frontier count itself — an empty
+      // frontier IS the fixpoint witness (replaces the r13 Σf/Σb
+      // DECIMAL checksum pair), and
+      // the count is the one materializing action per BLOCK: supersteps
+      // run in blocks of 2 between convergence checks. A 2-step unroll
+      // was measured SLOWER under full-width messaging (steady 5.40 s
+      // vs 4.52 s at sf0.1 — overshoot supersteps cost the whole 2|E|
+      // join), but DELTA messaging flips that trade: the one overshoot
+      // superstep a block boundary can add runs on an EMPTY frontier
+      // (no messages, every label unchanged), so its cost is the V-row
+      // agg alone while the block halves driver materializing actions
+      // — at cluster scale, half the DAG-scheduler round-trips for the
+      // same exchange volume. The survivor count rides the same
+      // aggregate (f <> b over the current labels), so the caller's
+      // per-peel survivors.count() job disappears too.
+      var survivors = -1L
       while (iter < maxIters && !converged) {
-        val active = lbl.filter(col("changed"))
-          .select(col("v").as("key"), col("f"), col("b"))
-        val msgs = msgs0.join(active, Seq("key"))
-          .select(col("out").as("v"),
-            when(col("isf"), col("f")).otherwise(sentinel).as("f"),
-            when(col("isf"), lit(sentinel)).otherwise(col("b")).as("b"))
-        // old rows tagged so the same min-agg yields both the new
-        // label and the pre-superstep label — `changed` costs no
-        // second join and no second exchange
-        lbl = lbl
-          .select(col("v"), col("f"), col("b"), lit(true).as("isold"))
-          .unionByName(msgs.withColumn("isold", lit(false)))
-          .groupBy(col("v"))
-          .agg(min(col("f")).as("f"), min(col("b")).as("b"),
-            min(when(col("isold"), col("f"))).as("oldf"),
-            min(when(col("isold"), col("b"))).as("oldb"))
-          .select(col("v"), col("f"), col("b"),
-            (col("f") < col("oldf") || col("b") < col("oldb"))
-              .as("changed"))
-          .localCheckpoint(eager = false)
-        val nChanged = lbl.agg(
-          sum(when(col("changed"), 1L).otherwise(0L))).head().getLong(0)
+        var sub = 0
+        while (sub < 2 && iter < maxIters) {
+          val active = lbl.filter(col("changed"))
+            .select(col("v").as("key"), col("f"), col("b"))
+          val msgs = msgs0.join(active, Seq("key"))
+            .select(col("out").as("v"),
+              when(col("isf"), col("f")).otherwise(sentinel).as("f"),
+              when(col("isf"), lit(sentinel)).otherwise(col("b")).as("b"))
+          // old rows tagged so the same min-agg yields both the new
+          // label and the pre-superstep label — `changed` costs no
+          // second join and no second exchange
+          lbl = lbl
+            .select(col("v"), col("f"), col("b"), lit(true).as("isold"))
+            .unionByName(msgs.withColumn("isold", lit(false)))
+            .groupBy(col("v"))
+            .agg(min(col("f")).as("f"), min(col("b")).as("b"),
+              min(when(col("isold"), col("f"))).as("oldf"),
+              min(when(col("isold"), col("b"))).as("oldb"))
+            .select(col("v"), col("f"), col("b"),
+              (col("f") < col("oldf") || col("b") < col("oldb"))
+                .as("changed"))
+            .localCheckpoint(eager = false)
+          sub += 1
+          iter += 1
+        }
+        val r = lbl.agg(
+          sum(when(col("changed"), 1L).otherwise(0L)),
+          sum(when(col("f") =!= col("b"), 1L).otherwise(0L))).head()
+        val nChanged = r.getLong(0)
+        survivors = r.getLong(1)
         converged = nChanged == 0L
-        iter += 1
         if (sys.env.contains("SPARK_GRAFT_SCC_TRACE"))
-          println(s"scc superstep $iter: frontier=$nChanged")
+          println(s"scc block end $iter: frontier=$nChanged " +
+            s"survivors=$survivors")
       }
       require(converged, s"FW-BW fixpoint did not converge in $maxIters")
       if (sys.env.contains("SPARK_GRAFT_SCC_TRACE"))
         println(s"scc fixpoint: $iter supersteps")
-      lbl.select(col("v"), col("f"), col("b"))
+      (lbl.select(col("v"), col("f"), col("b")), survivors)
     } finally msgs0.unpersist(): Unit
   }
 
@@ -1062,6 +1078,20 @@ object Graph {
     var remaining = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .distinct().localCheckpoint(true)
+    // Toy-scale wall anatomy, measured so nobody re-chases it: at
+    // sf0.1 (5k vertices) a StageProbe run summed all stages to ~1.5 s
+    // of a ~9 s wall — the rest is DRIVER coordination (AQE
+    // materializing each superstep exchange/broadcast as its own async
+    // query stage). Two levers were A/B'd in-window and REJECTED:
+    // volume-sizing the fixpoint width down via a child session
+    // (steady 5.1→7.6 s — single-partition supersteps serialize
+    // execution without cutting the coordination), and disabling AQE
+    // in that session (6.5–6.8 s vs 4.9–5.3 baseline — AQE's
+    // broadcast/coalesce decisions earn their round-trips even at this
+    // size). The remaining per-superstep fixed cost is irreducible
+    // without fusing supersteps into one job, which the convergence
+    // witness forbids; at corpus scale the wall is data-bound and none
+    // of this matters.
     // empty seed fixes both degenerate-input reduce and result schema
     val assigned = scala.collection.mutable.ArrayBuffer[DataFrame](
       edges.sparkSession.range(0)
@@ -1070,17 +1100,16 @@ object Graph {
     var nRemaining = remaining.count()
     while (peel < maxPeels && nRemaining > 0) {
       // the fixpoint's own convergence action materialized `lab`'s
-      // lineage tail; one count on the survivor filter drives both the
-      // loop decision and whether the edge rebuild is worth planning
-      val lab = fbFixpoint(e, remaining, maxIters)
+      // lineage tail AND counted the survivors (f <> b rode the same
+      // aggregate) — no per-peel count job
+      val (lab, nSurv) = fbFixpoint(e, remaining, maxIters)
       assigned += lab.filter(col("f") === col("b"))
         .select(col("v"), col("f").as("scc_id"))
-      val survivors = lab.filter(col("f") =!= col("b"))
-      nRemaining = survivors.count()
+      nRemaining = nSurv
       if (sys.env.contains("SPARK_GRAFT_SCC_TRACE"))
         println(s"scc peel $peel: survivors=$nRemaining")
       if (nRemaining > 0) {
-        remaining = survivors.select(col("v"))
+        remaining = lab.filter(col("f") =!= col("b")).select(col("v"))
         // keep only intra-class edges between SURVIVORS: retired
         // vertices have f = b, so the sf <> sb guard drops their
         // incident edges in the same pass as the class filter
