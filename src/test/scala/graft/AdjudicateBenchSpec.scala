@@ -279,5 +279,39 @@ class AdjudicateBenchSpec extends AnyFunSuite {
     assert(rc2 === 0, out2)
     val art2 = new String(Files.readAllBytes(probeOut2), "UTF-8")
     assert(art2.contains("\"verdict\": \"code_regression\""), art2)
+    // slow in BOTH windows: the automatic retry is not a pardon
+    assert(art2.contains("\"retried\": true"), art2)
+  }
+
+  test("a code_regression verdict earns one retry in a fresh window: " +
+      "an ambient-inflated first curve is replaced by the quieter " +
+      "second (min-statistic), and the swap is recorded") {
+    val dir = Files.createTempDirectory("adjbench")
+    val base = write(dir, "baseline.json", mapJson(
+      baseWalls + ("em" -> 0.419), baseShuffle + ("em" -> 3.0),
+      contaminated = false, floorSec = Some(0.115)))
+    val cand = write(dir, "cand.json", mapJson(
+      baseWalls + ("em" -> 0.608), baseShuffle + ("em" -> 3.0),
+      contaminated = false, floorSec = Some(0.149)))
+    // stateful fake: the first window reads slow (work 0.451 ->
+    // regression), the second — after the marker lands — reads the
+    // quiet curve (work 0.322 -> environment)
+    val marker = dir.resolve("window2.marker")
+    val slow = "run  1:   1.843 s  gc=  781 ms\\n" +
+      "run  2:   0.610 s  gc=    0 ms\\nrun  3:   0.605 s  gc=    0 ms\\n" +
+      "run  4:   0.600 s  gc=    0 ms\\nprobe floor: 0.149 s\\n"
+    val fast = "run  1:   0.900 s  gc=    0 ms\\n" +
+      "run  2:   0.482 s  gc=    0 ms\\nrun  3:   0.472 s  gc=    0 ms\\n" +
+      "run  4:   0.471 s  gc=    0 ms\\nprobe floor: 0.149 s\\n"
+    val fake = s"if [ -f $marker ]; then printf '$fast'; " +
+      s"else touch $marker; printf '$slow'; fi"
+    val probeOut = dir.resolve("probe.json")
+    val (rc, out) = run2(cand, base, minN = 3, extra = Seq(
+      "--probe", "--probe-cmd", fake, "--probe-out", probeOut.toString))
+    assert(rc === 0, out)
+    val art = new String(Files.readAllBytes(probeOut), "UTF-8")
+    assert(art.contains("\"verdict\": \"environment_or_jit\""), art)
+    assert(art.contains("\"retried\": true"), art)
+    assert(art.contains("\"first_attempt_steady\": 0.6"), art)
   }
 }

@@ -290,40 +290,65 @@ def main():
             and shuffle_identical_q(q, csh.get(q), bsh.get(q))
             and cq[q] / bq[q] > args.probe_threshold]
         sf_dir = cand.get("sf") or base.get("sf") or "/root/testdata/sf0.1"
+
+        def judge(r, q):
+            """Attach the typed verdict to a parsed probe curve."""
+            if "steady" not in r:
+                return r
+            # Judge WORK against work when both floors are known:
+            # wall = harness floor + work, and the floor is a pure
+            # machine-load term that drifts between rounds (r16:
+            # 0.115 -> 0.149 s between consecutive clean maps, which
+            # alone pushed a flat 0.45 s query past a 10% wall
+            # threshold and minted the tool's only false
+            # code_regression). The probe publishes its own floor
+            # (same JVM, right after the runs); the baseline map
+            # self-measured its floor at sweep time.
+            pf, blf = r.get("probe_floor"), base.get("floor_sec")
+            if pf is not None and blf is not None:
+                work = max(r["steady"] - pf, 0.0)
+                base_work = max(bq[q] - blf, 1e-6)
+                r["steady_work"] = round(work, 4)
+                r["baseline_work"] = round(base_work, 4)
+                r["verdict"] = ("environment_or_jit"
+                                if work <= base_work * 1.10
+                                else "code_regression")
+            else:
+                # floor-less probe output (old build): raw wall rule
+                r["verdict"] = ("environment_or_jit"
+                                if r["steady"] <= bq[q] * 1.10
+                                else "code_regression")
+            return r
+
         results = []
         for q in flagged:
-            r = run_probe(q, args, sf_dir)
+            r = judge(run_probe(q, args, sf_dir), q)
+            # A code_regression verdict earns ONE retry in a fresh
+            # window: steady wall is a MIN-statistic, so ambient load
+            # can only inflate it — a second curve at-or-below the
+            # first is strictly better evidence, and a regression that
+            # is real will read slow in both windows. (Observed: a
+            # probe window with 781 ms GC and the run's highest floor
+            # minted a 3.04 s "regression" on a query that probes at
+            # 1.59-1.66 s steady in any quiet window.)
+            if r.get("verdict") == "code_regression":
+                r2 = judge(run_probe(q, args, sf_dir), q)
+                if "steady" in r2 and r2["steady"] < r["steady"]:
+                    r2["first_attempt_steady"] = r["steady"]
+                    r2["retried"] = True
+                    r = r2
+                else:
+                    r["retried"] = True
             r["baseline_wall"] = bq[q]
             r["candidate_wall"] = cq[q]
             r["ratio"] = round(cq[q] / bq[q], 3)
             if "steady" in r:
-                # Judge WORK against work when both floors are known:
-                # wall = harness floor + work, and the floor is a pure
-                # machine-load term that drifts between rounds (r16:
-                # 0.115 -> 0.149 s between consecutive clean maps, which
-                # alone pushed a flat 0.45 s query past a 10% wall
-                # threshold and minted the tool's only false
-                # code_regression). The probe publishes its own floor
-                # (same JVM, right after the runs); the baseline map
-                # self-measured its floor at sweep time.
-                pf, blf = r.get("probe_floor"), base.get("floor_sec")
-                if pf is not None and blf is not None:
-                    work = max(r["steady"] - pf, 0.0)
-                    base_work = max(bq[q] - blf, 1e-6)
-                    r["steady_work"] = round(work, 4)
-                    r["baseline_work"] = round(base_work, 4)
-                    r["verdict"] = ("environment_or_jit"
-                                    if work <= base_work * 1.10
-                                    else "code_regression")
-                else:
-                    # floor-less probe output (old build): raw wall rule
-                    r["verdict"] = ("environment_or_jit"
-                                    if r["steady"] <= bq[q] * 1.10
-                                    else "code_regression")
                 print(f"[adjudicate] PROBE {q}: cold={r['cold']:.3f}s "
                       f"steady={r['steady']:.3f}s (baseline {bq[q]:.3f}s, "
                       f"sweep {cq[q]:.3f}s) gc_max={r['gc_max_ms']}ms "
-                      f"floor={r.get('probe_floor')} -> {r['verdict']}")
+                      f"floor={r.get('probe_floor')}"
+                      f"{' retried' if r.get('retried') else ''} -> "
+                      f"{r['verdict']}")
             else:
                 print(f"[adjudicate] PROBE {q}: FAILED ({r.get('error')})",
                       file=sys.stderr)
