@@ -89,6 +89,10 @@ object Bench {
     // and its standing-side split for the incremental-insert path
     try ext.Similarity.ensureStandingKnnGraph(spark, sfDir): Unit
     catch { case _: Throwable => () }
+    // and the cell-partitioned serving ENTRY index the walks probe
+    // (without this, the first graph-ANN serving call pays the build)
+    try ext.Similarity.ensureEntryIndex(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // and the bucketed fact-join twins (layout_bucketed's standing
     // layout: the write-time shuffle is corpus build, not query work)
     try core.ZOrder.ensureBucketedFacts(spark, sfDir): Unit

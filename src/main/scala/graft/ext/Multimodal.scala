@@ -56,9 +56,35 @@ object Multimodal {
     * once per (source snapshot, generator version) — while every query
     * execution measures what a deployment would actually run, the
     * decode + fingerprint + join chain over stored bytes. */
-  private def memoMedia(spark: SparkSession, dir: String, tag: String,
+  /** Child session for BINARY-payload scans (one per parent session).
+    * The vectorized parquet reader reserves batchRows × row-width
+    * CONTIGUOUS bytes per column batch: the default 4096-row batch
+    * over multi-KB media blobs reserved ~74 MB per task batch and
+    * OOM'd the 100× warm-up rehearsal at the 8 g runner heap — and the
+    * hazard scales with PAYLOAD width, not corpus size, so a cluster
+    * reading 1 MB images would reserve 4 GB per batch regardless of
+    * executor count. 64-row batches bound the reservation in the
+    * single-digit MB; media work is decode-bytes-bound, so batch row
+    * count costs nothing. Every media relation returned by
+    * [[memoMedia]] is bound to this session, so the blob scans of
+    * both the fingerprint BUILDS and the query-time decode chains
+    * plan under the bound. Shuffle width is copied from the parent's
+    * RUNTIME conf (newSession inherits only builder conf). */
+  private val mediaSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
+  private def mediaScanSession(spark: SparkSession): SparkSession =
+    mediaSessions.computeIfAbsent(spark, { parent =>
+      val s = parent.newSession()
+      s.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")
+      s.conf.set("spark.sql.shuffle.partitions",
+        parent.sessionState.conf.numShufflePartitions.toString)
+      s
+    })
+
+  private def memoMedia(spark0: SparkSession, dir: String, tag: String,
       version: String = CorpusVersion)
       (build: => Dataset[MediaRow]): Dataset[MediaRow] = {
+    val spark = mediaScanSession(spark0)
     import spark.implicits._
     val read = graft.core.ParquetMemo.ensureRead(spark,
       s"$dir/documents.parquet", "media_" + tag, version)(build.toDF())

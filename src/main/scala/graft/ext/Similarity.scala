@@ -1565,7 +1565,7 @@ object Similarity {
     * corpus directories and the serving call touches O(cell + walk)
     * data. Build is one narrow map + the partitioned write, memoized
     * once per corpus beside the graph itself. */
-  private[ext] def ensureEntryIndex(spark: SparkSession, dir: String)
+  private[graft] def ensureEntryIndex(spark: SparkSession, dir: String)
       : String =
     graft.core.ParquetMemo.ensurePartitioned(
         s"$dir/embeddings.parquet", s"knnentry_p$EntryPlanes", "v1",
