@@ -370,9 +370,21 @@ object Sketches {
       .select(col("src_a"), col("src_b"), col("est_union"),
         expr("(m * est_union) div n_sk").as("est_intersect"))
     val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val ex = sh.as("x").join(sh.as("y"),
-        col("x.fp") === col("y.fp") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    // exact intersections via ONE fp-keyed aggregation + in-array pair
+    // expansion: collect each fingerprint's (sorted, deduped) source
+    // set, emit every a < b pair inside it, count by pair. The previous
+    // fp-equality self-join exchanged the full distinct-fingerprint
+    // relation TWICE (both SMJ inputs) and sorted both sides; this
+    // exchanges it once with no sort, and the pair fanout is bounded by
+    // the source cardinality (a handful), never the relation. Same
+    // exact counts: a pair (a, b) shares fp iff fp's source set
+    // contains both.
+    val ex = sh.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss")) - i - 1),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("exact_intersect"))
     pairSrc
       .join(cnt.select(col("source").as("src_a"), col("n").as("na")),

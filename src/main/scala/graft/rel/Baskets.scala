@@ -37,21 +37,32 @@ object Baskets {
     * baskets. One row per ORDERED pair (a → b and b → a both emitted:
     * confidence is directional). */
   def pairRules(baskets: DataFrame, minSupport: Long): DataFrame = {
-    // the distinct (basket, item) relation feeds both self-join sides,
-    // the item supports and the basket count; its exchange is shared by
-    // Spark's ReusedExchange (verified: an explicit persist() here ADDS
-    // a shuffle, because the cached partitioning no longer unifies)
-    val bk = baskets
-    val n = bk.select(countDistinct(col("basket")).as("n_baskets"))
-    val itemSupp = bk.groupBy(col("item")).agg(count(lit(1)).as("supp"))
-    val a = bk.select(col("basket"), col("item").as("antecedent"))
-    val b = bk.select(col("basket"), col("item").as("consequent"))
+    // ONE aggregation packs each basket's distinct items into a sorted
+    // array; pairs, item supports and the basket count are all narrow
+    // derivations of that relation. The previous shape (distinct →
+    // self-join on basket → pair groupBy) exchanged the (basket, item)
+    // relation three times — the distinct, then BOTH join inputs
+    // re-keyed by basket (ReusedExchange shares the subtree, not the
+    // re-key) — where collect_set reaches the same per-basket item sets
+    // with a single basket-keyed exchange (partial map-side dedup
+    // included). Pair fanout stays basket-bounded (≤7 items per TPC-H
+    // order → ≤21 unordered pairs), and sort_array gives the a < b
+    // orientation for free.
+    val arr = baskets.groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    val n = arr.agg(count(lit(1)).as("n_baskets"))
+    val itemSupp = arr.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("supp"))
     // co-occurrence counts are symmetric: count each unordered pair once
     // (a < b) and mirror AFTER the support filter — halves the rows
     // through the pair-count shuffle, which is this operator's one big
     // exchange
-    val half = a.join(b, Seq("basket"))
-      .filter(col("antecedent") < col("consequent"))
+    val half = arr
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items")) - i - 1),
+          b => struct(a.as("antecedent"), b.as("consequent")))))).as("p"))
+      .select(col("p.antecedent").as("antecedent"),
+        col("p.consequent").as("consequent"))
       .groupBy(col("antecedent"), col("consequent"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)

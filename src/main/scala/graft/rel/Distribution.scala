@@ -227,15 +227,21 @@ object Distribution {
     val cum = byValue
       .select(col("v"), col("c"), sum(col("c")).over(w).as("cum"))
     val tot = byValue.agg(sum(col("c")).as("n"))
-    val withN = cum.crossJoin(broadcast(tot))
-      .withColumn("r_lo", expr("(n + 19) div 20"))
-      .withColumn("r_hi", expr("(19 * n + 19) div 20"))
-    val loCut = withN.filter(col("cum") >= col("r_lo"))
-      .agg(min(col("v")).as("lo"))
-    val hiCut = withN.filter(col("cum") >= col("r_hi"))
-      .agg(min(col("v")).as("hi"))
-    byValue.crossJoin(broadcast(loCut)).crossJoin(broadcast(hiCut))
-      .crossJoin(broadcast(tot))
+    // BOTH rank cuts in ONE conditional-min pass over the cumulative
+    // (lo = min v with cum ≥ ceil(n/20), hi = min v with cum ≥
+    // ceil(19n/20) — identical semantics to filtering twice), with n
+    // riding along so the final select needs a single broadcast row.
+    // The previous two filter+agg arms each planned their OWN broadcast
+    // subtree, and broadcast subtrees don't share exchanges — the
+    // single-partition cumulative Window (this operator's documented
+    // serial stage) executed TWICE and the lineitem scan SIX times
+    // (plans/r17/agg_winsorized_before.txt).
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 19) div 20"), col("v"))).as("lo"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("v")))
+          .as("hi"))
+    byValue.crossJoin(broadcast(cuts))
       .select(col("n"), col("lo"), col("hi"),
         (least(greatest(col("v"), col("lo")), col("hi")) * col("c"))
           .as("wmass"),

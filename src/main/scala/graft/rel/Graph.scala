@@ -2017,13 +2017,21 @@ object Graph {
     val src0 = c.agg(min(col("src"))).head().getLong(0)
     val d0 = c.sparkSession.range(1)
       .select(lit(src0).as("node"), lit(0L).as("dist"))
+    // LAZY per-round checkpoints: the plan is truncated immediately
+    // (each round's two consumers — the relax join and the union —
+    // share one LogicalRDD, so lineage never doubles), but nothing
+    // blocks the driver until the CALLER's action, which materializes
+    // all `rounds` relaxations as one job. Eager checkpoints here cost
+    // one driver-blocking job per round for state no driver decision
+    // ever reads (the fixed-horizon loop has no convergence check —
+    // contrast fbFixpoint, whose frontier count IS a driver decision).
     (1 to rounds).foldLeft(d0) { (d, _) =>
       d.unionByName(
           d.join(c, col("node") === col("src"))
             .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist")))
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }.select(col("node"), col("dist").as("dist_cost"))
       .orderBy(col("node"))
   }
