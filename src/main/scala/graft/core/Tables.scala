@@ -12,8 +12,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plans declarative (verified in `PlanSpec`).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Hash-spread key per table — the table's dominant downstream
+    * join/group key, so the re-spread exchange below doubles as that
+    * operation's shuffle (hash(l_orderkey, width) from the re-spread
+    * satisfies an orderkey join's requirement outright). Hash, not
+    * round-robin: same balance on a near-unique key, but no
+    * sortBeforeRepartition local sort ahead of the exchange (the
+    * memoMedia discipline). */
+  private val spreadKey = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "user_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id", "customer" -> "c_custkey")
+
+  /** Per-(dir, table, width) verdict of the unsplittable-input check
+    * below: the fixture files are immutable, so the scan width never
+    * changes for a given path within a JVM. */
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  /** Re-spread floor for unsplittable inputs (optimization guide §2.5):
+    * a parquet ROW GROUP is the minimum split unit, and every fixture
+    * table is a single-file, single-row-group parquet — so however the
+    * split math slices the byte range, exactly one task receives rows
+    * and ALL map-side work ahead of the first exchange (decode, scalar
+    * chains, partial aggregation) runs on one core. The classic remedy
+    * is to repartition immediately after the read. Conditions, both
+    * cached: the scan must be NARROWER than the session width (at
+    * deployment scale `maxPartitionBytes` splits a real multi-row-group
+    * table into ≥ width partitions and this is a no-op — no shuffle is
+    * added where the scan already parallelizes), and the file must
+    * carry enough bytes (≥ 256 KB) that a re-spread exchange is cheaper
+    * than the stage latency it adds — region/nation-class dimension
+    * tables stay single-task broadcast fodder. Width = the session's
+    * shuffle-partition count, NOT defaultParallelism, so the re-spread
+    * partitioning unifies with every downstream exchange at the same
+    * width instead of forcing a re-key. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val width = spark.sessionState.conf.numShufflePartitions
+    val key = spreadKey.get(name)
+    if (key.isEmpty) raw
+    else {
+      val narrow = spreadCache.computeIfAbsent(s"$dir|$name|$width", _ => {
+        val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        val bytes = fs.getContentSummary(path).getLength
+        bytes >= 262144L && raw.rdd.getNumPartitions < width
+      })
+      if (narrow)
+        raw.repartition(width, org.apache.spark.sql.functions.col(key.get))
+      else raw
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

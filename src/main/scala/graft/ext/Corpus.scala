@@ -470,16 +470,18 @@ object Corpus {
     * never collide directly). Rows-only: the murmur3 hash family is not
     * SQL-reproducible; transitivity is property-tested in CorpusSpec. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    connectedComponents(Dedup.minhashPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b")))
+    connectedComponents(
+      Dedup.minhashPairsUnordered(Dedup.withShingles(docs), threshold)
+        .select(col("doc_a"), col("doc_b")))
 
   /** Oracle-checked clustering twin: the same connected components over
     * the md5-family candidate pairs, so even the GRAPH stage of dedup
     * sits behind the hash gate — the DuckDB oracle states reachability
     * declaratively as a recursive CTE and takes min per node. */
   def nearDupClustersMd5(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    connectedComponents(Dedup.md5MinhashPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b")))
+    connectedComponents(
+      Dedup.md5MinhashPairsUnordered(Dedup.withShingles(docs), threshold)
+        .select(col("doc_a"), col("doc_b")))
 
   lazy val nearDupClustersMd5Sql: String = {
     val cand = Dedup.md5MinhashPairsSql
@@ -559,11 +561,11 @@ object Corpus {
     // of BOTH graph chains (the CC stages themselves are edge-sized)
     val shingled = Dedup.withShingles(docs).persist()
     val m3 = connectedComponents(
-      Dedup.minhashPairsFromShingles(shingled, threshold)
+      Dedup.minhashPairsUnordered(shingled, threshold)
         .select(col("doc_a"), col("doc_b")))
       .select(col("id"), col("component").as("c3"))
     val m5 = connectedComponents(
-      Dedup.md5MinhashPairsFromShingles(shingled, threshold)
+      Dedup.md5MinhashPairsUnordered(shingled, threshold)
         .select(col("doc_a"), col("doc_b")))
       .select(col("id"), col("component").as("c5"))
     val perComp = m3.join(m5, Seq("id"), "left")
@@ -1246,7 +1248,8 @@ object Corpus {
         // smaller-id doc shares a banded-signature pair at est >= 0.5
         // (subsumes exact duplicates: identical text => identical
         // signatures => a pair at est 1.0)
-        val nearDup = Dedup.md5MinhashPairs(docs, 0.5)
+        val nearDup = Dedup
+          .md5MinhashPairsUnordered(Dedup.withShingles(docs), 0.5)
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("is_dup", lit(true))
         val grams = docs
@@ -1449,8 +1452,12 @@ object Corpus {
       .agg(count(lit(1)).as("tf"))
       .persist()
     val dft = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val anchors = toks.filter(col("doc_id") % qMod === 0)
-      .join(dft, Seq("token"))
+    // spread the anchor-rank window (AQE coalesces its small-byte
+    // exchange to one task; per-row rank CPU is what dominates — see
+    // core.Spread)
+    val anchors = graft.core.Spread.byKeys(
+        toks.filter(col("doc_id") % qMod === 0).join(dft, Seq("token")),
+        col("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
       .filter(col("rn") <= nAnchors)
@@ -1469,6 +1476,7 @@ object Corpus {
         Seq("query_id"))
       .join(fp.select(col("doc_id"), col("h").as("dh")), Seq("doc_id"))
       .filter(col("qh") =!= col("dh"))
+      .transform(graft.core.Spread.byKeys(_, col("query_id")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_fp").desc, col("doc_id"))))

@@ -134,12 +134,40 @@ object Dedup {
       .select(col("doc_id"), col("s.sig").as("sig"), col("s.bands").as("bands"))
   }
 
+  /** Spread a candidate-pair relation to the session width before its
+    * verify stage. AQE coalesces the candidate exchange by BYTES (a few
+    * MB of id pairs → 1 post-shuffle partition) and is blind to the
+    * per-row verify CPU behind it — exact `array_intersect` over full
+    * shingle sets, measured 1.4 s on ONE task of a 32-core session in
+    * dedup_containment's steady profile. An explicit-width repartition
+    * is REPARTITION_BY_NUM, which AQE never coalesces, so the verify
+    * joins and intersections run at the session width at any scale; the
+    * re-shuffled rows are two ids each, noise next to the verify-join
+    * payloads. */
+  private def spreadForVerify(cands: DataFrame): DataFrame =
+    cands.repartition(
+      cands.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_a"), col("doc_b"))
+
   /** Candidate pairs from shared LSH buckets, verified by estimated
     * jaccard = fraction of matching minhash slots. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame =
     minhashPairsFromShingles(withShingles(docs), threshold)
 
-  def minhashPairsFromShingles(shingled: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairsFromShingles(shingled: DataFrame, threshold: Double): DataFrame =
+    minhashPairsUnordered(shingled, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashPairsFromShingles]] WITHOUT the trailing total order —
+    * the variant every internal consumer (verify joins, connected
+    * components, containment) composes over: the declared pair-list
+    * queries need the total ORDER BY, but a mid-pipeline consumer
+    * re-keys immediately and the global Sort + range Exchange the
+    * public form carries survived the optimizer inside those chains as
+    * pure waste (visible in plans/r17/dedup_containment_before.txt,
+    * nodes 26–27). */
+  private[graft] def minhashPairsUnordered(shingled: DataFrame,
+      threshold: Double): DataFrame = {
     val sigs = signaturesFromShingles(shingled)
     // both sides of the bucket self-join read this; persist so the
     // signature pipeline runs once, not once per side (stays cached for
@@ -154,15 +182,25 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
+      // estimate BEFORE the pair dedup, in the bucket-join stage that
+      // already holds both signatures: est_jaccard is a pure function
+      // of the pair, so dropDuplicates keeps the same value whichever
+      // duplicate survives — and the dedup exchange then carries
+      // (doc_a, doc_b, est) instead of two full signature arrays
+      // (guide §2.3: project before the exchange)
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / NumHashes)
+          .cast("double") / NumHashes).as("est_jaccard"))
+      // explicit-width spread BEFORE the dedup: it is elided into the
+      // dedup's own exchange by EnsureRequirements (same keys, same
+      // width) but flips its origin to REPARTITION_BY_NUM, which AQE
+      // cannot coalesce — so the dedup + downstream verify CPU keeps
+      // the session width instead of collapsing to one byte-sized task
+      .transform(graft.core.Spread.byKeys(_, col("doc_a"), col("doc_b")))
+      .dropDuplicates("doc_a", "doc_b")
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification stage of the
@@ -176,7 +214,7 @@ object Dedup {
     * joins (it previously shingled twice — once inside `minhashPairs`,
     * once for the verify side). */
   def jaccardVerifyFromShingles(withSh: DataFrame, threshold: Double): DataFrame = {
-    val cands = minhashPairsFromShingles(withSh, threshold * 0.5)
+    val cands = minhashPairsUnordered(withSh, threshold * 0.5)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -200,7 +238,7 @@ object Dedup {
   /** As `jaccardVerifyMd5` over a pre-shingled (persisted) frame. */
   def jaccardVerifyMd5FromShingles(withSh: DataFrame, threshold: Double): DataFrame = {
     // one shingle pass feeds signatures/candidates AND both verify joins
-    val cands = md5MinhashPairsFromShingles(withSh, threshold * 0.5, 4)
+    val cands = md5MinhashPairsUnordered(withSh, threshold * 0.5, 4)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -263,12 +301,18 @@ object Dedup {
   private def containmentFromShingles(shingled: DataFrame,
       threshold: Double): DataFrame = {
     val withSh = shingled.persist()
-    val banded = md5MinhashPairsFromShingles(withSh, 0.3, 4)
+    val banded = md5MinhashPairsUnordered(withSh, 0.3, 4)
       .select(col("doc_a"), col("doc_b"))
     val inventory = withSh
       .select(col("doc_id"), explode(col("sh")).as("g"))
     val gdf = inventory.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val anchors = inventory.join(gdf, Seq("g"))
+    // the anchor window ranks the FULL (doc_id, g, gdf) inventory —
+    // ~1 M rows that compress below AQE's byte advisory, so the window
+    // exchange coalesced to ONE partition and the rank sort ran 1.5 s
+    // on a single core (ScopedProbe stages). Spread pins the window at
+    // the session width (see core.Spread).
+    val anchors = graft.core.Spread.byKeys(
+        inventory.join(gdf, Seq("g")), col("doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
@@ -279,7 +323,10 @@ object Dedup {
       .filter(col("doc_id") =!= col("pid"))
       .select(least(col("doc_id"), col("pid")).as("doc_a"),
         greatest(col("doc_id"), col("pid")).as("doc_b"))
-    val cands = banded.unionByName(anchored).distinct()
+    // spread BEFORE the distinct: elided into the distinct's exchange,
+    // flipping it to REPARTITION_BY_NUM so AQE cannot coalesce the
+    // verify stage below one task (see minhashPairsUnordered)
+    val cands = spreadForVerify(banded.unionByName(anchored)).distinct()
     cands
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -407,7 +454,10 @@ object Dedup {
       .persist()
     val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
     val gdf = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val prefix = inv.join(gdf, Seq("g"))
+    // prefix-rank window over the full inventory: same AQE byte-blind
+    // single-task shape as the containment anchor window — spread it
+    val prefix = graft.core.Spread.byKeys(inv.join(gdf, Seq("g")),
+        col("doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
@@ -420,6 +470,9 @@ object Dedup {
         lit(den) * least(col("na"), col("nb")) >=
           lit(num) * greatest(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"))
+      // spread before the distinct (non-coalescable verify width, see
+      // minhashPairsUnordered)
+      .transform(spreadForVerify)
       .distinct()
     cands
       .join(sized.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
@@ -824,6 +877,13 @@ object Dedup {
     md5MinhashPairsFromShingles(md5Shingled(docs), threshold, k)
 
   def md5MinhashPairsFromShingles(shingled: DataFrame,
+      threshold: Double, k: Int = 4): DataFrame =
+    md5MinhashPairsUnordered(shingled, threshold, k)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Order-free core (see [[minhashPairsUnordered]] for why internal
+    * consumers skip the declared surface's total sort). */
+  private[graft] def md5MinhashPairsUnordered(shingled: DataFrame,
       threshold: Double, k: Int = 4): DataFrame = {
     val sigs = md5SigsFromShingles(shingled, k)
     val slots = (0 until k).map(i => col(s"m$i"))
@@ -842,11 +902,18 @@ object Dedup {
       (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
     side("a").join(side("b"), Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
+      // slot-overlap estimate computed in the bucket-join stage (it is
+      // a pure function of the pair, so the dedup keeps the same value
+      // whichever duplicate survives) — the dedup exchange then ships
+      // three columns, not 2k signature slots
+      .select(col("doc_a"), col("doc_b"),
+        (overlap / lit(k.toDouble)).as("est_jaccard"))
+      // non-coalescable width for the dedup + downstream verify CPU
+      // (see minhashPairsUnordered)
+      .transform(graft.core.Spread.byKeys(_, col("doc_a"), col("doc_b")))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("est_jaccard", overlap / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val md5MinhashPairsSql: String = {
@@ -901,7 +968,7 @@ object Dedup {
     * Both engines implement classic unit-cost Levenshtein
     * (Spark `levenshtein`, DuckDB `levenshtein`) — integer-identical. */
   def editDistancePairs(docs: DataFrame, num: Int = 1, den: Int = 4): DataFrame = {
-    val cands = md5MinhashPairs(docs, 0.3, 4)
+    val cands = md5MinhashPairsUnordered(md5Shingled(docs), 0.3, 4)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
@@ -953,7 +1020,7 @@ object Dedup {
     * candidate chain (cost class of `dedup_jaccard_md5`). */
   def minhashAccuracy(docs: DataFrame, k: Int = 4): DataFrame = {
     val withSh = md5Shingled(docs).persist()
-    md5MinhashPairsFromShingles(withSh, threshold = 0.0, k)
+    md5MinhashPairsUnordered(withSh, threshold = 0.0, k)
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -1043,9 +1110,9 @@ object Dedup {
     // both hash families branch off ONE persisted corpus-scan + shingle
     // pass — the corpus is never read twice
     val shingled = withShingles(docs).persist()
-    val m3 = minhashPairsFromShingles(shingled, threshold)
+    val m3 = minhashPairsUnordered(shingled, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val m5 = md5MinhashPairsFromShingles(shingled, threshold, 4)
+    val m5 = md5MinhashPairsUnordered(shingled, threshold, 4)
       .select(col("doc_a"), col("doc_b"))
     m3.join(m5, Seq("doc_a", "doc_b"), "left_anti")
       .agg(count(lit(1)).as("murmur3_only_pairs"))
@@ -1073,9 +1140,9 @@ object Dedup {
     // verify per family repeated the two shingle-set joins (the heavy
     // stage) for the large shared candidate overlap, ~8× the contract's
     // shuffle for zero extra information
-    val c3 = minhashPairsFromShingles(shingled, threshold * 0.5)
+    val c3 = minhashPairsUnordered(shingled, threshold * 0.5)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_m3"))
-    val c5 = md5MinhashPairsFromShingles(shingled, threshold * 0.5, 4)
+    val c5 = md5MinhashPairsUnordered(shingled, threshold * 0.5, 4)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_m5"))
     val cands = c3.join(c5, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
