@@ -665,9 +665,16 @@ object AdvancedJoins {
       mBits: Int = 4096): DataFrame = {
     val dim = supplier.filter(col("s_acctbal") > 5000)
       .select(col("s_suppkey"), col("s_name"))
+    // xxhash64, not md5: the bloom filter is ENGINE-side plumbing (the
+    // declared oracle is the plain join — the gate proves the prefilter
+    // loses nothing), so the portable-hash discipline does not apply,
+    // and the md5 string-concat + hex-conv probe cost ~1.4 s of
+    // single-core CPU per execution at sf0.1 (two digests per fact
+    // row, pushed below the scan re-spread by filter pushdown).
+    // xxhash64 is whole-stage-codegen'd and ~20x cheaper; pmod because
+    // xxhash64 is signed where the md5 conv was non-negative.
     def positions(key: Column): Seq[Column] = (0 until 2).map { i =>
-      conv(substring(md5(concat(lit(s"jb$i:"), key.cast("string"))), 1, 8),
-        16, 10).cast("long") % mBits
+      pmod(xxhash64(lit(s"jb$i:"), key), lit(mBits.toLong))
     }
     val byWord = dim
       .select(explode(array(positions(col("s_suppkey")): _*)).as("pos"))

@@ -1719,7 +1719,14 @@ object Graph {
     * {part | partkey % 97 = 0}, 4 rounds, top 50 by rank. */
   def partPprBucketed(spark: SparkSession, dir: String,
       iters: Int = 4, k: Int = 50): DataFrame = {
-    val adj = spark.table(ensureAdjacency(spark, dir))
+    // checkpoint the bucketed scan ONCE before the fold (the
+    // partPageRankBucketed discipline): every iteration otherwise
+    // re-scans the bucketed parquet and re-decodes the array column,
+    // where the checkpointed LogicalRDD is read back deserialized and
+    // reports its hash(src) partitioning to each round's join
+    val p = spark.sessionState.conf.numShufflePartitions
+    val adj = PlanBridge.checkpointHashPartitioned(
+      spark.table(ensureAdjacency(spark, dir)), Seq("src"), p)
     val seeds = adj.select(col("src").as("node"))
       .filter(col("node") % 97 === 0)
     pprFromAdjacency(adj, seeds, iters)
