@@ -20,10 +20,17 @@ object Tables {
     * round-robin: same balance on a near-unique key, but no
     * sortBeforeRepartition local sort ahead of the exchange (the
     * memoMedia discipline). */
-  private val spreadKey = Map(
-    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-    "events" -> "user_id", "documents" -> "doc_id",
-    "embeddings" -> "vec_id", "customer" -> "c_custkey")
+  /** ONLY `documents`: the one base table whose consumers are
+    * dominated by per-row CPU (tokenize/shingle/hash chains at ms per
+    * document) against a sub-MB exchange. A blanket re-spread of every
+    * large fixture table was measured-and-rejected on a full sweep:
+    * the extra exchange+stage taxed ~175 cheap scan+aggregate queries
+    * a median 1.30× (shuffle-identical control queries read 0.97×,
+    * so the machine was clean) — the mechanism only pays where map-side
+    * CPU, not the scan, owns the stage. CPU-heavy relational chains opt
+    * in explicitly at their own sites (e.g. the VAT enrich cascade in
+    * `vat.Summary`) via [[Spread.byKeys]]. */
+  private val spreadKey = Map("documents" -> "doc_id")
 
   /** Per-(dir, table, width) verdict of the unsplittable-input check
     * below: the fixture files are immutable, so the scan width never
