@@ -303,10 +303,11 @@ object Similarity {
       nPlanes: Int = 4): DataFrame = {
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // derive dim from the data (one metadata-sized lookup): a hardcoded
-    // width would trip SignBitLsh's length≠dim ⇒ cell-0 contract on a
-    // reshaped fixture and silently degrade the probe to brute force
-    val dim = e0.select(size(col("v"))).head().getInt(0)
+    // derive dim from the data (memoized per corpus — corpusMetaOf):
+    // a hardcoded width would trip SignBitLsh's length≠dim ⇒ cell-0
+    // contract on a reshaped fixture and silently degrade the probe to
+    // brute force; the memo keeps it one job per corpus, not per call
+    val dim = corpusMetaOf(spark, dir)._2
     val e = e0.withColumn("cell", lshCellNative(col("v"), dim, nPlanes))
     val q = e.filter(col("vec_id") === qId)
       .select(col("v").as("q"), col("cell").as("qcell"))
@@ -328,10 +329,10 @@ object Similarity {
       nPlanes: Int = 4): DataFrame = {
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // dim from the data, as in lshTopK — the oracle's range(0, 64)
-    // plane derivation then fails VISIBLY on a reshaped fixture instead
-    // of this side silently collapsing every vector into cell 0
-    val dim = e0.select(size(col("v"))).head().getInt(0)
+    // dim from the data (memoized — see lshTopK): the oracle's
+    // range(0, 64) plane derivation then fails VISIBLY on a reshaped
+    // fixture instead of this side silently collapsing into cell 0
+    val dim = corpusMetaOf(spark, dir)._2
     val e = e0.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
     val q = e.filter(col("vec_id") === qId)
@@ -404,7 +405,7 @@ object Similarity {
       nPlanes: Int = 4): DataFrame = {
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = e0.select(size(col("v"))).head().getInt(0)
+    val dim = corpusMetaOf(spark, dir)._2
     val e = e0.withColumn("cell",
       graft.functions.SignBitLsh.sign_bit_lsh_md5(col("v"), dim, nPlanes))
     val queries = e.filter(col("vec_id") % everyN === 0)
@@ -1196,11 +1197,25 @@ object Similarity {
     math.min(10, math.max(2, b))
   }
 
+  /** (row count, vector dim) of a corpus directory, memoized per JVM —
+    * the fixture corpus is immutable (the `Tables.spreadCache`
+    * discipline), and every graph-serving call otherwise re-paid a
+    * footer-count job plus a one-row dim probe for two constants that
+    * never change. Bounded driver metadata: two scalars per corpus. */
+  private val corpusMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]
+  private def corpusMetaOf(spark: SparkSession, dir: String): (Long, Int) =
+    corpusMeta.computeIfAbsent(dir, _ => {
+      val e0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      (e0.count(), e0.select(size(col("v"))).head().getInt(0))
+    })
+
   /** The band width for a corpus directory — one parquet-footer count
     * of the FULL embeddings table (the standing/batch split must agree
     * on geometry, so both derive b from the unsplit corpus). */
   private def knnBandBitsFor(spark: SparkSession, dir: String): Int =
-    knnBandBits(Tables.embeddings(spark, dir).count())
+    knnBandBits(corpusMetaOf(spark, dir)._1)
 
   private def bandKeys(e: DataFrame, bits: Int): DataFrame =
     e.select(col("vec_id"), explode(array((0 until 3).map(r =>
@@ -1299,10 +1314,20 @@ object Similarity {
   }
 
   /** Symmetrize + denormalize destination vectors: the stored edge
-    * layout a probe hop reads. */
-  private def symWithVectors(edges: DataFrame, e0: DataFrame): DataFrame = {
-    val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    * layout a probe hop reads. `mirrorDisjoint = true` skips the
+    * post-union distinct — correct ONLY when the edge relation's src
+    * and dst domains are disjoint (the incremental insert arm: every
+    * edge is batch→standing, every mirror standing→batch, and
+    * bandedKnnEdges already emits distinct (qid, nid) pairs), where the
+    * generic full-build case needs it because (a,b) and (b,a) can both
+    * win top-k and collide with each other's mirrors. Deleting the
+    * provably-no-op distinct deletes one exchange + AQE stage from
+    * every incremental serving call. */
+  private def symWithVectors(edges: DataFrame, e0: DataFrame,
+      mirrorDisjoint: Boolean = false): DataFrame = {
+    val uni = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = if (mirrorDisjoint) uni else uni.distinct()
     sym.join(e0.select(col("vec_id").as("dst"), col("v").as("dvec")),
         Seq("dst"))
       .select(col("src"), col("dst"), col("dvec"))
@@ -1468,16 +1493,16 @@ object Similarity {
   def graphIncrementalSearch(spark: SparkSession, dir: String, qId: Long,
       k: Int, graphK: Int = 8, hops: Int = 32, batchMod: Long = 10L,
       batchRem: Long = 7L): DataFrame = {
-    // ONE footer count per serving call: it feeds the banding geometry
-    // (bits → the standing build's memo key + the insert arm's bands)
-    // AND the insert arm's broadcast decision
-    val nCorpus = Tables.embeddings(spark, dir).count()
+    // memoized corpus constants (count feeds the banding geometry —
+    // bits → the standing build's memo key + the insert arm's bands —
+    // and the broadcast decision; dim feeds the cell planes): the two
+    // per-call metadata jobs the serve used to pay are now one-time
+    val (nCorpus, dim) = corpusMetaOf(spark, dir)
     val bits = knnBandBits(nCorpus)
     val standingGraph = spark.read.parquet(
       ensureStandingKnnGraphB(spark, dir, graphK, batchMod, batchRem, bits))
     val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dim = e0.select(size(col("v"))).head().getInt(0)
     val batch = e0.filter(col("vec_id") % batchMod === batchRem)
     val standing = e0.filter(col("vec_id") % batchMod =!= batchRem)
     // MATERIALIZE the insert once (eager localCheckpoint): the walk
@@ -1489,7 +1514,7 @@ object Similarity {
       bandedKnnEdges(withCell(batch, dim, bits),
         withCell(standing, dim, bits), graphK, bits,
         nQ = nCorpus / batchMod + 1, nN = nCorpus, dim = dim),
-      e0).localCheckpoint(eager = true)
+      e0, mirrorDisjoint = true).localCheckpoint(eager = true)
     // standing graph holds only standing↔standing edges, inserts only
     // batch↔standing — disjoint by construction, no distinct needed
     greedyWalkRanked(standingGraph.unionByName(inserted), e0, dir, qId, k,
@@ -1613,13 +1638,23 @@ object Similarity {
     * vec_id column and only when the probed cell is empty of
     * finite-cosine members. */
   private def walkEntry(spark: SparkSession, dir: String, qId: Long,
-      qCell: Int, qv: Array[Double]): Long = {
+      qCell: Int, qv: Array[Double]): (Long, Array[Double]) = {
     val idx = spark.read.parquet(ensureEntryIndex(spark, dir))
     val qLit = array(qv.map(lit): _*)
     val best = entryProbePlan(idx, qId, qCell, qLit).collect()
-    if (best.nonEmpty) best(0).getLong(0)
-    else idx.filter(col("vec_id") =!= qId)
-      .agg(min(col("vec_id"))).head().getLong(0)
+    // the probe carries the entry VECTOR alongside the id: the caller's
+    // visited map needs cos(entry, q), and fetching the vector here
+    // deletes the per-serving-call single-row corpus lookup job the
+    // walks used to pay (one fewer driver round-trip per query)
+    if (best.nonEmpty) (best(0).getLong(0), best(0).getSeq[Double](1).toArray)
+    else {
+      // min-id fallback: TakeOrdered over (vec_id, v) — same single job
+      // as the old agg(min), now returning the vector too
+      val r = idx.filter(col("vec_id") =!= qId)
+        .select(col("vec_id"), col("v"))
+        .orderBy(col("vec_id")).limit(1).head()
+      (r.getLong(0), r.getSeq[Double](1).toArray)
+    }
   }
 
   /** The entry probe's plan, factored out so SimilaritySpec can assert
@@ -1627,7 +1662,7 @@ object Similarity {
   private[ext] def entryProbePlan(idx: DataFrame, qId: Long, qCell: Int,
       qLit: Column): DataFrame =
     idx.filter(col("vec_id") =!= qId && col("cell") === qCell)
-      .select(col("vec_id"), cosine(col("v"), qLit).as("cos"))
+      .select(col("vec_id"), col("v"), cosine(col("v"), qLit).as("cos"))
       .filter(!isnan(col("cos")))
       .orderBy(col("cos").desc, col("vec_id")).limit(1)
 
@@ -1648,23 +1683,56 @@ object Similarity {
     }
     def cosQ(a: Array[Double]): Double =
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
-    val entry = walkEntry(spark, dir, qId, entryCellOf(qv), qv)
+    val (entry, entryVec) = walkEntry(spark, dir, qId, entryCellOf(qv), qv)
     val visited = scala.collection.mutable.LinkedHashMap(
-      entry -> cosQ(vecOf(entry)))
+      entry -> cosQ(entryVec))
+    // Driver-side adjacency cache with batched IN-list prefetch. The
+    // walk is sequential, but the ids it can move to next are known the
+    // moment a node's neighbor rows arrive — so when a probe job is
+    // unavoidable (cur's adjacency unknown), it fetches cur PLUS every
+    // pending candidate id in one `src IN (...)` pruned scan. Same rows
+    // read through the same src-sorted layout (an IN-list of point
+    // lookups, never a full graph pass), identical walk sequence — but
+    // ~hops sequential probe jobs collapse to a handful of batched
+    // round-trips. At bench scale that deletes most of the per-job
+    // scheduling floor (the walk WAS ~32 jobs of ~60 ms each); at
+    // deployment scale it is serving latency = network round-trips cut
+    // by the same factor. Batch cap 64 sources × 2·graphK rows keeps
+    // each collect bounded probe metadata, the IVF probe-side contract.
+    val adjCache =
+      scala.collection.mutable.Map[Long, Array[(Long, Array[Double])]]()
+    val pending = scala.collection.mutable.LinkedHashSet[Long]()
+    val maxBatch = 64
+    def fetchAdj(need: Long): Unit = {
+      val ids = (Iterator.single(need) ++
+        pending.iterator.filterNot(adjCache.contains))
+        .distinct.take(maxBatch).toSeq
+      val bySrc = g
+        .filter(col("src").isInCollection(ids) && col("dst") =!= qId)
+        .collect() // ≤ maxBatch·2·graphK rows: bounded probe metadata
+        .groupBy(_.getLong(0))
+      ids.foreach { s =>
+        adjCache(s) = bySrc.getOrElse(s, Array.empty)
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+        pending -= s
+      }
+    }
     var cur = entry
     var hop = 0
     var exhausted = false
     while (hop < hops && !exhausted) {
-      val cands = g.filter(col("src") === cur && col("dst") =!= qId)
-        .collect() // ≤ 2·graphK rows: bounded probe metadata
-        .filter(r => !visited.contains(r.getLong(1)))
-        .map(r => (r.getLong(1), cosQ(r.getSeq[Double](2).toArray)))
+      if (!adjCache.contains(cur)) fetchAdj(cur)
+      val cands = adjCache(cur)
+        .filter(t => !visited.contains(t._1))
+        .map { case (id, v) => (id, cosQ(v)) }
         // zero-norm vectors cosine to NaN, and Scala's total Ordering
         // sorts NaN OPPOSITE to SQL's DESC — drop them here exactly as
         // the oracle's isfinite(cos) filter does (the mmrTopKOver rule)
         .filter(!_._2.isNaN)
       if (cands.isEmpty) exhausted = true
       else {
+        cands.foreach { case (id, _) =>
+          if (!adjCache.contains(id)) pending += id }
         val (bid, bcos) = cands.minBy { case (id, c) => (-c, id) }
         visited.update(bid, bcos)
         cur = bid
@@ -1713,10 +1781,11 @@ object Similarity {
       dotA(a, qv) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(qv, qv)))
     // fixed-geometry best-cosine entry cell — see walkEntry/EntryPlanes;
     // the cell is computed driver-side and probed through the standing
-    // partitioned entry index, never by scanning the corpus
-    val entry = walkEntry(spark, dir, qId, entryCellOf(qv), qv)
+    // partitioned entry index, never by scanning the corpus (the probe
+    // returns the entry vector too, deleting the single-row lookup job)
+    val (entry, entryVec) = walkEntry(spark, dir, qId, entryCellOf(qv), qv)
     val visited = scala.collection.mutable.LinkedHashMap(
-      entry -> cosQ(vecOf(entry)))
+      entry -> cosQ(entryVec))
     var beam = Vector(entry)
     var round = 0
     while (round < roundsN && beam.nonEmpty) {
