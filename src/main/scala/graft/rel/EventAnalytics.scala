@@ -502,40 +502,59 @@ object EventAnalytics {
     val spark = events.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // persisted: chans (→ seq0) and convJ both read it — without the
+    // cache the events scan + journey window re-derive once per
+    // consumer (measured 3 full passes for 1 needed)
     val withJourney = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("journey", coalesce(
         sum(when(col("event_type") === "purchase", 1).otherwise(0))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .persist()
     val chans = withJourney.filter(col("event_type") =!= "purchase")
     val convJ = withJourney.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("journey")).distinct()
-    val jw = Window.partitionBy(col("user_id"), col("journey"))
+    // journey is MONOTONE in (ts, event_id) within a user (a running
+    // purchase count), so the per-(user, journey) lead/first-row facts
+    // come from the SAME hash(user_id) window partitioning the journey
+    // column was built under — lead/lag masked by journey equality —
+    // instead of a second exchange re-keying the events-sized relation
+    // by (user_id, journey) (guide §2.4: window functions keyed by a
+    // prefix of an established partitioning need no second shuffle)
+    val jw = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val seq0 = chans
-      .withColumn("rn", row_number().over(jw))
-      .withColumn("nxt", lead(col("event_type"), 1).over(jw))
+      .withColumn("nxt", when(
+        lead(col("journey"), 1).over(jw) === col("journey"),
+        lead(col("event_type"), 1).over(jw)))
+      .withColumn("isFirst",
+        coalesce(lag(col("journey"), 1).over(jw) =!= col("journey"),
+          lit(true)))
       .persist()
     val steps = seq0.filter(col("nxt").isNotNull)
       .select(col("event_type").as("src"), col("nxt").as("dst"))
-    val starts = seq0.filter(col("rn") === 1)
+    val starts = seq0.filter(col("isFirst"))
       .select(lit("START").as("src"), col("event_type").as("dst"))
     val lasts = seq0.filter(col("nxt").isNull)
       .join(convJ.withColumn("conv", lit(1)), Seq("user_id", "journey"), "left")
       .select(col("event_type").as("src"),
         when(col("conv").isNotNull, "CONV").otherwise("NULL").as("dst"))
+    // seq0 holds exactly chans' rows (the windows add columns, drop
+    // nothing), so the anti-join's right side reads the persisted seq0
+    // instead of re-deriving the channel relation
     val emptyConv = convJ
-      .join(chans.select(col("user_id"), col("journey")).distinct(),
+      .join(seq0.select(col("user_id"), col("journey")).distinct(),
         Seq("user_id", "journey"), "left_anti")
       .select(lit("START").as("src"), lit("CONV").as("dst"))
     // the whole chain is (channels+1)^2 counts: bounded metadata
     val trans = steps.unionByName(starts).unionByName(lasts).unionByName(emptyConv)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-    // the result is built from the collected counts, not from seq0's
-    // lineage — release the cache eagerly instead of leaning on the
-    // caller's clearCache()
+    // the result is built from the collected counts, not from the
+    // cached lineage — release both caches eagerly instead of leaning
+    // on the caller's clearCache()
     seq0.unpersist(blocking = false): Unit
+    withJourney.unpersist(blocking = false): Unit
     def solve(t: Seq[(String, String, Long)]): Long = {
       val bySrc = t.groupBy(_._1)
       val states = bySrc.keySet
