@@ -1793,7 +1793,6 @@ object Graph {
     * unweighted op: weighted adjacency lists checkpointed
     * hash-partitioned on src, one dst-aggregate exchange per round. */
   def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val adj = PlanBridge.checkpointHashPartitioned(
@@ -1801,35 +1800,39 @@ object Graph {
         .agg(collect_list(struct(col("dst"), col("w"))).as("nbrs"),
           sum(col("w")).as("wsum")),
       Seq("src"), p)
-    val base = Scale * (DampDen - DampNum) / DampDen
-    val ranks0 = adj.select(col("src").as("node"), lit(Scale).as("rank"))
-    (1 to iters).foldLeft(ranks0) { (ranks, _) =>
-      adj
-        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
-        .select(explode(col("nbrs")).as("nb"), col("rank"), col("wsum"))
-        .select(col("nb.dst").as("dst"),
-          expr(s"CAST((CAST(rank AS DECIMAL(38,0)) * $DampNum * nb.w)" +
-            s" div ($DampDen * wsum) AS BIGINT)").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((sum(col("contrib")) + base).as("rank"))
-        .select(col("dst").as("node"), col("rank"))
-    }
+    pageRankWeightedFromAdjacency(adj, iters)
   }
 
   /** The weighted iteration fold over a prebuilt (src, nbrs, wsum)
     * adjacency — the shape `pageRankFromAdjacency` has for the
-    * unweighted op. */
+    * unweighted op.
+    *
+    * The per-edge contribution is guarded long math with a DECIMAL
+    * fallback: rank·85·w must be exact (the HITS overflow discipline —
+    * it can exceed 2^63 at extreme rank×weight), but BigDecimal per
+    * edge per iteration was the one non-long hot-path arithmetic left
+    * in the fixpoint tier (~0.4 s of the sf0.1 steady wall). Both
+    * branches are exact integer arithmetic over the same operands, and
+    * `div` floors identically for these positive values, so the CASE
+    * is bit-invariant — the guard (rank ≤ ((2^63−1) div 85) div w and
+    * 100·wsum within range) simply picks the representation. */
   def pageRankWeightedFromAdjacency(adj: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val base = Scale * (DampDen - DampNum) / DampDen
+    val maxL = Long.MaxValue
+    val contrib =
+      s"""CASE WHEN rank <= (${maxL}L div $DampNum) div nb.w
+         |          AND wsum <= ${maxL / DampDen}L
+         |     THEN (rank * $DampNum * nb.w) div ($DampDen * wsum)
+         |     ELSE CAST((CAST(rank AS DECIMAL(38,0)) * $DampNum * nb.w)
+         |          div ($DampDen * wsum) AS BIGINT)
+         |END""".stripMargin
     val ranks0 = adj.select(col("src").as("node"), lit(Scale).as("rank"))
     (1 to iters).foldLeft(ranks0) { (ranks, _) =>
       adj
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(explode(col("nbrs")).as("nb"), col("rank"), col("wsum"))
-        .select(col("nb.dst").as("dst"),
-          expr(s"CAST((CAST(rank AS DECIMAL(38,0)) * $DampNum * nb.w)" +
-            s" div ($DampDen * wsum) AS BIGINT)").as("contrib"))
+        .select(col("nb.dst").as("dst"), expr(contrib).as("contrib"))
         .groupBy(col("dst"))
         .agg((sum(col("contrib")) + base).as("rank"))
         .select(col("dst").as("node"), col("rank"))
