@@ -74,6 +74,12 @@ object Ngrams {
     val toks = docs.select(
       col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // measured-and-rejected: n_tok = uni.agg(sum(c)) (re-aggregate the
+    // vocabulary-bounded table) read 0.98 → 1.60 s steady — the join
+    // side's pushed isnotnull(w) makes the two uni subtrees differ, so
+    // AQE stage reuse stops deduping them and the tokenize pass runs
+    // TWICE. The direct count scans only the token column and
+    // whole-stage-codegens to a row count.
     val nTok = toks.agg(count(lit(1)).as("n_tok"))
     val pairs = bigramPositions(docs)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
@@ -116,7 +122,11 @@ object Ngrams {
   def lmScore(docs: DataFrame): DataFrame = {
     val bg = bigramPositions(docs)
     val pairC = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    val histC = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_hist"))
+    // c_hist(w1) = Σ_w2 c_ab(w1, w2) exactly — re-aggregate the
+    // vocabulary-bounded pair table instead of a second corpus-wide
+    // bigram pass (one exchange over |observed bigrams| rows replaces
+    // a scan + explode + window over every token position)
+    val histC = pairC.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_hist"))
     val vocab = docs
       .select(explode(Dedup.tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
@@ -175,19 +185,23 @@ object Ngrams {
       k: Int = 100): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(Dedup.tokens(col("text"))).as("w"))
-    val cs = toks.groupBy(col("w")).agg(count(lit(1)).as("c_s"))
-    val ct = toks.filter(col("lang") === targetLang)
-      .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
-    val scal = toks
-      .agg(count(lit(1)).as("n_s"), countDistinct(col("w")).as("v"))
-      .crossJoin(toks.filter(col("lang") === targetLang)
-        .agg(count(lit(1)).as("n_t")))
+    // ONE count pass builds both distributions (c_t as a conditional
+    // sum — zero, never NULL, so the smoothing term is unchanged), and
+    // every global scalar is a re-aggregate of the vocabulary-bounded
+    // count table: n_s = Σc_s, v = |rows|, n_t = Σc_t. The old shape
+    // derived `toks` FIVE times (cs, ct, two scalar aggregates, the
+    // scoring join) — five corpus-wide tokenize passes for a plan that
+    // needs two (count, then score).
+    val cnt = toks.groupBy(col("w")).agg(
+      count(lit(1)).as("c_s"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val scal = cnt.agg(sum(col("c_s")).as("n_s"),
+      count(lit(1)).as("v"), sum(col("c_t")).as("n_t"))
     val scored = toks
-      .join(cs, Seq("w"))
-      .join(ct, Seq("w"), "left")
+      .join(cnt, Seq("w"))
       .crossJoin(broadcast(scal))
       .select(col("doc_id"),
-        expr("""((coalesce(c_t, 0L) + 1) * (n_s + v) * 1000000L)
+        expr("""((c_t + 1) * (n_s + v) * 1000000L)
                | div ((c_s + 1) * (n_t + v))""".stripMargin).as("r_fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("r_fp")).as("sum_r"))
