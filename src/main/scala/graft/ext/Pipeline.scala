@@ -365,23 +365,34 @@ object Pipeline {
     val enScore = size(filter(split(col("text"), " "),
       t => t.isin("the", "a", "and", "of")))
     val fp = md5(col("text"))
-    val dupCounts = docs.select(fp.as("fp"))
-      .groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
-    docs
-      .select(col("source"), col("doc_id"), fp.as("fp"),
+    // ONE pass over the text: equal fp ⇒ equal text ⇒ equal per-doc
+    // features, so the corpus reduces to (fp, source) groups carrying
+    // (count, the shared feature values) — the old shape computed
+    // md5+tokenize TWICE (duplicate-count arm + doc-level arm) and
+    // shuffled every doc row to the fp join. n_copies is a window sum
+    // over the already-reduced distinct-text relation.
+    val perText = docs
+      .select(col("source"), fp.as("fp"),
         size(toks).cast("long").as("n_tokens"),
-        qualityScore.as("quality"),
-        (enScore >= 2).cast("int").as("is_en"))
-      .join(dupCounts, Seq("fp"))
+        qualityScore.cast("long").as("quality"),
+        (enScore >= 2).cast("long").as("is_en"))
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("n_tokens")).as("ntk"),
+        min(col("quality")).as("q"),
+        min(col("is_en")).as("en"))
+      .withColumn("n_copies", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    perText
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        min(col("n_tokens")).as("min_tokens"),
-        max(col("n_tokens")).as("max_tokens"),
-        sum((col("n_copies") > 1).cast("long")).as("n_dup_docs"),
-        sum(col("quality").cast("long")).as("quality_points"),
-        sum(col("is_en").cast("long")).as("n_english"))
+        sum(col("cnt")).as("n_docs"),
+        sum(col("cnt") * col("ntk")).as("n_tokens"),
+        min(col("ntk")).as("min_tokens"),
+        max(col("ntk")).as("max_tokens"),
+        sum(when(col("n_copies") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"),
+        sum(col("cnt") * col("q")).as("quality_points"),
+        sum(col("cnt") * col("en")).as("n_english"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("min_tokens"), col("max_tokens"), col("n_dup_docs"),
         (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"),

@@ -63,24 +63,21 @@ object Spans {
         col("g"))
   }
 
-  /** Per-gram corpus stats, partial-agg-friendly: occurrence count and
-    * the first occurrence in (doc_id, pos) order. Only duplicated grams
-    * are returned — the small relation everything downstream runs on. */
-  private def dupGramStats(grams: DataFrame): DataFrame =
-    grams
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
-      .where(col("c") > 1)
-
   /** Maximal duplicated spans: (doc_id, span_start, span_end, n_grams),
     * token indices 1-based inclusive, n_grams = duplicated gram starts
     * merged into the span. Island merge is the classic
     * pos − row_number() grouping per document. */
   def duplicatedSpans(docs: DataFrame, w: Int = W): DataFrame = {
     val grams = positionalGrams(docs, w)
+    // duplicated-occurrence marking as ONE count window over the gram
+    // relation: the old stats-agg + semi-join derived the md5-per-
+    // position gram pass twice (the agg side partial-aggregates before
+    // its exchange, the join side doesn't, so AQE stage reuse can't
+    // dedupe them) and shuffled the grams a second time for the join
     val marked = grams
-      .join(dupGramStats(grams).select("g"), Seq("g"))
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy(col("g"))))
+      .where(col("c") > 1)
       .select(col("doc_id"), col("pos"))
     val isl = marked.withColumn("grp",
       col("pos") - row_number().over(
@@ -108,18 +105,23 @@ object Spans {
     * with nothing to scrub pass through (normalized) unchanged.
     */
   def scrubSpans(docs: DataFrame, w: Int = W): DataFrame =
-    // persisted: the gram relation feeds both the stats agg and the
-    // occurrence join; harness calls spark.catalog.clearCache() per
-    // query (unpersisting here would fire at plan-construction time,
-    // before anything runs)
-    scrubFromGrams(docs, positionalGrams(docs, w).persist(), w)
+    scrubFromGrams(docs, positionalGrams(docs, w), w)
 
   private def scrubFromGrams(docs: DataFrame, grams: DataFrame,
                              w: Int): DataFrame = {
-    // scrubbable gram occurrences: duplicated AND not the first
+    // scrubbable gram occurrences: duplicated AND not the first. Both
+    // per-gram facts (count, first occurrence) come from ONE window
+    // pass over the gram relation — the old stats-agg + join needed
+    // the grams persisted to avoid a second md5 pass and still paid
+    // the join exchange; the shared partition spec plans as a single
+    // WindowExec behind a single exchange
+    val wG = Window.partitionBy(col("g"))
     val scrub = grams
-      .join(dupGramStats(grams), Seq("g"))
-      .where(struct(col("doc_id"), col("pos")) =!= col("first_occ"))
+      .withColumn("c", count(lit(1)).over(wG))
+      .withColumn("first_occ",
+        min(struct(col("doc_id"), col("pos"))).over(wG))
+      .where(col("c") > 1 &&
+        struct(col("doc_id"), col("pos")) =!= col("first_occ"))
       .select(col("doc_id"), col("pos"))
     // merge into removal spans (same island trick as duplicatedSpans)
     val spans = scrub

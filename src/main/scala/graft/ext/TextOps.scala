@@ -60,8 +60,11 @@ object TextOps {
       .select(col("doc_id"), col("fp")).distinct()
       // feeds the df aggregate AND both sides of the bucket self-join
       .localCheckpoint(true)
+    // fps is DISTINCT (doc_id, fp) by construction, so document
+    // frequency is a plain count — countDistinct planned a two-phase
+    // distinct aggregation for a dedup the input already has
     val rare = fps.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("fp"))
     val r = fps.join(rare, Seq("fp"), "left_semi")

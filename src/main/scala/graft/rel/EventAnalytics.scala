@@ -1134,8 +1134,13 @@ object EventAnalytics {
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(unix_micros(col("ts"))).as("s"),
         max(unix_micros(col("ts"))).as("e"))
-    val deltas = sessions.select(col("s").as("t"), lit(1L).as("d"))
-      .unionByName(sessions.select((col("e") + 1).as("t"), lit(-1L).as("d")))
+    // both boundary rows of a session emitted by ONE in-row explode —
+    // the two-arm union derived the whole sessionize subtree twice
+    val deltas = sessions
+      .select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d")),
+        struct((col("e") + 1).as("t"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.t").as("t"), col("x.d").as("d"))
       .groupBy(col("t")).agg(sum(col("d")).as("d"))
     val wT = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1143,8 +1148,12 @@ object EventAnalytics {
       .withColumn("live", sum(col("d")).over(wT))
       .select(to_date(timestamp_micros(col("t"))).as("day"),
         col("t"), col("live"))
-    val peaks = live.groupBy(col("day")).agg(max(col("live")).as("peak"))
-    live.join(peaks, Seq("day"))
+    // per-day peak as a window over the SAME relation instead of a
+    // groupBy + self-join that re-derived `live` (and its global
+    // running sum) a second time
+    live
+      .withColumn("peak", max(col("live")).over(
+        Window.partitionBy(col("day"))))
       .filter(col("live") === col("peak"))
       .groupBy(col("day"), col("peak"))
       .agg(min(col("t")).as("at_us"))

@@ -1409,7 +1409,12 @@ object Graph {
     * the peel depth, O(log-ish) on real graphs, and a convergence
     * guard throws rather than return a half-peeled subgraph. */
   def kCore(edges: DataFrame, k: Long = 2L, maxIter: Int = 30): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // LAZY checkpoint + count: the convergence count is the round's
+    // only driver decision, so it doubles as the checkpoint's
+    // materializing action — one job per peel round instead of two
+    // (eager checkpoint, then count over the same blocks)
+    var e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
     var n = e.count()
     var iter = 0
     var converged = false
@@ -1422,7 +1427,7 @@ object Graph {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       val nn = ne.count()
       converged = nn == n
       e = ne; n = nn; iter += 1
@@ -2102,10 +2107,15 @@ object Graph {
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(true)
+    // LAZY per-step checkpoints (the ssspWeighted discipline): each
+    // step's two consumers — the next hop's join and the output union —
+    // share one LogicalRDD, but no driver-blocking job runs per step;
+    // the caller's action materializes all `steps` hops as one job.
+    // The fixed-horizon loop reads no per-step state on the driver.
     val seeds = adj.select(col("src")).orderBy(col("src")).limit(nWalks)
       .select(col("src").as("walk_id"), lit(0).as("step"),
         col("src").as("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var frontier = seeds
     var acc = seeds
     (1 to steps).foreach { t =>
@@ -2115,7 +2125,7 @@ object Graph {
       val next = frontier.join(adj, col("node") === col("src"))
         .select(col("walk_id"), lit(t).as("step"),
           element_at(col("nbrs"), idx).as("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       acc = acc.unionByName(next)
       frontier = next
     }
@@ -2171,7 +2181,16 @@ object Graph {
     * within `window` steps on the same walk, exact counts. The
     * per-walk self-join fans out ≤ window rows per position — linear
     * in total walk length, never node². */
-  def skipgramPairs(walks: DataFrame, window: Int): DataFrame =
+  def skipgramPairs(walks: DataFrame, window: Int): DataFrame = {
+    // materialize the walk corpus ONCE before the self-join: with the
+    // walk generator's lazy per-step checkpoints, the join's two sides
+    // would otherwise race to compute (and transiently double-compute)
+    // the step RDDs inside one job
+    val w = walks.localCheckpoint(eager = true)
+    skipgramPairsOver(w, window)
+  }
+
+  private def skipgramPairsOver(walks: DataFrame, window: Int): DataFrame =
     walks.as("a").join(walks.as("b"),
         col("a.walk_id") === col("b.walk_id") &&
           col("b.step") > col("a.step") &&
@@ -2213,11 +2232,14 @@ object Graph {
     require(nWalks >= 1 && steps >= 1, s"need walks/steps >= 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val pe = e.select(col("src").as("p_src"), col("dst").as("p_dst"))
+    // LAZY per-step checkpoints, as in randomWalks/ssspWeighted: the
+    // fixed-horizon loop reads nothing per step on the driver, so one
+    // caller action materializes every hop instead of one job per hop
     val seeds = e.select(col("src")).distinct()
       .orderBy(col("src")).limit(nWalks)
       .select(col("src").as("walk_id"), lit(0).as("step"),
         col("src").as("node"), lit(null).cast("long").as("prev"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var frontier = seeds
     var acc = seeds.select(col("walk_id"), col("step"), col("node"))
     (1 to steps).foreach { t =>
@@ -2242,7 +2264,7 @@ object Graph {
         .filter(col("cw") - col("wt") <= col("r") && col("r") < col("cw"))
         .select(col("walk_id"), lit(t).as("step"), col("x").as("node"),
           col("cur").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       acc = acc.unionByName(next.select(col("walk_id"), col("step"),
         col("node")))
       frontier = next
@@ -2679,7 +2701,12 @@ object Graph {
     * label join) + a 1-row total; never node×node. */
   def modularity(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val lab = labelPropagation(e, iters)
+    // materialize the 3-round LPA chain ONCE: three downstream
+    // consumers (two label joins + the degree-mass join) each re-plan
+    // the full iteration tree otherwise — stage reuse dedupes the
+    // exchanges but every consumer still re-executes the final argmax
+    // aggregate, and the plan is 4× the size it needs to be
+    val lab = labelPropagation(e, iters).localCheckpoint(true)
     val withLabels = e
       .join(lab.select(col("node").as("src"), col("label").as("la")), Seq("src"))
       .join(lab.select(col("node").as("dst"), col("label").as("lb")), Seq("dst"))
@@ -2759,7 +2786,10 @@ object Graph {
   def conductance(edges: DataFrame, iters: Int = 3,
       k: Int = 30): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val lab = labelPropagation(e, iters)
+    // same one-materialization discipline as `modularity`: FOUR
+    // consumers (sizes, the two intra label joins, degree mass) would
+    // otherwise each carry the whole LPA iteration subtree
+    val lab = labelPropagation(e, iters).localCheckpoint(true)
     val sizes = lab.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
     val intra = e
