@@ -95,8 +95,14 @@ object Clustering {
     * codebook a product quantizer needs for its ADC lookup tables. */
   def trainAssignWithCents(emb: DataFrame, k: Int,
       iters: Int): (DataFrame, Seq[(Int, Seq[Long])]) = {
+    // persisted: every Lloyd round issues its own driver job (seed
+    // collect, per-round update collect, final assign), and each one
+    // re-ran the parquet scan + per-element quantize transform; the
+    // cached integer grid is scanned instead (freed by the harness's
+    // per-query clearCache)
     val embInt = emb
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .persist()
     var cents: Seq[(Int, Seq[Long])] = embInt
       .filter(col("vec_id") < k).orderBy(col("vec_id"))
       .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toSeq).toSeq

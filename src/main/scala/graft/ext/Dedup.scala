@@ -1110,13 +1110,19 @@ object Dedup {
     // both hash families branch off ONE persisted corpus-scan + shingle
     // pass — the corpus is never read twice
     val shingled = withShingles(docs).persist()
+    // ONE full-outer pass with membership flags (the
+    // jaccardContainmentQuery shape): the old anti-join + separate
+    // count derived the md5 band-join chain TWICE (once as the
+    // anti-join's right side, once for portable_pairs)
     val m3 = minhashPairsUnordered(shingled, threshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_m3"))
     val m5 = md5MinhashPairsUnordered(shingled, threshold, 4)
-      .select(col("doc_a"), col("doc_b"))
-    m3.join(m5, Seq("doc_a", "doc_b"), "left_anti")
-      .agg(count(lit(1)).as("murmur3_only_pairs"))
-      .crossJoin(m5.agg(count(lit(1)).as("portable_pairs")))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_m5"))
+    m3.join(m5, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("in_m3") === 1 && col("in_m5").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("murmur3_only_pairs"),
+        coalesce(sum(col("in_m5").cast("long")), lit(0L)).as("portable_pairs"))
   }
 
   lazy val minhashContainmentSql: String =
