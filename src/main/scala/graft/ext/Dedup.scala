@@ -305,14 +305,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val inventory = withSh
       .select(col("doc_id"), explode(col("sh")).as("g"))
-    val gdf = inventory.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // document frequency via ONE count window over the inventory (the
+    // allPairsFromHashed rationale): the gdf aggregate + join derived
+    // the explode twice with no stage reuse between the two subtrees
+    val invG = inventory.withColumn("gdf", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
     // the anchor window ranks the FULL (doc_id, g, gdf) inventory —
     // ~1 M rows that compress below AQE's byte advisory, so the window
     // exchange coalesced to ONE partition and the rank sort ran 1.5 s
     // on a single core (ScopedProbe stages). Spread pins the window at
     // the session width (see core.Spread).
-    val anchors = graft.core.Spread.byKeys(
-        inventory.join(gdf, Seq("g")), col("doc_id"))
+    val anchors = graft.core.Spread.byKeys(invG, col("doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("gdf"), col("g"))))
@@ -453,10 +456,17 @@ object Dedup {
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
       .persist()
     val inv = sized.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
-    val gdf = inv.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // document frequency attached by ONE count window over the gram
+    // inventory: the former gdf aggregate + join derived the explode
+    // twice (the agg side partial-aggregates before its exchange, the
+    // join side doesn't — no stage reuse; StageProbe showed two ~2.6 MB
+    // map stages of 17 + 10 s taskSum) and shuffled the rows a second
+    // time for the join
+    val invG = inv.withColumn("gdf", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
     // prefix-rank window over the full inventory: same AQE byte-blind
     // single-task shape as the containment anchor window — spread it
-    val prefix = graft.core.Spread.byKeys(inv.join(gdf, Seq("g")),
+    val prefix = graft.core.Spread.byKeys(invG,
         col("doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
